@@ -1,0 +1,129 @@
+"""The search operator: the reference's two-level scoring cascade as one
+declarative DataFrame pipeline (reference Searchdomain.cs:183-258).
+
+    score(entity) = PM_ent( [(dp, PM_dp( [(model, sim(q[model], v))] ))] )
+
+Plan shape (SURVEY.md §3.1 Spark trace):
+    corpus scan (partition-pruned by searchdomain)
+      → BROADCAST join with query vectors on model          (J4)
+      → per-row simmethod dispatch, JVM higher-order funcs  (A1-A4)
+      → groupBy(entity, datapoint) partial+final hash agg   (PM_dp)
+      → groupBy(entity) hash agg                            (PM_ent)
+      → rank per (searchdomain, query)                      (O1/O2)
+
+At 100 TB: the only shuffles are the two aggregations, both keyed by
+(searchdomain, entity[, datapoint], query) — co-partitioned, so the second
+agg and the ranking reuse the first shuffle's partitioning in practice
+(AQE coalesces). The query side is tiny (rows = queries × models) and is
+always broadcast — no shuffle of the corpus for the join.
+
+topN is applied at read time over the full ranking (declared deviation from
+the reference's stale-truncated query cache — SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.constants import ROUND_DIGITS
+from embeddingsearch_spark.functions.probmethods import (
+    dwa_weight,
+    probmethod_dispatch_agg,
+)
+from embeddingsearch_spark.functions.similarity import similarity_dispatch
+
+
+def score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """corpus (index_flat shape) × queries (query, model, vector) →
+    one row per (corpus row, query) with the dispatched similarity."""
+    q = F.broadcast(
+        queries.select(
+            "query", F.col("model").alias("q_model"), F.col("vector").alias("qvec")
+        )
+    )
+    j = corpus.join(q, corpus["model"] == q["q_model"], "inner")
+    sim = similarity_dispatch(F.col("simmethod"), F.col("vector"), F.col("qvec"))
+    return j.select(
+        "searchdomain",
+        "entity",
+        "entity_probmethod",
+        "datapoint",
+        "dp_probmethod",
+        "model",
+        "query",
+        sim.alias("sim"),
+    )
+
+
+def datapoint_scores(scored: DataFrame) -> DataFrame:
+    """First fold: per (entity, datapoint, query), fold per-model sims with
+    the datapoint's probmethod (reference Searchdomain.cs:247-255)."""
+    w = dwa_weight(F.col("dp_probmethod"), F.col("model"))
+    return (
+        scored.withColumn("w", w)
+        .groupBy(
+            "searchdomain",
+            "entity",
+            "entity_probmethod",
+            "query",
+            "datapoint",
+            "dp_probmethod",
+        )
+        .agg(
+            probmethod_dispatch_agg(
+                F.col("sim"), F.col("dp_probmethod"), F.col("w")
+            ).alias("dp_score")
+        )
+    )
+
+
+def entity_scores(dp_scores: DataFrame) -> DataFrame:
+    """Second fold: per (entity, query), fold datapoint scores with the
+    entity's probmethod (reference Searchdomain.cs:256-257)."""
+    w = dwa_weight(F.col("entity_probmethod"), F.col("datapoint"))
+    return (
+        dp_scores.withColumn("w2", w)
+        .groupBy("searchdomain", "entity", "query", "entity_probmethod")
+        .agg(
+            probmethod_dispatch_agg(
+                F.col("dp_score"), F.col("entity_probmethod"), F.col("w2")
+            ).alias("score")
+        )
+    )
+
+
+def rank_results(scores: DataFrame, topn: int | None = None) -> DataFrame:
+    """Rank per (searchdomain, query) by rounded score DESC, entity ASC
+    (deterministic tiebreak — declared deviation, SURVEY.md §2.6).
+
+    Ranking over the ROUNDED score quantizes float noise so independently
+    computed pipelines produce identical ranks.
+    """
+    rounded = F.round(F.col("score"), ROUND_DIGITS)
+    w = Window.partitionBy("searchdomain", "query").orderBy(
+        rounded.desc(), F.col("entity").asc()
+    )
+    out = scores.select(
+        "searchdomain",
+        "query",
+        "entity",
+        rounded.alias("score"),
+    ).withColumn("rank", F.row_number().over(w))
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out
+
+
+def search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    searchdomain: str | None = None,
+    topn: int | None = None,
+) -> DataFrame:
+    """Full pipeline: `Search(query, topN)` for every query row at once
+    (reference SearchdomainController.cs:158-171, batched)."""
+    if searchdomain is not None:
+        corpus = corpus.filter(F.col("searchdomain") == searchdomain)
+    scored = score_pairs(corpus, queries)
+    return rank_results(entity_scores(datapoint_scores(scored)), topn)

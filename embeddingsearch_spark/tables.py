@@ -1,0 +1,136 @@
+"""Testdata loaders + deterministic derivation of reference-shaped tables.
+
+The driver's correctness gate compares Spark queries against DuckDB SQL over
+the SAME parquet tables (`/root/testdata/sf*/`). The reference's data model
+(searchdomain > entity > datapoint > per-model embedding) is not among those
+tables, so we *derive* it deterministically from `embeddings.parquet`
+(vec_id, embedding ARRAY<FLOAT>, label) with pure integer/list arithmetic
+that both engines express identically (see oracle.py for the SQL mirror):
+
+    e   = vec_id div 6          → entity 'ent_{e:06d}'
+    dpi = (vec_id % 6) div 2    → datapoint title|text|filename
+    mi  = vec_id % 2            → model mock:modelA | mock:modelB
+    searchdomain = 'sd_' + (e % 2)
+    vector       = embedding        (modelA)
+                 | reverse(embedding) (modelB — a consistent second space)
+    simmethod       = SIMMETHODS[(e*3 + dpi) % 4]
+    dp_probmethod   = DP_PM[(e + dpi) % 8]
+    ent_probmethod  = ENT_PM[e % 8]
+
+Query vectors: vec_id < 4 → query 'q{vec_id}', one row per model (modelB
+reversed), mirroring the reference's one-query-vector-per-model lookup
+(reference Searchdomain.cs:249-254).
+
+This gives every simmethod × probmethod combination real coverage, including
+the DictionaryWeightedAverage parameterized form at both cascade levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Entity-level DWA weights are keyed by datapoint name; datapoint-level by
+# model name (reference Probmethods.cs:159-176 — keys are the fold keys).
+DWA_ENT = 'DictionaryWeightedAverage:{"title":2.0,"filename":0.1,"text":0.25}'
+DWA_DP = 'DictionaryWeightedAverage:{"mock:modelA":4.0,"mock:modelB":1.0}'
+
+ENT_PM = [
+    "Mean",
+    "HarmonicMean",
+    "QuadraticMean",
+    "GeometricMean",
+    "EVEWAvg",
+    "HVEWAvg",
+    "LVEWAvg",
+    DWA_ENT,
+]
+DP_PM = [
+    "Mean",
+    "HarmonicMean",
+    "QuadraticMean",
+    "GeometricMean",
+    "EVEWAvg",
+    "HVEWAvg",
+    "LVEWAvg",
+    DWA_DP,
+]
+SIM = ["Cosine", "Euclidian", "Manhattan", "Pearson"]
+
+N_QUERY_VECS = 4
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def _pick(idx, options: list[str]):
+    """idx (Column, 0..len-1) → CASE over string options."""
+    expr = F.lit(options[-1])
+    for i, opt in enumerate(options[:-1]):
+        expr = F.when(idx == i, F.lit(opt)).otherwise(expr)
+    return expr
+
+
+def derive_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_flat-shaped corpus derived from embeddings.parquet."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.expr("vec_id div 6")
+    dpi = F.expr("(vec_id % 6) div 2")
+    mi = F.col("vec_id") % 2
+    return emb.select(
+        F.concat(F.lit("sd_"), (e % 2).cast("string")).alias("searchdomain"),
+        F.concat(F.lit("ent_"), F.lpad(e.cast("string"), 6, "0")).alias("entity"),
+        _pick(e % 8, ENT_PM).alias("entity_probmethod"),
+        _pick(dpi, ["title", "text", "filename"]).alias("datapoint"),
+        _pick((e + dpi) % 8, DP_PM).alias("dp_probmethod"),
+        _pick((e * 3 + dpi) % 4, SIM).alias("simmethod"),
+        F.when(mi == 0, F.lit("mock:modelA"))
+        .otherwise(F.lit("mock:modelB"))
+        .alias("model"),
+        F.when(mi == 0, F.col("embedding"))
+        .otherwise(F.reverse(F.col("embedding")))
+        .alias("vector"),
+    )
+
+
+def derive_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query, model, vector) — one row per (query, model)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERY_VECS)
+    q = F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("query")
+    a = emb.select(
+        q, F.lit("mock:modelA").alias("model"), F.col("embedding").alias("vector")
+    )
+    b = emb.select(
+        q,
+        F.lit("mock:modelB").alias("model"),
+        F.reverse(F.col("embedding")).alias("vector"),
+    )
+    return a.unionAll(b)
+
+
+def derive_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entities-shaped table (searchdomain, entity, probmethod) derived from
+    the corpus — distinct entity rows."""
+    return (
+        derive_corpus(spark, sf_dir)
+        .select("searchdomain", "entity", F.col("entity_probmethod").alias("probmethod"))
+        .distinct()
+    )
