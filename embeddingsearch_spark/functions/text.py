@@ -1,0 +1,113 @@
+"""Text-analysis Column builders: hashing/fingerprinting (reference
+SearchdomainHelper.cs:455-458), tokenization, quality scoring, language-ID —
+the text half of the LLM-data-pipeline surface (BASELINE.json north star).
+
+All pure Catalyst expressions (codegen'd, no Python UDFs): at 100 TB these
+run inside the parquet scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def text_hash(text: Column) -> Column:
+    """Canonical content hash: sha256 hex of the raw text (engine canonical
+    form; the reference's base64(sha256) — SearchdomainHelper.cs:455-458 —
+    is `F.base64(F.unhex(text_hash(c)))` when byte-parity matters)."""
+    return F.sha2(text, 256)
+
+
+def normalize(text: Column) -> Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace runs."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint over normalized text — the exact-dedup key."""
+    return F.sha2(normalize(text), 256)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_class_count(text: Column, char_class: str) -> Column:
+    """Number of characters matching a regex character class."""
+    return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length/punct/digit/space ratios + avg token length — the standard
+    cheap quality signals for corpus filtering. All ratios in [0,1]."""
+    n = F.length(text).cast("double")
+    safe_n = F.when(n == 0, F.lit(1.0)).otherwise(n)
+    n_tok = token_count(text).cast("double")
+    punct = char_class_count(text, r"[^\p{L}\p{N}\s]").cast("double")
+    digit = char_class_count(text, r"[0-9]").cast("double")
+    space = char_class_count(text, r"\s").cast("double")
+    return {
+        "n_chars": n.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": punct / safe_n,
+        "digit_ratio": digit / safe_n,
+        "space_ratio": space / safe_n,
+        "avg_token_len": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            (n - space) / n_tok
+        ),
+    }
+
+
+# Marker stopwords per language for the n-gram-free heuristic language ID.
+# Occurrence counts (with repeats) are compared; ties break to the
+# lexicographically smallest code; no markers at all → 'und'.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "los", "las", "y", "es", "que", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+        )
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over lang_scores; tie → smallest code; all-zero → 'und'."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # lexicographic order makes ties deterministic
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # later (smaller) wins ties via >=
+        cond = scores[lang] > 0
+        better = scores[lang] >= best_score
+        best_lang = F.when(cond & better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond & better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the near-dup unit). Texts shorter than
+    n tokens yield their single full-text shingle."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (n - 1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )

@@ -1,0 +1,155 @@
+"""Deduplication operators for the LLM-data-pipeline surface
+(BASELINE.json north star): exact, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard — all as shuffle-conscious DataFrame pipelines.
+
+Scale notes (100 TB):
+  - exact dedup is one hash-partitioned groupBy on the fingerprint — the
+    minimum possible shuffle (the fingerprint is computed in the scan stage);
+  - MinHash signatures are computed scan-side (K static min-aggregates over
+    exploded shingles, partial-agg'd map-side); LSH banding turns the
+    quadratic all-pairs problem into an equi-join on (band, band_hash) —
+    only bucket collisions shuffle;
+  - candidate verification joins exploded distinct shingles — bounded by
+    candidate count, not corpus size;
+  - hashes are sha256-derived (not xxhash) so independent engines (the
+    DuckDB oracle) reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.functions.text import fingerprint, tokens, word_shingles
+
+
+def _hash60(c: Column) -> Column:
+    """First 60 bits of sha256 as a bigint (engine-portable hash)."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup over normalized text: every doc mapped to
+    its group's canonical (min) id + group size."""
+    fp = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fp")
+        .select(
+            id_col,
+            "canonical_id",
+            "group_size",
+            (F.col("group_size") > 1).alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """K MinHash values per doc over distinct word n-gram shingles:
+    sig_i = min over shingles of hash60(shingle || '#i')."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(_hash60(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the K signature values into ``bands`` groups; docs colliding on
+    any full band become candidate pairs (a < b)."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.sha2(F.concat_ws("_", *parts), 256).alias("bh"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+    left = banded.withColumnRenamed(id_col, "id_a")
+    right = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs via distinct-shingle join."""
+    sh = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
+    return jaccard_verify(df, pairs, id_col, text_col, shingle_n, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens: bit j is set when the
+    sum over tokens of ±1 (sign = bit j of the token's hash60) is >= 0.
+    Near-dup docs differ in few bits (compare with hamming distance)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = _hash60(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

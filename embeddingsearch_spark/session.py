@@ -40,6 +40,9 @@ def get_spark(
         # Arrow for pandas-UDF boundaries (embedder, multimodal decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as long, converted in tables.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter local runs; no effect on semantics.
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,35 @@
+"""Query suite: every implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) as a (spark_fn, oracle_sql) pair.
+
+Each module exposes ``QUERIES: dict[name, (fn, sql | None)]`` where ``fn``
+takes (spark, sf_dir) → DataFrame and ``sql`` is the DuckDB twin (None for
+non-SQL-expressible ops → driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
+    from embeddingsearch_spark.suite import (
+        ann,
+        dedup,
+        maintenance,
+        reference_surface,
+        relational,
+        scoring,
+        textops,
+    )
+
+    out: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in (scoring, reference_surface, relational, maintenance, dedup, textops, ann):
+        for name, pair in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = pair
+    return out

@@ -1,0 +1,149 @@
+"""Dedup queries over a derived corpus with planted duplicates:
+
+  dd = documents
+     ∪ exact copies   (doc_id % 7 == 0 → doc_id + 100000, same text)
+     ∪ near copies    (doc_id % 5 == 0 → doc_id + 200000, text + ' near dup tail')
+
+so exact dedup, MinHash+LSH near-dup, and SimHash all have real positives
+to find, and the DuckDB oracle reproduces signatures bit-for-bit (all
+hashes are sha256-derived)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.operators import dedup as dd_ops
+
+DD_SQL = """dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup tail' FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# Tokens with the engine's empty-text guard; shingles = distinct word 3-grams.
+TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
+  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+SH_SQL = f"""sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(1, len({TOKS_SQL}) - 2) + 1),
+      i -> array_to_string(({TOKS_SQL})[i:i+2], ' ')
+    ))) AS shingle
+  FROM dd
+)"""
+
+_H60 = "CAST(('0x' || substr(sha256({expr}), 1, 15)) AS BIGINT)"
+
+
+def derive_dd(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd_ops.exact_duplicates(derive_dd(spark, sf_dir), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = f"""WITH {DD_SQL},
+fp AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM dd
+),
+g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM fp GROUP BY fp)
+SELECT f.doc_id, g.canonical_id, g.group_size,
+       g.group_size > 1 AS is_duplicate
+FROM fp f JOIN g USING (fp)"""
+
+
+def q_neardup_minhash(spark, sf_dir):
+    return dd_ops.near_duplicates_minhash(
+        derive_dd(spark, sf_dir), "doc_id", "text",
+        k=8, bands=4, shingle_n=3, threshold=0.5,
+    ).select("id_a", "id_b", F.round("jaccard", RD).alias("jaccard"))
+
+
+def _mh_cols() -> str:
+    return ",\n         ".join(
+        "min(" + _H60.format(expr=f"shingle || '#{i}'") + f") AS mh{i}"
+        for i in range(8)
+    )
+
+
+NEARDUP_MINHASH_SQL = f"""WITH {DD_SQL}, {SH_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_mh_cols()}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, sha256(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bh FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, sha256(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, sha256(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, sha256(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS ninter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+             / (za.nsh + zb.nsh - coalesce(i.ninter, 0)), {RD}) AS jaccard
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
+      / (za.nsh + zb.nsh - coalesce(i.ninter, 0)) >= 0.5"""
+
+
+def q_simhash(spark, sf_dir):
+    return dd_ops.simhash(derive_dd(spark, sf_dir), "doc_id", "text", bits=16)
+
+
+def _simhash_bits() -> str:
+    terms = []
+    for j in range(16):
+        h = _H60.format(expr="tok")
+        terms.append(
+            f"CASE WHEN sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+SIMHASH_SQL = f"""WITH {DD_SQL},
+tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM dd)
+SELECT doc_id, CAST({_simhash_bits()} AS BIGINT) AS simhash
+FROM tok GROUP BY doc_id"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
+    "simhash": (q_simhash, SIMHASH_SQL),
+}

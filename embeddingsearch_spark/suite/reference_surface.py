@@ -1,0 +1,70 @@
+"""Reference API surface as queries: models-in-use (A15), entity projection
+(P2/P3, the /Entities list shape), per-domain stats (A14/F11 — the
+Client API's database-size/stats calls, reference DatabaseHelper.cs:291-397).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.oracle import CORPUS_CTE
+
+
+def q_models_in_use(spark, sf_dir):
+    """Distinct model ids per searchdomain (reference Searchdomain.cs:260-282)."""
+    corpus = tables.derive_corpus(spark, sf_dir)
+    return corpus.select("searchdomain", "model").distinct()
+
+
+MODELS_IN_USE_SQL = f"""WITH {CORPUS_CTE}
+SELECT DISTINCT searchdomain, model FROM corpus"""
+
+
+def q_entity_projection(spark, sf_dir):
+    """/Entities list shape: per entity, probmethod + datapoint/model
+    counts + sorted model list (reference EntityController.cs:42-86)."""
+    corpus = tables.derive_corpus(spark, sf_dir)
+    return corpus.groupBy("searchdomain", "entity", "entity_probmethod").agg(
+        F.countDistinct("datapoint").alias("n_datapoints"),
+        F.count(F.lit(1)).alias("n_embeddings"),
+        F.array_sort(F.collect_set("model")).alias("models"),
+    )
+
+
+ENTITY_PROJECTION_SQL = f"""WITH {CORPUS_CTE}
+SELECT searchdomain, entity, entity_probmethod,
+       count(DISTINCT datapoint) AS n_datapoints,
+       count(*) AS n_embeddings,
+       list_sort(list(DISTINCT model)) AS models
+FROM corpus
+GROUP BY searchdomain, entity, entity_probmethod"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain entity/datapoint/embedding counts + stored vector floats
+    (reference ServerController stats + database-size accounting)."""
+    corpus = tables.derive_corpus(spark, sf_dir)
+    return corpus.groupBy("searchdomain").agg(
+        F.countDistinct("entity").alias("n_entities"),
+        F.countDistinct("entity", "datapoint").alias("n_datapoints"),
+        F.count(F.lit(1)).alias("n_embeddings"),
+        F.sum(F.size("vector")).alias("total_floats"),
+    )
+
+
+DOMAIN_STATS_SQL = f"""WITH {CORPUS_CTE}
+SELECT searchdomain,
+       count(DISTINCT entity) AS n_entities,
+       count(DISTINCT entity || '/' || datapoint) AS n_datapoints,
+       count(*) AS n_embeddings,
+       CAST(sum(len(vector)) AS BIGINT) AS total_floats
+FROM corpus
+GROUP BY searchdomain"""
+
+
+QUERIES = {
+    "models_in_use": (q_models_in_use, MODELS_IN_USE_SQL),
+    "entity_projection": (q_entity_projection, ENTITY_PROJECTION_SQL),
+    "domain_stats": (q_domain_stats, DOMAIN_STATS_SQL),
+}

@@ -1,0 +1,157 @@
+"""Relational queries on the TPC-H-ish testdata: the join/aggregation/top-k
+primitives the scoring pipeline decomposes into (SURVEY.md §2.3 J1-J3,
+§2.4 A14, §2.6 O1-O2), exercised at bench scale.
+
+Plan notes (100 TB): region/nation (and customer at sane scales) broadcast;
+the lineitem-side aggregations are partial+final hash aggs; top-k compiles
+to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: lineitem scan-side filter + grouped aggregates."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), RD).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), RD).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), RD
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                RD,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), RD).alias("avg_qty"),
+            F.round(F.avg("l_discount"), RD).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), {RD}) AS sum_qty,
+       round(sum(l_extendedprice), {RD}) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), {RD}) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {RD}) AS sum_charge,
+       round(avg(l_quantity), {RD}) AS avg_qty,
+       round(avg(l_discount), {RD}) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10
+    (orderBy+limit → TakeOrderedAndProject distributed top-k)."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), RD
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), {RD}) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10"""
+
+
+def q_nation_volume(spark, sf_dir):
+    """5-way star join (broadcast dims) + per-nation revenue."""
+    region = tables.load(spark, sf_dir, "region")
+    nation = tables.load(spark, sf_dir, "nation")
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), RD
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+NATION_VOLUME_SQL = f"""
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name"""
+
+
+def q_events_daily(spark, sf_dir):
+    """Event-stream rollup: per (event_type, day) counts + value sums —
+    the batch shape of the streaming aggregations (SURVEY.md §2.9)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), RD).alias("total_value"),
+        )
+    )
+
+
+EVENTS_DAILY_SQL = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), {RD}) AS total_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)"""
+
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
+    "top_revenue_orders": (q_top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
+    "nation_volume": (q_nation_volume, NATION_VOLUME_SQL),
+    "events_daily": (q_events_daily, EVENTS_DAILY_SQL),
+}

@@ -1,0 +1,110 @@
+"""Text-analysis queries over the documents table: token counting, quality
+scoring, heuristic language-ID, content fingerprinting (the text half of
+the LLM-data-pipeline surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.functions import text as T
+
+TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
+  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
+
+def q_token_count(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({TOKS_SQL}) AS n_tokens,
+       length(text) AS n_chars_computed
+FROM documents"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    m = T.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(m["punct_ratio"], RD).alias("punct_ratio"),
+        F.round(m["digit_ratio"], RD).alias("digit_ratio"),
+        F.round(m["space_ratio"], RD).alias("space_ratio"),
+        F.round(m["avg_token_len"], RD).alias("avg_token_len"),
+    )
+
+
+QUALITY_SCORE_SQL = rf"""
+SELECT doc_id,
+  round((length(text) - length(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')))
+        / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END,
+        {RD}) AS punct_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END,
+        {RD}) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+        / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END,
+        {RD}) AS space_ratio,
+  round(CASE WHEN len({TOKS_SQL}) = 0 THEN 0.0
+        ELSE (CAST(length(text) AS DOUBLE)
+              - (length(text) - length(regexp_replace(text, '\s', '', 'g'))))
+             / len({TOKS_SQL}) END, {RD}) AS avg_token_len
+FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _score_sql(markers: list[str]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter({TOKS_SQL.replace('text', 'lower(text)')}, "
+        f"t -> list_contains([{arr}], t)))"
+    )
+
+
+_S = {lang: _score_sql(m) for lang, m in T.LANG_MARKERS.items()}
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+  CASE WHEN greatest({_S['de']}, {_S['en']}, {_S['es']}, {_S['fr']}) = 0 THEN 'und'
+       WHEN {_S['de']} >= {_S['en']} AND {_S['de']} >= {_S['es']}
+            AND {_S['de']} >= {_S['fr']} THEN 'de'
+       WHEN {_S['en']} >= {_S['es']} AND {_S['en']} >= {_S['fr']} THEN 'en'
+       WHEN {_S['es']} >= {_S['fr']} THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM documents"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        T.text_hash(F.col("text")).alias("text_hash"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       sha256(text) AS text_hash
+FROM documents"""
+
+
+QUERIES = {
+    "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
+    "lang_id": (q_lang_id, LANG_ID_SQL),
+    "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+}
