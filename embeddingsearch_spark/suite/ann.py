@@ -93,7 +93,89 @@ SELECT label, id_a, id_b, round(sim, {RD}) AS cosine
 FROM sims WHERE round(sim, {RD}) >= 0.65"""
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF scale path: assign every vector to its nearest of 16 centroids
+    (first 16 vectors double as centroids — deterministic), then probe only
+    the 4 nearest centroids' buckets per query. At 100 TB the assigned
+    corpus is written partitioned by centroid_id so the probe join prunes
+    to nprobe/16 of the data."""
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    centroids = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids(corpus, centroids)
+    return ann_ops.ivf_topk(
+        assigned, centroids, _queries_df(spark, sf_dir), k=10, nprobe=4
+    )
+
+
+IVF_TOPK_SQL = f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+assign_elems AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cv) AS DOUBLE) AS y
+  FROM embeddings e, cents c
+),
+assign_sims AS (
+  SELECT vec_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM assign_elems GROUP BY vec_id, centroid_id
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM assign_sims
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+probe_elems AS (
+  SELECT q.query_id, c.centroid_id,
+         CAST(unnest(c.cv) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM cents c, q
+),
+probe_sims AS (
+  SELECT query_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM probe_elems GROUP BY query_id, centroid_id
+),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM probe_sims
+  ) WHERE r <= 4
+),
+cand_elems AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM probe p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+),
+cand_sims AS (
+  SELECT query_id, vec_id, {_COS} AS sim
+  FROM cand_elems GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(sim, {RD}) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, {RD}) DESC, vec_id ASC) AS rank
+  FROM cand_sims
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 QUERIES = {
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
 }

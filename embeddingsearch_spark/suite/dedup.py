@@ -142,8 +142,50 @@ SELECT doc_id, CAST({_simhash_bits()} AS BIGINT) AS simhash
 FROM tok GROUP BY doc_id"""
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Direct n-gram Jaccard on provided candidate pairs (each original vs
+    its planted exact/near copy): exact copies score 1.0, near copies < 1.
+    The pair join is linear (no LSH needed when candidates are given)."""
+    dd = derive_dd(spark, sf_dir)
+    ids = dd.select("doc_id")
+    a = ids.select(F.col("doc_id").alias("id_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(
+        b,
+        (F.col("id_b") == F.col("id_a") + 100000)
+        | (F.col("id_b") == F.col("id_a") + 200000),
+    )
+    return dd_ops.jaccard_verify(dd, pairs, "doc_id", "text", shingle_n=3).select(
+        "id_a", "id_b", F.round("jaccard", RD).alias("jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""WITH {DD_SQL}, {SH_SQL},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dd a JOIN dd b
+    ON b.doc_id = a.doc_id + 100000 OR b.doc_id = a.doc_id + 200000
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS ninter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+             / (za.nsh + zb.nsh - coalesce(i.ninter, 0)), {RD}) AS jaccard
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
 }
