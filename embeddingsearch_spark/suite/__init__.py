@@ -23,11 +23,21 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         reference_surface,
         relational,
         scoring,
+        streamingops,
         textops,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (scoring, reference_surface, relational, maintenance, dedup, textops, ann):
+    for mod in (
+        scoring,
+        reference_surface,
+        relational,
+        maintenance,
+        dedup,
+        textops,
+        ann,
+        streamingops,
+    ):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,119 @@
+"""Streaming queries (SURVEY.md §2.9): the file-source ingest path and an
+event-time windowed rollup, both drained with AvailableNow so the result is
+a plain DataFrame the driver can compare against a batch DuckDB oracle
+(single-batch complete-mode output over static input ≡ batch aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.streaming import windows as win
+from embeddingsearch_spark.streaming.ingest import ingest_available_now
+
+# Raw parquet schemas for the streaming file source (ts is TIMESTAMP(NANOS)
+# → long under spark.sql.legacy.parquet.nanosAsLong, converted after read).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCUMENTS_RAW = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def q_streaming_events_hourly(spark, sf_dir):
+    """Hourly tumbling-window rollup computed BY THE STREAMING ENGINE
+    (readStream file source → watermark → window agg → memory sink)."""
+    stream = (
+        spark.readStream.schema(EVENTS_RAW)
+        # file source needs a directory: watch sf_dir, glob one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    rollup = win.windowed_rollup(stream, window="1 hour", watermark="1 day")
+    return win.run_available_now(rollup, output_mode="complete")
+
+
+STREAMING_EVENTS_HOURLY_SQL = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), {RD}) AS total_value
+FROM events
+GROUP BY 1, 2, 3"""
+
+
+def q_streaming_index_build(spark, sf_dir):
+    """Documents streamed through the T4 file-source ingest path
+    (foreachBatch → build_index → merge) — final per-(domain, model) index
+    stats. The oracle recomputes the same stats batch-side, proving the
+    incremental merge converges to the batch build."""
+    indexer = ingest_available_now(
+        spark,
+        sf_dir,
+        schema=DOCUMENTS_RAW,
+        dim=8,
+        transform=_docs_to_ingest,
+        path_glob="documents.parquet",
+    )
+    return indexer.index_flat.groupBy("searchdomain", "model").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text_hash").alias("n_distinct_texts"),
+        F.countDistinct("entity").alias("n_entities"),
+    )
+
+
+def _docs_to_ingest(docs):
+    return docs.select(
+        F.concat(F.lit("sd_"), (F.col("doc_id") % 2).cast("string")).alias(
+            "searchdomain"
+        ),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("entity"),
+        F.lit("Mean").alias("entity_probmethod"),
+        F.lit(None).cast("map<string,string>").alias("attributes"),
+        F.lit("text").alias("datapoint"),
+        F.lit("Mean").alias("dp_probmethod"),
+        F.lit("Cosine").alias("simmethod"),
+        F.col("text"),
+        F.array(F.lit("mock:modelA"), F.lit("mock:modelB")).alias("models"),
+    )
+
+
+STREAMING_INDEX_BUILD_SQL = """
+SELECT 'sd_' || (doc_id % 2) AS searchdomain, m.model,
+       count(*) AS n_rows,
+       count(DISTINCT sha256(text)) AS n_distinct_texts,
+       count(DISTINCT 'doc_' || doc_id) AS n_entities
+FROM documents,
+     (SELECT 'mock:modelA' AS model UNION ALL SELECT 'mock:modelB') m
+GROUP BY 1, 2"""
+
+
+QUERIES = {
+    "streaming_events_hourly": (
+        q_streaming_events_hourly,
+        STREAMING_EVENTS_HOURLY_SQL,
+    ),
+    "streaming_index_build": (
+        q_streaming_index_build,
+        STREAMING_INDEX_BUILD_SQL,
+    ),
+}
