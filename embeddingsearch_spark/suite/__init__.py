@@ -20,6 +20,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         ann,
         dedup,
         maintenance,
+        multimodalops,
         reference_surface,
         relational,
         scoring,
@@ -37,6 +38,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         textops,
         ann,
         streamingops,
+        multimodalops,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -1,0 +1,96 @@
+"""Multimodal queries over a media table derived from documents (content =
+utf-8 bytes of the text — an opaque BINARY column with typed metadata; the
+testdata ships no real media, the plumbing is what's exercised).
+
+Derivation (mirrored in the oracles):
+  media_id = doc_id
+  modality = image|audio|video by doc_id % 3
+  content  = encode(text, 'utf-8')
+  media_meta.n_frames = 24 + (doc_id % 100) * 3   (video frame counts)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators import multimodal as mm
+
+
+def derive_media(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        modality.alias("format"),
+        (16 + F.col("doc_id") % 64).cast("int").alias("width"),
+        (16 + F.col("doc_id") % 48).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (1000 + F.col("doc_id") % 5000).cast("int").alias("duration_ms"),
+        (24 + (F.col("doc_id") % 100) * 3).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        meta.alias("media_meta"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Byte-level stats via Arrow-batched mapInPandas over the BINARY
+    column (entropy is exercised in unit tests; the oracled columns are
+    the engine-portable ones)."""
+    media = derive_media(spark, sf_dir)
+    stats = mm.media_stats(media)
+    return (
+        media.select("media_id", "modality")
+        .join(stats, "media_id")
+        .select("media_id", "modality", "size_bytes", "content_sha256")
+    )
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       sha256(text) AS content_sha256
+FROM documents"""
+
+
+def q_media_frame_plan(spark, sf_dir):
+    """Metadata-driven frame sampling plan for video rows — pure JVM
+    sequence/slice over the metadata struct, binary never touched."""
+    media = derive_media(spark, sf_dir)
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        mm.frame_sample_plan(media, every_n=10, max_frames=16).alias(
+            "frame_indices"
+        ),
+    )
+
+
+MEDIA_FRAME_PLAN_SQL = """
+SELECT doc_id AS media_id,
+       (list_transform(range(0, 24 + (doc_id % 100) * 3, 10),
+                       x -> CAST(x AS INTEGER)))[1:16] AS frame_indices
+FROM documents WHERE doc_id % 3 = 2"""
+
+
+def q_media_decode(spark, sf_dir):
+    """Deterministic fake decode (the codec seam with decoder='fake'):
+    chunked byte-mean features. Not SQL-expressible at reasonable cost —
+    rows-only check; values are unit-tested against a pure-Python mirror."""
+    media = derive_media(spark, sf_dir)
+    return mm.decode_media(media, decoder="fake", feature_dim=16)
+
+
+QUERIES = {
+    "media_features": (q_media_features, MEDIA_FEATURES_SQL),
+    "media_frame_plan": (q_media_frame_plan, MEDIA_FRAME_PLAN_SQL),
+    "media_decode": (q_media_decode, None),
+}

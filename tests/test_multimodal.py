@@ -1,0 +1,89 @@
+"""Multimodal plumbing: Arrow-batched binary stats match pure-Python
+values, fake decode is deterministic with the right schema/shape, the real
+decoder stub fails loudly, and the frame plan is metadata-driven JVM work."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.operators import multimodal as mm
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, content binary, "
+    f"media_meta {mm.MEDIA_META_SCHEMA}"
+)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _row(i, modality, content: bytes, n_frames=0):
+    return (i, modality, bytearray(content), (modality, 16, 16, 16000, 1000, n_frames))
+
+
+def test_media_stats_matches_python(spark):
+    payloads = [b"hello world", b"", b"\x00\xff" * 100, "héllo".encode()]
+    df = _media(
+        spark, [_row(i, "image", p) for i, p in enumerate(payloads)]
+    )
+    got = {r.media_id: r for r in mm.media_stats(df).collect()}
+    assert len(got) == len(payloads)
+    for i, p in enumerate(payloads):
+        assert got[i].size_bytes == len(p)
+        assert got[i].content_sha256 == hashlib.sha256(p).hexdigest()
+        assert got[i].byte_entropy == round(mm._entropy(p), 4)
+    # known value: 200 bytes, two symbols evenly → 1 bit/byte
+    assert got[2].byte_entropy == 1.0
+
+
+def test_fake_decode_deterministic_and_shaped(spark):
+    df = _media(
+        spark,
+        [
+            _row(0, "image", b"abcdefgh" * 10),
+            _row(1, "audio", b""),
+            _row(2, "video", bytes(range(256))),
+        ],
+    )
+    out = mm.decode_media(df, decoder="fake", feature_dim=4)
+    rows = {r.media_id: r for r in out.collect()}
+    assert out.schema["features"].dataType.simpleString() == "array<double>"
+    assert all(len(r.features) == 4 for r in rows.values())
+    assert rows[1].features == [0.0] * 4  # empty content → zero vector
+    assert rows[0].features == mm._fake_features(b"abcdefgh" * 10, 4)
+    assert rows[2].features == mm._fake_features(bytes(range(256)), 4)
+    # determinism: second run bit-identical
+    again = {r.media_id: r.features for r in out.collect()}
+    assert again == {k: r.features for k, r in rows.items()}
+
+
+def test_real_decoder_stub_raises(spark):
+    df = _media(spark, [_row(0, "image", b"notarealimage")])
+    out = mm.decode_media(df, decoder="real")
+    with pytest.raises(Exception) as exc_info:
+        out.collect()
+    assert "NotImplementedError" in str(
+        exc_info.value
+    ) or "real image decoding" in str(exc_info.value)
+
+
+def test_frame_sample_plan(spark):
+    df = _media(
+        spark,
+        [
+            _row(0, "video", b"x", n_frames=25),
+            _row(1, "video", b"x", n_frames=300),
+            _row(2, "video", b"x", n_frames=1),
+        ],
+    )
+    out = df.select(
+        "media_id", mm.frame_sample_plan(df, every_n=10, max_frames=5).alias("fi")
+    )
+    got = {r.media_id: r.fi for r in out.collect()}
+    assert got[0] == [0, 10, 20]
+    assert got[1] == [0, 10, 20, 30, 40]  # capped at max_frames
+    assert got[2] == [0]
