@@ -26,6 +26,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         scoring,
         streamingops,
         textops,
+        windowops,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
@@ -39,6 +40,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         ann,
         streamingops,
         multimodalops,
+        windowops,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -45,7 +45,7 @@ def q_streaming_events_hourly(spark, sf_dir):
         # file source needs a directory: watch sf_dir, glob one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     rollup = win.windowed_rollup(stream, window="1 hour", watermark="1 day")
     return win.run_available_now(rollup, output_mode="complete")

@@ -1,0 +1,103 @@
+"""Window-function queries (SURVEY.md §2.5): the rank/position idioms the
+reference maintains imperatively (cached-ranking binary insert,
+Searchdomain.cs:298-326; LRU position reindex, CacheHelper.cs:223-240)
+re-expressed as window functions, plus gap-based sessionization.
+
+Plan notes (100 TB): every query here is one exchange on its partition
+key; sessionize reuses that exchange for its final aggregation (window
+partitioning ≡ groupBy key prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.operators import sessions
+
+GAP_S = 6 * 3600
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessions (6 h) per user with per-session rollups."""
+    ev = tables.load(spark, sf_dir, "events")
+    return sessions.session_stats(ev, gap_seconds=GAP_S)
+
+
+EVENTS_SESSIONIZE_SQL = f"""WITH tagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST({GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM tagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), {RD}) AS total_value
+FROM sess GROUP BY user_id, session_seq"""
+
+
+def q_orders_running_total(spark, sf_dir):
+    """Per-customer order sequence + running spend (cumulative window)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            RD,
+        ).alias("cum_spend"),
+    )
+
+
+ORDERS_RUNNING_TOTAL_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), {RD})
+         AS cum_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
+def q_events_lru_rank(spark, sf_dir):
+    """Most-recent-3 events per user — the LRU position map
+    (row_number() OVER (ORDER BY last_access DESC), CacheHelper.cs shape)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", F.row_number().over(w).alias("lru_pos")
+        )
+        .filter(F.col("lru_pos") <= 3)
+    )
+
+
+EVENTS_LRU_RANK_SQL = """
+SELECT user_id, event_id, CAST(lru_pos AS INT) AS lru_pos FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS lru_pos
+  FROM events
+) WHERE lru_pos <= 3"""
+
+
+QUERIES = {
+    "events_sessionize": (q_events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "orders_running_total": (q_orders_running_total, ORDERS_RUNNING_TOTAL_SQL),
+    "events_lru_rank": (q_events_lru_rank, EVENTS_LRU_RANK_SQL),
+}

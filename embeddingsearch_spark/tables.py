@@ -79,9 +79,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts is TIMESTAMP(NANOS) in parquet, read as long nanoseconds
         # (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
         # timestamp at microsecond precision.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div — float division loses 1 µs on large nano values
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
