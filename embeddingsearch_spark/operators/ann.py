@@ -15,11 +15,21 @@ turning an O(corpus) scan into O(corpus × nprobe / n_centroids).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from embeddingsearch_spark.constants import ROUND_DIGITS
-from embeddingsearch_spark.functions.similarity import cosine
+from embeddingsearch_spark.functions.vectors import dot, norm2
+
+
+def _cosine_from_parts(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """Remapped cosine given a precomputed norm per side. Precomputing the
+    norms per ROW (scan stage, O(n)) instead of per PAIR (O(n·q) or O(n²))
+    removes two of the three array reductions from every pair — same float
+    operations, same results, a third of the work on the hot path."""
+    denom = na * nb
+    raw = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_ab / denom)
+    return (raw + 1.0) / 2.0
 
 
 def brute_force_topk(
@@ -33,17 +43,29 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, vec_id, cosine, rank<=k)."""
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            norm2(F.col(vec_col)).alias("_qn"),
         )
     )
-    sim = cosine(F.col(vec_col), F.col("_qvec"))
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm2(F.col(vec_col)).alias("_cn"),
+        )
         .crossJoin(q)
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(sim, ROUND_DIGITS).alias("cosine"),
+            F.round(
+                _cosine_from_parts(
+                    dot(F.col(vec_col), F.col("_qvec")),
+                    F.col("_cn"),
+                    F.col("_qn"),
+                ),
+                ROUND_DIGITS,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -51,6 +73,50 @@ def brute_force_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def blocked_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.65,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs within a blocking key above a
+    cosine threshold. The blocking key bounds the quadratic pair count; the
+    per-row norm is computed once scan-side, so each pair costs one dot."""
+    withn = emb.select(
+        F.col(block_col),
+        F.col(id_col),
+        F.col(vec_col),
+        norm2(F.col(vec_col)).alias("_n"),
+    )
+    a = withn.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = withn.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = _cosine_from_parts(
+        dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            block_col,
+            "id_a",
+            "id_b",
+            F.round(sim, ROUND_DIGITS).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -66,18 +132,22 @@ def assign_centroids(
     centroid_id for probe-time partition pruning."""
     c = F.broadcast(
         centroids.select(
-            F.col(centroid_id_col), F.col(vec_col).alias("_cvec")
+            F.col(centroid_id_col),
+            F.col(vec_col).alias("_cvec"),
+            norm2(F.col(vec_col)).alias("_cvn"),
         )
     )
-    scored = corpus.crossJoin(c)
-    sim = cosine(F.col(vec_col), F.col("_cvec"))
+    scored = corpus.withColumn("_vn", norm2(F.col(vec_col))).crossJoin(c)
+    sim = _cosine_from_parts(
+        dot(F.col(vec_col), F.col("_cvec")), F.col("_vn"), F.col("_cvn")
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.round(sim, ROUND_DIGITS).desc(), F.col(centroid_id_col).asc()
     )
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .drop("_r", "_cvec")
+        .drop("_r", "_cvec", "_cvn", "_vn")
     )
 
 
@@ -98,12 +168,19 @@ def ivf_topk(
         centroids, queries, k=nprobe,
         id_col=centroid_id_col, vec_col=vec_col, query_id_col=query_id_col,
     ).select(query_id_col, centroid_id_col)
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm2(F.col(vec_col)).alias("_qn"),
+    )
     cand = (
-        assigned.join(F.broadcast(probe), centroid_id_col)
+        assigned.withColumn("_vn", norm2(F.col(vec_col)))
+        .join(F.broadcast(probe), centroid_id_col)
         .join(F.broadcast(q), query_id_col)
     )
-    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    sim = _cosine_from_parts(
+        dot(F.col(vec_col), F.col("_qvec")), F.col("_vn"), F.col("_qn")
+    )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),

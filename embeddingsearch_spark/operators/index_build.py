@@ -23,7 +23,7 @@ partitioning serves both; everything else is scan-stage expression work.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,11 +37,30 @@ from embeddingsearch_spark.sources.embedder import (
 
 @dataclass
 class BuildResult:
+    """Counts are lazy — forcing them eagerly would add two extra Spark
+    jobs per build (per micro-batch on the streaming path)."""
+
     index_flat: DataFrame
     new_cache_entries: DataFrame
-    n_requested: int
-    n_cache_hits: int
-    n_embedded: int
+    _needed: DataFrame = field(repr=False)
+    _counts: dict = field(default_factory=dict, repr=False)
+
+    def _count(self, key: str, df: DataFrame) -> int:
+        if key not in self._counts:
+            self._counts[key] = df.count()
+        return self._counts[key]
+
+    @property
+    def n_requested(self) -> int:
+        return self._count("requested", self._needed)
+
+    @property
+    def n_embedded(self) -> int:
+        return self._count("embedded", self.new_cache_entries)
+
+    @property
+    def n_cache_hits(self) -> int:
+        return self.n_requested - self.n_embedded
 
 
 def build_index(
@@ -59,7 +78,6 @@ def build_index(
     needed = rows.select("text_hash", "text", "model").dropDuplicates(
         ["text_hash", "model"]
     )
-    n_requested = needed.count()
 
     if embedding_cache is not None:
         cache = embedding_cache.select("text_hash", "model", "vector")
@@ -79,7 +97,6 @@ def build_index(
             "vector"
         ),
     )
-    n_embedded = embedded.count()
     vectors = embedded if hits is None else hits.unionByName(embedded)
 
     index_flat = (
@@ -109,9 +126,7 @@ def build_index(
     return BuildResult(
         index_flat=index_flat,
         new_cache_entries=embedded,
-        n_requested=n_requested,
-        n_cache_hits=n_requested - n_embedded,
-        n_embedded=n_embedded,
+        _needed=needed,
     )
 
 

@@ -52,25 +52,12 @@ FROM ranked WHERE rank <= 10"""
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: all pairs within the same label block
-    (blocking key bounds the quadratic pair count) above 0.65 cosine (threshold sized to the testdata distribution)."""
+    (blocking key bounds the quadratic pair count) above 0.65 cosine
+    (threshold sized to the testdata distribution); per-row norms are
+    precomputed scan-side so each pair costs one dot product."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-    )
-    b = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-    )
-    from embeddingsearch_spark.functions.similarity import cosine
-
-    j = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        j.select("label", "id_a", "id_b", F.round(sim, RD).alias("cosine"))
-        .filter(F.col("cosine") >= 0.65)
+    return ann_ops.blocked_cosine_pairs(
+        emb, block_col="label", threshold=0.65
     )
 
 
