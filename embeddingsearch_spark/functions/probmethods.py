@@ -156,12 +156,15 @@ def probmethod_dispatch_agg(
     expression (single-pass hash aggregation; the 8-way CASE is the cost of
     per-row method heterogeneity — reference Datapoint.cs:10-11).
 
-    ``method`` must be constant within each group (it should be part of the
-    grouping key); it is folded with ``first()``.
+    ``method`` MUST be one of the grouping columns: it is referenced
+    directly in the post-aggregation CASE. (Folding it with ``first()``
+    instead would put a string buffer in the aggregation, forcing the
+    whole agg from HashAggregate into SortAggregate — an extra sort per
+    partition and no whole-stage codegen.)
     """
     if weight is None:
         weight = F.lit(1.0)
-    m = method_base(F.first(method, ignorenulls=True))
+    m = method_base(method)
     expr = F.lit(None).cast("double")
     for name in PROBMETHODS:
         agg = probmethod_agg(name, x, weight)

@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: pin the scale-critical properties so a
+refactor can't silently turn a broadcast join into a shuffle join, lose
+predicate pushdown, or add exchanges. These are the properties that decide
+whether a query survives a 100x scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators import ann as ann_ops
+from embeddingsearch_spark.operators import search as so
+from embeddingsearch_spark.operators import sessions
+from embeddingsearch_spark.plans import inspect as pi
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_search_plan_broadcasts_queries_three_shuffles(spark):
+    """The cascade: query side broadcasts (J4 — never shuffle the corpus
+    for the join), and exactly 3 exchanges exist (dp agg, entity agg,
+    final ranking window)."""
+    corpus = tables.derive_corpus(spark, SF)
+    queries = tables.derive_queries(spark, SF)
+    s = so.search(corpus, queries)
+    pi.assert_broadcast_join(s)
+    assert pi.count_shuffles(s) == 3
+
+
+def test_pricing_filter_and_columns_reach_scan(spark):
+    """Predicate pushdown + column pruning on the lineitem scan."""
+    li = tables.load(spark, SF, "lineitem")
+    q = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    pi.assert_pushed_filter(q, "l_shipdate")
+    read = pi.read_schema_columns(q)
+    assert read == {"l_shipdate", "l_returnflag", "l_quantity"}, read
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    emb = tables.load(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = ann_ops.brute_force_topk(emb, qs, k=5)
+    pi.assert_broadcast_join(topk)
+    # corpus scan + per-query top-k window: one exchange for the window
+    assert pi.count_shuffles(topk) == 1
+
+
+def test_sessionize_single_exchange_reused_by_rollup(spark):
+    """Window partition key prefixes the groupBy key → the per-session
+    rollup reuses the window's exchange; exactly one shuffle total."""
+    ev = tables.load(spark, SF, "events")
+    stats = sessions.session_stats(ev)
+    assert pi.count_shuffles(stats) == 1
+
+
+def test_partition_pruning_on_saved_index(spark, tmp_path):
+    """Engine.save writes partitioned by searchdomain; a searchdomain
+    filter must prune partitions (PartitionFilters at the scan), so a
+    per-domain query at 100 TB opens only that domain's files."""
+    corpus = tables.derive_corpus(spark, SF)
+    path = str(tmp_path / "index_flat")
+    corpus.write.partitionBy("searchdomain").parquet(path)
+    loaded = spark.read.parquet(path)
+    q = loaded.filter(F.col("searchdomain") == "sd_0")
+    pi.assert_partition_pruned(q)
+    # and the data files of sd_1 are not in the scan's selected partitions
+    assert q.count() == corpus.filter(F.col("searchdomain") == "sd_0").count()
+
+
+def test_search_runs_in_codegen_stages(spark):
+    """The scoring pipeline must run inside WholeStageCodegen spans (the
+    similarity kernels are Catalyst expressions, not Python UDFs)."""
+    corpus = tables.derive_corpus(spark, SF)
+    queries = tables.derive_queries(spark, SF)
+    s = so.search(corpus, queries)
+    assert pi.codegen_stage_count(s, execute=True) >= 3
