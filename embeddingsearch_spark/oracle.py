@@ -148,10 +148,12 @@ _SIM_CASE = """CASE simmethod
     END"""
 
 
-def sims_ctes() -> str:
+def sims_ctes(corpus_cte: str | None = None) -> str:
     """CTE chain: corpus + queries joined on model, elementwise-exploded,
-    re-aggregated to one similarity per (corpus row, query)."""
-    return f"""{CORPUS_CTE},
+    re-aggregated to one similarity per (corpus row, query).
+    ``corpus_cte`` overrides the default corpus derivation (must define a
+    CTE named ``corpus``) — used for modified-index scenarios."""
+    return f"""{corpus_cte or CORPUS_CTE},
 {QUERIES_CTE},
 elems AS (
   SELECT c.searchdomain, c.entity, c.entity_probmethod, c.datapoint,
@@ -170,12 +172,14 @@ sims AS (
 )"""
 
 
-def search_cascade_sql(topn: int | None = None) -> str:
+def search_cascade_sql(
+    topn: int | None = None, corpus_cte: str | None = None
+) -> str:
     """Full two-level cascade + ranking — mirror of operators/search.py."""
     dp_fold = pm_fold("sim", "dp_probmethod", DP_WEIGHT)
     ent_fold = pm_fold("dp_score", "entity_probmethod", ENT_WEIGHT)
     limit = f"WHERE rank <= {topn}" if topn is not None else ""
-    return f"""WITH {sims_ctes()},
+    return f"""WITH {sims_ctes(corpus_cte)},
 dp_scores AS (
   SELECT searchdomain, entity, entity_probmethod, query, datapoint,
          dp_probmethod,

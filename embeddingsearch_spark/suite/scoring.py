@@ -1,9 +1,13 @@
-"""Scoring-pipeline queries: the flagship cascade (SURVEY.md §2.4 A13) and
-its topN variant, over the derived reference-shaped fixture."""
+"""Scoring-pipeline queries: the flagship cascade (SURVEY.md §2.4 A13),
+its topN variant, and incremental query-results maintenance (X1/X2), over
+the derived reference-shaped fixture."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from embeddingsearch_spark import oracle, tables
+from embeddingsearch_spark.operators import query_cache
 from embeddingsearch_spark.operators import search as search_op
 
 
@@ -19,7 +23,50 @@ def q_search_top5(spark, sf_dir):
     return search_op.search(corpus, queries, topn=5)
 
 
+def q_query_results_incremental(spark, sf_dir):
+    """Materialize rankings on the original index, apply a deterministic
+    entity update (every 5th entity's datapoints switch to (Mean, Cosine)
+    — a method change, the reference's update_method upsert case), then
+    repair incrementally (re-score ONLY touched entities). The oracle
+    computes a full fresh search over the updated index — the incremental
+    repair must equal it exactly."""
+    touched_pred = F.expr("CAST(substring(entity, 5) AS BIGINT) % 5 = 0")
+    corpus = tables.derive_corpus(spark, sf_dir)
+    queries = tables.derive_queries(spark, sf_dir)
+    materialized = query_cache.materialize(corpus, queries)
+    updated = corpus.withColumn(
+        "dp_probmethod",
+        F.when(touched_pred, F.lit("Mean")).otherwise(F.col("dp_probmethod")),
+    ).withColumn(
+        "simmethod",
+        F.when(touched_pred, F.lit("Cosine")).otherwise(F.col("simmethod")),
+    )
+    touched = updated.filter(touched_pred).select("searchdomain", "entity")
+    return query_cache.incremental_refresh(
+        materialized, updated, queries, touched
+    )
+
+
+_UPDATED_CORPUS_CTE = (
+    oracle.CORPUS_CTE.replace("corpus AS (", "corpus0 AS (", 1)
+    + """,
+corpus AS (
+  SELECT searchdomain, entity, entity_probmethod, datapoint,
+         CASE WHEN CAST(substring(entity, 5) AS BIGINT) % 5 = 0
+              THEN 'Mean' ELSE dp_probmethod END AS dp_probmethod,
+         CASE WHEN CAST(substring(entity, 5) AS BIGINT) % 5 = 0
+              THEN 'Cosine' ELSE simmethod END AS simmethod,
+         model, vector
+  FROM corpus0
+)"""
+)
+
+
 QUERIES = {
     "search_cascade": (q_search_cascade, oracle.search_cascade_sql()),
     "search_top5": (q_search_top5, oracle.search_cascade_sql(topn=5)),
+    "query_results_incremental": (
+        q_query_results_incremental,
+        oracle.search_cascade_sql(corpus_cte=_UPDATED_CORPUS_CTE),
+    ),
 }
