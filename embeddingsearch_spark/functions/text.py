@@ -41,6 +41,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization: contractions, space-prefixed letter runs,
+# digit runs, punctuation runs (the GPT-2 pattern family, without the
+# lookahead so the same regex runs in Java regex and RE2 engines alike).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (approximates LLM token segmentation far
+    better than whitespace — the unit most token budgets count)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_class_count(text: Column, char_class: str) -> Column:
     """Number of characters matching a regex character class."""
     return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))

@@ -69,6 +69,31 @@ def session_finalize_deletes(
     return existing.join(uploaded, keys, "left_anti").select(*keys).distinct()
 
 
+def reconcile_store(
+    store: DataFrame, desired: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Persistent-store reconciliation (E1-E3, reference
+    CacheHelper.cs:44-137): classify every key between the on-disk store
+    and the desired (in-memory) state —
+
+      delete — in store, not desired   (store−cache, :64-75)
+      insert — desired, not in store   (cache−store, :82-96)
+      keep   — present in both
+
+    All three of the reference's loops collapse into one full-outer join:
+    the WHEN MATCHED / NOT MATCHED [BY SOURCE] arms of a MERGE."""
+    keys = keys or ["text_hash", "model"]
+    s = store.select(*keys).distinct().withColumn("_in_store", F.lit(True))
+    d = desired.select(*keys).distinct().withColumn("_in_desired", F.lit(True))
+    j = s.join(d, keys, "full_outer")
+    action = (
+        F.when(F.col("_in_desired").isNull(), "delete")
+        .when(F.col("_in_store").isNull(), "insert")
+        .otherwise("keep")
+    )
+    return j.select(*keys, action.alias("action"))
+
+
 def cache_split(
     requested: DataFrame, cache: DataFrame, keys: list[str] = None
 ) -> DataFrame:

@@ -152,8 +152,45 @@ FROM requested r LEFT JOIN cache c
 GROUP BY r.model, CASE WHEN c.text_hash IS NOT NULL THEN 'hit' ELSE 'miss' END"""
 
 
+def q_store_reconcile(spark, sf_dir):
+    """Persistent-store reconciliation (E1-E3): on-disk store = v1 texts
+    of doc_id % 3 == 0 (modelA); desired state = v2 texts of doc_id % 2
+    == 0 (modelA). One full-outer classification replaces the reference's
+    three diff loops."""
+    store = (
+        derive_v1(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("text_hash", F.lit("mock:modelA").alias("model"))
+    )
+    desired = (
+        derive_v2(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("text_hash", F.lit("mock:modelA").alias("model"))
+    )
+    return upsert.reconcile_store(store, desired)
+
+
+STORE_RECONCILE_SQL = f"""WITH {V1_SQL}, {V2_SQL},
+store AS (
+  SELECT DISTINCT text_hash, 'mock:modelA' AS model
+  FROM v1 WHERE doc_id % 3 = 0
+),
+desired AS (
+  SELECT DISTINCT text_hash, 'mock:modelA' AS model
+  FROM v2 WHERE doc_id % 2 = 0
+)
+SELECT coalesce(s.text_hash, d.text_hash) AS text_hash,
+       coalesce(s.model, d.model) AS model,
+       CASE WHEN d.text_hash IS NULL THEN 'delete'
+            WHEN s.text_hash IS NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM store s FULL OUTER JOIN desired d
+  ON s.text_hash = d.text_hash AND s.model = d.model"""
+
+
 QUERIES = {
     "upsert_classify": (q_upsert_classify, UPSERT_CLASSIFY_SQL),
     "session_finalize": (q_session_finalize, SESSION_FINALIZE_SQL),
     "cache_hit_miss": (q_cache_hit_miss, CACHE_HIT_MISS_SQL),
+    "store_reconcile": (q_store_reconcile, STORE_RECONCILE_SQL),
 }

@@ -63,8 +63,51 @@ FROM corpus
 GROUP BY searchdomain"""
 
 
+_EXTRA_CATALOG = [
+    "mock:modelC",
+    "other:alpha",
+    "other:beta-old",
+    "mock:legacy-old",
+]
+
+
+def q_model_catalog_filter(spark, sf_dir):
+    """Model catalog + regex allow/deny filter (S7/P5, reference
+    AIProvider.cs:135-216): models in use unioned with a static catalog,
+    allowlist '^mock:', denylist '-old$', scheme/path split (F3)."""
+    corpus = tables.derive_corpus(spark, sf_dir)
+    catalog = corpus.select("model").distinct().unionByName(
+        spark.createDataFrame([(m,) for m in _EXTRA_CATALOG], "model string")
+    )
+    return (
+        catalog.filter(F.col("model").rlike("^mock:"))
+        .filter(~F.col("model").rlike("-old$"))
+        .select(
+            "model",
+            F.split("model", ":", 2).getItem(0).alias("provider"),
+            F.split("model", ":", 2).getItem(1).alias("model_name"),
+        )
+    )
+
+
+MODEL_CATALOG_FILTER_SQL = f"""WITH {CORPUS_CTE},
+catalog AS (
+  SELECT DISTINCT model FROM corpus
+  UNION ALL
+  SELECT * FROM (VALUES ('mock:modelC'), ('other:alpha'),
+                        ('other:beta-old'), ('mock:legacy-old')) t(model)
+)
+SELECT model,
+       split_part(model, ':', 1) AS provider,
+       split_part(model, ':', 2) AS model_name
+FROM catalog
+WHERE regexp_matches(model, '^mock:')
+  AND NOT regexp_matches(model, '-old$')"""
+
+
 QUERIES = {
     "models_in_use": (q_models_in_use, MODELS_IN_USE_SQL),
     "entity_projection": (q_entity_projection, ENTITY_PROJECTION_SQL),
     "domain_stats": (q_domain_stats, DOMAIN_STATS_SQL),
+    "model_catalog_filter": (q_model_catalog_filter, MODEL_CATALOG_FILTER_SQL),
 }

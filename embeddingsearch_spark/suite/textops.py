@@ -30,6 +30,26 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Whitespace vs BPE-ish token counts per doc — the LLM token-budget
+    estimate (pure regexp_extract_all, scan-stage)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({TOKS_SQL}) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+         AS n_bpe_tokens
+FROM documents"""
+
+
 def q_quality_score(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     m = T.quality_metrics(F.col("text"))
@@ -104,6 +124,7 @@ FROM documents"""
 
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
