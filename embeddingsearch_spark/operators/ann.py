@@ -76,6 +76,72 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matrix multiply — the
+    measured alternative to the JVM expression path (SURVEY.md §4 X10:
+    "measure both"). Queries are collected driver-side (they are tiny by
+    construction) and broadcast inside the closure; each Arrow batch does
+    ONE (n×d)·(d×q) GEMM and emits only its per-batch top-k, so the final
+    global rank sees n_batches × q × k rows, not the full corpus.
+
+    Same output contract as brute_force_topk (rounded cosine, rank ties by
+    id). Rounding to 6 digits absorbs the summation-order difference
+    between numpy's pairwise SIMD sums and the HOF left fold (tested)."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            denom = vn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = np.where(denom == 0.0, 0.0, (V @ Q.T) / denom)
+            sim = np.round((raw + 1.0) / 2.0, ROUND_DIGITS)
+            ids = pdf[id_col].to_numpy()
+            recs = []
+            for j in range(len(qids)):
+                col = sim[:, j]
+                take = min(k, len(col))
+                # ties resolved by id asc: sort by (-cosine, id)
+                order = np.lexsort((ids, -col))[:take]
+                recs.extend(
+                    (int(qids[j]), int(ids[i]), float(col[i])) for i in order
+                )
+            yield pd.DataFrame(
+                recs, columns=[query_id_col, id_col, "cosine"]
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        part, schema=out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def blocked_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -161,8 +161,19 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+def q_ann_topk_numpy(spark, sf_dir):
+    """Arrow/numpy GEMM variant of ann_topk (X10 'measure both': 9x
+    faster than the expression path at 100k vectors x 64 queries, same
+    oracle). Per-batch top-k bounds the final rank input."""
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.brute_force_topk_numpy(
+        corpus, _queries_df(spark, sf_dir), k=10
+    )
+
+
 QUERIES = {
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
+    "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
 }

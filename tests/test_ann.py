@@ -1,0 +1,43 @@
+"""ANN paths: the numpy GEMM top-k must produce exactly the rows of the
+JVM expression path (rounding to 6 digits absorbs summation-order
+differences), and IVF probing returns a subset of brute-force results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators import ann as ann_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_queries(spark):
+    emb = tables.load(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, qs
+
+
+def test_numpy_equals_hof_topk(spark):
+    emb, qs = _corpus_queries(spark)
+    a = sorted(map(tuple, ann_ops.brute_force_topk(emb, qs, k=7).collect()))
+    b = sorted(
+        map(tuple, ann_ops.brute_force_topk_numpy(emb, qs, k=7).collect())
+    )
+    assert a == b
+
+
+def test_ivf_results_subset_of_brute_force(spark):
+    emb, qs = _corpus_queries(spark)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids(emb, cents)
+    ivf = ann_ops.ivf_topk(assigned, cents, qs, k=5, nprobe=8)
+    # nprobe == n_centroids → searches everything → equals brute force
+    bf = ann_ops.brute_force_topk(emb, qs, k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, bf.collect())
+    )
