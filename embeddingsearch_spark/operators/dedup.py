@@ -53,13 +53,22 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """K MinHash values per doc over distinct word n-gram shingles:
-    sig_i = min over shingles of hash60(shingle || '#i')."""
+    sig_i = min over shingles of the i-th 32-bit window of sha256(shingle).
+
+    One sha256 per shingle serves all K hash functions (disjoint 8-hex-char
+    windows of the digest are independent 32-bit hashes) — 1/K the hashing
+    cost of K keyed hashes, the dominant term of the signature stage.
+    Requires k <= 8 (64 hex chars / 8)."""
+    if k > 8:
+        raise ValueError("k <= 8: one sha256 digest provides 8 32-bit windows")
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    ).withColumn("_digest", F.sha2(F.col("shingle"), 256))
     aggs = [
-        F.min(_hash60(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        F.min(
+            F.conv(F.substring("_digest", 8 * i + 1, 8), 16, 10).cast("bigint")
+        ).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -48,7 +48,11 @@ def derive_dd(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
-    return docs.unionAll(exact).unionAll(near)
+    # single-file parquet + union yields 3 partitions; spread the docs
+    # BEFORE the shingle explode so the hash stage uses every core (cheap:
+    # shuffles docs, not shingles — a non-issue on real multi-file inputs)
+    n = spark.sparkContext.defaultParallelism
+    return docs.unionAll(exact).unionAll(near).repartition(n)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -76,8 +80,10 @@ def q_neardup_minhash(spark, sf_dir):
 
 
 def _mh_cols() -> str:
+    # one sha256 per shingle; mh_i = i-th 32-bit window of the digest
     return ",\n         ".join(
-        "min(" + _H60.format(expr=f"shingle || '#{i}'") + f") AS mh{i}"
+        f"min(CAST(('0x' || substr(sha256(shingle), {8 * i + 1}, 8)) AS BIGINT))"
+        f" AS mh{i}"
         for i in range(8)
     )
 
