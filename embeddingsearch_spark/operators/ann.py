@@ -194,26 +194,46 @@ def assign_centroids(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF build: nearest centroid per vector (ties → smallest centroid id).
-    One broadcast join + per-vector argmax; write the result partitioned by
-    centroid_id for probe-time partition pruning."""
-    c = F.broadcast(
-        centroids.select(
-            F.col(centroid_id_col),
-            F.col(vec_col).alias("_cvec"),
-            norm2(F.col(vec_col)).alias("_cvn"),
+
+    Zero-shuffle: the centroid set is small by construction (it IS the
+    IVF coarse quantizer), so it is inlined as a literal struct array and
+    the argmax is a pure scan-stage expression per corpus row — no
+    crossJoin (which would replicate every vector C times through a
+    window sort shuffle). Write the result partitioned by centroid_id for
+    probe-time partition pruning."""
+    import math
+
+    cents = centroids.select(centroid_id_col, vec_col).collect()
+    cstructs = []
+    for r in cents:
+        cid, cvec = r[0], [float(x) for x in r[1]]
+        cn = math.sqrt(sum(x * x for x in cvec))
+        cstructs.append(
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
+                F.lit(cn).alias("cn"),
+            )
         )
+    carr = F.array(*cstructs)
+
+    vn = norm2(F.col(vec_col))
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            F.round(
+                _cosine_from_parts(
+                    dot(F.col(vec_col), c["cvec"]), vn, c["cn"]
+                ),
+                ROUND_DIGITS,
+            ).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+            c["cid"].alias("cid"),
+        ),
     )
-    scored = corpus.withColumn("_vn", norm2(F.col(vec_col))).crossJoin(c)
-    sim = _cosine_from_parts(
-        dot(F.col(vec_col), F.col("_cvec")), F.col("_vn"), F.col("_cvn")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(sim, ROUND_DIGITS).desc(), F.col(centroid_id_col).asc()
-    )
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", "_cvec", "_cvn", "_vn")
+    # struct max: highest sim, then highest -cid (= smallest centroid id)
+    return corpus.withColumn(
+        centroid_id_col, F.array_max(scored)["cid"]
     )
 
 

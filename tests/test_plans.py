@@ -59,6 +59,17 @@ def test_sessionize_single_exchange_reused_by_rollup(spark):
     assert pi.count_shuffles(stats) == 1
 
 
+def test_centroid_assignment_zero_shuffle(spark):
+    """IVF build: nearest-centroid assignment is a pure scan-stage
+    expression (literal centroid array) — no exchange at any corpus size."""
+    emb = tables.load(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids(emb, cents)
+    assert pi.count_shuffles(assigned) == 0
+
+
 def test_partition_pruning_on_saved_index(spark, tmp_path):
     """Engine.save writes partitioned by searchdomain; a searchdomain
     filter must prune partitions (PartitionFilters at the scan), so a
