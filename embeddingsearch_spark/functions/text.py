@@ -62,9 +62,28 @@ def char_class_count(text: Column, char_class: str) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
 
 
+# Compact English stopword list for the stopword-ratio quality signal
+# (a high ratio of function words indicates natural prose; near-zero
+# flags boilerplate/code/tables).
+STOPWORDS = [
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "are", "be", "by", "at", "this",
+]
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_sw.cast("double") / n_tok.cast("double")
+    )
+
+
 def quality_metrics(text: Column) -> dict[str, Column]:
-    """Length/punct/digit/space ratios + avg token length — the standard
-    cheap quality signals for corpus filtering. All ratios in [0,1]."""
+    """Length/punct/digit/space/stopword ratios + avg token length — the
+    standard cheap quality signals for corpus filtering. Ratios in [0,1]."""
     n = F.length(text).cast("double")
     safe_n = F.when(n == 0, F.lit(1.0)).otherwise(n)
     n_tok = token_count(text).cast("double")
@@ -77,6 +96,7 @@ def quality_metrics(text: Column) -> dict[str, Column]:
         "punct_ratio": punct / safe_n,
         "digit_ratio": digit / safe_n,
         "space_ratio": space / safe_n,
+        "stopword_ratio": stopword_ratio(text),
         "avg_token_len": F.when(n_tok == 0, F.lit(0.0)).otherwise(
             (n - space) / n_tok
         ),

@@ -105,9 +105,56 @@ WHERE regexp_matches(model, '^mock:')
   AND NOT regexp_matches(model, '-old$')"""
 
 
+def q_search_attributes(spark, sf_dir):
+    """Search with returnAttributes=true (P2/J2, reference
+    SearchdomainController.cs:159-169): top-5 ranking joined to the
+    entities' attribute MAP, rendered as a sorted 'k=v;...' string so two
+    independent engines compare map contents deterministically."""
+    from embeddingsearch_spark.operators import search as search_op
+
+    corpus = tables.derive_corpus(spark, sf_dir)
+    queries = tables.derive_queries(spark, sf_dir)
+    ranked = search_op.search(corpus, queries, topn=5)
+    ents = tables.derive_entity_attrs(spark, sf_dir)
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("attributes")),
+            lambda kv: F.concat(kv["key"], F.lit("="), kv["value"]),
+        ),
+        ";",
+    )
+    return ranked.join(ents.select("searchdomain", "entity", "attributes"),
+                       ["searchdomain", "entity"]).select(
+        "searchdomain", "query", "entity", "score", "rank",
+        rendered.alias("attrs"),
+    )
+
+
+def _search_attributes_sql() -> str:
+    from embeddingsearch_spark.oracle import search_cascade_sql
+
+    return f"""WITH res AS ({search_cascade_sql(topn=5)}),
+attrs AS (
+  SELECT DISTINCT
+    'sd_' || CAST((vec_id // 6) % 2 AS VARCHAR) AS searchdomain,
+    'ent_' || lpad(CAST(vec_id // 6 AS VARCHAR), 6, '0') AS entity,
+    'k' || CAST((vec_id // 6) % 3 AS VARCHAR) || '=v'
+        || CAST((vec_id // 6) % 5 AS VARCHAR)
+        || ';lang=' || (CASE ((vec_id // 6) % 4) WHEN 0 THEN 'de'
+             WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END)
+        || ';source=ent_' || lpad(CAST(vec_id // 6 AS VARCHAR), 6, '0')
+      AS attrs
+  FROM embeddings
+)
+SELECT r.searchdomain, r.query, r.entity, r.score, r.rank, a.attrs
+FROM res r JOIN attrs a
+  ON r.searchdomain = a.searchdomain AND r.entity = a.entity"""
+
+
 QUERIES = {
     "models_in_use": (q_models_in_use, MODELS_IN_USE_SQL),
     "entity_projection": (q_entity_projection, ENTITY_PROJECTION_SQL),
     "domain_stats": (q_domain_stats, DOMAIN_STATS_SQL),
     "model_catalog_filter": (q_model_catalog_filter, MODEL_CATALOG_FILTER_SQL),
+    "search_attributes": (q_search_attributes, _search_attributes_sql()),
 }

@@ -58,6 +58,7 @@ def q_quality_score(spark, sf_dir):
         F.round(m["punct_ratio"], RD).alias("punct_ratio"),
         F.round(m["digit_ratio"], RD).alias("digit_ratio"),
         F.round(m["space_ratio"], RD).alias("space_ratio"),
+        F.round(m["stopword_ratio"], RD).alias("stopword_ratio"),
         F.round(m["avg_token_len"], RD).alias("avg_token_len"),
     )
 
@@ -74,10 +75,19 @@ SELECT doc_id,
         / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END,
         {RD}) AS space_ratio,
   round(CASE WHEN len({TOKS_SQL}) = 0 THEN 0.0
+        ELSE CAST(len(list_filter({{LOWER_TOKS}}, t -> list_contains([{{SW}}], t)))
+                  AS DOUBLE) / len({TOKS_SQL}) END, {RD}) AS stopword_ratio,
+  round(CASE WHEN len({TOKS_SQL}) = 0 THEN 0.0
         ELSE (CAST(length(text) AS DOUBLE)
               - (length(text) - length(regexp_replace(text, '\s', '', 'g'))))
              / len({TOKS_SQL}) END, {RD}) AS avg_token_len
 FROM documents"""
+
+from embeddingsearch_spark.functions.text import STOPWORDS as _SW_LIST
+
+QUALITY_SCORE_SQL = QUALITY_SCORE_SQL.replace(
+    "{LOWER_TOKS}", TOKS_SQL.replace("text", "lower(text)")
+).replace("{SW}", ", ".join(f"'{w}'" for w in _SW_LIST))
 
 
 def q_lang_id(spark, sf_dir):

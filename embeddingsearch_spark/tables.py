@@ -141,3 +141,23 @@ def derive_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("searchdomain", "entity", F.col("entity_probmethod").alias("probmethod"))
         .distinct()
     )
+
+
+def derive_entity_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entities with an attributes MAP (FIXTURES.md §1.2 shape): a real
+    MapType column built with map_from_arrays — the engine's replacement
+    for the reference's `attribute` table (J2)."""
+    ents = derive_entities(spark, sf_dir)
+    e = F.expr("CAST(substring(entity, 5) AS BIGINT)")
+    lang = _pick(e % 4, ["de", "en", "es", "fr"])
+    keys = F.array(
+        F.concat(F.lit("k"), (e % 3).cast("string")),
+        F.lit("lang"),
+        F.lit("source"),
+    )
+    vals = F.array(
+        F.concat(F.lit("v"), (e % 5).cast("string")),
+        lang,
+        F.col("entity"),
+    )
+    return ents.withColumn("attributes", F.map_from_arrays(keys, vals))
