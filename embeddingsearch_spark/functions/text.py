@@ -139,6 +139,38 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def chunk_spans(text: Column, size: int = 64, overlap: int = 16) -> Column:
+    """Overlapping token-window chunks as an array of structs
+    (chunk_id, chunk_text): windows of ``size`` tokens starting every
+    ``size - overlap`` tokens. Pure scan-stage sequence/slice — chunking
+    100 TB of documents adds no shuffle; follow with `explode` for one
+    row per chunk (the standard pre-embedding unit for long docs)."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= overlap, F.lit(1))
+        .otherwise(F.floor((n - F.lit(overlap) - 1) / step) + 1)
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_chunks - 1, F.lit(0)).cast("int"), F.lit(1)
+    )
+    return F.when(n == 0, F.array().cast("array<struct<chunk_id:int,chunk_text:string>>")).otherwise(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.array_join(
+                    F.slice(toks, i * step + 1, size), " "
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the near-dup unit). Texts shorter than
     n tokens yield their single full-text shingle."""

@@ -132,10 +132,54 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping 64-token chunks (16 overlap) per document, exploded to
+    one row per chunk with its own hash — the pre-embedding unit for long
+    docs. Chunking is scan-stage (no shuffle; plan-tested)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(T.chunk_spans(F.col("text"), size=64, overlap=16)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.length("c.chunk_text").alias("chunk_len"),
+        T.text_hash(F.col("c.chunk_text")).alias("chunk_hash"),
+    )
+
+
+# n_chunks: 0 if no tokens, 1 if n <= overlap, else floor((n-o-1)/step)+1;
+# chunk i = tokens[i*step : i*step+size] joined by single spaces.
+DOC_CHUNKS_SQL = f"""WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) = 0 THEN 0
+              WHEN len(t) <= 16 THEN 1
+              ELSE CAST(floor((len(t) - 16 - 1) / 48.0) AS INT) + 1
+         END AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, t
+  FROM counted WHERE n_chunks > 0
+)
+SELECT doc_id, chunk_id,
+       length(array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' '))
+         AS chunk_len,
+       sha256(array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' '))
+         AS chunk_hash
+FROM chunks"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
 }
