@@ -149,9 +149,33 @@ FROM events
 GROUP BY event_type, CAST(ts AS DATE)"""
 
 
+def q_idle_customers(spark, sf_dir):
+    """Anti-join: customers with no orders since 1998, with their nation —
+    the left_anti + broadcast-dim shape (J6's relational cousin); the
+    order-date filter pushes to the orders scan."""
+    cust = tables.load(spark, sf_dir, "customer")
+    recent = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
+    nation = tables.load(spark, sf_dir, "nation")
+    return (
+        cust.join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+IDLE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1998-01-01')"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
     "nation_volume": (q_nation_volume, NATION_VOLUME_SQL),
     "events_daily": (q_events_daily, EVENTS_DAILY_SQL),
+    "idle_customers": (q_idle_customers, IDLE_CUSTOMERS_SQL),
 }
