@@ -36,7 +36,9 @@ class Engine:
         cache = self.embedding_cache.withColumn(
             "vector", F.col("vector").cast("array<double>")
         )
-        result = index_build.build_index(ingest, cache, self.dim)
+        result = index_build.build_index(
+            ingest, cache, self.dim, materialize_embedded=True
+        )
         # Materialize before self-referential reassignment.
         new_index = index_build.merge_index(
             self.index_flat.withColumn(

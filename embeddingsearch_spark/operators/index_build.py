@@ -67,6 +67,7 @@ def build_index(
     ingest: DataFrame,
     embedding_cache: DataFrame | None = None,
     dim: int = DEFAULT_DIM,
+    materialize_embedded: bool = False,
 ) -> BuildResult:
     """ingest: INGEST_DATAPOINTS shape (one row per datapoint, ``models``
     array column, raw ``text``). Returns the index_flat rows plus the cache
@@ -97,6 +98,12 @@ def build_index(
             "vector"
         ),
     )
+    if materialize_embedded:
+        # index_flat and new_cache_entries both consume `embedded`; when
+        # the caller materializes both (e.g. per streaming micro-batch),
+        # checkpointing here makes the embedding pass run ONCE instead of
+        # once per consumer (embedding is the expensive provider call).
+        embedded = embedded.localCheckpoint(eager=True)
     vectors = embedded if hits is None else hits.unionByName(embedded)
 
     index_flat = (

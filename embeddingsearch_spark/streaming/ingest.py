@@ -55,7 +55,9 @@ class StreamingIndexer:
         cache = self.embedding_cache.withColumn(
             "vector", F.col("vector").cast("array<double>")
         )
-        built = index_build.build_index(batch, cache, self.dim)
+        built = index_build.build_index(
+            batch, cache, self.dim, materialize_embedded=True
+        )
         self.index_flat = index_build.merge_index(
             self.index_flat.withColumn(
                 "vector", F.col("vector").cast("array<double>")
