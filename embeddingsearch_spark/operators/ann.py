@@ -237,6 +237,59 @@ def assign_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for the IVF coarse quantizer (cosine assignment,
+    elementwise-mean update). Deterministic: init = the k lowest-id
+    vectors; empty clusters keep their previous centroid.
+
+    Each iteration = one zero-shuffle assignment pass (literal centroid
+    array, see assign_centroids) + ONE map-side-combinable groupBy with
+    `dim` scalar avg aggregates — no posexplode shuffle of (row × dim)
+    pairs. Iterative algorithms on DataFrames: the loop lives on the
+    driver, every pass is a full declarative plan."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"centroid_id long, {vec_col} array<double>"
+        )
+    dim = len(first[0])
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("_init_order"),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+    )
+    w = Window.orderBy("_init_order")
+    cents = cents.select(
+        (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
+        vec_col,
+    )
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, cents, id_col, vec_col)
+        means = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+            ).alias("_mean"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left_outer")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_mean"), F.col(vec_col)).alias(vec_col),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

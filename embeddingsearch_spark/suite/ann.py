@@ -171,9 +171,23 @@ def q_ann_topk_numpy(spark, sf_dir):
     )
 
 
+def q_ivf_kmeans_build(spark, sf_dir):
+    """Trained IVF build: Lloyd's k-means coarse quantizer (2 iterations,
+    deterministic init) + assignment → per-cluster sizes. Iterative
+    algorithm → rows-only driver check (values are unit-tested against a
+    NumPy mirror in tests/test_kmeans.py)."""
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    cents = ann_ops.kmeans_centroids(corpus, k=8, iters=2)
+    assigned = ann_ops.assign_centroids(corpus, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
 QUERIES = {
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
+    "ivf_kmeans_build": (q_ivf_kmeans_build, None),
 }
