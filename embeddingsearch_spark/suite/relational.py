@@ -172,10 +172,34 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderdate >= TIMESTAMP '1998-01-01')"""
 
 
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP (event_type, day): per-day, per-type subtotals and the
+    grand total in one pass — partial aggregation replicates rows per
+    grouping set map-side, one shuffle total."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), RD).alias("total_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum(value), {RD}) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
     "nation_volume": (q_nation_volume, NATION_VOLUME_SQL),
     "events_daily": (q_events_daily, EVENTS_DAILY_SQL),
+    "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "idle_customers": (q_idle_customers, IDLE_CUSTOMERS_SQL),
 }
