@@ -84,6 +84,30 @@ def test_partition_pruning_on_saved_index(spark, tmp_path):
     assert q.count() == corpus.filter(F.col("searchdomain") == "sd_0").count()
 
 
+def test_bucketed_join_zero_exchange(spark, tmp_path):
+    """Both sides bucketed by the join key → SortMergeJoin with NO
+    Exchange: the 100-TB co-located join layout (storage.save_bucketed)."""
+    from embeddingsearch_spark import storage
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS es_bucket_test LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        left = tables.load(spark, SF, "embeddings").select("vec_id", "label")
+        right = tables.load(spark, SF, "embeddings").select(
+            "vec_id", F.size("embedding").alias("dim")
+        )
+        storage.save_bucketed(left, "es_bucket_test.ta", ["vec_id"], 4)
+        storage.save_bucketed(right, "es_bucket_test.tb", ["vec_id"], 4)
+        j = spark.table("es_bucket_test.ta").join(
+            spark.table("es_bucket_test.tb"), "vec_id"
+        )
+        assert pi.count_shuffles(j) == 0
+        assert j.count() == left.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS es_bucket_test CASCADE")
+
+
 def test_search_runs_in_codegen_stages(spark):
     """The scoring pipeline must run inside WholeStageCodegen spans (the
     similarity kernels are Catalyst expressions, not Python UDFs)."""
