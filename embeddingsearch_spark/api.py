@@ -27,12 +27,19 @@ class Engine:
         self.dim = dim
         self.index_flat = spark.createDataFrame([], schemas.INDEX_FLAT)
         self.embedding_cache = spark.createDataFrame([], schemas.EMBEDDING_CACHE)
+        self.query_results = spark.createDataFrame(
+            [],
+            "searchdomain string, query string, entity string, "
+            "score double, rank int",
+        )
 
     # -- indexing (PUT /Entities equivalent) --------------------------------
 
     def index_entities(self, ingest: DataFrame) -> index_build.BuildResult:
         """Upsert entities from INGEST_DATAPOINTS-shaped rows; re-embeds
-        only cache misses (hash change detection)."""
+        only cache misses (hash change detection). Materialized query
+        results are repaired incrementally for the touched entities
+        (reference cache reconciliation, Searchdomain.cs:298-326)."""
         cache = self.embedding_cache.withColumn(
             "vector", F.col("vector").cast("array<double>")
         )
@@ -51,6 +58,8 @@ class Engine:
         ).localCheckpoint(eager=True)
         self.index_flat = new_index
         self.embedding_cache = new_cache
+        touched = result.index_flat.select("searchdomain", "entity").distinct()
+        self._reconcile_query_results(touched)
         return result
 
     def finalize_session(self, uploaded: DataFrame) -> None:
@@ -58,10 +67,25 @@ class Engine:
         self.index_flat = index_build.finalize_session(
             self.index_flat, uploaded
         ).localCheckpoint(eager=True)
+        self._drop_deleted_from_results()
 
     def delete_entities(self, names: DataFrame) -> None:
         self.index_flat = index_build.delete_entities(
             self.index_flat, names
+        ).localCheckpoint(eager=True)
+        self._drop_deleted_from_results()
+
+    def _drop_deleted_from_results(self) -> None:
+        """Remove rankings rows for entities no longer indexed, re-rank."""
+        if not self.query_results.head(1):
+            return
+        remaining = self.query_results.join(
+            self.index_flat.select("searchdomain", "entity").distinct(),
+            ["searchdomain", "entity"],
+            "left_semi",
+        ).select("searchdomain", "query", "entity", "score")
+        self.query_results = search_op.rank_results(
+            remaining
         ).localCheckpoint(eager=True)
 
     # -- querying (POST /Searchdomain/Query equivalent) ---------------------
@@ -83,6 +107,70 @@ class Engine:
             ),
         )
         return search_op.search(self.index_flat, queries, searchdomain, topn)
+
+    # -- materialized query results (X1/X2) ---------------------------------
+
+    def materialize_query(
+        self, query: str, searchdomain: str | None = None
+    ) -> None:
+        """Materialize the full ranking for ``query`` (the reference's
+        query-cache entry, as a table row-set — X1). Idempotent: an
+        existing materialization for the same query is replaced."""
+        fresh = self.search(query, searchdomain=searchdomain).withColumn(
+            "query", F.lit(query)
+        ).select("searchdomain", "query", "entity", "score", "rank")
+        kept = self.query_results.join(
+            fresh.select("searchdomain", "query").distinct(),
+            ["searchdomain", "query"],
+            "left_anti",
+        )
+        self.query_results = kept.unionByName(fresh).localCheckpoint(
+            eager=True
+        )
+
+    def cached_queries(self) -> DataFrame:
+        """Distinct materialized (searchdomain, query) pairs (the
+        reference's GetQueries listing)."""
+        return self.query_results.select("searchdomain", "query").distinct()
+
+    def read_results(
+        self, query: str, searchdomain: str | None = None, topn: int | None = None
+    ) -> DataFrame:
+        """Read a materialized ranking; topN over the FULL ranking
+        (declared deviation from the reference's truncated cache)."""
+        from embeddingsearch_spark.operators import query_cache
+
+        return query_cache.read_results(
+            self.query_results, query=query, searchdomain=searchdomain, topn=topn
+        )
+
+    def _reconcile_query_results(self, touched: DataFrame) -> None:
+        """X2: re-score ONLY touched entities for every materialized
+        query and splice into the kept rankings."""
+        from embeddingsearch_spark.operators import query_cache
+
+        cached = [r.query for r in self.cached_queries().collect()]
+        if not cached:
+            return
+        models = self.models_in_use()
+        qvecs = None
+        for q in cached:
+            one = models.select(
+                F.lit(q).alias("query"),
+                "model",
+                deterministic_embedding(
+                    F.lit(q), F.col("model"), self.dim
+                ).alias("vector"),
+            )
+            qvecs = one if qvecs is None else qvecs.unionByName(one)
+        self.query_results = query_cache.incremental_refresh(
+            self.query_results,
+            self.index_flat.withColumn(
+                "vector", F.col("vector").cast("array<double>")
+            ),
+            qvecs,
+            touched,
+        ).localCheckpoint(eager=True)
 
     # -- surface parity with the reference Client ---------------------------
 

@@ -1,0 +1,64 @@
+"""Engine-level query-result reconciliation: after entity upserts and
+deletes, materialized rankings equal a fresh full search over the updated
+index (the reference's cache-reconciliation contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.api import Engine
+
+INGEST_SCHEMA = (
+    "searchdomain string, entity string, entity_probmethod string, "
+    "attributes map<string,string>, datapoint string, dp_probmethod string, "
+    "simmethod string, text string, models array<string>"
+)
+
+
+def _rows(spark, texts: dict[str, str]):
+    return spark.createDataFrame(
+        [
+            ("sd", ent, "Mean", None, "text", "Mean", "Cosine", txt,
+             ["mock:modelA"])
+            for ent, txt in texts.items()
+        ],
+        INGEST_SCHEMA,
+    )
+
+
+def _full(eng, query):
+    return sorted(
+        map(tuple, eng.search(query).select(
+            "searchdomain", "entity", "score", "rank").collect())
+    )
+
+
+def _cached(eng, query):
+    return sorted(
+        map(tuple, eng.read_results(query).select(
+            "searchdomain", "entity", "score", "rank").collect())
+    )
+
+
+def test_reconcile_after_update_insert_delete(spark):
+    eng = Engine(spark, dim=8)
+    eng.index_entities(
+        _rows(spark, {"e1": "alpha text", "e2": "beta text", "e3": "gamma"})
+    )
+    eng.materialize_query("alpha probe")
+    eng.materialize_query("beta probe")
+    assert _cached(eng, "alpha probe") == _full(eng, "alpha probe")
+
+    # update e2's text, insert e4 — cached rankings repair incrementally
+    eng.index_entities(_rows(spark, {"e2": "changed beta", "e4": "delta"}))
+    for q in ("alpha probe", "beta probe"):
+        assert _cached(eng, q) == _full(eng, q), q
+
+    # delete e1 — its rows leave the rankings, ranks close up
+    eng.delete_entities(
+        spark.createDataFrame([("sd", "e1")], "searchdomain string, entity string")
+    )
+    for q in ("alpha probe", "beta probe"):
+        assert _cached(eng, q) == _full(eng, q), q
+    assert all(r.entity != "e1" for r in eng.read_results("alpha probe").collect())
+    assert eng.cached_queries().count() == 2
