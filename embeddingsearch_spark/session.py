@@ -25,9 +25,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "32g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs everything in the driver JVM; the 1g default
+        # heap GC-thrashes any real workload on this 128 GiB host
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: coalesce small shuffle partitions, split skewed ones, and
         # convert to broadcast joins at runtime — essential at 100 TB where

@@ -1,0 +1,111 @@
+"""Scale probe: replicate the sf0.1 testdata N× in memory and run the
+headline operators, printing one JSON line of timings. Answers "does the
+plan survive a scale-up" empirically on this host — shuffle volumes and
+aggregation state grow with N while the plan shape stays fixed.
+
+Usage: python scripts/scale_probe.py [N]   (default 50)
+  N=50 → 100k vectors / 335k documents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(factor: int = 50) -> None:
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import dedup as dd_ops
+    from embeddingsearch_spark.operators import search as search_op
+    from embeddingsearch_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-probe")
+    rep = spark.range(factor).withColumnRenamed("id", "rep")
+
+    # corpus x factor: distinct entities per replica (suffix), same vectors
+    corpus = (
+        tables.derive_corpus(spark, sf_dir)
+        .crossJoin(rep)
+        .withColumn("entity", F.concat_ws("#", "entity", "rep"))
+        .drop("rep")
+        .repartition(64)
+        .cache()
+    )
+    queries = tables.derive_queries(spark, sf_dir)
+    n_corpus = corpus.count()
+
+    docs = (
+        tables.load(spark, sf_dir, "documents")
+        .crossJoin(rep)
+        .select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+            # vary ~1/3 of texts per replica so dedup has real work
+            F.when(
+                F.col("rep") % 3 == 0, F.col("text")
+            ).otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep"))
+            ).alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = docs.count()
+
+    emb = (
+        tables.load(spark, sf_dir, "embeddings")
+        .crossJoin(rep)
+        .select(
+            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_vecs = emb.count()
+    qvecs = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 32)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+    timings = {}
+
+    def run(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    run("search_cascade", search_op.search(corpus, queries))
+    run("exact_dedup", dd_ops.exact_duplicates(docs, "doc_id", "text"))
+    run(
+        "minhash_signatures",
+        dd_ops.minhash_signatures(docs, "doc_id", "text"),
+    )
+    run("gemm_topk", ann_ops.brute_force_topk_numpy(emb, qvecs, k=10))
+
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "rows": {
+                    "corpus": n_corpus,
+                    "documents": n_docs,
+                    "vectors": n_vecs,
+                },
+                "sec": timings,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
