@@ -65,10 +65,13 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).withColumn("_digest", F.sha2(F.col("shingle"), 256))
+    # Fixed-width lowercase hex orders lexicographically == numerically, so
+    # the min can run on the 8-char hex window directly; hex→bigint then
+    # converts only the k winners per doc, not every exploded shingle row.
     aggs = [
-        F.min(
-            F.conv(F.substring("_digest", 8 * i + 1, 8), 16, 10).cast("bigint")
-        ).alias(f"mh{i}")
+        F.conv(F.min(F.substring("_digest", 8 * i + 1, 8)), 16, 10)
+        .cast("bigint")
+        .alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
