@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
-from embeddingsearch_spark.operators import sessions
+from embeddingsearch_spark.operators import asof, sessions
 
 GAP_S = 6 * 3600
 
@@ -96,8 +96,33 @@ SELECT user_id, event_id, CAST(lru_pos AS INT) AS lru_pos FROM (
 ) WHERE lru_pos <= 3"""
 
 
+def q_asof_attribution(spark, sf_dir):
+    """Purchase→click attribution: each purchase matched to the same
+    user's most recent click at-or-before it (as-of join; single shuffle
+    on user_id, no pair explosion — `operators/asof.py`)."""
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof.asof_join(
+        purchases, clicks, on="user_id", ts="ts", suffix="_click"
+    )
+
+
+ASOF_ATTRIBUTION_SQL = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts AS ts_click, r.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 QUERIES = {
     "events_sessionize": (q_events_sessionize, EVENTS_SESSIONIZE_SQL),
     "orders_running_total": (q_orders_running_total, ORDERS_RUNNING_TOTAL_SQL),
     "events_lru_rank": (q_events_lru_rank, EVENTS_LRU_RANK_SQL),
+    "asof_attribution": (q_asof_attribution, ASOF_ATTRIBUTION_SQL),
 }
