@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
-from embeddingsearch_spark.operators import asof, sessions
+from embeddingsearch_spark.operators import asof, rangejoin, sessions
 
 GAP_S = 6 * 3600
 
@@ -120,9 +120,42 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+def q_purchase_view_window(spark, sf_dir):
+    """Views in the 24 h before each purchase by the same user — interval
+    join via time-bucket binning (`operators/rangejoin.py`: equi-join on
+    (user_id, bucket) + exact filter, never a nested loop)."""
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    pairs = rangejoin.interval_join(
+        purchases,
+        views,
+        on="user_id",
+        left_start=F.col("ts") - F.expr("INTERVAL 24 HOURS"),
+        left_end=F.col("ts"),
+        bucket_seconds=86400,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_views_24h")
+    )
+
+
+PURCHASE_VIEW_WINDOW_SQL = """
+SELECT p.event_id, p.user_id, count(*) AS n_views_24h
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+GROUP BY p.event_id, p.user_id"""
+
+
 QUERIES = {
     "events_sessionize": (q_events_sessionize, EVENTS_SESSIONIZE_SQL),
     "orders_running_total": (q_orders_running_total, ORDERS_RUNNING_TOTAL_SQL),
     "events_lru_rank": (q_events_lru_rank, EVENTS_LRU_RANK_SQL),
     "asof_attribution": (q_asof_attribution, ASOF_ATTRIBUTION_SQL),
+    "purchase_view_window": (q_purchase_view_window, PURCHASE_VIEW_WINDOW_SQL),
 }
