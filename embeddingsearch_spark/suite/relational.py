@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators import sketches
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 
 
@@ -195,6 +196,25 @@ FROM events
 GROUP BY ROLLUP (event_type, CAST(ts AS DATE))"""
 
 
+def q_events_type_profile(spark, sf_dir):
+    """Per-type corpus profile (count, distinct users, median/p95/sum) —
+    exact twin of the sketch path (`operators/sketches.group_profile`);
+    the approx variant is bound-tested in tests/test_sketches.py."""
+    ev = tables.load(spark, sf_dir, "events")
+    return sketches.group_profile(
+        ev, "event_type", value_col="value", distinct_col="user_id"
+    )
+
+
+EVENTS_TYPE_PROFILE_SQL = f"""
+SELECT event_type, count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_distinct,
+       round(median(value), {RD}) AS median_value,
+       round(quantile_cont(value, 0.95), {RD}) AS p95_value,
+       round(sum(value), {RD}) AS sum_value
+FROM events GROUP BY event_type"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
@@ -202,4 +222,5 @@ QUERIES = {
     "events_daily": (q_events_daily, EVENTS_DAILY_SQL),
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "idle_customers": (q_idle_customers, IDLE_CUSTOMERS_SQL),
+    "events_type_profile": (q_events_type_profile, EVENTS_TYPE_PROFILE_SQL),
 }
