@@ -186,6 +186,117 @@ def blocked_cosine_pairs(
     )
 
 
+def srp_hyperplanes(dim: int, n_bits: int = 16):
+    """Deterministic ±1 random-hyperplane matrix (n_bits × dim): the sign
+    of each cell comes from md5 of "{bit}_{dim}", so ANY engine can
+    re-derive the identical matrix (the DuckDB oracle rebuilds it in SQL)
+    — no RNG state to ship, no seed drift between engines."""
+    import hashlib
+
+    import numpy as np
+
+    H = np.empty((n_bits, dim), dtype=np.float64)
+    for b in range(n_bits):
+        for d in range(dim):
+            h = hashlib.md5(f"{b}_{d}".encode()).hexdigest()
+            H[b, d] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return H
+
+
+def srp_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bits: int = 16,
+    bands: int = 4,
+    threshold: float = 0.65,
+) -> DataFrame:
+    """Near-dup pairs WITHOUT a blocking key: sign-random-projection LSH
+    (Charikar's SimHash for vectors). Each vector gets an n_bits signature
+    (sign of V·H per hyperplane, one Arrow-batched GEMM per partition);
+    signatures band into ``bands`` buckets; vectors colliding on any band
+    become candidates; candidates are verified with the exact cosine.
+
+    Scale: candidate generation is an equi-join on (band, bucket) — the
+    O(n²) all-pairs space never materializes, and collision probability
+    decays with angle (P[same bit] = 1 − θ/π), so buckets stay small on
+    real corpora. This is the data-independent complement of
+    `blocked_cosine_pairs` (which needs a label/blocking key).
+    """
+    import numpy as np
+
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    H = srp_hyperplanes(dim, n_bits)
+    rows = n_bits // bands
+    sig_schema = f"{id_col} long, band int, bucket long"
+
+    def sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (V @ H.T >= 0).astype(np.int64)  # n × n_bits
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for bd in range(bands):
+                seg = bits[:, bd * rows : (bd + 1) * rows]
+                vals = (seg << np.arange(rows)).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: ids, "band": bd, "bucket": vals}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    banded = emb.select(id_col, vec_col).mapInPandas(sig, schema=sig_schema)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withn = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm2(F.col(vec_col)).alias("_n"),
+    )
+    ea = withn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    eb = withn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = _cosine_from_parts(
+        dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
+    )
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(sim, ROUND_DIGITS).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

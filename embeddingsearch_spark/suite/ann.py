@@ -80,6 +80,61 @@ SELECT label, id_a, id_b, round(sim, {RD}) AS cosine
 FROM sims WHERE round(sim, {RD}) >= 0.65"""
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Blocking-key-free near-dup: sign-random-projection LSH (16 bits,
+    4 bands) → bucket equi-join candidates → exact-cosine verify. The
+    hyperplanes are md5-derived, so the oracle rebuilds the identical
+    matrix in SQL — the whole pipeline (buckets included) is replicated,
+    not just spot-checked."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.srp_cosine_pairs(
+        emb, dim=64, n_bits=16, bands=4, threshold=0.65
+    )
+
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""WITH planes AS (
+  SELECT b, d,
+         CASE WHEN strpos('01234567',
+                 substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+                        1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(16)) AS b), (SELECT unnest(range(64)) AS d)
+),
+elems AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, p.b, sum(e.x * p.w) AS pr
+  FROM elems e JOIN planes p ON e.d = p.d
+  GROUP BY e.vec_id, p.b
+),
+buckets AS (
+  SELECT vec_id, CAST(b // 4 AS INT) AS band,
+         CAST(sum(CASE WHEN pr >= 0 THEN 2 ** (b % 4) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, b // 4
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM buckets a JOIN buckets c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+pair_elems AS (
+  SELECT cd.id_a, cd.id_b,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM cands cd JOIN embeddings ea ON ea.vec_id = cd.id_a
+                JOIN embeddings eb ON eb.vec_id = cd.id_b
+),
+sims AS (
+  SELECT id_a, id_b, {_COS} AS sim FROM pair_elems GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(sim, {RD}) AS cosine
+FROM sims WHERE round(sim, {RD}) >= 0.65"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF scale path: assign every vector to its nearest of 16 centroids
     (first 16 vectors double as centroids — deterministic), then probe only
@@ -188,6 +243,10 @@ QUERIES = {
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "embedding_neardup_lsh": (
+        q_embedding_neardup_lsh,
+        EMBEDDING_NEARDUP_LSH_SQL,
+    ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "ivf_kmeans_build": (q_ivf_kmeans_build, None),
 }

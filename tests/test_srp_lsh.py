@@ -1,0 +1,66 @@
+"""SRP-LSH near-dup: exact-verify precision (emitted ⊆ true pairs),
+useful recall on the testdata, deterministic hyperplanes, and a plan
+without a cartesian product."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators.ann import srp_cosine_pairs, srp_hyperplanes
+
+THRESHOLD = 0.65  # remapped (raw+1)/2; the testdata's near-dup band
+
+
+@pytest.fixture(scope="module")
+def truth(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    V = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sim = np.round((n @ n.T + 1.0) / 2.0, 6)
+    pairs = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sim[i, j] >= THRESHOLD
+    }
+    return emb, pairs
+
+
+def test_precision_and_recall(truth):
+    emb, true_pairs = truth
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in srp_cosine_pairs(emb, threshold=THRESHOLD).collect()
+    }
+    assert got <= true_pairs  # exact verify ⇒ no false positives
+    # Deterministic on the fixed testdata. The testdata's "near-dups" are
+    # weak (max raw cosine 0.48 ⇒ θ≈61°): SRP theory gives per-bit
+    # collision 1−θ/π ≈ 0.6, any-of-4-bands ≈ 0.45 at the threshold
+    # boundary — measured 0.477 overall, rising with similarity (0.55 in
+    # the [0.70,0.75) band). True near-dup corpora (raw ≥ 0.9) collide at
+    # ≈ 0.95 with the same 16/4 config.
+    assert len(true_pairs) > 0
+    assert len(got) / len(true_pairs) >= 0.45
+
+
+def test_hyperplanes_deterministic():
+    a = srp_hyperplanes(8, 4)
+    b = srp_hyperplanes(8, 4)
+    assert (a == b).all()
+    assert set(np.unique(a)) == {-1.0, 1.0}
+    # not degenerate: both signs appear in every hyperplane
+    assert (np.abs(a.sum(axis=1)) < 8).all()
+
+
+def test_no_cartesian_plan(truth):
+    emb, _ = truth
+    plan = (
+        srp_cosine_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
