@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.functions import text as T
+from embeddingsearch_spark.operators import splits
 
 TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
   ELSE regexp_split_to_array(trim(text), '\s+') END"""
@@ -175,6 +176,28 @@ SELECT doc_id, chunk_id,
 FROM chunks"""
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment by hashed
+    doc_id (`operators/splits.hash_split`) — stable across runs, engines,
+    partitionings; pure scan-stage expression, zero shuffle."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    return splits.hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+
+
+DOC_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 10000 AS b
+  FROM documents)"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
@@ -182,4 +205,5 @@ QUERIES = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
+    "doc_split": (q_doc_split, DOC_SPLIT_SQL),
 }
