@@ -196,6 +196,35 @@ FROM events
 GROUP BY ROLLUP (event_type, CAST(ts AS DATE))"""
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Day × event-type count matrix — pivot with the value set declared
+    up front (one pass, one shuffle; without the list Spark needs an extra
+    distinct pass to discover columns)."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY CAST(ts AS DATE)"""
+
+
 def q_events_type_profile(spark, sf_dir):
     """Per-type corpus profile (count, distinct users, median/p95/sum) —
     exact twin of the sketch path (`operators/sketches.group_profile`);
@@ -223,4 +252,5 @@ QUERIES = {
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "idle_customers": (q_idle_customers, IDLE_CUSTOMERS_SQL),
     "events_type_profile": (q_events_type_profile, EVENTS_TYPE_PROFILE_SQL),
+    "events_pivot": (q_events_pivot, EVENTS_PIVOT_SQL),
 }

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.streaming import joins as sjoins
 from embeddingsearch_spark.streaming import windows as win
 from embeddingsearch_spark.streaming.ingest import ingest_available_now
 
@@ -107,6 +108,40 @@ FROM documents,
 GROUP BY 1, 2"""
 
 
+def _events_stream(spark, sf_dir):
+    return (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def q_streaming_attribution(spark, sf_dir):
+    """Stream-stream watermarked interval join: purchases × clicks within
+    the preceding hour per user (`streaming/joins.interval_join_stream`),
+    drained AvailableNow — the single-batch result over static input
+    equals the batch inequality join the oracle runs."""
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    joined = sjoins.interval_join_stream(
+        purchases, clicks, on="user_id", lookback="1 hour"
+    )
+    return win.run_available_now(joined, output_mode="append")
+
+
+STREAMING_ATTRIBUTION_SQL = """
+SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS ts_r
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+
 QUERIES = {
     "streaming_events_hourly": (
         q_streaming_events_hourly,
@@ -115,5 +150,9 @@ QUERIES = {
     "streaming_index_build": (
         q_streaming_index_build,
         STREAMING_INDEX_BUILD_SQL,
+    ),
+    "streaming_attribution": (
+        q_streaming_attribution,
+        STREAMING_ATTRIBUTION_SQL,
     ),
 }
