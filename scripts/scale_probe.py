@@ -90,6 +90,33 @@ def main(factor: int = 50) -> None:
         dd_ops.minhash_signatures(docs, "doc_id", "text"),
     )
     run("gemm_topk", ann_ops.brute_force_topk_numpy(emb, qvecs, k=10))
+    run("srp_lsh_pairs", ann_ops.srp_cosine_pairs(emb, threshold=0.65))
+
+    # events timeline × factor: same user keys, shifted timestamps — the
+    # as-of union+window sees factor× rows per user partition
+    from embeddingsearch_spark.operators import asof as asof_op
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .crossJoin(rep)
+        .select(
+            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+            "value",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_events = ev.count()
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    run("asof_join", asof_op.asof_join(purchases, clicks, on="user_id"))
 
     print(
         json.dumps(
@@ -99,6 +126,7 @@ def main(factor: int = 50) -> None:
                     "corpus": n_corpus,
                     "documents": n_docs,
                     "vectors": n_vecs,
+                    "events": n_events,
                 },
                 "sec": timings,
             }

@@ -1,4 +1,6 @@
 """SRP-LSH near-dup: exact-verify precision (emitted ⊆ true pairs),
+using the suite query's 16/4 config (the weak-threshold operating point;
+the 64/8 default targets real near-dup corpora — see operator docstring),
 useful recall on the testdata, deterministic hyperplanes, and a plan
 without a cartesian product."""
 
@@ -35,7 +37,7 @@ def test_precision_and_recall(truth):
     emb, true_pairs = truth
     got = {
         (r["id_a"], r["id_b"])
-        for r in srp_cosine_pairs(emb, threshold=THRESHOLD).collect()
+        for r in srp_cosine_pairs(emb, n_bits=16, bands=4, threshold=THRESHOLD).collect()
     }
     assert got <= true_pairs  # exact verify ⇒ no false positives
     # Deterministic on the fixed testdata. The testdata's "near-dups" are
