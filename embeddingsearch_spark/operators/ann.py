@@ -203,13 +203,33 @@ def srp_hyperplanes(dim: int, n_bits: int = 16):
     return H
 
 
+def srp_config_for(
+    n: int,
+    per_bucket: float = 16.0,
+    raw_cosine: float = 0.9,
+    recall: float = 0.9,
+) -> tuple[int, int]:
+    """Size the banding from the corpus: bits-per-band so the expected
+    bucket load stays ~``per_bucket`` (candidate volume ≈ Σ bucket² —
+    this is THE scale knob, BASELINE.md sweep), then enough bands that a
+    true near-dup at ``raw_cosine`` collides with prob ≥ ``recall``.
+    Returns (n_bits, bands)."""
+    import math
+
+    rows = max(4, math.ceil(math.log2(max(n, 2) / per_bucket)))
+    p_bit = 1.0 - math.acos(min(1.0, max(-1.0, raw_cosine))) / math.pi
+    p_band = p_bit**rows
+    bands = max(2, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band)))
+    return rows * bands, bands
+
+
 def srp_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_bits: int = 64,
-    bands: int = 8,
+    n_bits: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.65,
 ) -> DataFrame:
     """Near-dup pairs WITHOUT a blocking key: sign-random-projection LSH
@@ -225,14 +245,20 @@ def srp_cosine_pairs(
     2^(n_bits/bands), and candidate volume ≈ Σ bucket², so too few bits
     per band re-creates the quadratic blow-up inside each bucket.
     Measured at 20k vectors (BASELINE.md): 4-bit bands → 760k pairs,
-    48 s; 8-bit bands → 200-300k pairs, 4-5 s. The 64/8 default gives
-    ≈94% recall at raw cosine 0.9 (1−(1−0.857⁸)⁸) with ~3% random-pair
-    collision; rule of thumb: rows/band ≈ log₂(expected bucket load⁻¹·n).
+    48 s; 8-bit bands → 200-300k pairs, 4-5 s. With ``n_bits``/``bands``
+    unset, the banding is auto-sized from a corpus count via
+    `srp_config_for` (bits/band grows with log₂(n), band count with the
+    recall target) — pass both explicitly to pin a configuration (the
+    oracled suite query does, so its DuckDB twin can mirror it).
     This is the data-independent complement of `blocked_cosine_pairs`
     (which needs a label/blocking key).
     """
     import numpy as np
 
+    if (n_bits is None) != (bands is None):
+        raise ValueError("set both n_bits and bands, or neither")
+    if n_bits is None:
+        n_bits, bands = srp_config_for(emb.count())
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     if dim is None:

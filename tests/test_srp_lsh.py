@@ -59,6 +59,26 @@ def test_hyperplanes_deterministic():
     assert (np.abs(a.sum(axis=1)) < 8).all()
 
 
+def test_auto_config_scales():
+    from embeddingsearch_spark.operators.ann import srp_config_for
+
+    small_bits, small_bands = srp_config_for(500)
+    big_bits, big_bands = srp_config_for(100_000_000)
+    # bits-per-band grows with log2(n) (bucket sparsity), bands with it
+    # (recall compensation)
+    assert big_bits // big_bands > small_bits // small_bands
+    assert big_bands > small_bands
+    for n in (2, 500, 10**6, 10**9):
+        bits, bands = srp_config_for(n)
+        assert bits % bands == 0 and bands >= 2
+
+
+def test_auto_config_rejects_partial_override(truth):
+    emb, _ = truth
+    with pytest.raises(ValueError):
+        srp_cosine_pairs(emb, n_bits=32)
+
+
 def test_no_cartesian_plan(truth):
     emb, _ = truth
     plan = (
