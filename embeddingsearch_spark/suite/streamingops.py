@@ -131,7 +131,10 @@ def q_streaming_attribution(spark, sf_dir):
     joined = sjoins.interval_join_stream(
         purchases, clicks, on="user_id", lookback="1 hour"
     )
-    return win.run_available_now(joined, output_mode="append")
+    # join state at this scale is tiny — 8 state-store instances, not 32
+    return win.run_available_now(
+        joined, output_mode="append", shuffle_partitions=8
+    )
 
 
 STREAMING_ATTRIBUTION_SQL = """
