@@ -16,6 +16,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def compact(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    partition_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    file_format: str = "parquet",
+) -> dict:
+    """Rewrite a parquet dataset into ~``target_file_mb`` files — the
+    small-file remedy. Continuous ingest (foreachBatch appends, streaming
+    sinks, per-trigger micro-batches) accretes thousands of KB-scale
+    files; at 100 TB that murders scan planning (one task + one open per
+    file) and the driver's file index. Compaction = read → repartition to
+    ceil(bytes / target) → rewrite atomically (write new dir, swap).
+
+    ``partition_cols`` preserves hive partitioning (files coalesce WITHIN
+    each partition via repartition on the partition key); ``sort_cols``
+    additionally sorts within files for min/max row-group skipping.
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.format(file_format).load(path)
+    # size the output from the actual on-disk bytes, not row counts
+    files = _list_data_files(path)
+    total_bytes = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer_df = src
+    if partition_cols:
+        writer_df = writer_df.repartition(n_out, *[F.col(c) for c in partition_cols])
+    else:
+        writer_df = writer_df.repartition(n_out)
+    if sort_cols:
+        writer_df = writer_df.sortWithinPartitions(*sort_cols)
+    w = writer_df.write.format(file_format).mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(tmp)
+
+    old = path.rstrip("/") + "._compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files),
+        "files_after": len(_list_data_files(path)),
+        "bytes": total_bytes,
+    }
+
+
+def _list_data_files(path: str) -> list[tuple[str, int]]:
+    import os
+
+    out = []
+    for root, _, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                p = os.path.join(root, n)
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

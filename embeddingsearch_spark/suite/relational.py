@@ -196,6 +196,30 @@ FROM events
 GROUP BY ROLLUP (event_type, CAST(ts AS DATE))"""
 
 
+def q_converted_users(spark, sf_dir):
+    """Set operations (§2.7): users who clicked AND purchased but never
+    errored — INTERSECT/EXCEPT compile to aggregate+join (distinct-ized
+    semi/anti joins), no extra machinery."""
+    day = "2024-01-05"
+    ev = tables.load(spark, sf_dir, "events").filter(F.to_date("ts") == day)
+
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    return users("click").intersect(users("purchase")).subtract(users("error"))
+
+
+CONVERTED_USERS_SQL = """
+(SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-05'
+ INTERSECT
+ SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-05')
+EXCEPT
+SELECT DISTINCT user_id FROM events
+ WHERE event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-05'"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -253,4 +277,5 @@ QUERIES = {
     "idle_customers": (q_idle_customers, IDLE_CUSTOMERS_SQL),
     "events_type_profile": (q_events_type_profile, EVENTS_TYPE_PROFILE_SQL),
     "events_pivot": (q_events_pivot, EVENTS_PIVOT_SQL),
+    "converted_users": (q_converted_users, CONVERTED_USERS_SQL),
 }
