@@ -196,6 +196,29 @@ FROM events
 GROUP BY ROLLUP (event_type, CAST(ts AS DATE))"""
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE (event_type, weekday): all four grouping sets in one pass —
+    the remaining grouping-set shape next to rollup (same single-shuffle
+    plan, rows replicated per set map-side)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("weekday", F.dayofweek("ts"))
+        .cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), RD).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_CUBE_SQL = f"""
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS weekday,
+       count(*) AS n_events,
+       round(avg(value), {RD}) AS avg_value
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))"""
+
+
 def q_converted_users(spark, sf_dir):
     """Set operations (§2.7): users who clicked AND purchased but never
     errored — INTERSECT/EXCEPT compile to aggregate+join (distinct-ized
@@ -278,4 +301,5 @@ QUERIES = {
     "events_type_profile": (q_events_type_profile, EVENTS_TYPE_PROFILE_SQL),
     "events_pivot": (q_events_pivot, EVENTS_PIVOT_SQL),
     "converted_users": (q_converted_users, CONVERTED_USERS_SQL),
+    "events_cube": (q_events_cube, EVENTS_CUBE_SQL),
 }
