@@ -117,6 +117,12 @@ def main(factor: int = 50) -> None:
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
     run("asof_join", asof_op.asof_join(purchases, clicks, on="user_id"))
+    run(
+        "asof_join_chunked",
+        asof_op.asof_join_chunked(
+            purchases, clicks, on="user_id", chunk_seconds=86400
+        ),
+    )
 
     print(
         json.dumps(

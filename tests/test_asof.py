@@ -71,6 +71,52 @@ def test_tolerance(frames):
     assert set(inner) == {1}
 
 
+def test_chunked_equivalence(spark):
+    # random timelines incl. a hot key holding half of all rows; the
+    # chunked variant must be row-identical to the plain operator
+    import random
+
+    from embeddingsearch_spark.operators.asof import asof_join_chunked
+
+    rnd = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, id0):
+        return [
+            (
+                id0 + i,
+                "hot" if rnd.random() < 0.5 else f"k{rnd.randrange(6)}",
+                base + dt.timedelta(seconds=rnd.randrange(500_000)),
+            )
+            for i in range(n)
+        ]
+
+    left = spark.createDataFrame(mk(400, 0), "lid int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(i, k, t, i * 10) for i, k, t in mk(600, 1000)],
+        "rid int, k string, ts timestamp, payload int",
+    )
+
+    def key(df):
+        return sorted(
+            (r["lid"], r["rid"], r["payload"]) for r in df.collect()
+        )
+
+    for how in ("inner", "left"):
+        plain = key(asof_join(left, right, on="k", how=how))
+        chunked = key(
+            asof_join_chunked(
+                left, right, on="k", chunk_seconds=3600, how=how
+            )
+        )
+        assert plain == chunked
+    # degenerate chunk sizes: everything in one chunk / one row per chunk
+    for cs in (10**9, 1):
+        assert key(asof_join(left, right, on="k")) == key(
+            asof_join_chunked(left, right, on="k", chunk_seconds=cs)
+        )
+
+
 def test_no_extra_shuffle(frames):
     left, right = frames
     plan = asof_join(left, right, on="k")._jdf.queryExecution().toString()
