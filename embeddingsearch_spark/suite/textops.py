@@ -198,6 +198,61 @@ FROM (
   FROM documents)"""
 
 
+def q_training_corpus(spark, sf_dir):
+    """The end-to-end training-data prep pipeline in one plan: exact
+    dedup (keep lowest doc_id per sha256) → quality gate (≥10 tokens,
+    ≤20% punctuation) → deterministic split → per-split doc/token budget.
+    Every stage is scan-side except the dedup aggregation and the final
+    rollup — two shuffles total for the whole pipeline."""
+    docs = tables.load(spark, sf_dir, "documents")
+    keeper = (
+        docs.select(T.text_hash(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keeper, "doc_id")
+    m = T.quality_metrics(F.col("text"))
+    filtered = kept.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        m["punct_ratio"].alias("_pr"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("_pr") <= 0.2))
+    tagged = splits.hash_split(
+        filtered, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_PUNCT_RATIO_SQL = r"""(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+   / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END"""
+
+TRAINING_CORPUS_SQL = f"""WITH keeper AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+filtered AS (
+  SELECT d.doc_id, len({TOKS_SQL}) AS n_tokens
+  FROM documents d JOIN keeper USING (doc_id)
+  WHERE len({TOKS_SQL}) >= 10 AND {_PUNCT_RATIO_SQL} <= 0.2
+),
+tagged AS (
+  SELECT n_tokens,
+         CASE WHEN b < 8000 THEN 'train'
+              WHEN b < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT n_tokens,
+           ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT % 10000 AS b
+    FROM filtered)
+)
+SELECT split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM tagged GROUP BY split"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
@@ -206,4 +261,5 @@ QUERIES = {
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "doc_split": (q_doc_split, DOC_SPLIT_SQL),
+    "training_corpus": (q_training_corpus, TRAINING_CORPUS_SQL),
 }
