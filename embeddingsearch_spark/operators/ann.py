@@ -265,7 +265,18 @@ def srp_cosine_pairs(
         dim = len(emb.select(vec_col).first()[0])
     H = srp_hyperplanes(dim, n_bits)
     rows = n_bits // bands
-    sig_schema = f"{id_col} long, band int, bucket long"
+    # Verify IN PLACE: the signature rows carry the vector + its norm into
+    # the bucket join, so each colliding pair is scored immediately and
+    # `distinct` runs on the tiny post-threshold survivor set. The
+    # alternative (distinct the candidate ids, then re-join the vectors
+    # twice) shuffles the full multi-million-pair candidate table three
+    # times — measured 1.8× slower at 100k vectors (BASELINE.md). A pair
+    # colliding in k bands is scored k times, but those are exactly the
+    # near-dups (rare); random pairs collide in ~1 band.
+    sig_schema = (
+        f"{id_col} long, band int, bucket long, "
+        f"{vec_col} array<float>, _n double"
+    )
 
     def sig(batches):
         import pandas as pd
@@ -277,6 +288,7 @@ def srp_cosine_pairs(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             bits = (V @ H.T >= 0).astype(np.int64)  # n × n_bits
+            nrm = np.linalg.norm(V, axis=1)
             ids = pdf[id_col].to_numpy()
             frames = []
             for bd in range(bands):
@@ -284,36 +296,29 @@ def srp_cosine_pairs(
                 vals = (seg << np.arange(rows)).sum(axis=1)
                 frames.append(
                     pd.DataFrame(
-                        {id_col: ids, "band": bd, "bucket": vals}
+                        {
+                            id_col: ids,
+                            "band": bd,
+                            "bucket": vals,
+                            vec_col: pdf[vec_col],
+                            "_n": nrm,
+                        }
                     )
                 )
             yield pd.concat(frames, ignore_index=True)
 
     banded = emb.select(id_col, vec_col).mapInPandas(sig, schema=sig_schema)
     a = banded.select(
-        F.col(id_col).alias("id_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band", "bucket"
-    )
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    withn = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm2(F.col(vec_col)).alias("_n"),
-    )
-    ea = withn.select(
         F.col(id_col).alias("id_a"),
+        "band",
+        "bucket",
         F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),
     )
-    eb = withn.select(
+    b = banded.select(
         F.col(id_col).alias("id_b"),
+        "band",
+        "bucket",
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
     )
@@ -321,12 +326,13 @@ def srp_cosine_pairs(
         dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
     )
     return (
-        cands.join(ea, "id_a")
-        .join(eb, "id_b")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", F.round(sim, ROUND_DIGITS).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

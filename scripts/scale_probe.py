@@ -59,12 +59,20 @@ def main(factor: int = 50) -> None:
     )
     n_docs = docs.count()
 
+    # rotate dimensions per replica: replicas of the same vector become
+    # dissimilar, so near-dup OUTPUT stays linear in N (identical copies
+    # would make every answer quadratic in the replica count — that
+    # measures output size, not operator scaling)
+    shift = (F.col("rep") % 64).cast("int")
     emb = (
         tables.load(spark, sf_dir, "embeddings")
         .crossJoin(rep)
         .select(
             (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
-            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), shift + 1, F.lit(64) - shift),
+                F.slice(F.col("embedding"), F.lit(1), shift),
+            ).alias("embedding"),
         )
         .repartition(64)
         .cache()
