@@ -248,8 +248,9 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_events_pivot(spark, sf_dir):
     """Day × event-type count matrix — pivot with the value set declared
-    up front (one pass, one shuffle; without the list Spark needs an extra
-    distinct pass to discover columns)."""
+    up front (without the list Spark needs an extra distinct pass to
+    discover columns). Plans as two exchanges, but the second carries the
+    already-aggregated (day, type) counts — negligible at any scale."""
     ev = tables.load(spark, sf_dir, "events")
     p = (
         ev.groupBy(F.to_date("ts").alias("day"))

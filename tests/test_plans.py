@@ -115,3 +115,31 @@ def test_search_runs_in_codegen_stages(spark):
     queries = tables.derive_queries(spark, SF)
     s = so.search(corpus, queries)
     assert pi.codegen_stage_count(s, execute=True) >= 3
+
+
+def test_pivot_two_bounded_shuffles(spark):
+    """Pivot with a declared value set: no distinct-discovery pass —
+    exactly the two exchanges of Spark's pivot (pre-agg on (day, type),
+    pivotfirst on day over the reduced aggregate)."""
+    from embeddingsearch_spark.suite.relational import q_events_pivot
+
+    assert pi.count_shuffles(q_events_pivot(spark, SF)) == 2
+
+
+def test_training_corpus_two_shuffles(spark):
+    """The composed prep pipeline (dedup agg + final rollup): every other
+    stage is scan-side. Join of keeper ids back to docs rides the dedup
+    exchange (AQE may broadcast it; either way ≤3 exchanges)."""
+    from embeddingsearch_spark.suite.textops import q_training_corpus
+
+    assert pi.count_shuffles(q_training_corpus(spark, SF)) <= 3
+
+
+def test_interval_join_is_hash_join(spark):
+    """The binned interval join must plan as an equi-join (hash/SMJ),
+    never a nested loop."""
+    from embeddingsearch_spark.suite.windowops import q_purchase_view_window
+
+    plan = pi.physical_plan(q_purchase_view_window(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
