@@ -1,0 +1,67 @@
+"""MinHash hash_fn option: both hash backends produce verified-exact
+near-dup pairs (precision is hash-independent); signatures differ but
+schema and banding contract hold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.functions.text import word_shingles
+from embeddingsearch_spark.operators import dedup as dd
+
+THRESHOLD = 0.5
+
+
+def _true_jaccard_ok(spark, sf_dir, pairs_df):
+    """Every emitted pair must truly have Jaccard >= THRESHOLD."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    a = sh.withColumnRenamed("doc_id", "id_a")
+    b = sh.withColumnRenamed("doc_id", "id_b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        pairs_df.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n", "nb")
+        .withColumn(
+            "jacc",
+            F.coalesce(F.col("n_inter"), F.lit(0))
+            / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+        )
+    )
+    bad = j.filter(F.col("jacc") < THRESHOLD).count()
+    return bad == 0
+
+
+@pytest.mark.parametrize("hash_fn", ["sha256", "xxhash64"])
+def test_pipeline_precision(spark, sf_dir, hash_fn):
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dd.near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=THRESHOLD, hash_fn=hash_fn
+    ).select("id_a", "id_b")
+    assert _true_jaccard_ok(spark, sf_dir, pairs)
+
+
+def test_same_schema_different_signatures(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").limit(50)
+    sha = dd.minhash_signatures(docs, "doc_id", "text", hash_fn="sha256")
+    xxh = dd.minhash_signatures(docs, "doc_id", "text", hash_fn="xxhash64")
+    assert [f.name for f in sha.schema] == [f.name for f in xxh.schema]
+
+
+def test_bad_hash_fn_rejected(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        dd.minhash_signatures(docs, "doc_id", "text", hash_fn="md5")
