@@ -100,3 +100,41 @@ def read_binary_dir(
         F.col("length").alias("size_bytes"),
         F.col("modificationTime").alias("modified_at"),
     )
+
+
+# the reference's ingest wire format (JSONModels.cs:3-19): one JSON object
+# per entity, datapoints nested
+_JSON_ENTITY = """
+    Name STRING, Probmethod STRING, Searchdomain STRING,
+    Attributes MAP<STRING, STRING>,
+    Datapoints ARRAY<STRUCT<
+        Name: STRING, Text: STRING, Probmethod_embedding: STRING,
+        SimilarityMethod: STRING, Model: ARRAY<STRING>>>
+"""
+
+
+def read_jsonl_entities(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines of reference-shaped entities (the `PUT /Entities` body,
+    JSONModels.cs:3-19, one object per line) → INGEST_DATAPOINTS rows
+    (one per datapoint, nested fields flattened). The explicit schema
+    skips Spark's inference pass — one read, not two — and malformed
+    lines surface as nulls rather than schema drift. Feed the result to
+    `operators/index_build.build_index` or the streaming indexer."""
+    raw = spark.read.schema(_JSON_ENTITY).json(path)
+    return raw.select(
+        F.col("Searchdomain").alias("searchdomain"),
+        F.col("Name").alias("entity"),
+        F.col("Probmethod").alias("entity_probmethod"),
+        F.col("Attributes").alias("attributes"),
+        F.explode("Datapoints").alias("dp"),
+    ).select(
+        "searchdomain",
+        "entity",
+        "entity_probmethod",
+        "attributes",
+        F.col("dp.Name").alias("datapoint"),
+        F.col("dp.Probmethod_embedding").alias("dp_probmethod"),
+        F.col("dp.SimilarityMethod").alias("simmethod"),
+        F.col("dp.Text").alias("text"),
+        F.col("dp.Model").alias("models"),
+    )

@@ -63,3 +63,57 @@ def test_read_binary_dir_modalities(spark, tmp_path):
     assert got["z.bin"].modality == "unknown"
     assert bytes(got["x.png"].content) == b"\x89PNG fake"
     assert got["y.wav"].size_bytes == len(b"RIFF fake")
+
+
+def test_read_jsonl_entities(spark, tmp_path):
+    import json
+
+    from embeddingsearch_spark.operators.index_build import build_index
+    from embeddingsearch_spark.schemas import INGEST_DATAPOINTS
+    from embeddingsearch_spark.sources.files import read_jsonl_entities
+
+    path = str(tmp_path / "entities.jsonl")
+    ents = [
+        {
+            "Name": f"e{i}",
+            "Probmethod": "Mean",
+            "Searchdomain": "sd",
+            "Attributes": {"lang": "en"},
+            "Datapoints": [
+                {
+                    "Name": "title",
+                    "Text": f"title {i}",
+                    "Probmethod_embedding": "Mean",
+                    "SimilarityMethod": "Cosine",
+                    "Model": ["mock:a", "mock:b"],
+                },
+                {
+                    "Name": "text",
+                    "Text": f"body of {i}",
+                    "Probmethod_embedding": "Max",
+                    "SimilarityMethod": "Cosine",
+                    "Model": ["mock:a"],
+                },
+            ],
+        }
+        for i in range(4)
+    ]
+    with open(path, "w") as f:
+        for e in ents:
+            f.write(json.dumps(e) + "\n")
+
+    df = read_jsonl_entities(spark, path)
+    assert [f.name for f in df.schema] == [
+        f.name for f in INGEST_DATAPOINTS
+    ]
+    rows = df.collect()
+    assert len(rows) == 8  # 4 entities × 2 datapoints
+    by = {(r.entity, r.datapoint): r for r in rows}
+    assert by[("e0", "text")].dp_probmethod == "Max"
+    assert by[("e0", "title")].models == ["mock:a", "mock:b"]
+    assert by[("e3", "title")].attributes == {"lang": "en"}
+
+    # end-to-end: the parsed rows drive the batch index build
+    idx = build_index(df).index_flat
+    # one index row per (datapoint, model): 4 × (2 + 1)
+    assert idx.count() == 12
