@@ -1,0 +1,90 @@
+"""End-to-end training-data prep — the beyond-reference pipeline surface
+on the synthetic documents/embeddings tables: dedup (exact + MinHash-LSH
++ SRP-LSH on embeddings), quality gating, deterministic splits, chunking,
+and a compacted partitioned output layout.
+
+Run:  python examples/training_prep.py [sf_dir]   (default sf0.01)
+
+Prints the per-stage row counts and the final per-split token budget,
+then writes the prepared corpus partitioned by split and compacts it.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import storage, tables
+    from embeddingsearch_spark.functions import text as T
+    from embeddingsearch_spark.operators import ann, dedup, splits
+    from embeddingsearch_spark.session import get_spark
+
+    spark = get_spark("training-prep", master="local[8]", shuffle_partitions=8)
+    docs = tables.load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep each group's canonical doc
+    exact = dedup.exact_duplicates(docs, "doc_id", "text")
+    kept_ids = exact.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id"
+    )
+    docs1 = docs.join(kept_ids, "doc_id")
+    n1 = docs1.count()
+
+    # 2. near-dup pass (MinHash+LSH, exact-Jaccard verified): drop the
+    # higher doc_id of each surviving near-dup pair
+    near = dedup.near_duplicates_minhash(
+        docs1, "doc_id", "text", threshold=0.5, hash_fn="xxhash64"
+    )
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    docs2 = docs1.join(drop, "doc_id", "left_anti")
+    n2 = docs2.count()
+
+    # 3. embedding-space near-dup report (SRP-LSH, no blocking key)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n_vec_pairs = ann.srp_cosine_pairs(emb, threshold=0.7).count()
+
+    # 4. quality gate + split + token budget
+    m = T.quality_metrics(F.col("text"))
+    gated = docs2.select(
+        "doc_id",
+        "text",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        m["punct_ratio"].alias("_pr"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("_pr") <= 0.2))
+    tagged = splits.hash_split(
+        gated, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    budget = (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+    print(f"documents: {n0} -> exact-dedup {n1} -> near-dup {n2}")
+    print(f"embedding near-dup pairs (cosine >= 0.7): {n_vec_pairs}")
+    budget.show()
+
+    # 5. write partitioned by split, then compact the small files
+    out = tempfile.mkdtemp(prefix="es_training_prep_")
+    tagged.drop("_pr").write.mode("overwrite").partitionBy("split").parquet(out)
+    stats = storage.compact(spark, out, partition_cols=["split"])
+    print(
+        f"layout: {out} — {stats['files_before']} files -> "
+        f"{stats['files_after']} after compaction"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
