@@ -122,3 +122,22 @@ def test_no_extra_shuffle(frames):
     plan = asof_join(left, right, on="k")._jdf.queryExecution().toString()
     # one exchange for the window partitioning; the union must not add more
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_multi_key(spark):
+    left = spark.createDataFrame(
+        [(1, "u", "x", _ts(10)), (2, "u", "y", _ts(10)), (3, "v", "x", _ts(10))],
+        "lid int, k1 string, k2 string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", "x", _ts(5), 1), ("u", "y", _ts(7), 2), ("v", "y", _ts(3), 3)],
+        "k1 string, k2 string, ts timestamp, rid int",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k1", "k2"], how="left"
+        ).collect()
+    }
+    # matches require BOTH keys equal
+    assert out == {1: 1, 2: 2, 3: None}

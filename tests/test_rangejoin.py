@@ -74,3 +74,25 @@ def test_suffixes_colliding_right_columns(frames):
     )
     assert "ts" in out.columns and "ts_r" in out.columns
     assert "rid" in out.columns  # non-colliding name kept as-is
+
+
+def test_multi_key(spark):
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", "x", base + dt.timedelta(hours=2))],
+        "lid int, k1 string, k2 string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", "x", base + dt.timedelta(hours=1), 10),
+            ("u", "y", base + dt.timedelta(hours=1), 11),  # k2 differs
+            ("u", "x", base + dt.timedelta(hours=5), 12),  # outside window
+        ],
+        "k1 string, k2 string, ts timestamp, rid int",
+    )
+    out = interval_join(
+        left, right, on=["k1", "k2"],
+        left_start=F.col("ts") - F.expr("INTERVAL 3 HOURS"),
+        left_end=F.col("ts"), bucket_seconds=3600,
+    )
+    assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 10)]
