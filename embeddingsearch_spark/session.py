@@ -45,9 +45,10 @@ def get_spark(
         # Arrow for pandas-UDF boundaries (embedder, multimodal decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type — read as long, converted in tables.load.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: no spark.sql.legacy.parquet.nanosAsLong here — tables.load
+        # reads events.parquet with an explicit schema (ts LONG) so the code
+        # works in ANY session, including harnesses that build their own.
+        # Keeping the conf out makes local runs replicate foreign sessions.
         # Quieter local runs; no effect on semantics.
         .config("spark.ui.enabled", "false")
     )

@@ -64,29 +64,40 @@ FROM documents"""
 
 def q_media_frame_plan(spark, sf_dir):
     """Metadata-driven frame sampling plan for video rows — pure JVM
-    sequence/slice over the metadata struct, binary never touched."""
+    sequence/slice over the metadata struct, binary never touched.
+    Indices are comma-joined: the harness canonicalizes via pandas, which
+    cannot hash ARRAY cells — gated outputs must be scalar columns."""
     media = derive_media(spark, sf_dir)
+    plan = mm.frame_sample_plan(media, every_n=10, max_frames=16)
     return media.filter(F.col("modality") == "video").select(
         "media_id",
-        mm.frame_sample_plan(media, every_n=10, max_frames=16).alias(
-            "frame_indices"
-        ),
+        F.array_join(plan.cast("array<string>"), ",").alias("frame_indices"),
     )
 
 
 MEDIA_FRAME_PLAN_SQL = """
 SELECT doc_id AS media_id,
-       (list_transform(range(0, 24 + (doc_id % 100) * 3, 10),
-                       x -> CAST(x AS INTEGER)))[1:16] AS frame_indices
+       array_to_string((list_transform(range(0, 24 + (doc_id % 100) * 3, 10),
+                        x -> CAST(x AS VARCHAR)))[1:16], ',') AS frame_indices
 FROM documents WHERE doc_id % 3 = 2"""
 
 
 def q_media_decode(spark, sf_dir):
     """Deterministic fake decode (the codec seam with decoder='fake'):
     chunked byte-mean features. Not SQL-expressible at reasonable cost —
-    rows-only check; values are unit-tested against a pure-Python mirror."""
+    rows-only check; values are unit-tested against a pure-Python mirror.
+    Features are comma-joined (scalar) so the harness canon can hash them;
+    the fake decoder emits 6-dp-rounded doubles, so the string form is
+    deterministic."""
     media = derive_media(spark, sf_dir)
-    return mm.decode_media(media, decoder="fake", feature_dim=16)
+    feats = mm.decode_media(media, decoder="fake", feature_dim=16)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("features"),
+    )
 
 
 QUERIES = {

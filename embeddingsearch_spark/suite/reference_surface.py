@@ -23,12 +23,15 @@ SELECT DISTINCT searchdomain, model FROM corpus"""
 
 def q_entity_projection(spark, sf_dir):
     """/Entities list shape: per entity, probmethod + datapoint/model
-    counts + sorted model list (reference EntityController.cs:42-86)."""
+    counts + sorted model list (reference EntityController.cs:42-86).
+    The model list is rendered as a comma-joined string: the comparison
+    harness canonicalizes results via pandas, which cannot hash ARRAY
+    cells — scalar columns only in gated query outputs."""
     corpus = tables.derive_corpus(spark, sf_dir)
     return corpus.groupBy("searchdomain", "entity", "entity_probmethod").agg(
         F.countDistinct("datapoint").alias("n_datapoints"),
         F.count(F.lit(1)).alias("n_embeddings"),
-        F.array_sort(F.collect_set("model")).alias("models"),
+        F.array_join(F.array_sort(F.collect_set("model")), ",").alias("models"),
     )
 
 
@@ -36,7 +39,7 @@ ENTITY_PROJECTION_SQL = f"""WITH {CORPUS_CTE}
 SELECT searchdomain, entity, entity_probmethod,
        count(DISTINCT datapoint) AS n_datapoints,
        count(*) AS n_embeddings,
-       list_sort(list(DISTINCT model)) AS models
+       array_to_string(list_sort(list(DISTINCT model)), ',') AS models
 FROM corpus
 GROUP BY searchdomain, entity, entity_probmethod"""
 

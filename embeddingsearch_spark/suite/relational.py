@@ -176,7 +176,11 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
 def q_events_rollup(spark, sf_dir):
     """ROLLUP (event_type, day): per-day, per-type subtotals and the
     grand total in one pass — partial aggregation replicates rows per
-    grouping set map-side, one shuffle total."""
+    grouping set map-side, one shuffle total.
+
+    Subtotal rows carry NULL grouping keys, which the comparison harness
+    materializes differently per engine (None vs NaT) — render the keys as
+    strings with an explicit 'ALL' sentinel on both sides."""
     ev = tables.load(spark, sf_dir, "events")
     return (
         ev.withColumn("day", F.to_date("ts"))
@@ -185,11 +189,18 @@ def q_events_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), RD).alias("total_value"),
         )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "total_value",
+        )
     )
 
 
 EVENTS_ROLLUP_SQL = f"""
-SELECT event_type, CAST(ts AS DATE) AS day,
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
        count(*) AS n_events,
        round(sum(value), {RD}) AS total_value
 FROM events

@@ -249,7 +249,8 @@ tagged AS (
              ::BIGINT % 10000 AS b
     FROM filtered)
 )
-SELECT split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM tagged GROUP BY split"""
 
 

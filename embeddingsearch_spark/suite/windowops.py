@@ -36,8 +36,11 @@ EVENTS_SESSIONIZE_SQL = f"""WITH tagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- DuckDB sums integers into HUGEINT, which pandas can't hash
+         -- consistently — cast every integer sum back to BIGINT
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM tagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,

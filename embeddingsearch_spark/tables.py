@@ -73,15 +73,26 @@ SIM = ["Cosine", "Euclidian", "Manhattan", "Pearson"]
 N_QUERY_VECS = 4
 
 
+# events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's parquet
+# reader rejects unless spark.sql.legacy.parquet.nanosAsLong is set. We can't
+# rely on session-level confs (the driver harness builds its own session), so
+# read with an EXPLICIT schema mapping ts to LONG — the same pattern the
+# streaming file source uses (suite/streamingops.py EVENTS_RAW), which works
+# in any session.
+_EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, read as long nanoseconds
-        # (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
-        # timestamp at microsecond precision.
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
         # integer div — float division loses 1 µs on large nano values
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -15,18 +15,37 @@ sys.path.insert(0, ".")
 
 def canon(rows, cols):
     """Order-insensitive canonical form: sort columns by name, round floats,
-    sort rows."""
+    sort rows.
+
+    Mirrors the driver's pandas-based canonicalizer in one crucial way: the
+    driver sorts a pandas DataFrame by every column, which raises
+    `unhashable type` on list/dict values — so we hard-fail on non-scalar
+    cells here too, to catch it locally before the driver does.
+    """
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
+            if hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+                # list/dict/tuple/np.ndarray cells — the driver's pandas
+                # canonicalizer cannot hash these
+                raise TypeError(
+                    f"non-scalar value in result column '{cols[i]}' "
+                    f"({type(v).__name__}) — the driver's canonicalizer "
+                    "cannot hash this; stringify with array_join/to_json"
+                )
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
                 else:
                     v = f"{v:.6g}"
+            elif hasattr(v, "hour") and hasattr(v, "date"):
+                # datetime-like: one engine yields datetime.date, the other
+                # datetime64 at midnight — print midnight stamps as dates
+                if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+                    v = str(v.date())
             vals.append(str(v))
         out.append("|".join(vals))
     return sorted(out)
@@ -58,15 +77,42 @@ def main():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        # materialize BOTH sides through pandas, exactly like the driver —
+        # this surfaces dtype drift (e.g. DuckDB HUGEINT → float64/object)
+        # that raw fetchall() hides
+        spdf = sdf.toPandas()
+        scols = list(spdf.columns)
+        srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         if name not in oracles:
+            # the driver canonicalizes rows-only results too — make sure
+            # they'd survive its pandas canon (no list/dict cells)
+            canon(srows, scols)
             print(f"{name:28s} rows={len(srows):6d}  (no oracle — rows-only)")
             continue
-        ores = con.execute(oracles[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
+        opdf = con.execute(oracles[name]).df()
+        ocols = list(opdf.columns)
+        orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         ok_cols = sorted(scols) == sorted(ocols)
+        # NUMERIC dtype-kind drift (int vs float vs object) makes the
+        # driver's value-hash differ even when printed values match — e.g.
+        # DuckDB sum(BIGINT) → HUGEINT → float64/object. Catch it here.
+        # (object-vs-datetime64 for DATE columns is benign: the driver
+        # passed such queries in round 1.)
+        dtype_drift = [
+            c
+            for c in scols
+            if c in ocols
+            and spdf[c].dtype.kind != opdf[c].dtype.kind
+            and ("iuf".find(spdf[c].dtype.kind) >= 0
+                 or "iuf".find(opdf[c].dtype.kind) >= 0)
+        ]
+        if dtype_drift:
+            drift = {
+                c: f"{spdf[c].dtype} vs {opdf[c].dtype}" for c in dtype_drift
+            }
+            print(f"{name:28s} FAIL dtype drift: {drift}")
+            failures.append(name)
+            continue
         sc, oc = canon(srows, scols), canon(orows, ocols)
         ok_vals = sc == oc
         status = "OK " if (ok_cols and ok_vals) else "FAIL"
