@@ -146,23 +146,31 @@ class Engine:
 
     def _reconcile_query_results(self, touched: DataFrame) -> None:
         """X2: re-score ONLY touched entities for every materialized
-        query and splice into the kept rankings."""
+        query and splice into the kept rankings.
+
+        Fully set-based: query vectors are derived from the cached-query
+        DataFrame itself (deterministic_embedding is a Column expression),
+        models broadcast onto it — no ``collect()`` of query strings, no
+        per-query plan growth. At the reference's default cache size
+        (1M queries/domain, SearchdomainModels.cs:98) the old driver-side
+        loop would OOM the driver and build a million-way union plan."""
         from embeddingsearch_spark.operators import query_cache
 
-        cached = [r.query for r in self.cached_queries().collect()]
-        if not cached:
+        if not self.query_results.head(1):
             return
-        models = self.models_in_use()
-        qvecs = None
-        for q in cached:
-            one = models.select(
-                F.lit(q).alias("query"),
+        qvecs = (
+            self.cached_queries()
+            .select("query")
+            .distinct()
+            .crossJoin(F.broadcast(self.models_in_use()))
+            .select(
+                "query",
                 "model",
                 deterministic_embedding(
-                    F.lit(q), F.col("model"), self.dim
+                    F.col("query"), F.col("model"), self.dim
                 ).alias("vector"),
             )
-            qvecs = one if qvecs is None else qvecs.unionByName(one)
+        )
         self.query_results = query_cache.incremental_refresh(
             self.query_results,
             self.index_flat.withColumn(

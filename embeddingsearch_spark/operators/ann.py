@@ -148,11 +148,40 @@ def blocked_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.65,
+    max_block: int = 100_000,
+    on_oversize: str = "fallback",
 ) -> DataFrame:
     """Embedding-cosine near-dup: all pairs within a blocking key above a
     cosine threshold. The blocking key bounds the quadratic pair count; the
-    per-row norm is computed once scan-side, so each pair costs one dot."""
-    withn = emb.select(
+    per-row norm is computed once scan-side, so each pair costs one dot.
+
+    GUARDED against quadratic blow-up: the pair join is O(block²), so one
+    skewed blocking key (or a 100× scale-up) turns this into the job that
+    never finishes. Blocks larger than ``max_block`` rows are routed by
+    ``on_oversize``:
+      - "fallback" (default): oversized blocks go through SRP-LSH
+        (`srp_cosine_pairs` with the block as an extra bucket key) —
+        approximate (recall < 1 for borderline pairs) but near-linear;
+        within-budget blocks keep the exact all-pairs path.
+      - "error": raise ValueError naming the oversized blocks.
+    The split costs one count aggregation over ids (no vectors shuffled).
+    """
+    counts = emb.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    oversized = counts.filter(F.col("_bn") > max_block).select(block_col)
+    has_oversized = bool(oversized.head(1))
+    small = emb
+    if has_oversized:
+        if on_oversize == "error":
+            big = [r[0] for r in oversized.limit(10).collect()]
+            raise ValueError(
+                f"blocks over max_block={max_block} rows: {big} — "
+                "all-pairs within a block is quadratic; use "
+                "on_oversize='fallback' (SRP-LSH) or raise max_block"
+            )
+        if on_oversize != "fallback":
+            raise ValueError("on_oversize must be 'fallback' or 'error'")
+        small = emb.join(F.broadcast(oversized), block_col, "left_anti")
+    withn = small.select(
         F.col(block_col),
         F.col(id_col),
         F.col(vec_col),
@@ -173,7 +202,7 @@ def blocked_cosine_pairs(
     sim = _cosine_from_parts(
         dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
     )
-    return (
+    exact = (
         a.join(b, block_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -184,6 +213,19 @@ def blocked_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if not has_oversized:
+        return exact
+    # oversized blocks: SRP-LSH with the block key folded into the bucket
+    # join — near-linear, pairs still confined to their block
+    big = emb.join(F.broadcast(oversized), block_col, "left_semi")
+    from_srp = srp_cosine_pairs(
+        big,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col=block_col,
+    )
+    return exact.unionByName(from_srp.select(block_col, "id_a", "id_b", "cosine"))
 
 
 def srp_hyperplanes(dim: int, n_bits: int = 16):
@@ -231,6 +273,7 @@ def srp_cosine_pairs(
     n_bits: int | None = None,
     bands: int | None = None,
     threshold: float = 0.65,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs WITHOUT a blocking key: sign-random-projection LSH
     (Charikar's SimHash for vectors). Each vector gets an n_bits signature
@@ -251,7 +294,9 @@ def srp_cosine_pairs(
     recall target) — pass both explicitly to pin a configuration (the
     oracled suite query does, so its DuckDB twin can mirror it).
     This is the data-independent complement of `blocked_cosine_pairs`
-    (which needs a label/blocking key).
+    (which needs a label/blocking key). With ``block_col`` set, the block
+    key joins the (band, bucket) equi-join keys, confining pairs to their
+    block (used as `blocked_cosine_pairs`' oversized-block fallback).
     """
     import numpy as np
 
@@ -273,9 +318,17 @@ def srp_cosine_pairs(
     # times — measured 1.8× slower at 100k vectors (BASELINE.md). A pair
     # colliding in k bands is scored k times, but those are exactly the
     # near-dups (rare); random pairs collide in ~1 band.
+    block_ddl = ""
+    in_cols = [id_col, vec_col]
+    if block_col is not None:
+        block_type = dict(
+            (f.name, f.dataType.simpleString()) for f in emb.schema
+        )[block_col]
+        block_ddl = f", {block_col} {block_type}"
+        in_cols.append(block_col)
     sig_schema = (
         f"{id_col} long, band int, bucket long, "
-        f"{vec_col} array<float>, _n double"
+        f"{vec_col} array<float>, _n double{block_ddl}"
     )
 
     def sig(batches):
@@ -294,22 +347,23 @@ def srp_cosine_pairs(
             for bd in range(bands):
                 seg = bits[:, bd * rows : (bd + 1) * rows]
                 vals = (seg << np.arange(rows)).sum(axis=1)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: ids,
-                            "band": bd,
-                            "bucket": vals,
-                            vec_col: pdf[vec_col],
-                            "_n": nrm,
-                        }
-                    )
-                )
+                data = {
+                    id_col: ids,
+                    "band": bd,
+                    "bucket": vals,
+                    vec_col: pdf[vec_col],
+                    "_n": nrm,
+                }
+                if block_col is not None:
+                    data[block_col] = pdf[block_col]
+                frames.append(pd.DataFrame(data))
             yield pd.concat(frames, ignore_index=True)
 
-    banded = emb.select(id_col, vec_col).mapInPandas(sig, schema=sig_schema)
+    banded = emb.select(*in_cols).mapInPandas(sig, schema=sig_schema)
+    join_keys = ["band", "bucket"] + ([block_col] if block_col else [])
     a = banded.select(
         F.col(id_col).alias("id_a"),
+        *join_keys[2:],
         "band",
         "bucket",
         F.col(vec_col).alias("_va"),
@@ -317,6 +371,7 @@ def srp_cosine_pairs(
     )
     b = banded.select(
         F.col(id_col).alias("id_b"),
+        *join_keys[2:],
         "band",
         "bucket",
         F.col(vec_col).alias("_vb"),
@@ -325,11 +380,12 @@ def srp_cosine_pairs(
     sim = _cosine_from_parts(
         dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
     )
+    out_cols = ([block_col] if block_col else []) + ["id_a", "id_b"]
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(sim, ROUND_DIGITS).alias("cosine")
+            *out_cols, F.round(sim, ROUND_DIGITS).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()

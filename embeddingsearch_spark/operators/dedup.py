@@ -177,14 +177,32 @@ def near_duplicates_minhash(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over whitespace tokens: bit j is set when the
     sum over tokens of ±1 (sign = bit j of the token's hash60) is >= 0.
-    Near-dup docs differ in few bits (compare with hamming distance)."""
+    Near-dup docs differ in few bits (compare with hamming distance).
+
+    Perf: the token hash is PROJECTED once per token row before the
+    aggregation — aggregate expressions don't share subexpressions, so
+    referencing the conv() inside each of the ``bits`` sums would hash
+    every token ``bits`` times. And since only the low ``bits`` bits of
+    the 60-bit hash are used, the hex→bigint conversion covers just the
+    ceil(bits/4) hex chars that carry them (low bits of the 15-char
+    window == the value of its last chars, so sha256-derived signatures
+    stay bit-identical to the full-width definition the oracle uses).
+    """
+    if bits > 60:
+        raise ValueError("bits <= 60: hash60 provides 60 sign bits")
+    nhex = (bits + 3) // 4
+    # last nhex chars of the 15-char window: positions 16-nhex .. 15
+    h = F.conv(
+        F.substring(F.sha2(F.col("tok"), 256), 16 - nhex, nhex), 16, 10
+    ).cast("bigint")
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
-    h = _hash60(F.col("tok"))
+    ).select(F.col(id_col), h.alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]

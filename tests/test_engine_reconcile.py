@@ -62,3 +62,34 @@ def test_reconcile_after_update_insert_delete(spark):
         assert _cached(eng, q) == _full(eng, q), q
     assert all(r.entity != "e1" for r in eng.read_results("alpha probe").collect())
     assert eng.cached_queries().count() == 2
+
+
+def test_reconcile_is_set_based_at_1k_queries(spark):
+    """Reconciliation must scale with the CACHED-QUERY TABLE, not with a
+    driver-side loop: seed ~1k materialized queries, upsert entities, and
+    check a sample of rankings equals a fresh full search. With the old
+    collect()+unionByName-per-query implementation this test builds a
+    1000-way union plan and times out; set-based reconciliation handles it
+    in one pass."""
+    eng = Engine(spark, dim=8)
+    eng.index_entities(
+        _rows(spark, {"e1": "alpha text", "e2": "beta text", "e3": "gamma"})
+    )
+    # Seed 1k cached queries directly (placeholder rankings — reconcile
+    # re-scores every touched entity, and the upsert below touches all).
+    eng.query_results = spark.range(1000).select(
+        F.lit("sd").alias("searchdomain"),
+        F.concat(F.lit("probe "), F.col("id")).alias("query"),
+        F.lit("e1").alias("entity"),
+        F.lit(0.0).alias("score"),
+        F.lit(1).alias("rank"),
+    )
+    eng.index_entities(
+        _rows(
+            spark,
+            {"e1": "alpha new", "e2": "beta new", "e3": "gamma new"},
+        )
+    )
+    assert eng.cached_queries().count() == 1000
+    for q in ("probe 0", "probe 500", "probe 999"):
+        assert _cached(eng, q) == _full(eng, q), q
