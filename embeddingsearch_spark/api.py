@@ -10,7 +10,9 @@ operators underneath are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from embeddingsearch_spark import schemas
@@ -19,6 +21,21 @@ from embeddingsearch_spark.sources.embedder import (
     DEFAULT_DIM,
     deterministic_embedding,
 )
+
+
+@dataclass
+class SearchdomainSettings:
+    """Per-domain settings (reference SearchdomainModels.cs:98-105).
+
+    ``cache_reconciliation``: True → materialized query results are
+    repaired incrementally on upsert/delete; False → they are invalidated
+    (cleared) instead, the reference's default. The engine defaults to
+    True — a declared deviation: set-based reconciliation is cheap here,
+    while the reference's per-entity loop made it opt-in."""
+
+    cache_reconciliation: bool = True
+    query_cache_size: int = 1_000_000
+    parallel_embeddings_prefetch: bool = False
 
 
 class Engine:
@@ -32,6 +49,7 @@ class Engine:
             "searchdomain string, query string, entity string, "
             "score double, rank int",
         )
+        self._settings: dict[str, SearchdomainSettings] = {}
 
     # -- indexing (PUT /Entities equivalent) --------------------------------
 
@@ -39,7 +57,9 @@ class Engine:
         """Upsert entities from INGEST_DATAPOINTS-shaped rows; re-embeds
         only cache misses (hash change detection). Materialized query
         results are repaired incrementally for the touched entities
-        (reference cache reconciliation, Searchdomain.cs:298-326)."""
+        (reference cache reconciliation, Searchdomain.cs:298-326) — or
+        invalidated wholesale for domains with
+        ``cache_reconciliation=False`` (the reference's default policy)."""
         cache = self.embedding_cache.withColumn(
             "vector", F.col("vector").cast("array<double>")
         )
@@ -59,20 +79,39 @@ class Engine:
         self.index_flat = new_index
         self.embedding_cache = new_cache
         touched = result.index_flat.select("searchdomain", "entity").distinct()
+        self._invalidate_disabled(touched.select("searchdomain").distinct())
         self._reconcile_query_results(touched)
         return result
+
+    def _invalidate_disabled(self, touched_domains: DataFrame) -> None:
+        """Clear materialized results for touched domains whose settings
+        opt out of reconciliation (cache invalidation, the reference's
+        SearchdomainInvalidateCache behavior applied on change)."""
+        disabled = [
+            d
+            for d, s in self._settings.items()
+            if not s.cache_reconciliation
+        ]
+        if not disabled or not self.query_results.head(1):
+            return
+        drop = touched_domains.filter(F.col("searchdomain").isin(disabled))
+        self.query_results = self.query_results.join(
+            F.broadcast(drop), "searchdomain", "left_anti"
+        ).localCheckpoint(eager=True)
 
     def finalize_session(self, uploaded: DataFrame) -> None:
         """Delete entities absent from the uploaded set (session complete)."""
         self.index_flat = index_build.finalize_session(
             self.index_flat, uploaded
         ).localCheckpoint(eager=True)
+        self._invalidate_disabled(uploaded.select("searchdomain").distinct())
         self._drop_deleted_from_results()
 
     def delete_entities(self, names: DataFrame) -> None:
         self.index_flat = index_build.delete_entities(
             self.index_flat, names
         ).localCheckpoint(eager=True)
+        self._invalidate_disabled(names.select("searchdomain").distinct())
         self._drop_deleted_from_results()
 
     def _drop_deleted_from_results(self) -> None:
@@ -180,6 +219,281 @@ class Engine:
             touched,
         ).localCheckpoint(eager=True)
 
+    # -- searchdomain management (reference SearchdomainController.cs:54-265,
+    #    DatabaseHelper.cs:291-397) --------------------------------------------
+
+    def create_searchdomain(
+        self, name: str, settings: SearchdomainSettings | None = None
+    ) -> SearchdomainSettings:
+        """Register a searchdomain with settings; a non-positive query
+        cache size falls back to the reference's 1M default
+        (SearchdomainController.cs:58-60)."""
+        if name in self._settings:
+            raise ValueError(f"searchdomain {name!r} already exists")
+        settings = settings or SearchdomainSettings()
+        if settings.query_cache_size <= 0:
+            settings.query_cache_size = 1_000_000
+        self._settings[name] = settings
+        return settings
+
+    def get_settings(self, name: str) -> SearchdomainSettings:
+        """Settings read (GET /Searchdomain/Settings)."""
+        if name not in self._settings:
+            raise KeyError(f"searchdomain {name!r} not found")
+        return self._settings[name]
+
+    def update_settings(
+        self, name: str, settings: SearchdomainSettings
+    ) -> SearchdomainSettings:
+        """Settings write (PUT /Searchdomain/Settings) — trimming the
+        query-cache capacity evicts materialized queries beyond it (the
+        reference resizes its LRU cache on this call)."""
+        if name not in self._settings:
+            raise KeyError(f"searchdomain {name!r} not found")
+        self._settings[name] = settings
+        n = settings.query_cache_size
+        if n > 0 and self.query_results.head(1):
+            w = F.row_number().over(
+                Window.partitionBy("searchdomain").orderBy("query")
+            )
+            keep = (
+                self.cached_queries()
+                .filter(F.col("searchdomain") == name)
+                .withColumn("_qpos", w)
+                .filter(F.col("_qpos") <= n)
+                .select("searchdomain", "query")
+            )
+            others = self.query_results.filter(F.col("searchdomain") != name)
+            self.query_results = others.unionByName(
+                self.query_results.join(keep, ["searchdomain", "query"], "left_semi")
+            ).localCheckpoint(eager=True)
+        return settings
+
+    def rename_searchdomain(self, name: str, new_name: str) -> None:
+        """PUT /Searchdomain: rename across index, cache state, results."""
+        if new_name in self._settings:
+            raise ValueError(f"searchdomain {new_name!r} already exists")
+        ren = F.when(
+            F.col("searchdomain") == name, F.lit(new_name)
+        ).otherwise(F.col("searchdomain"))
+        self.index_flat = self.index_flat.withColumn(
+            "searchdomain", ren
+        ).localCheckpoint(eager=True)
+        self.query_results = self.query_results.withColumn(
+            "searchdomain", ren
+        ).localCheckpoint(eager=True)
+        if name in self._settings:
+            self._settings[new_name] = self._settings.pop(name)
+
+    def delete_searchdomain(self, name: str) -> int:
+        """DELETE /Searchdomain: drop the domain's entities, materialized
+        results, and settings; returns the deleted-entity count."""
+        doomed = self.index_flat.filter(F.col("searchdomain") == name)
+        n = doomed.select("entity").distinct().count()
+        self.index_flat = self.index_flat.filter(
+            F.col("searchdomain") != name
+        ).localCheckpoint(eager=True)
+        self.query_results = self.query_results.filter(
+            F.col("searchdomain") != name
+        ).localCheckpoint(eager=True)
+        self._settings.pop(name, None)
+        return n
+
+    def list_searchdomains(self) -> DataFrame:
+        """GET /Searchdomain: registered domains ∪ domains with indexed
+        entities."""
+        registered = self.spark.createDataFrame(
+            [(d,) for d in self._settings] or [], "searchdomain string"
+        )
+        return (
+            self.index_flat.select("searchdomain")
+            .distinct()
+            .unionByName(registered)
+            .distinct()
+        )
+
+    def invalidate_query_cache(self, name: str) -> None:
+        """POST /Searchdomain/InvalidateCache: drop the domain's
+        materialized query results."""
+        self.query_results = self.query_results.filter(
+            F.col("searchdomain") != name
+        ).localCheckpoint(eager=True)
+
+    def query_cache_stats(self, name: str) -> dict:
+        """GET /Searchdomain/QueryCacheSize shape: element count, capacity,
+        and the materialized result bytes (SearchdomainResults.cs:45-53)."""
+        sub = self.query_results.filter(F.col("searchdomain") == name)
+        row = sub.agg(
+            F.countDistinct("query").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.octet_length("query")
+                    + F.octet_length("entity")
+                    + F.lit(12)  # score double + rank int
+                ),
+                F.lit(0),
+            ).alias("bytes"),
+        ).head()
+        cap = self._settings.get(name, SearchdomainSettings()).query_cache_size
+        return {
+            "element_count": int(row["n"]),
+            "element_max_count": cap,
+            "size_bytes": int(row["bytes"]),
+        }
+
+    def database_size(self, name: str | None = None) -> DataFrame:
+        """Per-table stored-bytes breakdown, the engine's equivalent of the
+        reference's per-table SUM(LENGTH(...)) accounting
+        (DatabaseHelper.cs:291-397): entity / datapoint / embedding rows
+        derived from index_flat (the normalized tables' payload columns),
+        plus the materialized query results. One aggregation per logical
+        table, all map-side partial."""
+        idx = self.index_flat
+        qr = self.query_results
+        if name is not None:
+            idx = idx.filter(F.col("searchdomain") == name)
+            qr = qr.filter(F.col("searchdomain") == name)
+        entity = (
+            idx.select("searchdomain", "entity", "entity_probmethod")
+            .distinct()
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.octet_length("searchdomain")
+                        + F.octet_length("entity")
+                        + F.octet_length("entity_probmethod")
+                    ),
+                    F.lit(0),
+                ).alias("n_bytes")
+            )
+            .select(F.lit("entity").alias("table"), "n_bytes")
+        )
+        datapoint = (
+            idx.select(
+                "searchdomain", "entity", "datapoint", "dp_probmethod",
+                "simmethod", "text_hash",
+            )
+            .distinct()
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.octet_length("datapoint")
+                        + F.octet_length("dp_probmethod")
+                        + F.octet_length("simmethod")
+                        + F.octet_length("text_hash")
+                    ),
+                    F.lit(0),
+                ).alias("n_bytes")
+            )
+            .select(F.lit("datapoint").alias("table"), "n_bytes")
+        )
+        embedding = idx.agg(
+            F.coalesce(
+                F.sum(F.octet_length("model") + F.size("vector") * 4),
+                F.lit(0),
+            ).alias("n_bytes")
+        ).select(F.lit("embedding").alias("table"), "n_bytes")
+        queries = qr.agg(
+            F.coalesce(
+                F.sum(
+                    F.octet_length("query") + F.octet_length("entity") + F.lit(12)
+                ),
+                F.lit(0),
+            ).alias("n_bytes")
+        ).select(F.lit("query_results").alias("table"), "n_bytes")
+        return entity.unionByName(datapoint).unionByName(embedding).unionByName(
+            queries
+        )
+
+    # -- snapshot-diff reindex (T4 Changed/Deleted, reference
+    #    Calls.cs:313-435 FileSystemWatcher semantics) ----------------------
+
+    def reindex_dir(
+        self,
+        path: str,
+        searchdomain: str = "default",
+        models: list[str] | None = None,
+        path_glob: str | None = None,
+        recursive: bool = False,
+    ) -> dict:
+        """One-pass create+modify+delete reconciliation of a directory
+        against the index. Spark's file stream source is append-only
+        (Created events); Changed/Deleted need a snapshot diff — this is
+        the batch equivalent of the reference's FileSystemWatcher
+        (Calls.cs:313-435), using the reference's own change predicate:
+        compare stored text hashes (SearchdomainHelper.cs:229-245).
+
+          - new file        → entity absent from index        → upsert
+          - changed file    → any datapoint's text_hash drift → upsert
+            (wholesale entity replace via the MERGE path; unchanged
+            datapoints re-embed for free through the embedding cache)
+          - deleted file    → indexed entity absent on disk   → delete
+
+        Unchanged files are skipped entirely — no merge, no reconcile
+        churn. All diffs are set operations on (entity, datapoint,
+        text_hash) keys; vectors never join the diff."""
+        from embeddingsearch_spark.functions.text import text_hash
+        from embeddingsearch_spark.sources.files import read_text_dir
+
+        current = read_text_dir(
+            self.spark,
+            path,
+            searchdomain=searchdomain,
+            models=models,
+            path_glob=path_glob,
+            recursive=recursive,
+        ).localCheckpoint(eager=True)  # one dir listing serves every diff
+
+        cur_keys = current.select(
+            "searchdomain",
+            "entity",
+            "datapoint",
+            text_hash(F.col("text")).alias("text_hash"),
+        )
+        idx_keys = (
+            self.index_flat.filter(F.col("searchdomain") == searchdomain)
+            .select("searchdomain", "entity", "datapoint", "text_hash")
+            .distinct()
+        )
+        key = ["searchdomain", "entity", "datapoint", "text_hash"]
+        # hash drift in either direction marks the entity changed: a new/
+        # edited datapoint (cur∖idx) or a removed datapoint (idx∖cur,
+        # still on disk)
+        changed = (
+            cur_keys.join(idx_keys, key, "left_anti")
+            .select("searchdomain", "entity")
+            .unionByName(
+                idx_keys.join(cur_keys, key, "left_anti")
+                .join(
+                    cur_keys.select("searchdomain", "entity").distinct(),
+                    ["searchdomain", "entity"],
+                    "left_semi",
+                )
+                .select("searchdomain", "entity")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        deleted = (
+            idx_keys.select("searchdomain", "entity")
+            .distinct()
+            .join(
+                cur_keys.select("searchdomain", "entity").distinct(),
+                ["searchdomain", "entity"],
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = changed.count()
+        n_deleted = deleted.count()
+        if n_changed:
+            self.index_entities(
+                current.join(changed, ["searchdomain", "entity"], "left_semi")
+            )
+        if n_deleted:
+            self.delete_entities(deleted)
+        return {"upserted_entities": n_changed, "deleted_entities": n_deleted}
+
     # -- surface parity with the reference Client ---------------------------
 
     def list_entities(self, searchdomain: str | None = None) -> DataFrame:
@@ -192,6 +506,55 @@ class Engine:
             F.count(F.lit(1)).alias("n_embeddings"),
             F.array_sort(F.collect_set("model")).alias("models"),
         )
+
+    def list_entities_full(
+        self,
+        searchdomain: str | None = None,
+        return_models: bool = False,
+        return_embeddings: bool = False,
+    ) -> DataFrame:
+        """The reference's full nested /Entities projection
+        (EntityController.cs:42-86): per entity, a datapoints array of
+        (name, probmethod, simmethod[, embeddings: (model[, vector])]).
+        ``return_embeddings`` requires ``return_models`` — the reference
+        400s on the inconsistent combination."""
+        if return_embeddings and not return_models:
+            raise ValueError("return_embeddings requires return_models")
+        df = self.index_flat
+        if searchdomain is not None:
+            df = df.filter(F.col("searchdomain") == searchdomain)
+        if return_models:
+            emb = F.struct(
+                F.col("model"),
+                (
+                    F.col("vector")
+                    if return_embeddings
+                    else F.lit(None).cast("array<double>")
+                ).alias("vector"),
+            )
+            per_dp = df.groupBy(
+                "searchdomain", "entity", "entity_probmethod",
+                "datapoint", "dp_probmethod", "simmethod",
+            ).agg(F.array_sort(F.collect_list(emb)).alias("embeddings"))
+        else:
+            per_dp = df.select(
+                "searchdomain", "entity", "entity_probmethod",
+                "datapoint", "dp_probmethod", "simmethod",
+            ).distinct().withColumn(
+                "embeddings",
+                F.lit(None).cast(
+                    "array<struct<model:string,vector:array<double>>>"
+                ),
+            )
+        dp = F.struct(
+            F.col("datapoint"),
+            F.col("dp_probmethod"),
+            F.col("simmethod"),
+            F.col("embeddings"),
+        )
+        return per_dp.groupBy(
+            "searchdomain", "entity", "entity_probmethod"
+        ).agg(F.array_sort(F.collect_list(dp)).alias("datapoints"))
 
     def models_in_use(self) -> DataFrame:
         """Distinct models (reference Searchdomain.cs:260-282)."""

@@ -68,11 +68,18 @@ def build_index(
     embedding_cache: DataFrame | None = None,
     dim: int = DEFAULT_DIM,
     materialize_embedded: bool = False,
+    provider=None,
 ) -> BuildResult:
     """ingest: INGEST_DATAPOINTS shape (one row per datapoint, ``models``
     array column, raw ``text``). Returns the index_flat rows plus the cache
     delta. The raw text is NOT carried into the index (reference stores
-    only hash + vectors, Datapoint.cs:7-34)."""
+    only hash + vectors, Datapoint.cs:7-34).
+
+    ``provider``: an `sources.embedder.HttpEmbedder` routes the embedding
+    of cache MISSES through batched per-model HTTP calls (the reference's
+    AIProvider dependency, AIProvider.cs:39-133); None keeps the
+    deterministic JVM-side expression. Either way only misses embed —
+    cache hits never reach the provider."""
     rows = ingest.withColumn("model", F.explode("models")).withColumn(
         "text_hash", text_hash(F.col("text"))
     )
@@ -91,13 +98,22 @@ def build_index(
         misses = needed
         hits = None
 
-    embedded = misses.select(
-        "text_hash",
-        "model",
-        deterministic_embedding(F.col("text"), F.col("model"), dim).alias(
-            "vector"
-        ),
-    )
+    if provider is not None:
+        from embeddingsearch_spark.sources.embedder import embed_map_in_pandas
+
+        embedded = embed_map_in_pandas(
+            misses.select("text_hash", "text", "model"),
+            dim=dim,
+            provider=provider,
+        ).select("text_hash", "model", "vector")
+    else:
+        embedded = misses.select(
+            "text_hash",
+            "model",
+            deterministic_embedding(F.col("text"), F.col("model"), dim).alias(
+                "vector"
+            ),
+        )
     if materialize_embedded:
         # index_flat and new_cache_entries both consume `embedded`; when
         # the caller materializes both (e.g. per streaming micro-batch),

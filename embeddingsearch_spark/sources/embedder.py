@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,16 +80,93 @@ def _embed_batch(texts: list[str], model: str, dim: int) -> list[list[float]]:
     return [_embed_one(t, model, dim) for t in texts]
 
 
+@dataclass(frozen=True)
+class HttpEmbedder:
+    """Batched HTTP embedding provider (the reference's
+    AIProvider.GenerateEmbeddings, AIProvider.cs:39-133): per-model batched
+    POST with bearer auth and provider-specific response extraction
+    (the reference drives this with configurable JSONPaths; the two wire
+    formats it ships are hard-coded here).
+
+      kind="ollama": POST {model, input: [...]} → {"embeddings": [[...]]}
+                     (the /api/embed endpoint)
+      kind="openai": POST {model, input: [...]} → {"data": [{"embedding":
+                     [...]}, ...]} with Authorization: Bearer <key>
+                     (the /v1/embeddings endpoint)
+
+    ``transport`` is injectable for tests (callable (url, payload_dict,
+    headers_dict, timeout) → response_dict); the default is a stdlib
+    urllib POST — no HTTP client dependency. Executors call the provider
+    directly (one POST per Arrow-batch × model), so provider capacity —
+    not Spark — bounds ingest parallelism; cap concurrent tasks via
+    ``spark.cores.max``/partition count if the provider rate-limits.
+    """
+
+    kind: str
+    url: str
+    api_key: str | None = None
+    batch_size: int = 64
+    timeout: float = 30.0
+    transport: object = None  # test seam; None → urllib POST
+
+    def embed(self, texts: list[str], model: str) -> list[list[float]]:
+        if self.kind not in ("ollama", "openai"):
+            raise ValueError("kind must be 'ollama' or 'openai'")
+        transport = self.transport or _urllib_post_json
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            chunk = list(texts[i : i + self.batch_size])
+            resp = transport(
+                self.url,
+                {"model": model, "input": chunk},
+                headers,
+                self.timeout,
+            )
+            if self.kind == "ollama":
+                embs = resp["embeddings"]
+            elif self.kind == "openai":
+                embs = [d["embedding"] for d in resp["data"]]
+            else:
+                raise ValueError("kind must be 'ollama' or 'openai'")
+            if len(embs) != len(chunk):
+                raise ValueError(
+                    f"provider returned {len(embs)} embeddings for "
+                    f"{len(chunk)} inputs"
+                )
+            out.extend([float(x) for x in e] for e in embs)
+        return out
+
+
+def _urllib_post_json(url, payload, headers, timeout):
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        return json.loads(resp.read().decode("utf-8"))
+
+
 def embed_map_in_pandas(
     df: DataFrame,
     text_col: str = "text",
     model_col: str = "model",
     dim: int = DEFAULT_DIM,
     out_col: str = "vector",
+    provider: HttpEmbedder | None = None,
 ) -> DataFrame:
     """Arrow-batched embedding: each pandas batch is grouped by model and
-    embedded with one `_embed_batch` call per model (the reference's
-    per-model batched prefetch, SearchdomainHelper.cs:63-96)."""
+    embedded with one provider call per model (the reference's per-model
+    batched prefetch, SearchdomainHelper.cs:63-96). ``provider=None`` uses
+    the deterministic hash embedder; an :class:`HttpEmbedder` issues the
+    reference's batched POSTs (S5/S6) from the executors."""
     import pandas as pd
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
@@ -99,7 +177,10 @@ def embed_map_in_pandas(
             vectors: list[list[float]] = [None] * len(pdf)  # type: ignore
             for model, idx in pdf.groupby(model_col).groups.items():
                 texts = pdf.loc[idx, text_col].tolist()
-                embs = _embed_batch(texts, str(model), dim)
+                if provider is None:
+                    embs = _embed_batch(texts, str(model), dim)
+                else:
+                    embs = provider.embed(texts, str(model))
                 for i, pos in enumerate(idx):
                     vectors[pdf.index.get_loc(pos)] = embs[i]
             pdf = pdf.copy()
