@@ -145,7 +145,11 @@ def q_ivf_topk(spark, sf_dir):
     centroids = corpus.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assigned = ann_ops.assign_centroids(corpus, centroids)
+    # single-file testdata → 1 scan partition; spread rows so the
+    # assignment expression uses every core (a non-issue on real
+    # multi-file corpora, which already scan in parallel)
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids(corpus.repartition(n), centroids)
     return ann_ops.ivf_topk(
         assigned, centroids, _queries_df(spark, sf_dir), k=10, nprobe=4
     )
@@ -232,6 +236,8 @@ def q_ivf_kmeans_build(spark, sf_dir):
     algorithm → rows-only driver check (values are unit-tested against a
     NumPy mirror in tests/test_kmeans.py)."""
     corpus = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n)  # single-file testdata: parallelize scans
     cents = ann_ops.kmeans_centroids(corpus, k=8, iters=2)
     assigned = ann_ops.assign_centroids(corpus, cents)
     return assigned.groupBy("centroid_id").agg(
