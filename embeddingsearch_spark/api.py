@@ -38,6 +38,68 @@ class SearchdomainSettings:
     parallel_embeddings_prefetch: bool = False
 
 
+def database_size_breakdown(
+    idx: DataFrame, query_results: DataFrame | None = None
+) -> DataFrame:
+    """(table, n_bytes) rows for the normalized tables' payload columns
+    derived from index_flat-shaped rows — the engine's equivalent of the
+    reference's per-table SUM(LENGTH(...)) size accounting
+    (DatabaseHelper.cs:291-397). One aggregation per logical table, all
+    map-side partial; vectors count at float32 width."""
+    entity = (
+        idx.select("searchdomain", "entity", "entity_probmethod")
+        .distinct()
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.octet_length("searchdomain")
+                    + F.octet_length("entity")
+                    + F.octet_length("entity_probmethod")
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("n_bytes")
+        )
+        .select(F.lit("entity").alias("table"), "n_bytes")
+    )
+    datapoint = (
+        idx.select(
+            "searchdomain", "entity", "datapoint", "dp_probmethod",
+            "simmethod", "text_hash",
+        )
+        .distinct()
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.octet_length("datapoint")
+                    + F.octet_length("dp_probmethod")
+                    + F.octet_length("simmethod")
+                    + F.octet_length("text_hash")
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("n_bytes")
+        )
+        .select(F.lit("datapoint").alias("table"), "n_bytes")
+    )
+    embedding = idx.agg(
+        F.coalesce(
+            F.sum(F.octet_length("model") + F.size("vector") * 4).cast("bigint"),
+            F.lit(0),
+        ).alias("n_bytes")
+    ).select(F.lit("embedding").alias("table"), "n_bytes")
+    out = entity.unionByName(datapoint).unionByName(embedding)
+    if query_results is not None:
+        queries = query_results.agg(
+            F.coalesce(
+                F.sum(
+                    F.octet_length("query") + F.octet_length("entity") + F.lit(12)
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("n_bytes")
+        ).select(F.lit("query_results").alias("table"), "n_bytes")
+        out = out.unionByName(queries)
+    return out
+
+
 class Engine:
     def __init__(self, spark: SparkSession, dim: int = DEFAULT_DIM):
         self.spark = spark
@@ -344,66 +406,13 @@ class Engine:
     def database_size(self, name: str | None = None) -> DataFrame:
         """Per-table stored-bytes breakdown, the engine's equivalent of the
         reference's per-table SUM(LENGTH(...)) accounting
-        (DatabaseHelper.cs:291-397): entity / datapoint / embedding rows
-        derived from index_flat (the normalized tables' payload columns),
-        plus the materialized query results. One aggregation per logical
-        table, all map-side partial."""
+        (DatabaseHelper.cs:291-397)."""
         idx = self.index_flat
         qr = self.query_results
         if name is not None:
             idx = idx.filter(F.col("searchdomain") == name)
             qr = qr.filter(F.col("searchdomain") == name)
-        entity = (
-            idx.select("searchdomain", "entity", "entity_probmethod")
-            .distinct()
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.octet_length("searchdomain")
-                        + F.octet_length("entity")
-                        + F.octet_length("entity_probmethod")
-                    ),
-                    F.lit(0),
-                ).alias("n_bytes")
-            )
-            .select(F.lit("entity").alias("table"), "n_bytes")
-        )
-        datapoint = (
-            idx.select(
-                "searchdomain", "entity", "datapoint", "dp_probmethod",
-                "simmethod", "text_hash",
-            )
-            .distinct()
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.octet_length("datapoint")
-                        + F.octet_length("dp_probmethod")
-                        + F.octet_length("simmethod")
-                        + F.octet_length("text_hash")
-                    ),
-                    F.lit(0),
-                ).alias("n_bytes")
-            )
-            .select(F.lit("datapoint").alias("table"), "n_bytes")
-        )
-        embedding = idx.agg(
-            F.coalesce(
-                F.sum(F.octet_length("model") + F.size("vector") * 4),
-                F.lit(0),
-            ).alias("n_bytes")
-        ).select(F.lit("embedding").alias("table"), "n_bytes")
-        queries = qr.agg(
-            F.coalesce(
-                F.sum(
-                    F.octet_length("query") + F.octet_length("entity") + F.lit(12)
-                ),
-                F.lit(0),
-            ).alias("n_bytes")
-        ).select(F.lit("query_results").alias("table"), "n_bytes")
-        return entity.unionByName(datapoint).unionByName(embedding).unionByName(
-            queries
-        )
+        return database_size_breakdown(idx, qr)
 
     # -- snapshot-diff reindex (T4 Changed/Deleted, reference
     #    Calls.cs:313-435 FileSystemWatcher semantics) ----------------------
@@ -444,45 +453,23 @@ class Engine:
             recursive=recursive,
         ).localCheckpoint(eager=True)  # one dir listing serves every diff
 
+        from embeddingsearch_spark.operators.reindex import snapshot_diff
+
         cur_keys = current.select(
             "searchdomain",
             "entity",
             "datapoint",
             text_hash(F.col("text")).alias("text_hash"),
         )
-        idx_keys = (
-            self.index_flat.filter(F.col("searchdomain") == searchdomain)
-            .select("searchdomain", "entity", "datapoint", "text_hash")
-            .distinct()
-        )
-        key = ["searchdomain", "entity", "datapoint", "text_hash"]
-        # hash drift in either direction marks the entity changed: a new/
-        # edited datapoint (cur∖idx) or a removed datapoint (idx∖cur,
-        # still on disk)
-        changed = (
-            cur_keys.join(idx_keys, key, "left_anti")
-            .select("searchdomain", "entity")
-            .unionByName(
-                idx_keys.join(cur_keys, key, "left_anti")
-                .join(
-                    cur_keys.select("searchdomain", "entity").distinct(),
-                    ["searchdomain", "entity"],
-                    "left_semi",
-                )
-                .select("searchdomain", "entity")
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        deleted = (
-            idx_keys.select("searchdomain", "entity")
-            .distinct()
-            .join(
-                cur_keys.select("searchdomain", "entity").distinct(),
-                ["searchdomain", "entity"],
-                "left_anti",
-            )
-            .localCheckpoint(eager=True)
+        idx_keys = self.index_flat.filter(
+            F.col("searchdomain") == searchdomain
+        ).select("searchdomain", "entity", "datapoint", "text_hash")
+        diff = snapshot_diff(cur_keys, idx_keys).localCheckpoint(eager=True)
+        changed = diff.filter(
+            F.col("status").isin("new", "changed")
+        ).select("searchdomain", "entity")
+        deleted = diff.filter(F.col("status") == "deleted").select(
+            "searchdomain", "entity"
         )
         n_changed = changed.count()
         n_deleted = deleted.count()

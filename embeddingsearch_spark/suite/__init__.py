@@ -17,6 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from embeddingsearch_spark.suite import (
+        adminops,
         ann,
         dedup,
         maintenance,
@@ -41,6 +42,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         streamingops,
         multimodalops,
         windowops,
+        adminops,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:
