@@ -181,37 +181,63 @@ def blocked_cosine_pairs(
         if on_oversize != "fallback":
             raise ValueError("on_oversize must be 'fallback' or 'error'")
         small = emb.join(F.broadcast(oversized), block_col, "left_anti")
-    withn = small.select(
-        F.col(block_col),
-        F.col(id_col),
-        F.col(vec_col),
-        norm2(F.col(vec_col)).alias("_n"),
+    # Exact all-pairs scoring per block as chunked BLAS GEMMs (one group
+    # per blocking key via applyInPandas) instead of a self-join with a
+    # JVM HOF dot per pair: same sims after ROUND_DIGITS rounding, only
+    # survivors ≥ threshold materialize, and the row-chunking bounds the
+    # in-memory sim matrix at chunk×block for blocks near max_block.
+    import numpy as np
+
+    block_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema
+    )[block_col]
+    out_schema = (
+        f"{block_col} {block_type}, id_a long, id_b long, cosine double"
     )
-    a = withn.select(
-        F.col(block_col),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = withn.select(
-        F.col(block_col),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    sim = _cosine_from_parts(
-        dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
-    )
+
+    def score_block(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        cols = [block_col, "id_a", "id_b", "cosine"]
+        if n < 2:
+            return pd.DataFrame({c: [] for c in cols})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.linalg.norm(V, axis=1)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        V, nrm, ids = V[order], nrm[order], ids[order]
+        frames = []
+        chunk = max(1, min(n, 4_000_000 // max(n, 1)))  # ≤ ~32 MB sims
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n)
+            denom = nrm[s:e, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = np.where(denom == 0.0, 0.0, (V[s:e] @ V.T) / denom)
+            sim = np.round((raw + 1.0) / 2.0, ROUND_DIGITS)
+            # only pairs (i, j) with j > i globally: ids ascending
+            ci, cj = np.nonzero(sim >= threshold)
+            keep = cj > (ci + s)
+            ci, cj = ci[keep], cj[keep]
+            if len(ci):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            block_col: pdf[block_col].iloc[0],
+                            "id_a": ids[ci + s],
+                            "id_b": ids[cj],
+                            "cosine": sim[ci, cj],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(frames, ignore_index=True)
+
     exact = (
-        a.join(b, block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            block_col,
-            "id_a",
-            "id_b",
-            F.round(sim, ROUND_DIGITS).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        small.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(score_block, schema=out_schema)
     )
     if not has_oversized:
         return exact
