@@ -551,35 +551,38 @@ def kmeans_centroids(
             [], f"centroid_id long, {vec_col} array<double>"
         )
     dim = len(first[0])
-    cents = (
+    spark = corpus.sparkSession
+    cent_schema = f"centroid_id long, {vec_col} array<double>"
+    # Centroids live DRIVER-SIDE between iterations (k tiny rows — they're
+    # collected inside assign_centroids anyway to build literal arrays).
+    # Keeping them as a DataFrame would grow the lineage every iteration:
+    # iteration i re-executes all i-1 previous assignment passes on each
+    # collect — O(iters²) corpus scans. This way each iteration is exactly
+    # ONE declarative pass over the corpus.
+    init_rows = (
         corpus.orderBy(id_col)
         .limit(k)
-        .select(
-            F.col(id_col).cast("long").alias("_init_order"),
-            F.col(vec_col).cast("array<double>").alias(vec_col),
-        )
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
     )
-    w = Window.orderBy("_init_order")
-    cents = cents.select(
-        (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
-        vec_col,
-    )
+    cents_py = [
+        (cid, [float(x) for x in r[0]]) for cid, r in enumerate(init_rows)
+    ]
     for _ in range(iters):
+        cents = spark.createDataFrame(cents_py, cent_schema)
         assigned = assign_centroids(corpus, cents, id_col, vec_col)
         means = assigned.groupBy("centroid_id").agg(
             F.array(
                 *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
             ).alias("_mean"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        cents = (
-            cents.join(means, "centroid_id", "left_outer")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("_mean"), F.col(vec_col)).alias(vec_col),
-            )
-        )
-    return cents
+        ).collect()
+        by_cid = {r[0]: r[1] for r in means}
+        # empty clusters keep their previous centroid
+        cents_py = [
+            (cid, [float(x) for x in by_cid.get(cid, vec)])
+            for cid, vec in cents_py
+        ]
+    return spark.createDataFrame(cents_py, cent_schema)
 
 
 def ivf_topk(
