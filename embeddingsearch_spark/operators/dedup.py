@@ -211,3 +211,112 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     for j in range(bits):
         sig = sig + F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(0)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → ``(id, cluster_id)``
+    where cluster_id is the minimum node id reachable from ``id``. This is
+    the grouping step real dedup needs after pair generation: keep ONE
+    representative per component, not per pair (pairwise keep-min drops too
+    much when a < b and b < c but a ~ c was never a candidate pair).
+
+    Min-label propagation: every round each node takes the min of its own
+    label and its neighbors' labels — one hash-partitioned groupBy plus one
+    join per round, both on the node id, so the partitioning is reused.
+    Rounds needed = graph diameter. Near-dup graphs are unions of small
+    dense cliques (diameter ≤ ~3), so this beats the O(log n) large-star/
+    small-star dance in practice: 2-3 barely-shuffling rounds, each plan
+    cut with localCheckpoint so lineage stays flat. The driver sees one
+    scalar (changed-count) per round — no per-node collect.
+
+    Reference parity: the reference dedups by exact hash equality only
+    (SearchdomainHelper change detection); component-grouped near-dedup is
+    part of the training-data-pipeline surface beyond it.
+    """
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    edges = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = (
+            labels.join(neigh_min, "id", "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dedup decision per document: MinHash+LSH candidate pairs →
+    exact-Jaccard verify → connected components → per-doc
+    ``(cluster_id, cluster_size, is_representative)``. Downstream keeps
+    ``is_representative`` rows only. Docs with no near-dup are their own
+    singleton cluster (left join + coalesce, no shuffle of the full corpus
+    beyond one id-keyed join)."""
+    prs = near_duplicates_minhash(
+        df, id_col, text_col,
+        k=k, bands=bands, shingle_n=shingle_n, threshold=threshold,
+    )
+    comp = connected_components(prs, "id_a", "id_b").withColumnRenamed(
+        "id", id_col
+    )
+    asg = (
+        df.select(id_col)
+        .join(comp, id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    sizes = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return asg.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_representative"),
+    )

@@ -88,7 +88,9 @@ def _mh_cols() -> str:
     )
 
 
-NEARDUP_MINHASH_SQL = f"""WITH {DD_SQL}, {SH_SQL},
+# CTE chain shared by the pair query and the component-clustering query:
+# ends at `pfin` = verified pairs with unrounded jaccard >= 0.5.
+_PAIR_CTES = f"""{DD_SQL}, {SH_SQL},
 sigs AS (
   SELECT doc_id,
          {_mh_cols()}
@@ -115,16 +117,54 @@ inter AS (
   JOIN sh sa ON sa.doc_id = p.id_a
   JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
   GROUP BY p.id_a, p.id_b
-)
-SELECT p.id_a, p.id_b,
-       round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
-             / (za.nsh + zb.nsh - coalesce(i.ninter, 0)), {RD}) AS jaccard
-FROM pairs p
-JOIN sizes za ON za.doc_id = p.id_a
-JOIN sizes zb ON zb.doc_id = p.id_b
-LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
-      / (za.nsh + zb.nsh - coalesce(i.ninter, 0)) >= 0.5"""
+),
+pfin AS (
+  SELECT p.id_a, p.id_b,
+         CAST(coalesce(i.ninter, 0) AS DOUBLE)
+           / (za.nsh + zb.nsh - coalesce(i.ninter, 0)) AS jacc
+  FROM pairs p
+  JOIN sizes za ON za.doc_id = p.id_a
+  JOIN sizes zb ON zb.doc_id = p.id_b
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
+        / (za.nsh + zb.nsh - coalesce(i.ninter, 0)) >= 0.5
+)"""
+
+NEARDUP_MINHASH_SQL = f"""WITH {_PAIR_CTES}
+SELECT id_a, id_b, round(jacc, {RD}) AS jaccard FROM pfin"""
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Component-grouped near-dedup: MinHash+LSH pairs → connected
+    components → per-doc (cluster_id, cluster_size, is_representative).
+    The oracle mirrors the min-label semantics with a recursive CTE
+    (min reachable id per node)."""
+    return dd_ops.neardup_clusters(
+        derive_dd(spark, sf_dir), "doc_id", "text",
+        k=8, bands=4, shingle_n=3, threshold=0.5,
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pfin
+  UNION
+  SELECT id_b, id_a FROM pfin
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id, least(id, min(lbl)) AS cluster_id FROM reach GROUP BY id),
+asg AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM dd d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id = a.cluster_id AS is_representative
+FROM asg a JOIN sz s USING (cluster_id)"""
 
 
 def q_simhash(spark, sf_dir):
@@ -192,6 +232,7 @@ LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"""
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
+    "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
 }
