@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.functions import text as T
-from embeddingsearch_spark.operators import splits
+from embeddingsearch_spark.operators import contamination, splits
 
 TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
   ELSE regexp_split_to_array(trim(text), '\s+') END"""
@@ -254,8 +254,48 @@ SELECT split, count(*) AS n_docs,
 FROM tagged GROUP BY split"""
 
 
+def q_contamination(spark, sf_dir):
+    """Train/eval overlap check: every 11th document's token window 4..15
+    plays the held-out benchmark prompt; any doc sharing a word 5-gram
+    with it is contaminated. Benchmark grams broadcast; the only shuffle
+    is the (doc, bench) pair count."""
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 4, 12)).alias(
+            "text"
+        ),
+    )
+    return contamination.ngram_overlap(docs, bench, n=5)
+
+
+_G5_SQL = """list_distinct(list_transform(
+      range(1, greatest(1, len({t}) - 4) + 1),
+      i -> array_to_string(({t})[i:i+4], ' ')
+    ))"""
+_BENCH_TOKS_SQL = TOKS_SQL.replace("text", "btext")
+
+CONTAMINATION_SQL = f"""WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(({TOKS_SQL})[4:15], ' ') AS btext
+  FROM documents WHERE doc_id % 11 = 0
+),
+bgrams AS (
+  SELECT bench_id, unnest({_G5_SQL.format(t=_BENCH_TOKS_SQL)}) AS gram
+  FROM bench
+),
+cgrams AS (
+  SELECT doc_id, unnest({_G5_SQL.format(t=TOKS_SQL)}) AS gram
+  FROM documents
+)
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+FROM cgrams c JOIN bgrams b USING (gram)
+GROUP BY c.doc_id, b.bench_id"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "contamination": (q_contamination, CONTAMINATION_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
