@@ -293,9 +293,80 @@ FROM cgrams c JOIN bgrams b USING (gram)
 GROUP BY c.doc_id, b.bench_id"""
 
 
+def q_pii_redact(spark, sf_dir):
+    """Redaction over a corpus with planted PII (emails on every 7th doc,
+    phones on every 5th, IP+SSN on every 9th): returns the redacted text
+    plus per-kind counts from the original. Everything is scan-stage
+    regexp work — zero shuffles."""
+    from embeddingsearch_spark.functions import pii
+
+    docs = tables.load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" call 555-867-5309 now")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                d % 9 == 0, F.lit(" from 10.0.0.42 ssn 123-45-6789")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        pii.redact_pii(F.col("text")).alias("redacted"),
+        *counts.values(),
+    )
+
+
+_PII_RES = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+PII_REDACT_SQL = f"""WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-867-5309 now' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' from 10.0.0.42 ssn 123-45-6789' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         text,
+         '{_PII_RES["email"]}', '<EMAIL>', 'g'),
+         '{_PII_RES["ssn"]}', '<SSN>', 'g'),
+         '{_PII_RES["phone"]}', '<PHONE>', 'g'),
+         '{_PII_RES["ipv4"]}', '<IP>', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_PII_RES["email"]}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_RES["ssn"]}')) AS n_ssn,
+       len(regexp_extract_all(text, '{_PII_RES["phone"]}')) AS n_phone,
+       len(regexp_extract_all(text, '{_PII_RES["ipv4"]}')) AS n_ipv4
+FROM planted"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
+    "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
