@@ -57,3 +57,64 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def _strata_case(strata_col: str, values: Mapping[str, int], default: int):
+    expr = F.lit(default)
+    for name, v in values.items():
+        expr = F.when(F.col(strata_col) == name, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff its hash
+    bucket falls under its stratum's rate (rates in [0, 1]). The rate map
+    inlines as a CASE literal — no join, no shuffle; the filter fuses into
+    the scan. Same-id rows keep/drop together across runs and engines."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    cuts = {k: int(round(r * N_BUCKETS)) for k, r in rates.items()}
+    cut = _strata_case(strata_col, cuts, int(round(default_rate * N_BUCKETS)))
+    return df.filter(split_bucket(F.col(id_col), salt) < cut)
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: Mapping[str, float],
+    default_weight: float = 0.0,
+    salt: str = "mix",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Corpus mixing with weights as EXPECTED COPIES per row — the
+    epoch-mixing primitive (e.g. wiki×2.5, crawl×0.3): floor(w) full
+    copies plus one more iff the row's hash bucket is under frac(w).
+    Deterministic, engine-reproducible, and exact in expectation per
+    stratum. Emits ``copy_col`` (1..n) so downstream shuffling can spread
+    copies. Scan-stage explode — rows with 0 copies drop without a
+    shuffle."""
+    w10k = {k: int(round(w * N_BUCKETS)) for k, w in weights.items()}
+    for name, w in w10k.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0")
+    wcol = _strata_case(
+        strata_col, w10k, int(round(default_weight * N_BUCKETS))
+    )
+    bucket = split_bucket(F.col(id_col), salt)
+    copies = F.floor(wcol / N_BUCKETS).cast("int") + F.when(
+        bucket < wcol % N_BUCKETS, 1
+    ).otherwise(0)
+    # sequence(1, 0) would count DOWN in Spark — guard empty explicitly
+    arr = F.when(
+        copies >= 1, F.sequence(F.lit(1), copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(arr))

@@ -363,10 +363,47 @@ SELECT doc_id,
 FROM planted"""
 
 
+_MIX_WEIGHTS = {"en": 0.5, "de": 1.0, "fr": 2.5, "zh": 1.2, "es": 0.0}
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Language-weighted corpus mixing: en downsampled, fr oversampled
+    2.5x, es dropped — weights are expected copies per row, realized
+    deterministically from the id hash (scan-stage explode, no RNG, no
+    shuffle)."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return splits.weighted_mix(docs, "doc_id", "lang", _MIX_WEIGHTS)
+
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {int(round(w * 10000))}"
+    for k, w in _MIX_WEIGHTS.items()
+) + " ELSE 0 END"
+
+CORPUS_MIX_SQL = f"""WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('mix_' || doc_id), 1, 8)) AS BIGINT)
+           % 10000 AS bucket,
+         {_MIX_CASE} AS w10k
+  FROM documents
+),
+cop AS (
+  SELECT doc_id, lang,
+         (w10k // 10000)
+         + CASE WHEN bucket < (w10k % 10000) THEN 1 ELSE 0 END AS copies
+  FROM b
+)
+SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
+FROM cop WHERE copies > 0"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
+    "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
