@@ -1,0 +1,101 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+examples (greedy first-fit in deterministic order) — the step between a
+cleaned corpus and a pretraining dataloader. Beyond-reference op
+(training-data-pipeline surface, BASELINE.json north star).
+
+Distribution shape: packing is inherently sequential, so the corpus is
+hash-sharded first (deterministic md5 shard, engine-reproducible) and the
+greedy scan runs per shard in an Arrow-batched applyInPandas — ONE
+shuffle on the shard key. Packing efficiency doesn't suffer: the budget
+is tiny relative to a shard, so per-shard first-fit wastes the same
+padding a global scan would.
+
+100 TB sizing: one task holds one shard (ids + token counts only — the
+text itself is NOT shuffled; join assignments back by id afterwards).
+Pick ``n_shards`` so a shard's (id, n_tokens) rows fit a task (e.g. 2^16
+shards for 10^11 docs → ~1.5M rows/24 MB per shard). pack_id embeds the
+shard (shard * 2^40 + local), so ids are globally unique without
+coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SHARD_SPAN = 1 << 40
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-doc pack assignment ``(id, n_tokens, shard, pack_id,
+    pack_pos)``. Greedy first-fit over docs in ascending-id order within
+    a shard: a doc opens a new pack when it would overflow the budget;
+    docs longer than the budget sit alone in their own pack (split/
+    truncate upstream if that's not wanted)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+    slim = df.select(
+        F.col(id_col).cast("long"),
+        F.col(token_col).cast("long"),
+        shard.alias("shard"),
+    )
+    out_schema = (
+        f"{id_col} long, {token_col} long, shard int, "
+        "pack_id long, pack_pos int"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        sh = int(pdf["shard"].iloc[0])
+        packs, positions = [], []
+        acc, pack, pos = 0, 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                pack += 1
+                acc, pos = 0, 0
+            acc += t
+            packs.append(sh * _SHARD_SPAN + pack)
+            positions.append(pos)
+            pos += 1
+        pdf = pdf.copy()
+        pdf["pack_id"] = packs
+        pdf["pack_pos"] = positions
+        return pdf
+
+    return slim.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def pack_stats(packed: DataFrame, token_col: str = "n_tokens", budget: int = 2048) -> DataFrame:
+    """Padding-efficiency summary per shard: packs, docs, fill ratio."""
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum(token_col).alias("_fill"), F.count(F.lit(1)).alias("_docs")
+    )
+    return per_pack.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("_docs").alias("n_docs"),
+        F.round(F.avg(F.col("_fill") / budget), 6).alias("avg_fill"),
+    )

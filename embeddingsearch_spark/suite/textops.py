@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.functions import text as T
-from embeddingsearch_spark.operators import contamination, splits
+from embeddingsearch_spark.operators import contamination, packing, splits
 
 TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
   ELSE regexp_split_to_array(trim(text), '\s+') END"""
@@ -399,11 +399,54 @@ SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
 FROM cop WHERE copies > 0"""
 
 
+def q_seq_pack(spark, sf_dir):
+    """Greedy sequence packing of the documents table into 256-token
+    training examples over 8 deterministic hash shards. The packing scan
+    itself is sequential per shard (applyInPandas); the oracle replays it
+    with a recursive CTE — packing is pure function of (shard, id order,
+    token counts)."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(docs, budget=256, n_shards=8)
+
+
+SEQ_PACK_SQL = f"""WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5('pack_' || doc_id), 1, 8)) AS BIGINT)
+              % 8 AS INT) AS shard
+  FROM documents
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+),
+r AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         n_tokens AS acc, CAST(0 AS BIGINT) AS pack, 0 AS pos
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN r.acc > 0 AND r.acc + s.n_tokens > 256
+              THEN s.n_tokens ELSE r.acc + s.n_tokens END,
+         CASE WHEN r.acc > 0 AND r.acc + s.n_tokens > 256
+              THEN r.pack + 1 ELSE r.pack END,
+         CASE WHEN r.acc > 0 AND r.acc + s.n_tokens > 256
+              THEN 0 ELSE r.pos + 1 END
+  FROM seq s JOIN r ON s.shard = r.shard AND s.rn = r.rn + 1
+)
+SELECT doc_id, n_tokens, shard,
+       shard * 1099511627776 + pack AS pack_id, pos AS pack_pos
+FROM r"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
+    "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
