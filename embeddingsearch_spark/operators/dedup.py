@@ -247,11 +247,13 @@ def connected_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 1's convergence count materializes pair generation
+        # exactly once; every later round reuses the checkpointed blocks
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(max_iters):
         neigh_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -270,7 +272,9 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes the
+            # checkpoint, so each round is ONE job, not two
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("_changed")).count()
         labels = stepped.drop("_changed")

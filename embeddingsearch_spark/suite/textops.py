@@ -260,6 +260,10 @@ def q_contamination(spark, sf_dir):
     with it is contaminated. Benchmark grams broadcast; the only shuffle
     is the (doc, bench) pair count."""
     docs = tables.load(spark, sf_dir, "documents")
+    # single-file testdata: spread docs BEFORE the gram explode so the
+    # hash/probe work uses every core (a non-issue on real multi-file
+    # inputs, where the scan itself parallelizes)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     bench = docs.filter(F.col("doc_id") % 11 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 4, 12)).alias(
