@@ -143,3 +143,34 @@ def test_interval_join_is_hash_join(spark):
     plan = pi.physical_plan(q_purchase_view_window(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_zero_shuffle(spark):
+    """Redaction is pure scan-stage regex work — any Exchange means a
+    refactor broke it."""
+    from embeddingsearch_spark.suite.textops import q_pii_redact
+
+    assert pi.count_shuffles(q_pii_redact(spark, SF)) == 0
+
+
+def test_corpus_mix_zero_shuffle(spark):
+    """Weighted mixing is a CASE literal + hash filter + explode — all
+    scan-stage."""
+    from embeddingsearch_spark.suite.textops import q_corpus_mix
+
+    assert pi.count_shuffles(q_corpus_mix(spark, SF)) == 0
+
+
+def test_seq_pack_single_shuffle(spark):
+    """Packing shuffles (id, n_tokens) by shard exactly once; document
+    text must never enter the exchange."""
+    from embeddingsearch_spark.suite.textops import q_seq_pack
+
+    df = q_seq_pack(spark, SF)
+    assert pi.count_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the exchange partitions on shard, and the projection feeding it
+    # carries only (shard, doc_id, n_tokens) — text stays in the scan
+    assert "hashpartitioning(shard" in plan
+    feeding = plan.split("Exchange hashpartitioning")[1].split("\n")[1]
+    assert "text" not in feeding
