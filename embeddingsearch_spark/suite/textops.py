@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.functions import text as T
-from embeddingsearch_spark.operators import contamination, packing, splits
+from embeddingsearch_spark.operators import (
+    contamination,
+    packing,
+    repetition,
+    splits,
+)
 
 TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
   ELSE regexp_split_to_array(trim(text), '\s+') END"""
@@ -445,12 +450,101 @@ SELECT doc_id, n_tokens, shard,
 FROM r"""
 
 
+_SPAM = " spam spam spam spam spam spam spam spam"
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition metrics over a corpus with planted
+    repetition (every 8th doc gets a spam 2-gram run, every 6th gets its
+    whole body duplicated as a second line). Zero-shuffle mapInPandas —
+    each doc's metrics are a pure function of its own text."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    d = F.col("doc_id")
+    b = F.concat(
+        F.col("text"),
+        F.when(d % 8 == 0, F.lit(_SPAM)).otherwise(F.lit("")),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            b,
+            F.when(d % 6 == 0, F.concat(F.lit("\n"), b)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    prof = repetition.repetition_profile(planted)
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_line_frac", RD).alias("dup_line_frac"),
+        F.round("top2_frac", RD).alias("top2_frac"),
+        F.round("dup5_frac", RD).alias("dup5_frac"),
+        "keep",
+    )
+
+
+_RF_T2 = "CASE WHEN b.n_tokens >= 2 THEN coalesce(mx, 0) * 2.0 / b.n_tokens ELSE 0.0 END"
+_RF_D5 = "CASE WHEN b.n_tokens >= 5 THEN coalesce(dup, 0) * 5.0 / b.n_tokens ELSE 0.0 END"
+
+REPETITION_FILTER_SQL = f"""WITH planted AS (
+  SELECT doc_id,
+         (text || s)
+         || CASE WHEN doc_id % 6 = 0 THEN chr(10) || (text || s)
+                 ELSE '' END AS text
+  FROM (SELECT doc_id, text,
+               CASE WHEN doc_id % 8 = 0 THEN '{_SPAM}' ELSE '' END AS s
+        FROM documents)
+),
+toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t, string_split(text, chr(10)) AS lines
+  FROM planted
+),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines) END AS dlf,
+         t
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(0, len(t) - 1) + 1),
+    i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM base
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, max(c) AS mx FROM g2c GROUP BY 1),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(0, len(t) - 4) + 1),
+    i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM base
+),
+g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM g5c GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       round(b.dlf, {RD}) AS dup_line_frac,
+       round({_RF_T2}, {RD}) AS top2_frac,
+       round({_RF_D5}, {RD}) AS dup5_frac,
+       (b.dlf <= 0.3 AND {_RF_T2} <= 0.2 AND {_RF_D5} <= 0.3) AS keep
+FROM base b
+LEFT JOIN m2 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
+    "repetition_filter": (q_repetition_filter, REPETITION_FILTER_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),

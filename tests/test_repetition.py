@@ -1,0 +1,62 @@
+"""Repetition filters (operators/repetition.py): metric definitions and
+the remove path."""
+
+from __future__ import annotations
+
+from embeddingsearch_spark.operators import repetition as rep
+
+
+def _profile(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return rep.repetition_profile(df).first()
+
+
+def test_clean_text(spark):
+    words = " ".join(f"w{i}" for i in range(40))
+    r = _profile(spark, words)
+    assert r["dup_line_frac"] == 0.0
+    assert r["dup5_frac"] == 0.0
+    assert r["top2_frac"] == 2 / 40  # all-unique grams: mode count is 1
+    assert r["keep"]
+
+
+def test_duplicate_lines(spark):
+    r = _profile(spark, "same line\nsame line\nother line\nfourth line")
+    assert r["dup_line_frac"] == 0.25  # 4 lines, 3 distinct
+    assert not (r["dup_line_frac"] > rep.MAX_DUP_LINE_FRAC)
+
+
+def test_top2_spam_run(spark):
+    # 10 tokens, 'spam spam' occurs 7 times -> top2 = 14/10
+    r = _profile(spark, "intro " + "spam " * 8 + "end")
+    assert r["n_tokens"] == 10
+    assert r["top2_frac"] == 1.4
+    assert not r["keep"]
+
+
+def test_dup5_repeated_block(spark):
+    # 'a b c d e' twice: all ten 5-gram positions... windows across the
+    # seam differ, but the two exact copies both count (2 * 5 / 10 = 1.0)
+    r = _profile(spark, "a b c d e a b c d e")
+    assert r["n_tokens"] == 10
+    assert r["dup5_frac"] == 1.0
+    assert not r["keep"]
+
+
+def test_short_and_empty_docs(spark):
+    r = _profile(spark, "")
+    assert r["n_tokens"] == 0 and r["keep"]
+    r = _profile(spark, "one")
+    assert r["top2_frac"] == 0.0 and r["dup5_frac"] == 0.0 and r["keep"]
+
+
+def test_remove_repetitive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"tok{i}" for i in range(30))),
+            (2, "bad " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in rep.remove_repetitive(df).collect()]
+    assert kept == [1]
