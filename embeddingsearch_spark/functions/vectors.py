@@ -57,3 +57,26 @@ def l1_distance(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q = round(x / scale) — a 4x smaller embedding store (plus int8 GEMM
+    downstream). Pure Catalyst HOFs, scan-stage; engine-reproducible
+    (float->double promotion is exact, and round-half-away agrees between
+    Spark HALF_UP and DuckDB). Returns (q: array<int>, scale: double);
+    all-zero vectors quantize to zeros with scale 0."""
+    v = as_double(vec)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).cast("double")
+    q = F.when(
+        amax == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    return q, scale
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Inverse of quantize_int8 (lossy: max abs error <= scale / 2)."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -118,3 +118,45 @@ def weighted_mix(
         copies >= 1, F.sequence(F.lit(1), copies)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(arr))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    n_shards: int = 256,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every row gets
+    ``(shard, pos)`` from md5(salt, epoch, id) — a fresh permutation per
+    epoch, reproducible on any engine and independent of partition
+    layout (unlike orderBy(rand())). The dataloader reads shards in
+    shard/pos order.
+
+    Plan: ONE hash exchange on the shard + a per-shard sort for the
+    row_number — exactly the shape a sharded training-set writer needs
+    (repartition(n_shards) + sortWithinPartitions). No global sort: the
+    permutation's randomness lives in the hash, so shards don't need to
+    be globally ordered against each other."""
+    h = F.md5(
+        F.concat_ws(
+            "_",
+            F.lit(salt),
+            F.lit(int(epoch)).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("_h")
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.functions import vectors
 from embeddingsearch_spark.operators import ann as ann_ops
 
 _COS = """CASE WHEN sqrt(sum(x*x))*sqrt(sum(y*y)) = 0 THEN 0.5
@@ -245,6 +246,62 @@ def q_ivf_kmeans_build(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding store (4x smaller at
+    100 TB) with per-vector scale and max reconstruction error — all
+    scan-stage Catalyst HOFs, oracle-identical in DuckDB."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q, scale = vectors.quantize_int8(F.col("embedding"))
+    # raw scale kept under a distinct name: aliasing round(scale) AS
+    # "scale" in the same select would capture the err expression's
+    # F.col("scale") via lateral column alias resolution
+    df = emb.select(
+        "vec_id",
+        q.alias("q"),
+        scale.alias("_scale"),
+        vectors.as_double(F.col("embedding")).alias("_v"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("q"),
+            F.col("_v"),
+            lambda a, b: F.abs(a.cast("double") * F.col("_scale") - b),
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round("_scale", RD).alias("scale"),
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
+        F.round(err, RD).alias("max_err"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM v
+),
+qq AS (
+  SELECT vec_id, v, amax / 127.0 AS scale,
+         CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(
+                     v, x -> CAST(round(x / (amax / 127.0)) AS INT)) END
+           AS q
+  FROM s
+)
+SELECT vec_id, round(scale, {RD}) AS scale,
+       array_to_string(q, ',') AS q,
+       round(list_max(list_transform(
+         range(1, len(q) + 1),
+         i -> abs(CAST(q[i] AS DOUBLE) * scale - v[i]))), {RD}) AS max_err
+FROM qq"""
+
+
 QUERIES = {
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
@@ -255,4 +312,5 @@ QUERIES = {
     ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "ivf_kmeans_build": (q_ivf_kmeans_build, None),
+    "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }

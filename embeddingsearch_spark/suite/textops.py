@@ -538,6 +538,29 @@ LEFT JOIN m2 USING (doc_id)
 LEFT JOIN d5 USING (doc_id)"""
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Epoch-1 deterministic shuffle of the documents table into 8
+    shards: (shard, pos) from the id hash — one exchange plus per-shard
+    sort, no orderBy(rand()) nondeterminism."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    return splits.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+
+
+EPOCH_SHUFFLE_SQL = """WITH h AS (
+  SELECT doc_id, md5('shuffle_1_' || doc_id) AS hh FROM documents
+),
+s AS (
+  SELECT doc_id, hh,
+         CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS INT)
+           AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
+FROM s"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
@@ -545,6 +568,7 @@ QUERIES = {
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "repetition_filter": (q_repetition_filter, REPETITION_FILTER_SQL),
+    "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
