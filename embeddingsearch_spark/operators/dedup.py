@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from embeddingsearch_spark.functions.text import fingerprint, tokens, word_shingles
+from embeddingsearch_spark.functions.text import (
+    fingerprint,
+    tokens,
+    word_shingles_of,
+)
 
 
 def _hash60(c: Column) -> Column:
@@ -74,9 +78,15 @@ def minhash_signatures(
     LSH pipeline still ends in EXACT Jaccard verification, so final
     near-dup pairs remain hash-independent (recall shifts only).
     """
+    # tokens pre-projected: inlining them makes the shingle transform
+    # re-run split(trim(text)) once per shingle index (see word_shingles_of)
     sh = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        F.explode(word_shingles_of(F.col("_toks"), shingle_n)).alias(
+            "shingle"
+        ),
     )
     if hash_fn == "xxhash64":
         aggs = [
@@ -141,8 +151,10 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs via distinct-shingle join."""
     sh = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        word_shingles_of(F.col("_toks"), shingle_n).alias("sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -132,6 +132,53 @@ def main(factor: int = 50) -> None:
         ),
     )
 
+    # --- round-2 pipeline operators ---
+    from embeddingsearch_spark.functions import text as T
+    from embeddingsearch_spark.operators import contamination as ct_op
+    from embeddingsearch_spark.operators import packing as pk_op
+    from embeddingsearch_spark.operators import repetition as rep_op
+
+    # connected components over a factor-scaled chain graph (chains of 5
+    # → diameter 4, forcing multiple propagation rounds); components
+    # drives jobs during construction (lazy checkpoints), so time the
+    # whole call
+    n_nodes = factor * 20_000
+    pairs = (
+        spark.range(n_nodes)
+        .filter((F.col("id") % 5) != 4)
+        .select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+    )
+    t0 = time.perf_counter()
+    dd_ops.connected_components(pairs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["connected_components"] = round(time.perf_counter() - t0, 2)
+
+    run(
+        "seq_pack",
+        pk_op.pack_sequences(
+            docs.select(
+                "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+            ),
+            budget=2048,
+            n_shards=256,
+        ),
+    )
+    bench = (
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(
+                " ", F.slice(T.tokens(F.col("text")), 4, 12)
+            ).alias("text"),
+        )
+    )
+    run("ngram_overlap", ct_op.ngram_overlap(docs, bench, n=5))
+    run("repetition_profile", rep_op.repetition_profile(docs))
+
     print(
         json.dumps(
             {
@@ -141,6 +188,7 @@ def main(factor: int = 50) -> None:
                     "documents": n_docs,
                     "vectors": n_vecs,
                     "events": n_events,
+                    "cc_nodes": n_nodes,
                 },
                 "sec": timings,
             }
