@@ -56,6 +56,29 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_new_docs(
+    incoming: DataFrame,
+    indexed: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Batch-ingest dedup gate: rows of ``incoming`` whose normalized
+    content fingerprint is NOT already present in ``indexed`` — the
+    first check every re-crawl/re-ingest runs before embedding anything.
+
+    One fingerprint-keyed left_anti join. Both fingerprints are computed
+    scan-side; the join shuffles only ``(id, fp)`` pairs, never text.
+    Typical shape at scale: indexed corpus huge, incoming batch small —
+    AQE converts to a broadcast of the incoming side's build table; if
+    the batch is large too, it's a plain co-partitioned shuffle join with
+    no skew (fingerprints are uniform sha256)."""
+    inc = incoming.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    idx = indexed.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return inc.join(idx, "fp", "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

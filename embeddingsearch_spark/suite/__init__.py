@@ -19,6 +19,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from embeddingsearch_spark.suite import (
         adminops,
         ann,
+        cleanops,
         dedup,
         maintenance,
         multimodalops,
@@ -27,6 +28,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         scoring,
         streamingops,
         textops,
+        webops,
         windowops,
     )
 
@@ -43,6 +45,8 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodalops,
         windowops,
         adminops,
+        webops,
+        cleanops,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

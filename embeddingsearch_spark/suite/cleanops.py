@@ -1,0 +1,139 @@
+"""Corpus-cleanup queries: C4-style boilerplate line removal and unigram
+LM (perplexity) quality scoring — over the documents table with planted
+boilerplate so the operators have real positives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.operators import boilerplate, lmscore
+
+TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
+  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
+_FOOTER = "All rights reserved - example footer"
+_BANNER = "This site uses cookies please accept"
+
+
+def _planted(spark, sf_dir):
+    """Boilerplate planted across docs: every 3rd doc gets a shared
+    footer line, every 4th a shared banner line — document frequencies in
+    the hundreds, far over the max_df=2 cut; original lines stay rare."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 4 == 0, F.lit(_BANNER + "\n")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit("\n" + _FOOTER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PLANTED_SQL = f"""planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_BANNER}' || chr(10) ELSE '' END
+         || text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_FOOTER}' ELSE '' END
+           AS text
+  FROM documents
+)"""
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Remove lines appearing in >2 documents and rebuild each doc —
+    planted banner/footer vanish, unique content survives in order."""
+    return boilerplate.remove_boilerplate_lines(
+        _planted(spark, sf_dir), "doc_id", "text", max_df=2
+    )
+
+
+_LINE_FP = r"sha256(regexp_replace(trim(lower(line)), '\s+', ' ', 'g'))"
+
+BOILERPLATE_LINES_SQL = f"""WITH {_PLANTED_SQL},
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+lines AS (
+  SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) + 1),
+                                 i -> {{'pos': i, 'line': l[i]}})) AS u
+    FROM ls)
+),
+fp AS (
+  SELECT doc_id, pos, line, {_LINE_FP} AS line_fp FROM lines
+),
+freq AS (
+  SELECT line_fp, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, line_fp FROM fp) GROUP BY line_fp
+),
+tagged AS (
+  SELECT f.doc_id, f.pos, f.line,
+         (q.df <= 2 OR length(trim(f.line)) = 0) AS keep
+  FROM fp f JOIN freq q USING (line_fp)
+),
+reb AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list_transform(
+             list_sort(list({{'pos': pos, 'line': line}}) FILTER (WHERE keep)),
+             s -> s['line']),
+           chr(10)), '') AS text,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+  FROM tagged GROUP BY doc_id
+)
+SELECT p.doc_id, coalesce(r.text, '') AS text,
+       coalesce(r.n_lines, 0) AS n_lines,
+       coalesce(r.n_removed, 0) AS n_removed
+FROM planted p LEFT JOIN reb r USING (doc_id)"""
+
+
+def q_lm_score(spark, sf_dir):
+    """Self-scored unigram LM with a 100-token vocabulary (small K forces
+    real OOV traffic at test scale): per-doc token count, OOV count,
+    average NLL, perplexity."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = lmscore.unigram_scores(
+        docs, "doc_id", "text", vocab_size=100, smoothing=1.0
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("avg_nll", RD).alias("avg_nll"),
+        F.round("perplexity", RD).alias("perplexity"),
+    )
+
+
+_LTOKS = TOKS_SQL.replace("text", "lower(text)")
+
+LM_SCORE_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+sc AS (
+  SELECT t.doc_id, coalesce(v.c, 0) AS c
+  FROM toks t LEFT JOIN vocab v USING (tok)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         avg(-ln((c + 1.0) / (tot.n + 1.0 * (kk.k + 1)))) AS avg_nll
+  FROM sc, tot, kk GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(avg_nll, {RD}) AS avg_nll,
+       round(exp(avg_nll), {RD}) AS perplexity
+FROM agg"""
+
+
+QUERIES = {
+    "boilerplate_lines": (q_boilerplate_lines, BOILERPLATE_LINES_SQL),
+    "lm_score": (q_lm_score, LM_SCORE_SQL),
+}

@@ -229,8 +229,44 @@ JOIN sizes zb ON zb.doc_id = p.id_b
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"""
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-ingest gate: the planted copies (exact at +100000, near at
+    +200000) arrive as a new batch against the already-indexed originals;
+    only genuinely-new content (the near copies — changed text) survives
+    the fingerprint left_anti join."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    incoming = exact.unionAll(near)
+    return dd_ops.incremental_new_docs(incoming, docs, "doc_id", "text")
+
+
+DEDUP_INCREMENTAL_SQL = """WITH incoming AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup tail'
+  FROM documents WHERE doc_id % 5 = 0
+),
+idx AS (
+  SELECT DISTINCT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS fp
+  FROM documents
+)
+SELECT i.doc_id,
+       sha256(regexp_replace(trim(lower(i.text)), '\\s+', ' ', 'g')) AS fp
+FROM incoming i
+WHERE sha256(regexp_replace(trim(lower(i.text)), '\\s+', ' ', 'g'))
+      NOT IN (SELECT fp FROM idx)"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),

@@ -145,7 +145,41 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup: two copies of the documents file stream
+    (simulating a re-delivered feed) unioned, then state-store
+    dropDuplicates on (source, fingerprint) — drained AvailableNow and
+    counted per source. Single-batch result over static input equals the
+    batch distinct count the oracle runs. At scale the dedup state is one
+    32-byte hash per unique doc, hash-partitioned across state stores;
+    a watermarked variant (`dropDuplicatesWithinWatermark`) bounds it for
+    unbounded feeds."""
+    from embeddingsearch_spark.functions.text import fingerprint
+
+    def one_stream():
+        return (
+            spark.readStream.schema(DOCUMENTS_RAW)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("source", fingerprint(F.col("text")).alias("fp"))
+        )
+
+    deduped = one_stream().union(one_stream()).dropDuplicates(["source", "fp"])
+    drained = win.run_available_now(
+        deduped, output_mode="append", shuffle_partitions=8
+    )
+    return drained.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+STREAMING_DEDUP_SQL = r"""
+SELECT source,
+       count(DISTINCT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+         AS n_unique
+FROM documents GROUP BY source"""
+
+
 QUERIES = {
+    "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_events_hourly": (
         q_streaming_events_hourly,
         STREAMING_EVENTS_HOURLY_SQL,

@@ -561,8 +561,66 @@ SELECT doc_id, shard,
 FROM s"""
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus profile via `sketches.group_profile` (exact
+    variant — the oracle twin; the sketched HLL++/KLL variant is the
+    100 TB path with the same schema): doc count, distinct languages,
+    median/p95/total tokens."""
+    from embeddingsearch_spark.operators.sketches import group_profile
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        # double so sum/median/round agree with the oracle's DOUBLE results
+        T.token_count(F.col("text")).cast("double").alias("n_tokens"),
+    )
+    return group_profile(
+        docs, "source", value_col="n_tokens", distinct_col="lang", exact=True
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT source, count(*) AS n_rows,
+       count(DISTINCT lang) AS n_distinct,
+       round(quantile_cont(len({TOKS_SQL}), 0.5), {RD}) AS median_value,
+       round(quantile_cont(len({TOKS_SQL}), 0.95), {RD}) AS p95_value,
+       round(CAST(sum(len({TOKS_SQL})) AS DOUBLE), {RD}) AS sum_value
+FROM documents GROUP BY source"""
+
+
+def q_token_histogram(spark, sf_dir):
+    """Token-length histogram in log2 buckets — the partial-aggregable
+    (map-side-combinable) corpus profile: the shuffle carries one row per
+    (partition, bucket), never per doc, so it costs the same at 100 TB as
+    the scan itself. floor(log2(n+1)) is exact in doubles at every bucket
+    boundary (powers of two)."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        docs.groupBy(
+            F.floor(F.log2(F.col("n_tokens") + 1)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(log2(len({TOKS_SQL}) + 1)) AS INT) AS bucket,
+       count(*) AS n_docs,
+       min(len({TOKS_SQL})) AS min_tokens,
+       max(len({TOKS_SQL})) AS max_tokens
+FROM documents GROUP BY 1"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "corpus_stats": (q_corpus_stats, CORPUS_STATS_SQL),
+    "token_histogram": (q_token_histogram, TOKEN_HISTOGRAM_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
