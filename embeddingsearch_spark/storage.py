@@ -77,10 +77,59 @@ def _list_data_files(path: str) -> list[tuple[str, int]]:
     out = []
     for root, _, names in os.walk(path):
         for n in names:
-            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+            if (
+                not n.startswith(("_", "."))
+                and not n.endswith((".crc", "_SUCCESS"))
+            ):
                 p = os.path.join(root, n)
                 out.append((p, os.path.getsize(p)))
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_cols: list[str] | None = None,
+    file_format: str = "parquet",
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Write a training-ready dataset as exactly ``n_shards`` files (plus
+    optional per-file record caps) — the layout data loaders want: a
+    fixed, enumerable shard list with deterministic content.
+
+    With a ``shard`` column (e.g. from `splits.epoch_shuffle` — rows land
+    in THEIR shard, so membership is reproducible across writes), output
+    is hive-partitioned by shard: `repartition(n, shard)` clusters each
+    shard into one task, so every ``shard=K/`` directory holds exactly
+    one file (hash collisions between shard values only co-locate whole
+    shards in a task — the writer still splits per directory). Without a
+    shard column, round-robin into ``n_shards`` files. ``order_cols``
+    sorts within each shard file (loaders that stream sequentially read
+    a stable order; epoch_shuffle's ``pos`` goes here). One shuffle
+    total; ``maxRecordsPerFile`` splits oversized shards without another
+    pass.
+
+    Returns {"n_files", "rows"} for the written dataset.
+    """
+    from pyspark.sql import functions as F
+
+    by_shard = "shard" in df.columns
+    if by_shard:
+        out = df.repartition(n_shards, F.col("shard"))
+    else:
+        out = df.repartition(n_shards)
+    if order_cols:
+        out = out.sortWithinPartitions(*order_cols)
+    writer = out.write.format(file_format).mode("overwrite")
+    if by_shard:
+        writer = writer.partitionBy("shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+    spark = df.sparkSession
+    written = spark.read.format(file_format).load(path)
+    return {"n_files": len(_list_data_files(path)), "rows": written.count()}
 
 
 def save_bucketed(

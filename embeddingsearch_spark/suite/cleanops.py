@@ -133,7 +133,51 @@ SELECT doc_id, n_tokens, n_oov,
 FROM agg"""
 
 
+def q_chunk_mean_pool(spark, sf_dir):
+    """Chunk→doc mean pooling: embeddings grouped 10-per-doc and pooled
+    elementwise in ONE groupBy (`operators/pooling.mean_pool` — the
+    aggregate HOF runs over each group's collected vectors; no
+    rows × dim explosion). Vector rendered as ×10⁴-scaled integers
+    (floor(x·10⁴ + ½), engine-identical) because the harness
+    canonicalizer can't hash ARRAY columns."""
+    from embeddingsearch_spark.operators import pooling
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 10").alias("doc_id"), "embedding"
+    )
+    pooled = pooling.mean_pool(emb, "doc_id", "embedding")
+    scaled = F.transform(
+        F.col("pooled"),
+        lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+    )
+    return pooled.select(
+        "doc_id",
+        "n_chunks",
+        F.array_join(F.transform(scaled, lambda i: i.cast("string")), ",")
+        .alias("pooled"),
+    )
+
+
+CHUNK_MEAN_POOL_SQL = """WITH e AS (
+  SELECT vec_id // 10 AS doc_id, embedding FROM embeddings
+),
+x AS (
+  SELECT doc_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM e
+),
+m AS (SELECT doc_id, pos, avg(val) AS mv FROM x GROUP BY doc_id, pos),
+nc AS (SELECT doc_id, count(*) AS n_chunks FROM e GROUP BY doc_id)
+SELECT m.doc_id, nc.n_chunks,
+       array_to_string(
+         list(CAST(floor(mv * 10000 + 0.5) AS BIGINT) ORDER BY pos), ',')
+         AS pooled
+FROM m JOIN nc USING (doc_id)
+GROUP BY m.doc_id, nc.n_chunks"""
+
+
 QUERIES = {
     "boilerplate_lines": (q_boilerplate_lines, BOILERPLATE_LINES_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
+    "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
 }

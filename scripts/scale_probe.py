@@ -179,6 +179,41 @@ def main(factor: int = 50) -> None:
     run("ngram_overlap", ct_op.ngram_overlap(docs, bench, n=5))
     run("repetition_profile", rep_op.repetition_profile(docs))
 
+    from embeddingsearch_spark.operators import boilerplate as bp_op
+    from embeddingsearch_spark.operators import lmscore as lm_op
+    from embeddingsearch_spark.operators import urldedup as url_op
+
+    # plant a shared footer on every 3rd doc so removal has real work
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nall rights reserved example footer"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    run(
+        "boilerplate_removal",
+        bp_op.remove_boilerplate_lines(planted, "doc_id", "text", max_df=2),
+    )
+    run(
+        "lm_score",
+        lm_op.unigram_scores(docs, "doc_id", "text", vocab_size=65536),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.host"),
+            (F.col("doc_id") % 997).cast("string"),
+            F.lit(".com/p/"),
+            (F.col("doc_id") % 10_000).cast("string"),
+            F.lit("/?utm_source=x&q=1"),
+        ).alias("url"),
+    )
+    run("url_dedup", url_op.url_duplicates(urls, "doc_id", "url"))
+
     print(
         json.dumps(
             {
