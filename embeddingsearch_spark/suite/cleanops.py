@@ -176,8 +176,138 @@ FROM m JOIN nc USING (doc_id)
 GROUP BY m.doc_id, nc.n_chunks"""
 
 
+# Policy thresholds (tuned to the synthetic corpus so every rule has
+# real failures: token p10 ≈ 21, stopword p20 ≈ 0.032, perplexity
+# median ≈ 30.01 under the 100-token vocab).
+_MIN_TOKENS = 25
+_MIN_STOPWORD = 0.03
+_MAX_PPL = 30.1
+
+
+def q_corpus_policy(spark, sf_dir):
+    """The assembled filter policy a pretraining pipeline runs per doc:
+    length + stopword gates (scan-stage), Gopher repetition gate
+    (zero-shuffle mapInPandas), perplexity gate (unigram LM). Three
+    id-keyed joins merge the signals; keep = every gate passes, reason =
+    first failing gate in a fixed order."""
+    from embeddingsearch_spark.functions import text as T
+    from embeddingsearch_spark.operators import lmscore, repetition
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    m = T.quality_metrics(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["stopword_ratio"].alias("_sw"),
+    )
+    rep = repetition.repetition_profile(docs).select(
+        "doc_id", F.col("keep").alias("ok_repetition")
+    )
+    lm = lmscore.unigram_scores(
+        docs, "doc_id", "text", vocab_size=100, smoothing=1.0
+    ).select("doc_id", "perplexity")
+    j = quality.join(rep, "doc_id").join(lm, "doc_id")
+    ok_len = F.col("n_tokens") >= _MIN_TOKENS
+    ok_sw = F.col("_sw") >= _MIN_STOPWORD
+    ok_ppl = F.col("perplexity") <= _MAX_PPL
+    reason = (
+        F.when(~ok_len, F.lit("too_short"))
+        .when(~ok_sw, F.lit("low_stopword"))
+        .when(~F.col("ok_repetition"), F.lit("repetitive"))
+        .when(~ok_ppl, F.lit("high_perplexity"))
+        .otherwise(F.lit(""))
+    )
+    return j.select(
+        "doc_id",
+        ok_len.alias("ok_length"),
+        ok_sw.alias("ok_stopwords"),
+        "ok_repetition",
+        ok_ppl.alias("ok_perplexity"),
+        (ok_len & ok_sw & F.col("ok_repetition") & ok_ppl).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+from embeddingsearch_spark.functions.text import STOPWORDS as _SW_LIST
+
+_SW_ARR = ", ".join(f"'{w}'" for w in _SW_LIST)
+_LOWER_TOKS = TOKS_SQL.replace("text", "lower(text)")
+
+CORPUS_POLICY_SQL = f"""WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS t, string_split(text, chr(10)) AS lines,
+         CASE WHEN len({TOKS_SQL}) = 0 THEN 0.0
+              ELSE CAST(len(list_filter({_LOWER_TOKS},
+                                        tk -> list_contains([{_SW_ARR}], tk)))
+                        AS DOUBLE) / len({TOKS_SQL}) END AS sw
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(0, len(t) - 1) + 1),
+    i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM base
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, max(c) AS mx FROM g2c GROUP BY 1),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(0, len(t) - 4) + 1),
+    i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM base
+),
+g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM g5c GROUP BY 1
+),
+rep AS (
+  SELECT b.doc_id,
+         ((CASE WHEN len(b.lines) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE)
+                           / len(b.lines) END) <= 0.3
+          AND (CASE WHEN len(b.t) >= 2
+                    THEN coalesce(m2.mx, 0) * 2.0 / len(b.t)
+                    ELSE 0.0 END) <= 0.2
+          AND (CASE WHEN len(b.t) >= 5
+                    THEN coalesce(d5.dup, 0) * 5.0 / len(b.t)
+                    ELSE 0.0 END) <= 0.3) AS ok_repetition
+  FROM base b LEFT JOIN m2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+),
+toks AS (SELECT doc_id, unnest({_LOWER_TOKS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+lm AS (
+  SELECT t.doc_id,
+         exp(avg(-ln((coalesce(v.c, 0) + 1.0) / (tot.n + 1.0 * (kk.k + 1)))))
+           AS ppl
+  FROM toks t LEFT JOIN vocab v USING (tok), tot, kk
+  GROUP BY t.doc_id
+),
+j AS (
+  SELECT b.doc_id, len(b.t) AS n_tokens, b.sw, r.ok_repetition, lm.ppl
+  FROM base b JOIN rep r USING (doc_id) JOIN lm USING (doc_id)
+)
+SELECT doc_id,
+       n_tokens >= {_MIN_TOKENS} AS ok_length,
+       sw >= {_MIN_STOPWORD} AS ok_stopwords,
+       ok_repetition,
+       ppl <= {_MAX_PPL} AS ok_perplexity,
+       (n_tokens >= {_MIN_TOKENS} AND sw >= {_MIN_STOPWORD}
+        AND ok_repetition AND ppl <= {_MAX_PPL}) AS keep,
+       CASE WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short'
+            WHEN sw < {_MIN_STOPWORD} THEN 'low_stopword'
+            WHEN NOT ok_repetition THEN 'repetitive'
+            WHEN ppl > {_MAX_PPL} THEN 'high_perplexity'
+            ELSE '' END AS reason
+FROM j"""
+
+
 QUERIES = {
     "boilerplate_lines": (q_boilerplate_lines, BOILERPLATE_LINES_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
+    "corpus_policy": (q_corpus_policy, CORPUS_POLICY_SQL),
 }
