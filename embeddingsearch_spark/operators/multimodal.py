@@ -124,14 +124,20 @@ def decode_media(
 
 
 def _fake_features(b: bytes, dim: int) -> list[float]:
-    """Mean byte value of each of ``dim`` equal chunks, /255; zero-padded."""
+    """Mean byte value of each of ``dim`` equal chunks, /255; zero-padded.
+
+    Quantized to exact micro-units via integer floor division (not float
+    round) so the value is bit-identical across engines — the DuckDB oracle
+    mirrors the same BIGINT arithmetic (suite/multimodalops.py)."""
     if not b:
         return [0.0] * dim
     chunk = max(1, len(b) // dim)
     out = []
     for i in range(dim):
         part = b[i * chunk : (i + 1) * chunk]
-        out.append(round(sum(part) / len(part) / 255.0, 6) if part else 0.0)
+        out.append(
+            (sum(part) * 1_000_000 // (len(part) * 255)) / 1e6 if part else 0.0
+        )
     return out
 
 

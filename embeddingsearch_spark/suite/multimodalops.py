@@ -84,24 +84,52 @@ FROM documents WHERE doc_id % 3 = 2"""
 
 def q_media_decode(spark, sf_dir):
     """Deterministic fake decode (the codec seam with decoder='fake'):
-    chunked byte-mean features. Not SQL-expressible at reasonable cost —
-    rows-only check; values are unit-tested against a pure-Python mirror.
-    Features are comma-joined (scalar) so the harness canon can hash them;
-    the fake decoder emits 6-dp-rounded doubles, so the string form is
-    deterministic."""
+    chunked byte-mean features, quantized to exact micro-units
+    (integer floor division — see multimodal._fake_features) so a DuckDB
+    oracle can mirror them with BIGINT arithmetic. Features are emitted as
+    comma-joined micro-unit integers: scalar (the harness canon can't hash
+    ARRAY cells) and exactly representable (no float-format ambiguity)."""
     media = derive_media(spark, sf_dir)
     feats = mm.decode_media(media, decoder="fake", feature_dim=16)
     return feats.select(
         "media_id",
         "modality",
         F.array_join(
-            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
-        ).alias("features"),
+            F.transform(
+                "features",
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features_u6"),
     )
+
+
+# The content column is utf-8-encoded text; the corpus is ASCII-only
+# (verified: octet_length(encode(text)) == length(text) for every row at
+# sf0.01/sf0.1), so byte i == unicode(char i) and the chunked byte means
+# are expressible over the text directly.
+MEDIA_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 16, 1) AS chunk
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       array_to_string(list_transform(range(0, 16), i ->
+         CASE WHEN i * chunk >= n THEN CAST(0 AS BIGINT)
+              ELSE (list_aggregate(list_transform(
+                      range(i * chunk + 1, least((i + 1) * chunk, n) + 1),
+                      j -> unicode(text[j:j])), 'sum') * 1000000)
+                   // (CAST(least((i + 1) * chunk, n) - i * chunk AS BIGINT)
+                       * 255)
+         END), ',') AS features_u6
+FROM b"""
 
 
 QUERIES = {
     "media_features": (q_media_features, MEDIA_FEATURES_SQL),
     "media_frame_plan": (q_media_frame_plan, MEDIA_FRAME_PLAN_SQL),
-    "media_decode": (q_media_decode, None),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
 }
