@@ -1,0 +1,99 @@
+"""TF-IDF weighting, per-document top terms, and vocabulary statistics.
+
+Beyond-reference corpus analytics (the reference scores only embeddings —
+Searchdomain.cs's cascade has no lexical weighting): keyword extraction and
+df-based quality signals are standard steps in a training-data pipeline
+(stopword discovery, boilerplate term mining, topic balance checks).
+
+Plan shape at 100 TB:
+  explode(tokens) → groupBy(doc, token)        [shuffle 1, keyed (doc, token)]
+  tf → groupBy(token)                          [shuffle 2 — output is
+                                                vocabulary-sized, ≪ corpus]
+  tf ⋈ df on token                             [AQE broadcasts the df side
+                                                when the vocabulary is small;
+                                                otherwise a co-partitioned
+                                                hash join on token]
+  row_number() over doc window                 [shuffle 3, keyed doc]
+
+The corpus size N enters as a broadcast single-row aggregate (crossJoin of
+a 1-row DataFrame) — no driver-side count(), no second action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from embeddingsearch_spark.functions import text as T
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, tf) — lowercased whitespace tokens per document."""
+    return _doc_tokens(docs, id_col, text_col).groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def vocabulary(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, df, cf): document frequency + corpus frequency per token.
+
+    df counts rows of the per-doc tf table (one row per containing doc),
+    so no DISTINCT pass over the raw token stream is needed.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    return tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    score = tf * ln((N + 1) / (df + 1)); ties broken by token ascending so
+    the ranking is total and engine-reproducible.
+    Returns (doc_id, term, rank, tf, df, tfidf).
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "rank",
+            "tf",
+            "df",
+            F.col("score").alias("tfidf"),
+        )
+    )

@@ -617,8 +617,68 @@ SELECT CAST(floor(log2(len({TOKS_SQL}) + 1)) AS INT) AS bucket,
 FROM documents GROUP BY 1"""
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 terms per document by smoothed TF-IDF (operators/tfidf.py).
+    Ties broken by token ascending — a total order both engines agree on."""
+    from embeddingsearch_spark.operators import tfidf
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = tfidf.tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "term", "rank", "tf", "df", F.round("tfidf", RD).alias("tfidf")
+    )
+
+
+_LOWER_TOKS_SQL = TOKS_SQL.replace("text", "lower(text)")
+
+TFIDF_TOPK_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest({_LOWER_TOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                    tf.token ASC) AS rank
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token AS term, CAST(rank AS INT) AS rank, tf, df,
+       round(score, {RD}) AS tfidf
+FROM scored WHERE rank <= 3"""
+
+
+def q_vocab_df(spark, sf_dir):
+    """Top-100 vocabulary terms by document frequency (df desc, token asc)
+    with corpus frequency — the stopword/boilerplate-mining view."""
+    from embeddingsearch_spark.operators import tfidf
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        tfidf.vocabulary(docs)
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+VOCAB_DF_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest({_LOWER_TOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY token
+ORDER BY df DESC, token ASC LIMIT 100"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "tfidf_topk": (q_tfidf_topk, TFIDF_TOPK_SQL),
+    "vocab_df": (q_vocab_df, VOCAB_DF_SQL),
     "corpus_stats": (q_corpus_stats, CORPUS_STATS_SQL),
     "token_histogram": (q_token_histogram, TOKEN_HISTOGRAM_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
