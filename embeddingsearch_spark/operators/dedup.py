@@ -359,3 +359,77 @@ def neardup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage (the exact-substring dedup
+    metric of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — arXiv:2107.06499): for each doc, the fraction of its
+    word ``n``-gram positions whose gram also occurs in ANOTHER document.
+
+    Plan: spans explode once; grams are keyed by a fixed-width md5 prefix
+    (16 hex chars ≈ 64 bits — engine-portable, and at 100 TB a fixed 16-byte
+    key shuffles far less than variable-length gram strings); shared keys =
+    one groupBy with a >=2-distinct-docs filter; per-doc totals come from
+    the token count scan-side (no extra shuffle). Docs shorter than ``n``
+    tokens have zero spans and fraction 0.0.
+
+    Returns (id, n_spans, n_dup_spans, dup_fraction).
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    idx = F.when(
+        F.size("_toks") >= n,
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))),
+                    1,
+                    16,
+                ),
+            )
+        ).alias("key"),
+    )
+    shared = (
+        spans.groupBy("key")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("key")
+    )
+    dup = (
+        spans.join(shared, "key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    totals = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return (
+        totals.join(dup, id_col, "left_outer")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.when(F.col("n_spans") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans")
+            )
+            .alias("dup_fraction"),
+        )
+    )

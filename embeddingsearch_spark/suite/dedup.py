@@ -264,8 +264,54 @@ WHERE sha256(regexp_replace(trim(lower(i.text)), '\\s+', ' ', 'g'))
       NOT IN (SELECT fp FROM idx)"""
 
 
+_SPAN_N = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated-span coverage (exact-substring dedup metric):
+    per doc, the fraction of word 8-gram positions shared with any other
+    document. Keys are fixed-width md5 prefixes — engine-portable and
+    cheaper to shuffle than variable-length gram strings."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = dd_ops.duplicate_span_profile(docs, n=_SPAN_N)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round("dup_fraction", RD).alias("dup_fraction"),
+    )
+
+
+DUP_SPANS_SQL = f"""WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')), 1, 16) AS key
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {_SPAN_N} + 1, 0) + 1)) AS i
+        FROM base)
+),
+shared AS (
+  SELECT key FROM spans GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup FROM spans
+  JOIN shared USING (key) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(greatest(len(b.t) - {_SPAN_N} + 1, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       round(CASE WHEN len(b.t) - {_SPAN_N} + 1 <= 0 THEN 0.0
+                  ELSE CAST(coalesce(d.n_dup, 0) AS DOUBLE)
+                       / (len(b.t) - {_SPAN_N} + 1) END, {RD}) AS dup_fraction
+FROM base b LEFT JOIN dup d USING (doc_id)"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dup_spans": (q_dup_spans, DUP_SPANS_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
