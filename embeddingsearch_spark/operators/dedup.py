@@ -372,12 +372,19 @@ def duplicate_span_profile(
     Models Better" — arXiv:2107.06499): for each doc, the fraction of its
     word ``n``-gram positions whose gram also occurs in ANOTHER document.
 
-    Plan: spans explode once; grams are keyed by a fixed-width md5 prefix
-    (16 hex chars ≈ 64 bits — engine-portable, and at 100 TB a fixed 16-byte
-    key shuffles far less than variable-length gram strings); shared keys =
-    one groupBy with a >=2-distinct-docs filter; per-doc totals come from
-    the token count scan-side (no extra shuffle). Docs shorter than ``n``
-    tokens have zero spans and fraction 0.0.
+    Plan: grams are keyed by a fixed-width md5 prefix (16 hex chars ≈ 64
+    bits — engine-portable, and at 100 TB a fixed 16-byte key shuffles far
+    less than variable-length gram strings). The span stream is
+    pre-aggregated to one row per (doc, key) so the shared-key detection
+    is a plain partial-agg'd count (skew-safe for boilerplate grams that
+    occur in millions of docs — no count_distinct expansion), and the
+    shared set carries bare keys only, small enough for AQE to broadcast
+    the semi-join (the per-doc occurrence table then never shuffles by
+    gram). Per-doc totals come from the token count scan-side. The (doc,
+    key) aggregate feeds two consumers and is recomputed rather than
+    persisted: at corpus scale, re-running a scan-stage explode is cheaper
+    and safer than materializing a corpus-sized intermediate. Docs shorter
+    than ``n`` tokens have zero spans and fraction 0.0.
 
     Returns (id, n_spans, n_dup_spans, dup_fraction).
     """
@@ -401,16 +408,17 @@ def duplicate_span_profile(
             )
         ).alias("key"),
     )
+    occ = spans.groupBy(id_col, "key").agg(F.count(F.lit(1)).alias("occ"))
     shared = (
-        spans.groupBy("key")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        occ.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select("key")
     )
     dup = (
-        spans.join(shared, "key")
+        occ.join(shared, "key")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .agg(F.sum("occ").alias("n_dup_spans"))
     )
     totals = toks.select(
         F.col(id_col),

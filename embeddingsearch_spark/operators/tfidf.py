@@ -17,6 +17,15 @@ Plan shape at 100 TB:
 
 The corpus size N enters as a broadcast single-row aggregate (crossJoin of
 a 1-row DataFrame) — no driver-side count(), no second action.
+
+Two deliberate non-choices: df is a groupBy + join, NOT a count() window
+partitioned by token — a token window would put every row of a hot token
+("the", present in every document) into a single partition, while the
+groupBy form partial-aggregates hot tokens map-side and the join side is
+vocabulary-sized (AQE broadcasts it when it fits). And tf, which feeds
+both the df aggregate and the scoring join, is recomputed per consumer
+rather than persisted — at corpus scale, re-running a scan-stage explode
+is cheaper and safer than materializing a corpus-sized intermediate.
 """
 
 from __future__ import annotations
