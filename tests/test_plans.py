@@ -174,3 +174,32 @@ def test_seq_pack_single_shuffle(spark):
     assert "hashpartitioning(shard" in plan
     feeding = plan.split("Exchange hashpartitioning")[1].split("\n")[1]
     assert "text" not in feeding
+
+
+def test_tfidf_no_cartesian_and_bounded_shuffles(spark):
+    """TF-IDF: the corpus-size 1-row aggregate must enter as a broadcast
+    (never a cartesian product), and the shuffle budget stays bounded
+    (tf agg + df agg + df join + rank window over the dual tf lineage)."""
+    from embeddingsearch_spark.operators import tfidf
+
+    docs = tables.load(spark, SF, "documents")
+    q = tfidf.tfidf_top_terms(docs, k=3)
+    plan = pi.simple_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert pi.count_shuffles(q) <= 5
+
+
+def test_dup_spans_no_distinct_expansion(spark):
+    """Duplicate-span profile: shared-key detection must be a plain
+    two-level count over the (doc, key) pre-aggregate — no count_distinct
+    Expand node (which would double the span stream) — and the span keys
+    must be fixed-width md5 prefixes, not raw gram text."""
+    from embeddingsearch_spark.operators import dedup as dd
+
+    docs = tables.load(spark, SF, "documents")
+    q = dd.duplicate_span_profile(docs, n=8)
+    plan = pi.simple_plan(q)
+    assert "Expand" not in plan
+    assert "md5" in plan
+    assert pi.count_shuffles(q) <= 6
