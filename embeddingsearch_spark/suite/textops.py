@@ -675,10 +675,67 @@ FROM tf GROUP BY token
 ORDER BY df DESC, token ASC LIMIT 100"""
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Fasttext-style linear quality classifier: logistic score over the
+    engineered quality features, entirely scan-stage (operators/classifier).
+    The label compares the logit to 0 so it never rides a float boundary."""
+    from embeddingsearch_spark.operators import classifier
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = classifier.classify_quality(docs)
+    return out.select(
+        "doc_id",
+        F.round("quality_logit", RD).alias("quality_logit"),
+        F.round("quality_prob", RD).alias("quality_prob"),
+        "is_high_quality",
+    )
+
+
+_PUNCT_R = (
+    r"(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))"
+    r" / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END"
+)
+_DIGIT_R = (
+    r"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+    r" / CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END"
+)
+_SPACE_LEN = r"(length(text) - length(regexp_replace(text, '\s', '', 'g')))"
+_SW_R = (
+    "CASE WHEN len({T}) = 0 THEN 0.0 ELSE "
+    "CAST(len(list_filter({LT}, t -> list_contains([{SW}], t))) AS DOUBLE)"
+    " / len({T}) END"
+)
+_ATL = (
+    "CASE WHEN len({T}) = 0 THEN 0.0 ELSE "
+    f"(CAST(length(text) AS DOUBLE) - {_SPACE_LEN}) / len({{T}}) END"
+)
+
+QUALITY_CLASSIFIER_SQL = f"""WITH z AS (
+  SELECT doc_id,
+         -4.5 + 0.8 * ln(1 + len({{T}}))
+              + 12.0 * ({_SW_R})
+              - 8.0 * ({_PUNCT_R})
+              - 6.0 * ({_DIGIT_R})
+              + 0.15 * ({_ATL}) AS logit
+  FROM documents
+)
+SELECT doc_id,
+       round(logit, {RD}) AS quality_logit,
+       round(1.0 / (1.0 + exp(-logit)), {RD}) AS quality_prob,
+       logit >= 0 AS is_high_quality
+FROM z"""
+QUALITY_CLASSIFIER_SQL = (
+    QUALITY_CLASSIFIER_SQL.replace("{LT}", TOKS_SQL.replace("text", "lower(text)"))
+    .replace("{T}", TOKS_SQL)
+    .replace("{SW}", ", ".join(f"'{w}'" for w in _SW_LIST))
+)
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "tfidf_topk": (q_tfidf_topk, TFIDF_TOPK_SQL),
     "vocab_df": (q_vocab_df, VOCAB_DF_SQL),
+    "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
     "corpus_stats": (q_corpus_stats, CORPUS_STATS_SQL),
     "token_histogram": (q_token_histogram, TOKEN_HISTOGRAM_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),

@@ -178,6 +178,13 @@ def main(factor: int = 50) -> None:
     )
     run("ngram_overlap", ct_op.ngram_overlap(docs, bench, n=5))
     run("repetition_profile", rep_op.repetition_profile(docs))
+    # duplicate-span coverage: ~1/3 of replica texts are byte-identical to
+    # the original, so cross-doc shared 8-gram spans exist at every factor
+    run("dup_span_profile", dd_ops.duplicate_span_profile(docs, n=8))
+
+    from embeddingsearch_spark.operators import tfidf as tfidf_op
+
+    run("tfidf_topk", tfidf_op.tfidf_top_terms(docs, k=3))
 
     from embeddingsearch_spark.operators import boilerplate as bp_op
     from embeddingsearch_spark.operators import lmscore as lm_op
