@@ -155,8 +155,55 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
 GROUP BY p.event_id, p.user_id"""
 
 
+def q_events_zscore(spark, sf_dir):
+    """Rolling anomaly detection: per event_type, each value's z-score
+    against the trailing 1-hour RANGE frame (frame bounds in epoch MICROS
+    so both engines cut the window at identical instants — casting ts to
+    seconds would misalign events with fractional-second timestamps).
+
+    Scale note: event_type is low-cardinality, so this window partitioning
+    caps parallelism at the type count — the same hot-key shape measured on
+    the as-of join (BASELINE.md: chunked variant wins 2.3× at 20M rows).
+    At 100 TB apply the same time-chunk + carry-in decomposition
+    (operators/asof.asof_join_chunked pattern) with per-chunk
+    (count, sum, sum-of-squares) partials."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - mean) / sd).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(mean, RD).alias("trailing_mean"),
+        F.round(z, RD).alias("zscore"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
+
+
+EVENTS_ZSCORE_SQL = f"""SELECT event_id, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       round(avg(value) OVER w, {RD}) AS trailing_mean,
+       round(CASE WHEN stddev_samp(value) OVER w > 0
+                  THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+                  ELSE 0.0 END, {RD}) AS zscore,
+       CASE WHEN stddev_samp(value) OVER w > 0
+            THEN abs((value - avg(value) OVER w)
+                     / (stddev_samp(value) OVER w)) > 2
+            ELSE FALSE END AS is_anomaly
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
 QUERIES = {
     "events_sessionize": (q_events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_zscore": (q_events_zscore, EVENTS_ZSCORE_SQL),
     "orders_running_total": (q_orders_running_total, ORDERS_RUNNING_TOTAL_SQL),
     "events_lru_rank": (q_events_lru_rank, EVENTS_LRU_RANK_SQL),
     "asof_attribution": (q_asof_attribution, ASOF_ATTRIBUTION_SQL),
