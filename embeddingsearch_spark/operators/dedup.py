@@ -136,6 +136,39 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_config_for(
+    threshold: float, k: int = 128, recall: float = 0.9
+) -> tuple[int, int]:
+    """Size (k, bands) for a target Jaccard ``threshold`` — the MinHash
+    twin of :func:`ann.srp_config_for`. A (b bands × r rows) scheme
+    collides a pair of Jaccard s with prob 1 - (1 - s^r)^b; pick, among
+    the divisor splits of ``k``, the most selective r (fewest false
+    candidates) that still catches a true pair at ``threshold`` with
+    prob ≥ ``recall``. The suite's pinned 8×4 stays for the oracled query
+    (tiny corpus, weak near-dup band); this is the scale default — call
+    it with the corpus-appropriate k (more hashes → sharper s-curve →
+    fewer candidate verifications, THE cost at 100 TB).
+    Returns (k_used, bands)."""
+    import math
+
+    t = min(1.0 - 1e-9, max(1e-9, threshold))
+    best = None
+    for bands in range(1, k + 1):
+        if k % bands:
+            continue
+        rows = k // bands
+        p = 1.0 - (1.0 - t**rows) ** bands
+        if p >= recall:
+            # feasible; prefer the largest rows (most selective bands)
+            if best is None or rows > best[1]:
+                best = (bands, rows)
+    if best is None:
+        # threshold too high for k hashes at this recall — fall back to
+        # the sharpest feasible curve (max bands = max collision prob)
+        best = (k, 1)
+    return best[0] * best[1], best[0]
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
 ) -> DataFrame:

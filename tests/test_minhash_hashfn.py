@@ -65,3 +65,26 @@ def test_bad_hash_fn_rejected(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         dd.minhash_signatures(docs, "doc_id", "text", hash_fn="md5")
+
+
+def test_minhash_config_for_scurve():
+    from embeddingsearch_spark.operators.dedup import minhash_config_for
+
+    def collide_p(t, bands, rows):
+        return 1.0 - (1.0 - t**rows) ** bands
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        k, bands = minhash_config_for(t, k=128, recall=0.9)
+        assert k == 128 and k % bands == 0
+        rows = k // bands
+        # promised recall at the threshold
+        assert collide_p(t, bands, rows) >= 0.9
+        # maximally selective: no feasible split with more rows per band
+        for b2 in range(1, bands):
+            if 128 % b2 == 0 and collide_p(t, b2, 128 // b2) >= 0.9:
+                assert 128 // b2 <= rows
+
+    # higher threshold admits more selective (longer) bands
+    _, b_lo = minhash_config_for(0.3, k=128)
+    _, b_hi = minhash_config_for(0.9, k=128)
+    assert 128 // b_hi >= 128 // b_lo
