@@ -302,7 +302,42 @@ SELECT vec_id, round(scale, {RD}) AS scale,
 FROM qq"""
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std/min/max + zero count)
+    — the embedding-space drift/health monitor. posexplode → groupBy(dim)
+    is fully map-side-combinable: every partition reduces to at most
+    `dim` partial rows before the (tiny, dim-sized) shuffle."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), RD).alias("mean"),
+        F.round(F.stddev_samp("v"), RD).alias("std"),
+        F.round(F.min("v"), RD).alias("min_v"),
+        F.round(F.max("v"), RD).alias("max_v"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH ex AS (
+  SELECT CAST(u.i - 1 AS INT) AS dim, CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+       unnest(embedding) WITH ORDINALITY AS u(v, i)
+)
+SELECT dim, count(*) AS n,
+       round(avg(v), {RD}) AS mean,
+       round(stddev_samp(v), {RD}) AS std,
+       round(min(v), {RD}) AS min_v,
+       round(max(v), {RD}) AS max_v,
+       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM ex GROUP BY dim"""
+
+
 QUERIES = {
+    "embedding_dim_stats": (q_embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
