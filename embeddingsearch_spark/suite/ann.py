@@ -323,9 +323,8 @@ def q_embedding_dim_stats(spark, sf_dir):
 
 EMBEDDING_DIM_STATS_SQL = f"""
 WITH ex AS (
-  SELECT CAST(u.i - 1 AS INT) AS dim, CAST(u.v AS DOUBLE) AS v
-  FROM embeddings,
-       unnest(embedding) WITH ORDINALITY AS u(v, i)
+  SELECT CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 )
 SELECT dim, count(*) AS n,
        round(avg(v), {RD}) AS mean,

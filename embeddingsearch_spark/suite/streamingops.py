@@ -9,23 +9,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.streaming import joins as sjoins
 from embeddingsearch_spark.streaming import windows as win
 from embeddingsearch_spark.streaming.ingest import ingest_available_now
-
-# Raw parquet schemas for the streaming file source (ts is TIMESTAMP(NANOS)
-# → long under spark.sql.legacy.parquet.nanosAsLong, converted after read).
-EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 DOCUMENTS_RAW = T.StructType(
     [
@@ -41,13 +29,7 @@ DOCUMENTS_RAW = T.StructType(
 def q_streaming_events_hourly(spark, sf_dir):
     """Hourly tumbling-window rollup computed BY THE STREAMING ENGINE
     (readStream file source → watermark → window agg → memory sink)."""
-    stream = (
-        spark.readStream.schema(EVENTS_RAW)
-        # file source needs a directory: watch sf_dir, glob one table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = tables.events_stream(spark, sf_dir)
     rollup = win.windowed_rollup(stream, window="1 hour", watermark="1 day")
     return win.run_available_now(rollup, output_mode="complete")
 
@@ -109,12 +91,7 @@ GROUP BY 1, 2"""
 
 
 def _events_stream(spark, sf_dir):
-    return (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return tables.events_stream(spark, sf_dir)
 
 
 def q_streaming_attribution(spark, sf_dir):

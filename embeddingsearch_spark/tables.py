@@ -73,26 +73,73 @@ SIM = ["Cosine", "Euclidian", "Manhattan", "Pearson"]
 N_QUERY_VECS = 4
 
 
-# events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's parquet
-# reader rejects unless spark.sql.legacy.parquet.nanosAsLong is set. We can't
-# rely on session-level confs (the driver harness builds its own session), so
-# read with an EXPLICIT schema mapping ts to LONG — the same pattern the
-# streaming file source uses (suite/streamingops.py EVENTS_RAW), which works
-# in any session.
+# events.parquet's `ts` physical encoding has varied across testdata
+# generations: INT64 TIMESTAMP(MICROS) (standard — Spark reads it natively)
+# and INT64 TIMESTAMP(NANOS) (rejected unless
+# spark.sql.legacy.parquet.nanosAsLong=true). We can't rely on session-level
+# confs (the driver harness builds its own session) OR on a fixed encoding,
+# so probe with a schema-only read and adapt:
+#   micros file                 -> plain read, ts already TIMESTAMP
+#   nanos file + legacy conf on -> ts arrives LONG (nanos) -> div 1000
+#   nanos file + conf off       -> AnalysisException -> explicit LONG schema
 _EVENTS_RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
+# sf_dir -> "native" (ts reads as TIMESTAMP) | "nanos_long" (LONG, needs
+# div 1000). Probed once per path per process; the probe is footer-only.
+_EVENTS_TS_MODE: dict[str, str] = {}
+
+
+def _events_ts_mode(spark: SparkSession, path: str) -> str:
+    mode = _EVENTS_TS_MODE.get(path)
+    if mode is None:
+        try:
+            dt = spark.read.parquet(path).schema["ts"].dataType
+            mode = "nanos_long" if dt.typeName() == "long" else "native"
+        except Exception:  # PARQUET_TYPE_ILLEGAL: nanos file, conf off
+            mode = "nanos_long"
+        _EVENTS_TS_MODE[path] = mode
+    return mode
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(
-            f"{sf_dir}/{name}.parquet"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        if _events_ts_mode(spark, path) == "native":
+            # cast TIMESTAMP_NTZ -> TIMESTAMP so downstream ts semantics
+            # match the nanos-era behavior (wall clock preserved)
+            return spark.read.parquet(path).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
         # integer div — float division loses 1 µs on large nano values
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over events.parquet with the same
+    encoding-agnostic ts handling as the batch `load` (readStream requires
+    an explicit schema, so the probe picks which schema to declare)."""
+    if _events_ts_mode(spark, f"{sf_dir}/events.parquet") == "native":
+        schema = (
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
