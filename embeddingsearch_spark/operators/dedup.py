@@ -79,6 +79,112 @@ def incremental_new_docs(
     return inc.join(idx, "fp", "left_anti")
 
 
+def _bloom_sizing(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m bits and k hashes for n items at fpp."""
+    import math
+
+    n = max(1, n_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)  # whole 64-bit words
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 8)
+
+
+def bloom_words(
+    keys: DataFrame, key_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Distributed Bloom-filter build as a DataFrame: k xxhash64 seeds per
+    key -> bit positions in an m-bit space -> packed into 64-bit words via
+    bit_or aggregation. Result is ``(w, bits)`` with at most m/64 rows —
+    a compressed, broadcastable representation (~16 bytes/word) whose
+    build is one map-side-combinable groupBy; the corpus itself never
+    moves. Unlike df.stat.bloomFilter, the result stays a DataFrame usable
+    in JVM-side joins (no driver object, no Python UDF at probe time)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(m_bits))
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.select(
+        F.expr("pos div 64").alias("w"),
+        F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
+    ).groupBy("w").agg(F.bit_or("b").alias("bits"))
+
+
+def incremental_new_docs_bloom(
+    incoming: DataFrame,
+    indexed: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_indexed: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """`incremental_new_docs` with a Bloom prefilter — the 100 TB shape.
+
+    The plain gate anti-joins the full incoming batch against the full
+    indexed fingerprint set: at 10^9+ indexed docs that join shuffles both
+    sides. Here the indexed set is first compressed to an m-bit Bloom
+    bitmap (~1.2 GB at 10^9 docs / 1% fpp vs ~45 GB of fingerprint
+    strings), broadcast as a (word, bits) table, and probed map-side:
+
+      definite-new rows (any of the k probed bits clear) pass through with
+      NO shuffle against the indexed corpus; only Bloom hits — true dups
+      plus ~fpp false positives — reach the exact fingerprint anti-join.
+
+    False positives are removed by that exact verify, so the result is
+    row-identical to `incremental_new_docs` (the driver gate runs both
+    against the same oracle). At a re-crawl's typical 90%+ new-content
+    ratio this cuts the anti-join's probe volume ~10x and its build side
+    ships as bits, not strings."""
+    if n_indexed is None:
+        n_indexed = indexed.count()
+    m, k = _bloom_sizing(n_indexed, fpp)
+
+    idx = indexed.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    words = bloom_words(idx, "fp", m, k)
+
+    inc = incoming.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    probe = inc.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("fp"), F.lit(s)), F.lit(m))
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).withColumn("w", F.expr("pos div 64"))
+    # bit clear (or word absent entirely) => the key is DEFINITELY not
+    # indexed; all k bits set => Bloom hit, needs exact verification
+    bit_set = (
+        F.col("bits").bitwiseAND(
+            F.expr("shiftleft(1L, cast(pos % 64 as int))")
+        )
+        != 0
+    )
+    flags = (
+        probe.join(F.broadcast(words), "w", "left")
+        .withColumn("bit_set", F.coalesce(bit_set, F.lit(False)))
+        .groupBy(id_col, "fp")
+        .agg(F.min("bit_set").alias("might_contain"))
+    )
+    definite_new = flags.filter(~F.col("might_contain")).select(id_col, "fp")
+    candidates = flags.filter(F.col("might_contain")).select(id_col, "fp")
+    verified_new = candidates.join(idx, "fp", "left_anti")
+    return definite_new.unionByName(verified_new)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -264,6 +264,26 @@ WHERE sha256(regexp_replace(trim(lower(i.text)), '\\s+', ' ', 'g'))
       NOT IN (SELECT fp FROM idx)"""
 
 
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """The same batch-ingest gate through the Bloom-prefilter scale path:
+    indexed fingerprints compressed to a broadcast (word, bits) bitmap,
+    definite-new rows bypass the anti-join entirely, Bloom hits get exact
+    verification. Row-identical to `dedup_incremental` by construction —
+    both share one oracle."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    incoming = exact.unionAll(near)
+    return dd_ops.incremental_new_docs_bloom(
+        incoming, docs, "doc_id", "text"
+    )
+
+
 _SPAN_N = 8
 
 
@@ -313,6 +333,10 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dup_spans": (q_dup_spans, DUP_SPANS_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "dedup_incremental_bloom": (
+        q_dedup_incremental_bloom,
+        DEDUP_INCREMENTAL_SQL,
+    ),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
