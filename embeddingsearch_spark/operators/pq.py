@@ -1,0 +1,240 @@
+"""Product quantization (PQ) for embedding similarity at memory scale.
+
+IVF (`operators/ann.py`) shrinks the SEARCH (probe fewer candidates); PQ
+shrinks the STORAGE: a d-dim vector (256 B at d=64 float32) becomes M
+small integer codes (M bytes at 256 codes/subspace) — 10^9 vectors fit
+in ~8 GB of codes plus a few KB of codebooks, so the compressed index
+stays executor-resident at corpus scales where the raw vectors cannot.
+Composes with IVF (encode per centroid bucket) exactly like FAISS's
+IVFPQ; here each stage is a DataFrame op.
+
+Pipeline:
+  train_codebooks  — per-subspace Lloyd k-means; deterministic init (the
+                     K lowest-id vectors' slices). Each iteration is ONE
+                     scan-stage encode (no shuffle) + ONE groupBy over
+                     (subspace, code) — map-side combinable, at most M*K
+                     result rows.
+  encode_pq        — nearest codeword per subspace, computed per Arrow
+                     batch as an (n×ds)·(ds×K) GEMM per subspace. Pure
+                     scan-stage map: zero shuffle, pipelines with the
+                     parquet read.
+  pq_topk          — asymmetric distance computation (ADC): per query,
+                     an M×K lookup table of subspace dot products; each
+                     scan batch scores its codes with numpy gathers and
+                     emits only its per-batch top-k (the
+                     brute_force_topk_numpy contract).
+
+Determinism: subspace L2 distances and ADC cosines are rounded to
+ROUND_DIGITS before argmin/ranking, ties break to the smallest code/id —
+so an independent engine reproduces codes and ranking exactly (the
+DuckDB oracle replays encode + ADC in SQL against iters=0 codebooks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.constants import ROUND_DIGITS
+
+Codebooks = list  # [m_sub][k_codes][ds] python floats, driver-side
+
+
+def _as_matrix(rows, vec_col_idx=0):
+    import numpy as np
+
+    return np.array(
+        [np.asarray(r[vec_col_idx], dtype=np.float64) for r in rows]
+    )
+
+
+def initial_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Deterministic seed codebooks: subspace slices of the k_codes
+    lowest-id vectors (code j = j-th lowest id) — the same init rule as
+    `ann.kmeans_centroids`, reproducible by any engine."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(k_codes)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    d = len(rows[0][0])
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds = d // m_sub
+    return [
+        [[float(x) for x in r[0][m * ds : (m + 1) * ds]] for r in rows]
+        for m in range(m_sub)
+    ]
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """All input columns + ``codes`` (array<int>, one per subspace):
+    argmin_j round(||x_m - c_mj||^2, ROUND_DIGITS), ties -> smallest j."""
+    import numpy as np
+
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cn2 = [np.sum(c * c, axis=1) for c in C]
+    m_sub = len(C)
+    ds = C[0].shape[1]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema
+    )
+    out_schema = f"{fields}, {codes_col} array<int>"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(V), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                X = V[:, m * ds : (m + 1) * ds]
+                # ||x||^2 - 2 x.c + ||c||^2, rounded before argmin so the
+                # choice is reproducible cross-engine
+                d2 = (
+                    np.sum(X * X, axis=1)[:, None]
+                    - 2.0 * (X @ C[m].T)
+                    + cn2[m][None, :]
+                )
+                codes[:, m] = np.argmin(
+                    np.round(d2, ROUND_DIGITS), axis=1
+                )  # first min = smallest code
+            pdf = pdf.copy()
+            pdf[codes_col] = [list(map(int, c)) for c in codes]
+            yield pdf
+
+    return corpus.mapInPandas(run, schema=out_schema)
+
+
+def train_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Lloyd refinement of the seed codebooks. Update step: posexplode the
+    code array -> slice the matching subvector -> groupBy (subspace, code)
+    with ds avg aggregates (partial map-side; M*K output rows). Codebooks
+    stay driver-side between iterations — each pass is one declarative
+    plan over the corpus, lineage does not grow (the kmeans_centroids
+    precedent). Empty (m, code) cells keep their previous codeword."""
+    cbs = initial_codebooks(corpus, m_sub, k_codes, id_col, vec_col)
+    ds = len(cbs[0][0])
+    for _ in range(iters):
+        coded = encode_pq(corpus, cbs, id_col, vec_col)
+        sub = coded.select(
+            F.posexplode("codes").alias("m", "code"),
+            F.col(vec_col).alias("_v"),
+        ).select(
+            "m",
+            "code",
+            F.expr(f"slice(_v, m * {ds} + 1, {ds})").alias("_sv"),
+        )
+        means = sub.groupBy("m", "code").agg(
+            F.array(
+                *[F.avg(F.col("_sv")[i].cast("double")) for i in range(ds)]
+            ).alias("_mean")
+        ).collect()
+        by_cell = {(r[0], r[1]): r[2] for r in means}
+        cbs = [
+            [
+                [float(x) for x in by_cell.get((m, j), cbs[m][j])]
+                for j in range(k_codes)
+            ]
+            for m in range(m_sub)
+        ]
+    return cbs
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: cosine(q, reconstruction(codes)) =
+    (sum_m LUT_dot[m][code_m]) / (|q| * sqrt(sum_m |c_m|^2)), remapped to
+    [0,1] and rounded like every similarity in this engine. The scan
+    reads ONLY (id, codes) — at 10^9 rows that is ~{M+8} bytes/row; the
+    original vectors never leave storage."""
+    import numpy as np
+
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cn2 = [np.sum(c * c, axis=1) for c in C]  # [m][K]
+    m_sub = len(C)
+    ds = C[0].shape[1]
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    Q = _as_matrix(q_rows, 1)
+    qn = np.linalg.norm(Q, axis=1)
+    # LUT[m]: (n_queries × K) subspace dot products
+    lut = [Q[:, m * ds : (m + 1) * ds] @ C[m].T for m in range(m_sub)]
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(
+                [np.asarray(c, dtype=np.int64) for c in pdf[codes_col]]
+            )
+            n = len(codes)
+            dots = np.zeros((n, len(qids)))
+            rn2 = np.zeros(n)
+            for m in range(m_sub):
+                cm = codes[:, m]
+                dots += lut[m][:, cm].T  # (n × q)
+                rn2 += cn2[m][cm]
+            rn = np.sqrt(rn2)
+            denom = rn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = np.where(denom == 0.0, 0.0, dots / denom)
+            sim = np.round((raw + 1.0) / 2.0, ROUND_DIGITS)
+            ids = pdf[id_col].to_numpy()
+            recs = []
+            for j in range(len(qids)):
+                col = sim[:, j]
+                order = np.lexsort((ids, -col))[: min(k, n)]
+                recs.extend(
+                    (int(qids[j]), int(ids[i]), float(col[i])) for i in order
+                )
+            yield pd.DataFrame(
+                recs, columns=[query_id_col, id_col, "cosine"]
+            )
+
+    partial = coded.select(id_col, codes_col).mapInPandas(
+        part, schema=out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

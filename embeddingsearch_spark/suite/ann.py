@@ -10,6 +10,7 @@ from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.functions import vectors
 from embeddingsearch_spark.operators import ann as ann_ops
+from embeddingsearch_spark.operators import pq as pq_ops
 
 _COS = """CASE WHEN sqrt(sum(x*x))*sqrt(sum(y*y)) = 0 THEN 0.5
         ELSE (sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) + 1.0)/2.0 END"""
@@ -335,8 +336,80 @@ SELECT dim, count(*) AS n,
 FROM ex GROUP BY dim"""
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (the memory-scale ANN path:
+    vectors -> M=8 codes over 16-codeword subspace codebooks; the scan
+    reads codes only). Gated at iters=0 (deterministic seed codebooks =
+    slices of the 16 lowest-id vectors) so DuckDB can replay encode+ADC;
+    trained codebooks (iters>0) are covered by tests/test_pq.py recall
+    bounds."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_ops.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq_ops.encode_pq(emb, cbs)
+    return pq_ops.pq_topk(coded, cbs, _queries_df(spark, sf_dir), k=10)
+
+
+# Mirrors the engine's determinism contract: L2 rounded to RD before the
+# argmin (ties -> smallest code), ADC cosine rounded before ranking
+# (ties -> smallest vec_id). ds=8, m=0..7, code = the codeword's vec_id
+# (the 16 lowest ids are 0..15).
+PQ_TOPK_SQL = f"""WITH cbe AS (
+  SELECT c.vec_id AS code, m.m, i.i,
+         CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
+  FROM embeddings c, range(0, 8) m(m), range(1, 9) i(i)
+  WHERE c.vec_id < 16
+),
+d2 AS (
+  SELECT v.vec_id, b.m, b.code,
+         round(sum((CAST(v.embedding[b.m * 8 + b.i] AS DOUBLE) - b.cv) ^ 2),
+               {RD}) AS dist
+  FROM embeddings v JOIN cbe b ON true
+  GROUP BY v.vec_id, b.m, b.code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+rec AS (  -- reconstruction norm^2 and per-query ADC dot per vector
+  SELECT e.vec_id, q.query_id,
+         sum(b.cv * CAST(q.qv[e.m * 8 + b.i] AS DOUBLE)) AS dot,
+         sum(b.cv * b.cv) AS rn2
+  FROM enc e
+  JOIN cbe b ON b.m = e.m AND b.code = e.code
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 4) q ON true
+  GROUP BY e.vec_id, q.query_id
+),
+qn AS (
+  SELECT vec_id AS query_id,
+         sqrt(sum(CAST(x AS DOUBLE) ^ 2)) AS qnorm
+  FROM (SELECT vec_id, unnest(embedding) AS x
+        FROM embeddings WHERE vec_id < 4)
+  GROUP BY vec_id
+),
+sims AS (
+  SELECT r.query_id, r.vec_id,
+         round(CASE WHEN sqrt(r.rn2) * q.qnorm = 0 THEN 0.5
+               ELSE (r.dot / (sqrt(r.rn2) * q.qnorm) + 1.0) / 2.0 END,
+               {RD}) AS cosine
+  FROM rec r JOIN qn q USING (query_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
+    "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),

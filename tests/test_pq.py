@@ -1,0 +1,103 @@
+"""Product quantization: encode determinism, training behavior, ADC
+ranking quality against exact brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.operators import ann, pq
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    # 8 loose clusters in 16-dim space so PQ codes carry real signal
+    centers = rng.normal(size=(8, 16)) * 3
+    rows = []
+    for i in range(240):
+        v = centers[i % 8] + rng.normal(size=16) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_initial_codebooks_shape(emb):
+    cbs = pq.initial_codebooks(emb, m_sub=4, k_codes=8)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+    # code j = slices of the j-th lowest-id vector
+    first = emb.orderBy("vec_id").first()
+    assert cbs[0][0] == pytest.approx(list(first.embedding[:4]))
+    assert cbs[3][0] == pytest.approx(list(first.embedding[12:]))
+
+
+def test_initial_codebooks_rejects_bad_split(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.initial_codebooks(emb, m_sub=5)
+
+
+def test_encode_deterministic_and_bounded(emb):
+    cbs = pq.initial_codebooks(emb, m_sub=4, k_codes=8)
+    a = {r.vec_id: r.codes for r in pq.encode_pq(emb, cbs).collect()}
+    b = {r.vec_id: r.codes for r in pq.encode_pq(emb, cbs).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+    # codewords encode to themselves (their own slice is at distance 0)
+    assert a[0] == [0, 0, 0, 0]
+    assert a[5] == [5, 5, 5, 5]
+
+
+def test_training_reduces_quantization_error(emb):
+    def recon_err(cbs):
+        C = [np.array(c) for c in cbs]
+        rows = emb.collect()
+        err = 0.0
+        coded = {r.vec_id: r.codes for r in pq.encode_pq(emb, cbs).collect()}
+        for r in rows:
+            v = np.array(r.embedding)
+            rec = np.concatenate([C[m][coded[r.vec_id][m]] for m in range(4)])
+            err += float(np.sum((v - rec) ** 2))
+        return err
+
+    cbs0 = pq.initial_codebooks(emb, m_sub=4, k_codes=8)
+    cbs2 = pq.train_codebooks(emb, m_sub=4, k_codes=8, iters=2)
+    assert recon_err(cbs2) < recon_err(cbs0)
+
+
+def test_pq_topk_recall_vs_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.brute_force_topk(emb, queries, k=10)
+    cbs = pq.train_codebooks(emb, m_sub=4, k_codes=16, iters=2)
+    coded = pq.encode_pq(emb, cbs)
+    approx = pq.pq_topk(coded, cbs, queries, k=10)
+
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    # 16 codewords x 4 subspaces on clustered data: comfortably > chance
+    assert sum(recalls) / len(recalls) >= 0.6
+    # the self-match (query is in the corpus) must never be lost
+    for q in ex:
+        assert q in ap[q]
+
+
+def test_pq_topk_contract(emb):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = pq.initial_codebooks(emb, m_sub=4, k_codes=8)
+    out = pq.pq_topk(pq.encode_pq(emb, cbs), cbs, queries, k=5)
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    sims = [r.cosine for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in sims)
