@@ -238,3 +238,89 @@ def pq_topk(
     return partial.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF x PQ (the FAISS IVFPQ shape, one DataFrame op per stage):
+    rank coarse centroids per query, keep ``nprobe`` buckets, ADC-score
+    ONLY those buckets' codes. ``coded`` carries both ``centroid_id``
+    (from `ann.assign_centroids`) and ``codes`` (from `encode_pq`); with
+    the index written partitioned by centroid_id, the probe join prunes
+    to nprobe/n_centroids of the files and each surviving row costs an
+    M-gather instead of a d-dim dot. At nprobe = n_centroids this is
+    exactly `pq_topk` (tested)."""
+    import numpy as np
+
+    from embeddingsearch_spark.operators.ann import brute_force_topk
+
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cn2 = [np.sum(c * c, axis=1) for c in C]
+    m_sub = len(C)
+    ds = C[0].shape[1]
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qindex = {r[0]: j for j, r in enumerate(q_rows)}
+    Q = _as_matrix(q_rows, 1)
+    qn = np.linalg.norm(Q, axis=1)
+    lut = [Q[:, m * ds : (m + 1) * ds] @ C[m].T for m in range(m_sub)]
+
+    probe = brute_force_topk(
+        centroids, queries, k=nprobe,
+        id_col=centroid_id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, centroid_id_col)
+    cand = coded.select(id_col, codes_col, centroid_id_col).join(
+        F.broadcast(probe), centroid_id_col
+    )
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for qid_val, g in pdf.groupby(query_id_col):
+                j = qindex[qid_val]
+                codes = np.array(
+                    [np.asarray(c, dtype=np.int64) for c in g[codes_col]]
+                )
+                dots = np.zeros(len(codes))
+                rn2 = np.zeros(len(codes))
+                for m in range(m_sub):
+                    cm = codes[:, m]
+                    dots += lut[m][j, cm]
+                    rn2 += cn2[m][cm]
+                denom = np.sqrt(rn2) * qn[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = np.where(denom == 0.0, 0.0, dots / denom)
+                sim = np.round((raw + 1.0) / 2.0, ROUND_DIGITS)
+                ids = g[id_col].to_numpy()
+                order = np.lexsort((ids, -sim))[: min(k, len(ids))]
+                recs.extend(
+                    (int(qid_val), int(ids[i]), float(sim[i])) for i in order
+                )
+            yield pd.DataFrame(
+                recs, columns=[query_id_col, id_col, "cosine"]
+            )
+
+    partial = cand.mapInPandas(part, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

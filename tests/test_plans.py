@@ -203,3 +203,41 @@ def test_dup_spans_no_distinct_expansion(spark):
     assert "Expand" not in plan
     assert "md5" in plan
     assert pi.count_shuffles(q) <= 6
+
+
+def test_pq_encode_zero_shuffle(spark):
+    """PQ encode is a pure scan-stage map — vectors never shuffle to get
+    their codes."""
+    from embeddingsearch_spark.operators import pq
+
+    emb = tables.load(spark, SF, "embeddings")
+    cbs = pq.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq.encode_pq(emb, cbs)
+    assert pi.count_shuffles(coded) == 0
+
+
+def test_pq_topk_single_shuffle_codes_only(spark):
+    """ADC scan reads only (id, codes): one exchange for the global rank
+    window over per-batch top-k partials; the embedding column is pruned
+    from the scoring scan."""
+    from embeddingsearch_spark.operators import pq
+
+    emb = tables.load(spark, SF, "embeddings")
+    cbs = pq.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq.encode_pq(emb, cbs)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = pq.pq_topk(coded, cbs, qs, k=5)
+    assert pi.count_shuffles(topk) == 1
+
+
+def test_bloom_probe_broadcasts_words(spark):
+    """The Bloom word table joins broadcast — the incoming batch is never
+    shuffled to discover definite-new rows."""
+    from embeddingsearch_spark.operators import dedup
+
+    docs = tables.load(spark, SF, "documents").select("doc_id", "text")
+    inc = docs.select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+    out = dedup.incremental_new_docs_bloom(inc, docs, "doc_id", "text")
+    pi.assert_broadcast_join(out)

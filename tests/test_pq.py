@@ -101,3 +101,47 @@ def test_pq_topk_contract(emb):
     sims = [r.cosine for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in sims)
+
+
+def test_ivfpq_full_probe_equals_pq_topk(emb, spark):
+    """nprobe = n_centroids probes every bucket -> identical to plain
+    ADC over the whole corpus."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = pq.train_codebooks(emb, m_sub=4, k_codes=8, iters=1)
+    cents = ann_ops.kmeans_centroids(emb, k=4, iters=1)
+    coded = pq.encode_pq(
+        ann_ops.assign_centroids(emb, cents), cbs
+    )
+    full = pq.ivfpq_topk(coded, cbs, cents, queries, k=10, nprobe=4)
+    plain = pq.pq_topk(coded, cbs, queries, k=10)
+    assert sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[3])) == \
+           sorted(map(tuple, plain.select(full.columns).collect()),
+                  key=lambda t: (t[0], t[3]))
+
+
+def test_ivfpq_prunes_buckets(emb, spark):
+    """nprobe=1 scores only the probed bucket's rows: every result row's
+    centroid assignment equals the query's nearest centroid."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = pq.train_codebooks(emb, m_sub=4, k_codes=8, iters=1)
+    cents = ann_ops.kmeans_centroids(emb, k=4, iters=1)
+    assigned = ann_ops.assign_centroids(emb, cents)
+    coded = pq.encode_pq(assigned, cbs)
+    out = pq.ivfpq_topk(coded, cbs, cents, queries, k=10, nprobe=1)
+    probe = {
+        r.query_id: r.centroid_id
+        for r in ann_ops.brute_force_topk(
+            cents, queries, k=1, id_col="centroid_id"
+        ).collect()
+    }
+    cid_of = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for r in out.collect():
+        assert cid_of[r.vec_id] == probe[r.query_id]
