@@ -155,8 +155,65 @@ SELECT source,
 FROM documents GROUP BY source"""
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Gap-based sessions computed BY THE STREAMING ENGINE with the native
+    `session_window` stateful operator (watermark-bounded merging session
+    state) — the streaming twin of the batch `events_sessionize`. Complete
+    mode over one AvailableNow batch ≡ the batch gap-island aggregation.
+
+    Session-window semantics: an event at exactly prev_ts + gap starts a
+    NEW session (sessions merge only on strict overlap), so the oracle's
+    island rule uses >= gap, not > gap."""
+    stream = tables.events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    sess = (
+        stream.groupBy(
+            F.session_window("ts", "6 hours"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), RD).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    # state store sized to state volume, not the batch shuffle default
+    return win.run_available_now(
+        sess, output_mode="complete", shuffle_partitions=8
+    )
+
+
+STREAMING_SESSIONIZE_SQL = f"""WITH tagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      >= CAST(21600 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM tagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), {RD}) AS total_value
+FROM sess GROUP BY user_id, session_seq"""
+
+
 QUERIES = {
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
+    "streaming_sessionize": (
+        q_streaming_sessionize,
+        STREAMING_SESSIONIZE_SQL,
+    ),
     "streaming_events_hourly": (
         q_streaming_events_hourly,
         STREAMING_EVENTS_HOURLY_SQL,
