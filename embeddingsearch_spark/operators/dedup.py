@@ -116,6 +116,27 @@ def bloom_words(
     ).groupBy("w").agg(F.bit_or("b").alias("bits"))
 
 
+def build_bloom_index(
+    indexed: DataFrame,
+    text_col: str,
+    n_indexed: int | None = None,
+    fpp: float = 0.01,
+) -> tuple[DataFrame, int, int]:
+    """Build-once Bloom index over an indexed corpus's fingerprints:
+    returns (words, m_bits, k). Persist/cache ``words`` and hand it to
+    `incremental_new_docs_bloom` for every subsequent ingest batch — the
+    build scans the corpus ONCE, while the plain anti-join re-shuffles
+    the full indexed fingerprint set per batch. That amortization (plus
+    bits-not-strings transfer) is where the Bloom path wins; a single
+    cold batch pays build + probe and measures slower at small scale
+    (BASELINE.md scale-probe table)."""
+    if n_indexed is None:
+        n_indexed = indexed.count()
+    m, k = _bloom_sizing(n_indexed, fpp)
+    idx = indexed.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return bloom_words(idx, "fp", m, k), m, k
+
+
 def incremental_new_docs_bloom(
     incoming: DataFrame,
     indexed: DataFrame,
@@ -123,6 +144,7 @@ def incremental_new_docs_bloom(
     text_col: str,
     n_indexed: int | None = None,
     fpp: float = 0.01,
+    bloom: tuple[DataFrame, int, int] | None = None,
 ) -> DataFrame:
     """`incremental_new_docs` with a Bloom prefilter — the 100 TB shape.
 
@@ -140,15 +162,16 @@ def incremental_new_docs_bloom(
     row-identical to `incremental_new_docs` (the driver gate runs both
     against the same oracle). At a re-crawl's typical 90%+ new-content
     ratio this cuts the anti-join's probe volume ~10x and its build side
-    ships as bits, not strings."""
-    if n_indexed is None:
-        n_indexed = indexed.count()
-    m, k = _bloom_sizing(n_indexed, fpp)
-
+    ships as bits, not strings. Pass a persisted `build_bloom_index`
+    result as ``bloom`` to amortize the build across ingest batches —
+    the dominant win at scale."""
     idx = indexed.select(
         fingerprint(F.col(text_col)).alias("fp")
     ).distinct()
-    words = bloom_words(idx, "fp", m, k)
+    if bloom is not None:
+        words, m, k = bloom
+    else:
+        words, m, k = build_bloom_index(indexed, text_col, n_indexed, fpp)
 
     inc = incoming.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")

@@ -112,7 +112,48 @@ SELECT 'default' AS searchdomain,
 FROM cur c FULL JOIN documents i USING (doc_id)"""
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton z-value over (user_id, value) buckets for the z-order
+    layout rewrite (`operators/zorder.zorder_write`): per-file min/max
+    stays tight on BOTH columns once the write is range-partitioned by
+    this key, so parquet footer stats skip files for selective filters
+    on either. Buckets here are integer-exact expressions (pmod /
+    half-unit floor) so the interleave arithmetic is reproducible
+    bit-for-bit by the DuckDB oracle; `zorder_write` itself derives
+    uniform buckets from data bounds (tests/test_zorder.py pins the
+    file-stat quality)."""
+    from embeddingsearch_spark.operators import zorder
+
+    ev = tables.load(spark, sf_dir, "events")
+    ub = F.pmod(F.col("user_id"), F.lit(256)).cast("bigint")
+    vb = F.least(
+        F.greatest(F.floor(F.col("value") * 2), F.lit(0)), F.lit(255)
+    ).cast("bigint")
+    return ev.select(
+        "event_id", zorder.z_value([ub, vb], bits=8).alias("z")
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(8):
+        for j, b in enumerate(["ub", "vb"]):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+    z = " | ".join(terms)
+    return f"""WITH b AS (
+  SELECT event_id,
+         user_id % 256 AS ub,
+         least(greatest(CAST(floor(value * 2) AS BIGINT), 0), 255) AS vb
+  FROM events
+)
+SELECT event_id, CAST({z} AS BIGINT) AS z FROM b"""
+
+
+ZORDER_KEY_SQL = _zorder_sql()
+
+
 QUERIES = {
     "database_size": (q_database_size, DATABASE_SIZE_SQL),
     "reindex_diff": (q_reindex_diff, REINDEX_DIFF_SQL),
+    "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
 }

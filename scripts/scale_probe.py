@@ -221,6 +221,46 @@ def main(factor: int = 50) -> None:
     )
     run("url_dedup", url_op.url_duplicates(urls, "doc_id", "url"))
 
+    # PQ: encode factor-scaled vectors (zero-shuffle GEMM argmin), then
+    # ADC top-k over codes only — memory-scale ANN vs the GEMM brute force
+    from embeddingsearch_spark.operators import pq as pq_op
+
+    cbs = pq_op.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq_op.encode_pq(emb, cbs).cache()
+    t0 = time.perf_counter()
+    n_coded = coded.count()
+    timings["pq_encode"] = round(time.perf_counter() - t0, 2)
+    assert n_coded == n_vecs
+    run("pq_adc_topk", pq_op.pq_topk(coded, cbs, qvecs, k=10))
+    coded.unpersist()
+
+    # Bloom incremental gate vs the plain anti-join at the same volume:
+    # 2/3 of incoming is new (bypasses the verify join via the bitmap)
+    inc = docs.select(
+        (F.col("doc_id") + 10 * n_docs).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh "), F.col("doc_id")))
+        .alias("text"),
+    )
+    run(
+        "incremental_gate_anti",
+        dd_ops.incremental_new_docs(inc, docs, "doc_id", "text"),
+    )
+    # the Bloom index is built ONCE per corpus and reused across ingest
+    # batches — time build and per-batch probe separately (the anti-join
+    # above pays its full indexed-side shuffle on EVERY batch)
+    words, m, k = dd_ops.build_bloom_index(docs, "text", n_indexed=n_docs)
+    words = words.cache()
+    t0 = time.perf_counter()
+    words.count()
+    timings["bloom_index_build"] = round(time.perf_counter() - t0, 2)
+    run(
+        "incremental_gate_bloom_probe",
+        dd_ops.incremental_new_docs_bloom(
+            inc, docs, "doc_id", "text", bloom=(words, m, k)
+        ),
+    )
+
     print(
         json.dumps(
             {

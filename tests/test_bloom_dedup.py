@@ -85,3 +85,23 @@ def test_bloom_no_false_negatives(spark):
         redelivered, indexed, "doc_id", "text", fpp=0.02
     )
     assert out.count() == 0
+
+
+def test_prebuilt_bloom_index_reuse(spark):
+    """A persisted build_bloom_index result probes identically across
+    batches (the amortized scale path)."""
+    indexed = _mk(spark, [(i, f"doc {i}") for i in range(120)])
+    bloom = dedup.build_bloom_index(indexed, "text", fpp=0.01)
+    bloom = (bloom[0].cache(), bloom[1], bloom[2])
+    for batch in range(2):
+        incoming = _mk(
+            spark,
+            [(batch * 1000 + i, f"doc {i}") for i in range(20)]
+            + [(batch * 1000 + 500 + i, f"new {batch}-{i}") for i in range(30)],
+        )
+        out = dedup.incremental_new_docs_bloom(
+            incoming, indexed, "doc_id", "text", bloom=bloom
+        )
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            batch * 1000 + 500 + i for i in range(30)
+        )
