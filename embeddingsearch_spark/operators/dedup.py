@@ -422,14 +422,19 @@ def connected_components(
     representative per component, not per pair (pairwise keep-min drops too
     much when a < b and b < c but a ~ c was never a candidate pair).
 
-    Min-label propagation: every round each node takes the min of its own
-    label and its neighbors' labels — one hash-partitioned groupBy plus one
-    join per round, both on the node id, so the partitioning is reused.
-    Rounds needed = graph diameter. Near-dup graphs are unions of small
-    dense cliques (diameter ≤ ~3), so this beats the O(log n) large-star/
-    small-star dance in practice: 2-3 barely-shuffling rounds, each plan
-    cut with localCheckpoint so lineage stays flat. The driver sees one
-    scalar (changed-count) per round — no per-node collect.
+    Min-label propagation WITH pointer jumping: every round each node
+    takes the min of its own label and its neighbors' labels (one
+    hash-partitioned groupBy + join on the node id), then shortcuts
+    label := label(label) (one more id-keyed join). The shortcut doubles
+    the propagation distance per round, so convergence is O(log diameter)
+    — a chain of 10^6 nodes converges in ~20 rounds where plain
+    propagation would need 10^6 (and would silently return unmerged
+    components at any round cap). Near-dup graphs are unions of small
+    dense cliques that converge in 2-3 rounds either way; the shortcut is
+    what makes pathological shapes (URL redirect chains, transitive
+    similarity paths) safe at scale. Each round's plan is cut with
+    localCheckpoint so lineage stays flat; the driver sees one scalar
+    (changed-count) per round — no per-node collect.
 
     Reference parity: the reference dedups by exact hash equality only
     (SearchdomainHelper change detection); component-grouped near-dedup is
@@ -458,16 +463,34 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("dst", "id")
         )
+        relaxed = labels.join(neigh_min, "id", "left_outer").select(
+            "id",
+            F.col("label").alias("_prev"),
+            F.least(
+                F.col("label"), F.coalesce("nlabel", "label")
+            ).alias("label"),
+        )
+        # pointer jumping: label := label(label). label(x) <= x for every
+        # node, so the shortcut only ever lowers labels, and it doubles
+        # the distance a min has travelled — O(log diameter) rounds.
+        shortcut = relaxed.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
         stepped = (
-            labels.join(neigh_min, "id", "left_outer")
+            relaxed.join(
+                shortcut, relaxed["label"] == shortcut["_lid"], "left_outer"
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
+                    F.col("label"), F.coalesce("_llabel", "label")
                 ).alias("label"),
-                (F.coalesce("nlabel", "label") < F.col("label")).alias(
-                    "_changed"
-                ),
+                "_prev",
+            )
+            .select(
+                "id",
+                "label",
+                (F.col("label") < F.col("_prev")).alias("_changed"),
             )
             # lazy: the convergence count below materializes the
             # checkpoint, so each round is ONE job, not two

@@ -56,3 +56,13 @@ def test_neardup_clusters_singletons_and_representative(spark):
     # untouched doc is its own singleton cluster
     assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
     assert rows[3]["is_representative"]
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    """Pointer jumping: a 400-node chain (diameter 399) must fully merge
+    well inside the default round cap — plain propagation would need 399
+    rounds and silently return unmerged labels at the cap."""
+    edges = [(i, i + 1) for i in range(400)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 401
