@@ -10,6 +10,7 @@ from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.functions import vectors
 from embeddingsearch_spark.operators import ann as ann_ops
+from embeddingsearch_spark.operators import pca as pca_ops
 from embeddingsearch_spark.operators import pq as pq_ops
 
 _COS = """CASE WHEN sqrt(sum(x*x))*sqrt(sum(y*y)) = 0 THEN 0.5
@@ -407,8 +408,31 @@ FROM (
 ) WHERE rank <= 10"""
 
 
+def q_embedding_gram(spark, sf_dir):
+    """Covariance Gramian of the embedding space (PCA's distributed
+    stage, `operators/pca.gram_upper`): per-batch partial X^T X emitted
+    as (i, j, v) rows into a map-side-combinable sum — the corpus never
+    shuffles. Feeds the driver-side eigendecomposition for dim-reduction
+    / whitening ahead of ANN (tests/test_pca.py)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return pca_ops.gram_upper(emb)
+
+
+EMBEDDING_GRAM_SQL = f"""WITH ex AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+m AS (SELECT i, avg(v) AS mu FROM ex GROUP BY i),
+c AS (SELECT e.vec_id, e.i, e.v - m.mu AS v FROM ex e JOIN m USING (i)),
+n AS (SELECT count(*) AS n FROM embeddings)
+SELECT a.i, b.i AS j, round(sum(a.v * b.v) / (n.n - 1), {RD}) + 0.0 AS v
+FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.i >= a.i, n
+GROUP BY a.i, b.i, n.n"""
+
+
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
+    "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
