@@ -430,10 +430,118 @@ FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.i >= a.i, n
 GROUP BY a.i, b.i, n.n"""
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF x PQ end-to-end (the FAISS IVFPQ shape): coarse-quantizer
+    probe (nprobe=2 of 8 centroids) + ADC scoring over codes in the
+    probed buckets only. Gated at iters=0 for both quantizers (centroids
+    = the 8 lowest-id vectors, codebooks = slices of the 16 lowest) so
+    the DuckDB oracle replays assignment, probe, encode and ADC exactly;
+    trained behavior is covered in tests/test_pq.py."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = ann_ops.kmeans_centroids(emb, k=8, iters=0)
+    cbs = pq_ops.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq_ops.encode_pq(ann_ops.assign_centroids(emb, cents), cbs)
+    return pq_ops.ivfpq_topk(
+        coded, cbs, cents, _queries_df(spark, sf_dir), k=10, nprobe=2
+    )
+
+
+# Assignment/probe mirror assign_centroids: remapped cosine rounded to RD,
+# argmax ties -> smallest centroid id. Encode/ADC mirror PQ_TOPK_SQL.
+IVFPQ_TOPK_SQL = f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+asg_elems AS (  -- parallel unnest zips the two arrays positionally
+  SELECT e.vec_id, c.cid,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cv) AS DOUBLE) AS y
+  FROM embeddings e, cent c
+),
+asg_sim AS (
+  SELECT vec_id, cid, {_COS} AS sim
+  FROM asg_elems GROUP BY vec_id, cid
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(sim, {RD}) DESC, cid ASC) AS rn
+    FROM asg_sim
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT s.vec_id AS query_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY round(s.sim, {RD}) DESC, s.cid ASC)
+             AS rn
+    FROM asg_sim s WHERE s.vec_id < 4
+  ) WHERE rn <= 2
+),
+cbe AS (
+  SELECT c.vec_id AS code, m.m, i.i,
+         CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
+  FROM embeddings c, range(0, 8) m(m), range(1, 9) i(i)
+  WHERE c.vec_id < 16
+),
+d2 AS (
+  SELECT v.vec_id, b.m, b.code,
+         round(sum((CAST(v.embedding[b.m * 8 + b.i] AS DOUBLE) - b.cv) ^ 2),
+               {RD}) AS dist
+  FROM embeddings v JOIN cbe b ON true
+  GROUP BY v.vec_id, b.m, b.code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+cand AS (  -- vectors in the probed buckets, per query
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN asg a ON a.cid = p.cid
+),
+rec AS (
+  SELECT ca.query_id, ca.vec_id,
+         sum(b.cv * CAST(q.qv[e.m * 8 + b.i] AS DOUBLE)) AS dot,
+         sum(b.cv * b.cv) AS rn2
+  FROM cand ca
+  JOIN enc e ON e.vec_id = ca.vec_id
+  JOIN cbe b ON b.m = e.m AND b.code = e.code
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 4) q ON q.query_id = ca.query_id
+  GROUP BY ca.query_id, ca.vec_id
+),
+qn AS (
+  SELECT vec_id AS query_id,
+         sqrt(sum(CAST(x AS DOUBLE) ^ 2)) AS qnorm
+  FROM (SELECT vec_id, unnest(embedding) AS x
+        FROM embeddings WHERE vec_id < 4)
+  GROUP BY vec_id
+),
+sims AS (
+  SELECT r.query_id, r.vec_id,
+         round(CASE WHEN sqrt(r.rn2) * q.qnorm = 0 THEN 0.5
+               ELSE (r.dot / (sqrt(r.rn2) * q.qnorm) + 1.0) / 2.0 END,
+               {RD}) AS cosine
+  FROM rec r JOIN qn q USING (query_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
     "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
+    "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
