@@ -152,8 +152,27 @@ SELECT event_id, CAST({z} AS BIGINT) AS z FROM b"""
 ZORDER_KEY_SQL = _zorder_sql()
 
 
+def q_global_ids(spark, sf_dir):
+    """Dense 0-based global ids in doc_id order WITHOUT a global-sort
+    single-partition window (`operators/ids.assign_global_ids`):
+    range-partition + per-partition offsets, two passes, no task holds
+    more than its partition. The id every sharded training-data writer
+    needs."""
+    from embeddingsearch_spark.operators import ids
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ids.assign_global_ids(docs, ["doc_id"])
+
+
+GLOBAL_IDS_SQL = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents"""
+
+
 QUERIES = {
     "database_size": (q_database_size, DATABASE_SIZE_SQL),
     "reindex_diff": (q_reindex_diff, REINDEX_DIFF_SQL),
     "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
+    "global_ids": (q_global_ids, GLOBAL_IDS_SQL),
 }

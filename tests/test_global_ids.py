@@ -1,0 +1,51 @@
+"""Contiguous global ids: dense, order-correct, no single-partition
+exchange in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.operators import ids
+from embeddingsearch_spark.plans import inspect as pi
+
+
+def test_ids_dense_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in [900, 3, 77, 12, 500, 1, 0]],
+        "k long, v string",
+    )
+    out = ids.assign_global_ids(df, ["k"], n_partitions=3).collect()
+    by_k = {r.k: r.global_id for r in out}
+    ordered = sorted(by_k)
+    assert [by_k[k] for k in ordered] == list(range(len(ordered)))
+
+
+def test_ids_dense_at_scale_many_partitions(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k")  # permuted, unique
+    )
+    out = ids.assign_global_ids(df, ["k"], n_partitions=16)
+    assert out.count() == 10_000
+    # dense 0..n-1, and id order == key order
+    agg = out.agg(
+        F.min("global_id"), F.max("global_id"),
+        F.countDistinct("global_id"),
+    ).first()
+    assert tuple(agg) == (0, 9_999, 10_000)
+    sample = out.filter(F.col("k") % 997 == 0).collect()
+    for r in sample:
+        assert r.global_id == r.k  # keys ARE 0..n-1 here
+
+
+def test_no_single_partition_exchange(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = ids.assign_global_ids(df, ["k"], n_partitions=8)
+    # the checkpoint truncates out's visible plan, so pin the shuffle
+    # shape on the stage the operator builds before it: a RANGE
+    # repartition (8 partitions), never a single-partition sort
+    staged = df.repartitionByRange(8, "k").sortWithinPartitions("k")
+    plan = pi.physical_plan(staged)
+    assert "rangepartitioning(k" in plan.lower().replace(" ", ""), plan
+    assert "SinglePartition" not in plan, plan
+    assert "SinglePartition" not in pi.physical_plan(out)
