@@ -617,6 +617,69 @@ SELECT CAST(floor(log2(len({TOKS_SQL}) + 1)) AS INT) AS bucket,
 FROM documents GROUP BY 1"""
 
 
+_CMS_D, _CMS_W = 4, 8192
+
+
+def q_token_heavy_hitters(spark, sf_dir):
+    """Count-Min-sketched token frequencies (`sketches.cms_build` /
+    `cms_estimate`): the fixed-memory path for frequency queries over
+    vocabularies too large to count exactly — the sketch is depth x width
+    counters no matter the corpus, broadcastable and mergeable across
+    shards by addition. Candidates here are the distinct tokens of the
+    first 5 docs; estimates are CMS upper bounds, reproduced exactly by
+    the oracle (sha256-window buckets, the MinHash portability trick)."""
+    from embeddingsearch_spark.operators import sketches as sk
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    cms = sk.cms_build(
+        toks, "tok", depth=_CMS_D, width=_CMS_W, hash_fn="sha256"
+    )
+    cand = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .distinct()
+    )
+    return sk.cms_estimate(
+        cms, cand, "tok", depth=_CMS_D, width=_CMS_W, hash_fn="sha256"
+    )
+
+
+_CMS_BUCKET = (
+    "(('0x' || substr(sha256({s} || ':' || tok), 1, 15))::BIGINT % {w})"
+)
+TOKEN_HEAVY_HITTERS_SQL = f"""WITH toks AS (
+  SELECT unnest({{LT}}) AS tok FROM documents
+),
+cms AS (
+  SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+    {" UNION ALL ".join(
+        f"SELECT {s} AS seed, {_CMS_BUCKET.format(s=s, w=_CMS_W)} AS bucket"
+        " FROM toks"
+        for s in range(_CMS_D)
+    )}
+  ) GROUP BY seed, bucket
+),
+cand AS (
+  SELECT DISTINCT unnest({{LT}}) AS tok FROM documents WHERE doc_id < 5
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT tok, {s} AS seed, {_CMS_BUCKET.format(s=s, w=_CMS_W)} AS bucket"
+      " FROM cand"
+      for s in range(_CMS_D)
+  )}
+)
+SELECT p.tok, min(coalesce(c.c, 0)) AS est_count
+FROM probes p LEFT JOIN cms c USING (seed, bucket)
+GROUP BY p.tok"""
+TOKEN_HEAVY_HITTERS_SQL = TOKEN_HEAVY_HITTERS_SQL.replace(
+    "{LT}", TOKS_SQL.replace("text", "lower(text)")
+)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 terms per document by smoothed TF-IDF (operators/tfidf.py).
     Ties broken by token ascending — a total order both engines agree on."""
@@ -738,6 +801,7 @@ QUERIES = {
     "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
     "corpus_stats": (q_corpus_stats, CORPUS_STATS_SQL),
     "token_histogram": (q_token_histogram, TOKEN_HISTOGRAM_SQL),
+    "token_heavy_hitters": (q_token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
