@@ -436,6 +436,53 @@ def srp_cosine_pairs(
     )
 
 
+def srp_cross_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.65,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora — embedding-level train/eval
+    decontamination (the semantic complement of the n-gram
+    `contamination` operator: paraphrased benchmark leakage that shares
+    no 5-gram still lands in the same LSH bucket). Returns
+    ``(train_id, eval_id, cosine)``.
+
+    Reuses the full srp_cosine_pairs machinery (banded signatures, one
+    GEMM per bucket, in-place verify) by re-keying ids with a side
+    parity bit and keeping only cross-side survivors — both corpora are
+    banded in ONE pass and within-side pairs never leave the bucket
+    scorer's output filter. Same scale bound: candidate volume is
+    Σ bucket², controlled by bits-per-band."""
+    u = train.select(
+        (F.col(id_col) * 2).alias(id_col), vec_col
+    ).unionByName(
+        eval_df.select((F.col(id_col) * 2 + 1).alias(id_col), vec_col)
+    )
+    pairs = srp_cosine_pairs(
+        u, id_col, vec_col, n_bits=n_bits, bands=bands, threshold=threshold
+    )
+    cross = pairs.filter(
+        F.pmod("id_a", F.lit(2)) != F.pmod("id_b", F.lit(2))
+    )
+    train_key = F.when(
+        F.pmod("id_a", F.lit(2)) == 0, F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    eval_key = F.when(
+        F.pmod("id_a", F.lit(2)) == 1, F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    # shiftright keeps the decode in exact integer arithmetic (a double
+    # division would lose ids past 2^53)
+    return cross.select(
+        F.shiftright(train_key.cast("long"), 1).alias("train_id"),
+        F.shiftright(eval_key.cast("long"), 1).alias("eval_id"),
+        "cosine",
+    )
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -138,6 +138,66 @@ SELECT id_a, id_b, round(sim, {RD}) AS cosine
 FROM sims WHERE round(sim, {RD}) >= 0.65"""
 
 
+def q_embedding_contamination(spark, sf_dir):
+    """Embedding-level train/eval decontamination: SRP-LSH near-dup
+    pairs BETWEEN the train split (vec_id >= 40) and the eval split
+    (vec_id < 40) — catches paraphrased benchmark leakage that the
+    n-gram `contamination` check misses. One banding pass over both
+    sides (side-parity re-keying, `ann.srp_cross_pairs`); same 16/4
+    banding as embedding_neardup_lsh so the oracle mirrors it."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 40)
+    ev = emb.filter(F.col("vec_id") < 40)
+    return ann_ops.srp_cross_pairs(
+        train, ev, n_bits=16, bands=4, threshold=0.65
+    )
+
+
+EMBEDDING_CONTAMINATION_SQL = f"""WITH planes AS (
+  SELECT b, d,
+         CASE WHEN strpos('01234567',
+                 substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+                        1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(16)) AS b), (SELECT unnest(range(64)) AS d)
+),
+elems AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, p.b, sum(e.x * p.w) AS pr
+  FROM elems e JOIN planes p ON e.d = p.d
+  GROUP BY e.vec_id, p.b
+),
+buckets AS (
+  SELECT vec_id, CAST(b // 4 AS INT) AS band,
+         CAST(sum(CASE WHEN pr >= 0 THEN 2 ** (b % 4) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, b // 4
+),
+cands AS (
+  SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+  FROM buckets t JOIN buckets e
+    ON t.band = e.band AND t.bucket = e.bucket
+  WHERE t.vec_id >= 40 AND e.vec_id < 40
+),
+pair_elems AS (
+  SELECT cd.train_id, cd.eval_id,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM cands cd JOIN embeddings ea ON ea.vec_id = cd.train_id
+                JOIN embeddings eb ON eb.vec_id = cd.eval_id
+),
+sims AS (
+  SELECT train_id, eval_id, {_COS} AS sim
+  FROM pair_elems GROUP BY train_id, eval_id
+)
+SELECT train_id, eval_id, round(sim, {RD}) AS cosine
+FROM sims WHERE round(sim, {RD}) >= 0.65"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF scale path: assign every vector to its nearest of 16 centroids
     (first 16 vectors double as centroids — deterministic), then probe only
@@ -548,6 +608,10 @@ QUERIES = {
     "embedding_neardup_lsh": (
         q_embedding_neardup_lsh,
         EMBEDDING_NEARDUP_LSH_SQL,
+    ),
+    "embedding_contamination": (
+        q_embedding_contamination,
+        EMBEDDING_CONTAMINATION_SQL,
     ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "ivf_kmeans_build": (q_ivf_kmeans_build, None),

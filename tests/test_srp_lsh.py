@@ -86,3 +86,36 @@ def test_no_cartesian_plan(truth):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_pairs_cross_side_only_and_recall(spark):
+    """srp_cross_pairs returns only train x eval pairs and finds planted
+    eval leaks (identical vectors always share every bucket)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators import ann
+
+    rng = np.random.default_rng(3)
+    base = [[float(x) for x in rng.normal(size=16)] for _ in range(60)]
+    train = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    # eval: 5 exact leaks of train vectors + 20 fresh
+    ev_rows = [(100 + j, base[j * 7]) for j in range(5)] + [
+        (200 + j, [float(x) for x in rng.normal(size=16)]) for j in range(20)
+    ]
+    ev = spark.createDataFrame(
+        ev_rows, "vec_id long, embedding array<double>"
+    )
+    out = ann.srp_cross_pairs(
+        train, ev, n_bits=16, bands=4, threshold=0.99
+    ).collect()
+    train_ids = {r.train_id for r in out}
+    eval_ids = {r.eval_id for r in out}
+    assert train_ids <= set(range(60))
+    assert eval_ids <= {100 + j for j in range(5)} | {200 + j for j in range(20)}
+    # every planted leak found (identical vector -> cosine 1.0)
+    found = {(r.train_id, r.eval_id) for r in out if r.cosine >= 0.999}
+    assert {(j * 7, 100 + j) for j in range(5)} <= found
