@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from embeddingsearch_spark.functions.text import (
@@ -298,11 +298,13 @@ def minhash_config_for(
     return best[0] * best[1], best[0]
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Band the K signature values into ``bands`` groups; docs colliding on
-    any full band become candidate pairs (a < b)."""
+    """(id, band, bh): the K signature values grouped into ``bands`` band
+    hashes — the LSH bucket table. Persist the indexed corpus's band
+    table once and every ingest batch joins against it (the near-dup
+    analogue of `build_bloom_index`)."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
@@ -313,9 +315,17 @@ def lsh_candidate_pairs(
                 F.sha2(F.concat_ws("_", *parts), 256).alias("bh"),
             )
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the K signature values into ``bands`` groups; docs colliding on
+    any full band become candidate pairs (a < b)."""
+    banded = lsh_bands(sigs, id_col, k, bands)
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
     return (
@@ -369,6 +379,82 @@ def near_duplicates_minhash(
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, hash_fn)
     pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
     return jaccard_verify(df, pairs, id_col, text_col, shingle_n, threshold)
+
+
+def incremental_neardup(
+    incoming: DataFrame,
+    indexed: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "sha256",
+) -> DataFrame:
+    """NEAR-dup ingest gate — the fuzzy complement of
+    `incremental_new_docs`: per incoming doc, its best Jaccard-verified
+    match in the INDEXED corpus, or nothing -> is_new. A re-crawl's
+    lightly-edited re-deliveries (timestamps, footers) slip through the
+    exact-fingerprint gate and land here.
+
+    Shape: band the incoming batch's MinHash signatures and equi-join
+    the indexed corpus's band table (persist it across batches via
+    `lsh_bands` — only new bands are computed per batch); only bucket
+    collisions get the exact cross-Jaccard verify; best match = highest
+    jaccard, ties -> smallest indexed id. Returns
+    ``(id, match_id, jaccard, is_new)`` for every incoming row."""
+    sig_in = minhash_signatures(incoming, id_col, text_col, k, shingle_n, hash_fn)
+    sig_ix = minhash_signatures(indexed, id_col, text_col, k, shingle_n, hash_fn)
+    b_in = lsh_bands(sig_in, id_col, k, bands).withColumnRenamed(
+        id_col, "_inc_id"
+    )
+    b_ix = lsh_bands(sig_ix, id_col, k, bands).withColumnRenamed(
+        id_col, "_idx_id"
+    )
+    cand = (
+        b_in.join(b_ix, ["band", "bh"]).select("_inc_id", "_idx_id").distinct()
+    )
+
+    def shingles(df):
+        return df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(id_col),
+            word_shingles_of(F.col("_toks"), shingle_n).alias("sh"),
+        )
+
+    a = shingles(incoming).select(
+        F.col(id_col).alias("_inc_id"), F.col("sh").alias("sh_a")
+    )
+    b = shingles(indexed).select(
+        F.col(id_col).alias("_idx_id"), F.col("sh").alias("sh_b")
+    )
+    j = cand.join(a, "_inc_id").join(b, "_idx_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    verified = j.select(
+        "_inc_id", "_idx_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    w = Window.partitionBy("_inc_id").orderBy(
+        F.col("jaccard").desc(), F.col("_idx_id").asc()
+    )
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_inc_id", "_idx_id", "jaccard")
+    )
+    return (
+        incoming.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("_inc_id"), "left_outer")
+        .select(
+            id_col,
+            F.col("_idx_id").alias("match_id"),
+            "jaccard",
+            F.col("_idx_id").isNull().alias("is_new"),
+        )
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:

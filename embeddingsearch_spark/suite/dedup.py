@@ -284,6 +284,123 @@ def q_dedup_incremental_bloom(spark, sf_dir):
     )
 
 
+def q_neardup_incremental(spark, sf_dir):
+    """NEAR-dup ingest gate (`dedup.incremental_neardup`): an incoming
+    batch of exact re-deliveries (%7), lightly-edited near copies (%5 +
+    tail) and genuinely fresh docs (%11, synthetic text) against the
+    indexed documents — per row, the best Jaccard-verified indexed match
+    or is_new. The fuzzy complement of dedup_incremental: the near
+    copies pass the exact-fingerprint gate but are caught here."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" entirely new content block with no indexed overlap"),
+        ).alias("text"),
+    )
+    incoming = exact.unionAll(near).unionAll(fresh)
+    out = dd_ops.incremental_neardup(incoming, docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "match_id", F.round("jaccard", RD).alias("jaccard"), "is_new"
+    )
+
+
+_INC_SQL = """inc AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup tail'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 300000,
+         'fresh document ' || doc_id ||
+         ' entirely new content block with no indexed overlap'
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+
+
+def _sh_of(table: str, alias: str) -> str:
+    return f"""{alias} AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(1, len({TOKS_SQL}) - 2) + 1),
+      i -> array_to_string(({TOKS_SQL})[i:i+2], ' ')
+    ))) AS shingle
+  FROM {table}
+)"""
+
+
+def _banded_of(sh_alias: str, alias: str) -> str:
+    mh = ",\n         ".join(
+        f"min(CAST(('0x' || substr(sha256(shingle), {8 * i + 1}, 8)) AS BIGINT))"
+        f" AS mh{i}"
+        for i in range(8)
+    )
+    return f"""{alias}_sigs AS (
+  SELECT doc_id, {mh} FROM {sh_alias} GROUP BY doc_id
+),
+{alias} AS (
+  SELECT doc_id, 0 AS band, sha256(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bh
+  FROM {alias}_sigs
+  UNION ALL
+  SELECT doc_id, 1, sha256(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM {alias}_sigs
+  UNION ALL
+  SELECT doc_id, 2, sha256(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM {alias}_sigs
+  UNION ALL
+  SELECT doc_id, 3, sha256(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM {alias}_sigs
+)"""
+
+
+NEARDUP_INCREMENTAL_SQL = f"""WITH {_INC_SQL},
+{_sh_of('inc', 'shi')},
+{_sh_of('documents', 'shx')},
+{_banded_of('shi', 'bi')},
+{_banded_of('shx', 'bx')},
+cand AS (
+  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS idx_id
+  FROM bi a JOIN bx b ON a.band = b.band AND a.bh = b.bh
+),
+sizes_i AS (SELECT doc_id, count(*) AS nsh FROM shi GROUP BY doc_id),
+sizes_x AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.inc_id, c.idx_id, count(*) AS ninter
+  FROM cand c
+  JOIN shi sa ON sa.doc_id = c.inc_id
+  JOIN shx sb ON sb.doc_id = c.idx_id AND sb.shingle = sa.shingle
+  GROUP BY c.inc_id, c.idx_id
+),
+verified AS (
+  SELECT c.inc_id, c.idx_id,
+         CAST(coalesce(i.ninter, 0) AS DOUBLE)
+           / (zi.nsh + zx.nsh - coalesce(i.ninter, 0)) AS jacc
+  FROM cand c
+  JOIN sizes_i zi ON zi.doc_id = c.inc_id
+  JOIN sizes_x zx ON zx.doc_id = c.idx_id
+  LEFT JOIN inter i ON i.inc_id = c.inc_id AND i.idx_id = c.idx_id
+  WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
+        / (zi.nsh + zx.nsh - coalesce(i.ninter, 0)) >= 0.5
+),
+best AS (
+  SELECT inc_id, idx_id, jacc FROM (
+    SELECT inc_id, idx_id, jacc,
+           row_number() OVER (PARTITION BY inc_id
+                              ORDER BY jacc DESC, idx_id ASC) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT i.doc_id, b.idx_id AS match_id, round(b.jacc, {RD}) AS jaccard,
+       b.idx_id IS NULL AS is_new
+FROM inc i LEFT JOIN best b ON b.inc_id = i.doc_id"""
+
+
 _SPAN_N = 8
 
 
@@ -338,6 +455,7 @@ QUERIES = {
         DEDUP_INCREMENTAL_SQL,
     ),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
+    "neardup_incremental": (q_neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),

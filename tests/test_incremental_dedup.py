@@ -24,3 +24,34 @@ def test_incremental_new_docs_filters_known_content(spark):
 def test_incremental_self_empty(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
     assert dd.incremental_new_docs(df, df, "doc_id", "text").count() == 0
+
+
+def test_incremental_neardup_classifies_batch(spark):
+    """Near-dup gate: exact re-delivery matches at jaccard 1.0, an edited
+    copy matches fuzzily, fresh content is_new."""
+    from embeddingsearch_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    indexed = spark.createDataFrame(
+        [(1, base), (2, "spark plans shuffle exchanges and codegen stages nightly")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                             # exact
+            (11, base + " with a tiny appended tail"),  # near
+            (12, "completely unrelated fresh text about volcanoes erupting"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_neardup(
+            incoming, indexed, "doc_id", "text"
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[10].match_id == 1 and out[10].jaccard == 1.0
+    assert out[11].match_id == 1 and 0.5 <= out[11].jaccard < 1.0
+    assert out[12].is_new and out[12].match_id is None
+    assert not out[10].is_new and not out[11].is_new
