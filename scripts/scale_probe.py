@@ -260,6 +260,12 @@ def main(factor: int = 50) -> None:
             inc, docs, "doc_id", "text", bloom=(words, m, k)
         ),
     )
+    # near-dup ingest gate: a 1/10 batch against the full indexed corpus
+    inc_small = inc.filter(F.col("doc_id") % 10 == 0)
+    run(
+        "incremental_neardup_gate",
+        dd_ops.incremental_neardup(inc_small, docs, "doc_id", "text"),
+    )
 
     print(
         json.dumps(
