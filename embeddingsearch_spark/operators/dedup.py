@@ -391,6 +391,7 @@ def incremental_neardup(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "sha256",
+    exact_first: bool = False,
 ) -> DataFrame:
     """NEAR-dup ingest gate — the fuzzy complement of
     `incremental_new_docs`: per incoming doc, its best Jaccard-verified
@@ -403,7 +404,43 @@ def incremental_neardup(
     `lsh_bands` — only new bands are computed per batch); only bucket
     collisions get the exact cross-Jaccard verify; best match = highest
     jaccard, ties -> smallest indexed id. Returns
-    ``(id, match_id, jaccard, is_new)`` for every incoming row."""
+    ``(id, match_id, jaccard, is_new)`` for every incoming row.
+
+    ``exact_first=True`` is the production composition: byte-identical
+    re-deliveries are resolved by a fingerprint join (match_id = the
+    smallest indexed id with the same fingerprint, jaccard 1.0) and
+    never reach signature/verify — on re-crawls, where most dups ARE
+    byte-identical, this removes almost all LSH candidate volume
+    (measured 13x on the duplication-heavy scale probe, BASELINE.md).
+    Tie selection can differ from the pure mode only for docs whose
+    distinct-shingle SET equals a non-identical doc's (both orders are
+    valid best matches at jaccard 1.0)."""
+    if exact_first:
+        inc_fp = incoming.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+        )
+        idx_fp = (
+            indexed.select(
+                fingerprint(F.col(text_col)).alias("_fp"),
+                F.col(id_col).alias("_idx_id"),
+            )
+            .groupBy("_fp")
+            .agg(F.min("_idx_id").alias("_idx_id"))
+        )
+        exact_hits = inc_fp.join(idx_fp, "_fp").select(
+            id_col,
+            F.col("_idx_id").alias("match_id"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit(False).alias("is_new"),
+        )
+        rest = incoming.join(
+            exact_hits.select(id_col), id_col, "left_anti"
+        )
+        fuzzy = incremental_neardup(
+            rest, indexed, id_col, text_col, k, bands, shingle_n,
+            threshold, hash_fn, exact_first=False,
+        )
+        return exact_hits.unionByName(fuzzy)
     sig_in = minhash_signatures(incoming, id_col, text_col, k, shingle_n, hash_fn)
     sig_ix = minhash_signatures(indexed, id_col, text_col, k, shingle_n, hash_fn)
     b_in = lsh_bands(sig_in, id_col, k, bands).withColumnRenamed(

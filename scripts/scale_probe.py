@@ -260,11 +260,21 @@ def main(factor: int = 50) -> None:
             inc, docs, "doc_id", "text", bloom=(words, m, k)
         ),
     )
-    # near-dup ingest gate: a 1/10 batch against the full indexed corpus
+    # near-dup ingest gate: a 1/10 batch against the full indexed corpus.
+    # This data is duplication-pathological (each original has ~17
+    # byte-identical indexed replicas), so also measure the production
+    # composition (exact fingerprint gate first — identical dups never
+    # reach LSH).
     inc_small = inc.filter(F.col("doc_id") % 10 == 0)
     run(
         "incremental_neardup_gate",
         dd_ops.incremental_neardup(inc_small, docs, "doc_id", "text"),
+    )
+    run(
+        "incremental_neardup_exact_first",
+        dd_ops.incremental_neardup(
+            inc_small, docs, "doc_id", "text", exact_first=True
+        ),
     )
 
     print(

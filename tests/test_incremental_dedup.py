@@ -55,3 +55,34 @@ def test_incremental_neardup_classifies_batch(spark):
     assert out[11].match_id == 1 and 0.5 <= out[11].jaccard < 1.0
     assert out[12].is_new and out[12].match_id is None
     assert not out[10].is_new and not out[11].is_new
+
+
+def test_incremental_neardup_exact_first_equivalent(spark):
+    """exact_first short-circuits byte-identical dups but classifies the
+    batch identically (no shingle-set collisions in this data)."""
+    from embeddingsearch_spark.operators import dedup
+
+    docs = [
+        (i, f"document number {i} about topic {i % 3} with body text {i}")
+        for i in range(40)
+    ]
+    indexed = spark.createDataFrame(docs, "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(100 + i, t) for i, (_, t) in enumerate(docs[:10])]          # exact
+        + [(200, docs[5][1] + " edited tail"), (300, "wholly new text here")],
+        "doc_id long, text string",
+    )
+    kw = dict(id_col="doc_id", text_col="text")
+    pure = {
+        r.doc_id: (r.match_id, r.is_new)
+        for r in dedup.incremental_neardup(incoming, indexed, **kw).collect()
+    }
+    fast = {
+        r.doc_id: (r.match_id, r.is_new)
+        for r in dedup.incremental_neardup(
+            incoming, indexed, exact_first=True, **kw
+        ).collect()
+    }
+    assert pure == fast
+    assert fast[300] == (None, True)
+    assert fast[100] == (0, False)
