@@ -406,13 +406,15 @@ def incremental_neardup(
     jaccard, ties -> smallest indexed id. Returns
     ``(id, match_id, jaccard, is_new)`` for every incoming row.
 
-    ``exact_first=True`` is the production composition: byte-identical
-    re-deliveries are resolved by a fingerprint join (match_id = the
-    smallest indexed id with the same fingerprint, jaccard 1.0) and
-    never reach signature/verify — on re-crawls, where most dups ARE
-    byte-identical, this removes almost all LSH candidate volume
-    (measured 13x on the duplication-heavy scale probe, BASELINE.md).
-    Tie selection can differ from the pure mode only for docs whose
+    ``exact_first=True`` resolves byte-identical re-deliveries with a
+    fingerprint join (match_id = the smallest indexed id with the same
+    fingerprint, jaccard 1.0) so they never reach signature/verify. It
+    pays one fingerprint aggregation over the indexed side, so it wins
+    only when the batch is dominated by EXACT dups; when most of the
+    batch still needs LSH (the scale probe's pathological data, where
+    even "fresh" docs near-match a 17-replica original) it measured
+    neutral-to-slower (BASELINE.md) — measure on your dup mix. Tie
+    selection can differ from the pure mode only for docs whose
     distinct-shingle SET equals a non-identical doc's (both orders are
     valid best matches at jaccard 1.0)."""
     if exact_first:
