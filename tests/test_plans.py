@@ -241,3 +241,51 @@ def test_bloom_probe_broadcasts_words(spark):
     inc = docs.select((F.col("doc_id") + 9000).alias("doc_id"), "text")
     out = dedup.incremental_new_docs_bloom(inc, docs, "doc_id", "text")
     pi.assert_broadcast_join(out)
+
+
+def test_cms_build_single_shuffle(spark):
+    """CMS build: scan-side explode + ONE map-side-combinable groupBy."""
+    from embeddingsearch_spark.operators import sketches as sk
+
+    docs = tables.load(spark, SF, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cms = sk.cms_build(docs, "tok", depth=4, width=1024)
+    assert pi.count_shuffles(cms) == 1
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    from embeddingsearch_spark.operators import sketches as sk
+
+    docs = tables.load(spark, SF, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cms = sk.cms_build(docs, "tok", depth=4, width=1024)
+    cand = docs.limit(20).distinct()
+    est = sk.cms_estimate(cms, cand, "tok", depth=4, width=1024)
+    pi.assert_broadcast_join(est)
+
+
+def test_gram_upper_single_shuffle(spark):
+    """PCA Gramian: per-batch partials + one (i, j) groupBy — the corpus
+    itself never shuffles."""
+    from embeddingsearch_spark.operators import pca
+
+    emb = tables.load(spark, SF, "embeddings")
+    g = pca.gram_upper(emb, means=[0.0] * 64)
+    assert pi.count_shuffles(g) == 1
+
+
+def test_incremental_neardup_no_cartesian(spark):
+    """The near-dup gate candidates come from a band equi-join — never a
+    cartesian/nested-loop between the corpora."""
+    from embeddingsearch_spark.operators import dedup
+
+    docs = tables.load(spark, SF, "documents").select("doc_id", "text")
+    inc = docs.limit(50).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    out = dedup.incremental_neardup(inc, docs, "doc_id", "text")
+    plan = pi.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
