@@ -75,6 +75,47 @@ def main(sf_dir: str) -> None:
     print(f"embedding near-dup pairs (cosine >= 0.7): {n_vec_pairs}")
     budget.show()
 
+    # 6. incremental ingest: a re-crawl batch hits the Bloom exact gate,
+    # survivors hit the MinHash near-dup gate — only genuinely-new
+    # content would be embedded/indexed
+    recrawl = docs.limit(50).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    ).unionAll(
+        spark.createDataFrame(
+            [(999001, "a brand new crawl page about spark z-ordering")],
+            "doc_id long, text string",
+        )
+    )
+    bloom = dedup.build_bloom_index(docs2, "text")
+    new_exact = dedup.incremental_new_docs_bloom(
+        recrawl, docs2, "doc_id", "text", bloom=bloom
+    )
+    flags = dedup.incremental_neardup(
+        recrawl.join(new_exact.select("doc_id"), "doc_id"),
+        docs2, "doc_id", "text", hash_fn="xxhash64",
+    )
+    print(
+        f"re-crawl batch: {recrawl.count()} docs, "
+        f"{new_exact.count()} pass exact gate, "
+        f"{flags.filter('is_new').count()} genuinely new after near-dup gate"
+    )
+
+    # 7. ANN at memory scale: PCA-whiten, PQ-encode, ADC top-k
+    from embeddingsearch_spark.operators import pca, pq
+
+    means, comps, ev = pca.pca_components(emb, k=16)
+    proj = pca.project(emb, means, comps, whiten_by=ev).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    cbs = pq.train_codebooks(proj, m_sub=4, k_codes=16, iters=1)
+    coded = pq.encode_pq(proj, cbs)
+    queries = proj.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = pq.pq_topk(coded, cbs, queries, k=5)
+    print("PQ/ADC top-5 on PCA-whitened embeddings:")
+    topk.orderBy("query_id", "rank").show()
+
     # 5. write partitioned by split, then compact the small files
     out = tempfile.mkdtemp(prefix="es_training_prep_")
     tagged.drop("_pr").write.mode("overwrite").partitionBy("split").parquet(out)
