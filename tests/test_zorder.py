@@ -106,3 +106,21 @@ def test_zorder_skips_files_for_selective_filter(laid_out):
         # ideal: a 5% slab touches ~1/8 of the files (one grid column of
         # the 8x8 z-grid); sampling noise can double that, not more
         assert hit <= int(len(spans) * 0.4), (col, hit, len(spans))
+
+
+def test_z_value_random_cross_check(spark):
+    """500 random bucket tuples: Spark's shift/or column arithmetic must
+    equal the Python reference interleave exactly."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.withColumn(
+        "z", zorder.z_value([F.col("a"), F.col("b"), F.col("c")], bits=8)
+    ).collect()
+    for r in got:
+        assert r.z == _morton([r.a, r.b, r.c], 8), (r.a, r.b, r.c)
