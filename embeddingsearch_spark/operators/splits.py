@@ -86,6 +86,32 @@ def stratified_sample(
     return df.filter(split_bucket(F.col(id_col), salt) < cut)
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample (eval/holdout set
+    construction): rows ranked inside each stratum by md5(salt, id) —
+    a reproducible pseudo-random order any engine can replay — and the
+    first N kept. One exchange on the stratum key; strata are bounded
+    in number, so the window never single-partitions the data. For
+    fraction-based thinning use `stratified_sample` (zero-shuffle)."""
+    from pyspark.sql import Window
+
+    hk = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(hk.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     id_col: str,

@@ -680,6 +680,69 @@ TOKEN_HEAVY_HITTERS_SQL = TOKEN_HEAVY_HITTERS_SQL.replace(
 )
 
 
+def q_phrase_pmi(spark, sf_dir):
+    """Bigram PMI phrase detection (`operators/phrases.phrase_scores`,
+    word2phrase-style): adjacent pairs co-occurring beyond unigram
+    expectation, the pre-tokenizer phrase-merge signal. Two scan-side
+    explodes + counts; text never shuffles."""
+    from embeddingsearch_spark.operators import phrases
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return phrases.phrase_scores(docs, "text", min_count=5)
+
+
+PHRASE_PMI_SQL = """WITH t AS (
+  SELECT {LT} AS t FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w
+),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair
+  FROM t, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+tot AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS T,
+         CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS B
+  FROM t
+)
+SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       round(ln((CAST(b.n_pair AS DOUBLE) / tot.B)
+             / ((CAST(u1.n_w AS DOUBLE) / tot.T)
+                * (CAST(u2.n_w AS DOUBLE) / tot.T))), {RD}) AS pmi
+FROM bi b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot"""
+PHRASE_PMI_SQL = PHRASE_PMI_SQL.replace(
+    "{LT}", TOKS_SQL.replace("text", "lower(text)")
+).replace("{RD}", str(RD))
+
+
+def q_eval_holdout(spark, sf_dir):
+    """Exactly-N-per-language holdout sample
+    (`splits.stratified_fixed_n`): 20 docs per lang in reproducible
+    md5 order — the deterministic eval-set constructor."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return splits.stratified_fixed_n(docs, "doc_id", "lang", 20)
+
+
+EVAL_HOLDOUT_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 20"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 terms per document by smoothed TF-IDF (operators/tfidf.py).
     Ties broken by token ascending — a total order both engines agree on."""
@@ -802,6 +865,8 @@ QUERIES = {
     "corpus_stats": (q_corpus_stats, CORPUS_STATS_SQL),
     "token_histogram": (q_token_histogram, TOKEN_HISTOGRAM_SQL),
     "token_heavy_hitters": (q_token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
+    "phrase_pmi": (q_phrase_pmi, PHRASE_PMI_SQL),
+    "eval_holdout": (q_eval_holdout, EVAL_HOLDOUT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
