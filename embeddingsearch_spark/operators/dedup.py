@@ -671,6 +671,48 @@ def neardup_clusters(
     )
 
 
+def select_representatives(
+    assignments: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Quality-aware keep decision per near-dup cluster: real pipelines
+    keep the BEST document of each duplicate cluster, not the lowest id
+    (Lee et al. keep-longest; quality-classifier scores work too).
+    ``assignments`` is `connected_components`/`neardup_clusters` output
+    (id, cluster_id); quality defaults to text length. Returns
+    ``(id, cluster_id, rep_id, keep)`` — one window rank over the
+    cluster key, ties -> smallest id."""
+    q = (
+        F.length(F.col(text_col))
+        if quality_col is None
+        else F.col(quality_col)
+    )
+    joined = assignments.select(id_col, "cluster_id").join(
+        docs.select(F.col(id_col), q.alias("_q")), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("rep_id"))
+    )
+    return (
+        assignments.select(id_col, "cluster_id")
+        .join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "rep_id",
+            (F.col(id_col) == F.col("rep_id")).alias("keep"),
+        )
+    )
+
+
 def duplicate_span_profile(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -167,6 +167,46 @@ SELECT a.doc_id, a.cluster_id, s.cluster_size,
 FROM asg a JOIN sz s USING (cluster_id)"""
 
 
+def q_neardup_keep_best(spark, sf_dir):
+    """Keep-best dedup decision (`dedup.select_representatives`): per
+    near-dup cluster, the LONGEST member survives (ties -> smallest id)
+    — the keep policy real pipelines use instead of min-id. Composes the
+    clustering pipeline's assignments with one window rank."""
+    dd = derive_dd(spark, sf_dir)
+    clusters = dd_ops.neardup_clusters(
+        dd, "doc_id", "text", k=8, bands=4, shingle_n=3, threshold=0.5
+    )
+    return dd_ops.select_representatives(clusters, dd, "doc_id", "text")
+
+
+NEARDUP_KEEP_BEST_SQL = f"""WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pfin
+  UNION
+  SELECT id_b, id_a FROM pfin
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id, least(id, min(lbl)) AS cluster_id FROM reach GROUP BY id),
+asg AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM dd d LEFT JOIN comp c ON c.id = d.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS rep_id FROM (
+    SELECT a.cluster_id, a.doc_id,
+           row_number() OVER (PARTITION BY a.cluster_id
+                              ORDER BY len(d.text) DESC, a.doc_id ASC) AS rn
+    FROM asg a JOIN dd d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT a.doc_id, a.cluster_id, b.rep_id, a.doc_id = b.rep_id AS keep
+FROM asg a JOIN best b USING (cluster_id)"""
+
+
 def q_simhash(spark, sf_dir):
     return dd_ops.simhash(derive_dd(spark, sf_dir), "doc_id", "text", bits=16)
 
@@ -457,6 +497,7 @@ QUERIES = {
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
     "neardup_incremental": (q_neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "neardup_keep_best": (q_neardup_keep_best, NEARDUP_KEEP_BEST_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
 }

@@ -66,3 +66,24 @@ def test_long_chain_converges_within_log_rounds(spark):
     got = _components(spark, edges)
     assert set(got.values()) == {0}
     assert len(got) == 401
+
+
+def test_select_representatives_keeps_longest(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short text"),
+            (2, "a much longer version of the same duplicated text body"),
+            (3, "unrelated singleton document"),
+        ],
+        "doc_id long, text string",
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.select_representatives(asg, docs, "doc_id").collect()
+    }
+    assert out[2].keep and out[2].rep_id == 2   # longest wins, not min id
+    assert not out[1].keep and out[1].rep_id == 2
+    assert out[3].keep and out[3].rep_id == 3
