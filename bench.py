@@ -49,6 +49,10 @@ def main() -> None:
     spark = get_spark(
         "embeddingsearch-bench",
         shuffle_partitions=_partitions_for(sf_dir),
+        # The stage progress bar writes \r-frames to the console; round-2's
+        # BENCH record was truncated by that interleaving. Kill it at the
+        # source for bench runs.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
     # Warm the session so the first measured query doesn't pay one-time
@@ -78,18 +82,27 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+    # Durable copy first: even if console capture mangles the line, the
+    # full record survives on disk next to this script.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    # Quiesce ALL Spark output (executor logs, shutdown hooks print on
+    # stop) before the JSON so it is the sole final stdout line.
     spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
