@@ -112,6 +112,29 @@ class Engine:
             "score double, rank int",
         )
         self._settings: dict[str, SearchdomainSettings] = {}
+        # MERGE-grade persistence state: which searchdomain partitions have
+        # changed since the last save/load of _save_root. None = provenance
+        # unknown → next save() is a full rewrite. A domain in the set has
+        # its partition selectively rewritten (or its directory removed if
+        # its row-set became empty) by the next incremental save().
+        self._save_root: str | None = None
+        self._dirty: set[str] | None = None
+
+    def _note_dirty(self, domains) -> None:
+        """Record searchdomains whose persisted partitions are stale.
+        ``domains`` is a list of names or a DataFrame with a searchdomain
+        column (distinct names are collected — domain cardinality is small
+        by design, mirroring the reference's per-domain caches)."""
+        if self._dirty is None:
+            return
+        if isinstance(domains, DataFrame):
+            names = [
+                r[0]
+                for r in domains.select("searchdomain").distinct().collect()
+            ]
+        else:
+            names = list(domains)
+        self._dirty.update(names)
 
     # -- indexing (PUT /Entities equivalent) --------------------------------
 
@@ -140,6 +163,7 @@ class Engine:
         ).localCheckpoint(eager=True)
         self.index_flat = new_index
         self.embedding_cache = new_cache
+        self._note_dirty(ingest)
         touched = result.index_flat.select("searchdomain", "entity").distinct()
         self._invalidate_disabled(touched.select("searchdomain").distinct())
         self._reconcile_query_results(touched)
@@ -166,6 +190,10 @@ class Engine:
         self.index_flat = index_build.finalize_session(
             self.index_flat, uploaded
         ).localCheckpoint(eager=True)
+        # Finalize prunes entities across EVERY domain (entities absent
+        # from the uploaded set are dropped globally) — all partitions are
+        # potentially stale, so the next save() must be a full rewrite.
+        self._dirty = None
         self._invalidate_disabled(uploaded.select("searchdomain").distinct())
         self._drop_deleted_from_results()
 
@@ -173,6 +201,7 @@ class Engine:
         self.index_flat = index_build.delete_entities(
             self.index_flat, names
         ).localCheckpoint(eager=True)
+        self._note_dirty(names)
         self._invalidate_disabled(names.select("searchdomain").distinct())
         self._drop_deleted_from_results()
 
@@ -220,6 +249,10 @@ class Engine:
         fresh = self.search(query, searchdomain=searchdomain).withColumn(
             "query", F.lit(query)
         ).select("searchdomain", "query", "entity", "score", "rank")
+        if searchdomain is not None:
+            self._note_dirty([searchdomain])
+        else:
+            self._note_dirty(self.index_flat)
         kept = self.query_results.join(
             fresh.select("searchdomain", "query").distinct(),
             ["searchdomain", "query"],
@@ -329,6 +362,7 @@ class Engine:
             self.query_results = others.unionByName(
                 self.query_results.join(keep, ["searchdomain", "query"], "left_semi")
             ).localCheckpoint(eager=True)
+            self._note_dirty([name])
         return settings
 
     def rename_searchdomain(self, name: str, new_name: str) -> None:
@@ -346,6 +380,9 @@ class Engine:
         ).localCheckpoint(eager=True)
         if name in self._settings:
             self._settings[new_name] = self._settings.pop(name)
+        # Old partition is now empty (directory removed at save); new one
+        # is written fresh.
+        self._note_dirty([name, new_name])
 
     def delete_searchdomain(self, name: str) -> int:
         """DELETE /Searchdomain: drop the domain's entities, materialized
@@ -359,6 +396,7 @@ class Engine:
             F.col("searchdomain") != name
         ).localCheckpoint(eager=True)
         self._settings.pop(name, None)
+        self._note_dirty([name])
         return n
 
     def list_searchdomains(self) -> DataFrame:
@@ -380,6 +418,7 @@ class Engine:
         self.query_results = self.query_results.filter(
             F.col("searchdomain") != name
         ).localCheckpoint(eager=True)
+        self._note_dirty([name])
 
     def query_cache_stats(self, name: str) -> dict:
         """GET /Searchdomain/QueryCacheSize shape: element count, capacity,
@@ -557,16 +596,100 @@ class Engine:
 
     # -- persistence ---------------------------------------------------------
 
-    def save(self, path: str) -> None:
-        """Write both tables partitioned by searchdomain (the 100-TB layout:
-        partition pruning replaces the reference's per-domain caches)."""
-        self.index_flat.write.partitionBy("searchdomain").mode(
-            "overwrite"
-        ).parquet(f"{path}/index_flat")
-        self.embedding_cache.write.mode("overwrite").parquet(
-            f"{path}/embedding_cache"
+    def save(self, path: str, incremental: bool | None = None) -> None:
+        """Persist the engine state partitioned by searchdomain (the
+        100-TB layout: partition pruning replaces the reference's
+        per-domain caches).
+
+        MERGE semantics (SURVEY §1.6; the reference's own trajectory,
+        DatabaseMigrations.cs:117-157): when saving back to the same
+        ``path`` this engine last saved to or loaded from, only the
+        searchdomain partitions touched since then are rewritten (dynamic
+        partition overwrite), partitions whose row-set became empty have
+        their directories removed, and the embedding cache — append-only
+        by construction (index_entities only ever adds misses) — gets a
+        key-anti-joined delta appended. Ingest cost scales with the
+        BATCH, not the corpus: untouched partition files are never read
+        or written (byte-identical after the save — plan/filesystem
+        tested).
+
+        ``incremental`` forces the mode; default auto-detects (same path
+        + provenance tracked)."""
+        from embeddingsearch_spark import storage
+
+        inc = (
+            incremental
+            if incremental is not None
+            else (path == self._save_root and self._dirty is not None)
         )
+        if not inc:
+            self.index_flat.write.partitionBy("searchdomain").mode(
+                "overwrite"
+            ).parquet(f"{path}/index_flat")
+            self.embedding_cache.write.mode("overwrite").parquet(
+                f"{path}/embedding_cache"
+            )
+            if self.query_results.head(1):
+                self.query_results.write.partitionBy("searchdomain").mode(
+                    "overwrite"
+                ).parquet(f"{path}/query_results")
+            self._save_root = path
+            self._dirty = set()
+            return
+
+        dirty = sorted(self._dirty)
+        if dirty:
+            for table, df in (
+                ("index_flat", self.index_flat),
+                ("query_results", self.query_results),
+            ):
+                tpath = f"{path}/{table}"
+                changed = df.filter(F.col("searchdomain").isin(dirty))
+                if table == "query_results" and not (
+                    changed.head(1) or self._saved_table_exists(tpath)
+                ):
+                    continue  # nothing materialized, nothing persisted
+                storage.overwrite_partitions(
+                    changed, tpath, ["searchdomain"]
+                )
+                present = {
+                    r[0]
+                    for r in changed.select("searchdomain")
+                    .distinct()
+                    .collect()
+                }
+                storage.remove_partition_dirs(
+                    tpath, "searchdomain", sorted(set(dirty) - present)
+                )
+        # Embedding cache delta: the cache only ever grows (misses are
+        # appended at index time), so MERGE = append rows whose
+        # (text_hash, model) key is not yet on disk, cast to the on-disk
+        # vector dtype so mixed files never need schema merging.
+        cache_path = f"{path}/embedding_cache"
+        ondisk = self.spark.read.parquet(cache_path)
+        delta = self.embedding_cache.join(
+            ondisk.select("text_hash", "model"),
+            ["text_hash", "model"],
+            "left_anti",
+        )
+        if delta.head(1):
+            vec_type = ondisk.schema["vector"].dataType
+            delta.withColumn(
+                "vector", F.col("vector").cast(vec_type)
+            ).write.mode("append").parquet(cache_path)
+        self._dirty = set()
+
+    def _saved_table_exists(self, tpath: str) -> bool:
+        import os
+
+        return os.path.isdir(tpath)
 
     def load(self, path: str) -> None:
         self.index_flat = self.spark.read.parquet(f"{path}/index_flat")
         self.embedding_cache = self.spark.read.parquet(f"{path}/embedding_cache")
+        if self._saved_table_exists(f"{path}/query_results"):
+            self.query_results = self.spark.read.parquet(
+                f"{path}/query_results"
+            )
+        self._save_root = path
+        self._dirty = set()

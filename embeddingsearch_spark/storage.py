@@ -132,6 +132,69 @@ def write_training_shards(
     return {"n_files": len(_list_data_files(path)), "rows": written.count()}
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    file_format: str = "parquet",
+) -> None:
+    """MERGE-grade selective rewrite: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition's files untouched on
+    disk (dynamic partition overwrite). This is what makes ingest cost
+    scale with the BATCH, not the corpus: an upsert touching one
+    searchdomain rewrites that one ``searchdomain=X/`` directory while a
+    99-TB tail of untouched partitions is never read or written.
+
+    The session conf is flipped to ``dynamic`` only for the duration of
+    the write and restored after (other writers in the session keep
+    static semantics).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.format(file_format).mode("overwrite").partitionBy(
+            *partition_cols
+        ).save(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def remove_partition_dirs(
+    path: str, partition_col: str, values: list[str]
+) -> list[str]:
+    """Drop hive partition directories for ``values`` (the DELETE half of
+    MERGE: dynamic overwrite can only replace partitions it writes rows
+    into, so a partition whose row-set became empty must have its
+    directory removed explicitly). Returns the values actually removed.
+
+    Values are matched via Spark's hive layout ``col=value``; names with
+    characters Spark escapes in partition paths (``/ : =`` etc.) are
+    resolved by scanning the directory listing and unescaping.
+    """
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    removed = []
+    want = set(values)
+    if not os.path.isdir(path):
+        return removed
+    prefix = f"{partition_col}="
+    for name in os.listdir(path):
+        if not name.startswith(prefix):
+            continue
+        val = unquote(name[len(prefix):])
+        if val in want:
+            shutil.rmtree(os.path.join(path, name))
+            removed.append(val)
+    return removed
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

@@ -1,0 +1,209 @@
+"""MERGE-grade selective-rewrite persistence (SURVEY §1.6; reference
+trajectory DatabaseMigrations.cs:117-157): an incremental Engine.save
+rewrites ONLY the searchdomain partitions touched since the last save —
+untouched partition files must be byte-identical on disk — removes
+partition directories whose row-set became empty, and appends only the
+embedding-cache delta."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from embeddingsearch_spark.api import Engine
+from embeddingsearch_spark import storage
+
+INGEST_SCHEMA = (
+    "searchdomain string, entity string, entity_probmethod string, "
+    "attributes map<string,string>, datapoint string, dp_probmethod string, "
+    "simmethod string, text string, models array<string>"
+)
+
+
+def _ingest(spark, domain, ents, suffix=""):
+    return spark.createDataFrame(
+        [
+            (domain, e, "Mean", None, dp, "Mean", "Cosine",
+             f"{e} {dp} text{suffix}", ["mock:modelA"])
+            for e in ents
+            for dp in ("title", "text")
+        ],
+        INGEST_SCHEMA,
+    )
+
+
+def _file_digests(root):
+    """{relpath: md5} of every data file under root."""
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.startswith((".", "_")) or n.endswith(".crc"):
+                continue
+            p = os.path.join(dirpath, n)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    f.read()
+                ).hexdigest()
+    return out
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark, dim=8)
+    e.index_entities(_ingest(spark, "sdA", ["a1", "a2"]))
+    e.index_entities(_ingest(spark, "sdB", ["b1", "b2"]))
+    return e
+
+
+def test_incremental_save_rewrites_only_touched_partition(eng, spark, tmp_path):
+    root = str(tmp_path / "db")
+    eng.save(root)
+    before = _file_digests(f"{root}/index_flat")
+    b_files = {p: h for p, h in before.items() if "searchdomain=sdB" in p}
+    assert b_files, "expected sdB partition files after full save"
+
+    # Upsert touching ONLY sdA, then save back to the same path.
+    eng.index_entities(_ingest(spark, "sdA", ["a1", "a3"], suffix=" v2"))
+    assert eng._dirty == {"sdA"}
+    eng.save(root)
+
+    after = _file_digests(f"{root}/index_flat")
+    b_after = {p: h for p, h in after.items() if "searchdomain=sdB" in p}
+    # Untouched partition: identical file set, identical bytes.
+    assert b_after == b_files
+    # Touched partition: actually rewritten (file names differ — new job id).
+    a_before = {p for p in before if "searchdomain=sdA" in p}
+    a_after = {p for p in after if "searchdomain=sdA" in p}
+    assert a_after != a_before
+
+    # Round-trip: a fresh engine loads exactly the in-memory state.
+    e2 = Engine(spark, dim=8)
+    e2.load(root)
+    assert _sorted_rows(e2.index_flat.select(*eng.index_flat.columns)) == (
+        _sorted_rows(eng.index_flat)
+    )
+
+
+def test_incremental_save_appends_cache_delta_only(eng, spark, tmp_path):
+    root = str(tmp_path / "db")
+    eng.save(root)
+    cache_before = _file_digests(f"{root}/embedding_cache")
+
+    eng.index_entities(_ingest(spark, "sdA", ["a9"]))
+    eng.save(root)
+
+    cache_after = _file_digests(f"{root}/embedding_cache")
+    # Old cache files untouched; new files appended.
+    assert set(cache_before) <= set(cache_after)
+    for p, h in cache_before.items():
+        assert cache_after[p] == h
+    assert len(cache_after) > len(cache_before)
+
+    e2 = Engine(spark, dim=8)
+    e2.load(root)
+    assert sorted(
+        (r["text_hash"], r["model"]) for r in e2.embedding_cache.collect()
+    ) == sorted(
+        (r["text_hash"], r["model"]) for r in eng.embedding_cache.collect()
+    )
+
+
+def test_emptied_partition_directory_is_removed(eng, tmp_path):
+    root = str(tmp_path / "db")
+    eng.save(root)
+    assert os.path.isdir(f"{root}/index_flat/searchdomain=sdB")
+
+    eng.delete_searchdomain("sdB")
+    assert eng._dirty == {"sdB"}
+    eng.save(root)
+    assert not os.path.isdir(f"{root}/index_flat/searchdomain=sdB")
+    # Untouched sdA stays.
+    assert os.path.isdir(f"{root}/index_flat/searchdomain=sdA")
+
+
+def test_rename_moves_partition_on_incremental_save(eng, spark, tmp_path):
+    root = str(tmp_path / "db")
+    eng.save(root)
+    a_before = {
+        p: h
+        for p, h in _file_digests(f"{root}/index_flat").items()
+        if "searchdomain=sdA" in p
+    }
+    eng.rename_searchdomain("sdB", "sdC")
+    eng.save(root)
+    assert not os.path.isdir(f"{root}/index_flat/searchdomain=sdB")
+    assert os.path.isdir(f"{root}/index_flat/searchdomain=sdC")
+    a_after = {
+        p: h
+        for p, h in _file_digests(f"{root}/index_flat").items()
+        if "searchdomain=sdA" in p
+    }
+    assert a_after == a_before
+
+
+def test_finalize_session_forces_full_save(eng, spark, tmp_path):
+    root = str(tmp_path / "db")
+    eng.save(root)
+    uploaded = spark.createDataFrame(
+        [("sdA", "a1")], "searchdomain string, entity string"
+    )
+    eng.finalize_session(uploaded)
+    assert eng._dirty is None  # provenance reset → full rewrite
+    eng.save(root)
+    e2 = Engine(spark, dim=8)
+    e2.load(root)
+    assert _sorted_rows(e2.index_flat.select(*eng.index_flat.columns)) == (
+        _sorted_rows(eng.index_flat)
+    )
+    # sdB had no uploaded entities → gone from disk too.
+    assert not os.path.isdir(f"{root}/index_flat/searchdomain=sdB")
+
+
+def test_query_results_persist_and_selectively_rewrite(eng, spark, tmp_path):
+    root = str(tmp_path / "db")
+    eng.materialize_query("hello world")
+    eng.save(root)
+    qr_before = _file_digests(f"{root}/query_results")
+    b_before = {p: h for p, h in qr_before.items() if "searchdomain=sdB" in p}
+    assert b_before
+
+    eng.materialize_query("second query", searchdomain="sdA")
+    assert eng._dirty == {"sdA"}
+    eng.save(root)
+    qr_after = _file_digests(f"{root}/query_results")
+    b_after = {p: h for p, h in qr_after.items() if "searchdomain=sdB" in p}
+    assert b_after == b_before
+
+    e2 = Engine(spark, dim=8)
+    e2.load(root)
+    assert _sorted_rows(
+        e2.query_results.select(*eng.query_results.columns)
+    ) == _sorted_rows(eng.query_results)
+
+
+def test_save_to_new_path_is_full_write(eng, spark, tmp_path):
+    root1 = str(tmp_path / "db1")
+    root2 = str(tmp_path / "db2")
+    eng.save(root1)
+    eng.index_entities(_ingest(spark, "sdA", ["a5"]))
+    # Different path → full rewrite there, incremental state moves with it.
+    eng.save(root2)
+    assert eng._save_root == root2
+    e2 = Engine(spark, dim=8)
+    e2.load(root2)
+    assert _sorted_rows(e2.index_flat.select(*eng.index_flat.columns)) == (
+        _sorted_rows(eng.index_flat)
+    )
+
+
+def test_overwrite_partitions_restores_session_conf(spark, tmp_path):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    df = spark.createDataFrame([("x", 1)], "searchdomain string, v int")
+    storage.overwrite_partitions(df, str(tmp_path / "t"), ["searchdomain"])
+    assert spark.conf.get(key, "STATIC").upper() == "STATIC"
