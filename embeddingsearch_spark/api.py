@@ -101,9 +101,19 @@ def database_size_breakdown(
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, dim: int = DEFAULT_DIM):
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: int = DEFAULT_DIM,
+        provider=None,
+    ):
         self.spark = spark
         self.dim = dim
+        # Optional sources.embedder.HttpEmbedder: routes BOTH ingest-time
+        # and query-time embedding of cache misses through the provider
+        # (the reference's AiProvider dependency). None keeps the
+        # deterministic expression embedder.
+        self.provider = provider
         self.index_flat = spark.createDataFrame([], schemas.INDEX_FLAT)
         self.embedding_cache = spark.createDataFrame([], schemas.EMBEDDING_CACHE)
         self.query_results = spark.createDataFrame(
@@ -149,7 +159,11 @@ class Engine:
             "vector", F.col("vector").cast("array<double>")
         )
         result = index_build.build_index(
-            ingest, cache, self.dim, materialize_embedded=True
+            ingest,
+            cache,
+            self.dim,
+            materialize_embedded=True,
+            provider=self.provider,
         )
         # Materialize before self-referential reassignment.
         new_index = index_build.merge_index(
@@ -225,18 +239,85 @@ class Engine:
         query: str,
         searchdomain: str | None = None,
         topn: int | None = None,
+        provider=None,
     ) -> DataFrame:
         """Score every entity against the query text (embedded per model in
-        use) and rank (reference Searchdomain.cs:183-210)."""
+        use) and rank (reference Searchdomain.cs:183-210).
+
+        Query embedding goes cache → provider, mirroring the reference's
+        GetQueryEmbeddings (Searchdomain.cs:212-235): models whose
+        (query, model) embedding is already cached are served from the
+        cache with zero provider calls; only the missing models hit the
+        provider (one batched call per model), and the fresh embeddings
+        are written back to the cache for the next search. ``provider``
+        defaults to the engine-level one; None → deterministic
+        expression embedder (no cache probe needed — it IS the cache's
+        content function)."""
+        provider = provider if provider is not None else self.provider
         models = self.models_in_use()
-        queries = models.select(
+        if provider is None:
+            queries = models.select(
+                F.lit(query).alias("query"),
+                "model",
+                deterministic_embedding(
+                    F.lit(query), F.col("model"), self.dim
+                ).alias("vector"),
+            )
+        else:
+            queries = self._query_embeddings(query, models, provider)
+        return search_op.search(self.index_flat, queries, searchdomain, topn)
+
+    def _query_embeddings(
+        self, query: str, models: DataFrame, provider
+    ) -> DataFrame:
+        """Cache-then-provider query embedding (reference
+        Searchdomain.GetQueryEmbeddings, Searchdomain.cs:212-235).
+
+        One query string × the (small, by design) models-in-use set is a
+        driver-scale problem — the reference resolves it per-request on
+        the serving thread. Misses are collected driver-side and embedded
+        with one batched provider call per model; results are unioned
+        into the shared embedding cache so the next search (or an ingest
+        of the same text) is a pure cache hit."""
+        from embeddingsearch_spark.functions.text import text_hash
+
+        qh_col = text_hash(F.lit(query))
+        cache = self.embedding_cache.withColumn(
+            "vector", F.col("vector").cast("array<double>")
+        )
+        needed = models.select(
             F.lit(query).alias("query"),
             "model",
-            deterministic_embedding(F.lit(query), F.col("model"), self.dim).alias(
-                "vector"
-            ),
+            qh_col.alias("text_hash"),
         )
-        return search_op.search(self.index_flat, queries, searchdomain, topn)
+        hits = needed.join(cache, ["text_hash", "model"], "inner").select(
+            "query", "model", "vector"
+        )
+        miss_models = [
+            r[0]
+            for r in needed.join(
+                cache, ["text_hash", "model"], "left_anti"
+            )
+            .select("model")
+            .collect()
+        ]
+        if not miss_models:
+            return hits
+        fresh_rows = [
+            (query, m, [float(x) for x in provider.embed([query], m)[0]])
+            for m in sorted(miss_models)
+        ]
+        fresh = self.spark.createDataFrame(
+            fresh_rows, "query string, model string, vector array<double>"
+        )
+        # Fill the missing (query, model) pairs into the shared cache —
+        # the reference's EmbeddingCache.Set / fill-in branch.
+        self.embedding_cache = cache.unionByName(
+            fresh.select(
+                qh_col.alias("text_hash"), "model", "vector"
+            )
+        ).localCheckpoint(eager=True)
+        return hits.unionByName(fresh)
 
     # -- materialized query results (X1/X2) ---------------------------------
 

@@ -142,3 +142,105 @@ def test_batch_size_splits_requests(tmp_path):
 def test_bad_kind_rejected():
     with pytest.raises(ValueError):
         HttpEmbedder(kind="nope", url="x").embed(["t"], "m")
+
+
+# -- provider-backed query embeddings in Engine.search (reference
+#    Searchdomain.GetQueryEmbeddings, Searchdomain.cs:212-235) --------------
+
+
+def _driver_counting_transport(calls: list):
+    """Driver-side transport double: Engine._query_embeddings resolves the
+    one-query x models-in-use batch on the driver (like the reference's
+    per-request serving thread), so a plain list records calls. Returns
+    the deterministic-embedder vectors so provider and expression paths
+    agree bit-for-bit."""
+    from embeddingsearch_spark.sources.embedder import _embed_one
+
+    def transport(url, payload, headers, timeout):
+        calls.append({"url": url, "payload": payload})
+        embs = [_embed_one(t, payload["model"], DIM) for t in payload["input"]]
+        return {"embeddings": embs}
+
+    return transport
+
+
+def _engine_with_docs(spark):
+    from embeddingsearch_spark.api import Engine
+
+    eng = Engine(spark, dim=DIM)
+    ingest = spark.createDataFrame(
+        [
+            ("sd", e, "Mean", None, dp, "Mean", "Cosine", f"{e} {dp} body",
+             ["mock:m1", "mock:m2"])
+            for e in ("e1", "e2", "e3")
+            for dp in ("title", "text")
+        ],
+        "searchdomain string, entity string, entity_probmethod string, "
+        "attributes map<string,string>, datapoint string, "
+        "dp_probmethod string, simmethod string, text string, "
+        "models array<string>",
+    )
+    eng.index_entities(ingest)
+    return eng
+
+
+def test_search_provider_miss_batches_per_model_then_cache_hits(spark):
+    calls: list = []
+    provider = HttpEmbedder(
+        kind="ollama",
+        url="http://mock:11434/api/embed",
+        transport=_driver_counting_transport(calls),
+    )
+    eng = _engine_with_docs(spark)
+
+    expected = eng.search("какой запрос").collect()  # deterministic path
+    got = eng.search("какой запрос", provider=provider).collect()
+
+    # miss: exactly one batched call per model in use, each carrying the
+    # query once
+    assert len(calls) == 2
+    assert sorted(c["payload"]["model"] for c in calls) == [
+        "mock:m1",
+        "mock:m2",
+    ]
+    assert all(c["payload"]["input"] == ["какой запрос"] for c in calls)
+    # provider vectors == deterministic vectors -> identical ranking rows
+    key = lambda r: (r["searchdomain"], r["entity"])  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: t[:2]) == sorted(
+        map(tuple, expected), key=lambda t: t[:2]
+    )
+
+    # repeat search: query embeddings now cached -> ZERO provider calls
+    again = eng.search("какой запрос", provider=provider).collect()
+    assert len(calls) == 2
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_search_engine_level_provider_and_partial_cache(spark):
+    calls: list = []
+    provider = HttpEmbedder(
+        kind="ollama",
+        url="http://mock:11434/api/embed",
+        transport=_driver_counting_transport(calls),
+    )
+    eng = _engine_with_docs(spark)
+    eng.provider = provider
+
+    eng.search("q-alpha")
+    assert len(calls) == 2
+
+    # Simulate the reference's fill-in branch: drop ONE model's cached
+    # query embedding; only that model re-embeds.
+    from embeddingsearch_spark.functions.text import text_hash
+    from pyspark.sql import functions as F
+
+    qh = spark.range(1).select(
+        text_hash(F.lit("q-alpha")).alias("h")
+    ).head()["h"]
+    eng.embedding_cache = eng.embedding_cache.filter(
+        ~((F.col("text_hash") == qh) & (F.col("model") == "mock:m2"))
+    ).localCheckpoint(eager=True)
+
+    eng.search("q-alpha")
+    assert len(calls) == 3
+    assert calls[-1]["payload"]["model"] == "mock:m2"
