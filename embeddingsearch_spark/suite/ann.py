@@ -295,9 +295,11 @@ def q_ann_topk_numpy(spark, sf_dir):
 
 def q_ivf_kmeans_build(spark, sf_dir):
     """Trained IVF build: Lloyd's k-means coarse quantizer (2 iterations,
-    deterministic init) + assignment → per-cluster sizes. Iterative
-    algorithm → rows-only driver check (values are unit-tested against a
-    NumPy mirror in tests/test_kmeans.py)."""
+    deterministic init) + assignment → per-cluster sizes. The iteration
+    count is fixed and small, so the DuckDB oracle replays every Lloyd
+    pass as a chained CTE (assign → elementwise means → assign …) —
+    full value oracle, no rows-only carve-out (a NumPy mirror also
+    covers the operator in tests/test_kmeans.py)."""
     corpus = tables.load(spark, sf_dir, "embeddings")
     n = spark.sparkContext.defaultParallelism
     corpus = corpus.repartition(n)  # single-file testdata: parallelize scans
@@ -306,6 +308,61 @@ def q_ivf_kmeans_build(spark, sf_dir):
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+def _kmeans_assign_ctes(i: int, cents: str) -> str:
+    """One Lloyd assignment pass as CTEs: remapped-cosine sim per
+    (vector, centroid), rounded before the argmax, ties → smallest
+    centroid id — exactly `ann.assign_centroids`."""
+    return f"""e{i} AS (
+  SELECT vv.vec_id, c.cid,
+         unnest(vv.v) AS x, unnest(c.c) AS y
+  FROM v vv, {cents} c
+),
+s{i} AS (SELECT vec_id, cid, {_COS} AS sim FROM e{i} GROUP BY vec_id, cid),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(sim, {RD}) DESC, cid ASC) AS rn
+    FROM s{i}) WHERE rn = 1
+)"""
+
+
+def _kmeans_update_ctes(i: int, prev: str) -> str:
+    """Centroid update: elementwise mean of assigned vectors; empty
+    clusters keep their previous centroid (`ann.kmeans_centroids`)."""
+    return f"""x{i} AS (
+  SELECT a.cid, generate_subscripts(vv.v, 1) AS idx, unnest(vv.v) AS el
+  FROM a{i} a JOIN v vv USING (vec_id)
+),
+m{i} AS (
+  SELECT cid, list(val ORDER BY idx) AS c FROM (
+    SELECT cid, idx, avg(el) AS val FROM x{i} GROUP BY cid, idx
+  ) GROUP BY cid
+),
+c{i} AS (
+  SELECT p.cid, coalesce(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN m{i} m USING (cid)
+)"""
+
+
+IVF_KMEANS_BUILD_SQL = f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cid,
+         v AS c
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT 8)
+),
+{_kmeans_assign_ctes(1, "c0")},
+{_kmeans_update_ctes(1, "c0")},
+{_kmeans_assign_ctes(2, "c1")},
+{_kmeans_update_ctes(2, "c1")},
+{_kmeans_assign_ctes(3, "c2")}
+SELECT cid AS centroid_id, count(*) AS n_vectors
+FROM a3 GROUP BY cid"""
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -614,6 +671,6 @@ QUERIES = {
         EMBEDDING_CONTAMINATION_SQL,
     ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
-    "ivf_kmeans_build": (q_ivf_kmeans_build, None),
+    "ivf_kmeans_build": (q_ivf_kmeans_build, IVF_KMEANS_BUILD_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }
