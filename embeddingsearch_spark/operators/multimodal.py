@@ -12,9 +12,15 @@ codec work behind a provider seam:
     REAL, runs anywhere, no codec libs needed.
   - :func:`decode_media` — the codec seam. ``decoder="fake"`` is a
     deterministic stand-in (pure function of the bytes) with the same
-    schema/batching as a real decoder; ``decoder="real"`` raises
-    NotImplementedError unless PIL/soundfile are installed (NOT in this
-    container — STUB by design, the Spark-side plumbing is what's tested).
+    schema/batching as a real decoder and stays the ORACLE path;
+    ``decoder="real"`` decodes actual media: PIL / soundfile when
+    installed, with stdlib fallbacks that work anywhere — a pure-Python
+    PNG decoder (zlib inflate + spec unfiltering, 8-bit gray/RGB/RGBA,
+    non-interlaced) and a `wave`-module PCM WAV reader. Formats beyond
+    that without the optional libs raise NotImplementedError per row;
+    ``decoder="auto"`` catches that and falls back to the fake features
+    so a mixed corpus degrades gracefully. :func:`media_capabilities`
+    reports what the current environment can decode.
   - :func:`frame_sample_plan` — metadata-driven frame sampling for video:
     pure JVM-side `sequence`/`transform` (no Python) producing the frame
     index list each decode task must extract.
@@ -83,6 +89,21 @@ def _entropy(b: bytes) -> float:
     return -sum(c / n * math.log2(c / n) for c in counts.values())
 
 
+def media_capabilities() -> dict:
+    """What the current environment can actually decode. The stdlib paths
+    are always available; PIL/soundfile widen format coverage when
+    installed (optional deps — never required)."""
+    import importlib.util
+
+    return {
+        "image_pil": importlib.util.find_spec("PIL") is not None,
+        "audio_soundfile": importlib.util.find_spec("soundfile") is not None,
+        "image_png_stdlib": True,
+        "audio_wav_stdlib": True,
+        "video": False,
+    }
+
+
 def decode_media(
     df: DataFrame,
     modality_col: str = "modality",
@@ -95,13 +116,21 @@ def decode_media(
 
     ``decoder="fake"``: deterministic features from the raw bytes (mean
     byte value per ``feature_dim`` equal chunks, scaled to [0,1]) — same
-    signature, schema, and Arrow batch shape as a real decoder.
-    ``decoder="real"``: requires codec libraries (PIL / soundfile / a video
-    demuxer) which are NOT available here — STUB, raises NotImplementedError
-    at task level with a clear message.
+    signature, schema, and Arrow batch shape as a real decoder; the
+    DuckDB-oracle path.
+    ``decoder="real"``: decodes the actual media — images via PIL when
+    installed, else the stdlib PNG path; audio via soundfile when
+    installed, else the stdlib WAV path — and emits ``feature_dim``
+    luminance-chunk means (image) / RMS-chunk energies (audio) in [0,1].
+    Undecodable formats raise NotImplementedError at task level with a
+    clear message.
+    ``decoder="auto"``: real where possible, fake features for rows
+    whose format the environment can't decode (graceful degradation).
     """
     import pandas as pd
 
+    if decoder not in ("fake", "real", "auto"):
+        raise ValueError("decoder must be 'fake', 'real', or 'auto'")
     out_schema = f"{id_col} long, {modality_col} string, features array<double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,8 +142,13 @@ def decode_media(
                 b = bytes(content)
                 if decoder == "fake":
                     feats = _fake_features(b, feature_dim)
+                elif decoder == "real":
+                    feats = _real_decode(b, str(mod), feature_dim)
                 else:
-                    feats = _real_decode(b, str(mod))  # pragma: no cover
+                    try:
+                        feats = _real_decode(b, str(mod), feature_dim)
+                    except NotImplementedError:
+                        feats = _fake_features(b, feature_dim)
                 recs.append((int(mid), str(mod), feats))
             yield pd.DataFrame(recs, columns=[id_col, modality_col, "features"])
 
@@ -141,22 +175,191 @@ def _fake_features(b: bytes, dim: int) -> list[float]:
     return out
 
 
-def _real_decode(b: bytes, modality: str) -> list[float]:
-    """Codec seam. Wire PIL (image), soundfile (audio), or a demuxer
-    (video) here; none are available in this environment by design."""
-    try:  # pragma: no cover
-        if modality == "image":
-            from PIL import Image  # noqa: F401
-        elif modality == "audio":
-            import soundfile  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            f"real {modality} decoding needs codec libraries not present "
-            "in this environment; use decoder='fake' for the plumbing path"
-        ) from e
-    raise NotImplementedError(  # pragma: no cover
-        f"real decoder for modality={modality!r} not wired up"
+def _real_decode(b: bytes, modality: str, dim: int = 16) -> list[float]:
+    """Real codec dispatch: PIL / soundfile when installed, stdlib PNG /
+    WAV otherwise. Raises NotImplementedError (caught by decoder='auto')
+    for formats nothing present can handle — the message names what was
+    tried so a user knows which optional dep to install."""
+    if modality == "image":
+        gray = _decode_image_gray(b)
+        return _chunk_means(gray, dim)
+    if modality == "audio":
+        samples = _decode_audio_mono(b)
+        return _chunk_rms(samples, dim)
+    raise NotImplementedError(
+        f"real decoder for modality={modality!r} not available (video "
+        "needs a demuxer; use decoder='fake'/'auto' for the plumbing path)"
     )
+
+
+def _decode_image_gray(b: bytes):
+    """Image bytes → 2-D float64 luminance array in [0, 255]. PIL first
+    (any format it knows); stdlib PNG decoder as the universal fallback."""
+    try:
+        from PIL import Image  # optional dep
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            img = Image.open(io.BytesIO(b)).convert("L")
+            return np.asarray(img, dtype=np.float64)
+        except Exception:  # noqa: BLE001 — corrupt/unknown → stdlib/fail path
+            pass
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_gray(b)
+    raise NotImplementedError(
+        "image format not decodable: PIL not installed and bytes are not "
+        "PNG (the stdlib fallback decodes 8-bit non-interlaced PNG only); "
+        "pip install pillow for JPEG/WebP/…"
+    )
+
+
+def _decode_png_gray(b: bytes):
+    """Pure-stdlib PNG → luminance matrix (PNG spec: zlib inflate + the
+    five scanline filters; 8-bit depth, color types 0/2/4/6, no
+    interlace). NumPy-vectorized where the filter allows (None/Up);
+    Sub/Average/Paeth carry a per-pixel dependency chain by definition."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(b):
+        (ln,), typ = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise NotImplementedError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"stdlib PNG path supports 8-bit non-interlaced color types "
+            f"0/2/4/6; got depth={depth} ctype={ctype} "
+            f"interlace={interlace} (install pillow for the rest)"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        off += 1
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off).copy()
+        off += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256 — the spec)
+            line += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - nch]) if x >= nch else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        img[y] = line
+        prev = line
+    px = img.reshape(h, w, nch).astype(np.float64)
+    if nch <= 2:  # gray / gray+alpha
+        return px[:, :, 0]
+    # ITU-R BT.601 luma
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def _decode_audio_mono(b: bytes):
+    """Audio bytes → mono float64 samples in [-1, 1]. soundfile first
+    (FLAC/OGG/…); stdlib `wave` handles PCM WAV anywhere."""
+    import io
+
+    import numpy as np
+
+    try:
+        import soundfile  # optional dep
+
+        data, _rate = soundfile.read(io.BytesIO(b), dtype="float64")
+        return data.mean(axis=1) if data.ndim > 1 else data
+    except ImportError:
+        pass
+    if b[:4] != b"RIFF":
+        raise NotImplementedError(
+            "audio format not decodable: soundfile not installed and bytes "
+            "are not RIFF/WAV (the stdlib fallback reads PCM WAV only); "
+            "pip install soundfile for FLAC/OGG/…"
+        )
+    import wave
+
+    with wave.open(io.BytesIO(b), "rb") as wf:
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:  # 8-bit WAV is unsigned
+        x = np.frombuffer(frames, np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} bytes")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def _chunk_means(gray, dim: int) -> list[float]:
+    """Flattened luminance → ``dim`` equal-chunk means scaled to [0,1],
+    rounded to 6 digits (deterministic across BLAS/accumulation order)."""
+    flat = gray.reshape(-1)
+    if flat.size == 0:
+        return [0.0] * dim
+    chunk = max(1, flat.size // dim)
+    out = []
+    for i in range(dim):
+        part = flat[i * chunk : (i + 1) * chunk]
+        out.append(round(float(part.mean()) / 255.0, 6) if part.size else 0.0)
+    return out
+
+
+def _chunk_rms(samples, dim: int) -> list[float]:
+    """Mono samples → ``dim`` equal-chunk RMS energies in [0,1]."""
+    import numpy as np
+
+    if samples.size == 0:
+        return [0.0] * dim
+    chunk = max(1, samples.size // dim)
+    out = []
+    for i in range(dim):
+        part = samples[i * chunk : (i + 1) * chunk]
+        out.append(
+            round(float(np.sqrt(np.mean(part * part))), 6)
+            if part.size
+            else 0.0
+        )
+    return out
 
 
 def frame_sample_plan(

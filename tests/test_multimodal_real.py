@@ -1,0 +1,193 @@
+"""Real media decode (optional-dep seam): the stdlib PNG and WAV paths
+must decode actual media anywhere; PIL/soundfile widen coverage when
+installed (those tests gate on presence); undecodable formats raise
+NotImplementedError and decoder='auto' degrades to the fake features."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from embeddingsearch_spark.operators import multimodal as mm
+
+
+# -- synthesis helpers (pure stdlib) ----------------------------------------
+
+
+def _png(width, height, rows, ctype, filters=None):
+    """Minimal PNG encoder: 8-bit, `rows` = list of per-row channel-byte
+    lists, one scanline filter byte per row (default 0/None)."""
+    filters = filters or [0] * height
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = b"".join(
+        bytes([filters[y]]) + bytes(rows[y]) for y in range(height)
+    )
+    return (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav(samples, width=2, nch=1, rate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 2:
+            wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        else:
+            wf.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+# -- stdlib PNG path --------------------------------------------------------
+
+
+def test_png_gray_solid_exact():
+    # 4x4 all-128 grayscale -> every chunk mean is 128/255
+    png = _png(4, 4, [[128] * 4] * 4, ctype=0)
+    feats = mm._real_decode(png, "image", dim=4)
+    assert feats == [round(128 / 255.0, 6)] * 4
+
+
+def test_png_rgb_luma_and_filters():
+    # row0: filter None, solid red; row1: filter Up (delta from row0) making
+    # it solid green; row2: filter Sub with first pixel blue, rest delta 0
+    red, green = [255, 0, 0], [0, 255, 0]
+    up_delta = [(g - r) & 0xFF for r, g in zip(red * 2, green * 2)]
+    rows = [red * 2, up_delta, [0, 0, 255, 0, 0, 0]]
+    png = _png(2, 3, rows, ctype=2, filters=[0, 2, 1])
+    gray = mm._decode_png_gray(png)
+    assert gray.shape == (3, 2)
+    assert gray[0, 0] == pytest.approx(0.299 * 255)
+    assert gray[1, 0] == pytest.approx(0.587 * 255)
+    assert gray[2, 0] == gray[2, 1] == pytest.approx(0.114 * 255)
+
+
+def test_png_paeth_and_average_filters():
+    # 2x2 gray: row0 plain, row1 avg-filtered then a 2x2 paeth-filtered
+    rows = [[10, 20], [5, 10]]  # avg: recon = raw + (left+up)//2
+    png = _png(2, 2, rows, ctype=0, filters=[0, 3])
+    gray = mm._decode_png_gray(png)
+    assert gray[1, 0] == 5 + (0 + 10) // 2  # left=0, up=10
+    assert gray[1, 1] == (10 + ((gray[1, 0].astype(int)) + 20) // 2) % 256
+
+    png2 = _png(2, 2, [[7, 9], [1, 2]], ctype=0, filters=[0, 4])
+    gray2 = mm._decode_png_gray(png2)
+    # paeth(0,7,0)=7 -> 1+7=8; paeth(8,9,7): p=10 -> closest is 9 (up)
+    assert gray2[1, 0] == 8
+    assert gray2[1, 1] == 11
+
+
+def test_png_unsupported_depth_raises():
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = sig + struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16 + b"\0" * 4
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        mm._decode_png_gray(bad)
+
+
+# -- stdlib WAV path --------------------------------------------------------
+
+
+def test_wav_constant_amplitude_rms():
+    wav = _wav([8192] * 1600)  # 16-bit mono, amplitude 8192 -> 0.25
+    feats = mm._real_decode(wav, "audio", dim=4)
+    assert feats == [0.25] * 4
+
+
+def test_wav_stereo_downmix_and_8bit():
+    stereo = _wav([16384, -16384] * 800, nch=2)  # L/R cancel -> 0
+    assert mm._real_decode(stereo, "audio", dim=2) == [0.0, 0.0]
+    eight = _wav([128] * 800, width=1)  # unsigned 8-bit midpoint -> 0
+    assert mm._real_decode(eight, "audio", dim=2) == [0.0, 0.0]
+
+
+# -- dispatch / fallback ----------------------------------------------------
+
+
+def test_undecodable_raises_and_auto_falls_back(spark):
+    jpegish = b"\xff\xd8\xff\xe0" + b"\x42" * 64
+    has_pil = mm.media_capabilities()["image_pil"]
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            mm._real_decode(jpegish, "image", dim=4)
+    with pytest.raises(NotImplementedError, match="video"):
+        mm._real_decode(b"\x00" * 16, "video", dim=4)
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(jpegish)),
+         (2, "image", bytearray(_png(4, 4, [[100] * 4] * 4, ctype=0)))],
+        "media_id long, modality string, content binary",
+    )
+    rows = {
+        r["media_id"]: r["features"]
+        for r in mm.decode_media(df, decoder="auto", feature_dim=4).collect()
+    }
+    if not has_pil:  # undecodable row degraded to the fake features
+        assert rows[1] == mm._fake_features(jpegish, 4)
+    assert rows[2] == [round(100 / 255.0, 6)] * 4  # real PNG decode
+
+
+def test_decode_media_real_over_spark(spark):
+    wav = _wav([8192] * 1600)
+    png = _png(8, 8, [[200] * 8] * 8, ctype=0)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "image", bytearray(png))],
+        "media_id long, modality string, content binary",
+    )
+    rows = {
+        r["media_id"]: r["features"]
+        for r in mm.decode_media(df, decoder="real", feature_dim=4).collect()
+    }
+    assert rows[1] == [0.25] * 4
+    assert rows[2] == [round(200 / 255.0, 6)] * 4
+
+
+def test_capabilities_shape():
+    caps = mm.media_capabilities()
+    assert caps["image_png_stdlib"] and caps["audio_wav_stdlib"]
+    assert set(caps) == {
+        "image_pil",
+        "audio_soundfile",
+        "image_png_stdlib",
+        "audio_wav_stdlib",
+        "video",
+    }
+
+
+# -- optional-dep paths (run only where the libs exist) ---------------------
+
+
+def test_pil_path_matches_stdlib_png():
+    pytest.importorskip("PIL")
+    png = _png(4, 2, [[60] * 4, [180] * 4], ctype=0)
+    import numpy as np
+
+    via_pil = mm._decode_image_gray(png)
+    via_stdlib = mm._decode_png_gray(png)
+    assert np.array_equal(via_pil, via_stdlib)
+
+
+def test_soundfile_path_reads_wav():
+    pytest.importorskip("soundfile")
+    wav = _wav([8192] * 1600)
+    feats = mm._real_decode(wav, "audio", dim=4)
+    assert feats == pytest.approx([0.25] * 4, abs=1e-4)
