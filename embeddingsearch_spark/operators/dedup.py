@@ -158,13 +158,23 @@ def incremental_new_docs_bloom(
       NO shuffle against the indexed corpus; only Bloom hits — true dups
       plus ~fpp false positives — reach the exact fingerprint anti-join.
 
-    False positives are removed by that exact verify, so the result is
-    row-identical to `incremental_new_docs` (the driver gate runs both
-    against the same oracle). At a re-crawl's typical 90%+ new-content
-    ratio this cuts the anti-join's probe volume ~10x and its build side
-    ships as bits, not strings. Pass a persisted `build_bloom_index`
-    result as ``bloom`` to amortize the build across ingest batches —
-    the dominant win at scale."""
+    False positives are removed by that exact verify, and the gate
+    decision (per distinct fingerprint) is joined back onto the incoming
+    rows, so the result is row-identical to `incremental_new_docs` —
+    including batches where the same (id, text) appears more than once
+    (the driver gate runs both against the same oracle). At a re-crawl's
+    typical 90%+ new-content ratio this cuts the anti-join's probe
+    volume ~10x and its build side ships as bits, not strings.
+
+    Pass a persisted `build_bloom_index` result as ``bloom`` to amortize
+    the build across ingest batches — the dominant win at scale.
+    CONTRACT: ``bloom`` must cover every fingerprint in ``indexed``. A
+    bitmap built before docs were added to ``indexed`` misses their
+    fingerprints, so matching incoming rows would be classified
+    definite-new and skip the exact verify — silently returning dups as
+    new. After each accepted batch is indexed, OR its fingerprints into
+    the bitmap with `augment_bloom_index` (one scan of the BATCH, not
+    the corpus) before reusing it."""
     idx = indexed.select(
         fingerprint(F.col(text_col)).alias("fp")
     ).distinct()
@@ -205,7 +215,35 @@ def incremental_new_docs_bloom(
     definite_new = flags.filter(~F.col("might_contain")).select(id_col, "fp")
     candidates = flags.filter(F.col("might_contain")).select(id_col, "fp")
     verified_new = candidates.join(idx, "fp", "left_anti")
-    return definite_new.unionByName(verified_new)
+    # Decisions are per distinct (id, fp); semi-join back onto the raw
+    # incoming rows so duplicate rows within one batch survive with
+    # their multiplicity — exactly incremental_new_docs' row contract.
+    new_keys = definite_new.unionByName(verified_new)
+    return inc.join(new_keys, [id_col, "fp"], "left_semi")
+
+
+def merge_bloom_words(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two (w, bits) bitmaps built with the SAME (m_bits, k)."""
+    return (
+        a.unionByName(b).groupBy("w").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def augment_bloom_index(
+    bloom: tuple[DataFrame, int, int], accepted: DataFrame, text_col: str
+) -> tuple[DataFrame, int, int]:
+    """OR an accepted batch's fingerprints into a persisted Bloom index
+    (the maintenance half of `incremental_new_docs_bloom`'s coverage
+    contract): scans only the batch, returns the refreshed
+    (words, m_bits, k)."""
+    words, m, k = bloom
+    batch_words = bloom_words(
+        accepted.select(fingerprint(F.col(text_col)).alias("fp")).distinct(),
+        "fp",
+        m,
+        k,
+    )
+    return merge_bloom_words(words, batch_words), m, k
 
 
 def minhash_signatures(

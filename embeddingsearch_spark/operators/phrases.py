@@ -79,5 +79,8 @@ def phrase_scores(
         "n_pair",
         "n_w1",
         "n_w2",
-        F.round(pmi, ROUND_DIGITS).alias("pmi"),
+        # + 0.0 canonicalizes IEEE -0.0 (a bigram at chance minus
+        # epsilon rounds to -0.0) so the value hash matches engines
+        # that produce +0.0 — the gram_upper convention.
+        (F.round(pmi, ROUND_DIGITS) + F.lit(0.0)).alias("pmi"),
     )

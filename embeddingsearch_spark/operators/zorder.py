@@ -55,7 +55,7 @@ def with_z_value(
     bits: int = BITS,
     bounds: dict[str, tuple[float, float]] | None = None,
     out_col: str = "z",
-) -> Column:
+) -> DataFrame:
     """df + a ``z`` column over ``cols``. ``bounds`` maps col ->
     (min, max); omitted columns get bounds from ONE tiny min/max
     aggregate (2 x n_cols scalars to the driver)."""

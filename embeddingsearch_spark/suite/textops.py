@@ -712,7 +712,7 @@ tot AS (
 SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
        round(ln((CAST(b.n_pair AS DOUBLE) / tot.B)
              / ((CAST(u1.n_w AS DOUBLE) / tot.T)
-                * (CAST(u2.n_w AS DOUBLE) / tot.T))), {RD}) AS pmi
+                * (CAST(u2.n_w AS DOUBLE) / tot.T))), {RD}) + 0.0 AS pmi
 FROM bi b
 JOIN uni u1 ON u1.w = b.w1
 JOIN uni u2 ON u2.w = b.w2

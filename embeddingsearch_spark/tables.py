@@ -108,10 +108,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         path = f"{sf_dir}/{name}.parquet"
         if _events_ts_mode(spark, path) == "native":
-            # cast TIMESTAMP_NTZ -> TIMESTAMP so downstream ts semantics
-            # match the nanos-era behavior (wall clock preserved)
+            # TIMESTAMP_NTZ -> TIMESTAMP with the wall clock pinned as
+            # UTC regardless of session time zone: a bare cast interprets
+            # the wall clock in the SESSION zone, so a +05:30 session
+            # would shift every instant (and hourly/session windows)
+            # relative to the nanos-era epoch semantics the oracle uses.
+            # from_utc_timestamp(cast, session_tz) cancels the session
+            # interpretation exactly (verified identical under UTC and
+            # Asia/Kolkata sessions).
+            tz = spark.conf.get("spark.sql.session.timeZone")
             return spark.read.parquet(path).withColumn(
-                "ts", F.col("ts").cast("timestamp")
+                "ts",
+                F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz),
             )
         df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
         # integer div — float division loses 1 µs on large nano values
@@ -128,11 +136,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
             "event_type STRING, value DOUBLE, props STRING"
         )
+        # same UTC pinning as the batch load (see tables.load)
+        tz = spark.conf.get("spark.sql.session.timeZone")
         return (
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn(
+                "ts",
+                F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz),
+            )
         )
     return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)

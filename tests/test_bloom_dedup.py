@@ -105,3 +105,53 @@ def test_prebuilt_bloom_index_reuse(spark):
         assert sorted(r.doc_id for r in out.collect()) == sorted(
             batch * 1000 + 500 + i for i in range(30)
         )
+
+
+def test_duplicate_rows_within_batch_keep_multiplicity(spark):
+    """The gate decides per distinct (id, fp) but must preserve input row
+    multiplicity — the same (id, text) twice in one batch yields two
+    output rows, exactly like incremental_new_docs."""
+    indexed = _mk(spark, [(i, f"doc {i}") for i in range(50)])
+    incoming = _mk(
+        spark,
+        [(900, "fresh A"), (900, "fresh A"), (901, "fresh B"), (1, "doc 1")],
+    )
+    plain = dedup.incremental_new_docs(incoming, indexed, "doc_id", "text")
+    bloomed = dedup.incremental_new_docs_bloom(
+        incoming, indexed, "doc_id", "text"
+    )
+    # compare by column NAME: Spark orders USING-join keys first, so the
+    # two gates differ in column order but must agree row-for-row
+    key = lambda r: (r["doc_id"], r["fp"])  # noqa: E731
+    p = sorted(map(key, plain.collect()))
+    b = sorted(map(key, bloomed.collect()))
+    assert p == b
+    assert len(b) == 3  # (900 x2, 901) — dup row kept twice
+
+
+def test_augment_bloom_index_restores_coverage(spark):
+    """Stale-bitmap contract: after new docs are indexed, OR-ing their
+    fingerprints in via augment_bloom_index makes re-delivered copies
+    Bloom-hit (and thus verify-drop) again."""
+    indexed0 = _mk(spark, [(i, f"doc {i}") for i in range(80)])
+    bloom = dedup.build_bloom_index(indexed0, "text", fpp=0.01)
+
+    batch1 = _mk(spark, [(200 + i, f"late {i}") for i in range(20)])
+    indexed1 = indexed0.unionByName(batch1)
+
+    # stale bitmap: late docs absent -> re-delivery leaks them as "new"
+    redelivered = batch1.select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    leaked = dedup.incremental_new_docs_bloom(
+        redelivered, indexed1, "doc_id", "text", bloom=bloom
+    )
+    # most late docs leak as "new" (only chance Bloom false-positives
+    # reach the verify and get dropped) — the documented failure mode
+    assert leaked.count() >= 15
+
+    fixed_bloom = dedup.augment_bloom_index(bloom, batch1, "text")
+    clean = dedup.incremental_new_docs_bloom(
+        redelivered, indexed1, "doc_id", "text", bloom=fixed_bloom
+    )
+    assert clean.count() == 0
