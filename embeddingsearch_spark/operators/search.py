@@ -11,11 +11,18 @@ Plan shape (SURVEY.md §3.1 Spark trace):
       → groupBy(entity) hash agg                            (PM_ent)
       → rank per (searchdomain, query)                      (O1/O2)
 
-At 100 TB: the only shuffles are the two aggregations, both keyed by
-(searchdomain, entity[, datapoint], query) — co-partitioned, so the second
-agg and the ranking reuse the first shuffle's partitioning in practice
-(AQE coalesces). The query side is tiny (rows = queries × models) and is
-always broadcast — no shuffle of the corpus for the join.
+At 100 TB: exactly TWO shuffles (plan-asserted in test_plans.py). The
+first agg shuffles on its full (searchdomain, entity, …, datapoint) key
+— the high-cardinality stage keeps every core busy. The output is then
+explicitly repartitioned on (searchdomain, query): hash partitioning on
+a SUBSET of the grouping keys satisfies the entity fold's clustering
+requirement AND is exactly the rank window's partitioning, so the
+second agg and the window share that single exchange (without it,
+Catalyst inserts one exchange per stage — measured 3 at 500k corpus
+rows). The query side is tiny (rows = queries × models) and is always
+broadcast — no shuffle of the corpus for the join; the explicit hint
+holds at any scale (verified at N=250: BroadcastHashJoin, no
+SortMergeJoin).
 
 topN is applied at read time over the full ranking (declared deviation from
 the reference's stale-truncated query cache — SURVEY.md §2.6).
@@ -126,4 +133,9 @@ def search(
     if searchdomain is not None:
         corpus = corpus.filter(F.col("searchdomain") == searchdomain)
     scored = score_pairs(corpus, queries)
-    return rank_results(entity_scores(datapoint_scores(scored)), topn)
+    # One exchange serves BOTH remaining stages: (searchdomain, query) is
+    # a subset of the entity fold's grouping keys (subset hash
+    # partitioning satisfies ClusteredDistribution) and is the rank
+    # window's exact partitioning — see module docstring.
+    dp = datapoint_scores(scored).repartition("searchdomain", "query")
+    return rank_results(entity_scores(dp), topn)

@@ -3,8 +3,11 @@ headline operators, printing one JSON line of timings. Answers "does the
 plan survive a scale-up" empirically on this host — shuffle volumes and
 aggregation state grow with N while the plan shape stays fixed.
 
-Usage: python scripts/scale_probe.py [N]   (default 50)
+Usage: python scripts/scale_probe.py [N] [op ...]   (default 50, all ops)
   N=50 → 100k vectors / 335k documents.
+  Naming ops runs only those (and builds only their inputs) — for heavy
+  factors targeting one operator, e.g.
+  `python scripts/scale_probe.py 250 search_cascade`.
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(factor: int = 50) -> None:
+def main(factor: int = 50, only: set[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from embeddingsearch_spark import tables
@@ -26,108 +29,140 @@ def main(factor: int = 50) -> None:
     from embeddingsearch_spark.operators import search as search_op
     from embeddingsearch_spark.session import get_spark
 
+    def want(*names: str) -> bool:
+        return only is None or any(n in only for n in names)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-probe")
     rep = spark.range(factor).withColumnRenamed("id", "rep")
 
+    n_corpus = n_docs = n_vecs = n_events = n_nodes = 0
     # corpus x factor: distinct entities per replica (suffix), same vectors
-    corpus = (
-        tables.derive_corpus(spark, sf_dir)
-        .crossJoin(rep)
-        .withColumn("entity", F.concat_ws("#", "entity", "rep"))
-        .drop("rep")
-        .repartition(64)
-        .cache()
-    )
-    queries = tables.derive_queries(spark, sf_dir)
-    n_corpus = corpus.count()
-
-    docs = (
-        tables.load(spark, sf_dir, "documents")
-        .crossJoin(rep)
-        .select(
-            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
-            # vary ~1/3 of texts per replica so dedup has real work
-            F.when(
-                F.col("rep") % 3 == 0, F.col("text")
-            ).otherwise(
-                F.concat(F.col("text"), F.lit(" rep"), F.col("rep"))
-            ).alias("text"),
+    if want("search_cascade"):
+        corpus = (
+            tables.derive_corpus(spark, sf_dir)
+            .crossJoin(rep)
+            .withColumn("entity", F.concat_ws("#", "entity", "rep"))
+            .drop("rep")
+            .repartition(64)
+            .cache()
         )
-        .repartition(64)
-        .cache()
+        queries = tables.derive_queries(spark, sf_dir)
+        n_corpus = corpus.count()
+
+    _DOCS_OPS = (
+        "exact_dedup", "minhash_signatures", "seq_pack", "ngram_overlap",
+        "repetition_profile", "dup_span_profile", "tfidf_topk",
+        "boilerplate_removal", "lm_score", "url_dedup",
+        "incremental_gate_anti", "bloom_index_build",
+        "incremental_gate_bloom_probe", "incremental_neardup_gate",
+        "incremental_neardup_exact_first",
     )
-    n_docs = docs.count()
+    if want(*_DOCS_OPS):
+        docs = (
+            tables.load(spark, sf_dir, "documents")
+            .crossJoin(rep)
+            .select(
+                (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+                # vary ~1/3 of texts per replica so dedup has real work
+                F.when(
+                    F.col("rep") % 3 == 0, F.col("text")
+                ).otherwise(
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("rep"))
+                ).alias("text"),
+            )
+            .repartition(64)
+            .cache()
+        )
+        n_docs = docs.count()
 
     # rotate dimensions per replica: replicas of the same vector become
     # dissimilar, so near-dup OUTPUT stays linear in N (identical copies
     # would make every answer quadratic in the replica count — that
     # measures output size, not operator scaling)
-    shift = (F.col("rep") % 64).cast("int")
-    emb = (
-        tables.load(spark, sf_dir, "embeddings")
-        .crossJoin(rep)
-        .select(
-            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
-            F.concat(
-                F.slice(F.col("embedding"), shift + 1, F.lit(64) - shift),
-                F.slice(F.col("embedding"), F.lit(1), shift),
-            ).alias("embedding"),
+    _EMB_OPS = ("gemm_topk", "srp_lsh_pairs", "pq_encode", "pq_adc_topk")
+    if want(*_EMB_OPS):
+        shift = (F.col("rep") % 64).cast("int")
+        emb = (
+            tables.load(spark, sf_dir, "embeddings")
+            .crossJoin(rep)
+            .select(
+                (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+                F.concat(
+                    F.slice(F.col("embedding"), shift + 1, F.lit(64) - shift),
+                    F.slice(F.col("embedding"), F.lit(1), shift),
+                ).alias("embedding"),
+            )
+            .repartition(64)
+            .cache()
         )
-        .repartition(64)
-        .cache()
-    )
-    n_vecs = emb.count()
-    qvecs = (
-        tables.load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 32)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    )
+        n_vecs = emb.count()
+        qvecs = (
+            tables.load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 32)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
 
     timings = {}
 
-    def run(name, df):
+    def run(name, df_thunk):
+        if not want(name):
+            return
+        df = df_thunk() if callable(df_thunk) else df_thunk
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
 
-    run("search_cascade", search_op.search(corpus, queries))
-    run("exact_dedup", dd_ops.exact_duplicates(docs, "doc_id", "text"))
+    run("search_cascade", lambda: search_op.search(corpus, queries))
+    run(
+        "exact_dedup",
+        lambda: dd_ops.exact_duplicates(docs, "doc_id", "text"),
+    )
     run(
         "minhash_signatures",
-        dd_ops.minhash_signatures(docs, "doc_id", "text"),
+        lambda: dd_ops.minhash_signatures(docs, "doc_id", "text"),
     )
-    run("gemm_topk", ann_ops.brute_force_topk_numpy(emb, qvecs, k=10))
-    run("srp_lsh_pairs", ann_ops.srp_cosine_pairs(emb, threshold=0.65))
+    run(
+        "gemm_topk",
+        lambda: ann_ops.brute_force_topk_numpy(emb, qvecs, k=10),
+    )
+    run(
+        "srp_lsh_pairs",
+        lambda: ann_ops.srp_cosine_pairs(emb, threshold=0.65),
+    )
 
     # events timeline × factor: same user keys, shifted timestamps — the
     # as-of union+window sees factor× rows per user partition
     from embeddingsearch_spark.operators import asof as asof_op
 
-    ev = (
-        tables.load(spark, sf_dir, "events")
-        .crossJoin(rep)
-        .select(
-            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
-            "user_id",
-            "event_type",
-            (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
-            "value",
+    if want("asof_join", "asof_join_chunked"):
+        ev = (
+            tables.load(spark, sf_dir, "events")
+            .crossJoin(rep)
+            .select(
+                (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+                "user_id",
+                "event_type",
+                (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+                "value",
+            )
+            .repartition(64)
+            .cache()
         )
-        .repartition(64)
-        .cache()
+        n_events = ev.count()
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+    run(
+        "asof_join",
+        lambda: asof_op.asof_join(purchases, clicks, on="user_id"),
     )
-    n_events = ev.count()
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
-    )
-    run("asof_join", asof_op.asof_join(purchases, clicks, on="user_id"))
     run(
         "asof_join_chunked",
-        asof_op.asof_join_chunked(
+        lambda: asof_op.asof_join_chunked(
             purchases, clicks, on="user_id", chunk_seconds=86400
         ),
     )
@@ -142,23 +177,24 @@ def main(factor: int = 50) -> None:
     # → diameter 4, forcing multiple propagation rounds); components
     # drives jobs during construction (lazy checkpoints), so time the
     # whole call
-    n_nodes = factor * 20_000
-    pairs = (
-        spark.range(n_nodes)
-        .filter((F.col("id") % 5) != 4)
-        .select(
-            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    if want("connected_components"):
+        n_nodes = factor * 20_000
+        pairs = (
+            spark.range(n_nodes)
+            .filter((F.col("id") % 5) != 4)
+            .select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
         )
-    )
-    t0 = time.perf_counter()
-    dd_ops.connected_components(pairs).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["connected_components"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dd_ops.connected_components(pairs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["connected_components"] = round(time.perf_counter() - t0, 2)
 
     run(
         "seq_pack",
-        pk_op.pack_sequences(
+        lambda: pk_op.pack_sequences(
             docs.select(
                 "doc_id", T.token_count(F.col("text")).alias("n_tokens")
             ),
@@ -176,40 +212,49 @@ def main(factor: int = 50) -> None:
             ).alias("text"),
         )
     )
-    run("ngram_overlap", ct_op.ngram_overlap(docs, bench, n=5))
-    run("repetition_profile", rep_op.repetition_profile(docs))
+    run("ngram_overlap", lambda: ct_op.ngram_overlap(docs, bench, n=5))
+    run("repetition_profile", lambda: rep_op.repetition_profile(docs))
     # duplicate-span coverage: ~1/3 of replica texts are byte-identical to
     # the original, so cross-doc shared 8-gram spans exist at every factor
-    run("dup_span_profile", dd_ops.duplicate_span_profile(docs, n=8))
+    run(
+        "dup_span_profile",
+        lambda: dd_ops.duplicate_span_profile(docs, n=8),
+    )
 
     from embeddingsearch_spark.operators import tfidf as tfidf_op
 
-    run("tfidf_topk", tfidf_op.tfidf_top_terms(docs, k=3))
+    run("tfidf_topk", lambda: tfidf_op.tfidf_top_terms(docs, k=3))
 
     from embeddingsearch_spark.operators import boilerplate as bp_op
     from embeddingsearch_spark.operators import lmscore as lm_op
     from embeddingsearch_spark.operators import urldedup as url_op
 
     # plant a shared footer on every 3rd doc so removal has real work
-    planted = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.lit("\nall rights reserved example footer"),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
     run(
         "boilerplate_removal",
-        bp_op.remove_boilerplate_lines(planted, "doc_id", "text", max_df=2),
+        lambda: bp_op.remove_boilerplate_lines(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.lit("\nall rights reserved example footer"),
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+            max_df=2,
+        ),
     )
     run(
         "lm_score",
-        lm_op.unigram_scores(docs, "doc_id", "text", vocab_size=65536),
+        lambda: lm_op.unigram_scores(
+            docs, "doc_id", "text", vocab_size=65536
+        ),
     )
-    urls = docs.select(
+    urls = lambda: docs.select(  # noqa: E731
         "doc_id",
         F.concat(
             F.lit("https://www.host"),
@@ -219,63 +264,77 @@ def main(factor: int = 50) -> None:
             F.lit("/?utm_source=x&q=1"),
         ).alias("url"),
     )
-    run("url_dedup", url_op.url_duplicates(urls, "doc_id", "url"))
+    run("url_dedup", lambda: url_op.url_duplicates(urls(), "doc_id", "url"))
 
     # PQ: encode factor-scaled vectors (zero-shuffle GEMM argmin), then
     # ADC top-k over codes only — memory-scale ANN vs the GEMM brute force
     from embeddingsearch_spark.operators import pq as pq_op
 
-    cbs = pq_op.initial_codebooks(emb, m_sub=8, k_codes=16)
-    coded = pq_op.encode_pq(emb, cbs).cache()
-    t0 = time.perf_counter()
-    n_coded = coded.count()
-    timings["pq_encode"] = round(time.perf_counter() - t0, 2)
-    assert n_coded == n_vecs
-    run("pq_adc_topk", pq_op.pq_topk(coded, cbs, qvecs, k=10))
-    coded.unpersist()
+    if want("pq_encode", "pq_adc_topk"):
+        cbs = pq_op.initial_codebooks(emb, m_sub=8, k_codes=16)
+        coded = pq_op.encode_pq(emb, cbs).cache()
+        t0 = time.perf_counter()
+        n_coded = coded.count()
+        timings["pq_encode"] = round(time.perf_counter() - t0, 2)
+        assert n_coded == n_vecs
+        run("pq_adc_topk", lambda: pq_op.pq_topk(coded, cbs, qvecs, k=10))
+        coded.unpersist()
 
     # Bloom incremental gate vs the plain anti-join at the same volume:
     # 2/3 of incoming is new (bypasses the verify join via the bitmap)
-    inc = docs.select(
-        (F.col("doc_id") + 10 * n_docs).alias("doc_id"),
-        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
-        .otherwise(F.concat(F.col("text"), F.lit(" fresh "), F.col("doc_id")))
-        .alias("text"),
-    )
-    run(
-        "incremental_gate_anti",
-        dd_ops.incremental_new_docs(inc, docs, "doc_id", "text"),
-    )
-    # the Bloom index is built ONCE per corpus and reused across ingest
-    # batches — time build and per-batch probe separately (the anti-join
-    # above pays its full indexed-side shuffle on EVERY batch)
-    words, m, k = dd_ops.build_bloom_index(docs, "text", n_indexed=n_docs)
-    words = words.cache()
-    t0 = time.perf_counter()
-    words.count()
-    timings["bloom_index_build"] = round(time.perf_counter() - t0, 2)
-    run(
-        "incremental_gate_bloom_probe",
-        dd_ops.incremental_new_docs_bloom(
-            inc, docs, "doc_id", "text", bloom=(words, m, k)
-        ),
-    )
-    # near-dup ingest gate: a 1/10 batch against the full indexed corpus.
-    # This data is duplication-pathological (each original has ~17
-    # byte-identical indexed replicas), so also measure the production
-    # composition (exact fingerprint gate first — identical dups never
-    # reach LSH).
-    inc_small = inc.filter(F.col("doc_id") % 10 == 0)
-    run(
-        "incremental_neardup_gate",
-        dd_ops.incremental_neardup(inc_small, docs, "doc_id", "text"),
-    )
-    run(
+    _GATE_OPS = (
+        "incremental_gate_anti", "bloom_index_build",
+        "incremental_gate_bloom_probe", "incremental_neardup_gate",
         "incremental_neardup_exact_first",
-        dd_ops.incremental_neardup(
-            inc_small, docs, "doc_id", "text", exact_first=True
-        ),
     )
+    if want(*_GATE_OPS):
+        inc = docs.select(
+            (F.col("doc_id") + 10 * n_docs).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" fresh "), F.col("doc_id"))
+            )
+            .alias("text"),
+        )
+        run(
+            "incremental_gate_anti",
+            lambda: dd_ops.incremental_new_docs(inc, docs, "doc_id", "text"),
+        )
+        # the Bloom index is built ONCE per corpus and reused across ingest
+        # batches — time build and per-batch probe separately (the anti-join
+        # above pays its full indexed-side shuffle on EVERY batch)
+        if want("bloom_index_build", "incremental_gate_bloom_probe"):
+            words, m, k = dd_ops.build_bloom_index(
+                docs, "text", n_indexed=n_docs
+            )
+            words = words.cache()
+            t0 = time.perf_counter()
+            words.count()
+            timings["bloom_index_build"] = round(time.perf_counter() - t0, 2)
+            run(
+                "incremental_gate_bloom_probe",
+                lambda: dd_ops.incremental_new_docs_bloom(
+                    inc, docs, "doc_id", "text", bloom=(words, m, k)
+                ),
+            )
+        # near-dup ingest gate: a 1/10 batch against the full indexed
+        # corpus. This data is duplication-pathological (each original has
+        # ~17 byte-identical indexed replicas), so also measure the
+        # production composition (exact fingerprint gate first — identical
+        # dups never reach LSH).
+        inc_small = inc.filter(F.col("doc_id") % 10 == 0)
+        run(
+            "incremental_neardup_gate",
+            lambda: dd_ops.incremental_neardup(
+                inc_small, docs, "doc_id", "text"
+            ),
+        )
+        run(
+            "incremental_neardup_exact_first",
+            lambda: dd_ops.incremental_neardup(
+                inc_small, docs, "doc_id", "text", exact_first=True
+            ),
+        )
 
     print(
         json.dumps(
@@ -296,4 +355,7 @@ def main(factor: int = 50) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 50,
+        set(sys.argv[2:]) or None,
+    )

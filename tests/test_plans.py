@@ -16,15 +16,19 @@ from embeddingsearch_spark.plans import inspect as pi
 SF = "/root/testdata/sf0.001"
 
 
-def test_search_plan_broadcasts_queries_three_shuffles(spark):
+def test_search_plan_broadcasts_queries_two_shuffles(spark):
     """The cascade: query side broadcasts (J4 — never shuffle the corpus
-    for the join), and exactly 3 exchanges exist (dp agg, entity agg,
-    final ranking window)."""
+    for the join), and exactly 2 exchanges exist: the wide-key dp agg,
+    then ONE (searchdomain, query) repartition shared by the entity agg
+    (subset hash partitioning satisfies its clustering) and the ranking
+    window (exact match). Scale-probed at N=250 (500k corpus rows):
+    same shape, BroadcastHashJoin kept, no SortMergeJoin
+    (BASELINE.md scale-probe table)."""
     corpus = tables.derive_corpus(spark, SF)
     queries = tables.derive_queries(spark, SF)
     s = so.search(corpus, queries)
     pi.assert_broadcast_join(s)
-    assert pi.count_shuffles(s) == 3
+    assert pi.count_shuffles(s) == 2
 
 
 def test_pricing_filter_and_columns_reach_scan(spark):
