@@ -108,6 +108,66 @@ WHERE regexp_matches(model, '^mock:')
   AND NOT regexp_matches(model, '-old$')"""
 
 
+_FETCH_CATALOG = {
+    "local": {
+        "models": [
+            {"name": "modelA"},
+            {"name": "modelB"},
+            {"name": "legacy-old"},
+            {},
+        ]
+    },
+    "oai": {
+        "data": [{"id": "embed-3"}, {"id": "embed-2-old"}, {"id": "chat-x"}]
+    },
+}
+
+
+def q_model_catalog_fetch(spark, sf_dir):
+    """S7 end-to-end: the HTTP model-catalog FETCH (GET /api/tags and
+    /v1/models, reference AIProvider.cs:135-211) through the injectable
+    transport with a deterministic in-process catalog, then the same
+    regex allow/deny + scheme-split surface as model_catalog_filter.
+    The oracle replays the fixed catalog as VALUES — the wire plumbing
+    is covered by mocked-transport tests (tests/test_model_catalog.py);
+    here the driver gate pins the fetch→filter→split composition."""
+    from embeddingsearch_spark.sources.catalog import (
+        ProviderConfig,
+        catalog_df,
+    )
+
+    providers = [
+        ProviderConfig(
+            "local", "ollama", "http://catalog.test:11434",
+            allowlist=(".*",), denylist=("-old$",),
+        ),
+        ProviderConfig(
+            "oai", "openai", "http://catalog.test", api_key="sk-test",
+            allowlist=("^embed-",), denylist=("-old$",),
+        ),
+    ]
+
+    def transport(url, headers, timeout):
+        return _FETCH_CATALOG["local" if "/api/tags" in url else "oai"]
+
+    df = catalog_df(spark, providers, transport=transport)
+    return df.select(
+        "model",
+        F.split("model", ":", 2).getItem(0).alias("provider"),
+        F.split("model", ":", 2).getItem(1).alias("model_name"),
+    )
+
+
+MODEL_CATALOG_FETCH_SQL = """WITH catalog AS (
+  SELECT * FROM (VALUES ('local:modelA'), ('local:modelB'),
+                        ('oai:embed-3')) t(model)
+)
+SELECT model,
+       split_part(model, ':', 1) AS provider,
+       split_part(model, ':', 2) AS model_name
+FROM catalog"""
+
+
 def q_search_attributes(spark, sf_dir):
     """Search with returnAttributes=true (P2/J2, reference
     SearchdomainController.cs:159-169): top-5 ranking joined to the
@@ -159,5 +219,6 @@ QUERIES = {
     "entity_projection": (q_entity_projection, ENTITY_PROJECTION_SQL),
     "domain_stats": (q_domain_stats, DOMAIN_STATS_SQL),
     "model_catalog_filter": (q_model_catalog_filter, MODEL_CATALOG_FILTER_SQL),
+    "model_catalog_fetch": (q_model_catalog_fetch, MODEL_CATALOG_FETCH_SQL),
     "search_attributes": (q_search_attributes, _search_attributes_sql()),
 }
