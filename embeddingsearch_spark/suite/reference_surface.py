@@ -173,11 +173,12 @@ def q_search_attributes(spark, sf_dir):
     SearchdomainController.cs:159-169): top-5 ranking joined to the
     entities' attribute MAP, rendered as a sorted 'k=v;...' string so two
     independent engines compare map contents deterministically."""
-    from embeddingsearch_spark.operators import search as search_op
+    from embeddingsearch_spark.suite.scoring import cascade_shared
 
-    corpus = tables.derive_corpus(spark, sf_dir)
-    queries = tables.derive_queries(spark, sf_dir)
-    ranked = search_op.search(corpus, queries, topn=5)
+    # top-5 read over the shared materialized ranking (rank_results
+    # applies topn as exactly this filter), then the attribute join —
+    # only the join is this query's own work
+    ranked = cascade_shared(spark, sf_dir).filter(F.col("rank") <= 5)
     ents = tables.derive_entity_attrs(spark, sf_dir)
     rendered = F.array_join(
         F.transform(
