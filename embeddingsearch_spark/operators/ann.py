@@ -576,6 +576,65 @@ def assign_centroids(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.65,
+    centroids: DataFrame | None = None,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster embeddings coarsely, compare
+    pairs ONLY within a cluster, keep one representative per ε-ball.
+
+      1. coarse clustering: `assign_centroids` (zero-shuffle — centroids
+         ship in the task closure). ``centroids=None`` uses the
+         deterministic k-lowest-id init (`kmeans_centroids` iters=0) so
+         any engine reproduces the blocking; pass trained centroids for
+         production quality.
+      2. within-cluster exact cosine pairs via `blocked_cosine_pairs`
+         (O(cluster²) bounded by ``max_block`` with SRP-LSH fallback —
+         the cluster count is the scale knob, exactly SemDeDup's k).
+      3. keep rule: a row is DROPPED iff a lower-id row in the same
+         cluster is within ``threshold`` (remapped cosine ≥ threshold) —
+         the greedy min-id representative per ε-ball.
+
+    Returns (id, centroid_id, keep BOOLEAN). At 100 TB: vectors never
+    self-join across clusters, the pair stage shuffles only
+    (cluster, id, vector) once via the groupBy, and the keep decision is
+    one distinct + left join on ids.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, k=k, iters=0, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_centroids(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    )
+    pairs = blocked_cosine_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="centroid_id",
+        threshold=threshold,
+        max_block=max_block,
+    )
+    # id_a < id_b by construction, so id_b always has a lower-id
+    # neighbor in range: exactly the set of dropped rows.
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,

@@ -347,6 +347,47 @@ c{i} AS (
 )"""
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: deterministic k=8 coarse
+    clusters (k-lowest-id init), within-cluster exact cosine pairs at
+    0.65 remapped threshold, greedy min-id keep per ε-ball. The oracle
+    replays clustering (one assign pass of the kmeans CTEs), pairs, and
+    the dominance rule."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    return ann_ops.semantic_dedup(
+        emb.repartition(n), k=8, threshold=0.65
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cid,
+         v AS c
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT 8)
+),
+{_kmeans_assign_ctes(1, "c0")},
+pair_elems AS (
+  SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+         unnest(va.v) AS x, unnest(vb.v) AS y
+  FROM a1 pa JOIN a1 pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+  JOIN v va ON va.vec_id = pa.vec_id
+  JOIN v vb ON vb.vec_id = pb.vec_id
+),
+psims AS (
+  SELECT id_a, id_b, {_COS} AS sim
+  FROM pair_elems GROUP BY id_a, id_b
+),
+dropped AS (
+  SELECT DISTINCT id_b AS vec_id FROM psims WHERE round(sim, {RD}) >= 0.65
+)
+SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
+FROM a1 a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
+
+
 IVF_KMEANS_BUILD_SQL = f"""WITH v AS (
   SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
   FROM embeddings
@@ -672,5 +713,6 @@ QUERIES = {
     ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "ivf_kmeans_build": (q_ivf_kmeans_build, IVF_KMEANS_BUILD_SQL),
+    "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }

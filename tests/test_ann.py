@@ -41,3 +41,27 @@ def test_ivf_results_subset_of_brute_force(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(
         map(tuple, bf.collect())
     )
+
+
+def test_semantic_dedup_min_id_per_ball(spark):
+    """Planted exact duplicates: the lowest id in each ε-ball is kept,
+    every other member dropped; singletons all keep."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = [list(map(float, rng.normal(size=8))) for _ in range(12)]
+    rows = [(i, base[i]) for i in range(12)]
+    # ids 100/101 duplicate vector 3; id 102 duplicates vector 5
+    rows += [(100, base[3]), (101, base[3]), (102, base[5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in ann_ops.semantic_dedup(
+            emb, k=4, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 15
+    assert out[3] and not out[100] and not out[101]
+    assert out[5] and not out[102]
+    # non-planted rows are near-orthogonal at this threshold -> all keep
+    assert all(out[i] for i in range(12))
