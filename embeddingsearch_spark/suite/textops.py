@@ -801,6 +801,36 @@ FROM tf GROUP BY token
 ORDER BY df DESC, token ASC LIMIT 100"""
 
 
+def q_bpe_pair_merges(spark, sf_dir):
+    """BPE training statistics (`operators/bpe.py`, Sennrich et al.
+    2016): word histogram (the only corpus-sized pass) → char+end-marker
+    symbolization of the VOCAB → adjacent-pair counts → top-40 merge
+    candidates with deterministic (count desc, pair asc) ranking."""
+    from embeddingsearch_spark.operators import bpe
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return bpe.bpe_top_merges(bpe.bpe_pair_counts(docs), n_merges=40)
+
+
+BPE_PAIR_MERGES_SQL = f"""WITH toks AS (
+  SELECT unnest({_LOWER_TOKS_SQL}) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+syms AS (
+  SELECT n, list_append(string_split(word, ''), '</w>') AS s FROM wc
+),
+pairs AS (
+  SELECT s[i] AS a, s[i + 1] AS b, n
+  FROM syms, unnest(range(1, len(s))) AS r(i)
+),
+pc AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM pairs GROUP BY a, b)
+SELECT a, b, n_pairs, CAST(row_number() OVER (
+         ORDER BY n_pairs DESC, a ASC, b ASC) AS INT) AS rank
+FROM pc
+QUALIFY rank <= 40"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Fasttext-style linear quality classifier: logistic score over the
     engineered quality features, entirely scan-stage (operators/classifier).
@@ -866,6 +896,7 @@ QUERIES = {
     "token_histogram": (q_token_histogram, TOKEN_HISTOGRAM_SQL),
     "token_heavy_hitters": (q_token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "phrase_pmi": (q_phrase_pmi, PHRASE_PMI_SQL),
+    "bpe_pair_merges": (q_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
     "eval_holdout": (q_eval_holdout, EVAL_HOLDOUT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
