@@ -831,6 +831,73 @@ FROM pc
 QUALIFY rank <= 40"""
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (`operators/dsir.py`, Xie et al.
+    2023): select the 100 raw docs whose hashed-ngram distribution best
+    matches the English subset, via Gumbel-top-k over Laplace-smoothed
+    bucket-model log ratios. Every stage (sha256 bucket hash, seeded
+    Gumbel noise) is engine-independent, so the oracle replays the full
+    pipeline."""
+    from embeddingsearch_spark.operators import dsir
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir.dsir_select(docs, target, n=100, buckets=4096)
+
+
+_DSIR_H60 = "CAST(('0x' || substr(sha256({e}), 1, 15)) AS BIGINT)"
+
+DSIR_SELECT_SQL = f"""WITH raw_toks AS (
+  SELECT doc_id, {_LOWER_TOKS_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    t,
+    CASE WHEN len(t) >= 2 THEN list_transform(
+      range(1, len(t)), i -> t[i] || ' ' || t[i + 1]
+    ) ELSE [] END)) AS gram
+  FROM raw_toks
+),
+feats AS (
+  SELECT doc_id, {_DSIR_H60.format(e='gram')} % 4096 AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2
+),
+t_feats AS (
+  SELECT f.bucket, sum(f.c) AS cb FROM feats f
+  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1
+),
+r_feats AS (SELECT bucket, sum(c) AS cb FROM feats GROUP BY 1),
+t_tot AS (SELECT sum(cb) AS tot FROM t_feats),
+r_tot AS (SELECT sum(cb) AS tot FROM r_feats),
+terms AS (
+  SELECT f.doc_id,
+         f.c * (
+           ln((coalesce(tf.cb, 0) + 1.0) / (tt.tot + 4096.0))
+           - ln((rf.cb + 1.0) / (rt.tot + 4096.0))
+         ) AS term
+  FROM feats f
+  LEFT JOIN t_feats tf USING (bucket)
+  JOIN r_feats rf USING (bucket)
+  CROSS JOIN t_tot tt CROSS JOIN r_tot rt
+),
+lw AS (SELECT doc_id, sum(term) AS log_w FROM terms GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, log_w,
+         round(log_w + (
+           -ln(-ln((({_DSIR_H60.format(e="CAST(doc_id AS VARCHAR) || '|42'")})
+                    + 0.5) / 1152921504606846976.0))
+         ), {RD}) AS score
+  FROM lw
+)
+SELECT doc_id, round(log_w, {RD}) AS log_w,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= 100"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Fasttext-style linear quality classifier: logistic score over the
     engineered quality features, entirely scan-stage (operators/classifier).
@@ -897,6 +964,7 @@ QUERIES = {
     "token_heavy_hitters": (q_token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "phrase_pmi": (q_phrase_pmi, PHRASE_PMI_SQL),
     "bpe_pair_merges": (q_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
+    "dsir_select": (q_dsir_select, DSIR_SELECT_SQL),
     "eval_holdout": (q_eval_holdout, EVAL_HOLDOUT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
