@@ -40,7 +40,12 @@ class StreamingIndexer:
     the merge expressed as MERGE INTO keyed on searchdomain/entity).
     """
 
-    def __init__(self, spark: SparkSession, dim: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: int | None = None,
+        save_path: str | None = None,
+    ):
         from embeddingsearch_spark.sources.embedder import DEFAULT_DIM
 
         self.spark = spark
@@ -48,6 +53,12 @@ class StreamingIndexer:
         self.index_flat = spark.createDataFrame([], schemas.INDEX_FLAT)
         self.embedding_cache = spark.createDataFrame([], schemas.EMBEDDING_CACHE)
         self.n_batches = 0
+        # Optional durable state: with save_path set, every micro-batch
+        # persists ONLY the searchdomain partitions it touched (dynamic
+        # partition overwrite) and appends only the new cache entries —
+        # per-trigger persistence cost scales with the BATCH, not the
+        # accumulated index (the MERGE-storage shape of Engine.save).
+        self.save_path = save_path
 
     def process_batch(self, batch: DataFrame, batch_id: int = -1) -> None:
         from pyspark.sql import functions as F
@@ -68,6 +79,33 @@ class StreamingIndexer:
             built.new_cache_entries.drop("text")
         ).localCheckpoint(eager=True)
         self.n_batches += 1
+        if self.save_path is not None:
+            self._persist_batch(batch, built)
+
+    def _persist_batch(self, batch: DataFrame, built) -> None:
+        from pyspark.sql import functions as F
+
+        from embeddingsearch_spark import storage
+
+        touched = [
+            r[0]
+            for r in batch.select("searchdomain").distinct().collect()
+        ]
+        if touched:
+            storage.overwrite_partitions(
+                self.index_flat.filter(
+                    F.col("searchdomain").isin(touched)
+                ),
+                f"{self.save_path}/index_flat",
+                ["searchdomain"],
+            )
+        delta = built.new_cache_entries.drop("text").withColumn(
+            "vector", F.col("vector").cast("array<float>")
+        )
+        if delta.head(1):
+            delta.write.mode("append").parquet(
+                f"{self.save_path}/embedding_cache"
+            )
 
     def start(
         self,

@@ -207,3 +207,41 @@ def test_overwrite_partitions_restores_session_conf(spark, tmp_path):
     df = spark.createDataFrame([("x", 1)], "searchdomain string, v int")
     storage.overwrite_partitions(df, str(tmp_path / "t"), ["searchdomain"])
     assert spark.conf.get(key, "STATIC").upper() == "STATIC"
+
+
+def test_streaming_indexer_persists_only_touched_partitions(spark, tmp_path):
+    """Per-micro-batch durable state: a batch touching one searchdomain
+    leaves other domains' partition files byte-identical and appends
+    only the new cache entries."""
+    from embeddingsearch_spark.streaming.ingest import StreamingIndexer
+
+    root = str(tmp_path / "stream_db")
+    idx = StreamingIndexer(spark, dim=8, save_path=root)
+    idx.process_batch(_ingest(spark, "sdA", ["a1", "a2"]), 0)
+    idx.process_batch(_ingest(spark, "sdB", ["b1"]), 1)
+    after_b = _file_digests(f"{root}/index_flat")
+    a_files = {p: h for p, h in after_b.items() if "searchdomain=sdA" in p}
+    cache_files = _file_digests(f"{root}/embedding_cache")
+
+    idx.process_batch(_ingest(spark, "sdB", ["b2"], suffix=" v2"), 2)
+
+    final = _file_digests(f"{root}/index_flat")
+    a_after = {p: h for p, h in final.items() if "searchdomain=sdA" in p}
+    assert a_after == a_files  # sdA untouched by the sdB batch
+    cache_after = _file_digests(f"{root}/embedding_cache")
+    for p, h in cache_files.items():
+        assert cache_after[p] == h  # append-only
+    assert len(cache_after) > len(cache_files)
+
+    # durable state == in-memory state
+    disk = spark.read.parquet(f"{root}/index_flat")
+    assert _sorted_rows(disk.select(*idx.index_flat.columns)) == (
+        _sorted_rows(idx.index_flat)
+    )
+    disk_cache = spark.read.parquet(f"{root}/embedding_cache")
+    assert sorted(
+        (r["text_hash"], r["model"]) for r in disk_cache.collect()
+    ) == sorted(
+        (r["text_hash"], r["model"])
+        for r in idx.embedding_cache.collect()
+    )
