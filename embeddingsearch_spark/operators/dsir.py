@@ -30,9 +30,17 @@ from embeddingsearch_spark.functions.text import tokens
 DEFAULT_BUCKETS = 4096
 
 
-def _bucket(col, buckets: int):
-    """sha256-window hash → bucket id (cross-engine reproducible: the
-    first 15 hex chars are a 60-bit integer in any engine)."""
+def _bucket(col, buckets: int, hash_fn: str = "sha256"):
+    """Gram → bucket id. ``sha256`` (default): first 15 hex chars are a
+    60-bit integer in any engine — cross-engine reproducible, the
+    DuckDB-oracle path. ``xxhash64``: JVM-native, measured ~2× faster on
+    the hash-bound featurization (the `minhash_signatures` precedent) —
+    Spark-specific buckets, so no cross-engine oracle; the selection
+    semantics are unchanged (weights shift within hash noise)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(buckets))
+    if hash_fn != "sha256":
+        raise ValueError("hash_fn must be 'sha256' or 'xxhash64'")
     h = F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("bigint")
     return F.pmod(h, F.lit(buckets))
 
@@ -42,6 +50,7 @@ def hashed_ngram_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """(id, bucket, c): hashed unigram+bigram counts per doc — DSIR's
     featurization. One scan-stage explode; text never shuffles."""
@@ -60,7 +69,10 @@ def hashed_ngram_buckets(
     grams = F.concat(toks, bigrams)
     return (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .select(id_col, _bucket(F.col("gram"), buckets).alias("bucket"))
+        .select(
+            id_col,
+            _bucket(F.col("gram"), buckets, hash_fn).alias("bucket"),
+        )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -93,13 +105,21 @@ def importance_log_weights(
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """(id, log_w): per-raw-doc log importance weight under the
     target/raw bucket models. Buckets absent from a model contribute
     the smoothing floor ln(α / (tot + αB)) — the same closed form the
     models assign any unseen bucket."""
-    raw_feats = hashed_ngram_buckets(raw, id_col, text_col, buckets)
-    t_feats = hashed_ngram_buckets(target, id_col, text_col, buckets)
+    # each feature table feeds its model, its total, and (raw) the weight
+    # join — materialize once so the corpus-sized explode+hash pass runs
+    # once per corpus, not once per consumer
+    raw_feats = hashed_ngram_buckets(
+        raw, id_col, text_col, buckets, hash_fn
+    ).localCheckpoint(eager=True)
+    t_feats = hashed_ngram_buckets(
+        target, id_col, text_col, buckets, hash_fn
+    ).localCheckpoint(eager=True)
     t_model = bow_log_probs(t_feats, buckets, alpha)
     r_model = bow_log_probs(raw_feats, buckets, alpha)
     t_tot = t_feats.agg(F.sum("c").alias("t"))
@@ -165,13 +185,14 @@ def dsir_select(
     buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
     seed: int = 42,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """Top-``n`` Gumbel-perturbed importance selection — DSIR's sampling
     step (Gumbel-top-k ≡ weighted sampling without replacement, prob
     ∝ w). Returns (id, log_w, rank), rank 1..n by rounded perturbed
     score desc, id asc."""
     lw = importance_log_weights(
-        raw, target, id_col, text_col, buckets, alpha
+        raw, target, id_col, text_col, buckets, alpha, hash_fn
     )
     score = F.round(
         F.col("log_w") + gumbel_key(F.col(id_col), seed), ROUND_DIGITS
