@@ -1,0 +1,151 @@
+"""Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken, MOSS,
+SIGMOD'03): the sampled-fingerprint scale path for exact-substring
+duplicate detection.
+
+``duplicate_span_profile`` (dedup.py) shuffles EVERY k-gram key — exact,
+but at 100 TB the shuffle volume is ~n_tokens per doc. Winnowing selects
+the minimum hash in each sliding window of ``w`` consecutive k-gram
+hashes (rightmost on ties), guaranteeing that any shared substring of
+length >= w + k - 1 tokens still produces at least one matching
+fingerprint while shrinking the shuffled set to an expected density of
+2/(w+1) — a ~(w+1)/2× reduction with a detection guarantee, not a
+heuristic.
+
+Plan shape (what survives 100 TB):
+  1. per doc, k-gram hashes and the windowed minima are computed entirely
+     scan-side inside array expressions (``transform``/``slice``/
+     ``array_min`` — whole-stage codegen, zero shuffle, no window
+     function): a document is the unit of work, so no (doc, pos) rows
+     ever exist outside the scan stage;
+  2. hash and position are packed into one 60-bit key
+     (hash * 2^POS_BITS + (POSCAP - pos)) so ``array_min`` implements
+     MOSS's rightmost-minimum tie-break in a single primitive-typed min;
+  3. only the selected fingerprints (density 2/(w+1)) are exploded and
+     shuffled once by hash for the cross-doc sharing count — bare 64-bit
+     keys, never text.
+
+The reference engine has no corpus-cleanup surface (SURVEY.md §2); this
+extends the training-data-pipeline layer (BASELINE.json north star)
+alongside duplicate_span_profile as its sampled, guarantee-preserving
+scale variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.functions.text import tokens
+
+# Positions occupy the low bits so one integer min() is (hash asc,
+# position desc) — MOSS's rightmost-minimal-hash rule. 2^20 positions
+# per document (1M grams) and 40-bit hashes keep the packed key under
+# 2^60 < 2^63. Documents beyond 1M tokens should be chunked upstream
+# (doc_chunks) — asserted, not silently wrapped.
+POS_BITS = 20
+POSCAP = (1 << POS_BITS) - 1
+
+
+def _gram_hash(gram: Column) -> Column:
+    """40-bit hash of a k-gram: first 10 hex chars of sha256 — identical
+    bits in any engine with sha256 + hex→int (the DuckDB oracle uses
+    CAST('0x' || substr(sha256(g),1,10) AS BIGINT))."""
+    return F.conv(F.substring(F.sha2(gram, 256), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """One row per selected fingerprint: ``(id, pos, fp)`` where ``pos``
+    is the 1-based k-gram position and ``fp`` the 40-bit gram hash.
+
+    Windows are the ``n_grams - w + 1`` full spans of ``w`` consecutive
+    k-gram hashes; a document with ``0 < n_grams < w`` yields one window
+    over all its grams (the guarantee degrades gracefully for short
+    docs); an empty/short-of-k doc yields no rows.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n_grams = F.greatest(F.size("_toks") - (k - 1), F.lit(0))
+    # packed key per gram position: hash * 2^POS_BITS + (POSCAP - pos)
+    keys = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: _gram_hash(F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
+        * F.lit(1 << POS_BITS)
+        + (F.lit(POSCAP) - i),
+    )
+    # window-end positions: w..n_grams (or the single all-gram window
+    # when 0 < n_grams < w); empty docs short-circuit to [].
+    ends = F.when(
+        n_grams <= 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.least(F.lit(w), n_grams), n_grams))
+    selected = F.array_distinct(
+        F.transform(
+            ends,
+            lambda p: F.array_min(
+                F.slice(
+                    keys,
+                    F.greatest(F.lit(1), p - (w - 1)),
+                    F.least(F.lit(w), p),
+                )
+            ),
+        )
+    )
+    return toks.select(
+        F.col(id_col), F.explode(selected).alias("_key")
+    ).select(
+        id_col,
+        (F.lit(POSCAP) - F.col("_key") % F.lit(1 << POS_BITS))
+        .cast("int")
+        .alias("pos"),
+        F.shiftrightunsigned("_key", POS_BITS).alias("fp"),
+    )
+
+
+def winnow_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-doc dup profile over winnowed fingerprints — the sampled
+    analog of ``duplicate_span_profile``: ``(id, n_fp, n_shared_fp,
+    shared_fraction)`` where a fingerprint is *shared* when its hash is
+    selected by >= 2 distinct documents.
+
+    Only selected fingerprints shuffle (density 2/(w+1)); the shared-hash
+    set is tiny relative to the corpus and AQE broadcasts the semi-join
+    when it fits.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    occ = fps.groupBy(id_col, "fp").agg(F.count(F.lit(1)).alias("occ"))
+    shared = (
+        occ.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    dup = (
+        occ.join(shared, "fp")
+        .groupBy(id_col)
+        .agg(F.sum("occ").alias("n_shared_fp"))
+    )
+    totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    return totals.join(dup, id_col, "left_outer").select(
+        id_col,
+        F.col("n_fp").cast("bigint").alias("n_fp"),
+        F.coalesce("n_shared_fp", F.lit(0)).cast("bigint").alias(
+            "n_shared_fp"
+        ),
+        (F.coalesce("n_shared_fp", F.lit(0)) / F.col("n_fp")).alias(
+            "shared_fraction"
+        ),
+    )

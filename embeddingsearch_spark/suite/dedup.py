@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS as RD
 from embeddingsearch_spark.operators import dedup as dd_ops
+from embeddingsearch_spark.operators import winnow as wn_ops
 
 DD_SQL = """dd AS (
   SELECT doc_id, text FROM documents
@@ -504,9 +505,69 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN dup d USING (doc_id)"""
 
 
+# Winnowing (MOSS) sampled-fingerprint dup profile: k=5, w=4 gives the
+# same >=8-token shared-substring detection guarantee as dup_spans'
+# 8-grams (t = w + k - 1) at ~2/(w+1) of its shuffle volume.
+_WIN_K, _WIN_W = 5, 4
+
+
+def q_winnow_spans(spark, sf_dir):
+    """Sampled-fingerprint cross-doc dup profile via robust winnowing —
+    the scale path for dup_spans (guaranteed detection of shared spans of
+    >= w+k-1 = 8 tokens while shuffling only ~2/(w+1) of the grams)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = wn_ops.winnow_profile(
+        docs, "doc_id", "text", k=_WIN_K, w=_WIN_W
+    )
+    return out.select(
+        "doc_id",
+        "n_fp",
+        "n_shared_fp",
+        F.round("shared_fraction", RD).alias("shared_fraction"),
+    )
+
+
+WINNOW_SPANS_SQL = f"""WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t, greatest(len(t) - {_WIN_K - 1}, 0) AS n_grams FROM base
+),
+keyed AS (
+  SELECT doc_id, n_grams,
+         list_transform(range(1, greatest(n_grams, 1) + 1),
+           i -> CAST(('0x' || substr(sha256(
+                  array_to_string(t[i:i+{_WIN_K - 1}], ' ')), 1, 10))
+                AS BIGINT) * {1 << wn_ops.POS_BITS}
+                + ({wn_ops.POSCAP} - i)) AS keys
+  FROM g
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           CASE WHEN n_grams <= 0 THEN CAST([] AS BIGINT[])
+                ELSE range(least({_WIN_W}, n_grams), n_grams + 1) END,
+           p -> list_min(keys[greatest(1, p - {_WIN_W - 1}):p])))) AS key
+  FROM keyed
+),
+fps AS (SELECT doc_id, key >> {wn_ops.POS_BITS} AS fp FROM sel),
+occ AS (SELECT doc_id, fp, count(*) AS occ FROM fps GROUP BY doc_id, fp),
+shared AS (SELECT fp FROM occ GROUP BY fp HAVING count(*) >= 2),
+dup AS (SELECT doc_id, sum(occ) AS n_shared FROM occ
+        JOIN shared USING (fp) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_fp AS BIGINT) AS n_fp,
+       CAST(coalesce(d.n_shared, 0) AS BIGINT) AS n_shared_fp,
+       round(CAST(coalesce(d.n_shared, 0) AS DOUBLE) / t.n_fp,
+             {RD}) AS shared_fraction
+FROM tot t LEFT JOIN dup d USING (doc_id)"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dup_spans": (q_dup_spans, DUP_SPANS_SQL),
+    "winnow_spans": (q_winnow_spans, WINNOW_SPANS_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_incremental_bloom": (
         q_dedup_incremental_bloom,

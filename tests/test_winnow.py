@@ -1,0 +1,108 @@
+"""Robust-winnowing fingerprints: density bound, detection guarantee,
+rightmost tie-break, short-doc degradation."""
+
+from __future__ import annotations
+
+import pytest
+
+from embeddingsearch_spark.operators.winnow import (
+    POS_BITS,
+    POSCAP,
+    winnow_fingerprints,
+    winnow_profile,
+)
+
+
+def _doc_df(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+
+
+def _py_winnow(toks: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Reference implementation: packed-key min per window, distinct."""
+    import hashlib
+
+    n = len(toks) - k + 1
+    if n <= 0:
+        return set()
+    keys = []
+    for i in range(1, n + 1):
+        gram = " ".join(toks[i - 1 : i - 1 + k])
+        h = int(hashlib.sha256(gram.encode()).hexdigest()[:10], 16)
+        keys.append(h * (1 << POS_BITS) + (POSCAP - i))
+    sel = set()
+    for p in range(min(w, n), n + 1):
+        lo = max(1, p - w + 1)
+        sel.add(min(keys[lo - 1 : p]))
+    return {(POSCAP - key % (1 << POS_BITS), key >> POS_BITS) for key in sel}
+
+
+def test_matches_reference_python(spark):
+    docs = {
+        1: "a b c d e f g h i j k l m",
+        2: "x y a b c d e f g z",
+        3: "q",
+        4: "",
+    }
+    out = {
+        r["doc_id"]: set()
+        for r in _doc_df(spark, docs).select("doc_id").collect()
+    }
+    for r in winnow_fingerprints(_doc_df(spark, docs), "doc_id", "text").collect():
+        out[r["doc_id"]].add((r["pos"], r["fp"]))
+    for i, t in docs.items():
+        toks = t.split() if t.strip() else []
+        assert out[i] == _py_winnow(toks, 5, 4), f"doc {i}"
+
+
+def test_detection_guarantee(spark):
+    # Two docs sharing a run of w + k - 1 = 8 tokens must share >= 1
+    # selected fingerprint hash (the MOSS guarantee).
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = {
+        1: f"p q r {shared} u v",
+        2: f"m n {shared} o",
+    }
+    rows = winnow_fingerprints(_doc_df(spark, docs), "doc_id", "text").collect()
+    by_doc: dict[int, set] = {1: set(), 2: set()}
+    for r in rows:
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+
+
+def test_density_bound(spark):
+    # n_fp <= n_windows, and for repetitive text far fewer.
+    docs = {1: " ".join(f"t{i % 50}" for i in range(400))}
+    prof = winnow_profile(_doc_df(spark, docs), "doc_id", "text").collect()
+    n_grams = 400 - 4
+    n_windows = n_grams - 3
+    assert 0 < prof[0]["n_fp"] <= n_windows
+    # expected density 2/(w+1) = 0.4; allow generous slack
+    assert prof[0]["n_fp"] < 0.7 * n_windows
+
+
+def test_short_doc_single_window(spark):
+    # 0 < n_grams < w: exactly one window -> exactly one fingerprint.
+    docs = {1: "a b c d e f"}  # 6 tokens, k=5 -> 2 grams < w=4
+    prof = winnow_profile(_doc_df(spark, docs), "doc_id", "text").collect()
+    assert prof[0]["n_fp"] == 1
+
+
+def test_empty_and_below_k_docs_absent(spark):
+    docs = {1: "", 2: "a b", 3: "a b c d e f g h"}
+    prof = winnow_profile(_doc_df(spark, docs), "doc_id", "text")
+    ids = {r["doc_id"] for r in prof.collect()}
+    assert ids == {3}
+
+
+def test_profile_shared_fraction(spark):
+    d = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = {1: d, 2: d, 3: "z1 z2 z3 z4 z5 z6 z7 z8 z9"}
+    prof = {
+        r["doc_id"]: r
+        for r in winnow_profile(_doc_df(spark, docs), "doc_id", "text").collect()
+    }
+    assert prof[1]["shared_fraction"] == pytest.approx(1.0)
+    assert prof[2]["shared_fraction"] == pytest.approx(1.0)
+    assert prof[3]["shared_fraction"] == pytest.approx(0.0)
