@@ -106,3 +106,50 @@ def tfidf_top_terms(
             F.col("score").alias("tfidf"),
         )
     )
+
+
+def oov_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top
+    ``vocab_size`` tokens by corpus frequency (cf desc, token asc
+    tiebreak) — the vocabulary-coverage quality gate training pipelines
+    use to drop mis-encoded / wrong-domain documents before tokenizer
+    or model training sees them.
+
+    Plan shape (what survives 100 TB): the vocabulary is a model
+    artifact — ``orderBy().limit(V)`` compiles to TakeOrdered (per-
+    partition top-V, driver merge; never a full sort) and the resulting
+    V-row table is hash-broadcast to the token stream, so the only
+    corpus-sized shuffle is the per-doc aggregation of (doc_id, two
+    counts) — map-side-combined to one row per doc per partition.
+
+    Docs with zero tokens produce no row (no spurious 0/0 rate).
+    Returns (doc_id, n_tokens, n_oov, oov_rate).
+    """
+    toks = _doc_tokens(docs, id_col, text_col)
+    vocab = (
+        vocabulary(docs, id_col, text_col)
+        .orderBy(F.col("cf").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -954,8 +954,47 @@ QUALITY_CLASSIFIER_SQL = (
 )
 
 
+# OOV gate vocabulary size: the synthetic corpus has ~31 distinct tokens,
+# so V=16 leaves a meaningful out-of-vocabulary tail to measure.
+_OOV_V = 16
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs the corpus's top-16 tokens by
+    corpus frequency — the vocabulary-coverage quality gate (drop docs
+    the tokenizer would shred into rare pieces)."""
+    from embeddingsearch_spark.operators import tfidf
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = tfidf.oov_profile(docs, vocab_size=_OOV_V)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("oov_rate", RD).alias("oov_rate"),
+    )
+
+
+OOV_RATE_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest({_LOWER_TOKS_SQL}) AS token FROM documents
+),
+cf AS (SELECT token, count(*) AS cf FROM toks GROUP BY token),
+vocab AS (SELECT token FROM cf ORDER BY cf DESC, token ASC LIMIT {_OOV_V}),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_tokens, {RD}) AS oov_rate
+FROM per"""
+
+
 QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "oov_rate": (q_oov_rate, OOV_RATE_SQL),
     "tfidf_topk": (q_tfidf_topk, TFIDF_TOPK_SQL),
     "vocab_df": (q_vocab_df, VOCAB_DF_SQL),
     "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),

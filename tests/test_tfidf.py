@@ -62,3 +62,26 @@ def test_rank_dense_and_bounded(spark):
     for ranks in by_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert max(ranks) <= 3
+
+
+def test_oov_profile(spark):
+    from embeddingsearch_spark.operators.tfidf import oov_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # with V=2 vocab {a, b}: 0 OOV
+            (2, "a b zz qq"),        # 2 of 4 OOV
+            (3, "zz zz zz zz"),       # all OOV (zz cf=7 > b cf=2 though!)
+            (4, ""),                  # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    # cf: a=4, zz=7, b=2, qq=1 -> V=2 vocab is {zz, a}
+    out = {
+        r["doc_id"]: r
+        for r in oov_profile(docs, vocab_size=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_oov"] == 1 and out[1]["n_tokens"] == 4  # b OOV
+    assert out[2]["n_oov"] == 2  # b, qq
+    assert out[3]["oov_rate"] == 0.0  # zz in vocab
