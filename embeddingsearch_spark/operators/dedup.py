@@ -831,3 +831,128 @@ def duplicate_span_profile(
             .alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the Lee et al. 2022 'Deduplicating
+    Training Data' cleanup): every word ``n``-gram occurring more than
+    once in the corpus keeps only its canonical occurrence (lowest
+    (doc, pos)); all other occurrences have their token range cut from
+    the document. Overlapping cut ranges are merged per doc before
+    removal, and surviving tokens are re-joined in original order.
+
+    Plan shape (what survives 100 TB):
+      1. span keys (md5-prefix, fixed width) explode scan-side — one row
+         per token position, text itself never leaves the scan;
+      2. ONE shuffle by key computes (occurrences, canonical) per key —
+         canonical as min(doc * 2^POS_BITS + pos), a single primitive
+         min, no struct compare;
+      3. only duplicated occurrences become (doc, start, end) ranges;
+         gaps-and-islands merging per doc is a window over those ranges
+         (range volume = dup occurrences, not corpus size);
+      4. islands are collected per doc (array of small structs) and
+         joined back to the docs table, where surviving tokens are
+         rebuilt in ONE scan-side array expression — the cleaned text is
+         never shuffled token-by-token.
+
+    Single-pass semantics: grams created by the removal's splice points
+    are not re-examined (matches the paper's one-shot removal).
+    Returns (id, n_tokens, n_removed, text_clean) for EVERY input doc.
+    """
+    from pyspark.sql.window import Window
+
+    from embeddingsearch_spark.operators.winnow import POS_BITS
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    idx = F.when(
+        F.size("_toks") >= n,
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))),
+                        1,
+                        16,
+                    ).alias("key"),
+                ),
+            )
+        ).alias("sp"),
+    ).select(id_col, F.col("sp.pos").alias("pos"), F.col("sp.key").alias("key"))
+    packed = F.col(id_col) * F.lit(1 << POS_BITS) + F.col("pos")
+    stats = (
+        spans.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col(id_col) * F.lit(1 << POS_BITS) + F.col("pos")).alias(
+                "canon"
+            ),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+    cuts = (
+        spans.join(stats, "key")
+        .filter(packed != F.col("canon"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("s"),
+            (F.col("pos") + (n - 1)).cast("bigint").alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        cuts.withColumn("_prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("s") > F.coalesce(F.col("_prev_e"), F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_cuts")
+        )
+    )
+    joined = toks.join(islands, id_col, "left_outer").withColumn(
+        "_cuts",
+        F.coalesce(
+            "_cuts", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (i + 1 >= c["s"]) & (i + 1 <= c["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+    )

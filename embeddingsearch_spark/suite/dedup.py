@@ -505,6 +505,68 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN dup d USING (doc_id)"""
 
 
+def q_dedup_spans_remove(spark, sf_dir):
+    """Exact-substring dedup removal (Lee et al. 2022): every duplicated
+    word 8-gram keeps only its canonical (lowest doc, pos) occurrence;
+    other occurrences are cut and the cleaned text reassembled."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dd_ops.remove_duplicate_spans(
+        docs, "doc_id", "text", n=_SPAN_N
+    ).select("doc_id", "n_tokens", "n_removed", "text_clean")
+
+
+DEDUP_SPANS_REMOVE_SQL = f"""WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')), 1, 16) AS key
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {_SPAN_N} + 1, 0) + 1)) AS i
+        FROM base)
+),
+stats AS (
+  SELECT key, min(doc_id * 1048576 + pos) AS canon
+  FROM spans GROUP BY key HAVING count(*) >= 2
+),
+cuts AS (
+  SELECT s.doc_id, s.pos AS st, s.pos + {_SPAN_N - 1} AS e
+  FROM spans s JOIN stats USING (key)
+  WHERE s.doc_id * 1048576 + s.pos <> canon
+),
+isl AS (
+  SELECT doc_id, st, e,
+         CASE WHEN st > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY st, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM cuts
+),
+isl2 AS (
+  SELECT doc_id, st, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY st, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+),
+merged AS (SELECT doc_id, g, min(st) AS s, max(e) AS e
+           FROM isl2 GROUP BY doc_id, g),
+tokpos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM base),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.t[tp.p] AS tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = tp.doc_id AND tp.p BETWEEN m.s AND m.e)
+),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.text_clean, '') AS text_clean
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
 # Winnowing (MOSS) sampled-fingerprint dup profile: k=5, w=4 gives the
 # same >=8-token shared-substring detection guarantee as dup_spans'
 # 8-grams (t = w + k - 1) at ~2/(w+1) of its shuffle volume.
@@ -568,6 +630,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dup_spans": (q_dup_spans, DUP_SPANS_SQL),
     "winnow_spans": (q_winnow_spans, WINNOW_SPANS_SQL),
+    "dedup_spans_remove": (q_dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_incremental_bloom": (
         q_dedup_incremental_bloom,

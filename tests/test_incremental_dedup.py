@@ -86,3 +86,48 @@ def test_incremental_neardup_exact_first_equivalent(spark):
     assert pure == fast
     assert fast[300] == (None, True)
     assert fast[100] == (0, False)
+
+
+def test_remove_duplicate_spans(spark):
+    from embeddingsearch_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z"),  # canonical owner of a..h
+            (2, "p q a b c d e f g h r"),  # dup occurrence -> 8 tokens cut
+            (3, "m n o"),                  # shorter than n: untouched
+            (4, ""),                       # empty doc survives as ''
+            (5, "a b c d e f g h a b c d e f g h"),  # both non-canonical
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()
+    }
+    assert len(out) == 5  # every input doc present
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == "a b c d e f g h x y z"
+    assert out[2]["n_removed"] == 8 and out[2]["text_clean"] == "p q r"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["text_clean"] == ""
+    # doc 1 holds the canonical occurrence, so BOTH of doc 5's copies cut
+    assert out[5]["n_removed"] == 16 and out[5]["text_clean"] == ""
+
+
+def test_remove_duplicate_spans_overlap_merge(spark):
+    from embeddingsearch_spark.operators.dedup import remove_duplicate_spans
+
+    # doc 2 repeats a 9-token run of doc 1: two overlapping 8-gram cuts
+    # [1,8] and [2,9] merge into one island of 9 tokens.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i z z2 z3"),
+            (2, "a b c d e f g h i w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 9 and out[2]["text_clean"] == "w"
