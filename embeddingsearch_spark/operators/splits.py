@@ -186,3 +186,43 @@ def epoch_shuffle(
         .withColumn(pos_col, F.row_number().over(w))
         .drop("_h")
     )
+
+
+def mixture_weights_temperature(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled corpus mixture weights (the multilingual-LM
+    sampling rule, mT5/UNIMAX family): p_g ∝ n_g^alpha. alpha=1
+    reproduces natural proportions; alpha→0 approaches uniform; 0.3 is
+    the common low-resource-boosting setting. The output feeds
+    ``weighted_mix`` (weight per row = upsample_factor).
+
+    One corpus-sized map-side-combinable count per group, then all math
+    on the tiny per-group table with the two scalars (Z, N) broadcast —
+    nothing corpus-sized shuffles twice.
+
+    Returns (group, n_docs, weight, upsample_factor) where
+    upsample_factor = weight * N_total / n_g (expected copies per row of
+    group g under the target distribution).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(alpha))).alias("_z"),
+        F.sum("n_docs").alias("_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (F.pow("n_docs", F.lit(alpha)) / F.col("_z")).alias("weight"),
+            (
+                F.pow("n_docs", F.lit(alpha))
+                / F.col("_z")
+                * F.col("_n")
+                / F.col("n_docs")
+            ).alias("upsample_factor"),
+        )
+    )

@@ -954,6 +954,36 @@ QUALITY_CLASSIFIER_SQL = (
 )
 
 
+_MIX_ALPHA = 0.3
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights per source (p ∝ n^0.3, the
+    mT5-style low-resource boost): weight and expected upsample factor
+    per corpus source."""
+    from embeddingsearch_spark.operators import splits
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = splits.mixture_weights_temperature(docs, "source", alpha=_MIX_ALPHA)
+    return out.select(
+        "source",
+        "n_docs",
+        F.round("weight", RD).alias("weight"),
+        F.round("upsample_factor", RD).alias("upsample_factor"),
+    )
+
+
+MIX_TEMPERATURE_SQL = f"""WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+t AS (SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS z, sum(n_docs) AS n FROM c)
+SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+       round(pow(c.n_docs, {_MIX_ALPHA}) / t.z, {RD}) AS weight,
+       round(pow(c.n_docs, {_MIX_ALPHA}) / t.z * t.n / c.n_docs,
+             {RD}) AS upsample_factor
+FROM c CROSS JOIN t"""
+
+
 # OOV gate vocabulary size: the synthetic corpus has ~31 distinct tokens,
 # so V=16 leaves a meaningful out-of-vocabulary tail to measure.
 _OOV_V = 16
@@ -1008,6 +1038,7 @@ QUERIES = {
     "contamination": (q_contamination, CONTAMINATION_SQL),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
+    "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "repetition_filter": (q_repetition_filter, REPETITION_FILTER_SQL),
     "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),

@@ -52,7 +52,8 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
 
     _DOCS_OPS = (
         "exact_dedup", "minhash_signatures", "seq_pack", "ngram_overlap",
-        "repetition_profile", "dup_span_profile", "tfidf_topk",
+        "repetition_profile", "dup_span_profile", "winnow_profile",
+        "dedup_spans_remove", "tfidf_topk",
         "boilerplate_removal", "lm_score", "url_dedup",
         "incremental_gate_anti", "bloom_index_build",
         "incremental_gate_bloom_probe", "incremental_neardup_gate",
@@ -219,6 +220,20 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
     run(
         "dup_span_profile",
         lambda: dd_ops.duplicate_span_profile(docs, n=8),
+    )
+
+    from embeddingsearch_spark.operators import winnow as wn_op
+
+    # sampled-fingerprint variant of the same task: expect the gap vs
+    # dup_span_profile to WIDEN with factor (shuffle volume is the
+    # bottleneck and winnowing ships ~2/(w+1) of the grams)
+    run(
+        "winnow_profile",
+        lambda: wn_op.winnow_profile(docs, "doc_id", "text", k=5, w=4),
+    )
+    run(
+        "dedup_spans_remove",
+        lambda: dd_ops.remove_duplicate_spans(docs, "doc_id", "text", n=8),
     )
 
     from embeddingsearch_spark.operators import tfidf as tfidf_op

@@ -54,3 +54,32 @@ def test_weighted_mix_copies(corpus):
 def test_weighted_mix_rejects_negative(corpus):
     with pytest.raises(ValueError):
         splits.weighted_mix(corpus, "id", "lang", {"en": -1.0})
+
+
+def test_mixture_weights_temperature(spark):
+    from embeddingsearch_spark.operators.splits import (
+        mixture_weights_temperature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(90 + i, "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights_temperature(df, "source", alpha=0.5).collect()
+    }
+    zb, zs = 90 ** 0.5, 10 ** 0.5
+    z = zb + zs
+    assert out["big"]["weight"] == pytest.approx(zb / z)
+    assert out["small"]["weight"] == pytest.approx(zs / z)
+    # temperature boosts the small source above natural proportion
+    assert out["small"]["weight"] > 0.10
+    assert out["small"]["upsample_factor"] == pytest.approx(zs / z * 100 / 10)
+    # alpha=1 -> natural proportions, every upsample factor exactly 1
+    nat = {
+        r["source"]: r
+        for r in mixture_weights_temperature(df, "source", alpha=1.0).collect()
+    }
+    assert nat["big"]["upsample_factor"] == pytest.approx(1.0)
+    assert nat["small"]["upsample_factor"] == pytest.approx(1.0)
