@@ -149,3 +149,41 @@ def winnow_profile(
             "shared_fraction"
         ),
     )
+
+
+def winnow_cross_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Train/eval contamination via winnowed fingerprints on BOTH sides:
+    the MOSS guarantee is symmetric (a shared substring of >= w + k - 1
+    tokens contains a full window inside the shared region, whose minimal
+    hash is selected by each side independently), so overlap detection
+    keeps the n-gram check's span guarantee while each side ships only
+    ~2/(w+1) of its grams — the decontamination shape for a 100 TB corpus
+    against a large benchmark suite.
+
+    Returns (corpus_id, bench_id, n_shared_fp) — one row per
+    contaminated (doc, benchmark) pair, counting shared distinct
+    fingerprint hashes.
+    """
+    cf = (
+        winnow_fingerprints(corpus, corpus_id, text_col, k=k, w=w)
+        .select(corpus_id, "fp")
+        .distinct()
+    )
+    bf = (
+        winnow_fingerprints(bench, bench_id, text_col, k=k, w=w)
+        .select(bench_id, "fp")
+        .distinct()
+    )
+    return (
+        cf.join(F.broadcast(bf), "fp")
+        .groupBy(corpus_id, bench_id)
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )

@@ -590,30 +590,37 @@ def q_winnow_spans(spark, sf_dir):
     )
 
 
-WINNOW_SPANS_SQL = f"""WITH base AS (
-  SELECT doc_id, {TOKS_SQL} AS t FROM documents
-),
-g AS (
-  SELECT doc_id, t, greatest(len(t) - {_WIN_K - 1}, 0) AS n_grams FROM base
-),
-keyed AS (
-  SELECT doc_id, n_grams,
-         list_transform(range(1, greatest(n_grams, 1) + 1),
-           i -> CAST(('0x' || substr(sha256(
-                  array_to_string(t[i:i+{_WIN_K - 1}], ' ')), 1, 10))
-                AS BIGINT) * {1 << wn_ops.POS_BITS}
-                + ({wn_ops.POSCAP} - i)) AS keys
-  FROM g
-),
-sel AS (
-  SELECT doc_id,
+def winnow_fp_select(src_sql: str, id_as: str, k: int, w: int) -> str:
+    """DuckDB SELECT yielding one row per selected winnow fingerprint
+    ``({id_as}, fp)`` from ``src_sql``, which must yield ``({id_as}, t)``
+    with ``t`` a token array — the oracle twin of
+    ``winnow.winnow_fingerprints`` (callers wrap with DISTINCT for
+    set semantics)."""
+    pb, pc = wn_ops.POS_BITS, wn_ops.POSCAP
+    return f"""SELECT {id_as}, key >> {pb} AS fp FROM (
+  SELECT {id_as},
          unnest(list_distinct(list_transform(
            CASE WHEN n_grams <= 0 THEN CAST([] AS BIGINT[])
-                ELSE range(least({_WIN_W}, n_grams), n_grams + 1) END,
-           p -> list_min(keys[greatest(1, p - {_WIN_W - 1}):p])))) AS key
-  FROM keyed
+                ELSE range(least({w}, n_grams), n_grams + 1) END,
+           p -> list_min(keys[greatest(1, p - {w - 1}):p])))) AS key
+  FROM (
+    SELECT {id_as}, n_grams,
+           list_transform(range(1, greatest(n_grams, 1) + 1),
+             i -> CAST(('0x' || substr(sha256(
+                    array_to_string(t[i:i+{k - 1}], ' ')), 1, 10))
+                  AS BIGINT) * {1 << pb} + ({pc} - i)) AS keys
+    FROM (SELECT {id_as}, t, greatest(len(t) - {k - 1}, 0) AS n_grams
+          FROM ({src_sql}))
+  )
+)"""
+
+
+WINNOW_SPANS_SQL = f"""WITH fps AS (
+  {winnow_fp_select(
+      f"SELECT doc_id, {TOKS_SQL} AS t FROM documents",
+      "doc_id", _WIN_K, _WIN_W,
+  )}
 ),
-fps AS (SELECT doc_id, key >> {wn_ops.POS_BITS} AS fp FROM sel),
 occ AS (SELECT doc_id, fp, count(*) AS occ FROM fps GROUP BY doc_id, fp),
 shared AS (SELECT fp FROM occ GROUP BY fp HAVING count(*) >= 2),
 dup AS (SELECT doc_id, sum(occ) AS n_shared FROM occ

@@ -302,6 +302,48 @@ FROM cgrams c JOIN bgrams b USING (gram)
 GROUP BY c.doc_id, b.bench_id"""
 
 
+def q_winnow_contamination(spark, sf_dir):
+    """Same train/eval overlap check via winnowed fingerprints on BOTH
+    sides (the MOSS guarantee is symmetric): each side ships ~2/(w+1)
+    of its grams — the decontamination shape for a 100 TB corpus against
+    a large benchmark suite. k=5, w=4 keeps the 8-token span guarantee."""
+    from embeddingsearch_spark.operators import winnow as wn
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 4, 12)).alias(
+            "text"
+        ),
+    )
+    return wn.winnow_cross_overlap(docs, bench, k=5, w=4)
+
+
+def _winnow_contamination_sql() -> str:
+    from embeddingsearch_spark.suite.dedup import winnow_fp_select
+
+    corpus_src = f"SELECT doc_id, {TOKS_SQL} AS t FROM documents"
+    bench_src = (
+        f"SELECT doc_id AS bench_id, ({_BENCH_TOKS_SQL}) AS t "
+        f"FROM (SELECT doc_id, array_to_string(({TOKS_SQL})[4:15], ' ') "
+        f"AS btext FROM documents WHERE doc_id % 11 = 0)"
+    )
+    return f"""WITH cfp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    {winnow_fp_select(corpus_src, "doc_id", 5, 4)}
+  )
+),
+bfp AS (
+  SELECT DISTINCT bench_id, fp FROM (
+    {winnow_fp_select(bench_src, "bench_id", 5, 4)}
+  )
+)
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared_fp
+FROM cfp c JOIN bfp b USING (fp)
+GROUP BY c.doc_id, b.bench_id"""
+
+
 def q_pii_redact(spark, sf_dir):
     """Redaction over a corpus with planted PII (emails on every 7th doc,
     phones on every 5th, IP+SSN on every 9th): returns the redacted text
@@ -1036,6 +1078,10 @@ QUERIES = {
     "dsir_select": (q_dsir_select, DSIR_SELECT_SQL),
     "eval_holdout": (q_eval_holdout, EVAL_HOLDOUT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),
+    "winnow_contamination": (
+        q_winnow_contamination,
+        _winnow_contamination_sql(),
+    ),
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),

@@ -106,3 +106,24 @@ def test_profile_shared_fraction(spark):
     assert prof[1]["shared_fraction"] == pytest.approx(1.0)
     assert prof[2]["shared_fraction"] == pytest.approx(1.0)
     assert prof[3]["shared_fraction"] == pytest.approx(0.0)
+
+
+def test_cross_overlap_planted_leak(spark):
+    from embeddingsearch_spark.operators.winnow import winnow_cross_overlap
+
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"  # w + k - 1 = 8 tokens
+    corpus = _doc_df(
+        spark,
+        {
+            1: f"c1 c2 {leak} c3 c4",
+            2: "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10",
+        },
+    )
+    bench = spark.createDataFrame(
+        [(100, f"b1 {leak} b2"), (101, "e1 e2 e3 e4 e5 e6 e7 e8")],
+        "bench_id long, text string",
+    )
+    rows = winnow_cross_overlap(corpus, bench).collect()
+    pairs = {(r["doc_id"], r["bench_id"]) for r in rows}
+    assert (1, 100) in pairs  # the MOSS guarantee: >=8-token leak found
+    assert (2, 101) not in pairs  # disjoint texts share nothing
