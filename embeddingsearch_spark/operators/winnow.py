@@ -126,6 +126,10 @@ def winnow_profile(
     when it fits.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # every downstream branch consumes the SAME (id, fp) aggregate, so
+    # its exchange subtree is identical three times over and Spark's
+    # ReuseExchange runs the scan + winnow explode ONCE (totals derived
+    # as sum(occ), never from a second pass over the corpus)
     occ = fps.groupBy(id_col, "fp").agg(F.count(F.lit(1)).alias("occ"))
     shared = (
         occ.groupBy("fp")
@@ -138,7 +142,7 @@ def winnow_profile(
         .groupBy(id_col)
         .agg(F.sum("occ").alias("n_shared_fp"))
     )
-    totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    totals = occ.groupBy(id_col).agg(F.sum("occ").alias("n_fp"))
     return totals.join(dup, id_col, "left_outer").select(
         id_col,
         F.col("n_fp").cast("bigint").alias("n_fp"),
