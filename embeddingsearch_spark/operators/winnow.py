@@ -74,31 +74,49 @@ def winnow_fingerprints(
         raise ValueError("k and w must be >= 1")
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     n_grams = F.greatest(F.size("_toks") - (k - 1), F.lit(0))
-    # packed key per gram position: hash * 2^POS_BITS + (POSCAP - pos)
+    # packed key per gram position: hash * 2^POS_BITS + (POSCAP - pos).
+    # Materialized as a column referenced w+1 times below — multi-ref of
+    # a non-cheap expression stops CollapseProject from inlining it, so
+    # the O(n·k) hashing runs once per row. (An expression placed INSIDE
+    # a per-window lambda is re-evaluated per element — the first version
+    # did that and went quadratic: 37× slower than dup_span_profile at
+    # the factor-50 probe instead of ~2.5× faster.)
     keys = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
         lambda i: _gram_hash(F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
         * F.lit(1 << POS_BITS)
         + (F.lit(POSCAP) - i),
     )
-    # window-end positions: w..n_grams (or the single all-gram window
-    # when 0 < n_grams < w); empty docs short-circuit to [].
-    ends = F.when(
-        n_grams <= 0, F.array().cast("array<int>")
-    ).otherwise(F.sequence(F.least(F.lit(w), n_grams), n_grams))
-    selected = F.array_distinct(
-        F.transform(
-            ends,
-            lambda p: F.array_min(
-                F.slice(
-                    keys,
-                    F.greatest(F.lit(1), p - (w - 1)),
-                    F.least(F.lit(w), p),
-                )
-            ),
-        )
+    staged = toks.withColumn("_keys", keys).withColumn(
+        "_nw", n_grams - (w - 1)
     )
-    return toks.select(
+    # full-window minima WITHOUT a per-window lambda: fold w shifted
+    # slices of _keys with elementwise least() — every slice is an
+    # array-valued argument evaluated once per row, so the whole pass is
+    # O(n·w) instead of O(n²·k)
+    acc = F.slice(F.col("_keys"), 1, F.col("_nw"))
+    for s in range(1, w):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("_keys"), F.lit(1 + s), F.col("_nw")),
+            lambda a, b: F.least(a, b),
+        )
+    wins = (
+        F.when(F.size("_keys") == 0, F.array().cast("array<bigint>"))
+        .when(
+            F.col("_nw") <= 0,  # 0 < n_grams < w: one window, all grams
+            F.array(F.array_min("_keys")),
+        )
+        .otherwise(acc)
+    )
+    # guard the degenerate all-empty-docs case: _keys is [one key] even
+    # for empty docs (sequence floor), so size==0 never fires; gate on
+    # n_grams instead
+    wins = F.when(
+        n_grams <= 0, F.array().cast("array<bigint>")
+    ).otherwise(wins)
+    selected = F.array_distinct(wins)
+    return staged.select(
         F.col(id_col), F.explode(selected).alias("_key")
     ).select(
         id_col,
