@@ -144,11 +144,24 @@ def chunk_spans(text: Column, size: int = 64, overlap: int = 16) -> Column:
     (chunk_id, chunk_text): windows of ``size`` tokens starting every
     ``size - overlap`` tokens. Pure scan-stage sequence/slice — chunking
     100 TB of documents adds no shuffle; follow with `explode` for one
-    row per chunk (the standard pre-embedding unit for long docs)."""
+    row per chunk (the standard pre-embedding unit for long docs).
+
+    Prefer pre-projecting ``tokens(text)`` into a column and calling
+    ``chunk_spans_of`` on the hot path: inlining the tokenization makes
+    the per-chunk lambda re-evaluate split(trim(text)) once PER CHUNK
+    (the word_shingles_of hazard)."""
+    return chunk_spans_of(tokens(text), size=size, overlap=overlap)
+
+
+def chunk_spans_of(
+    toks: Column, size: int = 64, overlap: int = 16
+) -> Column:
+    """``chunk_spans`` over an ALREADY-MATERIALIZED token array column —
+    the per-chunk slice then reads an attribute instead of re-running
+    tokenization per chunk."""
     if overlap >= size:
         raise ValueError("overlap must be < size")
     step = size - overlap
-    toks = tokens(text)
     n = F.size(toks)
     n_chunks = (
         F.when(n == 0, F.lit(0))

@@ -59,18 +59,35 @@ def l1_distance(a: Column, b: Column) -> Column:
     )
 
 
-def quantize_int8(vec: Column) -> tuple[Column, Column]:
+def quantize_scale(vec: Column) -> Column:
+    """Per-vector int8 scale: max|x| / 127. Materialize this as its own
+    column and pass it to ``quantize_int8`` — an inlined scale is
+    re-evaluated per element inside the transform lambda (O(d) work per
+    element → O(d²) per vector)."""
+    return (
+        F.array_max(F.transform(as_double(vec), lambda x: F.abs(x)))
+        / F.lit(127.0)
+    ).cast("double")
+
+
+def quantize_int8(
+    vec: Column, scale: Column | None = None
+) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
     q = round(x / scale) — a 4x smaller embedding store (plus int8 GEMM
     downstream). Pure Catalyst HOFs, scan-stage; engine-reproducible
     (float->double promotion is exact, and round-half-away agrees between
     Spark HALF_UP and DuckDB). Returns (q: array<int>, scale: double);
-    all-zero vectors quantize to zeros with scale 0."""
+    all-zero vectors quantize to zeros with scale 0.
+
+    Pass ``scale`` as a MATERIALIZED column (see ``quantize_scale``) on
+    the hot path: the self-contained form inlines the O(d) max into the
+    per-element lambda, costing O(d²) per vector."""
     v = as_double(vec)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (amax / F.lit(127.0)).cast("double")
+    if scale is None:
+        scale = quantize_scale(vec)
     q = F.when(
-        amax == 0.0, F.transform(v, lambda x: F.lit(0))
+        scale == 0.0, F.transform(v, lambda x: F.lit(0))
     ).otherwise(
         F.transform(v, lambda x: F.round(x / scale).cast("int"))
     )

@@ -411,16 +411,17 @@ def q_embedding_quantize(spark, sf_dir):
     100 TB) with per-vector scale and max reconstruction error — all
     scan-stage Catalyst HOFs, oracle-identical in DuckDB."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    q, scale = vectors.quantize_int8(F.col("embedding"))
+    # scale materialized FIRST so the per-element quantize lambda reads
+    # an attribute instead of re-deriving the O(d) max per element
     # raw scale kept under a distinct name: aliasing round(scale) AS
     # "scale" in the same select would capture the err expression's
     # F.col("scale") via lateral column alias resolution
-    df = emb.select(
+    staged = emb.select(
         "vec_id",
-        q.alias("q"),
-        scale.alias("_scale"),
         vectors.as_double(F.col("embedding")).alias("_v"),
-    )
+    ).withColumn("_scale", vectors.quantize_scale(F.col("_v")))
+    q, _ = vectors.quantize_int8(F.col("_v"), scale=F.col("_scale"))
+    df = staged.select("vec_id", q.alias("q"), "_scale", "_v")
     err = F.array_max(
         F.zip_with(
             F.col("q"),

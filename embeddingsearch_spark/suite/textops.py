@@ -143,9 +143,11 @@ def q_doc_chunks(spark, sf_dir):
     one row per chunk with its own hash — the pre-embedding unit for long
     docs. Chunking is scan-stage (no shuffle; plan-tested)."""
     docs = tables.load(spark, sf_dir, "documents")
-    ch = docs.select(
+    ch = docs.withColumn("_toks", T.tokens(F.col("text"))).select(
         "doc_id",
-        F.explode(T.chunk_spans(F.col("text"), size=64, overlap=16)).alias("c"),
+        F.explode(
+            T.chunk_spans_of(F.col("_toks"), size=64, overlap=16)
+        ).alias("c"),
     )
     return ch.select(
         "doc_id",
