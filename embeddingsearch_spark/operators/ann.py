@@ -556,6 +556,12 @@ def assign_centroids(
         )
     carr = F.array(*cstructs)
 
+    # vn sits inside the per-centroid lambda, so it is re-evaluated per
+    # centroid (~2x the scoring cost, NOT asymptotic: dot() is O(d) per
+    # centroid anyway). Tolerated on this non-default fallback path —
+    # the numpy method is the production one; a materialized-column
+    # barrier here would not survive CollapseProject's single-reference
+    # inlining without an artificial multi-ref.
     vn = norm2(F.col(vec_col))
     scored = F.transform(
         carr,

@@ -49,11 +49,16 @@ def bpe_pair_counts(
     """Adjacent-symbol pair counts weighted by word frequency:
     (a, b, n_pairs). Symbols are characters plus ``end_marker`` closing
     each word (so 'low' contributes (l,o), (o,w), (w,</w>))."""
-    wc = word_histogram(df, text_col, lowercase)
-    syms = F.concat(
-        F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
-        F.array(F.lit(end_marker)),
+    # symbols materialized as a column: element_at(<expr>, i) inside the
+    # pair lambda would re-split the word once per pair
+    wc = word_histogram(df, text_col, lowercase).withColumn(
+        "_syms",
+        F.concat(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+            F.array(F.lit(end_marker)),
+        ),
     )
+    syms = F.col("_syms")
     pair = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.size(syms) - 2),

@@ -54,7 +54,13 @@ def hashed_ngram_buckets(
 ) -> DataFrame:
     """(id, bucket, c): hashed unigram+bigram counts per doc — DSIR's
     featurization. One scan-stage explode; text never shuffles."""
-    toks = tokens(F.lower(F.col(text_col)))
+    # tokens materialized as a column first: element_at(<expr>, i) inside
+    # the bigram lambda would re-run tokenization once per bigram (the
+    # word_shingles_of hazard, O(n²) per doc)
+    staged = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
     # guard: sequence(0, -1) is a DESCENDING [0, -1] in Spark, not empty,
     # so <2-token docs must skip the bigram branch explicitly
     bigrams = F.when(
@@ -68,7 +74,7 @@ def hashed_ngram_buckets(
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        staged.select(F.col(id_col), F.explode(grams).alias("gram"))
         .select(
             id_col,
             _bucket(F.col("gram"), buckets, hash_fn).alias("bucket"),
