@@ -293,3 +293,45 @@ def test_incremental_neardup_no_cartesian(spark):
     plan = pi.physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_profile_no_window_no_sort(spark):
+    """Winnow selection happens scan-side in array expressions: the plan
+    must contain NO Window operator and NO global Sort — only hash
+    aggregates over the selected-fingerprint stream (plus their
+    exchanges) and broadcast-able joins."""
+    from embeddingsearch_spark.operators import winnow as wn
+
+    docs = tables.load(spark, SF, "documents")
+    df = wn.winnow_profile(docs, "doc_id", "text")
+    plan = pi.physical_plan(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_remove_duplicate_spans_text_never_shuffles(spark):
+    """The cleaned-corpus rewrite must not shuffle token text: every
+    Exchange's output carries only ids, positions, and fixed-width keys
+    (the raw text column re-enters AFTER the joins, from the scan)."""
+    from embeddingsearch_spark.operators import dedup as dd
+
+    docs = tables.load(spark, SF, "documents")
+    df = dd.remove_duplicate_spans(docs, "doc_id", "text", n=8)
+    plan = pi.physical_plan(df)
+    # the only allowed occurrences of the token array in exchange inputs
+    # are scan-stage; a '_toks' attribute inside hashpartitioning output
+    # would mean the text is riding a shuffle
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_toks" not in line and "text" not in line, line
+
+
+def test_oov_profile_vocab_broadcasts(spark):
+    """The top-V vocabulary is a broadcast artifact — the token stream
+    must never shuffle for the vocab join."""
+    from embeddingsearch_spark.operators import tfidf as tf
+
+    docs = tables.load(spark, SF, "documents")
+    df = tf.oov_profile(docs, vocab_size=16)
+    pi.assert_broadcast_join(df)
+    assert "TakeOrderedAndProject" in pi.physical_plan(df)
