@@ -99,3 +99,66 @@ def pack_stats(packed: DataFrame, token_col: str = "n_tokens", budget: int = 204
         F.sum("_docs").alias("n_docs"),
         F.round(F.avg(F.col("_fill") / budget), 6).alias("avg_fill"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    batch_size: int = 32,
+    n_shards: int = 8,
+    salt: str = "lbb",
+) -> DataFrame:
+    """Pad-waste-minimizing batch assignment (the inference/training
+    batching rule): docs are bucketed by ceil(log2(n_tokens)) so every
+    batch holds similar-length sequences, then cut into fixed-size
+    batches in a deterministic order. Padding per batch is bounded by
+    the bucket's 2× length spread instead of the corpus-wide max.
+
+    Scale shape: ONE shuffle by (bucket, shard) — the md5 shard is the
+    parallelism knob exactly as in ``pack_sequences`` (a hot bucket
+    splits across shards instead of serializing one partition); the
+    per-partition window sort is by doc id, engine-reproducible.
+
+    Returns (id, n_tokens, bucket, shard, batch_id, batch_pos) with
+    batch_id = bucket * 2^40 + shard * 2^20 + per-shard batch ordinal
+    (globally unique, locality-revealing).
+    """
+    from pyspark.sql.window import Window
+
+    n = F.col(token_col)
+    bucket = (
+        F.when(n <= 1, F.lit(0))
+        .otherwise(F.ceil(F.log2(n)))
+        .cast("int")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+    staged = df.select(
+        F.col(id_col),
+        n.cast("bigint").alias(token_col),
+        bucket.alias("bucket"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    rn = F.row_number().over(w) - 1
+    return staged.select(
+        id_col,
+        token_col,
+        "bucket",
+        "shard",
+        (
+            F.col("bucket").cast("bigint") * F.lit(1 << 40)
+            + F.col("shard").cast("bigint") * F.lit(1 << 20)
+            + (rn / batch_size).cast("bigint")
+        ).alias("batch_id"),
+        (rn % batch_size).cast("int").alias("batch_pos"),
+    )

@@ -497,6 +497,37 @@ FROM r"""
 _SPAM = " spam spam spam spam spam spam spam spam"
 
 
+def q_length_batches(spark, sf_dir):
+    """Pad-waste-minimizing batch assignment: log2 length buckets, md5
+    shards as the parallelism knob, fixed 32-doc batches cut in
+    deterministic id order — one (bucket, shard) shuffle."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.length_bucket_batches(
+        docs, batch_size=32, n_shards=4
+    )
+
+
+LENGTH_BATCHES_SQL = f"""WITH base AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+         CASE WHEN len({TOKS_SQL}) <= 1 THEN 0
+              ELSE CAST(ceil(log2(len({TOKS_SQL}))) AS INT) END AS bucket,
+         CAST(CAST(('0x' || substr(md5('lbb_' || doc_id), 1, 8)) AS BIGINT)
+              % 4 AS INT) AS shard
+  FROM documents
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                               ORDER BY doc_id) - 1 AS r
+  FROM base
+)
+SELECT doc_id, n_tokens, bucket, shard,
+       bucket * 1099511627776 + shard * 1048576 + r // 32 AS batch_id,
+       CAST(r % 32 AS INT) AS batch_pos
+FROM rn"""
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition metrics over a corpus with planted
     repetition (every 8th doc gets a spam 2-gram run, every 6th gets its
@@ -1088,6 +1119,7 @@ QUERIES = {
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
+    "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
     "repetition_filter": (q_repetition_filter, REPETITION_FILTER_SQL),
     "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),

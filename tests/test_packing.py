@@ -70,3 +70,34 @@ def test_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         packing.pack_sequences(df, budget=0)
+
+
+def test_length_bucket_batches(spark):
+    from embeddingsearch_spark.operators.packing import length_bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i % 3)) for i in range(100)]  # all in bucket 4 (log2 ~3.5)
+        + [(100 + i, 100) for i in range(10)],   # bucket 7
+        "doc_id long, n_tokens long",
+    )
+    out = length_bucket_batches(df, batch_size=8, n_shards=2).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 110
+    # same bucket for similar lengths; different for the 100-token docs
+    assert rows[0]["bucket"] == rows[50]["bucket"] == 4
+    assert rows[105]["bucket"] == 7
+    # batch positions are dense within each (bucket, shard, batch)
+    from collections import defaultdict
+
+    by_batch = defaultdict(list)
+    for r in out:
+        by_batch[r["batch_id"]].append(r["batch_pos"])
+    for bid, poss in by_batch.items():
+        assert sorted(poss) == list(range(len(poss))), bid
+        assert len(poss) <= 8
+    # determinism: same input -> identical assignment
+    again = {
+        r["doc_id"]: r["batch_id"]
+        for r in length_bucket_batches(df, batch_size=8, n_shards=2).collect()
+    }
+    assert again == {r["doc_id"]: r["batch_id"] for r in out}
