@@ -862,6 +862,9 @@ def remove_duplicate_spans(
 
     Single-pass semantics: grams created by the removal's splice points
     are not re-examined (matches the paper's one-shot removal).
+    Packed-key bounds: positions use POS_BITS=20 (docs beyond 1M tokens
+    must be chunked upstream — the winnow module's contract) and ids
+    must stay under 2^43 so id * 2^POS_BITS + pos fits a bigint.
     Returns (id, n_tokens, n_removed, text_clean) for EVERY input doc.
     """
     from pyspark.sql.window import Window
