@@ -377,3 +377,80 @@ def frame_sample_plan(
         1,
         max_frames,
     )
+
+
+def resize_media(
+    df: DataFrame,
+    modality_col: str = "modality",
+    content_col: str = "content",
+    id_col: str = "media_id",
+    h: int = 4,
+    w: int = 4,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize to an (h, w) grid by average pooling:
+    (media_id, modality, h, w, grid ARRAY<DOUBLE> row-major, len h*w).
+
+    ``decoder="real"``: images decode to luminance (PIL or the stdlib
+    PNG path) and average-pool 2-D into h x w cells (values in [0, 1]);
+    non-image modalities raise at task level (use fake/auto).
+    ``decoder="fake"``: byte-chunk means at h*w resolution — the same
+    micro-unit-quantized arithmetic as ``decode_media``'s fake path, so
+    a DuckDB oracle replays it exactly; Arrow batch shape identical to
+    the real path.
+    ``decoder="auto"``: real where the environment can decode, fake
+    fallback per row.
+    """
+    import pandas as pd
+
+    if decoder not in ("fake", "real", "auto"):
+        raise ValueError("decoder must be 'fake', 'real', or 'auto'")
+    out_schema = (
+        f"{id_col} long, {modality_col} string, h int, w int, "
+        "grid array<double>"
+    )
+
+    def _real_grid(b: bytes, mod: str) -> list[float]:
+        if mod != "image":
+            raise NotImplementedError(
+                f"resize for modality={mod!r} needs an image decoder"
+            )
+        import numpy as np
+
+        gray = _decode_image_gray(b)  # (H, W) in [0, 255]
+        H, W = gray.shape
+        out = []
+        for r in range(h):
+            r0, r1 = (r * H) // h, max(((r + 1) * H) // h, (r * H) // h + 1)
+            r1 = min(r1, H) if H else r1
+            for c in range(w):
+                c0 = (c * W) // w
+                c1 = max(((c + 1) * W) // w, c0 + 1)
+                cell = gray[r0:r1, c0:min(c1, W)]
+                out.append(float(cell.mean()) / 255.0 if cell.size else 0.0)
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, mod, content in zip(
+                pdf[id_col], pdf[modality_col], pdf[content_col]
+            ):
+                b = bytes(content)
+                if decoder == "fake":
+                    grid = _fake_features(b, h * w)
+                elif decoder == "real":
+                    grid = _real_grid(b, str(mod))
+                else:
+                    try:
+                        grid = _real_grid(b, str(mod))
+                    except NotImplementedError:
+                        grid = _fake_features(b, h * w)
+                recs.append((int(mid), str(mod), h, w, grid))
+            yield pd.DataFrame(
+                recs, columns=[id_col, modality_col, "h", "w", "grid"]
+            )
+
+    return df.select(id_col, modality_col, content_col).mapInPandas(
+        run, schema=out_schema
+    )

@@ -128,8 +128,52 @@ SELECT doc_id AS media_id,
 FROM b"""
 
 
+def q_media_resize(spark, sf_dir):
+    """Average-pool resize to a 3x5 grid (decoder='fake': byte-chunk
+    means at h*w resolution, micro-unit-quantized — the codec seam with
+    the same Arrow batch shape as the real 2-D pooling path, which is
+    exercised on synthesized PNGs in tests/test_multimodal_real.py)."""
+    media = derive_media(spark, sf_dir)
+    out = mm.resize_media(media, h=3, w=5, decoder="fake")
+    return out.select(
+        "media_id",
+        "modality",
+        "h",
+        "w",
+        F.array_join(
+            F.transform(
+                "grid",
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("grid_u6"),
+    )
+
+
+MEDIA_RESIZE_SQL = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 15, 1) AS chunk
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       3 AS h, 5 AS w,
+       array_to_string(list_transform(range(0, 15), i ->
+         CASE WHEN i * chunk >= n THEN CAST(0 AS BIGINT)
+              ELSE (list_aggregate(list_transform(
+                      range(i * chunk + 1, least((i + 1) * chunk, n) + 1),
+                      j -> unicode(text[j:j])), 'sum') * 1000000)
+                   // (CAST(least((i + 1) * chunk, n) - i * chunk AS BIGINT)
+                       * 255)
+         END), ',') AS grid_u6
+FROM b"""
+
+
 QUERIES = {
     "media_features": (q_media_features, MEDIA_FEATURES_SQL),
     "media_frame_plan": (q_media_frame_plan, MEDIA_FRAME_PLAN_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
 }

@@ -191,3 +191,46 @@ def test_soundfile_path_reads_wav():
     wav = _wav([8192] * 1600)
     feats = mm._real_decode(wav, "audio", dim=4)
     assert feats == pytest.approx([0.25] * 4, abs=1e-4)
+
+
+# -- resize (average-pool grid) ---------------------------------------------
+
+
+def test_resize_real_grid_exact(spark):
+    """A 4x4 image with distinct quadrant values pools exactly to 2x2."""
+    rows = (
+        [[0, 0, 255, 255]] * 2  # top: left-black, right-white
+        + [[255, 255, 0, 0]] * 2  # bottom: inverted
+    )
+    png = _png(4, 4, rows, ctype=0)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, modality string, content binary",
+    )
+    out = mm.resize_media(df, h=2, w=2, decoder="real").collect()
+    assert len(out) == 1
+    g = out[0]["grid"]
+    assert g == [0.0, 1.0, 1.0, 0.0]
+    assert out[0]["h"] == 2 and out[0]["w"] == 2
+
+
+def test_resize_auto_falls_back_for_nonimage(spark):
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\xff" * 30))],
+        "media_id long, modality string, content binary",
+    )
+    out = mm.resize_media(df, h=2, w=3, decoder="auto").collect()
+    # fake fallback: 6 chunk means of a 0x00/0xff alternating stream
+    assert len(out[0]["grid"]) == 6
+    assert all(0.0 <= v <= 1.0 for v in out[0]["grid"])
+
+
+def test_resize_smaller_than_grid(spark):
+    """A 1x1 image still fills every grid cell (cells repeat the pixel)."""
+    png = _png(1, 1, [[255]], ctype=0)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, modality string, content binary",
+    )
+    out = mm.resize_media(df, h=2, w=2, decoder="real").collect()
+    assert out[0]["grid"] == [1.0, 1.0, 1.0, 1.0]
