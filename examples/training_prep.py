@@ -116,6 +116,33 @@ def main(sf_dir: str) -> None:
     print("PQ/ADC top-5 on PCA-whitened embeddings:")
     topk.orderBy("query_id", "rank").show()
 
+    # 8. substring-level cleanup + assembly controls (round-3 surface):
+    # remove duplicated 8-gram spans, gate on OOV rate, temperature-mix
+    # sources, and cut pad-minimizing length-bucketed batches
+    from embeddingsearch_spark.operators import packing, splits, tfidf
+    from embeddingsearch_spark.operators import winnow as wn
+
+    cleaned = dedup.remove_duplicate_spans(docs, "doc_id", "text", n=8)
+    n_cut = cleaned.filter("n_removed > 0").count()
+    wfp = wn.winnow_profile(docs, "doc_id", "text", k=5, w=4)
+    oov = tfidf.oov_profile(docs, vocab_size=16)
+    mixw = splits.mixture_weights_temperature(
+        docs.select("doc_id", "source"), "source", alpha=0.3
+    )
+    batches = packing.length_bucket_batches(
+        cleaned.select("doc_id", F.col("n_tokens") - F.col("n_removed"))
+        .withColumnRenamed("(n_tokens - n_removed)", "n_tokens"),
+        batch_size=32,
+        n_shards=4,
+    )
+    print(
+        f"span dedup: {n_cut} docs had duplicated spans cut; "
+        f"winnowed dup docs: {wfp.filter('n_shared_fp > 0').count()}; "
+        f"high-OOV docs (>0.5): {oov.filter('oov_rate > 0.5').count()}; "
+        f"{mixw.count()} source mixture weights; "
+        f"{batches.select('batch_id').distinct().count()} length batches"
+    )
+
     # 5. write partitioned by split, then compact the small files
     out = tempfile.mkdtemp(prefix="es_training_prep_")
     tagged.drop("_pr").write.mode("overwrite").partitionBy("split").parquet(out)
