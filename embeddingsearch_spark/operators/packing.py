@@ -162,3 +162,34 @@ def length_bucket_batches(
         ).alias("batch_id"),
         (rn % batch_size).cast("int").alias("batch_pos"),
     )
+
+
+def batch_pad_stats(
+    batches: DataFrame, token_col: str = "n_tokens"
+) -> DataFrame:
+    """Padding-efficiency summary per batch over
+    ``length_bucket_batches`` output: fill_frac = sum(tokens) /
+    (n_docs * max(tokens)) — the fraction of the padded tensor that is
+    real data (1.0 = zero pad waste). One map-side-combinable groupBy."""
+    return (
+        batches.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(token_col).alias("max_tokens"),
+            F.sum(token_col).alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("max_tokens").cast("bigint").alias("max_tokens"),
+            F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+            F.when(
+                (F.col("n_docs") * F.col("max_tokens")) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.col("sum_tokens") / (F.col("n_docs") * F.col("max_tokens"))
+            )
+            .alias("fill_frac"),
+        )
+    )

@@ -528,6 +528,34 @@ SELECT doc_id, n_tokens, bucket, shard,
 FROM rn"""
 
 
+def q_batch_pad_stats(spark, sf_dir):
+    """Padding-efficiency per length-bucketed batch: fill_frac is the
+    fraction of the padded tensor holding real tokens — the metric the
+    bucketing exists to maximize."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    b = packing.length_bucket_batches(docs, batch_size=32, n_shards=4)
+    out = packing.batch_pad_stats(b)
+    return out.select(
+        "bucket",
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        F.round("fill_frac", RD).alias("fill_frac"),
+    )
+
+
+BATCH_PAD_STATS_SQL = f"""WITH lb AS ({LENGTH_BATCHES_SQL})
+SELECT bucket, batch_id, count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE)
+             / (count(*) * max(n_tokens)), {RD}) AS fill_frac
+FROM lb GROUP BY bucket, batch_id"""
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition metrics over a corpus with planted
     repetition (every 8th doc gets a spam 2-gram run, every 6th gets its
@@ -1120,6 +1148,7 @@ QUERIES = {
     "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
+    "batch_pad_stats": (q_batch_pad_stats, BATCH_PAD_STATS_SQL),
     "repetition_filter": (q_repetition_filter, REPETITION_FILTER_SQL),
     "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
