@@ -18,6 +18,8 @@ deterministically for that loop.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,4 +95,99 @@ def bpe_top_merges(
         pair_counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_merges)
         .select("a", "b", "n_pairs", "rank")
+    )
+
+
+def bpe_apply_words(
+    words: DataFrame,
+    merges: DataFrame,
+    word_col: str = "word",
+    end_marker: str = END_MARKER,
+    max_steps: int = 64,
+) -> DataFrame:
+    """Apply a ranked merge table to each distinct word:
+    ``(word, pieces, n_pieces)`` with pieces space-joined.
+
+    The merge table is a model artifact (thousands of rows at most) and
+    is collected driver-side; words encode independently in an
+    Arrow-batched mapInPandas. Apply semantics — engine-reproducible by
+    construction: symbols start as characters + end_marker; each step
+    finds the lowest-rank merge whose delimited pair occurs in the
+    symbol string and rewrites ALL leftmost-non-overlapping occurrences
+    (Python str.replace == DuckDB replace()); repeat until no ranked
+    pair remains (capped at ``max_steps``, far above any real word).
+    A partially-merged consecutive run (the ' a b a b ' case) is
+    finished on the next step because the pair is still the lowest rank
+    present; with single-level merge tables a derived symbol never
+    outranks its parents, so the fixpoint equals the all-at-once merge.
+    """
+    import pandas as pd
+
+    ranked = sorted(
+        ((r["rank"], r["a"], r["b"]) for r in merges.collect()),
+    )
+    out_schema = f"{word_col} string, pieces string, n_pieces int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for word in pdf[word_col]:
+                w = str(word)
+                s = " " + " ".join(list(w) + [end_marker]) + " "
+                for _ in range(max_steps):
+                    hit = next(
+                        (
+                            (a, b)
+                            for _, a, b in ranked
+                            if f" {a} {b} " in s
+                        ),
+                        None,
+                    )
+                    if hit is None:
+                        break
+                    a, b = hit
+                    s = s.replace(f" {a} {b} ", f" {a}{b} ")
+                pieces = s.strip().split(" ")
+                recs.append((w, " ".join(pieces), len(pieces)))
+            yield pd.DataFrame(
+                recs, columns=[word_col, "pieces", "n_pieces"]
+            )
+
+    return words.select(word_col).distinct().mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-doc BPE piece counts under a trained merge table:
+    ``(id, n_words, n_bpe_pieces)``.
+
+    Scale shape: the corpus reduces to per-doc WORD COUNTS (one
+    map-side-combinable groupBy); only the distinct-word vocabulary runs
+    the merge loop (vocab-sized Python, not corpus-sized), and the
+    encoded vocab broadcasts back onto the per-doc counts — the token
+    stream itself is never re-encoded row by row.
+    """
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    dwc = (
+        df.select(F.col(id_col), F.explode(tokens(txt)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    enc = bpe_apply_words(dwc.select("word"), merges)
+    return (
+        dwc.join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_bpe_pieces"),
+        )
     )

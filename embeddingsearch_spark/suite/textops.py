@@ -934,6 +934,70 @@ FROM pc
 QUALIFY rank <= 40"""
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer loop closed: train the ranked merge table on the corpus
+    (bpe_pair_merges), then ENCODE every document with it — distinct
+    words run the merge loop once (vocab-sized Python), the encoded
+    vocab broadcasts back onto per-doc word counts. Output per doc:
+    whitespace words vs BPE pieces under 40 merges."""
+    from embeddingsearch_spark.operators import bpe
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    merges = bpe.bpe_top_merges(bpe.bpe_pair_counts(docs), n_merges=40)
+    return bpe.bpe_encode_docs(docs, merges)
+
+
+# Apply = iterate: find the min-rank merge whose delimited pair occurs,
+# replace all leftmost-non-overlapping occurrences (DuckDB replace ==
+# Python str.replace), repeat until none present. The recursive CTE
+# carries one step per row; fin takes each word's last step.
+BPE_ENCODE_SQL = f"""WITH RECURSIVE m AS (
+  {BPE_PAIR_MERGES_SQL.replace("SELECT a, b, n_pairs,", "SELECT a, b,")}
+),
+words AS (
+  SELECT DISTINCT unnest({_LOWER_TOKS_SQL}) AS word FROM documents
+),
+init AS (
+  SELECT word,
+         ' ' || array_to_string(
+           list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s
+  FROM words
+),
+r AS (
+  SELECT word, s, 0 AS step FROM init
+  UNION ALL
+  SELECT t.word,
+         replace(t.s, ' ' || bm.a || ' ' || bm.b || ' ',
+                 ' ' || bm.a || bm.b || ' ') AS s,
+         t.step + 1
+  FROM (
+    SELECT word, s, step,
+           (SELECT min(rank) FROM m
+            WHERE contains(s, ' ' || m.a || ' ' || m.b || ' ')) AS best
+    FROM r WHERE step < 64
+  ) t JOIN m bm ON bm.rank = t.best
+),
+fin AS (
+  SELECT word, s FROM (
+    SELECT word, s,
+           row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+    FROM r) WHERE rn = 1
+),
+enc AS (
+  SELECT word, len(string_split(trim(s), ' ')) AS n_pieces FROM fin
+),
+dwc AS (
+  SELECT doc_id, word, count(*) AS c FROM (
+    SELECT doc_id, unnest({_LOWER_TOKS_SQL}) AS word FROM documents
+  ) GROUP BY doc_id, word
+)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
+       CAST(sum(d.c * e.n_pieces) AS BIGINT) AS n_bpe_pieces
+FROM dwc d JOIN enc e USING (word)
+GROUP BY d.doc_id"""
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (`operators/dsir.py`, Xie et al.
     2023): select the 100 raw docs whose hashed-ngram distribution best
@@ -1136,6 +1200,7 @@ QUERIES = {
     "token_heavy_hitters": (q_token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "phrase_pmi": (q_phrase_pmi, PHRASE_PMI_SQL),
     "bpe_pair_merges": (q_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
+    "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),
     "dsir_select": (q_dsir_select, DSIR_SELECT_SQL),
     "eval_holdout": (q_eval_holdout, EVAL_HOLDOUT_SQL),
     "contamination": (q_contamination, CONTAMINATION_SQL),

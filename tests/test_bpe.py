@@ -55,3 +55,56 @@ def test_end_marker_and_case(spark):
         for r in bpe.bpe_pair_counts(df, lowercase=False).collect()
     }
     assert pc_cased[("A", "b")] == 1 and pc_cased[("a", "b")] == 1
+
+
+def test_bpe_apply_words(spark):
+    from embeddingsearch_spark.operators.bpe import bpe_apply_words
+
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("newest",), ("a",)], "word string"
+    )
+    merges = spark.createDataFrame(
+        [("l", "o", 1), ("lo", "w", 2), ("e", "s", 3), ("es", "t", 4)],
+        "a string, b string, rank int",
+    )
+    out = {r["word"]: r for r in bpe_apply_words(words, merges).collect()}
+    # low: l o w </w> -> lo w </w> -> low </w>
+    assert out["low"]["pieces"] == "low </w>"
+    assert out["low"]["n_pieces"] == 2
+    # lower: lo w e r </w> -> low e r </w> (no (e,r) merge)
+    assert out["lower"]["pieces"] == "low e r </w>"
+    # newest: n e w es t </w> -> n e w est </w>
+    assert out["newest"]["pieces"] == "n e w est </w>"
+    assert out["a"]["pieces"] == "a </w>"
+
+
+def test_bpe_apply_rank_order_not_count_order(spark):
+    from embeddingsearch_spark.operators.bpe import bpe_apply_words
+
+    # (e,y) outranked by (k,e): 'key' must merge k+e first, leaving y
+    words = spark.createDataFrame([("key",)], "word string")
+    merges = spark.createDataFrame(
+        [("k", "e", 1), ("e", "y", 2)], "a string, b string, rank int"
+    )
+    out = bpe_apply_words(words, merges).collect()[0]
+    assert out["pieces"] == "ke y </w>"
+
+
+def test_bpe_encode_docs_counts(spark):
+    from embeddingsearch_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_pair_counts,
+        bpe_top_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = bpe_top_merges(bpe_pair_counts(docs), n_merges=2)
+    out = {r["doc_id"]: r for r in bpe_encode_docs(docs, merges).collect()}
+    assert 3 not in out  # empty doc has no words
+    assert out[1]["n_words"] == 3
+    assert out[2]["n_words"] == 1
+    # every word compresses at least to <= chars+1 pieces
+    assert out[2]["n_bpe_pieces"] <= 3
