@@ -40,8 +40,10 @@ from embeddingsearch_spark.functions.text import tokens
 # Positions occupy the low bits so one integer min() is (hash asc,
 # position desc) — MOSS's rightmost-minimal-hash rule. 2^20 positions
 # per document (1M grams) and 40-bit hashes keep the packed key under
-# 2^60 < 2^63. Documents beyond 1M tokens should be chunked upstream
-# (doc_chunks) — asserted, not silently wrapped.
+# 2^60 < 2^63. Documents beyond 1M grams are a documented contract
+# violation (chunk upstream via doc_chunks): a per-row assert column
+# would be silently dropped by column pruning, so the bound is enforced
+# by convention, not at runtime.
 POS_BITS = 20
 POSCAP = (1 << POS_BITS) - 1
 
