@@ -53,7 +53,8 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
     _DOCS_OPS = (
         "exact_dedup", "minhash_signatures", "seq_pack", "ngram_overlap",
         "repetition_profile", "dup_span_profile", "winnow_profile",
-        "dedup_spans_remove", "tfidf_topk",
+        "dedup_spans_remove", "oov_profile", "bpe_encode",
+        "length_batches", "tfidf_topk",
         "boilerplate_removal", "lm_score", "url_dedup",
         "incremental_gate_anti", "bloom_index_build",
         "incremental_gate_bloom_probe", "incremental_neardup_gate",
@@ -234,6 +235,34 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
     run(
         "dedup_spans_remove",
         lambda: dd_ops.remove_duplicate_spans(docs, "doc_id", "text", n=8),
+    )
+
+    from embeddingsearch_spark.operators import bpe as bpe_ops
+    from embeddingsearch_spark.operators import packing as pk2_ops
+    from embeddingsearch_spark.operators import tfidf as tfidf2_ops
+
+    # vocab-shaped ops: expect flat-to-sublinear scaling (work follows
+    # the distinct-word vocabulary, which saturates as the corpus grows)
+    run(
+        "oov_profile",
+        lambda: tfidf2_ops.oov_profile(docs, vocab_size=16),
+    )
+    run(
+        "bpe_encode",
+        lambda: bpe_ops.bpe_encode_docs(
+            docs,
+            bpe_ops.bpe_top_merges(bpe_ops.bpe_pair_counts(docs), 40),
+        ),
+    )
+    run(
+        "length_batches",
+        lambda: pk2_ops.length_bucket_batches(
+            docs.select(
+                "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+            ),
+            batch_size=32,
+            n_shards=8,
+        ),
     )
 
     from embeddingsearch_spark.operators import tfidf as tfidf_op
