@@ -211,3 +211,96 @@ def winnow_cross_overlap(
         .groupBy(corpus_id, bench_id)
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
     )
+
+
+def incremental_winnow_gate(
+    incoming: DataFrame,
+    indexed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Ingest gate at SUBSTRING granularity: an incoming doc is flagged
+    when it shares >= ``min_shared`` winnowed fingerprint hashes with
+    the indexed corpus — catching partial-copy ingests (any embedded
+    span of >= w + k - 1 indexed tokens, the MOSS guarantee) that the
+    exact-fingerprint gate misses entirely and whole-doc similarity
+    gates miss when the copy is a small part of a long doc.
+
+    The indexed side's fingerprints can be PERSISTED once (a
+    ``winnow_fingerprints`` table at 2/(w+1) gram density) and reused
+    for every batch — pass the saved table's DataFrame as ``indexed``
+    with a precomputed ``fp`` column, or the raw corpus (winnowed here).
+    Each ingest batch then pays only its own winnowing plus one join
+    against bare 64-bit keys.
+
+    Returns one row per incoming doc: ``(id, n_fp, n_shared_fp,
+    best_match, best_shared, is_new)`` — best_match is the indexed doc
+    sharing the most fingerprints (smallest id on ties, NULL when none).
+    """
+    from pyspark.sql.window import Window
+
+    inc_fp = (
+        winnow_fingerprints(incoming, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if "fp" in indexed.columns:
+        idx_fp = indexed.select(
+            F.col(id_col).alias("_idx_id"), "fp"
+        ).distinct()
+    else:
+        idx_fp = (
+            winnow_fingerprints(indexed, id_col, text_col, k=k, w=w)
+            .select(F.col(id_col).alias("_idx_id"), "fp")
+            .distinct()
+        )
+    pairs = (
+        inc_fp.join(idx_fp, "fp")
+        .groupBy(id_col, "_idx_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    best = (
+        pairs.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("_shared").desc(), F.col("_idx_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("_idx_id").alias("best_match"),
+            F.col("_shared").alias("best_shared"),
+        )
+    )
+    shared_fps = (
+        inc_fp.join(idx_fp.select("fp").distinct(), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    totals = inc_fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        incoming.select(id_col)
+        .join(totals, id_col, "left_outer")
+        .join(shared_fps, id_col, "left_outer")
+        .join(best, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_fp", F.lit(0)).cast("bigint").alias("n_fp"),
+            F.coalesce("n_shared_fp", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_fp"),
+            F.col("best_match").cast("bigint").alias("best_match"),
+            F.coalesce("best_shared", F.lit(0))
+            .cast("bigint")
+            .alias("best_shared"),
+            (F.coalesce("n_shared_fp", F.lit(0)) < min_shared).alias(
+                "is_new"
+            ),
+        )
+    )

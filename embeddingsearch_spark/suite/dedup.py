@@ -633,8 +633,68 @@ SELECT t.doc_id, CAST(t.n_fp AS BIGINT) AS n_fp,
 FROM tot t LEFT JOIN dup d USING (doc_id)"""
 
 
+def q_winnow_incremental(spark, sf_dir):
+    """Substring-granular ingest gate: the planted exact (+100000) and
+    near (+200000) copies arrive as a batch against the indexed
+    originals; BOTH are flagged (shared >= 8-token spans) — the
+    winnowed-fingerprint gate catches partial/near copies the exact
+    fingerprint gate admits, at 2/(w+1) of the gram shuffle."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    incoming = exact.unionAll(near)
+    return wn_ops.incremental_winnow_gate(
+        incoming, docs, "doc_id", "text", k=_WIN_K, w=_WIN_W
+    )
+
+
+def _winnow_incremental_sql() -> str:
+    inc_src = (
+        f"SELECT doc_id, {TOKS_SQL} AS t FROM incoming"
+    )
+    idx_src = f"SELECT doc_id, {TOKS_SQL} AS t FROM documents"
+    return f"""WITH incoming AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup tail'
+  FROM documents WHERE doc_id % 5 = 0
+),
+ifp AS (SELECT DISTINCT doc_id, fp FROM (
+  {winnow_fp_select(inc_src, "doc_id", _WIN_K, _WIN_W)}
+)),
+xfp AS (SELECT DISTINCT doc_id AS idx_id, fp FROM (
+  {winnow_fp_select(idx_src, "doc_id", _WIN_K, _WIN_W)}
+)),
+pairs AS (SELECT i.doc_id, x.idx_id, count(*) AS shared
+          FROM ifp i JOIN xfp x USING (fp) GROUP BY 1, 2),
+best AS (SELECT doc_id, idx_id AS best_match, shared AS best_shared FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY shared DESC, idx_id ASC) AS rn FROM pairs)
+  WHERE rn = 1),
+sh AS (SELECT i.doc_id, count(*) AS n_shared_fp
+       FROM ifp i JOIN (SELECT DISTINCT fp FROM xfp) x USING (fp)
+       GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_fp FROM ifp GROUP BY 1)
+SELECT inc.doc_id,
+       CAST(coalesce(t.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(coalesce(s.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+       CAST(b.best_match AS BIGINT) AS best_match,
+       CAST(coalesce(b.best_shared, 0) AS BIGINT) AS best_shared,
+       coalesce(s.n_shared_fp, 0) < 1 AS is_new
+FROM incoming inc
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN sh s USING (doc_id)
+LEFT JOIN best b USING (doc_id)"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "winnow_incremental": (q_winnow_incremental, _winnow_incremental_sql()),
     "dup_spans": (q_dup_spans, DUP_SPANS_SQL),
     "winnow_spans": (q_winnow_spans, WINNOW_SPANS_SQL),
     "dedup_spans_remove": (q_dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),

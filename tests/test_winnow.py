@@ -127,3 +127,46 @@ def test_cross_overlap_planted_leak(spark):
     pairs = {(r["doc_id"], r["bench_id"]) for r in rows}
     assert (1, 100) in pairs  # the MOSS guarantee: >=8-token leak found
     assert (2, 101) not in pairs  # disjoint texts share nothing
+
+
+def test_incremental_winnow_gate(spark):
+    from embeddingsearch_spark.operators.winnow import incremental_winnow_gate
+
+    base = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    indexed = _doc_df(spark, {1: base, 2: "q1 q2 q3 q4 q5 q6 q7 q8 q9"})
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                       # exact copy -> flagged
+            (11, f"x1 x2 {base} y1"),         # partial copy -> flagged
+            (12, "z1 z2 z3 z4 z5 z6 z7 z8"),  # fresh -> new
+            (13, "t"),                         # too short for any fp -> new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_winnow_gate(incoming, indexed).collect()
+    }
+    assert len(out) == 4
+    assert not out[10]["is_new"] and out[10]["best_match"] == 1
+    assert not out[11]["is_new"] and out[11]["best_match"] == 1
+    assert out[12]["is_new"] and out[12]["best_match"] is None
+    assert out[13]["is_new"] and out[13]["n_fp"] == 0
+
+
+def test_incremental_winnow_gate_precomputed_fp_table(spark):
+    from embeddingsearch_spark.operators.winnow import (
+        incremental_winnow_gate,
+        winnow_fingerprints,
+    )
+
+    base = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    indexed = _doc_df(spark, {1: base})
+    fp_table = winnow_fingerprints(indexed, "doc_id", "text")
+    incoming = _doc_df(spark, {10: base, 11: "n1 n2 n3 n4 n5 n6 n7 n8"})
+    out = {
+        r["doc_id"]: r
+        for r in incremental_winnow_gate(incoming, fp_table).collect()
+    }
+    assert not out[10]["is_new"] and out[10]["best_match"] == 1
+    assert out[11]["is_new"]
