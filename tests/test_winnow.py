@@ -170,3 +170,43 @@ def test_incremental_winnow_gate_precomputed_fp_table(spark):
     }
     assert not out[10]["is_new"] and out[10]["best_match"] == 1
     assert out[11]["is_new"]
+
+
+# -- property: Spark winnow == pure-Python reference on random docs ---------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _word = st.integers(min_value=0, max_value=6).map(lambda i: f"w{i}")
+    _docs_strategy = st.lists(
+        st.lists(_word, min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    @pytest.mark.slow
+    @given(texts=_docs_strategy)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_winnow_matches_python_reference_random(spark, texts):
+        """Small alphabet forces repeats, ties, and shared spans; doc
+        lengths straddle every edge (0, <k, <w windows, long)."""
+        docs = dict(enumerate(texts))
+        got: dict[int, set] = {i: set() for i in docs}
+        rows = winnow_fingerprints(
+            _doc_df(spark, docs), "doc_id", "text", k=3, w=4
+        ).collect()
+        for r in rows:
+            got[r["doc_id"]].add((r["pos"], r["fp"]))
+        for i, t in docs.items():
+            toks = t.split() if t.strip() else []
+            assert got[i] == _py_winnow(toks, 3, 4), f"doc {i}: {t!r}"
