@@ -528,6 +528,57 @@ SELECT doc_id, n_tokens, bucket, shard,
 FROM rn"""
 
 
+_CDC_G, _CDC_D = 4, 16
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (LBFS-style): boundaries where the
+    rolling 4-gram hash ≡ 0 mod 16 — chunk hashes survive insertions,
+    enabling chunk-level dedup across document revisions. Boundaries are
+    independent predicates: pure scan-side, zero shuffle."""
+    from embeddingsearch_spark.operators import cdc
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return cdc.cdc_chunks(docs, g=_CDC_G, divisor=_CDC_D)
+
+
+CDC_CHUNKS_SQL = f"""WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS t, len({TOKS_SQL}) AS n FROM documents
+),
+cand AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n < {_CDC_G} THEN CAST([] AS INT[])
+              ELSE list_transform(list_filter(
+                     range({_CDC_G}, greatest(n, {_CDC_G}) + 1),
+                     p -> CAST(('0x' || substr(sha256(
+                            array_to_string(t[p-{_CDC_G - 1}:p], ' ')),
+                            1, 10)) AS BIGINT) % {_CDC_D} = 0),
+                   x -> CAST(x AS INT)) END AS cand
+  FROM base
+),
+b AS (
+  SELECT doc_id, t,
+         CASE WHEN n <= 0 THEN CAST([] AS INT[])
+              -- list_distinct does NOT preserve order in DuckDB: sort
+              ELSE list_sort(list_distinct(
+                     list_append(cand, CAST(n AS INT)))) END
+           AS bounds
+  FROM cand
+),
+sp AS (
+  SELECT doc_id, t, j AS chunk_id,
+         CASE WHEN j = 1 THEN 1 ELSE bounds[j - 1] + 1 END AS start_tok,
+         bounds[j] AS end_tok
+  FROM b, unnest(range(1, len(bounds) + 1)) AS r(j)
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(end_tok - start_tok + 1 AS INT) AS n_tokens,
+       substr(sha256(array_to_string(t[start_tok:end_tok], ' ')), 1, 16)
+         AS chunk_hash
+FROM sp"""
+
+
 def q_batch_pad_stats(spark, sf_dir):
     """Padding-efficiency per length-bucketed batch: fill_frac is the
     fraction of the padded tensor holding real tokens — the metric the
@@ -1221,6 +1272,7 @@ QUERIES = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
+    "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
     "doc_split": (q_doc_split, DOC_SPLIT_SQL),
     "training_corpus": (q_training_corpus, TRAINING_CORPUS_SQL),
 }
