@@ -110,3 +110,48 @@ def cdc_chunks(
         (F.col("c.end_tok") - F.col("c.start_tok") + 1).alias("n_tokens"),
         F.substring(F.sha2(chunk_text, 256), 1, 16).alias("chunk_hash"),
     )
+
+
+def cdc_dedup_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    g: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Chunk-level dedup profile over content-defined chunks:
+    ``(id, n_chunks, n_shared_chunks, shared_fraction)`` where a chunk
+    is *shared* when its hash appears in >= 2 distinct documents —
+    catches revision-level duplication (same content, shifted) that
+    whole-doc fingerprints miss, at chunk (not gram) shuffle volume:
+    ~n/divisor keys per doc.
+
+    Same single-aggregate reuse shape as ``winnow_profile``: every
+    branch consumes the one (id, hash) aggregate.
+    """
+    ch = cdc_chunks(df, id_col, text_col, g=g, divisor=divisor)
+    occ = ch.groupBy(id_col, "chunk_hash").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    shared = (
+        occ.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("chunk_hash")
+    )
+    dup = (
+        occ.join(shared, "chunk_hash")
+        .groupBy(id_col)
+        .agg(F.sum("occ").alias("n_shared_chunks"))
+    )
+    totals = occ.groupBy(id_col).agg(F.sum("occ").alias("n_chunks"))
+    return totals.join(dup, id_col, "left_outer").select(
+        id_col,
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce("n_shared_chunks", F.lit(0))
+        .cast("bigint")
+        .alias("n_shared_chunks"),
+        (F.coalesce("n_shared_chunks", F.lit(0)) / F.col("n_chunks")).alias(
+            "shared_fraction"
+        ),
+    )

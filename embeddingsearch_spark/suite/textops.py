@@ -579,6 +579,38 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
 FROM sp"""
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Chunk-level dedup profile over CDC chunks: shared chunk hashes
+    across docs (revision-level duplication, shift-robust) at
+    ~n/divisor shuffle keys per doc."""
+    from embeddingsearch_spark.operators import cdc
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = cdc.cdc_dedup_profile(docs, g=_CDC_G, divisor=_CDC_D)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared_chunks",
+        F.round("shared_fraction", RD).alias("shared_fraction"),
+    )
+
+
+CDC_DEDUP_SQL = f"""WITH ch AS ({CDC_CHUNKS_SQL}),
+occ AS (SELECT doc_id, chunk_hash, count(*) AS occ
+        FROM ch GROUP BY doc_id, chunk_hash),
+shared AS (SELECT chunk_hash FROM occ GROUP BY chunk_hash
+           HAVING count(*) >= 2),
+dup AS (SELECT doc_id, sum(occ) AS n_shared FROM occ
+        JOIN shared USING (chunk_hash) GROUP BY doc_id),
+tot AS (SELECT doc_id, sum(occ) AS n_chunks FROM occ GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(d.n_shared, 0) AS BIGINT) AS n_shared_chunks,
+       round(CAST(coalesce(d.n_shared, 0) AS DOUBLE) / t.n_chunks,
+             {RD}) AS shared_fraction
+FROM tot t LEFT JOIN dup d USING (doc_id)"""
+
+
 def q_batch_pad_stats(spark, sf_dir):
     """Padding-efficiency per length-bucketed batch: fill_frac is the
     fraction of the padded tensor holding real tokens — the metric the
@@ -1273,6 +1305,7 @@ QUERIES = {
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
+    "cdc_dedup": (q_cdc_dedup, CDC_DEDUP_SQL),
     "doc_split": (q_doc_split, DOC_SPLIT_SQL),
     "training_corpus": (q_training_corpus, TRAINING_CORPUS_SQL),
 }

@@ -59,3 +59,18 @@ def test_deterministic(spark):
     assert [(r["start_tok"], r["chunk_hash"]) for r in a] == [
         (r["start_tok"], r["chunk_hash"]) for r in b
     ]
+
+
+def test_dedup_profile_revision_duplication(spark):
+    from embeddingsearch_spark.operators.cdc import cdc_dedup_profile
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "SHIFTED " + base), (3, "totally different words x y z a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_dedup_profile(docs).collect()}
+    # the shifted revision shares almost every chunk with the original
+    assert out[1]["shared_fraction"] > 0.7
+    assert out[2]["shared_fraction"] > 0.7
+    assert out[3]["shared_fraction"] == 0.0
