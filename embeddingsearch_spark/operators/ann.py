@@ -641,6 +641,71 @@ def semantic_dedup(
     )
 
 
+def prototype_prune(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    keep_frac: float = 0.75,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """D4-style SSL-prototype pruning (Sorscher et al. 2022 prototypes;
+    Tirumala et al. 2023 "D4", arXiv:2308.12284 — public): after coarse
+    clustering, a point's cosine similarity to its OWN cluster centroid
+    measures prototypicality; the most prototypical points are the most
+    redundant, so pruning keeps the ``ceil(keep_frac * n_cluster)``
+    LEAST prototypical rows per cluster (D4 runs this after SemDeDup —
+    compose with `semantic_dedup` by filtering its keeps first).
+
+    Deterministic: prototypicality is the ROUND_DIGITS-rounded remapped
+    cosine, ranked (proto_sim asc, id asc). Returns
+    (id, centroid_id, proto_sim, keep).
+
+    Scale: assignment is the zero-shuffle `assign_centroids` pass;
+    centroids broadcast onto their rows (they ARE the coarse quantizer —
+    tiny by construction); the only shuffle is the per-cluster rank
+    window, whose parallelism is the cluster count — D4 uses ~11k
+    clusters at web scale, so partitions stay balanced. ``centroids=None``
+    uses the deterministic k-lowest-id init so any engine reproduces the
+    blocking; pass trained centroids for production quality.
+    """
+    from embeddingsearch_spark.functions import similarity
+    from embeddingsearch_spark.functions.vectors import as_double
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, k=k, iters=0, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_centroids(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    )
+    cent = centroids.select(
+        "centroid_id", F.col(vec_col).cast("array<double>").alias("_c")
+    )
+    proto = F.round(
+        similarity.cosine(as_double(F.col(vec_col)), F.col("_c")),
+        ROUND_DIGITS,
+    )
+    scored = assigned.join(F.broadcast(cent), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        proto.alias("proto_sim"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("proto_sim").asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("centroid_id")
+    return scored.select(
+        id_col,
+        "centroid_id",
+        "proto_sim",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count(F.lit(1)).over(wc) * F.lit(keep_frac))
+        ).alias("keep"),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,

@@ -103,3 +103,86 @@ def remove_boilerplate_lines(
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document paragraph deduplication (the Gopher / SlimPajama
+    repeated-paragraph pass — Rae et al. 2021, arXiv:2112.11446 §A1.2,
+    public): every exact-duplicate paragraph (normalized fingerprint)
+    keeps only its FIRST occurrence in (doc_id, pos) order; later
+    occurrences are cut and each document is rebuilt from its surviving
+    paragraphs. Unlike `remove_boilerplate_lines` (which drops frequent
+    lines from EVERY doc), the first copy always survives — content is
+    deduplicated, not deleted.
+
+    Plan shape at 100 TB: paragraphs posexplode scan-side; the
+    first-occurrence election groupBy carries only (fp, id, pos) — never
+    text; only fingerprints occurring 2+ times enter the decision table,
+    so the join back onto the paragraph stream has a small build side
+    (duplicated paragraphs ≪ corpus) that AQE broadcasts when it fits.
+    Blank paragraphs are structure, always kept. Output:
+    ``(id, text, n_paragraphs, n_removed)``.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("para_fp", fingerprint(F.col("para")))
+    blank = F.length(F.trim(F.col("para"))) == 0
+    # election over non-blank paragraphs only: (fp) -> first (id, pos);
+    # min(struct) is one map-side-combinable agg, no window needed
+    firsts = (
+        paras.filter(~blank)
+        .groupBy("para_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_n") > 1)
+        .select(
+            "para_fp",
+            F.col(f"_first.{id_col}").alias("_f_id"),
+            F.col("_first.pos").alias("_f_pos"),
+        )
+    )
+    tagged = paras.join(firsts, "para_fp", "left_outer").withColumn(
+        "keep",
+        F.col("_f_id").isNull()
+        | ((F.col(id_col) == F.col("_f_id")) & (F.col("pos") == F.col("_f_pos")))
+        | blank,
+    )
+    rebuilt = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -25,10 +25,14 @@ def assign_global_ids(
     order_cols: list[str],
     out_col: str = "global_id",
     n_partitions: int | None = None,
+    return_total: bool = False,
 ) -> DataFrame:
     """df + ``global_id`` = dense 0-based rank in ``order_cols`` order.
     ``order_cols`` must be a unique key (ties would make the rank — any
-    engine's rank — nondeterministic)."""
+    engine's rank — nondeterministic). ``return_total=True`` returns
+    ``(df, total_rows)`` — the total falls out of the counting pass for
+    free, and rank-arithmetic consumers (ntile-style bucketing) need it
+    without paying another full count job."""
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     rp = (
         df.repartitionByRange(parts, *order_cols)
@@ -71,4 +75,7 @@ def assign_global_ids(
 
     # mapInPandas iterates one partition per task, batches in partition
     # order — the running counter is per-partition state, never global
-    return rp.mapInPandas(number, schema=f"{fields}, {out_col} long")
+    out = rp.mapInPandas(number, schema=f"{fields}, {out_col} long")
+    if return_total:
+        return out, acc
+    return out

@@ -94,3 +94,65 @@ def unigram_scores(
         )
         .withColumn("perplexity", F.exp(F.col("avg_nll")))
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+    vocab_size: int = 65536,
+    smoothing: float = 1.0,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020,
+    arXiv:1911.00359 — public): score every doc under the LM, sort by
+    perplexity, and cut the corpus into ``n_buckets`` equal-count
+    segments — bucket 1 ("head") is the lowest-perplexity (cleanest)
+    slice, the classic high-quality pretraining subset. Returns
+    ``(id, perplexity, bucket, segment)``; docs the LM cannot score
+    (empty after tokenization) are dropped, as CCNet drops them.
+
+    Exact ntile semantics WITHOUT a single-partition global sort: the
+    global rank comes from `assign_global_ids` (range-partition + two
+    passes — SURVEY §2.5's global_ids machinery), and the SQL-standard
+    ntile bucket is pure rank arithmetic from (rank, total), so the cut
+    is deterministic (ties broken by id) and involves zero float
+    threshold comparisons — any engine's ntile reproduces it.
+    """
+    from embeddingsearch_spark.constants import ROUND_DIGITS
+    from embeddingsearch_spark.operators.ids import assign_global_ids
+
+    scored = (
+        unigram_scores(
+            df, id_col, text_col, vocab_size, smoothing, reference
+        )
+        .filter(F.col("avg_nll").isNotNull())
+        .select(
+            F.col(id_col),
+            F.round("perplexity", ROUND_DIGITS).alias("perplexity"),
+        )
+    )
+    ranked, total = assign_global_ids(
+        scored, ["perplexity", id_col], out_col="_rk", return_total=True
+    )
+    size, rem = divmod(total, n_buckets)
+    r = F.col("_rk")
+    if size == 0:
+        bucket = (r + 1).cast("int")
+    else:
+        # SQL ntile: first `rem` buckets hold size+1 rows, the rest size
+        bucket = (
+            F.when(r < rem * (size + 1), F.floor(r / (size + 1)))
+            .otherwise(rem + F.floor((r - rem * (size + 1)) / size))
+            + 1
+        ).cast("int")
+    names = {1: "head", 2: "middle", 3: "tail"} if n_buckets == 3 else {}
+    segment = F.col("bucket").cast("string")
+    for b, name in names.items():
+        segment = F.when(F.col("bucket") == b, F.lit(name)).otherwise(
+            segment
+        )
+    return ranked.select(
+        id_col, "perplexity", bucket.alias("bucket")
+    ).withColumn("segment", segment)

@@ -388,6 +388,45 @@ SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
 FROM a1 a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
 
 
+def q_proto_prune(spark, sf_dir):
+    """D4 prototype pruning over the embeddings table: deterministic k=8
+    clusters (k-lowest-id init), keep the 75% least-prototypical rows per
+    cluster (proto_sim asc, id asc rank ≤ ceil(0.75·n)). The oracle
+    replays the assign pass and reads each row's sim to its assigned
+    centroid straight out of the s1 CTE."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    return ann_ops.prototype_prune(
+        emb.repartition(n), k=8, keep_frac=0.75
+    )
+
+
+PROTO_PRUNE_SQL = f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cid,
+         v AS c
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT 8)
+),
+{_kmeans_assign_ctes(1, "c0")},
+sims AS (
+  SELECT a.vec_id, a.cid, round(s.sim, {RD}) AS proto_sim
+  FROM a1 a JOIN s1 s ON s.vec_id = a.vec_id AND s.cid = a.cid
+),
+rk AS (
+  SELECT vec_id, cid, proto_sim,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY proto_sim ASC, vec_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM sims
+)
+SELECT vec_id, cid AS centroid_id, proto_sim,
+       rn <= ceil(0.75 * n) AS keep
+FROM rk"""
+
+
 IVF_KMEANS_BUILD_SQL = f"""WITH v AS (
   SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
   FROM embeddings
@@ -715,5 +754,6 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "ivf_kmeans_build": (q_ivf_kmeans_build, IVF_KMEANS_BUILD_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "proto_prune": (q_proto_prune, PROTO_PRUNE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }

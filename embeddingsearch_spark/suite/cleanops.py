@@ -91,6 +91,92 @@ SELECT p.doc_id, coalesce(r.text, '') AS text,
 FROM planted p LEFT JOIN reb r USING (doc_id)"""
 
 
+_PARA_SHARED = "Subscribe to our newsletter for updates"
+
+
+def _para_planted(spark, sf_dir):
+    """Multi-paragraph docs with planted duplication: every 4th doc
+    appends a shared promo paragraph (cross-doc duplicates — only doc 0's
+    copy survives), every 6th appends a copy of its own first paragraph
+    (intra-doc duplicate — the pos-0 copy survives)."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit("\n\n" + _PARA_SHARED)).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 6 == 0, F.concat(F.lit("\n\n"), F.col("text")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Gopher/SlimPajama repeated-paragraph pass over planted
+    multi-paragraph docs: duplicate paragraphs keep only their first
+    (doc_id, pos) occurrence; docs rebuilt from survivors."""
+    return boilerplate.dedup_paragraphs(
+        _para_planted(spark, sf_dir), "doc_id", "text"
+    )
+
+
+_PARA_FP = r"sha256(regexp_replace(trim(lower(para)), '\s+', ' ', 'g'))"
+
+PARAGRAPH_DEDUP_SQL = f"""WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || chr(10) || '{_PARA_SHARED}' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || chr(10) || text ELSE '' END AS text
+  FROM documents
+),
+ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+       FROM planted),
+paras AS (
+  SELECT doc_id, u['pos'] AS pos, u['para'] AS para FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) + 1),
+                                 i -> {{'pos': i, 'para': l[i]}})) AS u
+    FROM ps)
+),
+fp AS (
+  SELECT doc_id, pos, para, {_PARA_FP} AS para_fp,
+         length(trim(para)) = 0 AS blank
+  FROM paras
+),
+rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY para_fp
+                            ORDER BY doc_id, pos) AS rn
+  FROM fp WHERE NOT blank
+),
+tagged AS (
+  SELECT f.doc_id, f.pos, f.para,
+         (f.blank OR coalesce(r.rn = 1, TRUE)) AS keep
+  FROM fp f LEFT JOIN rk r ON r.doc_id = f.doc_id AND r.pos = f.pos
+),
+reb AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list_transform(
+             list_sort(list({{'pos': pos, 'para': para}})
+                       FILTER (WHERE keep)),
+             s -> s['para']),
+           chr(10) || chr(10)), '') AS text,
+         count(*) AS n_paragraphs,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+  FROM tagged GROUP BY doc_id
+)
+SELECT p.doc_id, coalesce(r.text, '') AS text,
+       coalesce(r.n_paragraphs, 0) AS n_paragraphs,
+       coalesce(r.n_removed, 0) AS n_removed
+FROM planted p LEFT JOIN reb r USING (doc_id)"""
+
+
 def q_lm_score(spark, sf_dir):
     """Self-scored unigram LM with a 100-token vocabulary (small K forces
     real OOV traffic at test scale): per-doc token count, OOV count,
@@ -131,6 +217,48 @@ SELECT doc_id, n_tokens, n_oov,
        round(avg_nll, {RD}) AS avg_nll,
        round(exp(avg_nll), {RD}) AS perplexity
 FROM agg"""
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail cut over the self-scored 100-token-vocab
+    LM: exact ntile(3) in (perplexity, doc_id) order — head is the
+    lowest-perplexity third. Rank comes from the scalable two-pass
+    global-ids machinery, never a single-partition sort."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return lmscore.perplexity_buckets(
+        docs, "doc_id", "text", n_buckets=3, vocab_size=100, smoothing=1.0
+    )
+
+
+PPL_BUCKETS_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+sc AS (
+  SELECT t.doc_id, coalesce(v.c, 0) AS c
+  FROM toks t LEFT JOIN vocab v USING (tok)
+),
+agg AS (
+  SELECT doc_id,
+         avg(-ln((c + 1.0) / (tot.n + 1.0 * (kk.k + 1)))) AS avg_nll
+  FROM sc, tot, kk GROUP BY doc_id
+),
+sel AS (
+  SELECT doc_id, round(exp(avg_nll), {RD}) AS perplexity
+  FROM agg WHERE avg_nll IS NOT NULL
+),
+nt AS (
+  SELECT doc_id, perplexity,
+         ntile(3) OVER (ORDER BY perplexity ASC, doc_id ASC) AS bucket
+  FROM sel
+)
+SELECT doc_id, perplexity, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS segment
+FROM nt"""
 
 
 def q_chunk_mean_pool(spark, sf_dir):
@@ -307,7 +435,9 @@ FROM j"""
 
 QUERIES = {
     "boilerplate_lines": (q_boilerplate_lines, BOILERPLATE_LINES_SQL),
+    "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
+    "ppl_buckets": (q_ppl_buckets, PPL_BUCKETS_SQL),
     "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
     "corpus_policy": (q_corpus_policy, CORPUS_POLICY_SQL),
 }

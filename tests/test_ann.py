@@ -65,3 +65,28 @@ def test_semantic_dedup_min_id_per_ball(spark):
     assert out[5] and not out[102]
     # non-planted rows are near-orthogonal at this threshold -> all keep
     assert all(out[i] for i in range(12))
+
+
+def test_prototype_prune_keeps_least_prototypical(spark):
+    """One tight cluster + distinct far points: within each cluster the
+    rows NEAREST the centroid are pruned first, keep counts are
+    ceil(keep_frac * n), and proto_sim orders the keep decision."""
+    import math
+
+    rows = []
+    # cluster around e0: ids 0..7 at increasing distance from e0
+    for i in range(8):
+        v = [1.0, 0.1 * i] + [0.0] * 6
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_ops.prototype_prune(emb, k=1, keep_frac=0.5).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 8
+    n_keep = sum(r["keep"] for r in out)
+    assert n_keep == math.ceil(0.5 * 8)
+    # kept rows must be exactly the least-prototypical (lowest proto_sim)
+    kept_sims = sorted(r["proto_sim"] for r in out if r["keep"])
+    dropped_sims = sorted(r["proto_sim"] for r in out if not r["keep"])
+    assert kept_sims[-1] <= dropped_sims[0]
+    # centroid init is the lowest-id vector, so id 0 IS the prototype
+    assert not by_id[0]["keep"]

@@ -93,3 +93,55 @@ def test_unigram_reference_corpus(spark):
         target, "doc_id", "text", vocab_size=10, smoothing=1.0, reference=ref
     ).collect()[0]
     assert out["n_tokens"] == 2 and out["n_oov"] == 1
+
+
+def test_perplexity_buckets_exact_ntile(spark):
+    """17 docs into 3 buckets → ntile sizes 6/6/5; head holds the
+    lowest-perplexity docs; empty docs are dropped like CCNet drops
+    unscorable lines."""
+    rows = [(i, "common " * 3 + f"rare{i}") for i in range(8)]
+    rows += [(100 + i, "common common common common") for i in range(9)]
+    rows.append((999, "   "))  # unscorable
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lmscore.perplexity_buckets(
+        df, "doc_id", "text", n_buckets=3, vocab_size=4
+    ).collect()
+    assert len(out) == 17  # empty doc dropped
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {1: 6, 2: 6, 3: 5}
+    segs = {r["bucket"]: r["segment"] for r in out}
+    assert segs == {1: "head", 2: "middle", 3: "tail"}
+    # all-common docs have lower perplexity than rare-token docs:
+    # every all-common doc must land in a bucket <= any rare doc's
+    max_common = max(r["bucket"] for r in out if r["doc_id"] >= 100)
+    min_rare = min(r["bucket"] for r in out if r["doc_id"] < 100)
+    assert max_common <= min_rare
+
+
+def test_dedup_paragraphs_first_occurrence_survives(spark):
+    """Cross-doc dup: first (doc_id, pos) copy survives, later cut;
+    intra-doc dup: second copy in the same doc cut; unique paragraphs
+    and blanks untouched."""
+    rows = [
+        (1, "alpha beta\n\nshared promo"),
+        (2, "shared promo\n\ngamma delta"),
+        (3, "echo\n\necho\n\nfoxtrot"),
+        (4, "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate.dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    assert out[1]["text"] == "alpha beta\n\nshared promo"
+    assert out[1]["n_removed"] == 0
+    # doc 2's copy of "shared promo" loses to doc 1's
+    assert out[2]["text"] == "gamma delta"
+    assert out[2]["n_removed"] == 1
+    # intra-doc: first "echo" survives, second cut
+    assert out[3]["text"] == "echo\n\nfoxtrot"
+    assert out[3]["n_removed"] == 1
+    assert out[4]["text"] == "unique only"
+    assert out[4]["n_paragraphs"] == 1
