@@ -454,3 +454,97 @@ def resize_media(
     return df.select(id_col, modality_col, content_col).mapInPandas(
         run, schema=out_schema
     )
+
+
+def media_dhash(
+    df: DataFrame,
+    modality_col: str = "modality",
+    content_col: str = "content",
+    id_col: str = "media_id",
+    grid: int = 7,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Perceptual difference hash (dHash — Krawetz's public "Kind of
+    Like That" gradient hash): average-pool the media to a
+    ``grid x (grid+1)`` luminance grid, emit one bit per horizontally
+    adjacent cell pair (right > left), packed row-major into a BIGINT.
+    Visually identical/near-identical images agree on most bits; compare
+    with hamming distance (`dhash_neardup_pairs`).
+
+    Pure composition: `resize_media` supplies the grid (decoder="fake"
+    is the engine-reproducible oracle seam; "real" decodes via
+    PIL/stdlib PNG), and the bit-pack is a JVM-side scan expression over
+    the grid array — the binary column never shuffles, and the hash is
+    8 bytes/row no matter how large the media. ``grid**2 <= 62`` keeps
+    the packed hash in positive BIGINT range on every engine.
+    Returns ``(media_id, modality, dhash BIGINT)``.
+    """
+    if grid * grid > 62:
+        raise ValueError("grid**2 must be <= 62 (positive BIGINT pack)")
+    rs = resize_media(
+        df, modality_col, content_col, id_col,
+        h=grid, w=grid + 1, decoder=decoder,
+    )
+    g = F.col("grid")
+    sig = F.lit(0).cast("bigint")
+    for r in range(grid):
+        for c in range(grid):
+            k = r * grid + c
+            left = g[r * (grid + 1) + c]
+            right = g[r * (grid + 1) + c + 1]
+            sig = sig + F.when(right > left, F.lit(1 << k)).otherwise(
+                F.lit(0)
+            )
+    return rs.select(id_col, modality_col, sig.alias("dhash"))
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bits: int = 49,
+    bands: int = 7,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate media pairs from perceptual hashes by banded
+    hamming join: split the ``bits``-bit hash into ``bands`` contiguous
+    bit bands; candidate pairs share at least one full band (pigeonhole:
+    any pair with hamming distance < bands has some band untouched, so
+    recall is exact for distance <= bands-1 and candidates-only beyond);
+    verify with the exact popcount of the XOR. Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+
+    Scale: the self-join is banded — hashes (8 B) shuffle ``bands``
+    times, never media bytes, and only band-equal buckets pair up; the
+    verify is a scan-stage bit_count on the joined rows.
+    """
+    width = (bits + bands - 1) // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col(id_col), h,
+        F.posexplode(
+            F.array(*[
+                F.shiftright(h, b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), h.alias("_ha"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), h.alias("_hb"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

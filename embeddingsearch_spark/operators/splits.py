@@ -226,3 +226,88 @@ def mixture_weights_temperature(
             ).alias("upsample_factor"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    size_col: str | None = None,
+    budget: float | None = None,
+    budget_frac: float = 0.5,
+    max_epochs: float = 3.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151 —
+    public): split a total token budget across groups (languages/sources)
+    as UNIFORMLY as possible subject to a per-group repeat cap of
+    ``max_epochs`` epochs — small groups get all their data up to the
+    cap, the remainder is shared equally among groups big enough to
+    absorb it. The sequential waterfilling of the paper has a closed
+    form: find the water level t with Σ min(cap_g, t) = budget, then
+    alloc_g = min(cap_g, t) — expressible as prefix sums over the
+    size-sorted group table, no iteration.
+
+    ``size_col=None`` counts rows; otherwise sizes are summed (pass
+    per-doc token counts for token budgets). ``budget=None`` uses
+    ``budget_frac`` × total size. Returns
+    ``(group, n, cap, alloc, epochs)`` with epochs = alloc / n ≤
+    max_epochs.
+
+    Scale: one corpus-sized map-side-combinable groupBy; everything
+    after runs on the group table — dozens to hundreds of rows, so its
+    single-partition prefix-sum window is bounded by construction (the
+    group count, never the corpus).
+    """
+    from pyspark.sql import Window
+
+    size = F.lit(1) if size_col is None else F.col(size_col)
+    counts = df.groupBy(group_col).agg(
+        F.sum(size).cast("double").alias("n")
+    )
+    if budget is None:
+        total = counts.agg(F.sum("n")).collect()[0][0] or 0.0
+        budget = budget_frac * float(total)
+    counts = counts.withColumn("cap", F.col("n") * F.lit(max_epochs))
+    w = Window.orderBy(F.col("cap").asc(), F.col(group_col).asc())
+    staged = counts.select(
+        group_col,
+        "n",
+        "cap",
+        F.row_number().over(w).alias("_i"),
+        F.sum("cap").over(w).alias("_prefix"),  # includes own cap
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_L"),
+    )
+    b = F.lit(float(budget))
+    # group i is fully capped iff the water level clears its cap:
+    # prefix_{i-1} + cap_i * (L - i + 1) <= B
+    feasible = (
+        F.col("_prefix") - F.col("cap")
+        + F.col("cap") * (F.col("_L") - F.col("_i") + 1)
+    ) <= b
+    lvl = staged.agg(
+        F.max(F.when(feasible, F.col("_i"))).alias("_istar"),
+        F.max(F.when(feasible, F.col("_prefix"))).alias("_pstar"),
+    ).select(
+        F.coalesce("_istar", F.lit(0)).alias("_istar"),
+        F.coalesce("_pstar", F.lit(0.0)).alias("_pstar"),
+    )
+    out = staged.crossJoin(F.broadcast(lvl)).withColumn(
+        "_t",
+        F.when(
+            F.col("_istar") < F.col("_L"),
+            (b - F.col("_pstar")) / (F.col("_L") - F.col("_istar")),
+        ),
+    )
+    alloc = F.when(
+        F.col("_t").isNull() | (F.col("cap") <= F.col("_t")), F.col("cap")
+    ).otherwise(F.col("_t"))
+    return out.select(
+        group_col,
+        "n",
+        "cap",
+        alloc.alias("alloc"),
+        F.when(F.col("n") > 0, alloc / F.col("n")).alias("epochs"),
+    )

@@ -171,8 +171,82 @@ SELECT doc_id AS media_id,
 FROM b"""
 
 
+def q_media_dhash(spark, sf_dir):
+    """Perceptual difference hash per media row (7x8 fake-decode grid →
+    49 bits, row-major right>left comparisons packed into a BIGINT).
+    The binary column never shuffles; the hash is 8 bytes/row."""
+    media = derive_media(spark, sf_dir)
+    return mm.media_dhash(media, grid=7, decoder="fake")
+
+
+# grid micro-units exactly as MEDIA_RESIZE_SQL (7x8 = 56 cells,
+# chunk = n // 56); bit k compares cells (k//7)*8+(k%7) and its right
+# neighbor (1-based list indexing: +1 / +2).
+_DHASH_U = """list_transform(range(0, 56), i ->
+         CASE WHEN i * chunk >= n THEN CAST(0 AS BIGINT)
+              ELSE (list_aggregate(list_transform(
+                      range(i * chunk + 1, least((i + 1) * chunk, n) + 1),
+                      j -> unicode(text[j:j])), 'sum') * 1000000)
+                   // (CAST(least((i + 1) * chunk, n) - i * chunk AS BIGINT)
+                       * 255)
+         END)"""
+
+MEDIA_DHASH_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 56, 1) AS chunk
+  FROM documents
+),
+g AS (SELECT doc_id, {_DHASH_U} AS u FROM b)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(list_aggregate(list_transform(range(0, 49), k ->
+         CASE WHEN u[(k // 7) * 8 + (k % 7) + 2]
+                   > u[(k // 7) * 8 + (k % 7) + 1]
+              THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END),
+         'sum') AS BIGINT) AS dhash
+FROM g"""
+
+
+def q_media_dhash_neardup(spark, sf_dir):
+    """Near-duplicate media pairs by banded hamming join over the
+    perceptual hashes: 7 bands x 7 bits, verify popcount(xor) <= 6.
+    max_hamming < bands, so banding recall is EXACT (pigeonhole) — the
+    oracle brute-forces all pairs and must match exactly."""
+    media = derive_media(spark, sf_dir)
+    hashes = mm.media_dhash(media, grid=7, decoder="fake")
+    return mm.dhash_neardup_pairs(
+        hashes, bits=49, bands=7, max_hamming=6
+    )
+
+
+MEDIA_DHASH_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 56, 1) AS chunk
+  FROM documents
+),
+g AS (SELECT doc_id, {_DHASH_U} AS u FROM b),
+h AS (
+  SELECT doc_id AS media_id,
+         list_aggregate(list_transform(range(0, 49), k ->
+           CASE WHEN u[(k // 7) * 8 + (k % 7) + 2]
+                     > u[(k // 7) * 8 + (k % 7) + 1]
+                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END),
+           'sum') AS dhash
+  FROM g
+)
+SELECT a.media_id AS id_a, c.media_id AS id_b,
+       bit_count(xor(a.dhash, c.dhash)) AS hamming
+FROM h a JOIN h c ON a.media_id < c.media_id
+WHERE bit_count(xor(a.dhash, c.dhash)) <= 6"""
+
+
 QUERIES = {
     "media_features": (q_media_features, MEDIA_FEATURES_SQL),
+    "media_dhash": (q_media_dhash, MEDIA_DHASH_SQL),
+    "media_dhash_neardup": (q_media_dhash_neardup, MEDIA_DHASH_NEARDUP_SQL),
     "media_frame_plan": (q_media_frame_plan, MEDIA_FRAME_PLAN_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),

@@ -1234,6 +1234,64 @@ SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
 FROM c CROSS JOIN t"""
 
 
+def q_unimax_alloc(spark, sf_dir):
+    """UniMax token-budget allocation across sources (budget = half the
+    corpus tokens, cap 3 epochs): small sources fully repeated up to the
+    cap, the remainder split uniformly — the closed-form waterfilling."""
+    from embeddingsearch_spark.functions import text as tfn
+    from embeddingsearch_spark.operators import splits
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "source", tfn.token_count(F.col("text")).alias("n_toks")
+    )
+    out = splits.unimax_allocation(
+        docs, "source", size_col="n_toks", budget_frac=0.5, max_epochs=3.0
+    )
+    return out.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round("cap", RD).alias("cap"),
+        F.round("alloc", RD).alias("alloc"),
+        F.round("epochs", RD).alias("epochs"),
+    )
+
+
+UNIMAX_ALLOC_SQL = f"""WITH d AS (
+  SELECT source, len({TOKS_SQL}) AS nt FROM documents
+),
+c AS (SELECT source, CAST(sum(nt) AS DOUBLE) AS n FROM d GROUP BY source),
+tot AS (SELECT 0.5 * sum(n) AS b, count(*) AS L FROM c),
+s AS (
+  SELECT source, n, n * 3.0 AS cap,
+         row_number() OVER (ORDER BY n * 3.0 ASC, source ASC) AS i,
+         sum(n * 3.0) OVER (ORDER BY n * 3.0 ASC, source ASC
+                            ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM c
+),
+f AS (
+  SELECT max(CASE WHEN prefix - cap + cap * (tot.L - i + 1) <= tot.b
+             THEN i END) AS istar,
+         max(CASE WHEN prefix - cap + cap * (tot.L - i + 1) <= tot.b
+             THEN prefix END) AS pstar
+  FROM s, tot
+),
+lvl AS (SELECT coalesce(istar, 0) AS istar, coalesce(pstar, 0.0) AS pstar
+        FROM f)
+SELECT s.source, CAST(s.n AS BIGINT) AS n_tokens,
+       round(s.cap, {RD}) AS cap,
+       round(CASE WHEN lvl.istar >= tot.L THEN s.cap
+                  WHEN s.cap <= (tot.b - lvl.pstar) / (tot.L - lvl.istar)
+                  THEN s.cap
+                  ELSE (tot.b - lvl.pstar) / (tot.L - lvl.istar) END,
+             {RD}) AS alloc,
+       round(CASE WHEN lvl.istar >= tot.L THEN s.cap
+                  WHEN s.cap <= (tot.b - lvl.pstar) / (tot.L - lvl.istar)
+                  THEN s.cap
+                  ELSE (tot.b - lvl.pstar) / (tot.L - lvl.istar) END / s.n,
+             {RD}) AS epochs
+FROM s, lvl, tot"""
+
+
 # OOV gate vocabulary size: the synthetic corpus has ~31 distinct tokens,
 # so V=16 leaves a meaningful out-of-vocabulary tail to measure.
 _OOV_V = 16
@@ -1294,6 +1352,7 @@ QUERIES = {
     "pii_redact": (q_pii_redact, PII_REDACT_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),
+    "unimax_alloc": (q_unimax_alloc, UNIMAX_ALLOC_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
     "batch_pad_stats": (q_batch_pad_stats, BATCH_PAD_STATS_SQL),

@@ -83,3 +83,38 @@ def test_mixture_weights_temperature(spark):
     }
     assert nat["big"]["upsample_factor"] == pytest.approx(1.0)
     assert nat["small"]["upsample_factor"] == pytest.approx(1.0)
+
+
+def test_unimax_allocation_waterfilling(spark):
+    """Hand-computed: caps 20/200/2000 (E=2), budget 600 → A and B fully
+    capped (2 epochs), C absorbs the remaining 380."""
+    rows = (
+        [(f"a{i}", "A") for i in range(10)]
+        + [(f"b{i}", "B") for i in range(100)]
+        + [(f"c{i}", "C") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+    out = {
+        r["src"]: r
+        for r in splits.unimax_allocation(
+            df, "src", budget=600.0, max_epochs=2.0
+        ).collect()
+    }
+    assert out["A"]["alloc"] == 20.0 and out["A"]["epochs"] == 2.0
+    assert out["B"]["alloc"] == 200.0 and out["B"]["epochs"] == 2.0
+    assert out["C"]["alloc"] == 380.0 and abs(out["C"]["epochs"] - 0.38) < 1e-12
+    assert sum(r["alloc"] for r in out.values()) == 600.0
+
+
+def test_unimax_budget_exceeds_caps(spark):
+    """Budget above the total cap: every group fully capped, no NaNs."""
+    rows = [("x", "A"), ("y", "B"), ("z", "B")]
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+    out = {
+        r["src"]: r
+        for r in splits.unimax_allocation(
+            df, "src", budget=1e9, max_epochs=3.0
+        ).collect()
+    }
+    assert out["A"]["alloc"] == 3.0 and out["B"]["alloc"] == 6.0
+    assert out["A"]["epochs"] == 3.0 and out["B"]["epochs"] == 3.0

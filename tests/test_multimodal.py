@@ -87,3 +87,54 @@ def test_frame_sample_plan(spark):
     assert got[0] == [0, 10, 20]
     assert got[1] == [0, 10, 20, 30, 40]  # capped at max_frames
     assert got[2] == [0]
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(
+        [(i, "image", bytearray(b)) for i, b in rows],
+        "media_id long, modality string, content binary",
+    )
+
+
+def test_media_dhash_identical_and_perturbed(spark):
+    """Identical bytes → identical hash; a small perturbation moves few
+    bits; wildly different content moves many."""
+    base = bytes(range(256)) * 8
+    perturbed = bytearray(base)
+    perturbed[100] = 255  # one byte nudge
+    other = bytes(reversed(base))
+    df = _media_rows(
+        spark, [(1, base), (2, bytes(perturbed)), (3, other), (4, base)]
+    )
+    out = {r["media_id"]: r["dhash"] for r in mm.media_dhash(df).collect()}
+    assert out[1] == out[4]
+    h = lambda a, b: bin(a ^ b).count("1")
+    assert h(out[1], out[2]) <= 6
+    assert h(out[1], out[3]) > 6
+
+
+def test_dhash_neardup_pairs_exact_recall(spark):
+    """max_hamming < bands → banding recall is exact: pairs equal the
+    brute-force hamming filter."""
+    base = bytes(range(256)) * 8
+    p1 = bytearray(base); p1[50] = 0
+    p2 = bytearray(base); p2[700] = 9
+    df = _media_rows(
+        spark,
+        [(1, base), (2, bytes(p1)), (3, bytes(p2)),
+         (4, bytes(reversed(base)))],
+    )
+    hashes = mm.media_dhash(df)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in mm.dhash_neardup_pairs(
+            hashes, bits=49, bands=7, max_hamming=6
+        ).collect()
+    )
+    hs = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    want = sorted(
+        (a, b)
+        for a in hs for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 6
+    )
+    assert got == want and (1, 2) in got
