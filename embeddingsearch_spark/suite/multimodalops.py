@@ -213,7 +213,10 @@ def q_media_dhash_neardup(spark, sf_dir):
     """Near-duplicate media pairs by banded hamming join over the
     perceptual hashes: 7 bands x 7 bits, verify popcount(xor) <= 6.
     max_hamming < bands, so banding recall is EXACT (pigeonhole) — the
-    oracle brute-forces all pairs and must match exactly."""
+    oracle brute-forces all pairs and must match exactly. 7-bit bands
+    are a GATE-SCALE config (128 buckets — fine at 5k rows); production
+    default is bands=4 per the multi-index-hashing width rule
+    (BASELINE.md round-3 probe: 72 s vs 14 s at 250k rows)."""
     media = derive_media(spark, sf_dir)
     hashes = mm.media_dhash(media, grid=7, decoder="fake")
     return mm.dhash_neardup_pairs(

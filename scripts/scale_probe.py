@@ -59,6 +59,7 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         "incremental_gate_anti", "bloom_index_build",
         "incremental_gate_bloom_probe", "incremental_neardup_gate",
         "incremental_neardup_exact_first",
+        "ppl_buckets", "paragraph_dedup", "media_dhash_pairs",
     )
     if want(*_DOCS_OPS):
         docs = (
@@ -82,7 +83,10 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
     # dissimilar, so near-dup OUTPUT stays linear in N (identical copies
     # would make every answer quadratic in the replica count — that
     # measures output size, not operator scaling)
-    _EMB_OPS = ("gemm_topk", "srp_lsh_pairs", "pq_encode", "pq_adc_topk")
+    _EMB_OPS = (
+        "gemm_topk", "srp_lsh_pairs", "pq_encode", "pq_adc_topk",
+        "proto_prune",
+    )
     if want(*_EMB_OPS):
         shift = (F.col("rep") % 64).cast("int")
         emb = (
@@ -323,6 +327,61 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         assert n_coded == n_vecs
         run("pq_adc_topk", lambda: pq_op.pq_topk(coded, cbs, qvecs, k=10))
         coded.unpersist()
+
+    # D4 prototype pruning: assignment scan + one per-cluster rank window
+    # (k=64 clusters keeps window partitions balanced as N grows)
+    run(
+        "proto_prune",
+        lambda: ann_ops.prototype_prune(emb, k=64, keep_frac=0.75),
+    )
+    # CCNet cut: LM scoring + the two-pass global rank (NO global sort) —
+    # expect near-linear (rank passes are range-partitioned scans)
+    run(
+        "ppl_buckets",
+        lambda: lm_op.perplexity_buckets(
+            docs, "doc_id", "text", n_buckets=3, vocab_size=65536
+        ),
+    )
+    # repeated-paragraph pass: every 3rd doc shares a planted paragraph
+    run(
+        "paragraph_dedup",
+        lambda: bp_op.dedup_paragraphs(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.lit("\n\nshared promo paragraph example"),
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+        ),
+    )
+    # perceptual-hash near-dup: hash (scan-stage over bytes) + banded
+    # hamming join (8 B hashes shuffle, bytes never do). ~1/3 of replica
+    # texts are byte-identical → real dup pairs at every factor. Scale
+    # defaults (bands=4 → 13-bit band values); the N=50 probe measured
+    # 7-bit bands at 72 s vs 8 s — band width is the cost dial.
+    from embeddingsearch_spark.operators import multimodal as mm_op
+
+    run(
+        "media_dhash_pairs",
+        lambda: mm_op.dhash_neardup_pairs(
+            mm_op.media_dhash(
+                docs.select(
+                    F.col("doc_id").alias("media_id"),
+                    F.lit("image").alias("modality"),
+                    F.encode(F.col("text"), "utf-8").alias("content"),
+                ),
+                grid=7,
+                decoder="fake",
+            ),
+            bits=49,
+        ),
+    )
 
     # Bloom incremental gate vs the plain anti-join at the same volume:
     # 2/3 of incoming is new (bypasses the verify join via the bitmap)

@@ -335,3 +335,51 @@ def test_oov_profile_vocab_broadcasts(spark):
     df = tf.oov_profile(docs, vocab_size=16)
     pi.assert_broadcast_join(df)
     assert "TakeOrderedAndProject" in pi.physical_plan(df)
+
+
+def test_prototype_prune_broadcast_centroids_one_window_shuffle(spark):
+    """Assignment is scan-stage (no join for it); the centroid-sim join
+    broadcasts the tiny centroid table; the only hash exchange feeds the
+    per-cluster rank window."""
+    emb = tables.load(spark, SF, "embeddings")
+    df = ann_ops.prototype_prune(emb, k=4, keep_frac=0.5)
+    plan = pi.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_hash_ex = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    assert n_hash_ex <= 1, plan
+
+
+def test_perplexity_buckets_no_global_sort_window(spark):
+    """The ntile cut must NOT be a single-partition Window: rank comes
+    from the range-partitioned two-pass machinery, so no Window operator
+    appears and no Exchange SinglePartition feeds a sort."""
+    from embeddingsearch_spark.operators import lmscore
+
+    docs = tables.load(spark, SF, "documents")
+    df = lmscore.perplexity_buckets(
+        docs, "doc_id", "text", n_buckets=3, vocab_size=100
+    )
+    plan = pi.physical_plan(df)
+    assert "Window" not in plan, plan
+
+
+def test_media_dhash_binary_never_shuffles(spark):
+    """The dhash plan is scan → mapInPandas (resize) → project: zero
+    exchanges; the hash-banding join in dhash_neardup_pairs shuffles only
+    (id, hash, band) rows."""
+    from embeddingsearch_spark.operators import multimodal as mm
+    from embeddingsearch_spark.suite.multimodalops import derive_media
+
+    media = derive_media(spark, SF)
+    hashes = mm.media_dhash(media, grid=7, decoder="fake")
+    plan = pi.physical_plan(hashes)
+    assert "Exchange" not in plan, plan
+    pairs = mm.dhash_neardup_pairs(hashes)
+    pplan = pi.physical_plan(pairs)
+    for line in pplan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "content" not in line, line
