@@ -803,3 +803,38 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_per_cluster: int = 100,
+    centroids: DataFrame | None = None,
+    salt: str = "cluster_sample",
+) -> DataFrame:
+    """Cluster-balanced subset selection (the diversity sampler of the
+    SemDeDup/D4 curation family): coarse-cluster the embedding space,
+    then keep exactly ``n_per_cluster`` rows per cluster in a
+    deterministic pseudo-random order (md5(salt, id)) — a topic-balanced
+    subsample that counteracts head-topic domination in web corpora.
+    Returns (id, centroid_id) for the kept rows.
+
+    Pure composition: `assign_centroids` (zero-shuffle scan) +
+    `splits.stratified_fixed_n` on the cluster id (one exchange; window
+    parallelism = cluster count, the same scale knob as every operator
+    in this family). Deterministic given ``centroids`` (None = the
+    k-lowest-id init any engine reproduces)."""
+    from embeddingsearch_spark.operators.splits import stratified_fixed_n
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, k=k, iters=0, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_centroids(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "centroid_id")
+    return stratified_fixed_n(
+        assigned, id_col, "centroid_id", n_per_cluster, salt=salt
+    )

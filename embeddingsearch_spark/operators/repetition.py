@@ -102,3 +102,114 @@ def remove_repetitive(
     scan (no join: metrics are computed in the same pass)."""
     prof = repetition_profile(df, id_col, text_col).filter("keep")
     return df.join(prof.select(id_col), id_col, "left_semi")
+
+
+# Gopher document-level rule thresholds (Rae et al. 2021, arXiv:2112.11446
+# Table A1 — public). Word-count bounds are parameters (the defaults are
+# the paper's); ratio thresholds are the paper's constants.
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-level quality rules (Rae et al.
+    2021 Table A1) as ONE scan-stage projection — zero shuffles, zero
+    Python; composes with `repetition_profile` (the intra-doc repetition
+    half of the same table) and the engine's other gates via
+    `corpus_policy`-style semi-joins.
+
+    Rules: word-count bounds; mean word length in [3, 10]; symbol-to-
+    word ratio ('#' chars + non-overlapping '...' runs) <= 0.1; <= 90%
+    of lines bullet-initial; <= 30% of lines ellipsis-final; >= 80% of
+    words contain an alphabetic character; >= 2 distinct required
+    stopwords present. Output: per-doc metrics (ratios rounded for
+    display only — rule decisions use the raw values) + per-rule flags
+    + overall ``keep``.
+    """
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.constants import ROUND_DIGITS
+    from embeddingsearch_spark.functions.text import tokens
+
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks).cast("double")
+    safe_w = F.when(n_words == 0, F.lit(1.0)).otherwise(n_words)
+    n_chars = F.length(text).cast("double")
+    n_space = (
+        n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    )
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (n_chars - n_space) / n_words
+    )
+    n_hash = n_chars - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        n_chars - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3.0
+    symbol_ratio = (n_hash + n_ellipsis) / safe_w
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).rlike(r"^[-*•]"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(
+            F.filter(toks, lambda t: t.rlike(r"\p{L}"))
+        ).cast("double")
+        / safe_w
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "r_words": (n_words >= min_words) & (n_words <= max_words),
+        "r_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_bullet": bullet_frac <= GOPHER_MAX_BULLET_FRAC,
+        "r_ellipsis": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC,
+        "r_alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        "r_stop": stop_hits >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, ROUND_DIGITS).alias("mean_word_len"),
+        F.round(symbol_ratio, ROUND_DIGITS).alias("symbol_ratio"),
+        F.round(bullet_frac, ROUND_DIGITS).alias("bullet_frac"),
+        F.round(ellipsis_frac, ROUND_DIGITS).alias("ellipsis_frac"),
+        F.round(alpha_frac, ROUND_DIGITS).alias("alpha_frac"),
+        stop_hits.cast("int").alias("n_stop_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

@@ -427,6 +427,37 @@ SELECT vec_id, cid AS centroid_id, proto_sim,
 FROM rk"""
 
 
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced subset: deterministic k=8 clusters, exactly 30
+    rows per cluster in md5(salt,id) pseudo-random order — the
+    topic-balanced sampler (head topics can't dominate the subset)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    return ann_ops.cluster_balanced_sample(
+        emb.repartition(n), k=8, n_per_cluster=30
+    )
+
+
+CLUSTER_SAMPLE_SQL = f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cid,
+         v AS c
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT 8)
+),
+{_kmeans_assign_ctes(1, "c0")}
+SELECT vec_id, cid AS centroid_id FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY md5('cluster_sample|' || CAST(vec_id AS VARCHAR)) ASC,
+                    vec_id ASC) AS rn
+  FROM a1
+) WHERE rn <= 30"""
+
+
 IVF_KMEANS_BUILD_SQL = f"""WITH v AS (
   SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
   FROM embeddings
@@ -755,5 +786,6 @@ QUERIES = {
     "ivf_kmeans_build": (q_ivf_kmeans_build, IVF_KMEANS_BUILD_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "proto_prune": (q_proto_prune, PROTO_PRUNE_SQL),
+    "cluster_sample": (q_cluster_sample, CLUSTER_SAMPLE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }

@@ -1234,6 +1234,106 @@ SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
 FROM c CROSS JOIN t"""
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher Table-A1 document rules as one scan-stage projection,
+    over docs with planted rule violations (symbol runs, bullet lines,
+    ellipsis endings) so every rule fires both ways. min_words=10 keeps
+    the word-count rule live at testdata doc lengths."""
+    docs = tables.load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 4 == 0, F.lit("### ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit("\n- bullet item")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 7 == 0, F.lit("\nto be continued...")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return repetition.gopher_rules(
+        planted, "doc_id", "text", min_words=10
+    )
+
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in repetition.GOPHER_STOPWORDS)
+
+GOPHER_RULES_SQL = rf"""WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '### ' ELSE '' END
+         || text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '- bullet item' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'to be continued...' ELSE '' END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len({TOKS_SQL}) AS DOUBLE) AS n_words,
+         {TOKS_SQL} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           AS n_space,
+         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+           AS n_hash,
+         (length(text)
+          - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3.0
+           AS n_ellipsis,
+         string_split(text, chr(10)) AS lines
+  FROM planted
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE (n_chars - n_space) / n_words END AS mean_wl,
+         (n_hash + n_ellipsis)
+           / CASE WHEN n_words = 0 THEN 1.0 ELSE n_words END
+           AS symbol_ratio,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+           / len(lines) AS bullet_frac,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+           / len(lines) AS ellipsis_frac,
+         CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '\p{{L}}'))) AS DOUBLE)
+           / CASE WHEN n_words = 0 THEN 1.0 ELSE n_words END
+           AS alpha_frac,
+         len(list_intersect(
+              list_distinct(list_transform(toks, t -> lower(t))),
+              [{_GOPHER_SW}])) AS n_stop_hits
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_wl, {RD}) AS mean_word_len,
+       round(symbol_ratio, {RD}) AS symbol_ratio,
+       round(bullet_frac, {RD}) AS bullet_frac,
+       round(ellipsis_frac, {RD}) AS ellipsis_frac,
+       round(alpha_frac, {RD}) AS alpha_frac,
+       CAST(n_stop_hits AS INT) AS n_stop_hits,
+       (n_words >= 10 AND n_words <= 100000) AS r_words,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_word_len,
+       (symbol_ratio <= 0.1) AS r_symbol,
+       (bullet_frac <= 0.9) AS r_bullet,
+       (ellipsis_frac <= 0.3) AS r_ellipsis,
+       (alpha_frac >= 0.8) AS r_alpha,
+       (n_stop_hits >= 2) AS r_stop,
+       ((n_words >= 10 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (symbol_ratio <= 0.1)
+        AND (bullet_frac <= 0.9)
+        AND (ellipsis_frac <= 0.3)
+        AND (alpha_frac >= 0.8)
+        AND (n_stop_hits >= 2)) AS keep
+FROM r"""
+
+
 def q_unimax_alloc(spark, sf_dir):
     """UniMax token-budget allocation across sources (budget = half the
     corpus tokens, cap 3 epochs): small sources fully repeated up to the
@@ -1353,6 +1453,7 @@ QUERIES = {
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),
     "unimax_alloc": (q_unimax_alloc, UNIMAX_ALLOC_SQL),
+    "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
     "batch_pad_stats": (q_batch_pad_stats, BATCH_PAD_STATS_SQL),

@@ -90,3 +90,29 @@ def test_prototype_prune_keeps_least_prototypical(spark):
     assert kept_sims[-1] <= dropped_sims[0]
     # centroid init is the lowest-id vector, so id 0 IS the prototype
     assert not by_id[0]["keep"]
+
+
+def test_cluster_balanced_sample_caps_per_cluster(spark):
+    """Each cluster contributes at most n rows, and the selection is
+    deterministic across invocations."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, list(map(float, rng.normal(size=8)))) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out1 = sorted(
+        map(tuple, ann_ops.cluster_balanced_sample(
+            emb, k=4, n_per_cluster=5
+        ).collect())
+    )
+    out2 = sorted(
+        map(tuple, ann_ops.cluster_balanced_sample(
+            emb, k=4, n_per_cluster=5
+        ).collect())
+    )
+    assert out1 == out2
+    per = {}
+    for _, cid in out1:
+        per[cid] = per.get(cid, 0) + 1
+    assert all(v <= 5 for v in per.values())
+    assert len(out1) <= 20 and len(out1) > 0

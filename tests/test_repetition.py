@@ -60,3 +60,36 @@ def test_remove_repetitive(spark):
     )
     kept = [r["doc_id"] for r in rep.remove_repetitive(df).collect()]
     assert kept == [1]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Hand-built docs violating exactly one rule each; a clean doc
+    passes all seven."""
+    from embeddingsearch_spark.operators.repetition import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that "
+        "hound have been with many other animals of note today"
+    )
+    rows = [
+        (1, clean),
+        (2, "the of and"),                       # too few words
+        (3, "### " * 30 + clean),                # symbol ratio
+        (4, clean + "\n" + "\n".join("- b" for _ in range(30))),  # bullets
+        (5, clean + "\nwait...\nmore...\nend..."),  # ellipsis lines
+        (6, clean + " " + " ".join(str(i) for i in range(40))),  # alpha
+        (7, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh "
+            "jj kk ll zx cv bn mq wa sd fg hj kl qw er ty ui op"),  # stop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, "doc_id", "text", min_words=10).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["r_words"] and not out[2]["keep"]
+    assert not out[3]["r_symbol"]
+    assert not out[4]["r_bullet"]
+    assert not out[5]["r_ellipsis"]
+    assert not out[6]["r_alpha"]
+    assert not out[7]["r_stop"]
