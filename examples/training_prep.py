@@ -143,6 +143,47 @@ def main(sf_dir: str) -> None:
         f"{batches.select('batch_id').distinct().count()} length batches"
     )
 
+    # 9. session-3 curation surface: Gopher rule gate, CCNet perplexity
+    # cut, paragraph dedup, D4 prototype pruning + cluster-balanced
+    # sampling, UniMax token budgets, perceptual-hash media near-dup
+    from embeddingsearch_spark.operators import (
+        boilerplate,
+        lmscore,
+        multimodal,
+        repetition,
+    )
+
+    gop = repetition.gopher_rules(docs, "doc_id", "text", min_words=10)
+    ppl = lmscore.perplexity_buckets(
+        docs, "doc_id", "text", n_buckets=3, vocab_size=100
+    )
+    pdedup = boilerplate.dedup_paragraphs(docs, "doc_id", "text")
+    proto = ann.prototype_prune(emb, k=8, keep_frac=0.75)
+    balanced = ann.cluster_balanced_sample(emb, k=8, n_per_cluster=25)
+    uni = splits.unimax_allocation(
+        docs.select("doc_id", "source"), "source",
+        budget_frac=0.5, max_epochs=3.0,
+    )
+    dh = multimodal.media_dhash(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    dh_pairs = multimodal.dhash_neardup_pairs(dh, bits=49)
+    print(
+        f"gopher keep: {gop.filter('keep').count()}/{gop.count()}; "
+        f"ppl head third: {ppl.filter(F.col('segment') == 'head').count()}; "
+        f"paragraph-deduped docs: "
+        f"{pdedup.filter('n_removed > 0').count()}; "
+        f"proto-pruned keeps: {proto.filter('keep').count()}; "
+        f"balanced sample: {balanced.count()}; "
+        f"dhash near-dup pairs: {dh_pairs.count()}"
+    )
+    print("UniMax per-source token budget (top 5 by alloc):")
+    uni.orderBy(F.col("alloc").desc()).show(5)
+
     # 5. write partitioned by split, then compact the small files
     out = tempfile.mkdtemp(prefix="es_training_prep_")
     tagged.drop("_pr").write.mode("overwrite").partitionBy("split").parquet(out)
