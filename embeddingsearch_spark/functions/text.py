@@ -202,3 +202,33 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     n tokens yield their single full-text shingle. Prefer pre-projecting
     tokens() and calling word_shingles_of on the hot path (see there)."""
     return word_shingles_of(tokens(text), n)
+
+
+def clean_web_text(text: Column) -> Column:
+    """Web-text normalization (the CCNet/C4-family cleanup pass that runs
+    BEFORE hashing/dedup so cosmetic encoding noise doesn't defeat exact
+    fingerprints — public recipe): CRLF → LF; unicode space variants
+    (NBSP, en/em/thin spaces, ideographic space) → ASCII space; zero-width
+    characters and BOM removed; control characters stripped (newline and
+    tab kept, tab → space); runs of spaces collapsed; 3+ blank lines
+    collapsed to one blank line; per-line and outer trim.
+
+    Pure Catalyst regexp chain — scan-stage, zero shuffle, oracle-exact
+    in any RE2/Java-regex engine."""
+    t = F.regexp_replace(text, r"\r\n?", "\n")
+    # zero-width + BOM: remove entirely
+    t = F.regexp_replace(t, r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]", "")
+    # unicode space variants + tab -> plain space
+    t = F.regexp_replace(
+        t,
+        r"[\t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]",
+        " ",
+    )
+    # other control chars (keep \n)
+    t = F.regexp_replace(t, r"[\x{0000}-\x{0009}\x{000B}-\x{001F}\x{007F}]", "")
+    # collapse space runs; strip spaces around newlines
+    t = F.regexp_replace(t, r" {2,}", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    # collapse 3+ newlines to exactly two (one blank line)
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.trim(t)

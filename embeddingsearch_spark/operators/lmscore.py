@@ -156,3 +156,95 @@ def perplexity_buckets(
     return ranked.select(
         id_col, "perplexity", bucket.alias("bucket")
     ).withColumn("segment", segment)
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per adjacent token pair (w1, w2), tokens lowercased —
+    the slices read a materialized token column (HOF-lambda hoist
+    convention), and the zip/explode is pure scan-stage."""
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_t"),
+    )
+    n = F.size("_t")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i).alias("w1"),
+            F.element_at(F.col("_t"), i + 1).alias("w2"),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p.w1").alias("w1"),
+        F.col("_p.w2").alias("w2"),
+    )
+
+
+def bigram_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 65536,
+    smoothing: float = 1.0,
+    lam: float = 0.7,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated bigram LM scoring (Jelinek–Mercer smoothing — the
+    classic public recipe): p(w2|w1) = lam·c(w1,w2)/c(w1·) +
+    (1-lam)·p_uni(w2), with the add-one unigram of `unigram_scores` as
+    the backoff and c(w1·) the history count (= Σ_w2 c(w1,w2), derived
+    FROM the bigram table — no extra corpus pass). Per-doc output:
+    ``(id, n_bigrams, avg_nll, perplexity)``; docs with < 2 tokens score
+    NULL and are omitted. ``reference`` scores ``df`` under another
+    corpus's LM; unseen histories there fall back to the unigram term
+    alone.
+
+    Plan: ONE corpus bigram pass feeds both count tables; the doc
+    stream joins c2 on the (w1, w2) key (hash join — the distinct-
+    bigram table is vocab²-bounded and far smaller than the stream),
+    while c1 and the unigram vocab are broadcast-sized.
+    """
+    ref = reference if reference is not None else df
+    ref_bg = _doc_bigrams(ref, id_col, text_col)
+    c2 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = unigram_vocab(ref, id_col, text_col, vocab_size)
+    totals = (
+        _doc_tokens(ref, id_col, text_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    k = vocab.count()
+    denom = float(totals["n"]) + smoothing * (k + 1)
+
+    bg = _doc_bigrams(df, id_col, text_col)
+    joined = (
+        bg.join(c2, ["w1", "w2"], "left_outer")
+        .join(F.broadcast(c1), "w1", "left_outer")
+        .join(
+            F.broadcast(vocab.withColumnRenamed("tok", "w2")),
+            "w2",
+            "left_outer",
+        )
+    )
+    p_uni = (F.coalesce("c", F.lit(0)) + F.lit(smoothing)) / F.lit(denom)
+    p_big = F.when(
+        F.col("c1").isNotNull() & (F.col("c1") > 0),
+        F.coalesce("c2", F.lit(0)).cast("double") / F.col("c1"),
+    ).otherwise(F.lit(0.0))
+    nll = -F.log(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
+    return (
+        joined.select(F.col(id_col), nll.alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("_nll").alias("avg_nll"),
+        )
+        .withColumn("perplexity", F.exp(F.col("avg_nll")))
+    )

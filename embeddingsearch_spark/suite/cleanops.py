@@ -219,6 +219,59 @@ SELECT doc_id, n_tokens, n_oov,
 FROM agg"""
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM (Jelinek–Mercer, lam=0.7) self-scored with
+    the 100-token-vocab unigram backoff: per-doc bigram count, avg NLL,
+    perplexity. One corpus bigram pass feeds both count tables."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = lmscore.bigram_scores(
+        docs, "doc_id", "text", vocab_size=100, smoothing=1.0, lam=0.7
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", RD).alias("avg_nll"),
+        F.round("perplexity", RD).alias("perplexity"),
+    )
+
+
+# (1.0 - 0.7) is spelled as an expression so the oracle's backoff weight
+# is the same IEEE double Python's 1.0 - lam produces (0.3 the literal
+# is a DIFFERENT double).
+BIGRAM_LM_SQL = f"""WITH tk AS (
+  SELECT doc_id, {_LTOKS} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM tk WHERE len(t) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+toks AS (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+sc AS (
+  SELECT bg.doc_id,
+         -ln(0.7 * (CAST(c2.c2 AS DOUBLE) / c1.c1)
+             + (1.0 - 0.7)
+               * ((coalesce(v.c, 0) + 1.0)
+                  / (tot.n + 1.0 * (kk.k + 1)))) AS nll
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  LEFT JOIN vocab v ON v.tok = bg.w2, tot, kk
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS avg_nll
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(avg_nll, {RD}) AS avg_nll,
+       round(exp(avg_nll), {RD}) AS perplexity
+FROM agg"""
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail cut over the self-scored 100-token-vocab
     LM: exact ntile(3) in (perplexity, doc_id) order — head is the
@@ -438,6 +491,7 @@ QUERIES = {
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "ppl_buckets": (q_ppl_buckets, PPL_BUCKETS_SQL),
+    "bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
     "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
     "corpus_policy": (q_corpus_policy, CORPUS_POLICY_SQL),
 }

@@ -1234,6 +1234,57 @@ SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
 FROM c CROSS JOIN t"""
 
 
+def q_text_normalize(spark, sf_dir):
+    """CCNet/C4-style web-text cleanup over docs planted with CRLF,
+    NBSP/ideographic spaces, zero-width chars, control chars, and blank-
+    line runs — the normalization pass that runs BEFORE hashing so
+    encoding noise can't defeat exact dedup. Pure scan-stage regexp
+    chain (zero shuffle)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("\u00a0  "),
+        F.col("text"),
+        F.lit("\x07\u200b\r\n\n\n\nend\u3000here\t tail  "),
+    )
+    staged = docs.select("doc_id", messy.alias("_messy"))
+    return staged.select(
+        "doc_id",
+        F.length("_messy").alias("n_chars_before"),
+        T.clean_web_text(F.col("_messy")).alias("text"),
+    ).withColumn("n_chars_after", F.length("text"))
+
+
+TEXT_NORMALIZE_SQL = r"""WITH planted AS (
+  SELECT doc_id,
+         chr(160) || '  ' || text || chr(7) || chr(8203) || chr(13)
+         || repeat(chr(10), 4) || 'end' || chr(12288) || 'here'
+         || chr(9) || ' tail  ' AS messy
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, length(messy) AS n_chars_before,
+         trim(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(messy, '\r\n?', chr(10), 'g'),
+                '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+               '[\t\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
+               ' ', 'g'),
+              '[\x{0000}-\x{0009}\x{000B}-\x{001F}\x{007F}]', '', 'g'),
+             ' {2,}', ' ', 'g'),
+            ' ?\n ?', chr(10), 'g'),
+           '\n{3,}', chr(10) || chr(10), 'g')
+         ) AS text
+  FROM planted
+)
+SELECT doc_id, n_chars_before, text, length(text) AS n_chars_after
+FROM cleaned"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """The Gopher Table-A1 document rules as one scan-stage projection,
     over docs with planted rule violations (symbol runs, bullet lines,
@@ -1454,6 +1505,7 @@ QUERIES = {
     "mix_temperature": (q_mix_temperature, MIX_TEMPERATURE_SQL),
     "unimax_alloc": (q_unimax_alloc, UNIMAX_ALLOC_SQL),
     "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
+    "text_normalize": (q_text_normalize, TEXT_NORMALIZE_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
     "batch_pad_stats": (q_batch_pad_stats, BATCH_PAD_STATS_SQL),

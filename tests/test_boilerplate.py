@@ -145,3 +145,68 @@ def test_dedup_paragraphs_first_occurrence_survives(spark):
     assert out[3]["n_removed"] == 1
     assert out[4]["text"] == "unique only"
     assert out[4]["n_paragraphs"] == 1
+
+
+def test_clean_web_text_normalization(spark):
+    """CRLF, unicode spaces, zero-width, control chars, blank-line runs
+    all normalize; plain clean text is a fixed point."""
+    from embeddingsearch_spark.functions.text import clean_web_text
+
+    rows = [
+        (1, "a\u00a0b\u200bc"),                # NBSP -> space, ZWSP gone
+        (2, "x\r\ny\rz"),                     # CRLF / CR -> LF
+        (3, "p   q\n\n\n\n\nr"),            # runs collapse
+        (4, "\x07bell\x1f and\ttab"),         # controls gone, tab->space
+        (5, "already clean\ntwo lines"),
+        (6, "  \u3000 padded   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", clean_web_text(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert out[1] == "a bc"
+    assert out[2] == "x\ny\nz"
+    assert out[3] == "p q\n\nr"
+    assert out[4] == "bell and tab"
+    assert out[5] == "already clean\ntwo lines"
+    assert out[6] == "padded"
+
+
+def test_bigram_scores_hand_computed(spark):
+    """Two tiny docs; verify against a directly-computed NLL."""
+    import math
+
+    rows = [(1, "a b a b"), (2, "b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in lmscore.bigram_scores(
+            df, "doc_id", "text", vocab_size=10, smoothing=1.0, lam=0.7
+        ).collect()
+    }
+    # corpus bigrams: d1: (a,b),(b,a),(a,b); d2: (b,a)
+    # c2: (a,b)=2, (b,a)=2 ; c1: a=2, b=2
+    # unigrams: a=3, b=3, N=6, k=2 -> p_uni(w)= (3+1)/(6+3) = 4/9
+    p_ab = 0.7 * (2 / 2) + (1.0 - 0.7) * (4 / 9)
+    nll_ab = -math.log(p_ab)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_nll"] - nll_ab) < 1e-12  # all bigrams same p
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["perplexity"] - math.exp(nll_ab)) < 1e-9
+
+
+def test_bigram_scores_reference_unseen_history(spark):
+    """Scoring against a reference corpus: an unseen history falls back
+    to the unigram term alone (no NULLs, no crash)."""
+    ref = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(9, "z z z")], "doc_id long, text string"
+    )
+    out = lmscore.bigram_scores(
+        target, "doc_id", "text", vocab_size=10, reference=ref
+    ).collect()
+    assert len(out) == 1 and out[0]["n_bigrams"] == 2
+    assert out[0]["avg_nll"] is not None and out[0]["avg_nll"] > 0
