@@ -232,3 +232,38 @@ def clean_web_text(text: Column) -> Column:
     # collapse 3+ newlines to exactly two (one blank line)
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
     return F.trim(t)
+
+
+def html_to_text(html: Column) -> Column:
+    """Regex-based HTML → text extraction (the raw-crawl step BEFORE the
+    WET-style text the rest of the pipeline consumes; public recipe —
+    the same family as W3C's text/html stripping everyone implements):
+    <script>/<style>/<!--comment--> blocks dropped whole; block-level
+    closers (</p>, </div>, <br>, </li>, </h1..6>, </tr>) become
+    newlines; remaining tags stripped; the core entities decoded
+    (&amp; &lt; &gt; &quot; &#39; &nbsp;); whitespace normalized via
+    `clean_web_text`. Pure Catalyst regexp chain — scan-stage; no HTML
+    parser dependency, which is the point at 100 TB (a real DOM parse
+    is a Pandas-UDF seam a user can swap in where fidelity matters).
+    """
+    # two separate patterns, not one with a backreference: the DuckDB
+    # oracle runs RE2, which has no backreferences
+    t = F.regexp_replace(
+        html, r"(?is)<script\b[^>]*>.*?</script\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|div|li|tr|h[1-6])\b[^>]*>|<br\s*/?>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return clean_web_text(t)

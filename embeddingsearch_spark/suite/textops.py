@@ -1285,6 +1285,74 @@ SELECT doc_id, n_chars_before, text, length(text) AS n_chars_after
 FROM cleaned"""
 
 
+def q_html_extract(spark, sf_dir):
+    """Regex HTML → text over docs wrapped in a planted page shell
+    (style block, heading, comment, entity-bearing footer): the raw-
+    crawl extraction step before every other text operator. Scan-stage
+    regexp chain, zero shuffle."""
+    docs = tables.load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><style>b{}</style><p>"),
+        F.col("text"),
+        F.lit("</p><!-- c --><div>footer&nbsp;&amp;&nbsp;note</div>"
+              "</body></html>"),
+    )
+    staged = docs.select("doc_id", page.alias("_html"))
+    return staged.select(
+        "doc_id", T.html_to_text(F.col("_html")).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+
+
+def _html_strip_sql(expr: str) -> str:
+    """The DuckDB mirror of functions.text.html_to_text (tag strip +
+    entity decode + clean_web_text), composed programmatically so the
+    nesting stays readable."""
+    t = f"regexp_replace({expr}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = (f"regexp_replace({t}, "
+         f"'(?i)</?(p|div|li|tr|h[1-6])\\b[^>]*>|<br\\s*/?>', chr(10), 'g')")
+    t = f"regexp_replace({t}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", "' '"),
+        ("&lt;", "'<'"),
+        ("&gt;", "'>'"),
+        ("&quot;", "'\"'"),
+        ("&#39;", "chr(39)"),
+        ("&amp;", "'&'"),
+    ):
+        t = f"replace({t}, '{ent}', {rep})"
+    # clean_web_text chain
+    t = f"regexp_replace({t}, '\\r\\n?', chr(10), 'g')"
+    t = f"regexp_replace({t}, '[\\x{{200B}}\\x{{200C}}\\x{{200D}}\\x{{FEFF}}]', '', 'g')"
+    t = (f"regexp_replace({t}, '[\\t\\x{{00A0}}\\x{{1680}}"
+         f"\\x{{2000}}-\\x{{200A}}\\x{{202F}}\\x{{205F}}\\x{{3000}}]', ' ', 'g')")
+    t = (f"regexp_replace({t}, "
+         f"'[\\x{{0000}}-\\x{{0009}}\\x{{000B}}-\\x{{001F}}\\x{{007F}}]', '', 'g')")
+    t = f"regexp_replace({t}, ' {{2,}}', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
+    t = f"regexp_replace({t}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({t})"
+
+
+HTML_EXTRACT_SQL = f"""WITH planted AS (
+  SELECT doc_id,
+         '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><style>b{{}}</style><p>' || text
+         || '</p><!-- c --><div>footer&nbsp;&amp;&nbsp;note</div>'
+         || '</body></html>' AS html
+  FROM planted_src
+),
+cleaned AS (
+  SELECT doc_id, {_html_strip_sql('html')} AS text FROM planted
+)
+SELECT doc_id, text, length(text) AS n_chars FROM cleaned""".replace(
+    "planted_src", "documents"
+)
+
+
 def q_gopher_rules(spark, sf_dir):
     """The Gopher Table-A1 document rules as one scan-stage projection,
     over docs with planted rule violations (symbol runs, bullet lines,
@@ -1506,6 +1574,7 @@ QUERIES = {
     "unimax_alloc": (q_unimax_alloc, UNIMAX_ALLOC_SQL),
     "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
     "text_normalize": (q_text_normalize, TEXT_NORMALIZE_SQL),
+    "html_extract": (q_html_extract, HTML_EXTRACT_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
     "batch_pad_stats": (q_batch_pad_stats, BATCH_PAD_STATS_SQL),

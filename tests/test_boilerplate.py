@@ -210,3 +210,23 @@ def test_bigram_scores_reference_unseen_history(spark):
     ).collect()
     assert len(out) == 1 and out[0]["n_bigrams"] == 2
     assert out[0]["avg_nll"] is not None and out[0]["avg_nll"] > 0
+
+
+def test_html_to_text_extraction(spark):
+    """Scripts/styles/comments dropped whole, block tags become line
+    breaks, entities decode, whitespace normalizes."""
+    from embeddingsearch_spark.functions.text import html_to_text
+
+    html = (
+        '<html><head><style>p {color:red}</style>'
+        '<script type="text/js">var x = "<p>";</script></head>'
+        "<body><h1>Title</h1><p>First &amp; second &lt;tag&gt;</p>"
+        "<!-- hidden --><div>Item&nbsp;one<br>line two</div>"
+        "<p>it&#39;s &quot;quoted&quot;</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == (
+        "\nTitle\n\nFirst & second <tag>\n\nItem one\nline two\n\n"
+        "it's \"quoted\"\n"
+    )
