@@ -959,3 +959,43 @@ def remove_duplicate_spans(
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("text_clean"),
     )
+
+
+def minhash_jaccard_estimate(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Signature-space Jaccard ESTIMATE for candidate pairs (Broder's
+    classic resemblance estimator — public): Ĵ(a,b) = fraction of the k
+    MinHash components that agree; unbiased with stderr ≈ √(J(1−J)/k).
+
+    This is the verify tier between banding and `jaccard_verify`: exact
+    shingle-set intersection re-joins the SHINGLE stream per pair (the
+    dominant cost at 100 TB), while this joins only the signature table
+    — k×8 bytes per doc — twice on the pair ids. Use it to rank/filter
+    candidates cheaply and reserve the exact verify for pairs near the
+    decision threshold (or skip the exact tier entirely when the ~1/√k
+    error is acceptable). Returns ``(id_a, id_b, jaccard_est)``.
+    """
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(k)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(k))).alias("jaccard_est"),
+        )
+    )

@@ -73,6 +73,17 @@ SELECT f.doc_id, g.canonical_id, g.group_size,
 FROM fp f JOIN g USING (fp)"""
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """Signature-space Jaccard estimate over the LSH candidate pairs:
+    the cheap verify tier (joins signatures, never shingles). Same
+    8-hash/4-band config as neardup_minhash so the oracle shares its
+    CTEs."""
+    dd = derive_dd(spark, sf_dir)
+    sigs = dd_ops.minhash_signatures(dd, "doc_id", "text", k=8, shingle_n=3)
+    cands = dd_ops.lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4)
+    return dd_ops.minhash_jaccard_estimate(sigs, cands, "doc_id", k=8)
+
+
 def q_neardup_minhash(spark, sf_dir):
     return dd_ops.near_duplicates_minhash(
         derive_dd(spark, sf_dir), "doc_id", "text",
@@ -130,6 +141,13 @@ pfin AS (
   WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
         / (za.nsh + zb.nsh - coalesce(i.ninter, 0)) >= 0.5
 )"""
+
+MINHASH_ESTIMATE_SQL = f"""WITH {_PAIR_CTES}
+SELECT p.id_a, p.id_b,
+       (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) / 8.0 AS jaccard_est
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b"""
 
 NEARDUP_MINHASH_SQL = f"""WITH {_PAIR_CTES}
 SELECT id_a, id_b, round(jacc, {RD}) AS jaccard FROM pfin"""
@@ -704,6 +722,7 @@ QUERIES = {
         DEDUP_INCREMENTAL_SQL,
     ),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
+    "minhash_estimate": (q_minhash_estimate, MINHASH_ESTIMATE_SQL),
     "neardup_incremental": (q_neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "neardup_keep_best": (q_neardup_keep_best, NEARDUP_KEEP_BEST_SQL),

@@ -88,3 +88,31 @@ def test_minhash_config_for_scurve():
     _, b_lo = minhash_config_for(0.3, k=128)
     _, b_hi = minhash_config_for(0.9, k=128)
     assert 128 // b_hi >= 128 // b_lo
+
+
+def test_minhash_jaccard_estimate_bounds_and_exact_dup(spark):
+    """Identical docs estimate 1.0; the estimate always equals the
+    agreeing-component fraction computed from the signatures directly."""
+    from embeddingsearch_spark.operators import dedup as dd
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # identical
+        (3, "one two three four five six seven"),     # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(df, "doc_id", "text", k=8, shingle_n=3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in dd.minhash_jaccard_estimate(sigs, pairs, k=8).collect()
+    }
+    sig_map = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in sigs.collect()}
+    assert est[(1, 2)] == 1.0
+    manual_13 = sum(
+        a == b for a, b in zip(sig_map[1], sig_map[3])
+    ) / 8.0
+    assert est[(1, 3)] == manual_13
+    assert 0.0 <= est[(1, 3)] <= 1.0
