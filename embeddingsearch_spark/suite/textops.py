@@ -1305,6 +1305,60 @@ def q_html_extract(spark, sf_dir):
     ).withColumn("n_chars", F.length("text"))
 
 
+def q_web_curation(spark, sf_dir):
+    """End-to-end raw-crawl curation in ONE plan: HTML extraction →
+    exact dedup on the EXTRACTED text → word-count gate. Every 9th doc
+    is a re-render of its predecessor's content (different
+    markup shell) — extraction must normalize the markup away so the
+    dedup stage catches the re-render as an exact duplicate; keep =
+    canonical copy passing the gate."""
+    docs = tables.load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # source the re-render from doc_id - 1: d-1 is never itself a
+    # multiple of 9, so its page renders its OWN text and the pair
+    # (d-1, d) is a true extracted-text duplicate for every 9th doc
+    dup_src = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("_dup_text"),
+    )
+    base = docs.join(dup_src, "doc_id", "left_outer")
+    content = F.when(
+        (d % 9 == 0) & F.col("_dup_text").isNotNull(), F.col("_dup_text")
+    ).otherwise(F.col("text"))
+    shell_attr = F.when(d % 2 == 0, F.lit(' class="main"')).otherwise(
+        F.lit(' id="body"')
+    )
+    page = F.concat(
+        F.lit("<html><body><div"), shell_attr, F.lit("><p>"),
+        content,
+        F.lit("</p></div><script>track()</script></body></html>"),
+    )
+    extracted = base.select(
+        "doc_id", T.html_to_text(page).alias("text")
+    )
+    from embeddingsearch_spark.operators import dedup as dd_ops
+
+    deduped = dd_ops.exact_duplicates(extracted, "doc_id", "text")
+    n_words = T.token_count(F.col("text"))
+    gated = extracted.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (n_words >= 10).alias("ok_words"),
+    )
+    j = gated.join(
+        deduped.select("doc_id", "canonical_id", "is_duplicate"), "doc_id"
+    )
+    return j.select(
+        "doc_id",
+        "n_chars",
+        "canonical_id",
+        "is_duplicate",
+        "ok_words",
+        ((F.col("doc_id") == F.col("canonical_id")) & F.col("ok_words"))
+        .alias("keep"),
+    )
+
+
 def _html_strip_sql(expr: str) -> str:
     """The DuckDB mirror of functions.text.html_to_text (tag strip +
     entity decode + clean_web_text), composed programmatically so the
@@ -1335,6 +1389,40 @@ def _html_strip_sql(expr: str) -> str:
     t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
     t = f"regexp_replace({t}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
     return f"trim({t})"
+
+
+WEB_CURATION_SQL = f"""WITH base AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 9 = 0 AND j.text IS NOT NULL
+              THEN j.text ELSE d.text END AS content,
+         CASE WHEN d.doc_id % 2 = 0 THEN ' class="main"'
+              ELSE ' id="body"' END AS attr
+  FROM documents d LEFT JOIN documents j ON j.doc_id = d.doc_id - 1
+),
+pages AS (
+  SELECT doc_id,
+         '<html><body><div' || attr || '><p>' || content
+         || '</p></div><script>track()</script></body></html>' AS html
+  FROM base
+),
+extracted AS (
+  SELECT doc_id, {_html_strip_sql('html')} AS text FROM pages
+),
+fp AS (
+  SELECT doc_id, text,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM extracted
+),
+g AS (SELECT f, min(doc_id) AS canonical_id, count(*) AS n
+      FROM fp GROUP BY f)
+SELECT fp.doc_id,
+       length(fp.text) AS n_chars,
+       g.canonical_id,
+       g.n > 1 AS is_duplicate,
+       len({TOKS_SQL.replace('text', 'fp.text')}) >= 10 AS ok_words,
+       (fp.doc_id = g.canonical_id
+        AND len({TOKS_SQL.replace('text', 'fp.text')}) >= 10) AS keep
+FROM fp JOIN g USING (f)"""
 
 
 HTML_EXTRACT_SQL = f"""WITH planted AS (
@@ -1575,6 +1663,7 @@ QUERIES = {
     "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
     "text_normalize": (q_text_normalize, TEXT_NORMALIZE_SQL),
     "html_extract": (q_html_extract, HTML_EXTRACT_SQL),
+    "web_curation": (q_web_curation, WEB_CURATION_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),
     "length_batches": (q_length_batches, LENGTH_BATCHES_SQL),
     "batch_pad_stats": (q_batch_pad_stats, BATCH_PAD_STATS_SQL),
