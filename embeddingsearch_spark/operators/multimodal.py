@@ -558,3 +558,17 @@ def dhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dhash_config_for(n_rows: int, bits: int = 49) -> int:
+    """Band count for `dhash_neardup_pairs` sized to the corpus: the
+    multi-index-hashing rule (band width >= log2 n keeps expected bucket
+    size ~1, so candidate volume stays near-linear). Returns the largest
+    ``bands`` whose width clears the rule (>= 1); exact-recall radius is
+    then hamming <= bands - 1. At n beyond 2^bits no width clears the
+    rule — the hash itself is too short for banding alone; shard first
+    (e.g. by modality or size bucket) and band within shards."""
+    import math
+
+    width_needed = max(1, math.ceil(math.log2(max(2, n_rows))))
+    return max(1, bits // width_needed)

@@ -118,3 +118,40 @@ def test_unimax_budget_exceeds_caps(spark):
     }
     assert out["A"]["alloc"] == 3.0 and out["B"]["alloc"] == 6.0
     assert out["A"]["epochs"] == 3.0 and out["B"]["epochs"] == 3.0
+
+
+def test_unimax_invariants_random_cases(spark):
+    """Waterfilling invariants over randomized group sizes: the total
+    allocation equals min(budget, total cap), every group respects its
+    cap, and groups below the water level are fully capped."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        sizes = {f"g{i}": rng.randint(1, 500) for i in range(6)}
+        rows = [
+            (f"{g}_{j}", g) for g, n in sizes.items() for j in range(n)
+        ]
+        total = sum(sizes.values())
+        budget = float(rng.randint(1, 2 * total))
+        e = 2.0
+        df = spark.createDataFrame(rows, "doc_id string, src string")
+        alloc = {
+            r["src"]: r
+            for r in splits.unimax_allocation(
+                df, "src", budget=budget, max_epochs=e
+            ).collect()
+        }
+        total_cap = sum(r["cap"] for r in alloc.values())
+        got = sum(r["alloc"] for r in alloc.values())
+        assert abs(got - min(budget, total_cap)) < 1e-6, (trial, got)
+        for r in alloc.values():
+            assert r["alloc"] <= r["cap"] + 1e-9
+            assert r["epochs"] <= e + 1e-9
+        # uncapped groups all share the same water level
+        lvls = {
+            round(r["alloc"], 6)
+            for r in alloc.values()
+            if r["alloc"] < r["cap"] - 1e-9
+        }
+        assert len(lvls) <= 1, lvls

@@ -138,3 +138,12 @@ def test_dhash_neardup_pairs_exact_recall(spark):
         if a < b and bin(hs[a] ^ hs[b]).count("1") <= 6
     )
     assert got == want and (1, 2) in got
+
+
+def test_dhash_config_for_band_sizing():
+    from embeddingsearch_spark.operators.multimodal import dhash_config_for
+
+    assert dhash_config_for(100) == 7        # 7-bit widths fine at 100 rows
+    assert dhash_config_for(5_000) == 3      # 13-bit widths needed
+    assert dhash_config_for(250_000) == 2
+    assert dhash_config_for(10**9) == 1      # hash too short: shard first
