@@ -60,6 +60,7 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         "incremental_gate_bloom_probe", "incremental_neardup_gate",
         "incremental_neardup_exact_first",
         "ppl_buckets", "paragraph_dedup", "media_dhash_pairs",
+        "bigram_lm", "html_curation",
     )
     if want(*_DOCS_OPS):
         docs = (
@@ -382,6 +383,31 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
             bits=49,
         ),
     )
+
+    # bigram LM: the c2 table grows with distinct bigrams (saturating,
+    # vocab²-bounded) — expect sublinear like the other vocab-shaped ops
+    run(
+        "bigram_lm",
+        lambda: lm_op.bigram_scores(
+            docs, "doc_id", "text", vocab_size=65536
+        ),
+    )
+    # HTML extract + exact dedup on extracted text (the web_curation
+    # shape): regex chain is scan-stage, dedup is one fingerprint shuffle
+    def _html_curation():
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"),
+                F.lit("</p><script>t()</script></body></html>"),
+            ).alias("html"),
+        )
+        ext = pages.select(
+            "doc_id", T.html_to_text(F.col("html")).alias("text")
+        )
+        return dd_ops.exact_duplicates(ext, "doc_id", "text")
+
+    run("html_curation", _html_curation)
 
     # Bloom incremental gate vs the plain anti-join at the same volume:
     # 2/3 of incoming is new (bypasses the verify join via the bitmap)

@@ -383,3 +383,48 @@ def test_media_dhash_binary_never_shuffles(spark):
     for line in pplan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "content" not in line, line
+
+
+def test_html_extract_and_normalize_zero_shuffle(spark):
+    """The regex extraction/normalization chain is pure scan-stage:
+    no exchanges at all."""
+    from embeddingsearch_spark.functions.text import (
+        clean_web_text,
+        html_to_text,
+    )
+
+    docs = tables.load(spark, SF, "documents")
+    df = docs.select(
+        "doc_id",
+        html_to_text(F.col("text")).alias("a"),
+        clean_web_text(F.col("text")).alias("b"),
+    )
+    assert "Exchange" not in pi.physical_plan(df)
+
+
+def test_bigram_lm_broadcasts_small_tables(spark):
+    """The doc bigram stream joins c2 without being broadcast itself;
+    c1 and the vocab go in as broadcast joins; no cartesian product."""
+    from embeddingsearch_spark.operators import lmscore
+
+    docs = tables.load(spark, SF, "documents")
+    df = lmscore.bigram_scores(docs, "doc_id", "text", vocab_size=100)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_estimate_joins_signatures_not_shingles(spark):
+    """The estimate's exchanges carry signature/id columns only — the
+    shingle column must not ride any hash exchange after the signature
+    aggregation."""
+    from embeddingsearch_spark.operators import dedup as dd
+
+    docs = tables.load(spark, SF, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", k=8)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4)
+    df = dd.minhash_jaccard_estimate(sigs, pairs, "doc_id", k=8)
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "shingle" not in line, line
