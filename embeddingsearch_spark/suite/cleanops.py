@@ -486,6 +486,95 @@ SELECT doc_id,
 FROM j"""
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Stage-survivor funnel over the standard gates: input → exact-dedup
+    canonicals → length/alpha rule → perplexity cut. ONE aggregation job
+    for all stage counts (union + tag, never a count() per stage); the
+    lag window runs on the k-row stage table."""
+    from embeddingsearch_spark.operators import dedup as dd_ops
+    from embeddingsearch_spark.operators import funnel, repetition
+
+    docs = tables.load(spark, sf_dir, "documents")
+    s0 = docs.select("doc_id")
+    dd = dd_ops.exact_duplicates(docs, "doc_id", "text")
+    s1 = dd.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id"
+    )
+    gop = repetition.gopher_rules(docs, "doc_id", "text", min_words=25)
+    s2 = s1.join(
+        gop.filter(F.col("r_words") & F.col("r_alpha")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    lm = lmscore.unigram_scores(
+        docs, "doc_id", "text", vocab_size=100, smoothing=1.0
+    )
+    s3 = s2.join(
+        lm.filter(F.col("perplexity") <= _MAX_PPL).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return funnel.funnel_stats(
+        [("input", s0), ("exact_dedup", s1), ("rules", s2), ("ppl", s3)]
+    )
+
+
+CURATION_FUNNEL_SQL = f"""WITH fp AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id FROM fp
+  WHERE doc_id = (SELECT min(doc_id) FROM fp g WHERE g.f = fp.f)
+),
+m AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS DOUBLE) AS n_words,
+         {TOKS_SQL} AS toks
+  FROM documents
+),
+s2 AS (
+  SELECT m.doc_id FROM m JOIN s1 USING (doc_id)
+  WHERE n_words >= 25 AND n_words <= 100000
+    AND CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}')))
+             AS DOUBLE)
+        / CASE WHEN n_words = 0 THEN 1.0 ELSE n_words END >= 0.8
+),
+toks AS (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+sc AS (
+  SELECT t.doc_id, coalesce(v.c, 0) AS c
+  FROM toks t LEFT JOIN vocab v USING (tok)
+),
+lm AS (
+  SELECT doc_id,
+         exp(avg(-ln((c + 1.0) / (tot.n + 1.0 * (kk.k + 1))))) AS ppl
+  FROM sc, tot, kk GROUP BY doc_id
+),
+s3 AS (
+  SELECT s2.doc_id FROM s2 JOIN lm USING (doc_id)
+  WHERE lm.ppl <= {_MAX_PPL}
+),
+stages AS (
+  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n FROM documents
+  UNION ALL SELECT 1, 'exact_dedup', count(*) FROM s1
+  UNION ALL SELECT 2, 'rules', count(*) FROM s2
+  UNION ALL SELECT 3, 'ppl', count(*) FROM s3
+)
+SELECT stage_idx, stage, n,
+       CAST(coalesce(lag(n) OVER (ORDER BY stage_idx) - n, 0) AS BIGINT)
+         AS n_dropped,
+       round(CASE WHEN coalesce(lag(n) OVER (ORDER BY stage_idx), 0) = 0
+                  THEN 0.0
+                  ELSE CAST(lag(n) OVER (ORDER BY stage_idx) - n AS DOUBLE)
+                       / lag(n) OVER (ORDER BY stage_idx) END, 6)
+         AS drop_pct
+FROM stages"""
+
+
 QUERIES = {
     "boilerplate_lines": (q_boilerplate_lines, BOILERPLATE_LINES_SQL),
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
@@ -494,4 +583,5 @@ QUERIES = {
     "bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
     "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
     "corpus_policy": (q_corpus_policy, CORPUS_POLICY_SQL),
+    "curation_funnel": (q_curation_funnel, CURATION_FUNNEL_SQL),
 }

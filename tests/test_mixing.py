@@ -155,3 +155,22 @@ def test_unimax_invariants_random_cases(spark):
             if r["alloc"] < r["cap"] - 1e-9
         }
         assert len(lvls) <= 1, lvls
+
+
+def test_funnel_stats_single_job_accounting(spark):
+    """Counts, drops, and percentages per stage; first stage drops 0."""
+    from embeddingsearch_spark.operators import funnel
+
+    s0 = spark.range(100).withColumnRenamed("id", "doc_id")
+    s1 = s0.filter(F.col("doc_id") % 2 == 0)   # 50
+    s2 = s1.filter(F.col("doc_id") % 10 == 0)  # 10
+    out = {
+        r["stage"]: r
+        for r in funnel.funnel_stats(
+            [("in", s0), ("even", s1), ("tens", s2)]
+        ).collect()
+    }
+    assert out["in"]["n"] == 100 and out["in"]["n_dropped"] == 0
+    assert out["even"]["n"] == 50 and out["even"]["n_dropped"] == 50
+    assert out["even"]["drop_pct"] == 0.5
+    assert out["tens"]["n"] == 10 and out["tens"]["drop_pct"] == 0.8
