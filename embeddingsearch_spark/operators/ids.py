@@ -79,3 +79,82 @@ def assign_global_ids(
     if return_total:
         return out, acc
     return out
+
+
+def assign_group_ranks(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "group_rank",
+    n_partitions: int | None = None,
+):
+    """df + dense 0-based rank WITHIN each group in ``order_cols`` order,
+    plus the per-group totals — the per-group twin of
+    `assign_global_ids`, for group-partitioned ntile/rank semantics
+    (per-language perplexity cuts, per-source quotas) WITHOUT a
+    ``Window.partitionBy(group)`` whose parallelism would be capped by
+    the group count and wrecked by skew (one giant language = one giant
+    sorted partition).
+
+    Range-partition on (group, *order) — a group may span partitions,
+    so the counting pass collects (partition, group) counts (bounded by
+    partitions × groups present per partition boundary, tiny for
+    language/source-scale groups) and the numbering pass resumes each
+    group's rank at its per-partition offset. Returns
+    ``(ranked_df, totals_df)`` where totals is the tiny (group, total)
+    table (broadcast it for rank arithmetic).
+
+    (group, *order) must be a unique key per row (ties → any engine's
+    rank is nondeterministic).
+    """
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [group_col, *order_cols]
+    rp = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # same checkpoint rationale as assign_global_ids: pin ONE
+        # sampled range partitioning for both passes
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        rp.groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_group_running: dict = {}
+    offsets: dict = {}
+    for r in sorted(counts, key=lambda r: (r[group_col], r["_pid"])):
+        g = r[group_col]
+        offsets[(r["_pid"], g)] = per_group_running.get(g, 0)
+        per_group_running[g] = per_group_running.get(g, 0) + r["n"]
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+
+    def number(batches):
+        pos: dict = {}
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            out = pdf.drop(columns=["_pid"]).copy()
+            ranks = []
+            for g in out[group_col]:
+                if g not in pos:
+                    pos[g] = offsets[(pid, g)]
+                ranks.append(pos[g])
+                pos[g] += 1
+            out[out_col] = ranks
+            yield out
+
+    ranked = rp.mapInPandas(number, schema=f"{fields}, {out_col} long")
+    totals = df.sparkSession.createDataFrame(
+        [(g, n) for g, n in sorted(per_group_running.items())],
+        f"{group_col} {df.schema[group_col].dataType.simpleString()}, "
+        "group_total long",
+    )
+    return ranked, totals

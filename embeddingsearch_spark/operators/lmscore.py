@@ -248,3 +248,64 @@ def bigram_scores(
         )
         .withColumn("perplexity", F.exp(F.col("avg_nll")))
     )
+
+
+def perplexity_buckets_by(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+    vocab_size: int = 65536,
+    smoothing: float = 1.0,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """`perplexity_buckets` PER GROUP — CCNet's actual shape (the
+    head/middle/tail cut is per language, arXiv:1911.00359 §4.3):
+    exact SQL ntile semantics within each group, but the rank comes
+    from `assign_group_ranks` (range-partitioned two-pass), never a
+    ``Window.partitionBy(group)`` that caps parallelism at the group
+    count and collapses under one dominant language. Returns
+    ``(id, group, perplexity, bucket, segment)``.
+
+    The ntile arithmetic runs per row from (rank, group_total) with the
+    tiny totals table broadcast — sizes differ per group, so size/rem
+    are columns, not Python scalars.
+    """
+    from embeddingsearch_spark.constants import ROUND_DIGITS
+    from embeddingsearch_spark.operators.ids import assign_group_ranks
+
+    scored = (
+        unigram_scores(
+            df, id_col, text_col, vocab_size, smoothing, reference
+        )
+        .filter(F.col("avg_nll").isNotNull())
+        .select(
+            F.col(id_col),
+            F.round("perplexity", ROUND_DIGITS).alias("perplexity"),
+        )
+        .join(df.select(id_col, group_col), id_col)
+    )
+    ranked, totals = assign_group_ranks(
+        scored, group_col, ["perplexity", id_col], out_col="_rk"
+    )
+    j = ranked.join(F.broadcast(totals), group_col)
+    t = F.col("group_total")
+    r = F.col("_rk")
+    size = F.floor(t / n_buckets)
+    rem = t - size * n_buckets
+    bucket = (
+        F.when(size == 0, r + 1)
+        .when(r < rem * (size + 1), F.floor(r / (size + 1)) + 1)
+        .otherwise(rem + F.floor((r - rem * (size + 1)) / size) + 1)
+    ).cast("int")
+    names = {1: "head", 2: "middle", 3: "tail"} if n_buckets == 3 else {}
+    out = j.select(
+        id_col, group_col, "perplexity", bucket.alias("bucket")
+    )
+    segment = F.col("bucket").cast("string")
+    for b, name in names.items():
+        segment = F.when(F.col("bucket") == b, F.lit(name)).otherwise(
+            segment
+        )
+    return out.withColumn("segment", segment)

@@ -268,18 +268,14 @@ def unimax_allocation(
         budget = budget_frac * float(total)
     counts = counts.withColumn("cap", F.col("n") * F.lit(max_epochs))
     w = Window.orderBy(F.col("cap").asc(), F.col(group_col).asc())
+    n_groups = counts.agg(F.count(F.lit(1)).alias("_L"))
     staged = counts.select(
         group_col,
         "n",
         "cap",
         F.row_number().over(w).alias("_i"),
         F.sum("cap").over(w).alias("_prefix"),  # includes own cap
-        F.count(F.lit(1)).over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_L"),
-    )
+    ).crossJoin(F.broadcast(n_groups))
     b = F.lit(float(budget))
     # group i is fully capped iff the water level clears its cap:
     # prefix_{i-1} + cap_i * (L - i + 1) <= B

@@ -219,6 +219,51 @@ SELECT doc_id, n_tokens, n_oov,
 FROM agg"""
 
 
+def q_ppl_buckets_by(spark, sf_dir):
+    """Per-SOURCE head/middle/tail perplexity cut (CCNet's per-language
+    shape): exact ntile(3) within each source in (perplexity, doc_id)
+    order — rank from the range-partitioned two-pass per-group
+    machinery, never a group-partitioned window."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return lmscore.perplexity_buckets_by(
+        docs, "doc_id", "text", "source",
+        n_buckets=3, vocab_size=100, smoothing=1.0,
+    )
+
+
+PPL_BUCKETS_BY_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+sc AS (
+  SELECT t.doc_id, coalesce(v.c, 0) AS c
+  FROM toks t LEFT JOIN vocab v USING (tok)
+),
+agg AS (
+  SELECT doc_id,
+         avg(-ln((c + 1.0) / (tot.n + 1.0 * (kk.k + 1)))) AS avg_nll
+  FROM sc, tot, kk GROUP BY doc_id
+),
+sel AS (
+  SELECT a.doc_id, d.source, round(exp(a.avg_nll), {RD}) AS perplexity
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.avg_nll IS NOT NULL
+),
+nt AS (
+  SELECT doc_id, source, perplexity,
+         ntile(3) OVER (PARTITION BY source
+                        ORDER BY perplexity ASC, doc_id ASC) AS bucket
+  FROM sel
+)
+SELECT doc_id, source, perplexity, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS segment
+FROM nt"""
+
+
 def q_bigram_lm(spark, sf_dir):
     """Interpolated bigram LM (Jelinek–Mercer, lam=0.7) self-scored with
     the 100-token-vocab unigram backoff: per-doc bigram count, avg NLL,
@@ -581,6 +626,7 @@ QUERIES = {
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "ppl_buckets": (q_ppl_buckets, PPL_BUCKETS_SQL),
     "bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
+    "ppl_buckets_by": (q_ppl_buckets_by, PPL_BUCKETS_BY_SQL),
     "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
     "corpus_policy": (q_corpus_policy, CORPUS_POLICY_SQL),
     "curation_funnel": (q_curation_funnel, CURATION_FUNNEL_SQL),

@@ -49,3 +49,24 @@ def test_no_single_partition_exchange(spark):
     assert "rangepartitioning(k" in plan.lower().replace(" ", ""), plan
     assert "SinglePartition" not in plan, plan
     assert "SinglePartition" not in pi.physical_plan(out)
+
+
+def test_assign_group_ranks_dense_per_group(spark):
+    """Per-group 0-based dense ranks in order, totals correct, groups
+    spanning range partitions still rank contiguously."""
+    from embeddingsearch_spark.operators.ids import assign_group_ranks
+
+    rows = [(g, i) for g in ("a", "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    ranked, totals = assign_group_ranks(
+        df, "grp", ["v"], out_col="rk", n_partitions=8
+    )
+    got = {
+        (r["grp"], r["v"]): r["rk"] for r in ranked.collect()
+    }
+    assert len(got) == 1000
+    for g in ("a", "b"):
+        for i in range(500):
+            assert got[(g, i)] == i, (g, i, got[(g, i)])
+    t = {r["grp"]: r["group_total"] for r in totals.collect()}
+    assert t == {"a": 500, "b": 500}
