@@ -267,3 +267,46 @@ def html_to_text(html: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return clean_web_text(t)
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    """(damaged, repaired) pairs for the classic UTF-8-read-as-cp1252
+    double-encoding damage (the ftfy core case, public): each target
+    char's UTF-8 bytes decoded as cp1252 (latin-1 for the few bytes
+    cp1252 leaves undefined) IS the damaged sequence — derived, not
+    hand-typed, so the table can't drift from the encodings."""
+    targets = [
+        "’", "‘", "“", "”",  # curly quotes
+        "–", "—", "…",            # dashes, ellipsis
+        "é", "è", "ê", "ü", "ä", "ö",
+        "ñ", "ç", "ß", "à",  # common accents
+        " ",                                  # NBSP ('Â ')
+    ]
+    pairs = []
+    for ch in targets:
+        b = ch.encode("utf-8")
+        try:
+            moji = b.decode("cp1252")
+        except UnicodeDecodeError:
+            moji = b.decode("latin-1")
+        pairs.append((moji, ch))
+    return pairs
+
+
+MOJIBAKE_PAIRS = _mojibake_pairs()
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the most common UTF-8-as-cp1252 mojibake sequences
+    (â€™ → ’, Ã© → é, …) with a chained literal replace — scan-stage,
+    zero shuffle, and table-driven so the DuckDB oracle renders the
+    identical pairs from MOJIBAKE_PAIRS. Longer sequences first so a
+    3-byte repair can't be half-eaten by a 2-byte one. Not a general
+    decoder (ftfy handles nested damage); these cover the bulk of real
+    crawl damage and compose with `clean_web_text`."""
+    t = text
+    for moji, fixed in sorted(
+        MOJIBAKE_PAIRS, key=lambda p: -len(p[0])
+    ):
+        t = F.replace(t, F.lit(moji), F.lit(fixed))
+    return t

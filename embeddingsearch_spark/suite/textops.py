@@ -1441,6 +1441,65 @@ SELECT doc_id, text, length(text) AS n_chars FROM cleaned""".replace(
 )
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair over docs planted with the classic
+    UTF-8-read-as-cp1252 damage (cafÃ©, donâ€™t, â€œquotesâ€\x9d):
+    table-driven chained replace, scan-stage, zero shuffle. Damaged
+    suffix and oracle pairs both derive from MOJIBAKE_PAIRS — one
+    source of truth."""
+    from embeddingsearch_spark.functions.text import MOJIBAKE_PAIRS
+
+    damaged = {f: m for m, f in MOJIBAKE_PAIRS}
+    suffix = (
+        " caf" + damaged["\u00e9"] + " don" + damaged["\u2019"]
+        + "t " + damaged["\u201c"] + "quoted" + damaged["\u201d"]
+        + " " + damaged["\u2026"]
+    )
+    docs = tables.load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("_dmg")
+    )
+    return staged.select(
+        "doc_id",
+        F.length("_dmg").alias("n_chars_before"),
+        T.fix_mojibake(F.col("_dmg")).alias("text"),
+    ).withColumn("n_chars_after", F.length("text"))
+
+
+def _sql_chr(sv: str) -> str:
+    return " || ".join(f"chr({ord(c)})" for c in sv)
+
+
+def _mojibake_fix_sql(expr: str) -> str:
+    from embeddingsearch_spark.functions.text import MOJIBAKE_PAIRS
+
+    t = expr
+    for moji, fixed in sorted(MOJIBAKE_PAIRS, key=lambda p: -len(p[0])):
+        t = f"replace({t}, {_sql_chr(moji)}, {_sql_chr(fixed)})"
+    return t
+
+
+def _mojibake_suffix_sql() -> str:
+    from embeddingsearch_spark.functions.text import MOJIBAKE_PAIRS
+
+    damaged = {f: m for m, f in MOJIBAKE_PAIRS}
+    suffix = (
+        " caf" + damaged["\u00e9"] + " don" + damaged["\u2019"]
+        + "t " + damaged["\u201c"] + "quoted" + damaged["\u201d"]
+        + " " + damaged["\u2026"]
+    )
+    return _sql_chr(suffix)
+
+
+FIX_MOJIBAKE_SQL = f"""WITH dmg AS (
+  SELECT doc_id, text || {_mojibake_suffix_sql()} AS d FROM documents
+)
+SELECT doc_id, length(d) AS n_chars_before,
+       {_mojibake_fix_sql('d')} AS text,
+       length({_mojibake_fix_sql('d')}) AS n_chars_after
+FROM dmg"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """The Gopher Table-A1 document rules as one scan-stage projection,
     over docs with planted rule violations (symbol runs, bullet lines,
@@ -1662,6 +1721,7 @@ QUERIES = {
     "unimax_alloc": (q_unimax_alloc, UNIMAX_ALLOC_SQL),
     "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
     "text_normalize": (q_text_normalize, TEXT_NORMALIZE_SQL),
+    "fix_mojibake": (q_fix_mojibake, FIX_MOJIBAKE_SQL),
     "html_extract": (q_html_extract, HTML_EXTRACT_SQL),
     "web_curation": (q_web_curation, WEB_CURATION_SQL),
     "seq_pack": (q_seq_pack, SEQ_PACK_SQL),

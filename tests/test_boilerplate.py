@@ -230,3 +230,26 @@ def test_html_to_text_extraction(spark):
         "\nTitle\n\nFirst & second <tag>\n\nItem one\nline two\n\n"
         "it's \"quoted\"\n"
     )
+
+
+def test_fix_mojibake_repairs_classic_damage(spark):
+    from embeddingsearch_spark.functions.text import fix_mojibake
+
+    from embeddingsearch_spark.functions.text import MOJIBAKE_PAIRS
+
+    dmg = {f: m for m, f in MOJIBAKE_PAIRS}
+    rows = [
+        (1, "cafÃ© naÃ¯ve?"),        # Ã© -> é (Ã¯ not in table: untouched)
+        (2, f"don{dmg['’']}t {dmg['“']}quote{dmg['”']}"),
+        (3, "plain ascii stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", fix_mojibake(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert out[1] == "café naÃ¯ve?"
+    assert out[2] == "don’t “quote”"
+    assert out[3] == "plain ascii stays"
