@@ -999,3 +999,49 @@ def minhash_jaccard_estimate(
             (agree.cast("double") / F.lit(float(k))).alias("jaccard_est"),
         )
     )
+
+
+def editdist_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_chars: int = 512,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Character-level edit-distance verification for candidate pairs:
+    ``(id_a, id_b, edit_dist, edit_sim)`` with
+    edit_sim = 1 − lev(a, b) / max(len a, len b) over the first
+    ``prefix_chars`` characters. The classic fuzzy-dup arbiter when
+    token-level Jaccard is too coarse (small edits inside tokens,
+    OCR/transcription noise).
+
+    Levenshtein is O(n²) PER PAIR — ``prefix_chars`` is the guard that
+    keeps a pair's cost bounded (512² char ops) no matter how large the
+    documents are; candidates must already be banded/blocked (LSH,
+    simhash, dhash) so the pair count is linear-ish. Runs entirely
+    JVM-side (built-in levenshtein), and the join ships only the capped
+    prefixes."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("_ta"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("_tb"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - dist.cast("double") / mx
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= threshold)
+    )

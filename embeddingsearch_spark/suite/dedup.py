@@ -84,6 +84,24 @@ def q_minhash_estimate(spark, sf_dir):
     return dd_ops.minhash_jaccard_estimate(sigs, cands, "doc_id", k=8)
 
 
+def q_editdist_verify(spark, sf_dir):
+    """Edit-distance arbitration of the LSH candidate pairs: capped-
+    prefix Levenshtein similarity per pair, JVM-side — the verify tier
+    for sub-token noise that Jaccard misses."""
+    from embeddingsearch_spark.constants import ROUND_DIGITS as _RD
+
+    dd = derive_dd(spark, sf_dir)
+    sigs = dd_ops.minhash_signatures(dd, "doc_id", "text", k=8, shingle_n=3)
+    cands = dd_ops.lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4)
+    out = dd_ops.editdist_verify(
+        dd, cands, "doc_id", "text", prefix_chars=256
+    )
+    return out.select(
+        "id_a", "id_b", "edit_dist",
+        F.round("edit_sim", _RD).alias("edit_sim"),
+    )
+
+
 def q_neardup_minhash(spark, sf_dir):
     return dd_ops.near_duplicates_minhash(
         derive_dd(spark, sf_dir), "doc_id", "text",
@@ -148,6 +166,18 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sigs sa ON sa.doc_id = p.id_a
 JOIN sigs sb ON sb.doc_id = p.id_b"""
+
+EDITDIST_VERIFY_SQL = f"""WITH {_PAIR_CTES},
+caps AS (SELECT doc_id, substr(text, 1, 256) AS t FROM dd)
+SELECT p.id_a, p.id_b,
+       levenshtein(ca.t, cb.t) AS edit_dist,
+       round(CASE WHEN greatest(length(ca.t), length(cb.t)) = 0 THEN 1.0
+                  ELSE 1.0 - CAST(levenshtein(ca.t, cb.t) AS DOUBLE)
+                       / greatest(length(ca.t), length(cb.t)) END,
+             {RD}) AS edit_sim
+FROM pairs p
+JOIN caps ca ON ca.doc_id = p.id_a
+JOIN caps cb ON cb.doc_id = p.id_b"""
 
 NEARDUP_MINHASH_SQL = f"""WITH {_PAIR_CTES}
 SELECT id_a, id_b, round(jacc, {RD}) AS jaccard FROM pfin"""
@@ -723,6 +753,7 @@ QUERIES = {
     ),
     "neardup_minhash": (q_neardup_minhash, NEARDUP_MINHASH_SQL),
     "minhash_estimate": (q_minhash_estimate, MINHASH_ESTIMATE_SQL),
+    "editdist_verify": (q_editdist_verify, EDITDIST_VERIFY_SQL),
     "neardup_incremental": (q_neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "neardup_clusters": (q_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "neardup_keep_best": (q_neardup_keep_best, NEARDUP_KEEP_BEST_SQL),

@@ -116,3 +116,20 @@ def test_minhash_jaccard_estimate_bounds_and_exact_dup(spark):
     ) / 8.0
     assert est[(1, 3)] == manual_13
     assert 0.0 <= est[(1, 3)] <= 1.0
+
+
+def test_editdist_verify_known_distances(spark):
+    from embeddingsearch_spark.operators import dedup as dd
+
+    rows = [(1, "kitten"), (2, "sitting"), (3, "kitten")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.editdist_verify(df, pairs, "doc_id", "text").collect()
+    }
+    assert out[(1, 2)]["edit_dist"] == 3
+    assert abs(out[(1, 2)]["edit_sim"] - (1 - 3 / 7)) < 1e-12
+    assert out[(1, 3)]["edit_dist"] == 0 and out[(1, 3)]["edit_sim"] == 1.0
