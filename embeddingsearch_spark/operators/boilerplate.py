@@ -128,9 +128,16 @@ def dedup_paragraphs(
     Blank paragraphs are structure, always kept. Output:
     ``(id, text, n_paragraphs, n_removed)``.
     """
+    import re
+
+    # sep is a LITERAL separator: escape it for the split regex (an
+    # unescaped "||" parses as empty-alternation and splits between
+    # every character) while array_join uses it verbatim
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("pos", "para"),
     ).withColumn("para_fp", fingerprint(F.col("para")))
     blank = F.length(F.trim(F.col("para"))) == 0
     # election over non-blank paragraphs only: (fp) -> first (id, pos);

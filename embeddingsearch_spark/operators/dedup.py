@@ -1036,12 +1036,17 @@ def editdist_verify(
     sim = F.when(mx == 0, F.lit(1.0)).otherwise(
         1.0 - dist.cast("double") / mx
     )
-    return (
-        j.select(
-            "id_a",
-            "id_b",
-            dist.alias("edit_dist"),
-            sim.alias("edit_sim"),
-        )
-        .filter(F.col("edit_sim") >= threshold)
+    out = j.select(
+        "id_a",
+        "id_b",
+        dist.alias("edit_dist"),
+        sim.alias("edit_sim"),
     )
+    # filter only when a positive threshold was asked for: edit_sim is
+    # always in [0, 1], so at the default the filter would be a no-op
+    # EXCEPT for NULL-text pairs (NULL sim fails any >=), which must
+    # pass through as NULL rows rather than silently vanish from the
+    # verify tier
+    if threshold > 0.0:
+        out = out.filter(F.col("edit_sim") >= threshold)
+    return out

@@ -42,6 +42,20 @@ def funnel_stats(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     counts = tagged.groupBy("stage_idx", "stage").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # left-join counts onto the DECLARED stage list: a stage whose gate
+    # dropped every row must still appear with n=0 — that catastrophic
+    # gate is the exact event this table exists to surface, and later
+    # stages' deltas must be computed against it, not skip over it
+    spark = stages[0][1].sparkSession
+    stage_list = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(stages)],
+        "stage_idx int, stage string",
+    )
+    counts = stage_list.join(
+        counts, ["stage_idx", "stage"], "left_outer"
+    ).select(
+        "stage_idx", "stage", F.coalesce("n", F.lit(0)).alias("n")
+    )
     # k-row table: the single-partition lag window is bounded by the
     # stage count, never the corpus
     w = Window.orderBy("stage_idx")

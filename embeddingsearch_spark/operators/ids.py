@@ -26,7 +26,7 @@ def assign_global_ids(
     out_col: str = "global_id",
     n_partitions: int | None = None,
     return_total: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, int]:
     """df + ``global_id`` = dense 0-based rank in ``order_cols`` order.
     ``order_cols`` must be a unique key (ties would make the rank — any
     engine's rank — nondeterministic). ``return_total=True`` returns
@@ -122,10 +122,29 @@ def assign_group_ranks(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+
+    def _k(v):
+        # canonical dict key for a group value: NULL (None driver-side,
+        # NaN through Arrow/pandas for numeric columns) -> None, so a
+        # null language/source field ranks as its own group instead of
+        # crashing the driver-side sort
+        import math as _m
+
+        if v is None or (isinstance(v, float) and _m.isnan(v)):
+            return None
+        return v
+
     per_group_running: dict = {}
     offsets: dict = {}
-    for r in sorted(counts, key=lambda r: (r[group_col], r["_pid"])):
-        g = r[group_col]
+    for r in sorted(
+        counts,
+        key=lambda r: (
+            r[group_col] is None,
+            "" if r[group_col] is None else str(r[group_col]),
+            r["_pid"],
+        ),
+    ):
+        g = _k(r[group_col])
         offsets[(r["_pid"], g)] = per_group_running.get(g, 0)
         per_group_running[g] = per_group_running.get(g, 0) + r["n"]
 
@@ -143,7 +162,8 @@ def assign_group_ranks(
                 pid = int(pdf["_pid"].iloc[0])
             out = pdf.drop(columns=["_pid"]).copy()
             ranks = []
-            for g in out[group_col]:
+            for gv in out[group_col]:
+                g = _k(gv)
                 if g not in pos:
                     pos[g] = offsets[(pid, g)]
                 ranks.append(pos[g])
@@ -153,7 +173,13 @@ def assign_group_ranks(
 
     ranked = rp.mapInPandas(number, schema=f"{fields}, {out_col} long")
     totals = df.sparkSession.createDataFrame(
-        [(g, n) for g, n in sorted(per_group_running.items())],
+        [
+            (g, n)
+            for g, n in sorted(
+                per_group_running.items(),
+                key=lambda kv: (kv[0] is None, str(kv[0])),
+            )
+        ],
         f"{group_col} {df.schema[group_col].dataType.simpleString()}, "
         "group_total long",
     )

@@ -206,9 +206,12 @@ def bigram_scores(
     alone.
 
     Plan: ONE corpus bigram pass feeds both count tables; the doc
-    stream joins c2 on the (w1, w2) key (hash join — the distinct-
-    bigram table is vocab²-bounded and far smaller than the stream),
-    while c1 and the unigram vocab are broadcast-sized.
+    stream joins c2 on the (w1, w2) key and c1 on w1 — both hash joins
+    whose build sides are DISTINCT-bigram / distinct-token bounded
+    (they saturate as the corpus grows but are NOT broadcast-safe on a
+    web corpus, where distinct raw tokens alone reach hundreds of
+    millions — AQE may still broadcast them when they fit). Only the
+    top-``vocab_size`` unigram table carries an explicit broadcast.
     """
     ref = reference if reference is not None else df
     ref_bg = _doc_bigrams(ref, id_col, text_col)
@@ -226,7 +229,7 @@ def bigram_scores(
     bg = _doc_bigrams(df, id_col, text_col)
     joined = (
         bg.join(c2, ["w1", "w2"], "left_outer")
-        .join(F.broadcast(c1), "w1", "left_outer")
+        .join(c1, "w1", "left_outer")
         .join(
             F.broadcast(vocab.withColumnRenamed("tok", "w2")),
             "w2",
@@ -289,7 +292,12 @@ def perplexity_buckets_by(
     ranked, totals = assign_group_ranks(
         scored, group_col, ["perplexity", id_col], out_col="_rk"
     )
-    j = ranked.join(F.broadcast(totals), group_col)
+    # null-safe join: a NULL group (missing language/source) is a group
+    # of its own and must not silently vanish through an equi-join
+    j = ranked.join(
+        F.broadcast(totals.withColumnRenamed(group_col, "_g")),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+    ).drop("_g")
     t = F.col("group_total")
     r = F.col("_rk")
     size = F.floor(t / n_buckets)

@@ -253,3 +253,18 @@ def test_fix_mojibake_repairs_classic_damage(spark):
     assert out[1] == "café naÃ¯ve?"
     assert out[2] == "don’t “quote”"
     assert out[3] == "plain ascii stays"
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    """A regex-metacharacter separator is treated literally."""
+    df = spark.createDataFrame(
+        [(1, "aa||bb||aa"), (2, "bb||cc")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate.dedup_paragraphs(
+            df, "doc_id", "text", sep="||"
+        ).collect()
+    }
+    assert out[1]["text"] == "aa||bb" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "cc" and out[2]["n_removed"] == 1

@@ -70,3 +70,17 @@ def test_assign_group_ranks_dense_per_group(spark):
             assert got[(g, i)] == i, (g, i, got[(g, i)])
     t = {r["grp"]: r["group_total"] for r in totals.collect()}
     assert t == {"a": 500, "b": 500}
+
+
+def test_assign_group_ranks_null_group(spark):
+    """NULL group values rank as their own group instead of crashing."""
+    from embeddingsearch_spark.operators.ids import assign_group_ranks
+
+    rows = [("a", 1), (None, 2), ("b", 3), (None, 1)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    ranked, totals = assign_group_ranks(df, "grp", ["v"], out_col="rk")
+    got = {(r["grp"], r["v"]): r["rk"] for r in ranked.collect()}
+    assert got[(None, 1)] == 0 and got[(None, 2)] == 1
+    assert got[("a", 1)] == 0 and got[("b", 3)] == 0
+    t = {r["grp"]: r["group_total"] for r in totals.collect()}
+    assert t == {None: 2, "a": 1, "b": 1}

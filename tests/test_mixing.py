@@ -174,3 +174,22 @@ def test_funnel_stats_single_job_accounting(spark):
     assert out["even"]["n"] == 50 and out["even"]["n_dropped"] == 50
     assert out["even"]["drop_pct"] == 0.5
     assert out["tens"]["n"] == 10 and out["tens"]["drop_pct"] == 0.8
+
+
+def test_funnel_stats_zero_row_stage_visible(spark):
+    """A gate that drops everything still appears with n=0, and the
+    next stage's delta is computed against it."""
+    from embeddingsearch_spark.operators import funnel
+
+    s0 = spark.range(10).withColumnRenamed("id", "doc_id")
+    s1 = s0.filter(F.col("doc_id") < 0)  # kills everything
+    s2 = s1
+    rows = {
+        r["stage"]: r
+        for r in funnel.funnel_stats(
+            [("in", s0), ("gate", s1), ("after", s2)]
+        ).collect()
+    }
+    assert rows["gate"]["n"] == 0 and rows["gate"]["n_dropped"] == 10
+    assert rows["gate"]["drop_pct"] == 1.0
+    assert rows["after"]["n"] == 0 and rows["after"]["n_dropped"] == 0
