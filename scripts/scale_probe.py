@@ -61,6 +61,7 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         "incremental_neardup_exact_first",
         "ppl_buckets", "paragraph_dedup", "media_dhash_pairs",
         "bigram_lm", "html_curation",
+        "group_rank_window", "group_rank_twopass",
     )
     if want(*_DOCS_OPS):
         docs = (
@@ -408,6 +409,37 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         return dd_ops.exact_duplicates(ext, "doc_id", "text")
 
     run("html_curation", _html_curation)
+
+    # per-group rank under skew: 90% of rows in ONE group. The window
+    # variant's parallelism collapses to the group count; the two-pass
+    # range-partition machinery keeps every core busy
+    if want("group_rank_window", "group_rank_twopass"):
+        from pyspark.sql import Window as _W
+
+        from embeddingsearch_spark.operators.ids import assign_group_ranks
+
+        skewed = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 9, F.lit("en"))
+            .otherwise(F.concat(F.lit("g"), (F.col("doc_id") % 97)
+                       .cast("string"))).alias("grp"),
+            F.xxhash64("doc_id").alias("v"),
+        )
+        run(
+            "group_rank_window",
+            lambda: skewed.withColumn(
+                "rk",
+                F.row_number().over(
+                    _W.partitionBy("grp").orderBy("v", "doc_id")
+                ),
+            ),
+        )
+        run(
+            "group_rank_twopass",
+            lambda: assign_group_ranks(
+                skewed, "grp", ["v", "doc_id"], out_col="rk"
+            )[0],
+        )
 
     # Bloom incremental gate vs the plain anti-join at the same volume:
     # 2/3 of incoming is new (bypasses the verify join via the bitmap)
