@@ -214,3 +214,97 @@ def save_bucketed(
     writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols).saveAsTable(
         table
     )
+
+
+def write_manifest(
+    spark,
+    path: str,
+    file_format: str = "parquet",
+    manifest_name: str = "_manifest.json",
+) -> dict:
+    """Write a dataset manifest next to the data files: one JSON doc
+    listing every data file with its byte size, row count, and sha256,
+    plus dataset totals. This is what makes an exported training set
+    REPRODUCIBLE — a loader (or an auditor) verifies it received exactly
+    the shards the pipeline wrote, and a re-run proves byte-identity
+    without re-reading content into the pipeline.
+
+    Row counts come from the engine (one metadata-only count per file
+    for parquet — footers, not data); hashes/sizes stream each file once
+    driver-side (manifests are written per export, and object listings
+    are driver work anyway). Returns the manifest dict; the JSON is
+    written deterministically (sorted files, sorted keys) so identical
+    exports produce byte-identical manifests.
+    """
+    import hashlib
+    import json
+    import os
+
+    files = sorted(_list_data_files(path))
+    entries = []
+    total_rows = 0
+    for fpath, size in files:
+        h = hashlib.sha256()
+        with open(fpath, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        n_rows = spark.read.format(file_format).load(fpath).count()
+        total_rows += n_rows
+        entries.append(
+            {
+                "file": os.path.relpath(fpath, path),
+                "bytes": size,
+                "rows": n_rows,
+                "sha256": h.hexdigest(),
+            }
+        )
+    manifest = {
+        "format": file_format,
+        "n_files": len(entries),
+        "total_rows": total_rows,
+        "total_bytes": sum(e["bytes"] for e in entries),
+        "files": entries,
+    }
+    with open(os.path.join(path, manifest_name), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return manifest
+
+
+def verify_manifest(
+    path: str, manifest_name: str = "_manifest.json"
+) -> list[str]:
+    """Check the data files against the manifest: returns a list of
+    human-readable discrepancies (missing/extra/changed files) — empty
+    means the export is intact. Size compares first (cheap); the sha256
+    re-hash runs only when sizes match, so a truncated file is caught
+    without hashing everything else."""
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(path, manifest_name)) as f:
+        manifest = json.load(f)
+    expected = {e["file"]: e for e in manifest["files"]}
+    actual = {
+        os.path.relpath(p, path): s for p, s in _list_data_files(path)
+    }
+    problems = []
+    for name in sorted(set(expected) - set(actual)):
+        problems.append(f"missing: {name}")
+    for name in sorted(set(actual) - set(expected)):
+        problems.append(f"extra: {name}")
+    for name in sorted(set(expected) & set(actual)):
+        if actual[name] != expected[name]["bytes"]:
+            problems.append(
+                f"size mismatch: {name} "
+                f"({actual[name]} vs {expected[name]['bytes']})"
+            )
+            continue
+        h = hashlib.sha256()
+        with open(os.path.join(path, name), "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != expected[name]["sha256"]:
+            problems.append(f"content mismatch: {name}")
+    return problems

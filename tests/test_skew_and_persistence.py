@@ -64,3 +64,27 @@ def test_engine_save_load_roundtrip(spark, tmp_path):
     assert eng2.embedding_cache.count() == eng.embedding_cache.count()
     # loaded engine searches
     assert eng2.search("doc 3").count() > 0
+
+
+def test_manifest_write_and_verify(spark, tmp_path):
+    """Manifest lists every shard with rows/bytes/sha256; verify is
+    clean on an intact export, and flags tampering."""
+    import json
+    import os
+
+    from embeddingsearch_spark import storage
+
+    out = str(tmp_path / "export")
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    storage.write_training_shards(df, out, n_shards=4)
+    m = storage.write_manifest(spark, out)
+    assert m["total_rows"] == 1000 and m["n_files"] == 4
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk["total_rows"] == 1000
+    assert storage.verify_manifest(out) == []
+    # tamper: truncate one shard
+    victim = os.path.join(out, m["files"][0]["file"])
+    with open(victim, "r+b") as f:
+        f.truncate(10)
+    problems = storage.verify_manifest(out)
+    assert problems and "size mismatch" in problems[0]
