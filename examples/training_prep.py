@@ -192,6 +192,12 @@ def main(sf_dir: str) -> None:
         f"layout: {out} — {stats['files_before']} files -> "
         f"{stats['files_after']} after compaction"
     )
+    manifest = storage.write_manifest(spark, out)
+    print(
+        f"manifest: {manifest['n_files']} files, "
+        f"{manifest['total_rows']} rows, "
+        f"verify: {storage.verify_manifest(out) or 'clean'}"
+    )
     spark.stop()
 
 
