@@ -82,21 +82,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    result = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    line = json.dumps(result)
-    # Durable copy first: even if console capture mangles the line, the
-    # full record survives on disk next to this script.
+    # Durable full record first: even if console capture mangles stdout,
+    # the complete per-query map survives on disk next to this script.
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     with open(out_path, "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
+    # The driver keeps only a ~2000-char TAIL of this process's output, so
+    # the final line must fit entirely inside that window or its head (with
+    # "metric"/"value") is cut and the parse fails (rounds 1-3). Print a
+    # compact summary as the sole final stdout line; the per-query map
+    # lives in BENCH_LOCAL.json. Include the 10 slowest queries so the
+    # record is still diagnostic on its own (~400 chars, safe margin).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "slowest": slowest,
+        "full_record": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line too long ({len(line)} chars)"
     # Quiesce ALL Spark output (executor logs, shutdown hooks print on
     # stop) before the JSON so it is the sole final stdout line.
     spark.stop()

@@ -282,13 +282,18 @@ def _mojibake_pairs() -> list[tuple[str, str]]:
         "ñ", "ç", "ß", "à",  # common accents
         " ",                                  # NBSP ('Â ')
     ]
+    # Decode PER BYTE, not per sequence: a real cp1252 reader maps each
+    # byte independently (0x80 -> '€', 0x9D undefined -> passthrough), so
+    # ” (E2 80 9D) damages to 'â€\x9d', not latin-1's 'â\x80\x9d'. The
+    # five cp1252-undefined bytes (0x81 8D 8F 90 9D) pass through as
+    # their latin-1 codepoints, matching what lenient readers emit.
+    undefined = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
     pairs = []
     for ch in targets:
-        b = ch.encode("utf-8")
-        try:
-            moji = b.decode("cp1252")
-        except UnicodeDecodeError:
-            moji = b.decode("latin-1")
+        moji = "".join(
+            chr(x) if x in undefined else bytes([x]).decode("cp1252")
+            for x in ch.encode("utf-8")
+        )
         pairs.append((moji, ch))
     return pairs
 

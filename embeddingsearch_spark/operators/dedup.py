@@ -1021,7 +1021,14 @@ def editdist_verify(
     documents are; candidates must already be banded/blocked (LSH,
     simhash, dhash) so the pair count is linear-ish. Runs entirely
     JVM-side (built-in levenshtein), and the join ships only the capped
-    prefixes."""
+    prefixes.
+
+    CAVEAT: because only the first ``prefix_chars`` characters are
+    compared, a pair identical in that prefix scores edit_sim = 1.0 even
+    if the documents diverge afterwards. That is the intended contract —
+    a bounded-cost arbiter AFTER banding, where candidates already share
+    most content — not a standalone full-document equality check; for
+    exact equality use the fingerprint (hash) dedup operators."""
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("_ta"),
@@ -1043,10 +1050,12 @@ def editdist_verify(
         sim.alias("edit_sim"),
     )
     # filter only when a positive threshold was asked for: edit_sim is
-    # always in [0, 1], so at the default the filter would be a no-op
-    # EXCEPT for NULL-text pairs (NULL sim fails any >=), which must
-    # pass through as NULL rows rather than silently vanish from the
-    # verify tier
+    # always in [0, 1], so at the default the filter would be a no-op.
+    # NULL-text pairs (NULL sim) must pass through as NULL rows rather
+    # than silently vanish from the verify tier AT ANY threshold — a
+    # bare `>=` drops NULLs, so admit them explicitly.
     if threshold > 0.0:
-        out = out.filter(F.col("edit_sim") >= threshold)
+        out = out.filter(
+            (F.col("edit_sim") >= threshold) | F.col("edit_sim").isNull()
+        )
     return out

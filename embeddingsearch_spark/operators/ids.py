@@ -106,8 +106,29 @@ def assign_group_ranks(
 
     (group, *order) must be a unique key per row (ties → any engine's
     rank is nondeterministic).
+
+    Float-typed group columns: NaN is canonicalized to NULL (one shared
+    "unknown" group) because the Arrow boundary erases the NaN/NULL
+    distinction in both directions — see the inline comment. The ranked
+    output's group column reflects the canonicalized value.
     """
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Float-typed group columns: canonicalize NaN -> NULL before anything
+    # else. The Arrow boundary erases the distinction BOTH ways (SQL NULL
+    # reads as NaN in a float64 pandas column; pandas NaN writes back as
+    # NULL), so a NaN group can't round-trip through the numbering pass —
+    # and a half-preserved distinction is worse than none: ranked rows
+    # would come back NULL while totals said NaN, and the caller's
+    # eqNullSafe join would silently drop every NaN-group row. One
+    # canonical NULL group is consistent end-to-end (dict keys, ranked
+    # output, totals, joins).
+    if df.schema[group_col].dataType.simpleString() in ("float", "double"):
+        df = df.withColumn(
+            group_col,
+            F.when(F.isnan(F.col(group_col)), F.lit(None)).otherwise(
+                F.col(group_col)
+            ),
+        )
     cols = [group_col, *order_cols]
     rp = (
         df.repartitionByRange(parts, *cols)
@@ -124,10 +145,10 @@ def assign_group_ranks(
     )
 
     def _k(v):
-        # canonical dict key for a group value: NULL (None driver-side,
-        # NaN through Arrow/pandas for numeric columns) -> None, so a
-        # null language/source field ranks as its own group instead of
-        # crashing the driver-side sort
+        # canonical dict key for a group value. NaN was already folded
+        # into NULL above for float columns; guard here anyway so a
+        # stray NaN (e.g. from a future non-canonicalized path) keys
+        # consistently instead of crashing the driver-side sort.
         import math as _m
 
         if v is None or (isinstance(v, float) and _m.isnan(v)):

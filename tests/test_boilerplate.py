@@ -255,6 +255,32 @@ def test_fix_mojibake_repairs_classic_damage(spark):
     assert out[3] == "plain ascii stays"
 
 
+def test_fix_mojibake_literal_bytes(spark):
+    """Literal-expected regression (not derived from MOJIBAKE_PAIRS):
+    real cp1252-family mojibake decodes PER BYTE, so the damaged form of
+    the closing curly quote ” (utf-8 E2 80 9D) is 'â€\x9d' (0x80 -> €,
+    0x9D undefined -> passthrough), NOT latin-1's 'â\\x80\\x9d'. A
+    whole-sequence latin-1 fallback derivation never repairs this, the
+    single most common closing-quote damage on the web."""
+    from embeddingsearch_spark.functions.text import fix_mojibake
+
+    rows = [
+        (1, "say â€œhiâ€\x9d"),  # â€œhiâ€\x9d
+        (2, "itâ€™s â€“ ok"),  # â€™ â€“
+        (3, "cafÃ© Â\xa0end"),  # Ã© Â\xa0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", fix_mojibake(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert out[1] == "say “hi”"
+    assert out[2] == "it’s – ok"
+    assert out[3] == "café  end"
+
+
 def test_dedup_paragraphs_literal_separator(spark):
     """A regex-metacharacter separator is treated literally."""
     df = spark.createDataFrame(

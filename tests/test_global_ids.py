@@ -84,3 +84,46 @@ def test_assign_group_ranks_null_group(spark):
     assert got[("a", 1)] == 0 and got[("b", 3)] == 0
     t = {r["grp"]: r["group_total"] for r in totals.collect()}
     assert t == {None: 2, "a": 1, "b": 1}
+
+
+def test_assign_group_ranks_nan_float_group(spark):
+    """A float group column with NaN values: NaN is canonicalized to
+    NULL (the Arrow boundary erases the NaN/NULL distinction in both
+    directions), so NaN and NULL rows rank as ONE group, the totals
+    table carries a single NULL row, and — the regression this pins —
+    the downstream eqNullSafe join finds a group_total for EVERY ranked
+    row instead of silently dropping NaN-group rows."""
+    import math
+
+    from embeddingsearch_spark.operators.ids import assign_group_ranks
+
+    rows = [
+        (1.0, 10),
+        (1.0, 11),
+        (float("nan"), 20),
+        (float("nan"), 21),
+        (None, 30),
+    ]
+    df = spark.createDataFrame(rows, "grp double, v long")
+    ranked, totals = assign_group_ranks(df, "grp", ["v"], out_col="rk")
+
+    def key(g):
+        if g is None:
+            return "null"
+        return "nan" if math.isnan(g) else g
+
+    got = {(key(r["grp"]), r["v"]): r["rk"] for r in ranked.collect()}
+    # NaN + NULL merged into one NULL group, ranked in v order
+    assert got[("null", 20)] == 0 and got[("null", 21)] == 1
+    assert got[("null", 30)] == 2
+    assert got[(1.0, 10)] == 0 and got[(1.0, 11)] == 1
+    t = {key(r["grp"]): r["group_total"] for r in totals.collect()}
+    assert t == {1.0: 2, "null": 3}
+
+    # the downstream join shape: every ranked row must find its total
+    joined = ranked.join(
+        totals.withColumnRenamed("grp", "_g"),
+        ranked["grp"].eqNullSafe(F.col("_g")),
+        "left",
+    )
+    assert joined.filter(F.col("group_total").isNull()).count() == 0

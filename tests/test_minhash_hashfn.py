@@ -133,3 +133,24 @@ def test_editdist_verify_known_distances(spark):
     assert out[(1, 2)]["edit_dist"] == 3
     assert abs(out[(1, 2)]["edit_sim"] - (1 - 3 / 7)) < 1e-12
     assert out[(1, 3)]["edit_dist"] == 0 and out[(1, 3)]["edit_sim"] == 1.0
+
+
+def test_editdist_verify_null_text_survives_threshold(spark):
+    """NULL-text pairs keep their NULL row at ANY threshold — the verify
+    tier must surface them, not silently drop them (the bare >= filter
+    would eat NULL sims)."""
+    from embeddingsearch_spark.operators import dedup as dd
+
+    rows = [(1, "kitten"), (2, None), (3, "kitten")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.editdist_verify(
+            df, pairs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["edit_sim"] is None
+    assert out[(1, 3)]["edit_sim"] == 1.0
