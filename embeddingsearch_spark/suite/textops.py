@@ -122,6 +122,88 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_lang_id_model(spark, sf_dir):
+    """TRAINED language ID (char-trigram Naive Bayes, the public
+    CLD/langid.py recipe) replacing the stopword heuristic: train on
+    the documents table's (text, lang) labels, predict over the same
+    corpus. Dense broadcast model (L langs × 1024 grams), scan-side
+    scoring, one (doc, lang) aggregation — the same broadcast-vocab +
+    scan-score shape as `lmscore.unigram_scores`. The oracle replays
+    train AND predict (vocab cut, smoothing, OOV floor, prior, argmax
+    tiebreak) as chained CTEs."""
+    from embeddingsearch_spark.operators import langid as langid_ops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    dense, langs = langid_ops.charngram_lang_model(
+        docs, "doc_id", "text", "lang", n=3, vocab_size=1024
+    )
+    return langid_ops.lang_id_predict(
+        docs, "doc_id", "text", dense, langs, n=3
+    )
+
+
+LANG_ID_MODEL_SQL = f"""WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(0, length(t) - 2) + 1),
+                               i -> substr(t, i, 3))) AS gram
+  FROM d
+),
+c AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, sum(c) AS tot FROM c GROUP BY gram
+    ORDER BY tot DESC, gram ASC LIMIT 1024)
+),
+nl AS (
+  SELECT lang, sum(c) AS n_lang FROM c JOIN vocab USING (gram)
+  GROUP BY lang
+),
+ld AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY lang),
+nd AS (SELECT count(DISTINCT doc_id) AS total FROM d),
+lng AS (
+  SELECT ld.lang,
+         ln(1.0 / (coalesce(nl.n_lang, 0) + 1025.0)) AS floor_logp,
+         ln(ld.n_docs * 1.0 / nd.total) AS log_prior
+  FROM ld LEFT JOIN nl USING (lang), nd
+),
+dense AS (
+  SELECT l.lang, v.gram,
+         ln((coalesce(c.c, 0) + 1.0)
+            / (coalesce(nl.n_lang, 0) + 1025.0)) AS logp
+  FROM (SELECT lang FROM ld) l
+  CROSS JOIN vocab v
+  LEFT JOIN nl ON nl.lang = l.lang
+  LEFT JOIN c ON c.lang = l.lang AND c.gram = v.gram
+),
+iv AS (
+  SELECT g.doc_id, dense.lang, sum(dense.logp) AS s_iv,
+         count(*) AS n_iv
+  FROM g JOIN dense USING (gram) GROUP BY g.doc_id, dense.lang
+),
+base AS (
+  SELECT dd.doc_id, l.lang, dd.n_grams
+  FROM (SELECT doc_id, greatest(0, length(t) - 2) AS n_grams FROM d) dd
+  CROSS JOIN (SELECT lang FROM ld) l
+),
+scores AS (
+  SELECT b.doc_id, b.lang, b.n_grams,
+         lg.log_prior + coalesce(iv.s_iv, 0)
+         + (b.n_grams - coalesce(iv.n_iv, 0)) * lg.floor_logp AS score
+  FROM base b
+  JOIN lng lg ON lg.lang = b.lang
+  LEFT JOIN iv ON iv.doc_id = b.doc_id AND iv.lang = b.lang
+)
+SELECT doc_id, lang AS lang_pred, round(score, {RD}) AS score, n_grams
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY round(score, {RD}) DESC, lang ASC) AS rn
+  FROM scores)
+WHERE rn = 1"""
+
+
 def q_fingerprint(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     return docs.select(
@@ -1732,6 +1814,7 @@ QUERIES = {
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
+    "lang_id_model": (q_lang_id_model, LANG_ID_MODEL_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
