@@ -70,7 +70,11 @@ def session_finalize_deletes(
 
 
 def reconcile_store(
-    store: DataFrame, desired: DataFrame, keys: list[str] | None = None
+    store: DataFrame,
+    desired: DataFrame,
+    keys: list[str] | None = None,
+    capacity: int | None = None,
+    recency_col: str | None = None,
 ) -> DataFrame:
     """Persistent-store reconciliation (E1-E3, reference
     CacheHelper.cs:44-137): classify every key between the on-disk store
@@ -81,10 +85,37 @@ def reconcile_store(
       keep   — present in both
 
     All three of the reference's loops collapse into one full-outer join:
-    the WHEN MATCHED / NOT MATCHED [BY SOURCE] arms of a MERGE."""
+    the WHEN MATCHED / NOT MATCHED [BY SOURCE] arms of a MERGE.
+
+    ``capacity`` reproduces the reference's StoreTopN semantics
+    (CacheHelper.UpdateEmbeddingStore sets the LRU capacity to
+    ``options.Cache.StoreTopN`` before reconciling, :44-49;
+    docs/Server.md:78-81): only the ``capacity`` most-recently-used
+    desired entries persist — recency = max(``recency_col``) per key,
+    ties broken by the keys ascending. Evicted entries behave exactly
+    as not-desired (store-resident → 'delete'; absent → no row), which
+    is what the reference's truncated LRU enumeration produces.
+    Capacity is config-scale (10k default in the reference), so the cap
+    is a TakeOrdered (per-partition top-N + driver merge), never a
+    global sort."""
     keys = keys or ["text_hash", "model"]
     s = store.select(*keys).distinct().withColumn("_in_store", F.lit(True))
-    d = desired.select(*keys).distinct().withColumn("_in_desired", F.lit(True))
+    if capacity is not None:
+        if recency_col is None:
+            raise ValueError("capacity requires recency_col")
+        d = (
+            desired.groupBy(*keys)
+            .agg(F.max(recency_col).alias("_recency"))
+            .orderBy(
+                F.col("_recency").desc(),
+                *[F.col(k).asc() for k in keys],
+            )
+            .limit(capacity)
+            .select(*keys)
+        )
+    else:
+        d = desired.select(*keys).distinct()
+    d = d.withColumn("_in_desired", F.lit(True))
     j = s.join(d, keys, "full_outer")
     action = (
         F.when(F.col("_in_desired").isNull(), "delete")

@@ -153,10 +153,14 @@ GROUP BY r.model, CASE WHEN c.text_hash IS NOT NULL THEN 'hit' ELSE 'miss' END""
 
 
 def q_store_reconcile(spark, sf_dir):
-    """Persistent-store reconciliation (E1-E3): on-disk store = v1 texts
-    of doc_id % 3 == 0 (modelA); desired state = v2 texts of doc_id % 2
-    == 0 (modelA). One full-outer classification replaces the reference's
-    three diff loops."""
+    """Persistent-store reconciliation (E1-E3) WITH the reference's
+    StoreTopN capacity semantics (CacheHelper.cs:44-49,
+    docs/Server.md:78-81): on-disk store = v1 texts of doc_id % 3 == 0
+    (modelA); desired state = v2 texts of doc_id % 2 == 0 (modelA),
+    capped to the 150 most-recently-used entries (last_access =
+    doc_id). Entries beyond the cap are evicted — store-resident ones
+    classify as 'delete', absent ones produce no row — exactly the
+    truncated-LRU enumeration the reference persists."""
     store = (
         derive_v1(spark, sf_dir)
         .filter(F.col("doc_id") % 3 == 0)
@@ -165,9 +169,15 @@ def q_store_reconcile(spark, sf_dir):
     desired = (
         derive_v2(spark, sf_dir)
         .filter(F.col("doc_id") % 2 == 0)
-        .select("text_hash", F.lit("mock:modelA").alias("model"))
+        .select(
+            "text_hash",
+            F.lit("mock:modelA").alias("model"),
+            F.col("doc_id").alias("last_access"),
+        )
     )
-    return upsert.reconcile_store(store, desired)
+    return upsert.reconcile_store(
+        store, desired, capacity=150, recency_col="last_access"
+    )
 
 
 STORE_RECONCILE_SQL = f"""WITH {V1_SQL}, {V2_SQL},
@@ -175,9 +185,18 @@ store AS (
   SELECT DISTINCT text_hash, 'mock:modelA' AS model
   FROM v1 WHERE doc_id % 3 = 0
 ),
-desired AS (
-  SELECT DISTINCT text_hash, 'mock:modelA' AS model
+desired_all AS (
+  SELECT text_hash, 'mock:modelA' AS model, max(doc_id) AS last_access
   FROM v2 WHERE doc_id % 2 = 0
+  GROUP BY text_hash
+),
+desired AS (
+  SELECT text_hash, model FROM (
+    SELECT text_hash, model,
+           row_number() OVER (ORDER BY last_access DESC,
+                              text_hash ASC, model ASC) AS rn
+    FROM desired_all)
+  WHERE rn <= 150
 )
 SELECT coalesce(s.text_hash, d.text_hash) AS text_hash,
        coalesce(s.model, d.model) AS model,

@@ -93,3 +93,65 @@ def test_reconcile_is_set_based_at_1k_queries(spark):
     assert eng.cached_queries().count() == 1000
     for q in ("probe 0", "probe 500", "probe 999"):
         assert _cached(eng, q) == _full(eng, q), q
+
+
+def test_reconcile_store_capacity_evicts_lru(spark):
+    """StoreTopN parity (reference CacheHelper.cs:44-49): only the
+    `capacity` most-recently-used desired entries persist. Evicted
+    entries act as not-desired — store-resident ones classify 'delete',
+    absent ones yield no row."""
+    from embeddingsearch_spark.operators.upsert import reconcile_store
+
+    store = spark.createDataFrame(
+        [("h1", "m"), ("h2", "m"), ("h5", "m")],
+        "text_hash string, model string",
+    )
+    # recency: h4 (40) > h3 (30) > h2 (20) > h1 (10)
+    desired = spark.createDataFrame(
+        [
+            ("h1", "m", 10),
+            ("h2", "m", 20),
+            ("h3", "m", 30),
+            ("h4", "m", 40),
+        ],
+        "text_hash string, model string, last_access long",
+    )
+    out = {
+        (r["text_hash"], r["model"]): r["action"]
+        for r in reconcile_store(
+            store, desired, capacity=2, recency_col="last_access"
+        ).collect()
+    }
+    # top-2 by recency: h4 (insert - not in store), h3 (insert)
+    # h1, h2 evicted -> store-resident -> delete; h5 never desired
+    assert out == {
+        ("h4", "m"): "insert",
+        ("h3", "m"): "insert",
+        ("h2", "m"): "delete",
+        ("h1", "m"): "delete",
+        ("h5", "m"): "delete",
+    }
+
+
+def test_reconcile_store_capacity_dedups_by_max_recency(spark):
+    """Duplicate desired keys collapse to max(recency) BEFORE the cap,
+    so a key's oldest touch can't evict its newest."""
+    from embeddingsearch_spark.operators.upsert import reconcile_store
+
+    store = spark.createDataFrame([], "text_hash string, model string")
+    desired = spark.createDataFrame(
+        [
+            ("h1", "m", 1),
+            ("h1", "m", 50),  # h1 newest touch wins
+            ("h2", "m", 20),
+            ("h3", "m", 30),
+        ],
+        "text_hash string, model string, last_access long",
+    )
+    out = {
+        r["text_hash"]: r["action"]
+        for r in reconcile_store(
+            store, desired, capacity=2, recency_col="last_access"
+        ).collect()
+    }
+    assert out == {"h1": "insert", "h3": "insert"}
