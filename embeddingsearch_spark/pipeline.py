@@ -1,0 +1,239 @@
+"""`curate(docs, policy)` — the composed curation pipeline behind one
+entry point.
+
+`examples/training_prep.py` used to wire ~10 stages by hand; this module
+is the API a real user reaches for first: extract → normalize → dedup
+tiers (exact / paragraph / near) → quality gates (Gopher / perplexity)
+→ decontaminate → mix → pack, each stage toggleable through a
+serializable `CurationPolicy`, with `funnel_stats` accounting built in.
+
+Every stage delegates to the existing single-purpose operators — this
+module adds composition and bookkeeping, never new semantics — so each
+stage's scale properties (scan-stage gates, fingerprint-only shuffles,
+banded near-dup, broadcast decontamination) are exactly the documented
+ones. Stage chaining is id-based: a stage produces surviving
+(id [, rewritten text]) and the next stage reads the survivor frame, so
+dropped docs never re-enter later shuffles.
+
+Beyond-reference (the reference has no pipeline surface — SURVEY.md §2);
+part of the training-data-pipeline layer (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationPolicy:
+    """Serializable per-stage toggles + parameters. Stage order is
+    fixed (the canonical curation order); a disabled stage is skipped
+    and does not appear in the funnel."""
+
+    # extraction / normalization (scan-stage)
+    html_extract: bool = False
+    normalize: bool = False  # clean_web_text + fix_mojibake
+    # dedup tiers
+    exact_dedup: bool = True
+    paragraph_dedup: bool = False
+    paragraph_sep: str = "\n\n"
+    neardup: bool = True
+    minhash_k: int = 8
+    bands: int = 4
+    shingle_n: int = 3
+    neardup_threshold: float = 0.5
+    hash_fn: str = "sha256"
+    # quality gates
+    gopher: bool = True
+    min_words: int = 25
+    gopher_rules: tuple[str, ...] = ("r_words", "r_alpha")
+    perplexity: bool = True
+    max_ppl: float | None = 30.1
+    ppl_vocab: int = 100
+    ppl_smoothing: float = 1.0
+    # decontamination (active when a benchmark frame is passed)
+    decontaminate: bool = True
+    contam_ngram: int = 5
+    contam_min_shared: int = 1
+    # assembly (optional; run only when configured)
+    mix_weights: dict[str, float] = field(default_factory=dict)
+    mix_strata_col: str = "source"
+    pack_budget: int | None = None
+
+
+@dataclass
+class CurationResult:
+    """`docs` = surviving documents (id, text [+ passthrough columns]);
+    `funnel` = one row per executed stage (stage_idx, stage, n,
+    n_dropped, drop_pct); `stages` = the per-stage survivor frames for
+    inspection / persistence."""
+
+    docs: DataFrame
+    funnel: DataFrame
+    stages: list[tuple[str, DataFrame]]
+
+
+def curate(
+    docs: DataFrame,
+    policy: CurationPolicy | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> CurationResult:
+    """Run the policy's enabled stages in canonical order over ``docs``
+    and return survivors + funnel accounting.
+
+    The perplexity gate's LM trains on the pipeline INPUT corpus
+    (post-normalize, pre-dedup) — the CCNet convention, and the choice
+    that keeps the gate's scores independent of which dedup tiers are
+    toggled. ``benchmark`` activates the decontamination stage (word
+    ``contam_ngram``-gram overlap, benchmark side broadcast)."""
+    from embeddingsearch_spark.functions import text as T
+    from embeddingsearch_spark.operators import (
+        boilerplate,
+        contamination,
+        dedup as dd_ops,
+        funnel,
+        lmscore,
+        packing,
+        repetition,
+        splits,
+    )
+
+    policy = policy or CurationPolicy()
+    cur = docs
+    stages: list[tuple[str, DataFrame]] = []
+
+    # --- extraction / normalization: rewrite text in place, no drops
+    if policy.html_extract:
+        cur = cur.withColumn(text_col, T.html_to_text(F.col(text_col)))
+    if policy.normalize:
+        cur = cur.withColumn(
+            text_col,
+            T.clean_web_text(T.fix_mojibake(F.col(text_col))),
+        )
+    stages.append(("input", cur))
+
+    # --- exact dedup: keep each fingerprint group's canonical doc
+    if policy.exact_dedup:
+        ex = dd_ops.exact_duplicates(cur, id_col, text_col)
+        keep = ex.filter(F.col(id_col) == F.col("canonical_id")).select(
+            id_col
+        )
+        cur = cur.join(keep, id_col, "left_semi")
+        stages.append(("exact_dedup", cur))
+
+    # --- paragraph dedup: rewrites text, never drops whole docs
+    if policy.paragraph_dedup:
+        rewritten = boilerplate.dedup_paragraphs(
+            cur, id_col, text_col, sep=policy.paragraph_sep
+        ).select(id_col, text_col)
+        cur = cur.drop(text_col).join(rewritten, id_col)
+        stages.append(("paragraph_dedup", cur))
+
+    # --- near-dup (MinHash+LSH, exact-Jaccard verified): drop the
+    # higher id of each surviving pair
+    if policy.neardup:
+        pairs = dd_ops.near_duplicates_minhash(
+            cur,
+            id_col,
+            text_col,
+            k=policy.minhash_k,
+            bands=policy.bands,
+            shingle_n=policy.shingle_n,
+            threshold=policy.neardup_threshold,
+            hash_fn=policy.hash_fn,
+        )
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        cur = cur.join(drop, id_col, "left_anti")
+        stages.append(("neardup", cur))
+
+    # --- Gopher document rules (scan-stage projection)
+    if policy.gopher:
+        gop = repetition.gopher_rules(
+            cur, id_col, text_col, min_words=policy.min_words
+        )
+        cond = F.lit(True)
+        for r in policy.gopher_rules:
+            cond = cond & F.col(r)
+        cur = cur.join(
+            gop.filter(cond).select(id_col), id_col, "left_semi"
+        )
+        stages.append(("gopher", cur))
+
+    # --- perplexity gate (LM trained on the pipeline input)
+    if policy.perplexity and policy.max_ppl is not None:
+        lm = lmscore.unigram_scores(
+            stages[0][1],
+            id_col,
+            text_col,
+            vocab_size=policy.ppl_vocab,
+            smoothing=policy.ppl_smoothing,
+        )
+        cur = cur.join(
+            lm.filter(F.col("perplexity") <= policy.max_ppl).select(
+                id_col
+            ),
+            id_col,
+            "left_semi",
+        )
+        stages.append(("ppl", cur))
+
+    # --- decontamination vs a benchmark frame (broadcast gram join)
+    if policy.decontaminate and benchmark is not None:
+        cur = contamination.decontaminate(
+            cur,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            bench_id_col=bench_id_col,
+            bench_text_col=bench_text_col,
+            n=policy.contam_ngram,
+            min_shared=policy.contam_min_shared,
+        )
+        stages.append(("decontaminate", cur))
+
+    # --- optional assembly: mixing (expected-copies) and packing
+    if policy.mix_weights:
+        cur = splits.weighted_mix(
+            cur, id_col, policy.mix_strata_col, policy.mix_weights
+        )
+        stages.append(("mix", cur))
+    if policy.pack_budget is not None:
+        with_tokens = cur.withColumn(
+            "n_tokens", T.token_count(F.col(text_col))
+        )
+        # after mixing, (id, copy) — not id — is the packing unit: each
+        # epoch copy is its own training instance. Derive a deterministic
+        # unique long key for the packer (collision odds ~n²/2⁶⁴).
+        if "copy" in with_tokens.columns:
+            with_tokens = with_tokens.withColumn(
+                "_pack_key", F.xxhash64(F.col(id_col), F.col("copy"))
+            )
+        else:
+            with_tokens = with_tokens.withColumn(
+                "_pack_key", F.col(id_col).cast("long")
+            )
+        cur = with_tokens.join(
+            packing.pack_sequences(
+                with_tokens,
+                id_col="_pack_key",
+                token_col="n_tokens",
+                budget=policy.pack_budget,
+            ).select("_pack_key", "shard", "pack_id", "pack_pos"),
+            "_pack_key",
+        ).drop("_pack_key")
+        stages.append(("pack", cur))
+
+    return CurationResult(
+        docs=cur,
+        funnel=funnel.funnel_stats(
+            [(name, df.select(id_col)) for name, df in stages]
+        ),
+        stages=stages,
+    )

@@ -620,6 +620,137 @@ SELECT stage_idx, stage, n,
 FROM stages"""
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed `curate(docs, policy)` entry point end-to-end on the
+    planted-dup corpus: exact dedup → MinHash near-dup → Gopher
+    length/alpha rules → perplexity gate (LM trained on the input) →
+    5-gram decontamination vs a derived benchmark — returning the funnel
+    table. Every stage reuses an already-oracled operator; this query
+    pins the COMPOSITION (stage order, id-chaining, funnel accounting)."""
+    from embeddingsearch_spark.functions import text as T
+    from embeddingsearch_spark.pipeline import CurationPolicy, curate
+    from embeddingsearch_spark.suite.dedup import derive_dd
+
+    dd = derive_dd(spark, sf_dir)
+    bench = dd.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 4, 12)).alias(
+            "text"
+        ),
+    )
+    policy = CurationPolicy(
+        exact_dedup=True,
+        neardup=True,
+        minhash_k=8,
+        bands=4,
+        shingle_n=3,
+        neardup_threshold=0.5,
+        hash_fn="sha256",
+        gopher=True,
+        min_words=25,
+        gopher_rules=("r_words", "r_alpha"),
+        perplexity=True,
+        max_ppl=_MAX_PPL,
+        ppl_vocab=100,
+        decontaminate=True,
+        contam_ngram=5,
+        contam_min_shared=1,
+    )
+    return curate(dd, policy, benchmark=bench).funnel
+
+
+def _curation_pipeline_sql() -> str:
+    from embeddingsearch_spark.suite.dedup import DD_SQL, pair_ctes_body
+
+    g5 = """list_distinct(list_transform(
+      range(1, greatest(1, len({t}) - 4) + 1),
+      i -> array_to_string(({t})[i:i+4], ' ')
+    ))"""
+    bench_toks = TOKS_SQL.replace("text", "btext")
+    return f"""WITH {DD_SQL},
+fp0 AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM dd
+),
+s1 AS (
+  SELECT doc_id FROM fp0
+  WHERE doc_id = (SELECT min(doc_id) FROM fp0 g WHERE g.f = fp0.f)
+),
+dd2 AS (SELECT dd.doc_id, dd.text FROM dd JOIN s1 USING (doc_id)),
+{pair_ctes_body("dd2")},
+s2 AS (
+  SELECT doc_id FROM s1
+  WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pfin)
+),
+m AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS DOUBLE) AS n_words,
+         {TOKS_SQL} AS toks
+  FROM dd
+),
+s3 AS (
+  SELECT m.doc_id FROM m JOIN s2 USING (doc_id)
+  WHERE n_words >= 25 AND n_words <= 100000
+    AND CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}')))
+             AS DOUBLE)
+        / CASE WHEN n_words = 0 THEN 1.0 ELSE n_words END >= 0.8
+),
+toks AS (SELECT doc_id, unnest({_LTOKS}) AS tok FROM dd),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 100),
+tot AS (SELECT count(*) AS n FROM toks),
+kk AS (SELECT count(*) AS k FROM vocab),
+sc AS (
+  SELECT t.doc_id, coalesce(v.c, 0) AS c
+  FROM toks t LEFT JOIN vocab v USING (tok)
+),
+lm AS (
+  SELECT doc_id,
+         exp(avg(-ln((c + 1.0) / (tot.n + 1.0 * (kk.k + 1))))) AS ppl
+  FROM sc, tot, kk GROUP BY doc_id
+),
+s4 AS (
+  SELECT s3.doc_id FROM s3 JOIN lm USING (doc_id)
+  WHERE lm.ppl <= {_MAX_PPL}
+),
+bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(({TOKS_SQL})[4:15], ' ') AS btext
+  FROM dd WHERE doc_id % 11 = 0
+),
+bgrams AS (
+  SELECT DISTINCT unnest({g5.format(t=bench_toks)}) AS gram FROM bench
+),
+cgrams AS (
+  SELECT dd.doc_id, unnest({g5.format(t=TOKS_SQL)}) AS gram
+  FROM dd JOIN s4 ON s4.doc_id = dd.doc_id
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)
+),
+s5 AS (
+  SELECT doc_id FROM s4
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+stages AS (
+  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n FROM dd
+  UNION ALL SELECT 1, 'exact_dedup', count(*) FROM s1
+  UNION ALL SELECT 2, 'neardup', count(*) FROM s2
+  UNION ALL SELECT 3, 'gopher', count(*) FROM s3
+  UNION ALL SELECT 4, 'ppl', count(*) FROM s4
+  UNION ALL SELECT 5, 'decontaminate', count(*) FROM s5
+)
+SELECT stage_idx, stage, n,
+       CAST(coalesce(lag(n) OVER (ORDER BY stage_idx) - n, 0) AS BIGINT)
+         AS n_dropped,
+       round(CASE WHEN coalesce(lag(n) OVER (ORDER BY stage_idx), 0) = 0
+                  THEN 0.0
+                  ELSE CAST(lag(n) OVER (ORDER BY stage_idx) - n AS DOUBLE)
+                       / lag(n) OVER (ORDER BY stage_idx) END, 6)
+         AS drop_pct
+FROM stages"""
+
+
 QUERIES = {
     "boilerplate_lines": (q_boilerplate_lines, BOILERPLATE_LINES_SQL),
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
@@ -630,4 +761,5 @@ QUERIES = {
     "chunk_mean_pool": (q_chunk_mean_pool, CHUNK_MEAN_POOL_SQL),
     "corpus_policy": (q_corpus_policy, CORPUS_POLICY_SQL),
     "curation_funnel": (q_curation_funnel, CURATION_FUNNEL_SQL),
+    "curation_pipeline": (q_curation_pipeline, _curation_pipeline_sql()),
 }

@@ -28,14 +28,23 @@ DD_SQL = """dd AS (
 # Tokens with the engine's empty-text guard; shingles = distinct word 3-grams.
 TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
   ELSE regexp_split_to_array(trim(text), '\s+') END"""
-SH_SQL = f"""sh AS (
+
+
+def sh_sql(src: str = "dd") -> str:
+    """The shingle CTE over an arbitrary (doc_id, text) source —
+    parameterized so composed pipelines (curation_pipeline) can band a
+    survivors table instead of the planted-dup corpus."""
+    return f"""sh AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(
       range(1, greatest(1, len({TOKS_SQL}) - 2) + 1),
       i -> array_to_string(({TOKS_SQL})[i:i+2], ' ')
     ))) AS shingle
-  FROM dd
+  FROM {src}
 )"""
+
+
+SH_SQL = sh_sql("dd")
 
 _H60 = "CAST(('0x' || substr(sha256({expr}), 1, 15)) AS BIGINT)"
 
@@ -136,9 +145,12 @@ def _mh_cols() -> str:
     )
 
 
-# CTE chain shared by the pair query and the component-clustering query:
-# ends at `pfin` = verified pairs with unrounded jaccard >= 0.5.
-_PAIR_CTES = f"""{DD_SQL}, {SH_SQL},
+def pair_ctes_body(src: str = "dd") -> str:
+    """The MinHash/LSH verify chain (sh → sigs → banded → pairs →
+    sizes → inter → pfin) over an arbitrary (doc_id, text) source —
+    the piece composed queries reuse without the planted-dup DD_SQL
+    prefix. pfin = verified pairs with unrounded jaccard >= 0.5."""
+    return f"""{sh_sql(src)},
 sigs AS (
   SELECT doc_id,
          {_mh_cols()}
@@ -177,6 +189,11 @@ pfin AS (
   WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
         / (za.nsh + zb.nsh - coalesce(i.ninter, 0)) >= 0.5
 )"""
+
+
+# CTE chain shared by the pair query and the component-clustering query:
+# ends at `pfin` = verified pairs with unrounded jaccard >= 0.5.
+_PAIR_CTES = f"{DD_SQL}, {pair_ctes_body()}"
 
 MINHASH_ESTIMATE_SQL = f"""WITH {_PAIR_CTES}
 SELECT p.id_a, p.id_b,

@@ -26,39 +26,49 @@ def main(sf_dir: str) -> None:
     from embeddingsearch_spark.operators import ann, dedup, splits
     from embeddingsearch_spark.session import get_spark
 
+    from embeddingsearch_spark.pipeline import CurationPolicy, curate
+
     spark = get_spark("training-prep", master="local[8]", shuffle_partitions=8)
     docs = tables.load(spark, sf_dir, "documents")
-    n0 = docs.count()
 
-    # 1. exact dedup: keep each group's canonical doc
-    exact = dedup.exact_duplicates(docs, "doc_id", "text")
-    kept_ids = exact.filter(F.col("doc_id") == F.col("canonical_id")).select(
-        "doc_id"
+    # 1-2. the composed curation entry point: exact dedup → MinHash
+    # near-dup → Gopher gates → perplexity gate → decontamination, with
+    # funnel accounting built in (one aggregation job, not a count()
+    # per stage). Each stage is the same single-purpose operator the
+    # hand-wired version called; `curate` adds composition + funnel.
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 4, 12)).alias(
+            "text"
+        ),
     )
-    docs1 = docs.join(kept_ids, "doc_id")
-    n1 = docs1.count()
-
-    # 2. near-dup pass (MinHash+LSH, exact-Jaccard verified): drop the
-    # higher doc_id of each surviving near-dup pair
-    near = dedup.near_duplicates_minhash(
-        docs1, "doc_id", "text", threshold=0.5, hash_fn="xxhash64"
+    policy = CurationPolicy(
+        exact_dedup=True,
+        neardup=True,
+        neardup_threshold=0.5,
+        hash_fn="xxhash64",
+        gopher=True,
+        min_words=10,
+        gopher_rules=("r_words", "r_alpha"),
+        perplexity=True,
+        max_ppl=30.1,
+        ppl_vocab=100,
+        decontaminate=True,
     )
-    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
-    docs2 = docs1.join(drop, "doc_id", "left_anti")
-    n2 = docs2.count()
+    result = curate(docs, policy, benchmark=bench)
+    print("curation funnel:")
+    result.funnel.show()
+    docs2 = result.docs
 
     # 3. embedding-space near-dup report (SRP-LSH, no blocking key)
     emb = tables.load(spark, sf_dir, "embeddings")
     n_vec_pairs = ann.srp_cosine_pairs(emb, threshold=0.7).count()
+    print(f"embedding near-dup pairs (cosine >= 0.7): {n_vec_pairs}")
 
-    # 4. quality gate + split + token budget
-    m = T.quality_metrics(F.col("text"))
+    # 4. split + token budget over the curated corpus
     gated = docs2.select(
-        "doc_id",
-        "text",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        m["punct_ratio"].alias("_pr"),
-    ).filter((F.col("n_tokens") >= 10) & (F.col("_pr") <= 0.2))
+        "doc_id", "text", T.token_count(F.col("text")).alias("n_tokens")
+    )
     tagged = splits.hash_split(
         gated, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
     )
@@ -70,9 +80,6 @@ def main(sf_dir: str) -> None:
         )
         .orderBy("split")
     )
-
-    print(f"documents: {n0} -> exact-dedup {n1} -> near-dup {n2}")
-    print(f"embedding near-dup pairs (cosine >= 0.7): {n_vec_pairs}")
     budget.show()
 
     # 6. incremental ingest: a re-crawl batch hits the Bloom exact gate,
@@ -186,7 +193,7 @@ def main(sf_dir: str) -> None:
 
     # 5. write partitioned by split, then compact the small files
     out = tempfile.mkdtemp(prefix="es_training_prep_")
-    tagged.drop("_pr").write.mode("overwrite").partitionBy("split").parquet(out)
+    tagged.write.mode("overwrite").partitionBy("split").parquet(out)
     stats = storage.compact(spark, out, partition_cols=["split"])
     print(
         f"layout: {out} — {stats['files_before']} files -> "
