@@ -379,6 +379,76 @@ def frame_sample_plan(
     )
 
 
+def frame_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+    content_col: str = "content",
+    meta_col: str = "media_meta",
+    every_n: int = 10,
+    max_frames: int = 16,
+    decoder: str = "fake",
+    feature_dim: int = 16,
+) -> DataFrame:
+    """Per-frame feature rows for multi-frame assets: one row per
+    sampled frame, ``(id_col, frame_idx, features ARRAY<DOUBLE>)``.
+
+    The frame plan is `frame_sample_plan` (pure JVM metadata
+    expression); each frame's payload is a deterministic byte suffix of
+    the content starting at the frame index (``substring`` on BINARY,
+    scan-side — the codec seam where a real demuxer would slice the
+    container; same signature/batch shape either way), featurized by
+    the same decoder dispatch as `decode_media`. Feeds
+    `pooling.mean_pool(id_col)` for the per-asset embedding — the media
+    analog of the text side's chunk→doc pooling — after which the
+    asset embeddings enter the standard dedup/ANN operators.
+
+    Scale shape: explode is bounded by ``max_frames`` per asset; bytes
+    are sliced and featurized in one scan — content never shuffles
+    (the output rows carry ``feature_dim`` doubles, not media bytes)."""
+    import pandas as pd
+
+    if decoder not in ("fake", "real", "auto"):
+        raise ValueError("decoder must be 'fake', 'real', or 'auto'")
+    plan = frame_sample_plan(df, meta_col, every_n, max_frames)
+    frames = df.select(
+        F.col(id_col),
+        F.col(modality_col),
+        F.col(content_col),
+        F.explode(plan).alias("frame_idx"),
+    ).withColumn(
+        "_fc",
+        F.expr(f"substring({content_col}, frame_idx + 1)"),
+    )
+    out_schema = f"{id_col} long, frame_idx int, features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, mod, fidx, content in zip(
+                pdf[id_col], pdf[modality_col], pdf["frame_idx"],
+                pdf["_fc"],
+            ):
+                b = bytes(content) if content is not None else b""
+                if decoder == "fake":
+                    feats = _fake_features(b, feature_dim)
+                elif decoder == "real":
+                    feats = _real_decode(b, str(mod), feature_dim)
+                else:
+                    try:
+                        feats = _real_decode(b, str(mod), feature_dim)
+                    except NotImplementedError:
+                        feats = _fake_features(b, feature_dim)
+                recs.append((int(mid), int(fidx), feats))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "frame_idx", "features"]
+            )
+
+    return frames.select(
+        id_col, modality_col, "frame_idx", "_fc"
+    ).mapInPandas(run, schema=out_schema)
+
+
 def resize_media(
     df: DataFrame,
     modality_col: str = "modality",

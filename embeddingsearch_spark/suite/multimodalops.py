@@ -246,6 +246,86 @@ FROM h a JOIN h c ON a.media_id < c.media_id
 WHERE bit_count(xor(a.dhash, c.dhash)) <= 6"""
 
 
+def q_media_asset_pool(spark, sf_dir):
+    """Per-asset pooling — the media analog of `chunk_mean_pool`: video
+    rows expand to their sampled frames (metadata-driven plan), each
+    frame's payload (byte suffix at the frame index — the demuxer seam)
+    featurizes via the fake decoder, and `pooling.mean_pool` collapses
+    frames back to ONE asset embedding. Output vector rendered as
+    ×10⁴-scaled integers (floor(x·10⁴+½)) because the harness canon
+    can't hash ARRAY cells. Downstream the pooled embeddings enter the
+    standard dedup/ANN operators (exercised in tests/test_multimodal)."""
+    from embeddingsearch_spark.operators import pooling
+
+    media = derive_media(spark, sf_dir).filter(
+        F.col("modality") == "video"
+    )
+    frames = mm.frame_features(
+        media, every_n=10, max_frames=16, decoder="fake", feature_dim=16
+    )
+    pooled = pooling.mean_pool(frames, "media_id", "features")
+    scaled = F.transform(
+        F.col("pooled"),
+        lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+    )
+    return pooled.select(
+        "media_id",
+        F.col("n_chunks").alias("n_frames"),
+        F.array_join(
+            F.transform(scaled, lambda i: i.cast("string")), ","
+        ).alias("pooled_u4"),
+    )
+
+
+# Frame payload = text suffix from the frame index (ASCII corpus: byte
+# i == unicode(char i)); per-frame features mirror _fake_features over
+# that suffix, pooling mirrors chunk_mean_pool's avg-per-position.
+MEDIA_ASSET_POOL_SQL = """
+WITH v AS (
+  SELECT doc_id, text, length(text) AS n,
+         24 + (doc_id % 100) * 3 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, text, n,
+         unnest((list_transform(range(0, n_frames, 10),
+                 x -> CAST(x AS INT)))[1:16]) AS fi
+  FROM v
+),
+fb AS (
+  SELECT doc_id, fi, text, n,
+         greatest(n - fi, 0) AS nb,
+         greatest(greatest(n - fi, 0) // 16, 1) AS chunk
+  FROM fr
+),
+ff AS (
+  SELECT doc_id, fi,
+         list_transform(range(0, 16), i ->
+           CASE WHEN i * chunk >= nb THEN CAST(0 AS BIGINT)
+                ELSE (list_aggregate(list_transform(
+                        range(fi + i * chunk + 1,
+                              fi + least((i + 1) * chunk, nb) + 1),
+                        j -> unicode(text[j:j])), 'sum') * 1000000)
+                     // (CAST(least((i + 1) * chunk, nb) - i * chunk
+                              AS BIGINT) * 255)
+           END) AS u
+  FROM fb
+),
+x AS (
+  SELECT doc_id, fi, generate_subscripts(u, 1) AS pos,
+         unnest(u) / 1e6 AS val
+  FROM ff
+),
+m AS (SELECT doc_id, pos, avg(val) AS mv FROM x GROUP BY doc_id, pos),
+nc AS (SELECT doc_id, count(*) AS n_frames FROM ff GROUP BY doc_id)
+SELECT m.doc_id AS media_id, nc.n_frames,
+       array_to_string(
+         list(CAST(floor(mv * 10000 + 0.5) AS BIGINT) ORDER BY pos), ',')
+         AS pooled_u4
+FROM m JOIN nc USING (doc_id)
+GROUP BY m.doc_id, nc.n_frames"""
+
+
 QUERIES = {
     "media_features": (q_media_features, MEDIA_FEATURES_SQL),
     "media_dhash": (q_media_dhash, MEDIA_DHASH_SQL),
@@ -253,4 +333,5 @@ QUERIES = {
     "media_frame_plan": (q_media_frame_plan, MEDIA_FRAME_PLAN_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
+    "media_asset_pool": (q_media_asset_pool, MEDIA_ASSET_POOL_SQL),
 }

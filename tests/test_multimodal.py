@@ -147,3 +147,59 @@ def test_dhash_config_for_band_sizing():
     assert dhash_config_for(5_000) == 3      # 13-bit widths needed
     assert dhash_config_for(250_000) == 2
     assert dhash_config_for(10**9) == 1      # hash too short: shard first
+
+
+def test_frame_features_and_asset_pool(spark):
+    """Per-frame featurization + per-asset mean pooling: frame payloads
+    are byte suffixes at the planned indices, pooled features equal the
+    Python mirror, and pooled asset embeddings feed asset-level dedup
+    (two identical assets → cosine 1 pair)."""
+    from embeddingsearch_spark.operators import pooling
+
+    payload = bytes(range(200))
+    df = _media(
+        spark,
+        [
+            _row(0, "video", payload, n_frames=30),
+            _row(1, "video", payload, n_frames=30),  # exact dup asset
+            _row(2, "video", bytes(reversed(payload)), n_frames=30),
+        ],
+    )
+    frames = mm.frame_features(
+        df, every_n=10, max_frames=16, decoder="fake", feature_dim=4
+    )
+    rows = frames.collect()
+    # n_frames=30, every 10 → indices 0, 10, 20
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.media_id, {})[r.frame_idx] = r.features
+    assert set(by_asset[0]) == {0, 10, 20}
+    for fi in (0, 10, 20):
+        assert by_asset[0][fi] == mm._fake_features(payload[fi:], 4)
+    assert by_asset[0] == by_asset[1]
+
+    pooled = pooling.mean_pool(frames, "media_id", "features")
+    got = {r.media_id: r for r in pooled.collect()}
+    assert got[0].n_chunks == 3
+    mirror = [
+        sum(mm._fake_features(payload[fi:], 4)[i] for fi in (0, 10, 20))
+        / 3.0
+        for i in range(4)
+    ]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got[0].pooled, mirror))
+    assert got[0].pooled == got[1].pooled
+
+    # asset-level dedup on the pooled embeddings: the identical assets
+    # pair at cosine 1 (remapped ≥ threshold), the reversed one doesn't
+    from embeddingsearch_spark.operators import ann
+
+    emb = pooled.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("pooled").cast("array<float>").alias("embedding"),
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ann.srp_cosine_pairs(emb, threshold=0.999).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
