@@ -272,7 +272,14 @@ def q_neardup_keep_best(spark, sf_dir):
     """Keep-best dedup decision (`dedup.select_representatives`): per
     near-dup cluster, the LONGEST member survives (ties -> smallest id)
     — the keep policy real pipelines use instead of min-id. Composes the
-    clustering pipeline's assignments with one window rank."""
+    clustering pipeline's assignments with one window rank.
+
+    Bench honesty: the recorded ~0.5 s is the COMPOSED cost — it reads
+    the session-level clusters cache that `neardup_clusters` populates
+    (the composition a real pipeline runs: cluster once, decide keeps
+    from the result). A standalone caller that skips the clustering
+    query pays the full pairs+components pipeline here (~4.6 s at sf0.1
+    on this host) via the `_CLUSTERS_CACHE` miss path below."""
     dd = derive_dd(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     clusters = _CLUSTERS_CACHE.get(key)
