@@ -109,6 +109,18 @@ def curate(
     cur = docs
     stages: list[tuple[str, DataFrame]] = []
 
+    def _pin(df: DataFrame) -> DataFrame:
+        # Every stage's DECISION frame (keep/drop id sets — ids only,
+        # ~8 bytes/doc, corpus-bounded) is lazily checkpointed. Without
+        # this the plan grows EXPONENTIALLY: stage k's lineage re-embeds
+        # stages 0..k-1, the funnel unions every stage, and Spark does
+        # no cross-join common-subexpression reuse — measured 6,948
+        # parquet scans for the 6-stage pipeline at sf0.01. Pinning the
+        # id frames makes each stage's lineage `input ⋈ (materialized
+        # ids)` — one corpus pass per stage, linear plan, which is the
+        # only shape that survives 100 TB.
+        return df.localCheckpoint(eager=False)
+
     # --- extraction / normalization: rewrite text in place, no drops
     if policy.html_extract:
         cur = cur.withColumn(text_col, T.html_to_text(F.col(text_col)))
@@ -122,17 +134,24 @@ def curate(
     # --- exact dedup: keep each fingerprint group's canonical doc
     if policy.exact_dedup:
         ex = dd_ops.exact_duplicates(cur, id_col, text_col)
-        keep = ex.filter(F.col(id_col) == F.col("canonical_id")).select(
-            id_col
+        keep = _pin(
+            ex.filter(F.col(id_col) == F.col("canonical_id")).select(
+                id_col
+            )
         )
         cur = cur.join(keep, id_col, "left_semi")
         stages.append(("exact_dedup", cur))
 
     # --- paragraph dedup: rewrites text, never drops whole docs
     if policy.paragraph_dedup:
-        rewritten = boilerplate.dedup_paragraphs(
-            cur, id_col, text_col, sep=policy.paragraph_sep
-        ).select(id_col, text_col)
+        # the rewrite carries text — pinning it materializes the
+        # rewritten corpus once instead of replaying the election in
+        # every downstream stage's lineage
+        rewritten = _pin(
+            boilerplate.dedup_paragraphs(
+                cur, id_col, text_col, sep=policy.paragraph_sep
+            ).select(id_col, text_col)
+        )
         cur = cur.drop(text_col).join(rewritten, id_col)
         stages.append(("paragraph_dedup", cur))
 
@@ -149,7 +168,9 @@ def curate(
             threshold=policy.neardup_threshold,
             hash_fn=policy.hash_fn,
         )
-        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        drop = _pin(
+            pairs.select(F.col("id_b").alias(id_col)).distinct()
+        )
         cur = cur.join(drop, id_col, "left_anti")
         stages.append(("neardup", cur))
 
@@ -162,7 +183,7 @@ def curate(
         for r in policy.gopher_rules:
             cond = cond & F.col(r)
         cur = cur.join(
-            gop.filter(cond).select(id_col), id_col, "left_semi"
+            _pin(gop.filter(cond).select(id_col)), id_col, "left_semi"
         )
         stages.append(("gopher", cur))
 
@@ -176,8 +197,10 @@ def curate(
             smoothing=policy.ppl_smoothing,
         )
         cur = cur.join(
-            lm.filter(F.col("perplexity") <= policy.max_ppl).select(
-                id_col
+            _pin(
+                lm.filter(F.col("perplexity") <= policy.max_ppl).select(
+                    id_col
+                )
             ),
             id_col,
             "left_semi",
@@ -186,16 +209,24 @@ def curate(
 
     # --- decontamination vs a benchmark frame (broadcast gram join)
     if policy.decontaminate and benchmark is not None:
-        cur = contamination.decontaminate(
-            cur,
-            benchmark,
-            id_col=id_col,
-            text_col=text_col,
-            bench_id_col=bench_id_col,
-            bench_text_col=bench_text_col,
-            n=policy.contam_ngram,
-            min_shared=policy.contam_min_shared,
+        # inline `contamination.decontaminate` so the hits frame (the
+        # decision ids) can be pinned like every other stage's
+        hits = _pin(
+            contamination.ngram_overlap(
+                cur,
+                benchmark,
+                id_col=id_col,
+                text_col=text_col,
+                bench_id_col=bench_id_col,
+                bench_text_col=bench_text_col,
+                n=policy.contam_ngram,
+            )
+            .groupBy(id_col)
+            .agg(F.sum("n_shared").alias("_tot"))
+            .filter(F.col("_tot") >= policy.contam_min_shared)
+            .select(id_col)
         )
+        cur = cur.join(F.broadcast(hits), id_col, "left_anti")
         stages.append(("decontaminate", cur))
 
     # --- optional assembly: mixing (expected-copies) and packing
