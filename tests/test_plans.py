@@ -428,3 +428,48 @@ def test_minhash_estimate_joins_signatures_not_shingles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "shingle" not in line, line
+
+
+def test_lang_id_model_broadcasts_model_bounded_scans(spark):
+    """The NB model join must be a broadcast (the dense model is L×V by
+    construction) and training must not replay the gram explode per
+    aggregate — the count-table checkpoint caps the plan at 8 corpus
+    scans pre-execution (4 once the checkpoint materializes; 12+ when
+    unpinned)."""
+    from embeddingsearch_spark.suite.textops import q_lang_id_model
+
+    df = q_lang_id_model(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert plan.count("Scan parquet") <= 8, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_linear_plan(spark):
+    """Regression pin for the exponential-lineage fix: the 6-stage
+    composed pipeline must stay at one-corpus-pass-per-stage (the
+    pre-execution plan renders checkpoint subtrees inline, so the bound
+    is loose). Unpinned decision frames exploded this exact plan to
+    6,948 parquet scans."""
+    from embeddingsearch_spark.suite.cleanops import q_curation_pipeline
+
+    df = q_curation_pipeline(spark, SF)
+    plan = pi.physical_plan(df)
+    scans = plan.count("Scan parquet")
+    assert scans <= 50, scans
+    assert "CartesianProduct" not in plan
+
+
+def test_media_asset_pool_single_scan_no_join(spark):
+    """Frame explode + featurize + pool is one scan-side chain and one
+    aggregation — media bytes never join or shuffle."""
+    from embeddingsearch_spark.suite.multimodalops import (
+        q_media_asset_pool,
+    )
+
+    df = q_media_asset_pool(spark, SF)
+    plan = pi.physical_plan(df)
+    # AQE pre-execution rendering may repeat the scan node once
+    assert plan.count("Scan parquet") <= 2, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan, join
