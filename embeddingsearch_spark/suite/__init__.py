@@ -25,6 +25,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodalops,
         reference_surface,
         relational,
+        retrievalops,
         scoring,
         streamingops,
         textops,
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         adminops,
         webops,
         cleanops,
+        retrievalops,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -1,0 +1,181 @@
+"""Retrieval queries: BM25 lexical top-k and BM25+ANN hybrid fusion.
+
+Query set: the doc ids that exist in BOTH tables (embeddings vec_id %
+13 == 0), so the lexical side (documents text) and the vector side
+(embeddings) rank over one shared query domain at any scale factor.
+Query text = tokens 2..6 of the query doc (5 terms); query vector = the
+query id's embedding row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.constants import ROUND_DIGITS as RD
+from embeddingsearch_spark.functions import text as T
+from embeddingsearch_spark.operators import ann as ann_ops
+from embeddingsearch_spark.operators import retrieval
+from embeddingsearch_spark.suite.ann import _COS
+
+TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
+  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
+
+def _text_queries(spark, sf_dir):
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 5)).alias(
+            "text"
+        ),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-10 per query (Lucene k1/b variant, +1-smoothed
+    idf): postings explode once, query terms broadcast, matched
+    postings pinned for the df and scoring passes — the corpus never
+    shuffles on anything wider than (query, doc)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return retrieval.bm25_topk(
+        docs, _text_queries(spark, sf_dir), k=10
+    )
+
+
+# lowercased tokens; query terms = distinct lowered tokens 2..6
+_QT_SQL = """q AS (
+  SELECT e.vec_id AS query_id,
+         list_distinct(list_transform(({t})[2:6], x -> lower(x))) AS qt
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+)""".format(t=TOKS_SQL.replace("text", "d.text"))
+
+_LTOKS = TOKS_SQL.replace("text", "lower(text)")
+
+_BM25_CTES = f"""{_QT_SQL},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+dtok AS (SELECT doc_id, {_LTOKS} AS t FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM dtok
+),
+post AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dtok
+),
+tfp AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM post
+  GROUP BY doc_id, dl, term
+),
+matched AS (
+  SELECT tfp.* FROM tfp
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term
+),
+contrib AS (
+  SELECT qt.query_id, m.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * CAST(m.tf AS DOUBLE) * 2.2
+           / (CAST(m.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+  FROM matched m
+  JOIN dfreq d USING (term)
+  JOIN qterm qt USING (term), stats s
+),
+bm AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM contrib GROUP BY query_id, doc_id
+),
+bmranked AS (
+  SELECT query_id, doc_id, score, n_matched,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm
+)"""
+
+BM25_TOPK_SQL = f"""WITH {_BM25_CTES}
+SELECT query_id, doc_id, score, n_matched, CAST(rank AS INT) AS rank
+FROM bmranked WHERE rank <= 10"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 fused with exact-cosine
+    ANN top-10 via reciprocal-rank fusion (k=60) — the standard public
+    recipe for combining sparse and dense rankings. Only rank rows are
+    fused; neither corpus re-shuffles."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    lex = retrieval.bm25_topk(docs, _text_queries(spark, sf_dir), k=10)
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = ann_ops.brute_force_topk(emb, qvecs, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), dense],
+        k=60,
+        top_k=10,
+    )
+
+
+HYBRID_RRF_SQL = f"""WITH {_BM25_CTES},
+qv AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id % 13 = 0
+),
+elems AS (
+  SELECT qv.query_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(qv.qvec) AS DOUBLE) AS y
+  FROM embeddings e, qv
+),
+sims AS (
+  SELECT query_id, vec_id, {_COS} AS sim FROM elems
+  GROUP BY query_id, vec_id
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, {RD}) DESC, vec_id ASC)
+           AS rank
+  FROM sims
+),
+unioned AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c
+  FROM bmranked WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank)
+  FROM dense WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS rrf_score,
+         count(*) AS n_rankings
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_rankings,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10"""
+
+
+QUERIES = {
+    "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
+    "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
+}

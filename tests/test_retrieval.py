@@ -1,0 +1,88 @@
+"""BM25 and RRF: known-value checks against a pure-Python mirror."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.operators import retrieval
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "cats and dogs living together"),
+    (4, ""),
+]
+QUERIES = [(100, "the cat"), (101, "dog"), (102, "zzz_nomatch")]
+
+
+def _mirror_bm25(k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for qid, qtext in QUERIES:
+        for did, t in toks.items():
+            s, m = 0.0, 0
+            for term in dict.fromkeys(qtext.lower().split()):
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+                m += 1
+            if m:
+                scores[(qid, did)] = (round(s, 6), m)
+    return scores
+
+
+def test_bm25_matches_python_mirror(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["n_matched"])
+        for r in retrieval.bm25_scores(docs, qs).collect()
+    }
+    want = _mirror_bm25()
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key][0] - want[key][0]) < 1e-9, key
+        assert got[key][1] == want[key][1], key
+    # no-match query produces no rows; empty doc never matches
+    assert not any(q == 102 for q, _ in got)
+    assert not any(d == 4 for _, d in got)
+
+
+def test_bm25_topk_rank_determinism(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    top = retrieval.bm25_topk(docs, qs, k=2)
+    rows = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in top.collect()
+    }
+    # "the cat": doc 1 matches both terms -> rank 1
+    assert rows[(100, 1)] == 1
+    # "dog": only doc 2 contains it
+    assert rows[(101, 1)] == 2 and (101, 2) not in rows
+
+
+def test_rrf_fuse_arithmetic(spark):
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in retrieval.rrf_fuse([r1, r2], k=60).collect()
+    }
+    assert out[11]["n_rankings"] == 2
+    assert abs(out[11]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    assert abs(out[10]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    # doc 11 appears in both rankings -> fused rank 1
+    assert out[11]["fused_rank"] == 1
+    # doc 10 (1/61) outranks doc 12 (1/62)
+    assert out[10]["fused_rank"] == 2 and out[12]["fused_rank"] == 3
