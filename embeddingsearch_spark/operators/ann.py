@@ -32,6 +32,77 @@ def _cosine_from_parts(dot_ab: Column, na: Column, nb: Column) -> Column:
     return (raw + 1.0) / 2.0
 
 
+def chunk_max_topk(
+    chunks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Chunked-document retrieval: score a document by its BEST chunk —
+    ``(query_id, doc_id, best_vec_id, cosine, rank<=k)`` where cosine =
+    max over the doc's chunks of the remapped query-chunk cosine (the
+    late-interaction max-pooling used for long-document retrieval;
+    single-query-vector simplification of ColBERT's MaxSim — public).
+
+    Shape: same broadcast-queries scan as `brute_force_topk`, then ONE
+    extra (query, doc) max-aggregation (map-side combinable) before the
+    per-query rank window — chunk rows collapse to doc rows before any
+    window runs, so the window input is docs × queries, not chunks ×
+    queries. best_vec_id (smallest chunk id among the max-scoring ones)
+    makes the winning chunk auditable."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            norm2(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    sim = F.round(
+        _cosine_from_parts(
+            dot(F.col(vec_col), F.col("_qvec")),
+            F.col("_cn"),
+            F.col("_qn"),
+        ),
+        ROUND_DIGITS,
+    )
+    scored = (
+        chunks.select(
+            F.col(doc_col),
+            F.col(id_col),
+            F.col(vec_col),
+            norm2(F.col(vec_col)).alias("_cn"),
+        )
+        .crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(doc_col),
+            F.col(id_col),
+            sim.alias("_sim"),
+        )
+    )
+    # max_by on (sim, -id): highest sim, ties -> smallest chunk id —
+    # deterministic in one aggregation, no window over the chunk stream
+    per_doc = scored.groupBy(query_id_col, doc_col).agg(
+        F.max("_sim").alias("cosine"),
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col("_sim").alias("s"),
+                (-F.col(id_col)).alias("negid"),
+            ),
+        ).alias("best_vec_id"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(doc_col).asc()
+    )
+    return per_doc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -766,12 +766,64 @@ FROM (
 ) WHERE rank <= 10"""
 
 
+def q_chunk_maxsim_topk(spark, sf_dir):
+    """Chunked-document retrieval: docs = embeddings grouped 10 chunks
+    per doc (the chunk_mean_pool convention), scored by their BEST
+    chunk (max remapped cosine, the ColBERT-style late-interaction
+    max-pool with one query vector). Chunk rows collapse to doc rows in
+    one map-side-combinable aggregation BEFORE the per-query rank
+    window."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        F.expr("vec_id div 10").alias("doc_id"), "vec_id", "embedding"
+    )
+    return ann_ops.chunk_max_topk(
+        chunks, _queries_df(spark, sf_dir), k=10
+    )
+
+
+CHUNK_MAXSIM_TOPK_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 4
+),
+elems AS (
+  SELECT q.query_id, e.vec_id, e.vec_id // 10 AS doc_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM embeddings e, q
+),
+sims AS (
+  SELECT query_id, doc_id, vec_id, round({_COS}, {RD}) AS sim
+  FROM elems GROUP BY query_id, doc_id, vec_id
+),
+mx AS (
+  SELECT query_id, doc_id, max(sim) AS cosine
+  FROM sims GROUP BY query_id, doc_id
+),
+best AS (
+  SELECT s.query_id, s.doc_id, min(s.vec_id) AS best_vec_id
+  FROM sims s JOIN mx ON mx.query_id = s.query_id
+   AND mx.doc_id = s.doc_id AND s.sim = mx.cosine
+  GROUP BY s.query_id, s.doc_id
+),
+per_doc AS (
+  SELECT mx.query_id, mx.doc_id, mx.cosine, best.best_vec_id
+  FROM mx JOIN best USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, cosine, best_vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+FROM per_doc
+QUALIFY rank <= 10"""
+
+
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
     "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
+    "chunk_maxsim_topk": (q_chunk_maxsim_topk, CHUNK_MAXSIM_TOPK_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (

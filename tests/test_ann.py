@@ -116,3 +116,46 @@ def test_cluster_balanced_sample_caps_per_cluster(spark):
         per[cid] = per.get(cid, 0) + 1
     assert all(v <= 5 for v in per.values())
     assert len(out1) <= 20 and len(out1) > 0
+
+
+def test_chunk_max_topk_best_chunk_semantics(spark):
+    """Doc score = max over its chunks; best_vec_id = smallest chunk id
+    among the max scorers; rank deterministic."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    # doc 0: chunks 0 (orthogonal), 1 (exact match) -> doc scores 1.0
+    # doc 1: chunks 10 (anti-parallel), 11 (orthogonal) -> 0.5 best
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (0, 1, [0.0, 1.0]),
+        (1, 10, [0.0, -1.0]),
+        (1, 11, [1.0, 0.0]),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ann_ops.chunk_max_topk(chunks, queries, k=10).collect()
+    }
+    assert out[0]["cosine"] == 1.0 and out[0]["best_vec_id"] == 1
+    assert out[0]["rank"] == 1
+    assert out[1]["cosine"] == 0.5 and out[1]["best_vec_id"] == 11
+    assert out[1]["rank"] == 2
+
+
+def test_chunk_max_topk_tie_smallest_chunk(spark):
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    rows = [(0, 5, [0.0, 1.0]), (0, 3, [0.0, 2.0])]  # both cosine 1.0
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    r = ann_ops.chunk_max_topk(chunks, queries, k=1).collect()[0]
+    assert r["cosine"] == 1.0 and r["best_vec_id"] == 3
