@@ -47,6 +47,7 @@ class CurationPolicy:
     neardup_threshold: float = 0.5
     hash_fn: str = "sha256"
     # quality gates
+    lang_allow: tuple[str, ...] = ()  # empty = no language gate
     gopher: bool = True
     min_words: int = 25
     gopher_rules: tuple[str, ...] = ("r_words", "r_alpha")
@@ -173,6 +174,15 @@ def curate(
         )
         cur = cur.join(drop, id_col, "left_anti")
         stages.append(("neardup", cur))
+
+    # --- language gate (scan-stage heuristic lang_id; for trained
+    # labels run operators/langid upstream and filter before curate,
+    # or pass its predictions through a custom gate)
+    if policy.lang_allow:
+        cur = cur.filter(
+            T.lang_id(F.col(text_col)).isin(*policy.lang_allow)
+        )
+        stages.append(("lang", cur))
 
     # --- Gopher document rules (scan-stage projection)
     if policy.gopher:

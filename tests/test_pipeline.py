@@ -119,3 +119,24 @@ def test_curate_mix_and_pack(spark):
     }
     assert per_source["wiki"] == 20  # 10 docs x 2 copies
     assert per_source["crawl"] == 10
+
+
+def test_curate_lang_gate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog with many words here"),
+            (2, "der schnelle braune fuchs und der faule hund mit worten"),
+        ],
+        "doc_id long, text string",
+    )
+    policy = CurationPolicy(
+        exact_dedup=False,
+        neardup=False,
+        gopher=False,
+        perplexity=False,
+        lang_allow=("en",),
+    )
+    res = curate(docs, policy)
+    assert [s for s, _ in res.stages] == ["input", "lang"]
+    ids = {r["doc_id"] for r in res.docs.collect()}
+    assert ids == {1}
