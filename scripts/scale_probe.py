@@ -61,6 +61,7 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         "incremental_neardup_exact_first",
         "ppl_buckets", "paragraph_dedup", "media_dhash_pairs",
         "bigram_lm", "html_curation",
+        "lang_id_model", "bm25_topk", "curate_pipeline",
         "group_rank_window", "group_rank_twopass",
     )
     if want(*_DOCS_OPS):
@@ -409,6 +410,73 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         return dd_ops.exact_duplicates(ext, "doc_id", "text")
 
     run("html_curation", _html_curation)
+
+    # trained language ID: train the char-trigram NB on a synthetic
+    # 4-way label (deterministic by id) and predict over the same
+    # corpus — the full train+predict plan in one timing
+    def _lang_id_model():
+        from embeddingsearch_spark.operators import langid as lid_op
+
+        labeled = docs.select(
+            "doc_id",
+            "text",
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("en", "de", "es", "fr")]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).alias("lang"),
+        )
+        dense, langs = lid_op.charngram_lang_model(
+            labeled, "doc_id", "text", "lang", n=3, vocab_size=1024
+        )
+        return lid_op.lang_id_predict(
+            labeled, "doc_id", "text", dense, langs, n=3
+        )
+
+    run("lang_id_model", _lang_id_model)
+
+    # BM25 top-10: 32 text queries (5 terms each) over the replicated
+    # corpus — postings semi-joined against the broadcast term set
+    def _bm25():
+        from embeddingsearch_spark.operators import retrieval as ret_op
+
+        qs = (
+            docs.filter(F.col("doc_id") % (max(n_docs // 32, 1)) == 0)
+            .limit(32)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.concat_ws(
+                    " ", F.slice(T.tokens(F.col("text")), 2, 5)
+                ).alias("text"),
+            )
+        )
+        return ret_op.bm25_topk(docs, qs, k=10)
+
+    run("bm25_topk", _bm25)
+
+    # the composed curate() pipeline (exact dedup → neardup → gopher →
+    # ppl), funnel included — the per-stage decision-frame pinning is
+    # what this timing exercises at scale
+    def _curate():
+        from embeddingsearch_spark.pipeline import (
+            CurationPolicy,
+            curate,
+        )
+
+        res = curate(
+            docs,
+            CurationPolicy(
+                exact_dedup=True,
+                neardup=True,
+                gopher=True,
+                min_words=10,
+                perplexity=True,
+                max_ppl=1e9,
+                ppl_vocab=100,
+            ),
+        )
+        return res.funnel
+
+    run("curate_pipeline", _curate)
 
     # per-group rank under skew: 90% of rows in ONE group. The window
     # variant's parallelism collapses to the group count; the two-pass
