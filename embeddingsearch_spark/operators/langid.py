@@ -112,11 +112,22 @@ def charngram_lang_model(
     )
     in_vocab = counts.join(F.broadcast(vocab), "gram")
     n_lang = in_vocab.groupBy("lang").agg(F.sum("c").alias("n_lang"))
-    # language list + doc-frequency priors from the SAME labeled frame
-    doc_counts = grams.groupBy("lang").agg(
-        F.countDistinct("_id").alias("n_docs")
+    # language list + doc-frequency priors from the SAME labeled frame.
+    # One collect of the L-row per-lang table serves BOTH the priors
+    # and the corpus total (ids are unique per row, so Σ per-lang
+    # distinct = global distinct) — no separate corpus-wide distinct
+    # pass.
+    dc_rows = (
+        grams.groupBy("lang")
+        .agg(F.countDistinct("_id").alias("n_docs"))
+        .collect()
     )
-    total_docs = grams.select("_id").distinct().count()
+    total_docs = sum(r["n_docs"] for r in dc_rows)
+    lang_type = grams.schema["lang"].dataType.simpleString()
+    doc_counts = df.sparkSession.createDataFrame(
+        [(r["lang"], r["n_docs"]) for r in dc_rows],
+        f"lang {lang_type}, n_docs long",
+    )
     denom = F.coalesce(F.col("n_lang"), F.lit(0)) + F.lit(
         smoothing * (vocab_size + 1)
     )
