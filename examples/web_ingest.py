@@ -83,6 +83,25 @@ def main() -> None:
     print(f"WET records: {wet.count()}, accepted after winnow gate: "
           f"{accepted.count()}")
     accepted.select("target_uri", "length").show(truncate=False)
+
+    # the survivors then run through the composed curation entry point
+    # (normalize → dedup tiers → gates), funnel included — the same
+    # policy object a batch pipeline would persist
+    from embeddingsearch_spark.pipeline import CurationPolicy, curate
+
+    result = curate(
+        accepted.select("doc_id", "text"),
+        CurationPolicy(
+            normalize=True,
+            exact_dedup=True,
+            neardup=True,
+            gopher=True,
+            min_words=5,
+            perplexity=False,
+        ),
+    )
+    print("curation funnel over the accepted records:")
+    result.funnel.show()
     spark.stop()
 
 
