@@ -208,8 +208,65 @@ SELECT user_id, min(ts) AS session_start,
 FROM sess GROUP BY user_id, session_seq"""
 
 
+def q_streaming_curation(spark, sf_dir):
+    """Streaming curation gate: the per-record streaming-safe subset of
+    `pipeline.curate` — scan-stage Gopher word/alpha rules, then
+    state-store exact dedup on (source, fingerprint) — applied to a
+    re-delivered document feed (two stream copies unioned), drained
+    AvailableNow and rolled up per source. Single-batch result over
+    static input equals the batch gate+distinct the oracle runs."""
+    from embeddingsearch_spark.streaming.curation import curation_gate
+
+    def one_stream():
+        return (
+            spark.readStream.schema(DOCUMENTS_RAW)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "source", "text")
+        )
+
+    curated = curation_gate(
+        one_stream().union(one_stream()),
+        min_words=25,
+        dedup_cols=("source",),
+    )
+    drained = win.run_available_now(
+        curated.select("source", "fp", "n_words"),
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+    return drained.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_accepted"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+_SC_TOKS = r"""CASE WHEN length(trim(text)) = 0 THEN []
+  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
+STREAMING_CURATION_SQL = rf"""WITH m AS (
+  SELECT source,
+         sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         CAST(len({_SC_TOKS}) AS DOUBLE) AS n_words,
+         {_SC_TOKS} AS toks
+  FROM documents
+),
+gated AS (
+  SELECT source, fp, CAST(n_words AS BIGINT) AS n_words FROM m
+  WHERE n_words >= 25 AND n_words <= 100000
+    AND CAST(len(list_filter(toks, t -> regexp_matches(t, '\p{{L}}')))
+             AS DOUBLE)
+        / CASE WHEN n_words = 0 THEN 1.0 ELSE n_words END >= 0.8
+),
+ded AS (SELECT DISTINCT source, fp, n_words FROM gated)
+SELECT source, count(*) AS n_accepted,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM ded GROUP BY source"""
+
+
 QUERIES = {
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
+    "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),
     "streaming_sessionize": (
         q_streaming_sessionize,
         STREAMING_SESSIONIZE_SQL,

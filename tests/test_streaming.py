@@ -133,3 +133,44 @@ def test_streaming_window_rollup_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_curation_gate(spark, tmp_path):
+    """Scan-stage gates + state-store dedup on a streamed feed: short
+    docs dropped, non-allowed language dropped, re-delivered duplicates
+    collapse per (source, fingerprint)."""
+    from embeddingsearch_spark.streaming.curation import curation_gate
+
+    long_en = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the field all day long without a rest"
+    )
+    rows = [
+        (1, "a", long_en),
+        (2, "a", long_en),  # re-delivered dup (same source)
+        (3, "b", long_en),  # same text, other source -> kept
+        (4, "a", "too short"),
+        (5, "a", "der schnelle braune fuchs springt über den faulen "
+                 "hund und läuft den ganzen tag weiter durch das feld"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    curated = curation_gate(
+        stream,
+        min_words=10,
+        lang_allow=("en",),
+        dedup_cols=("source",),
+    )
+    out = win.run_available_now(
+        curated.select("doc_id", "source", "n_words"),
+        output_mode="append",
+    ).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    # one survivor per source: the English long doc, deduped within 'a'
+    assert len(by_source["a"]) == 1 and len(by_source["b"]) == 1
+    assert by_source["a"][0]["n_words"] == len(long_en.split())
