@@ -143,7 +143,68 @@ WHERE domain NOT IN ({_BLOCKED_IN})
   AND NOT suffix(domain, '.org')"""
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over a planted hub/authority link graph (each doc links
+    to its decade hub and century hub — power-law-ish in-degree, the
+    domain-authority signal web curation gates on): 3 power iterations,
+    damping 0.85, one declarative pass per iteration with the rank
+    frame checkpointed (the k-means lineage discipline). The oracle
+    replays every iteration as chained CTEs."""
+    from embeddingsearch_spark.operators.graph import pagerank
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    decade = docs.select(
+        d.alias("src"), (d - d % 10).alias("dst")
+    )
+    century = docs.select(
+        d.alias("src"), (d - d % 100).alias("dst")
+    )
+    edges = (
+        decade.union(century)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=3, damping=0.85).select(
+        F.col("node").alias("doc_id"), "rank"
+    )
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""c{i} AS (
+  SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS m
+  FROM e JOIN {prev} ON {prev}.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(c{i}.m, 0) AS rank
+  FROM nodes n LEFT JOIN c{i} USING (node)
+)"""
+
+
+PAGERANK_SQL = f"""WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id - doc_id % 10 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, doc_id - doc_id % 100 FROM documents
+  ) WHERE src != dst
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{_pagerank_iter_sql(1)},
+{_pagerank_iter_sql(2)},
+{_pagerank_iter_sql(3)}
+SELECT node AS doc_id, round(rank, 6) AS rank FROM r3"""
+
+
 QUERIES = {
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
     "domain_blocklist": (q_domain_blocklist, DOMAIN_BLOCKLIST_SQL),
+    "pagerank": (q_pagerank, PAGERANK_SQL),
 }
