@@ -204,6 +204,47 @@ FROM (
 WHERE rn = 1"""
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Exact corpus quantiles (p10/p50/p90 of token and char counts)
+    via the range-partitioned two-pass rank — no approx_percentile
+    (engine-specific error, not oracle-able), no single-partition sort.
+    Nearest-rank-low semantics: value at floor(q·(n−1)) ascending."""
+    from embeddingsearch_spark.operators.quantiles import exact_quantiles
+
+    docs = tables.load(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("double").alias("n_tokens"),
+        F.length("text").cast("double").alias("n_chars"),
+    )
+    return exact_quantiles(
+        m, ["n_tokens", "n_chars"], [0.1, 0.5, 0.9], "doc_id"
+    )
+
+
+def _qq_metric_sql(metric: str) -> str:
+    return f"""SELECT '{metric}' AS metric, qq.q,
+       (SELECT v FROM (
+          SELECT {metric} AS v,
+                 row_number() OVER (ORDER BY {metric}, doc_id) - 1 AS rk
+          FROM m WHERE {metric} IS NOT NULL)
+        WHERE rk = CAST(floor(qq.q * (
+          (SELECT count(*) FROM m WHERE {metric} IS NOT NULL) - 1))
+          AS BIGINT)) AS value
+FROM (VALUES (0.1), (0.5), (0.9)) qq(q)"""
+
+
+QUALITY_QUANTILES_SQL = f"""WITH m AS (
+  SELECT doc_id,
+         CAST(len({TOKS_SQL}) AS DOUBLE) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+)
+{_qq_metric_sql("n_tokens")}
+UNION ALL
+{_qq_metric_sql("n_chars")}"""
+
+
 def q_fingerprint(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     return docs.select(
@@ -1813,6 +1854,7 @@ QUERIES = {
     "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
+    "quality_quantiles": (q_quality_quantiles, QUALITY_QUANTILES_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "lang_id_model": (q_lang_id_model, LANG_ID_MODEL_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),

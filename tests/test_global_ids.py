@@ -127,3 +127,24 @@ def test_assign_group_ranks_nan_float_group(spark):
         "left",
     )
     assert joined.filter(F.col("group_total").isNull()).count() == 0
+
+
+def test_exact_quantiles_nearest_rank_low(spark):
+    """Quantile = value at floor(q*(n-1)) ascending; NULLs excluded;
+    empty metric yields NULL values."""
+    from embeddingsearch_spark.operators.quantiles import exact_quantiles
+
+    rows = [(i, float(i * 10), None) for i in range(1, 11)]  # 10..100
+    df = spark.createDataFrame(rows, "id long, v double, w double")
+    out = {
+        (r["metric"], r["q"]): r["value"]
+        for r in exact_quantiles(
+            df, ["v", "w"], [0.0, 0.5, 1.0], "id"
+        ).collect()
+    }
+    # n=10: floor(0*9)=0 -> 10; floor(0.5*9)=4 -> 50; floor(1*9)=9 -> 100
+    assert out[("v", 0.0)] == 10.0
+    assert out[("v", 0.5)] == 50.0
+    assert out[("v", 1.0)] == 100.0
+    # all-NULL metric
+    assert out[("w", 0.5)] is None
