@@ -61,7 +61,7 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         "incremental_neardup_exact_first",
         "ppl_buckets", "paragraph_dedup", "media_dhash_pairs",
         "bigram_lm", "html_curation",
-        "lang_id_model", "bm25_topk", "curate_pipeline",
+        "lang_id_model", "bm25_topk", "curate_pipeline", "pagerank",
         "group_rank_window", "group_rank_twopass",
     )
     if want(*_DOCS_OPS):
@@ -477,6 +477,26 @@ def main(factor: int = 50, only: set[str] | None = None) -> None:
         return res.funnel
 
     run("curate_pipeline", _curate)
+
+    # PageRank over the planted hub graph at corpus scale: per-doc
+    # decade/century hub edges (≈2 edges/doc, hubs accumulate in-degree
+    # skew), 3 power iterations — the per-iteration checkpoint keeps
+    # the plan flat while the rank vector stays corpus-sized
+    def _pagerank():
+        from embeddingsearch_spark.operators.graph import pagerank
+
+        d = F.col("doc_id")
+        edges = (
+            docs.select(d.alias("src"), (d - d % 10).alias("dst"))
+            .union(
+                docs.select(d.alias("src"), (d - d % 100).alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return pagerank(edges, iters=3)
+
+    run("pagerank", _pagerank)
 
     # per-group rank under skew: 90% of rows in ONE group. The window
     # variant's parallelism collapses to the group count; the two-pass
