@@ -32,6 +32,64 @@ def _cosine_from_parts(dot_ab: Column, na: Column, nb: Column) -> Column:
     return (raw + 1.0) / 2.0
 
 
+def hard_negative_mine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_sim: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs (the
+    standard dense-retrieval recipe — public): per query, the top-``k``
+    MOST similar corpus vectors that are neither the query itself nor
+    near-duplicates (remapped cosine >= ``max_sim`` — those are
+    positives/dups, not negatives). ``(query_id, vec_id, cosine,
+    rank<=k)``.
+
+    Same broadcast-queries single-scan shape as `brute_force_topk`;
+    the dup/self exclusion is a scan-stage predicate BEFORE the
+    per-query rank window."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            norm2(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm2(F.col(vec_col)).alias("_cn"),
+        )
+        .crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                _cosine_from_parts(
+                    dot(F.col(vec_col), F.col("_qvec")),
+                    F.col("_cn"),
+                    F.col("_qn"),
+                ),
+                ROUND_DIGITS,
+            ).alias("cosine"),
+        )
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col("cosine") < max_sim)
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def chunk_max_topk(
     chunks: DataFrame,
     queries: DataFrame,

@@ -766,6 +766,42 @@ FROM (
 ) WHERE rank <= 10"""
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training negative mining: per query vector, the top-5
+    most-similar corpus vectors that are neither the query itself nor
+    near-dups (cosine >= 0.95). Scan-stage exclusion predicate before
+    the rank window — same single-scan broadcast shape as ann_topk."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.hard_negative_mine(
+        emb, _queries_df(spark, sf_dir), k=5, max_sim=0.95
+    )
+
+
+HARD_NEGATIVES_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 4
+),
+elems AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM embeddings e, q
+),
+sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM elems GROUP BY query_id, vec_id
+),
+kept AS (
+  SELECT * FROM sims
+  WHERE vec_id != query_id AND cosine < 0.95
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM kept
+QUALIFY rank <= 5"""
+
+
 def q_chunk_maxsim_topk(spark, sf_dir):
     """Chunked-document retrieval: docs = embeddings grouped 10 chunks
     per doc (the chunk_mean_pool convention), scored by their BEST
@@ -824,6 +860,7 @@ QUERIES = {
     "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "chunk_maxsim_topk": (q_chunk_maxsim_topk, CHUNK_MAXSIM_TOPK_SQL),
+    "hard_negatives": (q_hard_negatives, HARD_NEGATIVES_SQL),
     "ann_topk_numpy": (q_ann_topk_numpy, ANN_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (

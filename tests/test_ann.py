@@ -159,3 +159,32 @@ def test_chunk_max_topk_tie_smallest_chunk(spark):
     )
     r = ann_ops.chunk_max_topk(chunks, queries, k=1).collect()[0]
     assert r["cosine"] == 1.0 and r["best_vec_id"] == 3
+
+
+def test_hard_negative_mine_excludes_self_and_dups(spark):
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    # query 0: vec 1 is a near-identical dup (excluded), vec 2 similar
+    # (kept), vec 3 orthogonal (kept, lower rank)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),
+        (2, [0.8, 0.6]),
+        (3, [0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = [
+        (r["vec_id"], r["rank"])
+        for r in ann_ops.hard_negative_mine(
+            corpus, queries, k=5, max_sim=0.95
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    # self (0) and near-dup (1, remapped cosine ~0.9999) excluded
+    assert out == [(2, 1), (3, 2)]
