@@ -70,7 +70,12 @@ class CurationResult:
     """`docs` = surviving documents (id, text [+ passthrough columns]);
     `funnel` = one row per executed stage (stage_idx, stage, n,
     n_dropped, drop_pct); `stages` = the per-stage survivor frames for
-    inspection / persistence."""
+    inspection / persistence.
+
+    Funnel counts are ROWS, not distinct ids: after a `mix` stage the
+    count includes epoch copies, so n can rise and n_dropped go
+    negative — that reads as "rows added", which is exactly what mixing
+    does."""
 
     docs: DataFrame
     funnel: DataFrame

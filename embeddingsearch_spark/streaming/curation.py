@@ -43,19 +43,26 @@ def curation_gate(
         tokens,
     )
 
-    toks = tokens(F.col(text_col))
-    n_words = F.size(toks).cast("double")
+    # materialize the token array ONCE (the HOF-lambda hoist
+    # convention): n_words and the alpha filter both read `_t` instead
+    # of re-tokenizing per expression
+    staged = stream.withColumn("_t", tokens(F.col(text_col)))
+    n_words = F.size("_t").cast("double")
     safe_w = F.when(n_words == 0, F.lit(1.0)).otherwise(n_words)
     alpha = (
         F.size(
-            F.filter(toks, lambda t: t.rlike(r"\p{L}"))
+            F.filter(F.col("_t"), lambda t: t.rlike(r"\p{L}"))
         ).cast("double")
         / safe_w
     )
-    gated = stream.withColumn("n_words", n_words.cast("long")).filter(
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (alpha >= min_alpha_ratio)
+    gated = (
+        staged.withColumn("n_words", n_words.cast("long"))
+        .filter(
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (alpha >= min_alpha_ratio)
+        )
+        .drop("_t")
     )
     if lang_allow:
         gated = gated.filter(
