@@ -11,7 +11,11 @@ Declared semantics: nearest-rank-low — the quantile q of n values is
 the value at 0-based index floor(q·(n−1)) of the ascending sorted
 multiset (deterministic; ties inside the sort are broken by the id
 column but the value at a given index is tie-invariant). NULL values
-are excluded per metric, as every SQL quantile does.
+are excluded per metric, as every SQL quantile does. The index is
+computed as floor(q·(n−1) + 1e-9): IEEE doubles render e.g. 0.7·10 as
+6.999999999999999, and a bare floor would land one rank below the
+declared index; the epsilon restores exact-boundary products (the
+oracle applies the identical guard).
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ def exact_quantiles(
         if total == 0:
             out_rows.extend((c, float(q), None) for q in qs)
             continue
-        targets = {int(q * (total - 1)) for q in qs}
+        targets = {int(q * (total - 1) + 1e-9) for q in qs}
         at = {
             r["_rk"]: r["_v"]
             for r in ranked.filter(
@@ -53,7 +57,7 @@ def exact_quantiles(
             ).collect()
         }
         out_rows.extend(
-            (c, float(q), float(at[int(q * (total - 1))])) for q in qs
+            (c, float(q), float(at[int(q * (total - 1) + 1e-9)])) for q in qs
         )
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -235,6 +235,10 @@ def curate(
                 bench_id_col=bench_id_col,
                 bench_text_col=bench_text_col,
                 n=policy.contam_ngram,
+                # 8-byte gram hashes on the wire, never gram strings —
+                # decontaminate()'s default, which the inline version
+                # must keep (review catch: it was silently dropped)
+                hash_grams=True,
             )
             .groupBy(id_col)
             .agg(F.sum("n_shared").alias("_tot"))
@@ -256,14 +260,17 @@ def curate(
         )
         # after mixing, (id, copy) — not id — is the packing unit: each
         # epoch copy is its own training instance. Derive a deterministic
-        # unique long key for the packer (collision odds ~n²/2⁶⁴).
+        # unique long key for the packer via xxhash64 in BOTH branches —
+        # it accepts any id type (a cast('long') would NULL out string
+        # ids and the inner join would silently drop every row);
+        # collision odds ~n²/2⁶⁴.
         if "copy" in with_tokens.columns:
             with_tokens = with_tokens.withColumn(
                 "_pack_key", F.xxhash64(F.col(id_col), F.col("copy"))
             )
         else:
             with_tokens = with_tokens.withColumn(
-                "_pack_key", F.col(id_col).cast("long")
+                "_pack_key", F.xxhash64(F.col(id_col))
             )
         cur = with_tokens.join(
             packing.pack_sequences(

@@ -18,8 +18,9 @@ from embeddingsearch_spark.operators import ann as ann_ops
 from embeddingsearch_spark.operators import retrieval
 from embeddingsearch_spark.suite.ann import _COS
 
-TOKS_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []
-  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+# the engine-tokenizer SQL has ONE definition (suite/dedup.py) — a
+# local copy could silently desync this module's oracles from tokens()
+from embeddingsearch_spark.suite.dedup import TOKS_SQL
 
 
 def _text_queries(spark, sf_dir):

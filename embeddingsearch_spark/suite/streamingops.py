@@ -241,8 +241,8 @@ def q_streaming_curation(spark, sf_dir):
     )
 
 
-_SC_TOKS = r"""CASE WHEN length(trim(text)) = 0 THEN []
-  ELSE regexp_split_to_array(trim(text), '\s+') END"""
+# shared engine-tokenizer SQL — single definition in suite/dedup.py
+from embeddingsearch_spark.suite.dedup import TOKS_SQL as _SC_TOKS
 
 STREAMING_CURATION_SQL = rf"""WITH m AS (
   SELECT source,

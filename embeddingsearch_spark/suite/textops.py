@@ -229,8 +229,8 @@ def _qq_metric_sql(metric: str) -> str:
                  row_number() OVER (ORDER BY {metric}, doc_id) - 1 AS rk
           FROM m WHERE {metric} IS NOT NULL)
         WHERE rk = CAST(floor(qq.q * (
-          (SELECT count(*) FROM m WHERE {metric} IS NOT NULL) - 1))
-          AS BIGINT)) AS value
+          (SELECT count(*) FROM m WHERE {metric} IS NOT NULL) - 1)
+          + 0.000000001) AS BIGINT)) AS value
 FROM (VALUES (0.1), (0.5), (0.9)) qq(q)"""
 
 

@@ -148,3 +148,17 @@ def test_exact_quantiles_nearest_rank_low(spark):
     assert out[("v", 1.0)] == 100.0
     # all-NULL metric
     assert out[("w", 0.5)] is None
+
+
+def test_exact_quantiles_ieee_boundary(spark):
+    """floor(0.7*10) must be 7, not 6 — IEEE renders 0.7*10 as
+    6.999999999999999; the epsilon guard restores the declared index."""
+    from embeddingsearch_spark.operators.quantiles import exact_quantiles
+
+    rows = [(i, float(i)) for i in range(11)]  # 0..10, n=11
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, ["v"], [0.7], "id").collect()
+    }
+    assert out[0.7] == 7.0
