@@ -73,28 +73,66 @@ def bm25_scores(
     leave the scan stage), and the filtered postings frame — bounded by
     query-term matches — is lazily checkpointed so the df aggregation
     and the scoring join both read one materialization."""
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    stats = corpus_stats(docs, text_col)
+    post = _postings(docs, id_col, text_col)
+    return bm25_scores_from_terms(
+        post, qterms, stats, id_col, query_id_col, k1, b
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> dict:
+    """One length-only corpus aggregate (no explode): {'n', 'avgdl'}."""
     from embeddingsearch_spark.functions.text import tokens
 
-    stats = docs.select(
+    row = docs.select(
         F.size(tokens(F.lower(F.col(text_col)))).alias("_dl")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("_dl").alias("avgdl"),
     ).collect()[0]
-    n_docs = float(stats["n"])
-    avgdl = float(stats["avgdl"] or 0.0) or 1.0
+    return {
+        "n": float(row["n"]),
+        "avgdl": float(row["avgdl"] or 0.0) or 1.0,
+    }
 
-    qterms = (
-        queries.select(
-            F.col(query_id_col),
-            F.explode(
-                F.array_distinct(
-                    tokens(F.lower(F.col(query_text_col)))
-                )
-            ).alias("term"),
-        )
+
+def query_terms(
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """(query_id, term): distinct lowered tokens per query."""
+    from embeddingsearch_spark.functions.text import tokens
+
+    return queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(query_text_col))))
+        ).alias("term"),
     )
-    post = _postings(docs, id_col, text_col)
+
+
+def bm25_idf(df_col, n_docs: float):
+    """Lucene's non-negative idf over a document-frequency column."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_scores_from_terms(
+    post: DataFrame,
+    qterms: DataFrame,
+    stats: dict,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BM25 scoring core over a pre-built postings frame and a
+    pre-exploded (query_id, term) frame — shared by the plain path and
+    the PRF-expanded second pass."""
     # bounded by query-term matches; read twice (df agg + scoring join)
     matched = post.join(
         F.broadcast(qterms.select("term").distinct()), "term"
@@ -102,14 +140,10 @@ def bm25_scores(
     dfreq = matched.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
+    idf = bm25_idf(F.col("df"), stats["n"])
     tf = F.col("tf").cast("double")
     norm = tf + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(stats["avgdl"])
     )
     contrib = idf * tf * F.lit(k1 + 1.0) / norm
     return (
@@ -178,3 +212,112 @@ def rrf_fuse(
     if top_k is not None:
         fused = fused.filter(F.col("fused_rank") <= top_k)
     return fused
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    k_fb: int = 5,
+    m_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM3-style recipe
+    — public): run BM25, take each query's top-``k_fb`` docs as the
+    feedback set, and rank their terms by Σ_fb tf·idf (idf over the
+    full corpus), excluding the original query terms; the top
+    ``m_terms`` per query come back as ``(query_id, term, w)``.
+
+    Plan: the feedback doc-id set (queries × k_fb rows) broadcasts, so
+    extracting the feedback postings is a scan-side semi-join; the only
+    corpus-wide aggregation is the document-frequency table, which is
+    distinct-term-bounded (the standard IR stats table)."""
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    stats = corpus_stats(docs, text_col)
+    post = _postings(docs, id_col, text_col)
+    scored = bm25_scores_from_terms(
+        post, qterms, stats, id_col, query_id_col, k1, b
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    fb = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k_fb)
+        .select(query_id_col, id_col)
+    )
+    # feedback postings: every term of every feedback doc — the fb set
+    # is tiny (|queries|·k_fb ids), so this is a broadcast join on id
+    fb_post = post.join(F.broadcast(fb), id_col)
+    # df over the full postings for the candidate terms only
+    cand_terms = fb_post.select("term").distinct()
+    dfreq = (
+        post.join(F.broadcast(cand_terms), "term")
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    weighted = (
+        fb_post.join(F.broadcast(dfreq), "term")
+        .groupBy(query_id_col, "term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double")
+                    * bm25_idf(F.col("df"), stats["n"])
+                ),
+                ROUND_DIGITS,
+            ).alias("w")
+        )
+        # drop the original query terms
+        .join(qterms, [query_id_col, "term"], "left_anti")
+    )
+    rw = Window.partitionBy(query_id_col).orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("_r", F.row_number().over(rw))
+        .filter(F.col("_r") <= m_terms)
+        .select(query_id_col, "term", "w")
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_fb: int = 5,
+    m_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback: expand each query with its
+    ``m_terms`` PRF terms and re-score — ``(query_id, doc_id, score,
+    n_matched, rank<=k)``. Both passes share the declared BM25
+    semantics; the expanded term set is the union of original and
+    expansion terms (distinct)."""
+    expansion = prf_expansion_terms(
+        docs, queries, k_fb, m_terms, id_col, text_col,
+        query_id_col, query_text_col, k1, b,
+    ).select(query_id_col, "term")
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    expanded = qterms.unionByName(expansion).distinct()
+    stats = corpus_stats(docs, text_col)
+    post = _postings(docs, id_col, text_col)
+    scored = bm25_scores_from_terms(
+        post, expanded, stats, id_col, query_id_col, k1, b
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -62,6 +62,42 @@ _QT_SQL = """q AS (
 
 _LTOKS = TOKS_SQL.replace("text", "lower(text)")
 
+def _bm25_pass_sql(suffix: str, qterm_cte: str) -> str:
+    """One BM25 scoring pass (matched -> dfreq -> contrib -> bm ->
+    bmranked CTEs, name-suffixed) over the shared dtok/stats/tfp chain
+    and an arbitrary (query_id, term) CTE — reused by the plain query
+    and both passes of the PRF query."""
+    return f"""matched{suffix} AS (
+  SELECT tfp.* FROM tfp
+  WHERE term IN (SELECT DISTINCT term FROM {qterm_cte})
+),
+dfreq{suffix} AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM matched{suffix}
+  GROUP BY term
+),
+contrib{suffix} AS (
+  SELECT qt.query_id, m.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * CAST(m.tf AS DOUBLE) * 2.2
+           / (CAST(m.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+  FROM matched{suffix} m
+  JOIN dfreq{suffix} d USING (term)
+  JOIN {qterm_cte} qt USING (term), stats s
+),
+bm{suffix} AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM contrib{suffix} GROUP BY query_id, doc_id
+),
+bmranked{suffix} AS (
+  SELECT query_id, doc_id, score, n_matched,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm{suffix}
+)"""
+
+
 _BM25_CTES = f"""{_QT_SQL},
 qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
 dtok AS (SELECT doc_id, {_LTOKS} AS t FROM documents),
@@ -78,38 +114,65 @@ tfp AS (
   SELECT doc_id, dl, term, count(*) AS tf FROM post
   GROUP BY doc_id, dl, term
 ),
-matched AS (
-  SELECT tfp.* FROM tfp
-  WHERE term IN (SELECT DISTINCT term FROM qterm)
-),
-dfreq AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term
-),
-contrib AS (
-  SELECT qt.query_id, m.doc_id,
-         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-           * CAST(m.tf AS DOUBLE) * 2.2
-           / (CAST(m.tf AS DOUBLE)
-              + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
-  FROM matched m
-  JOIN dfreq d USING (term)
-  JOIN qterm qt USING (term), stats s
-),
-bm AS (
-  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
-         count(*) AS n_matched
-  FROM contrib GROUP BY query_id, doc_id
-),
-bmranked AS (
-  SELECT query_id, doc_id, score, n_matched,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rank
-  FROM bm
-)"""
+{_bm25_pass_sql("", "qterm")}"""
 
 BM25_TOPK_SQL = f"""WITH {_BM25_CTES}
 SELECT query_id, doc_id, score, n_matched, CAST(rank AS INT) AS rank
 FROM bmranked WHERE rank <= 10"""
+
+
+def q_bm25_prf_topk(spark, sf_dir):
+    """BM25 with pseudo-relevance feedback (RM3-style): top-5 feedback
+    docs per query, top-3 expansion terms by Σ tf·idf (original terms
+    excluded), re-score with the expanded term set. Both passes run the
+    shared BM25 core; the feedback doc-id set broadcasts, and the only
+    corpus-wide aggregation is the distinct-term df table."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return retrieval.bm25_prf_topk(
+        docs, _text_queries(spark, sf_dir), k=10, k_fb=5, m_terms=3
+    )
+
+
+BM25_PRF_TOPK_SQL = f"""WITH {_BM25_CTES},
+fb AS (SELECT query_id, doc_id FROM bmranked WHERE rank <= 5),
+fb_post AS (
+  SELECT fb.query_id, tfp.doc_id, tfp.term, tfp.tf
+  FROM tfp JOIN fb USING (doc_id)
+),
+dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tfp
+  WHERE term IN (SELECT DISTINCT term FROM fb_post)
+  GROUP BY term
+),
+wterm AS (
+  SELECT fp.query_id, fp.term,
+         round(sum(CAST(fp.tf AS DOUBLE)
+                   * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))),
+               {RD}) AS w
+  FROM fb_post fp JOIN dfc d USING (term), stats s
+  GROUP BY fp.query_id, fp.term
+),
+wfiltered AS (
+  SELECT w.* FROM wterm w
+  LEFT JOIN qterm q ON q.query_id = w.query_id AND q.term = w.term
+  WHERE q.term IS NULL
+),
+expn AS (
+  SELECT query_id, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY w DESC, term ASC) AS rr
+    FROM wfiltered)
+  WHERE rr <= 3
+),
+qterm2 AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qterm
+    UNION ALL SELECT query_id, term FROM expn)
+),
+{_bm25_pass_sql("2", "qterm2")}
+SELECT query_id, doc_id, score, n_matched, CAST(rank AS INT) AS rank
+FROM bmranked2 WHERE rank <= 10"""
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -179,4 +242,5 @@ QUALIFY fused_rank <= 10"""
 QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
+    "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
 }

@@ -86,3 +86,47 @@ def test_rrf_fuse_arithmetic(spark):
     assert out[11]["fused_rank"] == 1
     # doc 10 (1/61) outranks doc 12 (1/62)
     assert out[10]["fused_rank"] == 2 and out[12]["fused_rank"] == 3
+
+
+def test_prf_expansion_and_rescoring(spark):
+    """PRF pulls co-occurring terms from feedback docs (excluding the
+    original query terms) and the expanded query recalls docs the
+    original missed."""
+    docs = spark.createDataFrame(
+        [
+            (1, "solar panels convert sunlight into electricity"),
+            (2, "solar energy and photovoltaic cells electricity grid"),
+            (3, "photovoltaic cells power the grid"),
+            (4, "completely unrelated cooking recipe with butter"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "solar electricity")], "query_id long, text string"
+    )
+    exp = {
+        r["term"]
+        for r in retrieval.prf_expansion_terms(
+            docs, qs, k_fb=2, m_terms=3
+        ).collect()
+    }
+    # original terms never expand
+    assert "solar" not in exp and "electricity" not in exp
+    # feedback docs 1, 2 contribute their other terms
+    assert exp <= {
+        "panels", "convert", "sunlight", "into", "energy", "and",
+        "photovoltaic", "cells", "grid",
+    }
+    assert len(exp) == 3
+
+    base = {
+        r["doc_id"]
+        for r in retrieval.bm25_topk(docs, qs, k=10).collect()
+    }
+    assert base == {1, 2}  # doc 3 shares no original term
+    prf = retrieval.bm25_prf_topk(docs, qs, k=10, k_fb=2, m_terms=3)
+    got = {r["doc_id"] for r in prf.collect()}
+    # expansion must recall doc 3 iff a photovoltaic/cells/grid term
+    # made the top-3; the recipe doc stays unmatched either way
+    assert 4 not in got
+    assert {1, 2} <= got
