@@ -1,0 +1,89 @@
+"""Search-result snippet extraction: the best query-term window per
+document.
+
+Every search surface shows a snippet; the classic algorithm (public) is
+"the fixed-width token window containing the most query-term hits,
+earliest such window on ties". Fully declarative:
+
+- token positions explode scan-side; only positions whose token matches
+  a (broadcast) query term survive — the hit stream is bounded by
+  query-term frequency, not corpus size;
+- per (query, doc), each hit anchors a candidate window [pos, pos+w)
+  and a RANGE-frame window function counts the hits inside it — no
+  self-join, no per-pair quadratic work;
+- the argmax (hit count desc, position asc) picks one window per
+  (query, doc), and the snippet text is a scan-side slice of the
+  original token array.
+
+Integer-only semantics — no float rounding anywhere — so any engine
+reproduces the exact snippet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def best_snippets(
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """``(query_id, doc_id, start, n_hits, snippet)`` for every
+    (query, doc) pair with at least one term hit. ``start`` is the
+    0-based token index of the window; matching is lowercase, the
+    snippet preserves original token case."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.operators.retrieval import query_terms
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    staged = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_orig"),
+    ).withColumn(
+        "_low", F.transform(F.col("_orig"), F.lower)
+    )
+    pos = staged.select(
+        F.col(id_col),
+        F.posexplode("_low").alias("pos", "term"),
+    )
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col, "pos"
+    )
+    # hits inside [pos, pos+window): a RANGE frame over the ordered hit
+    # positions — per (query, doc) state only, no self-join
+    wf = (
+        Window.partitionBy(query_id_col, id_col)
+        .orderBy("pos")
+        .rangeBetween(0, window - 1)
+    )
+    counted = hits.withColumn("n_hits", F.count(F.lit(1)).over(wf))
+    rank = Window.partitionBy(query_id_col, id_col).orderBy(
+        F.col("n_hits").desc(), F.col("pos").asc()
+    )
+    best = (
+        counted.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("pos").alias("start"),
+            "n_hits",
+        )
+    )
+    return best.join(staged.select(id_col, "_orig"), id_col).select(
+        query_id_col,
+        id_col,
+        "start",
+        "n_hits",
+        F.concat_ws(
+            " ", F.slice(F.col("_orig"), F.col("start") + 1, window)
+        ).alias("snippet"),
+    )

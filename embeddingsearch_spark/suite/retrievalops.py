@@ -175,6 +175,58 @@ SELECT query_id, doc_id, score, n_matched, CAST(rank AS INT) AS rank
 FROM bmranked2 WHERE rank <= 10"""
 
 
+
+def q_search_snippets(spark, sf_dir):
+    """Best query-term window per (query, doc): hit positions joined to
+    broadcast query terms, a RANGE-frame count per candidate window, an
+    integer argmax (hits desc, position asc), and a scan-side token
+    slice for the snippet text. Integer-only — bit-exact on any
+    engine."""
+    from embeddingsearch_spark.operators.snippets import best_snippets
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return best_snippets(
+        docs, _text_queries(spark, sf_dir), window=10
+    )
+
+
+SEARCH_SNIPPETS_SQL = f"""WITH {_QT_SQL},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+staged AS (
+  SELECT doc_id, {TOKS_SQL} AS orig,
+         list_transform({TOKS_SQL}, x -> lower(x)) AS low
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(low, 1) - 1 AS pos,
+         unnest(low) AS term
+  FROM staged
+),
+hits AS (
+  SELECT qterm.query_id, pos.doc_id, pos.pos
+  FROM pos JOIN qterm USING (term)
+),
+counted AS (
+  SELECT query_id, doc_id, pos,
+         count(*) OVER (PARTITION BY query_id, doc_id ORDER BY pos
+                        RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING)
+           AS n_hits
+  FROM hits
+),
+best AS (
+  SELECT query_id, doc_id, pos AS start, n_hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+              ORDER BY n_hits DESC, pos ASC) AS rn
+    FROM counted)
+  WHERE rn = 1
+)
+SELECT b.query_id, b.doc_id, b.start, b.n_hits,
+       array_to_string(s.orig[b.start + 1 : b.start + 10], ' ')
+         AS snippet
+FROM best b JOIN staged s USING (doc_id)"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 fused with exact-cosine
     ANN top-10 via reciprocal-rank fusion (k=60) — the standard public
@@ -243,4 +295,5 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
+    "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
 }

@@ -130,3 +130,30 @@ def test_prf_expansion_and_rescoring(spark):
     # made the top-3; the recipe doc stays unmatched either way
     assert 4 not in got
     assert {1, 2} <= got
+
+
+def test_best_snippets_window_and_case(spark):
+    from embeddingsearch_spark.operators.snippets import best_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta GAMMA delta alpha beta words tail here now"),
+            (2, "nothing relevant at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(9, "alpha gamma")], "query_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in best_snippets(docs, qs, window=3).collect()
+    }
+    # doc 2 has no hits -> no row
+    assert set(out) == {1}
+    r = out[1]
+    # window of 3 starting at 0 covers Alpha..GAMMA: 2 hits; the later
+    # window at pos 2 (GAMMA delta alpha) also has 2 -> earliest wins
+    assert r["start"] == 0 and r["n_hits"] == 2
+    # snippet preserves original case
+    assert r["snippet"] == "Alpha beta GAMMA"
