@@ -473,3 +473,30 @@ def test_media_asset_pool_single_scan_no_join(spark):
     assert plan.count("Scan parquet") <= 2, plan
     for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert join not in plan, join
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian(spark):
+    """The postings semi-join against the query-term set must broadcast
+    (the corpus never shuffles for the match), and nothing degenerates
+    to a cartesian product."""
+    from embeddingsearch_spark.suite.retrievalops import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_search_snippets_no_cartesian_single_window_pair(spark):
+    """Snippet extraction: hit stream joins broadcast query terms; the
+    candidate-window count is a RANGE frame, never a self-join."""
+    from embeddingsearch_spark.suite.retrievalops import (
+        q_search_snippets,
+    )
+
+    df = q_search_snippets(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # exactly one window spec pair (count frame + argmax row_number)
+    assert plan.count("Window") >= 1
