@@ -967,3 +967,43 @@ def cluster_balanced_sample(
     return stratified_fixed_n(
         assigned, id_col, "centroid_id", n_per_cluster, salt=salt
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate ranking against the exact one:
+    ``(query_id, n_hits, recall)`` per query — the standard ANN quality
+    metric (|approx∩exact| / min(k, |exact|)). Both inputs are
+    (query_id, vec_id[, rank]) top-k frames; rank columns beyond k are
+    filtered if present. Rank rows only — corpus never touched."""
+    def topk(df):
+        out = df
+        if "rank" in df.columns:
+            out = out.filter(F.col("rank") <= k)
+        return out.select(query_id_col, id_col)
+
+    a = topk(approx)
+    e = topk(exact)
+    denom = e.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("_n_exact")
+    )
+    hits = a.join(e, [query_id_col, id_col], "left_semi").groupBy(
+        query_id_col
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        denom.join(hits, query_id_col, "left_outer")
+        .select(
+            query_id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.least(F.lit(k), F.col("_n_exact")),
+                ROUND_DIGITS,
+            ).alias("recall"),
+        )
+    )

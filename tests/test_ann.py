@@ -188,3 +188,27 @@ def test_hard_negative_mine_excludes_self_and_dups(spark):
     ]
     # self (0) and near-dup (1, remapped cosine ~0.9999) excluded
     assert out == [(2, 1), (3, 2)]
+
+
+def test_ann_recall_at_k(spark):
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    exact = spark.createDataFrame(
+        [(1, v, r) for r, v in enumerate([10, 11, 12], 1)]
+        + [(2, v, r) for r, v in enumerate([20, 21], 1)],
+        "query_id long, vec_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 77, 1), (2, 78, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_ops.ann_recall(approx, exact, k=3).collect()
+    }
+    assert out[1]["n_hits"] == 2 and abs(out[1]["recall"] - 2 / 3) < 1e-6
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
+
+    # self-recall is 1 by construction
+    self_r = ann_ops.ann_recall(exact, exact, k=3).collect()
+    assert all(r["recall"] == 1.0 for r in self_r)
