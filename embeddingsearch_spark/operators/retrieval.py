@@ -239,6 +239,24 @@ def prf_expansion_terms(
     qterms = query_terms(queries, query_id_col, query_text_col)
     stats = corpus_stats(docs, text_col)
     post = _postings(docs, id_col, text_col)
+    return _prf_terms_from_parts(
+        post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1, b
+    )
+
+
+def _prf_terms_from_parts(
+    post: DataFrame,
+    qterms: DataFrame,
+    stats: dict,
+    k_fb: int,
+    m_terms: int,
+    id_col: str,
+    query_id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Expansion-term core over pre-built postings/stats — shared with
+    `bm25_prf_topk` so the two-pass query builds the postings ONCE."""
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b
     )
@@ -303,14 +321,21 @@ def bm25_prf_topk(
     n_matched, rank<=k)``. Both passes share the declared BM25
     semantics; the expanded term set is the union of original and
     expansion terms (distinct)."""
-    expansion = prf_expansion_terms(
-        docs, queries, k_fb, m_terms, id_col, text_col,
-        query_id_col, query_text_col, k1, b,
-    ).select(query_id_col, "term")
     qterms = query_terms(queries, query_id_col, query_text_col)
-    expanded = qterms.unionByName(expansion).distinct()
     stats = corpus_stats(docs, text_col)
-    post = _postings(docs, id_col, text_col)
+    # one postings frame shared by the feedback pass and the re-score —
+    # pinned, so both passes read a single materialization instead of
+    # re-exploding the corpus three times. The materialized postings ARE
+    # the (transient) inverted index; at warehouse scale you'd persist
+    # this frame once, bucketed by term, and every BM25/PRF query would
+    # read it instead of the raw corpus.
+    post = _postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    expansion = _prf_terms_from_parts(
+        post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1, b
+    ).select(query_id_col, "term")
+    expanded = qterms.unionByName(expansion).distinct()
     scored = bm25_scores_from_terms(
         post, expanded, stats, id_col, query_id_col, k1, b
     )
