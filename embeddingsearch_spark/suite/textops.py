@@ -245,6 +245,50 @@ UNION ALL
 {_qq_metric_sql("n_chars")}"""
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Distribution-shift monitor between two corpus snapshots (even vs
+    odd doc ids): per-token smoothed probabilities and log-ratios over
+    the shared top-1024 vocabulary — the table that explains WHERE a
+    re-crawl's distribution moved. One token-count pass per side,
+    vocabulary-bounded output."""
+    from embeddingsearch_spark.operators.drift import vocab_drift
+
+    docs = tables.load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    _, per_token = vocab_drift(a, b, vocab_size=1024)
+    return per_token
+
+
+_VD_LTOKS = TOKS_SQL.replace("text", "lower(text)")
+
+VOCAB_DRIFT_SQL = f"""WITH ca AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({_VD_LTOKS}) AS tok FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY tok
+),
+cb AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({_VD_LTOKS}) AS tok FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY tok
+),
+merged AS (
+  SELECT tok, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM ca FULL OUTER JOIN cb USING (tok)
+),
+vocab AS (
+  SELECT tok, ca, cb FROM merged
+  ORDER BY ca + cb DESC, tok ASC LIMIT 1024
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM merged)
+SELECT tok,
+       round((ca + 1.0) / (tot.na + 1025.0), {RD}) AS p_a,
+       round((cb + 1.0) / (tot.nb + 1025.0), {RD}) AS p_b,
+       round(ln(((ca + 1.0) / (tot.na + 1025.0))
+                / ((cb + 1.0) / (tot.nb + 1025.0))), {RD}) AS log_ratio
+FROM vocab, tot"""
+
+
 def q_fingerprint(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     return docs.select(
@@ -1855,6 +1899,7 @@ QUERIES = {
     "bpe_token_count": (q_bpe_token_count, BPE_TOKEN_COUNT_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "quality_quantiles": (q_quality_quantiles, QUALITY_QUANTILES_SQL),
+    "vocab_drift": (q_vocab_drift, VOCAB_DRIFT_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "lang_id_model": (q_lang_id_model, LANG_ID_MODEL_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
