@@ -566,6 +566,34 @@ SELECT dim, count(*) AS n,
 FROM ex GROUP BY dim"""
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between two snapshots (even vs odd
+    vec_ids): the 8 most-shifted dimensions by |mean_a − mean_b| — the
+    monitor that catches an embedder/model change between pipeline
+    runs. One posexplode aggregation per side, dim-bounded output."""
+    from embeddingsearch_spark.operators.drift import embedding_drift
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    _, per_dim = embedding_drift(a, b, top_dims=8)
+    return per_dim
+
+
+EMBEDDING_DRIFT_SQL = f"""WITH ex AS (
+  SELECT vec_id % 2 AS side, CAST(i - 1 AS INT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+ma AS (SELECT dim, avg(v) AS mean_a FROM ex WHERE side = 0 GROUP BY dim),
+mb AS (SELECT dim, avg(v) AS mean_b FROM ex WHERE side = 1 GROUP BY dim)
+SELECT dim, round(mean_a, {RD}) AS mean_a, round(mean_b, {RD}) AS mean_b,
+       round(abs(mean_a - mean_b), {RD}) AS shift
+FROM ma JOIN mb USING (dim)
+ORDER BY round(abs(mean_a - mean_b), {RD}) DESC, dim ASC
+LIMIT 8"""
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (the memory-scale ANN path:
     vectors -> M=8 codes over 16-codeword subspace codebooks; the scan
@@ -855,6 +883,7 @@ QUALIFY rank <= 10"""
 
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, EMBEDDING_DIM_STATS_SQL),
+    "embedding_drift": (q_embedding_drift, EMBEDDING_DRIFT_SQL),
     "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
