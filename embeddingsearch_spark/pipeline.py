@@ -290,3 +290,75 @@ def curate(
         ),
         stages=stages,
     )
+
+
+def curate_incremental(
+    batch: DataFrame,
+    indexed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 25,
+    gopher_rules: tuple[str, ...] = ("r_words", "r_alpha"),
+    neardup_threshold: float = 0.5,
+    hash_fn: str = "sha256",
+) -> CurationResult:
+    """Per-batch ingest curation AGAINST an indexed corpus — the
+    incremental twin of `curate`: exact-fingerprint gate (anti-join
+    against the index), near-dup gate (banded MinHash vs the index,
+    Jaccard-verified), then the scan-stage Gopher rules on what
+    survives. Same funnel accounting and decision-frame pinning as the
+    batch pipeline; the indexed corpus is only ever joined against —
+    never rewritten — so ingest cost scales with the batch."""
+    from embeddingsearch_spark.operators import (
+        dedup as dd_ops,
+        funnel,
+        repetition,
+    )
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    stages: list[tuple[str, DataFrame]] = [("batch", batch)]
+    cur = batch
+
+    # exact gate: only fingerprints absent from the index survive
+    keep = _pin(
+        dd_ops.incremental_new_docs(
+            cur, indexed, id_col, text_col
+        ).select(id_col)
+    )
+    cur = cur.join(keep, id_col, "left_semi")
+    stages.append(("exact_gate", cur))
+
+    # near-dup gate: survivors without a Jaccard-verified indexed match
+    flags = dd_ops.incremental_neardup(
+        cur,
+        indexed,
+        id_col,
+        text_col,
+        threshold=neardup_threshold,
+        hash_fn=hash_fn,
+    )
+    keep = _pin(flags.filter(F.col("is_new")).select(id_col))
+    cur = cur.join(keep, id_col, "left_semi")
+    stages.append(("neardup_gate", cur))
+
+    # quality gate on what's genuinely new
+    gop = repetition.gopher_rules(
+        cur, id_col, text_col, min_words=min_words
+    )
+    cond = F.lit(True)
+    for r in gopher_rules:
+        cond = cond & F.col(r)
+    cur = cur.join(
+        _pin(gop.filter(cond).select(id_col)), id_col, "left_semi"
+    )
+    stages.append(("gopher", cur))
+
+    return CurationResult(
+        docs=cur,
+        funnel=funnel.funnel_stats(
+            [(name, df.select(id_col)) for name, df in stages]
+        ),
+        stages=stages,
+    )

@@ -550,6 +550,111 @@ SELECT i.doc_id, b.idx_id AS match_id, round(b.jacc, {RD}) AS jaccard,
 FROM inc i LEFT JOIN best b ON b.inc_id = i.doc_id"""
 
 
+
+def q_curation_incremental(spark, sf_dir):
+    """The incremental curation pipeline end-to-end: the planted batch
+    (exact re-deliveries %7, near copies %5 + tail, fresh %11) gated
+    against the indexed documents — exact fingerprint gate, banded
+    near-dup gate, Gopher rules on the survivors — returning the funnel.
+    Every gate reuses an already-oracled operator; this query pins the
+    COMPOSITION (stage order, id-chaining, funnel)."""
+    from embeddingsearch_spark.pipeline import curate_incremental
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" entirely new content block with no indexed overlap"),
+        ).alias("text"),
+    )
+    batch = exact.unionAll(near).unionAll(fresh)
+    res = curate_incremental(
+        batch, docs, min_words=10, neardup_threshold=0.5
+    )
+    return res.funnel
+
+
+def _curation_incremental_sql() -> str:
+    return f"""WITH {_INC_SQL},
+idx_fp AS (
+  SELECT DISTINCT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS fp
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id FROM inc
+  WHERE sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        NOT IN (SELECT fp FROM idx_fp)
+),
+inc2 AS (SELECT inc.doc_id, inc.text FROM inc JOIN s1 USING (doc_id)),
+{_sh_of('inc2', 'shi')},
+{_sh_of('documents', 'shx')},
+{_banded_of('shi', 'bi')},
+{_banded_of('shx', 'bx')},
+cand AS (
+  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS idx_id
+  FROM bi a JOIN bx b ON a.band = b.band AND a.bh = b.bh
+),
+sizes_i AS (SELECT doc_id, count(*) AS nsh FROM shi GROUP BY doc_id),
+sizes_x AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.inc_id, c.idx_id, count(*) AS ninter
+  FROM cand c
+  JOIN shi sa ON sa.doc_id = c.inc_id
+  JOIN shx sb ON sb.doc_id = c.idx_id AND sb.shingle = sa.shingle
+  GROUP BY c.inc_id, c.idx_id
+),
+matched AS (
+  SELECT DISTINCT c.inc_id
+  FROM cand c
+  JOIN sizes_i zi ON zi.doc_id = c.inc_id
+  JOIN sizes_x zx ON zx.doc_id = c.idx_id
+  LEFT JOIN inter i ON i.inc_id = c.inc_id AND i.idx_id = c.idx_id
+  WHERE CAST(coalesce(i.ninter, 0) AS DOUBLE)
+        / (zi.nsh + zx.nsh - coalesce(i.ninter, 0)) >= 0.5
+),
+s2 AS (
+  SELECT doc_id FROM s1
+  WHERE doc_id NOT IN (SELECT inc_id FROM matched)
+),
+m AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS DOUBLE) AS n_words,
+         {TOKS_SQL} AS toks
+  FROM inc
+),
+s3 AS (
+  SELECT m.doc_id FROM m JOIN s2 USING (doc_id)
+  WHERE n_words >= 10 AND n_words <= 100000
+    AND CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}')))
+             AS DOUBLE)
+        / CASE WHEN n_words = 0 THEN 1.0 ELSE n_words END >= 0.8
+),
+stages AS (
+  SELECT 0 AS stage_idx, 'batch' AS stage, count(*) AS n FROM inc
+  UNION ALL SELECT 1, 'exact_gate', count(*) FROM s1
+  UNION ALL SELECT 2, 'neardup_gate', count(*) FROM s2
+  UNION ALL SELECT 3, 'gopher', count(*) FROM s3
+)
+SELECT stage_idx, stage, n,
+       CAST(coalesce(lag(n) OVER (ORDER BY stage_idx) - n, 0) AS BIGINT)
+         AS n_dropped,
+       round(CASE WHEN coalesce(lag(n) OVER (ORDER BY stage_idx), 0) = 0
+                  THEN 0.0
+                  ELSE CAST(lag(n) OVER (ORDER BY stage_idx) - n AS DOUBLE)
+                       / lag(n) OVER (ORDER BY stage_idx) END, 6)
+         AS drop_pct
+FROM stages"""
+
+
 _SPAN_N = 8
 
 
@@ -789,6 +894,10 @@ QUERIES = {
     "winnow_spans": (q_winnow_spans, WINNOW_SPANS_SQL),
     "dedup_spans_remove": (q_dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "curation_incremental": (
+        q_curation_incremental,
+        _curation_incremental_sql(),
+    ),
     "dedup_incremental_bloom": (
         q_dedup_incremental_bloom,
         DEDUP_INCREMENTAL_SQL,

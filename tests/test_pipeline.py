@@ -140,3 +140,34 @@ def test_curate_lang_gate(spark):
     assert [s for s, _ in res.stages] == ["input", "lang"]
     ids = {r["doc_id"] for r in res.docs.collect()}
     assert ids == {1}
+
+
+def test_curate_incremental_gates(spark):
+    """Exact re-delivery caught by the fingerprint gate, near copy by
+    the near-dup gate, short fresh doc by gopher; the genuinely new
+    long doc survives all three."""
+    from embeddingsearch_spark.pipeline import curate_incremental
+
+    indexed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (11, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (12, "tiny"),
+            (13, "a completely novel document about catalyst plans and shuffle exchange reuse strategies"),
+        ],
+        "doc_id long, text string",
+    )
+    res = curate_incremental(batch, indexed, min_words=5)
+    funnel = {r["stage"]: r["n"] for r in res.funnel.collect()}
+    assert funnel == {
+        "batch": 4,
+        "exact_gate": 3,  # 10 is byte-identical
+        "neardup_gate": 2,  # 11 is a near copy
+        "gopher": 1,  # 12 too short
+    }
+    ids = {r["doc_id"] for r in res.docs.collect()}
+    assert ids == {13}
