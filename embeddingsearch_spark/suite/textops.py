@@ -260,6 +260,53 @@ def q_vocab_drift(spark, sf_dir):
     return per_token
 
 
+def q_source_quality_profile(spark, sf_dir):
+    """The per-source quality dashboard every pipeline run publishes:
+    doc/token counts, token-length stats, and mean stopword ratio per
+    (source, lang) — one scan, one hash aggregation, output bounded by
+    the source×lang cardinality."""
+    docs = tables.load(spark, sf_dir, "documents")
+    m = T.quality_metrics(F.col("text"))
+    staged = docs.select(
+        "source",
+        "lang",
+        m["n_tokens"].alias("_nt"),
+        m["stopword_ratio"].alias("_sw"),
+    )
+    return staged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nt"), RD).alias("mean_tokens"),
+        F.min("_nt").alias("min_tokens"),
+        F.max("_nt").alias("max_tokens"),
+        F.round(F.avg("_sw"), RD).alias("mean_stopword_ratio"),
+    )
+
+
+_SQP_LTOKS = TOKS_SQL.replace("text", "lower(text)")
+
+
+def _sqp_sql() -> str:
+    from embeddingsearch_spark.functions.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""WITH m AS (
+  SELECT source, lang,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS nt,
+         CASE WHEN len({TOKS_SQL}) = 0 THEN 0.0
+              ELSE CAST(len(list_filter({_SQP_LTOKS},
+                          t -> list_contains([{sw}], t))) AS DOUBLE)
+                   / len({TOKS_SQL}) END AS sw
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), {RD}) AS mean_tokens,
+       min(nt) AS min_tokens, max(nt) AS max_tokens,
+       round(avg(sw), {RD}) AS mean_stopword_ratio
+FROM m GROUP BY source, lang"""
+
+
 _VD_LTOKS = TOKS_SQL.replace("text", "lower(text)")
 
 VOCAB_DRIFT_SQL = f"""WITH ca AS (
@@ -1900,6 +1947,7 @@ QUERIES = {
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "quality_quantiles": (q_quality_quantiles, QUALITY_QUANTILES_SQL),
     "vocab_drift": (q_vocab_drift, VOCAB_DRIFT_SQL),
+    "source_quality_profile": (q_source_quality_profile, _sqp_sql()),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "lang_id_model": (q_lang_id_model, LANG_ID_MODEL_SQL),
     "doc_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
