@@ -981,14 +981,32 @@ def ann_recall(
     metric (|approx∩exact| / min(k, |exact|)). Both inputs are
     (query_id, vec_id[, rank]) top-k frames; rank columns beyond k are
     filtered if present. Rank rows only — corpus never touched."""
-    def topk(df):
+    def topk(df, name):
         out = df
         if "rank" in df.columns:
             out = out.filter(F.col("rank") <= k)
-        return out.select(query_id_col, id_col)
+        out = out.select(query_id_col, id_col)
+        # without a rank column there is no way to cap a frame holding
+        # more than k rows per query, and recall would silently exceed
+        # 1 — surface the contract violation instead (rank frames are
+        # tiny; the check is one aggregation over them)
+        if "rank" not in df.columns:
+            over = (
+                out.groupBy(query_id_col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > k)
+                .limit(1)
+                .collect()
+            )
+            if over:
+                raise ValueError(
+                    f"{name} frame has a query with {over[0]['_n']} "
+                    f"rows but no 'rank' column to cap at k={k}"
+                )
+        return out
 
-    a = topk(approx)
-    e = topk(exact)
+    a = topk(approx, "approx")
+    e = topk(exact, "exact")
     denom = e.groupBy(query_id_col).agg(
         F.count(F.lit(1)).alias("_n_exact")
     )

@@ -27,15 +27,13 @@ from embeddingsearch_spark.constants import ROUND_DIGITS
 
 
 def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
-    from embeddingsearch_spark.functions.text import tokens
-
-    return (
-        df.select(
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # ONE definition of unigram counting (lmscore) — shared so drift
+    # and LM scoring can't silently diverge on tokenization
+    from embeddingsearch_spark.operators.lmscore import (
+        corpus_token_counts,
     )
+
+    return corpus_token_counts(df, text_col)
 
 
 def vocab_drift(
@@ -130,7 +128,13 @@ def embedding_drift(
             )
         )
 
-    j = dim_means(emb_a, "a").join(dim_means(emb_b, "b"), "dim")
+    # d-bounded; pinned so collecting BOTH returned frames costs one
+    # posexplode pass per side, not two (the vocab_drift convention)
+    j = (
+        dim_means(emb_a, "a")
+        .join(dim_means(emb_b, "b"), "dim")
+        .localCheckpoint(eager=False)
+    )
     shift = F.col("mean_a") - F.col("mean_b")
     per_dim = (
         j.select(

@@ -40,6 +40,19 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def corpus_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level lowered-token counts ``(tok, c)`` — THE engine
+    tokenization for unigram statistics, shared by LM scoring and
+    drift monitoring so the two can't silently diverge."""
+    return (
+        df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def unigram_vocab(
     df: DataFrame, id_col: str, text_col: str, vocab_size: int = 65536
 ) -> DataFrame:

@@ -75,8 +75,23 @@ class HttpReranker:
                     f"provider returned {len(results)} scores for "
                     f"{len(chunk)} documents"
                 )
+            seen: set[int] = set()
             for r in results:
-                out[i + int(r["index"])] = float(r["relevance_score"])
+                idx = int(r["index"])
+                # contract errors, not silent misalignment: a negative
+                # index would wrap via Python list semantics and score
+                # the wrong document; duplicates would leave gaps
+                if not 0 <= idx < len(chunk):
+                    raise ValueError(
+                        f"provider index {idx} outside batch of "
+                        f"{len(chunk)}"
+                    )
+                if idx in seen:
+                    raise ValueError(
+                        f"provider returned duplicate index {idx}"
+                    )
+                seen.add(idx)
+                out[i + idx] = float(r["relevance_score"])
         return out
 
 
@@ -109,8 +124,12 @@ def rerank_topk(
         ),
         query_id_col,
     ).select(query_id_col, id_col, text_col, "_qtext")
+    # derive id/query-id types from the input so string/UUID ids work —
+    # a hardcoded `long` would make Arrow reject or null-cast them
+    qt = candidates.schema[query_id_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_id_col} long, {id_col} long, rerank_score double"
+        f"{query_id_col} {qt}, {id_col} {it}, rerank_score double"
     )
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:

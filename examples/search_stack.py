@@ -57,7 +57,11 @@ def main(sf_dir: str) -> None:
 
     # snippets for the fused results
     hits = fused.select("query_id", "doc_id")
-    snips = best_snippets(docs.join(hits, "doc_id"), tq, window=8)
+    snips = best_snippets(
+        docs.join(hits.select("doc_id").distinct(), "doc_id"),
+        tq,
+        window=8,
+    )
     print("best snippet per fused (query, doc):")
     snips.join(hits, ["query_id", "doc_id"]).orderBy(
         "query_id", "doc_id"

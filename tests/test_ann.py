@@ -212,3 +212,18 @@ def test_ann_recall_at_k(spark):
     # self-recall is 1 by construction
     self_r = ann_ops.ann_recall(exact, exact, k=3).collect()
     assert all(r["recall"] == 1.0 for r in self_r)
+
+
+def test_ann_recall_rejects_uncapped_rankless_frames(spark):
+    import pytest
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    exact = spark.createDataFrame(
+        [(1, v) for v in range(20)], "query_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 5)], "query_id long, vec_id long"
+    )
+    with pytest.raises(ValueError, match="no 'rank' column"):
+        ann_ops.ann_recall(approx, exact, k=10)

@@ -498,5 +498,14 @@ def test_search_snippets_no_cartesian_single_window_pair(spark):
     plan = pi.physical_plan(df)
     assert pi.has_broadcast_join(df)
     assert "CartesianProduct" not in plan
-    # exactly one window spec pair (count frame + argmax row_number)
-    assert plan.count("Window") >= 1
+    # no self-join on the hit stream: ONE join total (the broadcast
+    # query-term match) plus the snippet-text join back onto the doc
+    # scan; a regression to pairwise window counting would add joins
+    # healthy count is 6 (query derivation joins + term match + text
+    # join-back, with AQE rendering some twice); a pairwise self-join
+    # regression on the hit stream would push well past this
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins <= 6, n_joins

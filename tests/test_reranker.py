@@ -92,3 +92,49 @@ def test_rerank_topk_stage(spark):
     assert out[(1, 2)]["doc_id"] == 12
     assert out[(2, 1)]["doc_id"] == 20
     assert (1, 3) not in out  # k=2 cap
+
+
+def test_rerank_rejects_bad_provider_indexes():
+    import pytest
+
+    def negative(url, payload, headers, timeout):
+        n = len(payload["documents"])
+        return {
+            "results": [
+                {"index": -(i + 1), "relevance_score": 1.0}
+                for i in range(n)
+            ]
+        }
+
+    rr = HttpReranker(url="u", model="m", transport=negative)
+    with pytest.raises(ValueError, match="outside batch"):
+        rr.rerank("q", ["a", "b"])
+
+    def dup(url, payload, headers, timeout):
+        n = len(payload["documents"])
+        return {
+            "results": [
+                {"index": 0, "relevance_score": 1.0} for _ in range(n)
+            ]
+        }
+
+    rr2 = HttpReranker(url="u", model="m", transport=dup)
+    with pytest.raises(ValueError, match="duplicate index"):
+        rr2.rerank("q", ["a", "b"])
+
+
+def test_rerank_topk_string_ids(spark):
+    calls = []
+    rr = HttpReranker(
+        url="u", model="m", transport=_mock_transport(calls)
+    )
+    candidates = spark.createDataFrame(
+        [("q1", "url-a", "long text wins here"), ("q1", "url-b", "x")],
+        "query_id string, doc_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "whatever")], "query_id string, text string"
+    )
+    out = rerank_topk(candidates, queries, rr, k=2).collect()
+    got = {r["rank"]: r["doc_id"] for r in out}
+    assert got == {1: "url-a", 2: "url-b"}
