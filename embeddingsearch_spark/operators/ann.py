@@ -141,15 +141,17 @@ def chunk_max_topk(
             sim.alias("_sim"),
         )
     )
-    # max_by on (sim, -id): highest sim, ties -> smallest chunk id —
-    # deterministic in one aggregation, no window over the chunk stream
+    # min_by on (-sim, id): highest sim, ties -> smallest chunk id —
+    # deterministic in one aggregation, no window over the chunk stream.
+    # The negation lives on the (always-numeric) sim, not the id, so
+    # string/UUID chunk ids order natively instead of casting to NULL.
     per_doc = scored.groupBy(query_id_col, doc_col).agg(
         F.max("_sim").alias("cosine"),
-        F.max_by(
+        F.min_by(
             F.col(id_col),
             F.struct(
-                F.col("_sim").alias("s"),
-                (-F.col(id_col)).alias("negid"),
+                (-F.col("_sim")).alias("negsim"),
+                F.col(id_col).alias("i"),
             ),
         ).alias("best_vec_id"),
     )
@@ -1005,23 +1007,38 @@ def ann_recall(
                 )
         return out
 
-    a = topk(approx, "approx")
-    e = topk(exact, "exact")
+    # duplicate (query, vec) rows in either frame would inflate n_hits
+    # past the denominator (recall > 1) — count distinct pairs only
+    a = topk(approx, "approx").distinct()
+    e = topk(exact, "exact").distinct()
     denom = e.groupBy(query_id_col).agg(
         F.count(F.lit(1)).alias("_n_exact")
     )
     hits = a.join(e, [query_id_col, id_col], "left_semi").groupBy(
         query_id_col
     ).agg(F.count(F.lit(1)).alias("n_hits"))
+    # full outer: a query present only in the approx frame surfaces
+    # with recall NULL (no exact baseline) instead of vanishing
+    qset = (
+        a.select(query_id_col)
+        .union(e.select(query_id_col))
+        .distinct()
+    )
     return (
-        denom.join(hits, query_id_col, "left_outer")
+        qset.join(denom, query_id_col, "left_outer")
+        .join(hits, query_id_col, "left_outer")
         .select(
             query_id_col,
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.least(F.lit(k), F.col("_n_exact")),
-                ROUND_DIGITS,
+            # least() skips NULLs, so guard explicitly: no exact
+            # baseline → recall NULL, not 0/k
+            F.when(
+                F.col("_n_exact").isNotNull(),
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.least(F.lit(k), F.col("_n_exact")),
+                    ROUND_DIGITS,
+                ),
             ).alias("recall"),
         )
     )

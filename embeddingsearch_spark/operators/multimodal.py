@@ -420,7 +420,12 @@ def frame_features(
         "_fc",
         F.expr(f"substring({content_col}, frame_idx + 1)"),
     )
-    out_schema = f"{id_col} long, frame_idx int, features array<double>"
+    # id type follows the input schema (same contract as
+    # sources/reranker.rerank_topk) — string/UUID media ids pass through
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, frame_idx int, features array<double>"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -439,7 +444,7 @@ def frame_features(
                         feats = _real_decode(b, str(mod), feature_dim)
                     except NotImplementedError:
                         feats = _fake_features(b, feature_dim)
-                recs.append((int(mid), int(fidx), feats))
+                recs.append((mid, int(fidx), feats))
             yield pd.DataFrame(
                 recs, columns=[id_col, "frame_idx", "features"]
             )

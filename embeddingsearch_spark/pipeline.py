@@ -97,8 +97,11 @@ def curate(
     The perplexity gate's LM trains on the pipeline INPUT corpus
     (post-normalize, pre-dedup) — the CCNet convention, and the choice
     that keeps the gate's scores independent of which dedup tiers are
-    toggled. ``benchmark`` activates the decontamination stage (word
-    ``contam_ngram``-gram overlap, benchmark side broadcast)."""
+    toggled. Docs the LM cannot score (empty/NULL text → NULL
+    perplexity) PASS the perplexity gate — abstain, not veto; enable
+    the Gopher stage to drop empty docs. ``benchmark`` activates the
+    decontamination stage (word ``contam_ngram``-gram overlap,
+    benchmark side broadcast)."""
     from embeddingsearch_spark.functions import text as T
     from embeddingsearch_spark.operators import (
         boilerplate,
@@ -211,14 +214,20 @@ def curate(
             vocab_size=policy.ppl_vocab,
             smoothing=policy.ppl_smoothing,
         )
+        # Unscorable docs (empty/NULL text: no row, or NULL perplexity)
+        # are NOT a quality verdict — the LM abstains, it does not veto,
+        # so the gate drops only docs it POSITIVELY scored above the
+        # cut (anti-join on failures; Gopher's min_words is the gate
+        # that drops empty docs when enabled). The old keep-list
+        # left_semi silently dropped them even at max_ppl = +inf.
         cur = cur.join(
             _pin(
-                lm.filter(F.col("perplexity") <= policy.max_ppl).select(
+                lm.filter(F.col("perplexity") > policy.max_ppl).select(
                     id_col
                 )
             ),
             id_col,
-            "left_semi",
+            "left_anti",
         )
         stages.append(("ppl", cur))
 

@@ -710,8 +710,10 @@ lm AS (
   FROM sc, tot, kk GROUP BY doc_id
 ),
 s4 AS (
-  SELECT s3.doc_id FROM s3 JOIN lm USING (doc_id)
-  WHERE lm.ppl <= {_MAX_PPL}
+  -- NULL/absent perplexity (unscorable empty docs) passes the gate:
+  -- the LM abstains, it does not veto (pipeline.curate semantics)
+  SELECT s3.doc_id FROM s3 LEFT JOIN lm USING (doc_id)
+  WHERE lm.ppl <= {_MAX_PPL} OR lm.ppl IS NULL
 ),
 bench AS (
   SELECT doc_id AS bench_id,

@@ -161,6 +161,22 @@ def test_chunk_max_topk_tie_smallest_chunk(spark):
     assert r["cosine"] == 1.0 and r["best_vec_id"] == 3
 
 
+def test_chunk_max_topk_string_chunk_ids(spark):
+    """String/UUID chunk ids: tiebreak must stay deterministic (the old
+    -id negation cast strings to NULL, silently randomizing it)."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    rows = [(0, "c-b", [0.0, 1.0]), (0, "c-a", [0.0, 2.0])]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, vec_id string, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    r = ann_ops.chunk_max_topk(chunks, queries, k=1).collect()[0]
+    assert r["cosine"] == 1.0 and r["best_vec_id"] == "c-a"
+
+
 def test_hard_negative_mine_excludes_self_and_dups(spark):
     from embeddingsearch_spark.operators import ann as ann_ops
 
@@ -212,6 +228,28 @@ def test_ann_recall_at_k(spark):
     # self-recall is 1 by construction
     self_r = ann_ops.ann_recall(exact, exact, k=3).collect()
     assert all(r["recall"] == 1.0 for r in self_r)
+
+
+def test_ann_recall_dedup_and_approx_only_queries(spark):
+    """Duplicate (query, vec) pairs must not inflate n_hits past the
+    denominator, and a query present only in the approx frame surfaces
+    with recall NULL instead of vanishing."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, vec_id long, rank long"
+    )
+    approx = spark.createDataFrame(
+        # (1, 10) duplicated; query 5 has no exact baseline
+        [(1, 10, 1), (1, 10, 2), (5, 50, 1)],
+        "query_id long, vec_id long, rank long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_ops.ann_recall(approx, exact, k=3).collect()
+    }
+    assert out[1]["n_hits"] == 1 and abs(out[1]["recall"] - 0.5) < 1e-9
+    assert 5 in out and out[5]["recall"] is None
 
 
 def test_ann_recall_rejects_uncapped_rankless_frames(spark):

@@ -203,3 +203,28 @@ def test_frame_features_and_asset_pool(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_frame_features_string_media_ids(spark):
+    """The output id type follows the input schema (rerank_topk
+    contract) — string media ids must survive, not crash on int()."""
+    payload = bytes(range(64))
+    df = spark.createDataFrame(
+        [
+            (
+                "asset-a",
+                "video",
+                bytearray(payload),
+                ("video", 16, 16, 16000, 1000, 20),
+            )
+        ],
+        "media_id string, modality string, content binary, "
+        f"media_meta {mm.MEDIA_META_SCHEMA}",
+    )
+    frames = mm.frame_features(
+        df, every_n=10, max_frames=4, decoder="fake", feature_dim=4
+    )
+    assert frames.schema["media_id"].dataType.simpleString() == "string"
+    rows = frames.collect()
+    assert {r.media_id for r in rows} == {"asset-a"}
+    assert {r.frame_idx for r in rows} == {0, 10}

@@ -67,6 +67,31 @@ def test_curate_stages_skippable(spark):
     assert "decontaminate" not in [s for s, _ in res2.stages]
 
 
+def test_curate_ppl_gate_passes_unscorable_docs(spark):
+    """Empty/NULL-text docs get NULL perplexity (the LM abstains) and
+    must PASS the ppl gate — with every other stage off, no doc may be
+    dropped by a gate that couldn't score it."""
+    docs = spark.createDataFrame(
+        [
+            (1, "normal document with several ordinary words inside"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    policy = CurationPolicy(
+        exact_dedup=False,
+        neardup=False,
+        gopher=False,
+        perplexity=True,
+        max_ppl=1e18,
+        decontaminate=False,
+    )
+    res = curate(docs, policy)
+    ids = {r["doc_id"] for r in res.docs.collect()}
+    assert ids == {1, 2, 3}
+
+
 def test_curate_paragraph_rewrite_keeps_docs(spark):
     docs = spark.createDataFrame(
         [
