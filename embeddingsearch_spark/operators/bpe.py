@@ -88,7 +88,9 @@ def bpe_top_merges(
     symbol-alphabet² bounded (vocabulary-scale, not corpus-scale), so
     the single-partition sort ranks at most ~10⁵-10⁶ rows regardless of
     corpus size."""
-    w = Window.orderBy(
+    # constant partition key keeps the (bounded) single-partition sort
+    # but silences the WindowExec "No Partition Defined" warning
+    w = Window.partitionBy(F.lit(0)).orderBy(
         F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc()
     )
     return (

@@ -211,7 +211,13 @@ def dsir_select(
         .orderBy(F.col("_score").desc(), F.col(id_col).asc())
         .limit(n)
     )
-    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    # constant partition key: same single-partition execution over the
+    # n survivors, but a non-empty partition spec — silences the
+    # WindowExec "No Partition Defined" warning that buried real
+    # signals in bench/driver tails
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
     return (
         picked.withColumn("rank", F.row_number().over(w))
         .select(

@@ -217,19 +217,20 @@ def lang_id_predict(
             * F.col("floor_logp")
         ).alias("_score"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("_score"), ROUND_DIGITS).desc(),
-        F.col("lang").asc(),
-    )
-    return (
-        scores.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
+    # argmax folded INTO the aggregation (min_by over (-rounded, lang):
+    # highest rounded score, ties -> lang asc) — no per-doc rank window,
+    # so the (doc, lang) frame needs no extra sort after the aggregation
+    rounded = F.round(F.col("_score"), ROUND_DIGITS)
+    winner = F.min_by(
+        F.struct(
             F.col("lang").alias("lang_pred"),
-            F.round(F.col("_score"), ROUND_DIGITS).alias("score"),
-            "n_grams",
-        )
+            rounded.alias("score"),
+            F.col("n_grams").alias("n_grams"),
+        ),
+        F.struct(
+            (-rounded).alias("ns"), F.col("lang").alias("l")
+        ),
+    )
+    return scores.groupBy(id_col).agg(winner.alias("_w")).select(
+        id_col, "_w.lang_pred", "_w.score", "_w.n_grams"
     )

@@ -443,6 +443,9 @@ def test_lang_id_model_broadcasts_model_bounded_scans(spark):
     assert pi.has_broadcast_join(df)
     assert plan.count("Scan parquet") <= 8, plan.count("Scan parquet")
     assert "CartesianProduct" not in plan
+    # the per-doc argmax is folded into the (doc, lang) aggregation via
+    # min_by — a regression to a rank window would add a Window + sort
+    assert "Window" not in plan, "argmax must not use a rank window"
 
 
 def test_curation_pipeline_linear_plan(spark):
