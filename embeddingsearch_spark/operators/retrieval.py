@@ -33,21 +33,55 @@ from pyspark.sql import functions as F
 from embeddingsearch_spark.constants import ROUND_DIGITS
 
 
-def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf, dl) per distinct doc-term, from one scan."""
+def _postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    include_empty: bool = False,
+) -> DataFrame:
+    """(id, term, tf, dl) per distinct doc-term, from one scan.
+
+    ``include_empty=True`` keeps zero-token docs as a single NULL-term
+    sentinel row (explode_outer) so corpus stats (N, avgdl — which by
+    declared semantics INCLUDE empty docs) can be derived from the
+    postings frame itself instead of a second corpus scan. NULL terms
+    can never equi-join a query term, so scoring is unaffected."""
     from embeddingsearch_spark.functions.text import tokens
 
+    explode = F.explode_outer if include_empty else F.explode
     toks = df.select(
         F.col(id_col),
-        tokens(F.lower(F.col(text_col))).alias("_t"),
+        F.coalesce(
+            tokens(F.lower(F.col(text_col))),
+            F.array().cast("array<string>"),
+        ).alias("_t"),
     ).select(
         F.col(id_col),
         F.size("_t").alias("dl"),
-        F.explode("_t").alias("term"),
+        explode("_t").alias("term"),
     )
     return toks.groupBy(id_col, "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+def corpus_stats_from_postings(post: DataFrame, id_col: str) -> dict:
+    """{'n', 'avgdl'} derived from a postings frame built with
+    ``include_empty=True`` — the doc-length frame is the distinct
+    (id, dl) projection, so no second pass over the corpus text."""
+    row = (
+        post.select(F.col(id_col), "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n": float(row["n"]),
+        "avgdl": float(row["avgdl"] or 0.0) or 1.0,
+    }
 
 
 def bm25_scores(
@@ -67,15 +101,19 @@ def bm25_scores(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
     variant).
 
-    Plan: corpus stats (N, avgdl) are one length-only aggregate (no
-    explode); the postings explode happens once, is semi-joined against
-    the BROADCAST query-term set (postings for non-query terms never
-    leave the scan stage), and the filtered postings frame — bounded by
-    query-term matches — is lazily checkpointed so the df aggregation
-    and the scoring join both read one materialization."""
+    Plan: ONE corpus scan total — the postings frame (built with the
+    empty-doc sentinel rows) is lazily checkpointed, corpus stats
+    (N, avgdl) derive from its distinct (id, dl) projection (the
+    stats collect() is what materializes the checkpoint), and scoring
+    semi-joins the BROADCAST query-term set against the same
+    materialization. The materialized postings ARE the transient
+    inverted index; at warehouse scale you'd persist them bucketed by
+    term and skip the scan entirely."""
     qterms = query_terms(queries, query_id_col, query_text_col)
-    stats = corpus_stats(docs, text_col)
-    post = _postings(docs, id_col, text_col)
+    post = _postings(
+        docs, id_col, text_col, include_empty=True
+    ).localCheckpoint(eager=False)
+    stats = corpus_stats_from_postings(post, id_col)
     return bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b
     )
@@ -237,8 +275,10 @@ def prf_expansion_terms(
     corpus-wide aggregation is the document-frequency table, which is
     distinct-term-bounded (the standard IR stats table)."""
     qterms = query_terms(queries, query_id_col, query_text_col)
-    stats = corpus_stats(docs, text_col)
-    post = _postings(docs, id_col, text_col)
+    post = _postings(
+        docs, id_col, text_col, include_empty=True
+    ).localCheckpoint(eager=False)
+    stats = corpus_stats_from_postings(post, id_col)
     return _prf_terms_from_parts(
         post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1, b
     )
@@ -322,16 +362,16 @@ def bm25_prf_topk(
     semantics; the expanded term set is the union of original and
     expansion terms (distinct)."""
     qterms = query_terms(queries, query_id_col, query_text_col)
-    stats = corpus_stats(docs, text_col)
-    # one postings frame shared by the feedback pass and the re-score —
-    # pinned, so both passes read a single materialization instead of
-    # re-exploding the corpus three times. The materialized postings ARE
-    # the (transient) inverted index; at warehouse scale you'd persist
-    # this frame once, bucketed by term, and every BM25/PRF query would
-    # read it instead of the raw corpus.
-    post = _postings(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    # one postings frame shared by the stats, the feedback pass, and
+    # the re-score — pinned, so all passes read a single materialization
+    # instead of re-exploding the corpus four times. The materialized
+    # postings ARE the (transient) inverted index; at warehouse scale
+    # you'd persist this frame once, bucketed by term, and every
+    # BM25/PRF query would read it instead of the raw corpus.
+    post = _postings(
+        docs, id_col, text_col, include_empty=True
+    ).localCheckpoint(eager=False)
+    stats = corpus_stats_from_postings(post, id_col)
     expansion = _prf_terms_from_parts(
         post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1, b
     ).select(query_id_col, "term")

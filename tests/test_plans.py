@@ -490,6 +490,30 @@ def test_bm25_broadcasts_query_terms_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_single_corpus_scan(spark):
+    """BM25 scans the corpus ONCE: N/avgdl derive from the pinned
+    postings frame (its distinct (id, dl) projection), not a separate
+    length pass. The stats collect() materializes the checkpoint, so
+    the returned plan reads the postings RDD — zero parquet scans —
+    and the postings frame itself is exactly one scan."""
+    from embeddingsearch_spark.operators import retrieval
+
+    docs = tables.load(spark, SF, "documents")
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    post_plan = pi.physical_plan(
+        retrieval._postings(docs, "doc_id", "text", include_empty=True)
+    )
+    # formatted rendering lists the single scan node twice (tree +
+    # details); one scan NODE is the invariant
+    assert post_plan.count("Scan parquet") <= 2, post_plan
+    df = retrieval.bm25_topk(docs, queries, k=10)
+    plan = pi.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_search_snippets_no_cartesian_single_window_pair(spark):
     """Snippet extraction: hit stream joins broadcast query terms; the
     candidate-window count is a RANGE frame, never a self-join."""
