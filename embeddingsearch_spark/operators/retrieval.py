@@ -159,6 +159,19 @@ def bm25_idf(df_col, n_docs: float):
     )
 
 
+def _bm25_contrib(stats: dict, k1: float, b: float):
+    """Per-(doc, term) BM25 contribution column over (df, tf, dl):
+    idf(df) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)). Strictly below
+    idf·(k1+1) for any finite tf — the per-term upper bound the pruned
+    path relies on."""
+    idf = bm25_idf(F.col("df"), stats["n"])
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(stats["avgdl"])
+    )
+    return idf * tf * F.lit(k1 + 1.0) / norm
+
+
 def bm25_scores_from_terms(
     post: DataFrame,
     qterms: DataFrame,
@@ -178,12 +191,7 @@ def bm25_scores_from_terms(
     dfreq = matched.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
     )
-    idf = bm25_idf(F.col("df"), stats["n"])
-    tf = F.col("tf").cast("double")
-    norm = tf + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(stats["avgdl"])
-    )
-    contrib = idf * tf * F.lit(k1 + 1.0) / norm
+    contrib = _bm25_contrib(stats, k1, b)
     return (
         matched.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qterms), "term")
@@ -213,6 +221,213 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_topk_pruned(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Max-score/WAND-family pruned BM25 top-k — RANK-SAFE: returns the
+    identical ``(query_id, doc_id, score, n_matched, rank<=k)`` frame
+    as `bm25_topk` (same oracle), but exact scoring runs only over
+    candidate docs that can still reach the top-k (the public
+    impact-ordered pruning recipe: Turtle & Flood max-score '95 /
+    Broder et al. WAND '03).
+
+    Declarative two-pass shape:
+
+    1. **Bounds.** Per query term, ub(t) = idf(t)·(k1+1) — a strict
+       upper bound on any doc's contribution from t (tf-saturation
+       never reaches 1). The (query, term, ub) table is |Q|·|T| rows,
+       broadcast-scale.
+    2. **Seed θ.** For each query, exactly score the top-``k`` docs by
+       tf on its highest-ub (rarest) term — |Q|·k pairs, broadcast —
+       and take the k-th rounded score as θ (NULL = fewer than k seeds
+       = no pruning). θ lower-bounds the final k-th score, so it is a
+       valid pruning threshold by construction.
+    3. **Essential terms.** In ub-ascending order per query, terms
+       whose running ub-sum stays strictly below θ − 10^-ROUND_DIGITS
+       (one rounding quantum of slack for the rounded-ranking
+       semantics) are *non-essential*: a doc matching ONLY those terms
+       scores below θ and can never enter the top-k. On Zipfian
+       corpora the high-df (huge-postings) terms are exactly the
+       non-essential ones, so their posting lists never produce
+       candidate rows.
+    4. **Candidates + exact pass.** Candidate (query, doc) pairs come
+       only from essential-term postings; the exact scoring
+       join+aggregation runs semi-joined to that candidate set (the
+       semi-join and the final aggregation share the (query, doc)
+       exchange). Seeds match their query's top-ub term — always
+       essential — so they are candidates automatically.
+    """
+    matched, dfreq, qterms, stats, cand = _wand_candidates(
+        docs, queries, k, id_col, text_col, query_id_col,
+        query_text_col, k1, b,
+    )
+    contrib = _bm25_contrib(stats, k1, b)
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(cand, [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _wand_candidates(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    k1: float,
+    b: float,
+):
+    """Steps 1–4's candidate generation, shared with the probe:
+    returns ``(matched, dfreq, qterms, stats, cand)`` where ``cand`` is
+    the distinct rank-safe candidate (query, doc) frame."""
+    quantum = 10.0 ** (-ROUND_DIGITS)
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    post = _postings(
+        docs, id_col, text_col, include_empty=True
+    ).localCheckpoint(eager=False)
+    stats = corpus_stats_from_postings(post, id_col)
+    matched = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    # (query, term, ub): broadcast-scale, pinned — referenced by the
+    # seed-term argmax and the essential-term cut
+    ubt = (
+        qterms.join(dfreq, "term")
+        .select(
+            query_id_col,
+            "term",
+            "df",
+            (bm25_idf(F.col("df"), stats["n"]) * F.lit(k1 + 1.0)).alias(
+                "ub"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # seed docs: top-k by tf on each query's highest-ub term
+    seed_term = ubt.groupBy(query_id_col).agg(
+        F.min_by(
+            F.col("term"),
+            F.struct((-F.col("ub")).alias("nu"), F.col("term").alias("t")),
+        ).alias("term")
+    )
+    sw = Window.partitionBy(query_id_col).orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    seed_pairs = (
+        matched.join(F.broadcast(seed_term), "term")
+        .select(query_id_col, id_col, "tf")
+        .withColumn("_r", F.row_number().over(sw))
+        .filter(F.col("_r") <= k)
+        .select(query_id_col, id_col)
+        .localCheckpoint(eager=False)
+    )
+    contrib = _bm25_contrib(stats, k1, b)
+    # exact scores of the seed pairs: postings cut to seed DOCS first
+    # (broadcast id set), then the per-query restriction
+    seed_scores = (
+        matched.join(
+            F.broadcast(seed_pairs.select(id_col).distinct()), id_col
+        )
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(seed_pairs), [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), ROUND_DIGITS).alias("score"))
+    )
+    theta = seed_scores.groupBy(query_id_col).agg(
+        F.when(
+            F.count(F.lit(1)) >= k,
+            F.element_at(
+                F.sort_array(F.collect_list("score"), asc=False), k
+            ),
+        ).alias("theta")
+    )
+    # essential terms: running ub-sum (ub asc, term asc) >= θ − quantum;
+    # θ NULL → every term essential (no pruning)
+    cw = Window.partitionBy(query_id_col).orderBy(
+        F.col("ub").asc(), F.col("term").asc()
+    )
+    ess = (
+        ubt.withColumn("_cum", F.sum("ub").over(cw))
+        .join(theta, query_id_col, "left_outer")
+        .filter(
+            F.col("theta").isNull()
+            | (F.col("_cum") >= F.col("theta") - F.lit(quantum))
+        )
+        .select(query_id_col, "term")
+    )
+    cand = (
+        matched.join(F.broadcast(ess), "term")
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    return matched, dfreq, qterms, stats, cand
+
+
+def bm25_prune_stats(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Measure what max-score pruning saves — the probe numbers for
+    BASELINE.md: all matching (query, doc) pairs vs the rank-safe
+    candidate pairs, and the exact-scoring input rows
+    ((query, doc, term) triples) with and without the filter."""
+    matched, dfreq, qterms, stats, cand = _wand_candidates(
+        docs, queries, k, id_col, text_col, query_id_col,
+        query_text_col, k1, b,
+    )
+    all_rows = matched.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col
+    )
+    full = all_rows.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(query_id_col, id_col).alias("pairs"),
+    ).collect()[0]
+    kept_rows = all_rows.join(
+        cand, [query_id_col, id_col], "left_semi"
+    ).count()
+    n_cand = cand.count()
+    return {
+        "full_pairs": int(full["pairs"]),
+        "cand_pairs": int(n_cand),
+        "full_score_rows": int(full["rows"]),
+        "cand_score_rows": int(kept_rows),
+    }
 
 
 def rrf_fuse(

@@ -121,6 +121,20 @@ SELECT query_id, doc_id, score, n_matched, CAST(rank AS INT) AS rank
 FROM bmranked WHERE rank <= 10"""
 
 
+def q_bm25_wand_topk(spark, sf_dir):
+    """Max-score/WAND-pruned BM25 top-10 — rank-safe by construction,
+    so it shares `bm25_topk`'s oracle verbatim: per-term upper bounds
+    (idf·(k1+1)) broadcast, a seed pass on each query's rarest term
+    fixes the pruning threshold θ, non-essential terms (running
+    ub-sum < θ − rounding quantum) never generate candidates, and exact
+    scoring runs semi-joined to the surviving candidate pairs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return retrieval.bm25_topk_pruned(
+        docs, _text_queries(spark, sf_dir), k=10
+    )
+
+
 def q_bm25_prf_topk(spark, sf_dir):
     """BM25 with pseudo-relevance feedback (RM3-style): top-5 feedback
     docs per query, top-3 expansion terms by Σ tf·idf (original terms
@@ -293,6 +307,8 @@ QUALIFY fused_rank <= 10"""
 
 QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
+    # rank-safe pruning ⇒ identical result set ⇒ identical oracle
+    "bm25_wand_topk": (q_bm25_wand_topk, BM25_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),

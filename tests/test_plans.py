@@ -514,6 +514,20 @@ def test_bm25_single_corpus_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_wand_broadcasts_bounds_no_cartesian(spark):
+    """The pruned path: bound/seed/essential tables all broadcast, the
+    candidate semi-join shares the (query, doc) exchange with the final
+    aggregation, and nothing degenerates to a cartesian product."""
+    from embeddingsearch_spark.suite.retrievalops import (
+        q_bm25_wand_topk,
+    )
+
+    df = q_bm25_wand_topk(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_search_snippets_no_cartesian_single_window_pair(spark):
     """Snippet extraction: hit stream joins broadcast query terms; the
     candidate-window count is a RANGE frame, never a self-join."""

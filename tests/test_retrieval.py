@@ -68,6 +68,70 @@ def test_bm25_topk_rank_determinism(spark):
     assert rows[(101, 1)] == 2 and (101, 2) not in rows
 
 
+def _frames_equal(a, b):
+    return sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+
+
+def test_bm25_pruned_identical_to_plain(spark):
+    """Rank-safety: the WAND-pruned path returns the exact same frame
+    as plain bm25_topk — including n_matched — on a corpus with empty
+    docs, no-match queries, and k larger than some result sets."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    for k in (1, 2, 10):
+        plain = retrieval.bm25_topk(docs, qs, k=k)
+        pruned = retrieval.bm25_topk_pruned(docs, qs, k=k)
+        assert _frames_equal(plain, pruned), f"k={k}"
+
+
+def test_bm25_pruned_identical_on_testdata(spark, sf_dir):
+    """End-to-end parity on the gated fixture inputs at sf0.001."""
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.suite.retrievalops import _text_queries
+
+    docs = tables.load(spark, sf_dir, "documents")
+    qs = _text_queries(spark, sf_dir)
+    assert _frames_equal(
+        retrieval.bm25_topk(docs, qs, k=10),
+        retrieval.bm25_topk_pruned(docs, qs, k=10),
+    )
+
+
+def test_bm25_prune_stats_bounds(spark):
+    """Candidate volume never exceeds the full match volume, and every
+    top-k doc survives in the candidate set (implied by parity, checked
+    directly via the stats contract)."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    st = retrieval.bm25_prune_stats(docs, qs, k=2)
+    assert st["cand_pairs"] <= st["full_pairs"]
+    assert st["cand_score_rows"] <= st["full_score_rows"]
+    assert st["cand_pairs"] > 0
+
+
+def test_bm25_pruned_actually_prunes_zipfian(spark):
+    """On a Zipf-shaped corpus (one rare discriminative term per doc
+    group + ubiquitous filler terms) the filler terms are non-essential
+    and the candidate set collapses to the rare-term postings."""
+    filler = "common words everywhere always"
+    rows = [(i, f"{filler} rare{i % 5}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, f"{filler} rare0")], "query_id long, text string"
+    )
+    st = retrieval.bm25_prune_stats(docs, qs, k=3)
+    # every doc matches the filler terms (50 pairs); only the rare0
+    # postings (10 docs) can reach the top-3
+    assert st["full_pairs"] == 50
+    assert st["cand_pairs"] == 10
+    assert _frames_equal(
+        retrieval.bm25_topk(docs, qs, k=3),
+        retrieval.bm25_topk_pruned(docs, qs, k=3),
+    )
+
+
 def test_rrf_fuse_arithmetic(spark):
     r1 = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
