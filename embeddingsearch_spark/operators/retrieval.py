@@ -248,7 +248,7 @@ def bm25_topk_pruned(
        never reaches 1). The (query, term, ub) table is |Q|·|T| rows,
        broadcast-scale.
     2. **Seed θ.** For each query, exactly score the top-``k`` docs by
-       tf on its highest-ub (rarest) term — |Q|·k pairs, broadcast —
+       tf on EACH of its terms, pooled — ≤ |Q|·|T|·k pairs, broadcast —
        and take the k-th rounded score as θ (NULL = fewer than k seeds
        = no pruning). θ lower-bounds the final k-th score, so it is a
        valid pruning threshold by construction.
@@ -264,8 +264,9 @@ def bm25_topk_pruned(
        only from essential-term postings; the exact scoring
        join+aggregation runs semi-joined to that candidate set (the
        semi-join and the final aggregation share the (query, doc)
-       exchange). Seeds match their query's top-ub term — always
-       essential — so they are candidates automatically.
+       exchange). Any doc scoring ≥ θ necessarily matches an essential
+       term (else its bound sum would sit below θ), so every possible
+       top-k doc — seeds included — is a candidate automatically.
     """
     matched, dfreq, qterms, stats, cand = _wand_candidates(
         docs, queries, k, id_col, text_col, query_id_col,
@@ -318,7 +319,7 @@ def _wand_candidates(
         F.countDistinct(id_col).alias("df")
     )
     # (query, term, ub): broadcast-scale, pinned — referenced by the
-    # seed-term argmax and the essential-term cut
+    # essential-term cut
     ubt = (
         qterms.join(dfreq, "term")
         .select(
@@ -331,22 +332,21 @@ def _wand_candidates(
         )
         .localCheckpoint(eager=False)
     )
-    # seed docs: top-k by tf on each query's highest-ub term
-    seed_term = ubt.groupBy(query_id_col).agg(
-        F.min_by(
-            F.col("term"),
-            F.struct((-F.col("ub")).alias("nu"), F.col("term").alias("t")),
-        ).alias("term")
-    )
-    sw = Window.partitionBy(query_id_col).orderBy(
+    # seed docs: top-k by tf per (query, term), pooled over ALL the
+    # query's terms — ≤ |Q|·|T|·k pairs, broadcast-scale. Seeding from
+    # a single rare term leaves θ NULL whenever that term's df < k
+    # (the common case under Zipf), which silently disables pruning;
+    # pooling guarantees ≥ k seeds whenever ≥ k docs match at all.
+    sw = Window.partitionBy(query_id_col, "term").orderBy(
         F.col("tf").desc(), F.col(id_col).asc()
     )
     seed_pairs = (
-        matched.join(F.broadcast(seed_term), "term")
-        .select(query_id_col, id_col, "tf")
+        matched.join(F.broadcast(qterms), "term")
+        .select(query_id_col, id_col, "term", "tf")
         .withColumn("_r", F.row_number().over(sw))
         .filter(F.col("_r") <= k)
         .select(query_id_col, id_col)
+        .distinct()
         .localCheckpoint(eager=False)
     )
     contrib = _bm25_contrib(stats, k1, b)

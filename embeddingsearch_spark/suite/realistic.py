@@ -1,0 +1,147 @@
+"""Derived realistic corpus: Zipfian vocabulary + per-language
+character distributions, deterministically synthesized from the
+driver's documents table.
+
+The driver's synthetic `documents.text` has a ~100-word shared
+vocabulary and a `lang` column uncorrelated with the text. That shape
+makes every retrieval query match nearly every document (the dense
+|Q|·|D| worst case recorded in BASELINE.md) and leaves the trained
+language-ID nothing real to discriminate. This module derives — at
+query time, from (doc_id, lang) only — a corpus whose text actually
+has the two properties web text has:
+
+- **Zipfian token frequencies.** Token ranks come from the classic
+  inverse-CDF trick: with u ~ U[0,1), rank = floor(V^u) is ≈ Zipf(1)
+  over a V=2000-word vocabulary (P(rank≈r) ∝ 1/r). A handful of
+  high-rank words dominate (the BM25 non-essential tail) while most of
+  the vocabulary is rare (the discriminative head) — so retrieval
+  queries have realistic mixed selectivity instead of matching
+  everything.
+- **Per-language character distributions.** Each word is the md5 of
+  its (lang, rank) key transliterated onto a 16-letter per-language
+  alphabet (hex digit -> letter). Languages therefore share NO tokens,
+  have distinct letter statistics (umlauts/ß for de, accents for
+  fr/es, ñ for es, hanzi for zh), and correlate exactly with the
+  `lang` label — what a char-n-gram language model needs to
+  demonstrate real held-out accuracy.
+
+Everything is hash arithmetic over (doc_id, lang): both engines build
+the identical corpus independently (md5, substr, translate, power —
+the established oracle-portable subset), so gated queries over the
+derived corpus remain fully value-oracled. The only cross-engine risk
+is floor(pow(..)) at an exact integer boundary, which needs the true
+value within 1 ulp of an integer — probability ~1e-13 per token.
+
+Word length varies 3..7 chars by rank (3 + rank % 5); doc length
+varies 30..119 words by doc hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+
+# Zipf vocabulary size per language.
+VOCAB = 2000
+
+_HEX = "0123456789abcdef"
+
+# hex-digit -> letter transliteration alphabets: 16 letters each,
+# ordered roughly by the language's letter frequency, with
+# language-distinctive characters included.
+ALPHAS = {
+    "de": "enisratdhulcgmöß",
+    "en": "etaoinshrdlucmfw",
+    "es": "eaosrnidltcmupñé",
+    "fr": "esaitnrulodcpémè",
+    "zh": "的一是不了人我在有他这中大来上国",
+}
+
+
+def _h32(col):
+    """First 8 hex chars of md5 as a non-negative long (the
+    engine-portable uniform hash used across the splits/mixing ops)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def derive_realistic_docs(spark, sf_dir):
+    """(doc_id, lang, source, text): the derived corpus, one row per
+    document of the driver's documents table. Pure scan-stage column
+    arithmetic — no shuffle, no UDF; ~2 md5 evaluations per token."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    did = F.col("doc_id").cast("string")
+    n_words = (
+        F.lit(30) + _h32(F.concat(F.lit("rdlen:"), did)) % 90
+    ).cast("int")
+
+    def rank(i):
+        u = _h32(
+            F.concat(F.lit("rd:"), did, F.lit(":"), i.cast("string"))
+        ) / F.lit(4294967296.0)
+        return F.least(
+            F.lit(VOCAB - 1),
+            F.greatest(F.lit(1), F.floor(F.pow(F.lit(float(VOCAB)), u))),
+        ).cast("long")
+
+    def word(r):
+        sub = F.md5(
+            F.concat(F.col("lang"), F.lit("#"), r.cast("string"))
+        ).substr(F.lit(1), (F.lit(3) + (r % 5)).cast("int"))
+        expr = None
+        for lang, alpha in ALPHAS.items():
+            branch = F.translate(sub, _HEX, alpha)
+            expr = (
+                F.when(F.col("lang") == lang, branch)
+                if expr is None
+                else expr.when(F.col("lang") == lang, branch)
+            )
+        return expr.otherwise(F.translate(sub, _HEX, ALPHAS["en"]))
+
+    ranks = F.transform(F.sequence(F.lit(1), n_words), rank)
+    words = F.transform(ranks, word)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_join(words, " ").alias("text"),
+    )
+
+
+def _word_case_sql(r: str) -> str:
+    branches = "\n      ".join(
+        f"WHEN '{lang}' THEN translate(substr(md5('{lang}#' || "
+        f"CAST({r} AS VARCHAR)), 1, CAST(3 + {r} % 5 AS INT)), "
+        f"'{_HEX}', '{alpha}')"
+        for lang, alpha in ALPHAS.items()
+    )
+    en = (
+        f"translate(substr(md5('en#' || CAST({r} AS VARCHAR)), 1, "
+        f"CAST(3 + {r} % 5 AS INT)), '{_HEX}', '{ALPHAS['en']}')"
+    )
+    return f"CASE lang {branches}\n      ELSE {en} END"
+
+
+_RANK_SQL = (
+    "CAST(least(1999, greatest(1, CAST(floor(power(2000.0, "
+    "CAST(('0x' || substr(md5('rd:' || CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)) "
+    "AS BIGINT))) AS BIGINT)"
+)
+
+# the `rd` CTE — DuckDB twin of derive_realistic_docs
+RD_SQL = f"""rd AS (
+  SELECT doc_id, lang, source,
+    array_to_string(
+      list_transform(
+        list_transform(
+          range(1, CAST(31 + CAST(('0x' || substr(md5('rdlen:' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 90
+                AS BIGINT)),
+          i -> {_RANK_SQL}),
+        r -> {_word_case_sql("r")}
+      ), ' ') AS text
+  FROM documents
+)"""

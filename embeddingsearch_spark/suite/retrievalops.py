@@ -1,10 +1,20 @@
-"""Retrieval queries: BM25 lexical top-k and BM25+ANN hybrid fusion.
+"""Retrieval queries: BM25 lexical top-k (plain, WAND-pruned, PRF),
+snippets, and BM25+ANN hybrid fusion.
+
+All retrieval queries run over the REALISTIC derived corpus
+(suite/realistic.py: Zipfian vocabulary, per-language character
+distributions) so their bench rows measure representative selectivity —
+a few ubiquitous filler terms, a discriminative rare tail — instead of
+the dense |Q|·|D| worst case the raw synthetic documents table
+produces (every doc matched every query; BASELINE.md round-4 probes).
+The dense worst case stays covered by the `bm25_dense_topk` stress
+query over the raw table.
 
 Query set: the doc ids that exist in BOTH tables (embeddings vec_id %
-13 == 0), so the lexical side (documents text) and the vector side
-(embeddings) rank over one shared query domain at any scale factor.
-Query text = tokens 2..6 of the query doc (5 terms); query vector = the
-query id's embedding row.
+13 == 0), so the lexical side and the vector side (embeddings) rank
+over one shared query domain at any scale factor. Query text = tokens
+2..6 of the query doc (5 terms); query vector = the query id's
+embedding row.
 """
 
 from __future__ import annotations
@@ -17,19 +27,29 @@ from embeddingsearch_spark.functions import text as T
 from embeddingsearch_spark.operators import ann as ann_ops
 from embeddingsearch_spark.operators import retrieval
 from embeddingsearch_spark.suite.ann import _COS
+from embeddingsearch_spark.suite.realistic import (
+    RD_SQL,
+    derive_realistic_docs,
+)
 
 # the engine-tokenizer SQL has ONE definition (suite/dedup.py) — a
 # local copy could silently desync this module's oracles from tokens()
 from embeddingsearch_spark.suite.dedup import TOKS_SQL
 
 
-def _text_queries(spark, sf_dir):
+def _corpus(spark, sf_dir):
+    docs = derive_realistic_docs(spark, sf_dir)
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _text_queries(spark, sf_dir, docs=None):
     qids = (
         tables.load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 13 == 0)
         .select(F.col("vec_id").alias("query_id"))
     )
-    docs = tables.load(spark, sf_dir, "documents")
+    if docs is None:
+        docs = derive_realistic_docs(spark, sf_dir)
     return docs.join(
         qids, docs["doc_id"] == qids["query_id"]
     ).select(
@@ -40,25 +60,15 @@ def _text_queries(spark, sf_dir):
     )
 
 
-def q_bm25_topk(spark, sf_dir):
-    """Lexical BM25 top-10 per query (Lucene k1/b variant, +1-smoothed
-    idf): postings explode once, query terms broadcast, matched
-    postings pinned for the df and scoring passes — the corpus never
-    shuffles on anything wider than (query, doc)."""
-    docs = tables.load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return retrieval.bm25_topk(
-        docs, _text_queries(spark, sf_dir), k=10
-    )
-
-
 # lowercased tokens; query terms = distinct lowered tokens 2..6
-_QT_SQL = """q AS (
+def _qt_sql(src: str) -> str:
+    return """q AS (
   SELECT e.vec_id AS query_id,
          list_distinct(list_transform(({t})[2:6], x -> lower(x))) AS qt
-  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  FROM embeddings e JOIN {src} d ON d.doc_id = e.vec_id
   WHERE e.vec_id % 13 = 0
-)""".format(t=TOKS_SQL.replace("text", "d.text"))
+)""".format(t=TOKS_SQL.replace("text", "d.text"), src=src)
+
 
 _LTOKS = TOKS_SQL.replace("text", "lower(text)")
 
@@ -98,9 +108,13 @@ bmranked{suffix} AS (
 )"""
 
 
-_BM25_CTES = f"""{_QT_SQL},
+def _bm25_ctes(src: str) -> str:
+    """The shared BM25 CTE chain over an arbitrary (doc_id, text)
+    source table — `rd` for the realistic queries, `documents` for the
+    dense stress case."""
+    return f"""{_qt_sql(src)},
 qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
-dtok AS (SELECT doc_id, {_LTOKS} AS t FROM documents),
+dtok AS (SELECT doc_id, {_LTOKS} AS t FROM {src}),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
          CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
@@ -116,9 +130,29 @@ tfp AS (
 ),
 {_bm25_pass_sql("", "qterm")}"""
 
-BM25_TOPK_SQL = f"""WITH {_BM25_CTES}
-SELECT query_id, doc_id, score, n_matched, CAST(rank AS INT) AS rank
+
+_BM25_SELECT = f"""SELECT query_id, doc_id, score, n_matched,
+       CAST(rank AS INT) AS rank
 FROM bmranked WHERE rank <= 10"""
+
+BM25_TOPK_SQL = f"""WITH {RD_SQL},
+{_bm25_ctes("rd")}
+{_BM25_SELECT}"""
+
+BM25_DENSE_TOPK_SQL = f"""WITH {_bm25_ctes("documents")}
+{_BM25_SELECT}"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-10 per query (Lucene k1/b variant, +1-smoothed
+    idf) over the realistic Zipfian corpus: postings explode once,
+    query terms broadcast, matched postings pinned for the df and
+    scoring passes — the corpus never shuffles on anything wider than
+    (query, doc)."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_topk(
+        docs, _text_queries(spark, sf_dir, docs), k=10
+    )
 
 
 def q_bm25_wand_topk(spark, sf_dir):
@@ -127,28 +161,48 @@ def q_bm25_wand_topk(spark, sf_dir):
     (idf·(k1+1)) broadcast, a seed pass on each query's rarest term
     fixes the pruning threshold θ, non-essential terms (running
     ub-sum < θ − rounding quantum) never generate candidates, and exact
-    scoring runs semi-joined to the surviving candidate pairs."""
+    scoring runs semi-joined to the surviving candidate pairs. On the
+    Zipfian corpus the ubiquitous filler terms are exactly the
+    non-essential ones — the probe rows in BASELINE.md record the
+    candidate-volume drop."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_topk_pruned(
+        docs, _text_queries(spark, sf_dir, docs), k=10
+    )
+
+
+def q_bm25_dense_topk(spark, sf_dir):
+    """The dense |Q|·|D| STRESS case: plain BM25 over the raw
+    documents table, whose ~100-word shared vocabulary makes every doc
+    match every query — kept gated so the worst-case scoring volume
+    stays measured alongside the representative one."""
     docs = tables.load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return retrieval.bm25_topk_pruned(
-        docs, _text_queries(spark, sf_dir), k=10
+    return retrieval.bm25_topk(
+        docs,
+        _text_queries(
+            spark, sf_dir, docs.select("doc_id", "text")
+        ),
+        k=10,
     )
 
 
 def q_bm25_prf_topk(spark, sf_dir):
-    """BM25 with pseudo-relevance feedback (RM3-style): top-5 feedback
-    docs per query, top-3 expansion terms by Σ tf·idf (original terms
-    excluded), re-score with the expanded term set. Both passes run the
-    shared BM25 core; the feedback doc-id set broadcasts, and the only
-    corpus-wide aggregation is the distinct-term df table."""
-    docs = tables.load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    """BM25 with pseudo-relevance feedback (RM3-style) over the
+    realistic corpus: top-5 feedback docs per query, top-3 expansion
+    terms by Σ tf·idf (original terms excluded), re-score with the
+    expanded term set. Both passes run the shared BM25 core; the
+    feedback doc-id set broadcasts, and the only corpus-wide
+    aggregation is the distinct-term df table."""
+    docs = _corpus(spark, sf_dir)
     return retrieval.bm25_prf_topk(
-        docs, _text_queries(spark, sf_dir), k=10, k_fb=5, m_terms=3
+        docs, _text_queries(spark, sf_dir, docs), k=10, k_fb=5,
+        m_terms=3,
     )
 
 
-BM25_PRF_TOPK_SQL = f"""WITH {_BM25_CTES},
+BM25_PRF_TOPK_SQL = f"""WITH {RD_SQL},
+{_bm25_ctes("rd")},
 fb AS (SELECT query_id, doc_id FROM bmranked WHERE rank <= 5),
 fb_post AS (
   SELECT fb.query_id, tfp.doc_id, tfp.term, tfp.tf
@@ -191,26 +245,26 @@ FROM bmranked2 WHERE rank <= 10"""
 
 
 def q_search_snippets(spark, sf_dir):
-    """Best query-term window per (query, doc): hit positions joined to
-    broadcast query terms, a RANGE-frame count per candidate window, an
-    integer argmax (hits desc, position asc), and a scan-side token
-    slice for the snippet text. Integer-only — bit-exact on any
-    engine."""
+    """Best query-term window per (query, doc) over the realistic
+    corpus: hit positions joined to broadcast query terms, a
+    RANGE-frame count per candidate window, an integer argmax (hits
+    desc, position asc), and a scan-side token slice for the snippet
+    text. Integer-only — bit-exact on any engine."""
     from embeddingsearch_spark.operators.snippets import best_snippets
 
-    docs = tables.load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _corpus(spark, sf_dir)
     return best_snippets(
-        docs, _text_queries(spark, sf_dir), window=10
+        docs, _text_queries(spark, sf_dir, docs), window=10
     )
 
 
-SEARCH_SNIPPETS_SQL = f"""WITH {_QT_SQL},
+SEARCH_SNIPPETS_SQL = f"""WITH {RD_SQL},
+{_qt_sql("rd")},
 qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
 staged AS (
   SELECT doc_id, {TOKS_SQL} AS orig,
          list_transform({TOKS_SQL}, x -> lower(x)) AS low
-  FROM documents
+  FROM rd
 ),
 pos AS (
   SELECT doc_id, generate_subscripts(low, 1) - 1 AS pos,
@@ -242,13 +296,14 @@ FROM best b JOIN staged s USING (doc_id)"""
 
 
 def q_hybrid_rrf(spark, sf_dir):
-    """Hybrid retrieval: BM25 lexical top-10 fused with exact-cosine
-    ANN top-10 via reciprocal-rank fusion (k=60) — the standard public
-    recipe for combining sparse and dense rankings. Only rank rows are
-    fused; neither corpus re-shuffles."""
-    docs = tables.load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    lex = retrieval.bm25_topk(docs, _text_queries(spark, sf_dir), k=10)
+    """Hybrid retrieval: BM25 lexical top-10 (realistic corpus) fused
+    with exact-cosine ANN top-10 via reciprocal-rank fusion (k=60) —
+    the standard public recipe for combining sparse and dense rankings.
+    Only rank rows are fused; neither corpus re-shuffles."""
+    docs = _corpus(spark, sf_dir)
+    lex = retrieval.bm25_topk(
+        docs, _text_queries(spark, sf_dir, docs), k=10
+    )
 
     emb = tables.load(spark, sf_dir, "embeddings")
     qvecs = emb.filter(F.col("vec_id") % 13 == 0).select(
@@ -264,7 +319,8 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
-HYBRID_RRF_SQL = f"""WITH {_BM25_CTES},
+HYBRID_RRF_SQL = f"""WITH {RD_SQL},
+{_bm25_ctes("rd")},
 qv AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
   WHERE vec_id % 13 = 0
@@ -309,6 +365,7 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     # rank-safe pruning ⇒ identical result set ⇒ identical oracle
     "bm25_wand_topk": (q_bm25_wand_topk, BM25_TOPK_SQL),
+    "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),

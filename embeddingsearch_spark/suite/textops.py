@@ -124,33 +124,61 @@ FROM documents"""
 
 def q_lang_id_model(spark, sf_dir):
     """TRAINED language ID (char-trigram Naive Bayes, the public
-    CLD/langid.py recipe) replacing the stopword heuristic: train on
-    the documents table's (text, lang) labels, predict over the same
-    corpus. Dense broadcast model (L langs × 1024 grams), scan-side
-    scoring, one (doc, lang) aggregation — the same broadcast-vocab +
-    scan-score shape as `lmscore.unigram_scores`. The oracle replays
-    train AND predict (vocab cut, smoothing, OOV floor, prior, argmax
-    tiebreak) as chained CTEs."""
+    CLD/langid.py recipe) with a REAL held-out measurement: train on
+    the even-doc_id half of the realistic derived corpus (Zipfian
+    vocabulary, per-language character distributions — suite/
+    realistic.py), predict the odd half, and emit per-doc
+    ``(doc_id, lang_true, lang_pred, correct, score, n_grams)`` so the
+    gate itself shows the model's holdout accuracy. Dense broadcast
+    model (L langs × 1024 grams), scan-side scoring, one (doc, lang)
+    aggregation with the argmax folded in. The oracle replays the
+    corpus derivation, train AND predict (vocab cut, smoothing, OOV
+    floor, prior, argmax tiebreak) as chained CTEs."""
     from embeddingsearch_spark.operators import langid as langid_ops
+    from embeddingsearch_spark.suite.realistic import (
+        derive_realistic_docs,
+    )
 
-    docs = tables.load(spark, sf_dir, "documents")
+    rd = derive_realistic_docs(spark, sf_dir)
+    train = rd.filter(F.col("doc_id") % 2 == 0)
+    test = rd.filter(F.col("doc_id") % 2 == 1)
     dense, langs = langid_ops.charngram_lang_model(
-        docs, "doc_id", "text", "lang", n=3, vocab_size=1024
+        train, "doc_id", "text", "lang", n=3, vocab_size=1024
     )
-    return langid_ops.lang_id_predict(
-        docs, "doc_id", "text", dense, langs, n=3
+    pred = langid_ops.lang_id_predict(
+        test, "doc_id", "text", dense, langs, n=3
+    )
+    return pred.join(
+        test.select("doc_id", F.col("lang").alias("lang_true")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "lang_true",
+        "lang_pred",
+        (F.col("lang_pred") == F.col("lang_true"))
+        .cast("int")
+        .alias("correct"),
+        "score",
+        "n_grams",
     )
 
 
-LANG_ID_MODEL_SQL = f"""WITH d AS (
-  SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM documents
-),
-g AS (
-  SELECT doc_id, lang,
+def _lang_id_model_sql() -> str:
+    from embeddingsearch_spark.suite.realistic import RD_SQL
+
+    gram_extract = """SELECT doc_id, lang,
          unnest(list_transform(range(1, greatest(0, length(t) - 2) + 1),
-                               i -> substr(t, i, 3))) AS gram
-  FROM d
+                               i -> substr(t, i, 3))) AS gram"""
+    return f"""WITH {RD_SQL},
+d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM rd
+  WHERE doc_id % 2 = 0
 ),
+te AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM rd
+  WHERE doc_id % 2 = 1
+),
+g AS ({gram_extract} FROM d),
 c AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram),
 vocab AS (
   SELECT gram FROM (
@@ -178,14 +206,15 @@ dense AS (
   LEFT JOIN nl ON nl.lang = l.lang
   LEFT JOIN c ON c.lang = l.lang AND c.gram = v.gram
 ),
+gte AS ({gram_extract} FROM te),
 iv AS (
-  SELECT g.doc_id, dense.lang, sum(dense.logp) AS s_iv,
+  SELECT gte.doc_id, dense.lang, sum(dense.logp) AS s_iv,
          count(*) AS n_iv
-  FROM g JOIN dense USING (gram) GROUP BY g.doc_id, dense.lang
+  FROM gte JOIN dense USING (gram) GROUP BY gte.doc_id, dense.lang
 ),
 base AS (
   SELECT dd.doc_id, l.lang, dd.n_grams
-  FROM (SELECT doc_id, greatest(0, length(t) - 2) AS n_grams FROM d) dd
+  FROM (SELECT doc_id, greatest(0, length(t) - 2) AS n_grams FROM te) dd
   CROSS JOIN (SELECT lang FROM ld) l
 ),
 scores AS (
@@ -195,13 +224,23 @@ scores AS (
   FROM base b
   JOIN lng lg ON lg.lang = b.lang
   LEFT JOIN iv ON iv.doc_id = b.doc_id AND iv.lang = b.lang
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred, round(score, {RD}) AS score,
+         n_grams
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY round(score, {RD}) DESC, lang ASC) AS rn
+    FROM scores)
+  WHERE rn = 1
 )
-SELECT doc_id, lang AS lang_pred, round(score, {RD}) AS score, n_grams
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id
-            ORDER BY round(score, {RD}) DESC, lang ASC) AS rn
-  FROM scores)
-WHERE rn = 1"""
+SELECT p.doc_id, t2.lang AS lang_true, p.lang_pred,
+       CAST(p.lang_pred = t2.lang AS INT) AS correct,
+       p.score, p.n_grams
+FROM pred p JOIN (SELECT doc_id, lang FROM te) t2 USING (doc_id)"""
+
+
+LANG_ID_MODEL_SQL = _lang_id_model_sql()
 
 
 def q_quality_quantiles(spark, sf_dir):
