@@ -56,6 +56,21 @@ def vocab_drift(
     corpus."""
     ca = _token_counts(corpus_a, text_col)
     cb = _token_counts(corpus_b, text_col)
+    return vocab_drift_from_counts(
+        ca, cb, vocab_size=vocab_size, smoothing=smoothing
+    )
+
+
+def vocab_drift_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    vocab_size: int = 4096,
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """`vocab_drift` over pre-computed ``(tok, c)`` count frames — the
+    core the streaming monitor reuses so a running count table (merged
+    across micro-batches) can be diffed against a reference snapshot
+    without re-scanning either corpus."""
     merged = (
         ca.withColumnRenamed("c", "ca")
         .join(cb.withColumnRenamed("c", "cb"), "tok", "full_outer")
@@ -95,8 +110,8 @@ def vocab_drift(
     summary = per_token.agg(
         F.round(F.sum("_js"), ROUND_DIGITS).alias("js_divergence"),
         F.count(F.lit(1)).alias("n_vocab"),
-        F.lit(int(n_a)).alias("n_a"),
-        F.lit(int(n_b)).alias("n_b"),
+        F.lit(int(n_a)).cast("long").alias("n_a"),
+        F.lit(int(n_b)).cast("long").alias("n_b"),
     )
     return summary, per_token.drop("_js")
 

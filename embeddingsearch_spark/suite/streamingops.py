@@ -264,8 +264,81 @@ SELECT source, count(*) AS n_accepted,
 FROM ded GROUP BY source"""
 
 
+def q_streaming_drift(spark, sf_dir):
+    """Streaming drift monitoring: the odd-doc_id half of the corpus
+    streams through the file source; each micro-batch's token counts
+    merge into the pinned running table and the cumulative JS
+    divergence vs the even-half reference snapshot is recorded
+    per batch (foreachBatch). Counts are associative, so the final
+    summary is batch-equivalent to `vocab_drift(odd, even)` no matter
+    how the feed was batched — which is what the oracle recomputes."""
+    from embeddingsearch_spark.streaming.drift import (
+        vocab_drift_available_now,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_RAW)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    reference = (
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    monitor = vocab_drift_available_now(
+        stream, reference, vocab_size=1024
+    )
+    assert monitor.history, "stream produced no micro-batch"
+    summary, _ = monitor.drift()
+    return summary
+
+
+def _streaming_drift_sql() -> str:
+    from embeddingsearch_spark.suite.dedup import TOKS_SQL
+
+    ltoks = TOKS_SQL.replace("text", "lower(text)")
+    return f"""WITH ca AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({ltoks}) AS tok FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY tok
+),
+cb AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({ltoks}) AS tok FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY tok
+),
+merged AS (
+  SELECT tok, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM ca FULL OUTER JOIN cb USING (tok)
+),
+vocab AS (
+  SELECT tok, ca, cb FROM merged
+  ORDER BY ca + cb DESC, tok ASC LIMIT 1024
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM merged),
+js AS (
+  SELECT (ca + 1.0) / (tot.na + 1025.0) AS pa,
+         (cb + 1.0) / (tot.nb + 1025.0) AS pb
+  FROM vocab, tot
+)
+SELECT round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2
+             + pb * ln(pb / ((pa + pb) / 2)) / 2), {RD})
+         AS js_divergence,
+       count(*) AS n_vocab,
+       (SELECT CAST(coalesce(na, 0) AS BIGINT) FROM tot) AS n_a,
+       (SELECT CAST(coalesce(nb, 0) AS BIGINT) FROM tot) AS n_b
+FROM js"""
+
+
+STREAMING_DRIFT_SQL = _streaming_drift_sql()
+
+
 QUERIES = {
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
+    "streaming_drift": (q_streaming_drift, STREAMING_DRIFT_SQL),
     "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),
     "streaming_sessionize": (
         q_streaming_sessionize,
