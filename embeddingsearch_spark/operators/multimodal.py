@@ -100,7 +100,8 @@ def media_capabilities() -> dict:
         "audio_soundfile": importlib.util.find_spec("soundfile") is not None,
         "image_png_stdlib": True,
         "audio_wav_stdlib": True,
-        "video": False,
+        # uncompressed RIFF/AVI (24-bit DIB frames): stdlib demuxer
+        "video_avi_stdlib": True,
     }
 
 
@@ -177,18 +178,31 @@ def _fake_features(b: bytes, dim: int) -> list[float]:
 
 def _real_decode(b: bytes, modality: str, dim: int = 16) -> list[float]:
     """Real codec dispatch: PIL / soundfile when installed, stdlib PNG /
-    WAV otherwise. Raises NotImplementedError (caught by decoder='auto')
-    for formats nothing present can handle — the message names what was
-    tried so a user knows which optional dep to install."""
+    WAV / AVI otherwise. Raises NotImplementedError (caught by
+    decoder='auto') for formats nothing present can handle — the message
+    names what was tried so a user knows which optional dep to install."""
     if modality == "image":
         gray = _decode_image_gray(b)
         return _chunk_means(gray, dim)
     if modality == "audio":
         samples = _decode_audio_mono(b)
         return _chunk_rms(samples, dim)
+    if modality == "video":
+        import numpy as np
+
+        frames = _decode_video_frames(b)
+        if not frames:
+            return [0.0] * dim
+        # asset-level features: elementwise mean of per-frame chunk
+        # means (the same pooling `frame_features` + mean_pool compose
+        # explicitly, collapsed here for the single-vector decode path)
+        per_frame = np.array(
+            [_chunk_means(fr, dim) for fr in frames], dtype=np.float64
+        )
+        return [round(float(v), 6) for v in per_frame.mean(axis=0)]
     raise NotImplementedError(
-        f"real decoder for modality={modality!r} not available (video "
-        "needs a demuxer; use decoder='fake'/'auto' for the plumbing path)"
+        f"real decoder for modality={modality!r} not available "
+        "(use decoder='fake'/'auto' for the plumbing path)"
     )
 
 
@@ -362,6 +376,144 @@ def _chunk_rms(samples, dim: int) -> list[float]:
     return out
 
 
+def mux_avi(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Build an uncompressed RIFF/AVI container (24-bit BI_RGB DIB
+    frames, bottom-up rows) from grayscale frames — pure stdlib struct
+    packing, the deterministic fixture builder for the video demux
+    path. ``frames``: sequence of h×w row-major luminance grids
+    (sequences or arrays, values 0–255)."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    frame_chunks = []
+    for fr in frames:
+        rows = []
+        for y in range(height - 1, -1, -1):  # DIB rows are bottom-up
+            row = bytearray()
+            for x in range(width):
+                v = int(fr[y][x]) & 0xFF
+                row += bytes((v, v, v))  # B, G, R
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        frame_chunks.append(b"".join(rows))
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    buf = stride * height
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        buf * fps,  # dwMaxBytesPerSec
+        0, 0,  # padding, flags
+        len(frames), 0, 1, buf,  # totalFrames, initial, streams, sugg
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,  # flags, priority, language, initialFrames
+            1, fps,  # scale, rate
+            0, len(frames), buf, 0, 0,  # start, length, sugg, quality...
+            0, 0, width & 0xFFFF, height & 0xFFFF,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, buf, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi", b"".join(chunk(b"00db", d) for d in frame_chunks)
+    )
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def demux_avi(b: bytes):
+    """Parse an uncompressed RIFF/AVI container — pure stdlib, constant
+    auxiliary memory: returns ``(width, height, [frame_bytes])`` where
+    each element is one DIB frame's pixel data. Raises
+    NotImplementedError for non-AVI bytes or compressed streams (the
+    message names the limitation; `decoder="auto"` degrades to the
+    fake path per row, the PIL/soundfile convention)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "not a RIFF/AVI container (stdlib video path demuxes "
+            "uncompressed AVI only)"
+        )
+    info = {"w": None, "h": None, "bpp": None, "comp": None}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body, body_end = pos + 8, min(pos + 8 + sz, end)
+            if cid == b"LIST":
+                walk(body + 4, body_end)
+            elif cid == b"strf" and info["w"] is None and sz >= 20:
+                info["w"], info["h"] = struct.unpack(
+                    "<ii", b[body + 4 : body + 12]
+                )
+                (info["bpp"],) = struct.unpack(
+                    "<H", b[body + 14 : body + 16]
+                )
+                (info["comp"],) = struct.unpack(
+                    "<I", b[body + 16 : body + 20]
+                )
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append(b[body:body_end])
+            pos = body_end + (sz & 1)  # chunks pad to even offsets
+
+    walk(12, len(b))
+    if info["w"] is None:
+        raise NotImplementedError("AVI missing strf header")
+    if info["comp"] not in (0,) or info["bpp"] != 24:
+        raise NotImplementedError(
+            f"AVI stream is compression={info['comp']} bpp={info['bpp']}"
+            " — stdlib path demuxes uncompressed 24-bit DIB only"
+        )
+    return int(info["w"]), abs(int(info["h"])), frames
+
+
+def _decode_video_frames(b: bytes):
+    """AVI bytes → list of 2-D float64 luminance arrays (top-down),
+    one per frame: demux, re-flip the bottom-up DIB rows, BT.601 luma
+    over the BGR pixels."""
+    import numpy as np
+
+    w, h, raw = demux_avi(b)
+    stride = ((w * 3 + 3) // 4) * 4
+    out = []
+    for data in raw:
+        if len(data) < stride * h:
+            raise NotImplementedError(
+                f"AVI frame truncated: {len(data)} < {stride * h} bytes"
+            )
+        px = (
+            np.frombuffer(data[: stride * h], dtype=np.uint8)
+            .reshape(h, stride)[:, : w * 3]
+            .reshape(h, w, 3)[::-1]  # bottom-up → top-down
+            .astype(np.float64)
+        )
+        # DIB byte order is B, G, R
+        out.append(
+            0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+        )
+    return out
+
+
 def frame_sample_plan(
     df: DataFrame,
     meta_col: str = "media_meta",
@@ -394,31 +546,31 @@ def frame_features(
     sampled frame, ``(id_col, frame_idx, features ARRAY<DOUBLE>)``.
 
     The frame plan is `frame_sample_plan` (pure JVM metadata
-    expression); each frame's payload is a deterministic byte suffix of
-    the content starting at the frame index (``substring`` on BINARY,
-    scan-side — the codec seam where a real demuxer would slice the
-    container; same signature/batch shape either way), featurized by
-    the same decoder dispatch as `decode_media`. Feeds
+    expression). With ``decoder="real"``/``"auto"`` a video asset whose
+    bytes are an uncompressed RIFF/AVI container is DEMUXED (stdlib —
+    `demux_avi`, once per asset) and each planned index yields that
+    actual frame's luminance features; other modalities/formats fall
+    through the same `decode_media` dispatch over the frame's byte
+    suffix, and ``"fake"`` keeps the deterministic byte-suffix features
+    (the oracle path) with identical schema and batching. Feeds
     `pooling.mean_pool(id_col)` for the per-asset embedding — the media
     analog of the text side's chunk→doc pooling — after which the
     asset embeddings enter the standard dedup/ANN operators.
 
-    Scale shape: explode is bounded by ``max_frames`` per asset; bytes
-    are sliced and featurized in one scan — content never shuffles
-    (the output rows carry ``feature_dim`` doubles, not media bytes)."""
+    Scale shape: the container crosses to Python ONCE per asset (the
+    per-frame fan-out happens inside the Arrow batch, so a 100 MB
+    video is not duplicated per sampled frame); output rows carry
+    ``feature_dim`` doubles, never media bytes, and nothing shuffles."""
     import pandas as pd
 
     if decoder not in ("fake", "real", "auto"):
         raise ValueError("decoder must be 'fake', 'real', or 'auto'")
     plan = frame_sample_plan(df, meta_col, every_n, max_frames)
-    frames = df.select(
+    staged = df.select(
         F.col(id_col),
         F.col(modality_col),
         F.col(content_col),
-        F.explode(plan).alias("frame_idx"),
-    ).withColumn(
-        "_fc",
-        F.expr(f"substring({content_col}, frame_idx + 1)"),
+        plan.alias("_plan"),
     )
     # id type follows the input schema (same contract as
     # sources/reranker.rerank_topk) — string/UUID media ids pass through
@@ -427,31 +579,56 @@ def frame_features(
         f"{id_col} {id_type}, frame_idx int, features array<double>"
     )
 
+    def one_frame(b: bytes, mod: str, fidx: int, vid) -> list[float]:
+        if decoder == "fake":
+            return _fake_features(b[fidx:], feature_dim)
+        try:
+            if vid is not None:
+                if fidx >= len(vid):
+                    raise NotImplementedError(
+                        f"frame {fidx} beyond the {len(vid)} demuxed "
+                        "frames (metadata n_frames disagrees with the "
+                        "container)"
+                    )
+                return _chunk_means(vid[fidx], feature_dim)
+            return _real_decode(b[fidx:], mod, feature_dim)
+        except NotImplementedError:
+            if decoder == "auto":
+                return _fake_features(b[fidx:], feature_dim)
+            raise
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for mid, mod, fidx, content in zip(
-                pdf[id_col], pdf[modality_col], pdf["frame_idx"],
-                pdf["_fc"],
+            for mid, mod, content, plan_l in zip(
+                pdf[id_col], pdf[modality_col], pdf[content_col],
+                pdf["_plan"],
             ):
                 b = bytes(content) if content is not None else b""
-                if decoder == "fake":
-                    feats = _fake_features(b, feature_dim)
-                elif decoder == "real":
-                    feats = _real_decode(b, str(mod), feature_dim)
-                else:
+                vid = None
+                if (
+                    decoder in ("real", "auto")
+                    and str(mod) == "video"
+                    and b[:4] == b"RIFF"
+                ):
                     try:
-                        feats = _real_decode(b, str(mod), feature_dim)
+                        vid = _decode_video_frames(b)
                     except NotImplementedError:
-                        feats = _fake_features(b, feature_dim)
-                recs.append((mid, int(fidx), feats))
+                        if decoder == "real":
+                            raise
+                for fidx in plan_l:
+                    recs.append(
+                        (
+                            mid,
+                            int(fidx),
+                            one_frame(b, str(mod), int(fidx), vid),
+                        )
+                    )
             yield pd.DataFrame(
                 recs, columns=[id_col, "frame_idx", "features"]
             )
 
-    return frames.select(
-        id_col, modality_col, "frame_idx", "_fc"
-    ).mapInPandas(run, schema=out_schema)
+    return staged.mapInPandas(run, schema=out_schema)
 
 
 def resize_media(

@@ -161,15 +161,113 @@ def test_decode_media_real_over_spark(spark):
     assert rows[2] == [round(200 / 255.0, 6)] * 4
 
 
+def _grid(h, w, fn):
+    return [[fn(y, x) & 0xFF for x in range(w)] for y in range(h)]
+
+
+def test_avi_mux_demux_roundtrip():
+    """The stdlib AVI muxer/demuxer pair: frames survive the container
+    byte-exactly (gray pixels → BGR DIB → BT.601 luma is the identity
+    for gray)."""
+    frames = [
+        _grid(6, 8, lambda y, x: 10 * y + x),
+        _grid(6, 8, lambda y, x: 255 - (10 * y + x)),
+        _grid(6, 8, lambda y, x: (y * x) % 256),
+    ]
+    b = mm.mux_avi(frames, width=8, height=6, fps=5)
+    w, h, raw = mm.demux_avi(b)
+    assert (w, h, len(raw)) == (8, 6, 3)
+    lum = mm._decode_video_frames(b)
+    assert len(lum) == 3
+    for want, got in zip(frames, lum):
+        for y in range(6):
+            for x in range(8):
+                assert abs(got[y][x] - want[y][x]) < 1e-9, (y, x)
+
+
+def test_demux_avi_rejects_non_avi():
+    with pytest.raises(NotImplementedError, match="RIFF/AVI"):
+        mm.demux_avi(b"\x89PNG not a container")
+
+
+def test_frame_features_real_video(spark):
+    """decoder='real' on a real (muxed) AVI: each planned frame index
+    yields THAT frame's luminance chunk means — the demuxer seam filled
+    in; decoder='auto' on non-AVI video bytes still degrades to the
+    fake byte-suffix features."""
+    frames = [
+        _grid(6, 8, lambda y, x: 40 * y),
+        _grid(6, 8, lambda y, x: 200),
+        _grid(6, 8, lambda y, x: x * 30),
+    ]
+    avi = mm.mux_avi(frames, width=8, height=6)
+    df = spark.createDataFrame(
+        [
+            (
+                0,
+                "video",
+                bytearray(avi),
+                ("video", 8, 6, 0, 300, 3),
+            )
+        ],
+        "media_id long, modality string, content binary, "
+        f"media_meta {mm.MEDIA_META_SCHEMA}",
+    )
+    out = mm.frame_features(
+        df, every_n=1, max_frames=16, decoder="real", feature_dim=4
+    )
+    rows = {r.frame_idx: r.features for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    lum = mm._decode_video_frames(avi)
+    for i in range(3):
+        assert rows[i] == mm._chunk_means(lum[i], 4)
+    # frame 1 is flat 200 gray → every chunk mean is 200/255
+    assert all(abs(v - round(200 / 255, 6)) < 1e-9 for v in rows[1])
+
+    # auto + non-AVI bytes → fake byte-suffix features, no error
+    junk = bytes(range(100))
+    df2 = spark.createDataFrame(
+        [(1, "video", bytearray(junk), ("video", 8, 6, 0, 300, 2))],
+        "media_id long, modality string, content binary, "
+        f"media_meta {mm.MEDIA_META_SCHEMA}",
+    )
+    out2 = mm.frame_features(
+        df2, every_n=1, max_frames=4, decoder="auto", feature_dim=4
+    )
+    got2 = {r.frame_idx: r.features for r in out2.collect()}
+    assert got2[0] == mm._fake_features(junk, 4)
+    assert got2[1] == mm._fake_features(junk[1:], 4)
+
+
+def test_decode_media_real_video_asset_features(spark):
+    """decode_media decoder='real' on AVI video: asset features = the
+    elementwise mean of per-frame chunk means."""
+    frames = [_grid(4, 4, lambda y, x: 0), _grid(4, 4, lambda y, x: 255)]
+    avi = mm.mux_avi(frames, width=4, height=4)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(avi), ("video", 4, 4, 0, 200, 2))],
+        "media_id long, modality string, content binary, "
+        f"media_meta {mm.MEDIA_META_SCHEMA}",
+    )
+    feats = (
+        mm.decode_media(df, decoder="real", feature_dim=4)
+        .collect()[0]
+        .features
+    )
+    # mean of all-0 and all-255 frames → 0.5 everywhere
+    assert all(abs(v - 0.5) < 1e-9 for v in feats)
+
+
 def test_capabilities_shape():
     caps = mm.media_capabilities()
     assert caps["image_png_stdlib"] and caps["audio_wav_stdlib"]
+    assert caps["video_avi_stdlib"]
     assert set(caps) == {
         "image_pil",
         "audio_soundfile",
         "image_png_stdlib",
         "audio_wav_stdlib",
-        "video",
+        "video_avi_stdlib",
     }
 
 
