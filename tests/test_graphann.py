@@ -1,0 +1,115 @@
+"""Graph ANN (NSW family): build invariants, beam-search monotonicity,
+and recall vs the exact baseline at an IVF-comparable budget."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators import ann, graphann
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def cents(corpus):
+    return corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_knn_graph_invariants(corpus, cents):
+    edges = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    rows = edges.collect()
+    # no self-loops; degree capped at 2m (the HNSW prune); mostly
+    # bidirectional (the cap may drop one direction at hub nodes)
+    pairs = {(r["src"], r["dst"]) for r in rows}
+    assert all(s != d for s, d in pairs)
+    sym = sum(1 for s, d in pairs if (d, s) in pairs) / len(pairs)
+    assert sym >= 0.8, sym
+    deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 12
+    # every node with a neighbor in its blocks appears as a source
+    n_nodes = edges.select("src").distinct().count()
+    assert n_nodes == corpus.count()
+
+
+def test_graph_search_monotone_in_hops(corpus, cents, queries):
+    """The frontier union keeps the previous beam, so recall can only
+    improve with more hops."""
+    edges = graphann.knn_graph(corpus, cents, m=8, n_assign=2)
+    exact = ann.brute_force_topk(corpus, queries, k=10)
+
+    def recall(hops):
+        res = graphann.graph_search(
+            edges, corpus, queries, k=10, beam=16, hops=hops, n_entry=8
+        )
+        return (
+            ann.ann_recall(res, exact, k=10)
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+        )
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.8, r3
+
+
+def test_graph_search_beats_or_matches_ivf_budget(
+    corpus, cents, queries
+):
+    """At the gated config the graph path's recall must at least match
+    IVF nprobe=4 on the same corpus (measured: 1.0 vs 0.9 at sf0.01 —
+    the BASELINE.md probe row)."""
+    assigned = ann.assign_centroids(corpus, cents)
+    exact = ann.brute_force_topk(corpus, queries, k=10)
+    ivf = ann.ivf_topk(assigned, cents, queries, k=10, nprobe=4)
+    r_ivf = (
+        ann.ann_recall(ivf, exact, k=10)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    edges = graphann.knn_graph(corpus, cents, m=8, n_assign=2)
+    res = graphann.graph_search(
+        edges, corpus, queries, k=10, beam=16, hops=3, n_entry=8
+    )
+    r_graph = (
+        ann.ann_recall(res, exact, k=10)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert r_graph >= r_ivf - 1e-9, (r_graph, r_ivf)
+
+
+def test_graph_search_deterministic(corpus, cents, queries):
+    edges = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    a = graphann.graph_search(
+        edges, corpus, queries, k=5, beam=8, hops=2, n_entry=4
+    ).collect()
+    b = graphann.graph_search(
+        edges, corpus, queries, k=5, beam=8, hops=2, n_entry=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == queries.count() * 5
+
+
+def test_graph_search_no_cartesian(spark, corpus, cents, queries):
+    from embeddingsearch_spark.plans import inspect as pi
+
+    edges = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    df = graphann.graph_search(
+        edges, corpus, queries, k=5, beam=8, hops=2, n_entry=4
+    )
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
