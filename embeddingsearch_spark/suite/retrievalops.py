@@ -171,6 +171,21 @@ def q_bm25_wand_topk(spark, sf_dir):
     )
 
 
+def q_bm25_indexed_topk(spark, sf_dir):
+    """BM25 over the PERSISTED inverted index: postings built once and
+    saved as a term-bucketed catalog table, scoring reads the index
+    with zero corpus scans and an exchange-free df aggregation.
+    Identical output to `bm25_topk` — shared oracle."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_postings_index(
+        docs, "es_gate_postings", n_buckets=8
+    )
+    return retrieval.bm25_topk_from_index(
+        spark, "es_gate_postings", _text_queries(spark, sf_dir, docs),
+        k=10,
+    )
+
+
 def q_bm25_dense_topk(spark, sf_dir):
     """The dense |Q|·|D| STRESS case: plain BM25 over the raw
     documents table, whose ~100-word shared vocabulary makes every doc
@@ -365,6 +380,8 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     # rank-safe pruning ⇒ identical result set ⇒ identical oracle
     "bm25_wand_topk": (q_bm25_wand_topk, BM25_TOPK_SQL),
+    # index path is definitionally result-identical ⇒ identical oracle
+    "bm25_indexed_topk": (q_bm25_indexed_topk, BM25_TOPK_SQL),
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),

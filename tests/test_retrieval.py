@@ -132,6 +132,52 @@ def test_bm25_pruned_actually_prunes_zipfian(spark):
     )
 
 
+def test_postings_index_roundtrip_and_upsert(spark):
+    """Persisted inverted index: scoring from the index equals the
+    direct path; upsert re-tokenizes only the changed docs and leaves
+    the rest untouched; the df aggregation over the bucketed table
+    runs with zero Exchange nodes."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    retrieval.build_postings_index(
+        docs, "es_test_postings", n_buckets=4
+    )
+    out = retrieval.bm25_topk_from_index(
+        spark, "es_test_postings", qs, k=10
+    )
+    assert _frames_equal(out, retrieval.bm25_topk(docs, qs, k=10))
+
+    post = spark.table("es_test_postings")
+    agg = post.groupBy("term").agg(F.countDistinct("doc_id"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+    # upsert: doc 1 rewritten, others untouched, stats follow
+    changed = spark.createDataFrame(
+        [(1, "completely new words here")], "doc_id long, text string"
+    )
+    retrieval.upsert_postings_index(
+        spark, "es_test_postings", changed, n_buckets=4
+    )
+    post2 = spark.table("es_test_postings")
+    terms1 = {
+        r["term"] for r in post2.filter("doc_id = 1").collect()
+    }
+    assert terms1 == {"completely", "new", "words", "here"}
+    assert post2.select("doc_id").distinct().count() == len(DOCS)
+    # scoring over the updated index reflects the edit
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in DOCS if i != 1]
+        + [(1, "completely new words here")],
+        "doc_id long, text string",
+    )
+    out2 = retrieval.bm25_topk_from_index(
+        spark, "es_test_postings", qs, k=10
+    )
+    assert _frames_equal(out2, retrieval.bm25_topk(docs2, qs, k=10))
+
+
 def test_rrf_fuse_arithmetic(spark):
     r1 = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
