@@ -45,25 +45,17 @@ from embeddingsearch_spark.functions.vectors import dot, norm2
 from embeddingsearch_spark.operators.ann import _cosine_from_parts
 
 
-def knn_graph(
+def assign_blocks(
     emb: DataFrame,
     centroids: DataFrame,
-    m: int = 6,
     n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Blocked approximate k-NN graph: ``(src, dst, cosine)`` directed
-    edges, ≤ 2·m per node after symmetrization (top-``m`` out-edges
-    per node plus reversed in-edges, deduplicated).
-
-    ``centroids`` is the coarse quantizer (same contract as
-    `ann.ivf_topk`); every vector joins the blocks of its ``n_assign``
-    nearest centroids, so neighbors in adjacent blocks are still
-    found and the graph stays connected across block seams."""
-    # multi-assignment: rank all centroids per vector (C is small by
-    # construction — it ships broadcast), keep the n_assign nearest
+    """Multi-assignment: each vector's ``n_assign`` nearest coarse
+    centroids — ``(id, _blk)``, n_assign rows per vector. The centroid
+    set is small by construction (it IS the quantizer) and broadcasts."""
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col),
@@ -82,7 +74,7 @@ def knn_graph(
     aw = Window.partitionBy(id_col).orderBy(
         F.col("_csim").desc(), F.col("_blk").asc()
     )
-    assigned = (
+    return (
         emb.select(
             F.col(id_col),
             F.col(vec_col),
@@ -98,20 +90,12 @@ def knn_graph(
         .filter(F.col("_r") <= n_assign)
         .select(id_col, "_blk")
     )
-    # within-block candidate pairs (a < b), deduped across the blocks
-    # a pair may share; then ONE exact cosine per distinct pair
-    a = assigned.select(
-        F.col(id_col).alias("_ida"), F.col("_blk")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("_idb"), F.col("_blk")
-    )
-    pairs = (
-        a.join(b, "_blk")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
-        .distinct()
-    )
+
+
+def _score_pairs(
+    pairs: DataFrame, emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact cosine per distinct (_ida < _idb) pair."""
     va = emb.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
@@ -122,7 +106,7 @@ def knn_graph(
         F.col(vec_col).alias("_vb"),
         norm2(F.col(vec_col)).alias("_nb"),
     )
-    scored = pairs.join(va, "_ida").join(vb, "_idb").select(
+    return pairs.join(va, "_ida").join(vb, "_idb").select(
         "_ida",
         "_idb",
         F.round(
@@ -134,7 +118,34 @@ def knn_graph(
             ROUND_DIGITS,
         ).alias("cosine"),
     )
-    # symmetrize, then keep each node's top-m out-edges
+
+
+def block_pair_sims(
+    emb: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scored within-block candidate pairs ``(_ida < _idb, cosine)``,
+    deduped across the blocks a pair may share — THE persisted build
+    artifact: `edges_from_pairs` derives the final graph from it
+    cheaply (rank windows, no vector math), and incremental merges
+    stay exactly rebuild-equivalent by unioning into this table."""
+    a = assigned.select(F.col(id_col).alias("_ida"), F.col("_blk"))
+    b = assigned.select(F.col(id_col).alias("_idb"), F.col("_blk"))
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    return _score_pairs(pairs, emb, id_col, vec_col)
+
+
+def edges_from_pairs(scored: DataFrame, m: int = 6) -> DataFrame:
+    """Derive the navigable graph from the scored pair table:
+    symmetrize, keep top-``m`` out-edges per node, re-symmetrize (the
+    HNSW bidirectional links), prune to the 2m degree cap."""
     directed = scored.select(
         F.col("_ida").alias("src"),
         F.col("_idb").alias("dst"),
@@ -179,6 +190,131 @@ def knn_graph(
         .filter(F.col("_r") <= 2 * m)
         .select("src", "dst", "cosine")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 6,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Blocked approximate k-NN graph: ``(src, dst, cosine)`` directed
+    edges, ≤ 2·m per node after symmetrization and the degree-cap
+    prune. ``centroids`` is the coarse quantizer (same contract as
+    `ann.ivf_topk`); every vector joins the blocks of its ``n_assign``
+    nearest centroids, so neighbors in adjacent blocks are still found
+    and the graph stays navigable across block seams. Composition of
+    `assign_blocks` → `block_pair_sims` → `edges_from_pairs`; persist
+    the pair table (not the edges) when incremental maintenance via
+    `merge_into_graph` is planned."""
+    assigned = assign_blocks(
+        emb, centroids, n_assign, id_col, vec_col, centroid_id_col
+    )
+    scored = block_pair_sims(emb, assigned, id_col, vec_col)
+    return edges_from_pairs(scored, m=m)
+
+
+def merge_into_graph(
+    pairs_old: DataFrame,
+    assigned_old: DataFrame,
+    emb_all: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 6,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+):
+    """Incremental graph maintenance, EXACTLY rebuild-equivalent:
+    returns ``(pairs, assigned, edges)`` identical to rebuilding over
+    the full corpus (tested), at the cost of the batch only.
+
+    Only the new vectors assign and score: candidate pairs are
+    (new × member-of-an-affected-block) and (new × new) — old-old
+    pairs cannot change under a fixed quantizer, so the persisted pair
+    table simply grows by the batch's pairs and the final edge
+    derivation (rank windows, no vector math) re-runs over it.
+    Re-ingested ids are handled by dropping their previous pair and
+    assignment rows first. ``emb_all`` must contain old AND new
+    vectors (it is only joined for the affected block members)."""
+    new_ids = new_emb.select(F.col(id_col)).distinct()
+    pairs_old = pairs_old.join(
+        F.broadcast(new_ids.select(F.col(id_col).alias("_ida"))),
+        "_ida",
+        "left_anti",
+    ).join(
+        F.broadcast(new_ids.select(F.col(id_col).alias("_idb"))),
+        "_idb",
+        "left_anti",
+    )
+    assigned_old = assigned_old.join(new_ids, id_col, "left_anti")
+    new_assigned = assign_blocks(
+        new_emb, centroids, n_assign, id_col, vec_col, centroid_id_col
+    )
+    affected = new_assigned.select("_blk").distinct()
+    members = (
+        assigned_old.join(F.broadcast(affected), "_blk")
+        .withColumn("_new", F.lit(False))
+        .unionByName(new_assigned.withColumn("_new", F.lit(True)))
+    )
+    a = members.select(
+        F.col(id_col).alias("_ida"), "_blk", F.col("_new").alias("_an")
+    )
+    b = members.select(
+        F.col(id_col).alias("_idb"), "_blk", F.col("_new").alias("_bn")
+    )
+    cand = (
+        a.join(b, "_blk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.col("_an") | F.col("_bn"))  # at least one new side
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    new_pairs = _score_pairs(cand, emb_all, id_col, vec_col)
+    pairs = pairs_old.unionByName(new_pairs)
+    assigned = assigned_old.unionByName(new_assigned)
+    return pairs, assigned, edges_from_pairs(pairs, m=m)
+
+
+def graph_config_for(
+    n: int, block_size: float = 64.0, k: int = 10
+) -> dict:
+    """Size the build + search from the corpus (the `srp_config_for`
+    convention, constants pinned by the BASELINE.md round-5 recall
+    probes: C=16/beam=16/hops=3 reached recall 1.0 at n=500; C=64/
+    beam=32/hops=5/entries=16 restored 1.0 at n=5000 where the n=500
+    config read 0.55):
+
+    - ``n_blocks``: n/block_size — build cost ≈ Σ block², so blocks
+      grow WITH the corpus (the scale knob);
+    - ``m``: ~log2(n) out-degree (the HNSW convention);
+    - ``beam``: ≥ 2k and ≥ 2m — the search-quality knob;
+    - ``hops``: ~2·log(n)/log(degree) — the navigation diameter with
+      slack (uniform-random vectors, the family's worst case, need
+      the factor 2);
+    - ``n_entry``: beam/2 spread entry points.
+    """
+    import math
+
+    n = max(int(n), 2)
+    n_blocks = int(min(4096, max(4, round(n / block_size))))
+    m = int(max(8, math.ceil(math.log2(n))))
+    beam = int(max(16, 2 * k, 2 * m))
+    hops = int(
+        max(3, math.ceil(2.0 * math.log(n) / math.log(max(2 * m, 2))))
+    )
+    return {
+        "n_blocks": n_blocks,
+        "n_assign": 2,
+        "m": m,
+        "beam": beam,
+        "hops": hops,
+        "n_entry": max(8, beam // 2),
+    }
 
 
 def entry_points(

@@ -104,6 +104,75 @@ def test_graph_search_deterministic(corpus, cents, queries):
     assert len(a) == queries.count() * 5
 
 
+def test_merge_into_graph_equals_rebuild(corpus, cents):
+    """Incremental maintenance contract: merging a batch into the
+    persisted pair table yields EXACTLY the edges a full rebuild
+    produces (old-old pairs can't change under a fixed quantizer)."""
+    old = corpus.filter(F.col("vec_id") % 10 != 0)
+    batch = corpus.filter(F.col("vec_id") % 10 == 0)
+    assigned_old = graphann.assign_blocks(old, cents, n_assign=2)
+    pairs_old = graphann.block_pair_sims(old, assigned_old)
+    pairs, assigned, edges = graphann.merge_into_graph(
+        pairs_old, assigned_old, corpus, batch, cents, m=6, n_assign=2
+    )
+    full = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    got = sorted(tuple(r) for r in edges.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+    # assignment table covers the whole corpus exactly twice (n_assign)
+    assert assigned.count() == corpus.count() * 2
+
+
+def test_merge_into_graph_reingest_replaces(corpus, cents):
+    """Re-ingesting existing ids replaces their rows instead of
+    duplicating them — merge result still equals the rebuild."""
+    batch = corpus.filter(F.col("vec_id") < 30)
+    assigned_old = graphann.assign_blocks(corpus, cents, n_assign=2)
+    pairs_old = graphann.block_pair_sims(corpus, assigned_old)
+    pairs, assigned, edges = graphann.merge_into_graph(
+        pairs_old, assigned_old, corpus, batch, cents, m=6, n_assign=2
+    )
+    full = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    assert sorted(tuple(r) for r in edges.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    assert assigned.count() == corpus.count() * 2
+
+
+def test_graph_config_for_scaling():
+    small = graphann.graph_config_for(500)
+    big = graphann.graph_config_for(5000)
+    huge = graphann.graph_config_for(5_000_000)
+    assert small["n_blocks"] < big["n_blocks"] < huge["n_blocks"]
+    assert big["beam"] >= 2 * big["m"] and big["beam"] >= 20
+    assert huge["hops"] >= big["hops"] >= 3
+    assert huge["n_blocks"] <= 4096  # cap
+
+
+def test_graph_auto_config_recall(corpus, cents, queries, spark, sf_dir):
+    """The auto-sized config reaches >= 0.9 recall on the fixture
+    corpus (the constants were pinned by the BASELINE.md probes)."""
+    n = corpus.count()
+    cfg = graphann.graph_config_for(n)
+    cents_n = corpus.filter(
+        F.col("vec_id") < cfg["n_blocks"]
+    ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    edges = graphann.knn_graph(
+        corpus, cents_n, m=cfg["m"], n_assign=cfg["n_assign"]
+    )
+    res = graphann.graph_search(
+        edges, corpus, queries, k=10, beam=cfg["beam"],
+        hops=cfg["hops"], n_entry=cfg["n_entry"],
+    )
+    exact = ann.brute_force_topk(corpus, queries, k=10)
+    r = (
+        ann.ann_recall(res, exact, k=10)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert r >= 0.9, r
+
+
 def test_graph_search_no_cartesian(spark, corpus, cents, queries):
     from embeddingsearch_spark.plans import inspect as pi
 
