@@ -54,6 +54,14 @@ def main() -> None:
         # source for bench runs.
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # The handful of provably-bounded single-partition windows (DSIR
+    # survivor rank, UniMax prefix sums, BPE merge rank, funnel lag —
+    # all over config/vocab-sized tables, documented at each site) emit
+    # a WindowExec warning per execution; a literal partition key can't
+    # silence it (the optimizer constant-folds it away), and 200+
+    # copies of that known-benign line were burying real signals in the
+    # driver's 2000-char tail. Errors still surface.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the session so the first measured query doesn't pay one-time
     # startup costs that are noise at scale: JVM/parquet reader init,

@@ -88,9 +88,7 @@ def bpe_top_merges(
     symbol-alphabet² bounded (vocabulary-scale, not corpus-scale), so
     the single-partition sort ranks at most ~10⁵-10⁶ rows regardless of
     corpus size."""
-    # constant partition key keeps the (bounded) single-partition sort
-    # but silences the WindowExec "No Partition Defined" warning
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.orderBy(
         F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc()
     )
     return (

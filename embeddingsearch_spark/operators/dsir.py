@@ -211,13 +211,11 @@ def dsir_select(
         .orderBy(F.col("_score").desc(), F.col(id_col).asc())
         .limit(n)
     )
-    # constant partition key: same single-partition execution over the
-    # n survivors, but a non-empty partition spec — silences the
-    # WindowExec "No Partition Defined" warning that buried real
-    # signals in bench/driver tails
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("_score").desc(), F.col(id_col).asc()
-    )
+    # single-partition window over the n survivors only — bounded by
+    # construction. (A literal partition key would NOT silence the
+    # WindowExec warning: the optimizer constant-folds it away; the
+    # bench filters that known-benign warning at the log level.)
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
     return (
         picked.withColumn("rank", F.row_number().over(w))
         .select(

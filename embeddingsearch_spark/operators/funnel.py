@@ -58,7 +58,7 @@ def funnel_stats(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     )
     # k-row table: the single-partition lag window is bounded by the
     # stage count, never the corpus
-    w = Window.partitionBy(F.lit(0)).orderBy("stage_idx")
+    w = Window.orderBy("stage_idx")
     prev = F.lag("n").over(w)
     dropped = F.when(prev.isNull(), F.lit(0)).otherwise(prev - F.col("n"))
     pct = F.when(

@@ -267,12 +267,7 @@ def unimax_allocation(
         total = counts.agg(F.sum("n")).collect()[0][0] or 0.0
         budget = budget_frac * float(total)
     counts = counts.withColumn("cap", F.col("n") * F.lit(max_epochs))
-    # constant partition key = non-empty partition spec: identical
-    # single-partition run over the L-row group table, no WindowExec
-    # "No Partition Defined" warning spam
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("cap").asc(), F.col(group_col).asc()
-    )
+    w = Window.orderBy(F.col("cap").asc(), F.col(group_col).asc())
     n_groups = counts.agg(F.count(F.lit(1)).alias("_L"))
     staged = counts.select(
         group_col,

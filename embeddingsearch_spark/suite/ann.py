@@ -285,17 +285,19 @@ FROM ranked WHERE rank <= 10"""
 
 def q_graph_ann_topk(spark, sf_dir):
     """Graph ANN (NSW/HNSW family): blocked k-NN graph (coarse
-    centroids = first 16 vectors, 2-way multi-assignment, top-8
-    neighbors per node, symmetrized) + beam search (8 md5-sampled
-    entries, beam 16, 3 hops). Search scores O(entries + hops·beam·
-    degree) vectors per query regardless of corpus size; at this
-    config it reaches recall 1.0 vs brute force where IVF nprobe=4
-    sits at 0.9 (BASELINE.md probe row). Build AND every hop replay as
-    chained CTEs in the oracle."""
+    centroids = first 32 vectors, 2-way multi-assignment, top-8
+    neighbors per node, symmetrized + degree-capped) + beam search
+    (8 md5-sampled entries, beam 24, 4 hops). Search scores
+    O(entries + hops·beam·degree) vectors per query regardless of
+    corpus size; this config measures recall@10 of 0.95 (sf0.01) and
+    1.00 (sf0.1) vs brute force on uniform-random vectors — the
+    family's worst case (BASELINE.md probe table, incl. the tuning
+    rule `graphann.graph_config_for` encodes). Build AND every hop
+    replay as chained CTEs in the oracle."""
     corpus = tables.load(spark, sf_dir, "embeddings")
     n = spark.sparkContext.defaultParallelism
     corpus = corpus.repartition(n)
-    centroids = corpus.filter(F.col("vec_id") < 16).select(
+    centroids = corpus.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     from embeddingsearch_spark.operators import graphann
@@ -306,8 +308,8 @@ def q_graph_ann_topk(spark, sf_dir):
         corpus,
         _queries_df(spark, sf_dir),
         k=10,
-        beam=16,
-        hops=3,
+        beam=24,
+        hops=4,
         n_entry=8,
     )
 
@@ -315,10 +317,12 @@ def q_graph_ann_topk(spark, sf_dir):
 def _graph_ann_sql(
     m: int = 8,
     n_assign: int = 2,
-    beam: int = 16,
-    hops: int = 3,
+    beam: int = 24,
+    hops: int = 4,
     n_entry: int = 8,
     k: int = 10,
+    n_cents: int = 32,
+    src: str = "embeddings",
 ) -> str:
     """The full graph-ANN oracle: build (multi-assign → block pairs →
     top-m symmetrized edges) + entry sampling + one CTE trio per beam
@@ -341,7 +345,7 @@ sc{h} AS (
              CAST(unnest(e.embedding) AS DOUBLE) AS x,
              CAST(unnest(q.qv) AS DOUBLE) AS y
       FROM cand{h} c
-      JOIN embeddings e ON e.vec_id = c.node
+      JOIN {src} e ON e.vec_id = c.node
       JOIN q ON q.query_id = c.query_id) c
     GROUP BY c.query_id, c.node)
 ),
@@ -355,14 +359,14 @@ f{h} AS (
         prev = f"f{h}"
     hop_sql = ",\n".join(hop_ctes)
     return f"""WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-  WHERE vec_id < 16
+  SELECT vec_id AS centroid_id, embedding AS cv FROM {src}
+  WHERE vec_id < {n_cents}
 ),
 assign_elems AS (
   SELECT e.vec_id, c.centroid_id,
          CAST(unnest(e.embedding) AS DOUBLE) AS x,
          CAST(unnest(c.cv) AS DOUBLE) AS y
-  FROM embeddings e, cents c
+  FROM {src} e, cents c
 ),
 assign_sims AS (
   SELECT vec_id, centroid_id, round({_COS}, {RD}) AS sim
@@ -386,8 +390,8 @@ pair_elems AS (
          CAST(unnest(ea.embedding) AS DOUBLE) AS x,
          CAST(unnest(eb.embedding) AS DOUBLE) AS y
   FROM prs p
-  JOIN embeddings ea ON ea.vec_id = p.ida
-  JOIN embeddings eb ON eb.vec_id = p.idb
+  JOIN {src} ea ON ea.vec_id = p.ida
+  JOIN {src} eb ON eb.vec_id = p.idb
 ),
 pair_sims AS (
   SELECT ida, idb, round({_COS}, {RD}) AS cosine
@@ -418,11 +422,11 @@ edges AS (
     FROM sym) WHERE r <= {2 * m}
 ),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  SELECT vec_id AS query_id, embedding AS qv FROM {src}
   WHERE vec_id < 4
 ),
 entries AS (
-  SELECT vec_id FROM embeddings
+  SELECT vec_id FROM {src}
   ORDER BY md5('nsw_entry:' || CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {n_entry}
 ),
@@ -433,7 +437,7 @@ sc0 AS (
              CAST(unnest(e.embedding) AS DOUBLE) AS x,
              CAST(unnest(q.qv) AS DOUBLE) AS y
       FROM entries en
-      JOIN embeddings e ON e.vec_id = en.vec_id
+      JOIN {src} e ON e.vec_id = en.vec_id
       CROSS JOIN q) c
     GROUP BY c.query_id, c.node)
 ),
@@ -453,6 +457,46 @@ WHERE r <= {k}"""
 
 
 GRAPH_ANN_TOPK_SQL = _graph_ann_sql()
+
+
+def q_graph_ann_realistic(spark, sf_dir):
+    """Graph ANN over STRUCTURED vectors: the realistic derived
+    embeddings (suite/realistic.py — bag-of-hashed-tokens projections
+    of the Zipfian per-language corpus; within-language cosine ≈ 0.51
+    vs ≈ 0.01 cross-language), same build/search config as
+    `graph_ann_topk`. Uniform-random vectors are the NSW family's
+    worst case — this query measures the family on the cluster
+    structure it exists to exploit, with the corpus derivation, build,
+    and every hop replayed in the oracle."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.suite.realistic import (
+        derive_realistic_embeddings,
+    )
+
+    emb = derive_realistic_embeddings(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    centroids = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    edges = graphann.knn_graph(emb, centroids, m=8, n_assign=2)
+    return graphann.graph_search(
+        edges, emb, queries, k=10, beam=24, hops=4, n_entry=8
+    )
+
+
+def _graph_ann_realistic_sql() -> str:
+    from embeddingsearch_spark.suite.realistic import RD_SQL, rd_emb_sql
+
+    body = _graph_ann_sql(src="rd_emb")
+    assert body.startswith("WITH ")
+    return f"WITH {RD_SQL},\n{rd_emb_sql()},\n" + body[len("WITH ") :]
+
+
+GRAPH_ANN_REALISTIC_SQL = _graph_ann_realistic_sql()
 
 
 def q_ann_topk_numpy(spark, sf_dir):
@@ -1074,6 +1118,10 @@ QUERIES = {
     ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),
+    "graph_ann_realistic": (
+        q_graph_ann_realistic,
+        GRAPH_ANN_REALISTIC_SQL,
+    ),
     "ivf_kmeans_build": (q_ivf_kmeans_build, IVF_KMEANS_BUILD_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "proto_prune": (q_proto_prune, PROTO_PRUNE_SQL),

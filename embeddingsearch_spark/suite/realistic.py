@@ -131,6 +131,67 @@ _RANK_SQL = (
     "AS BIGINT))) AS BIGINT)"
 )
 
+def derive_realistic_embeddings(spark, sf_dir, dim: int = 32):
+    """(vec_id, embedding ARRAY<DOUBLE>[dim]) — doc embeddings
+    CORRELATED with the derived text: the bag-of-hashed-tokens
+    projection v[j] = Σ_tokens (nibble_j(md5(token)) − 7.5), j in
+    1..dim (dim ≤ 32, md5's hex width).
+
+    Same-language docs share their Zipf head tokens, so the embedding
+    space has real cluster structure (5 language clusters + rare-token
+    topical variation) instead of the uniform-random vectors of the
+    driver's embeddings table — the structure graph/semantic ANN
+    operators exist to exploit. Every summand is an exact multiple of
+    0.5, so float64 sums are EXACT and order-independent — both
+    engines derive identical vectors regardless of aggregation order.
+    """
+    if not 1 <= dim <= 32:
+        raise ValueError("dim must be in 1..32 (md5 hex width)")
+    rd = derive_realistic_docs(spark, sf_dir)
+    toks = rd.select(
+        F.col("doc_id"), F.explode(F.split("text", " ")).alias("_t")
+    ).select(F.col("doc_id"), F.md5("_t").alias("_h"))
+    nibbles = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.conv(F.col("_h").substr(i, F.lit(1)), 16, 10).cast(
+            "double"
+        )
+        - F.lit(7.5),
+    )
+    per_dim = (
+        toks.select(
+            "doc_id", F.posexplode(nibbles).alias("_d", "_v")
+        )
+        .groupBy("doc_id", "_d")
+        .agg(F.sum("_v").alias("_s"))
+    )
+    return per_dim.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_s"))),
+            lambda x: x["_s"],
+        ).alias("embedding")
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+
+
+def rd_emb_sql(dim: int = 32) -> str:
+    """The `rd_emb` CTE (requires `rd` upstream) — DuckDB twin of
+    derive_realistic_embeddings."""
+    return f"""rdtok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM rd
+),
+rdval AS (
+  SELECT doc_id, t.d,
+         sum(CAST(('0x' || substr(h, CAST(t.d AS INT), 1)) AS BIGINT)
+             - 7.5) AS v
+  FROM rdtok CROSS JOIN range(1, {dim + 1}) AS t(d)
+  GROUP BY doc_id, t.d
+),
+rd_emb AS (
+  SELECT doc_id AS vec_id, list(v ORDER BY d) AS embedding
+  FROM rdval GROUP BY doc_id
+)"""
+
+
 # the `rd` CTE — DuckDB twin of derive_realistic_docs
 RD_SQL = f"""rd AS (
   SELECT doc_id, lang, source,

@@ -110,6 +110,93 @@ def test_langid_holdout_accuracy(spark, sf_dir):
     assert row["acc"] >= 0.9, row["acc"]
 
 
+def test_realistic_embeddings_parity_and_structure(spark, sf_dir):
+    """Derived embeddings: byte-identical across engines (exact-half
+    sums are order-independent in float64) and genuinely structured —
+    within-language cosine far above cross-language."""
+    import itertools
+    import math
+    import random
+
+    from embeddingsearch_spark.suite.realistic import (
+        derive_realistic_embeddings,
+        rd_emb_sql,
+    )
+
+    s = {
+        r["vec_id"]: list(r["embedding"])
+        for r in derive_realistic_embeddings(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"WITH {RD_SQL}, {rd_emb_sql()} "
+            "SELECT vec_id, embedding FROM rd_emb"
+        ).fetchall()
+    }
+    assert s == d and len(s) == 500
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb + 1e-12)
+
+    random.seed(0)
+    sample = random.sample(sorted(s), 60)
+    within, cross = [], []
+    for a, b in itertools.combinations(sample, 2):
+        (within if langs[a] == langs[b] else cross).append(
+            cos(s[a], s[b])
+        )
+    mw = sum(within) / len(within)
+    mc = sum(cross) / len(cross)
+    assert mw > mc + 0.3, (mw, mc)
+
+
+def test_graph_ann_on_structured_vectors(spark, sf_dir):
+    """Graph ANN reaches high recall on the structured
+    (language-clustered) vectors at a modest budget — the navigable
+    case the family exists for."""
+    from pyspark.sql import functions as F2
+
+    from embeddingsearch_spark.operators import ann, graphann
+    from embeddingsearch_spark.suite.realistic import (
+        derive_realistic_embeddings,
+    )
+
+    emb = derive_realistic_embeddings(spark, sf_dir)
+    cents = emb.filter(F2.col("vec_id") < 32).select(
+        F2.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F2.col("vec_id") < 4).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    edges = graphann.knn_graph(emb, cents, m=8, n_assign=2)
+    res = graphann.graph_search(
+        edges, emb, queries, k=10, beam=16, hops=3, n_entry=8
+    )
+    exact = ann.brute_force_topk(emb, queries, k=10)
+    r = (
+        ann.ann_recall(res, exact, k=10)
+        .agg(F2.avg("recall"))
+        .collect()[0][0]
+    )
+    assert r >= 0.9, r
+
+
 def test_retrieval_selectivity_restored(spark, sf_dir):
     """BM25 over the derived corpus must NOT be the dense worst case:
     well under half of (query, doc) pairs match, and max-score pruning
