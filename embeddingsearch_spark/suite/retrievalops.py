@@ -259,6 +259,80 @@ FROM bmranked2 WHERE rank <= 10"""
 
 
 
+def q_bm25_lang_routed(spark, sf_dir):
+    """Query-time language routing: the trained char-trigram NB
+    (trained on the full derived corpus) predicts each QUERY's
+    language, and BM25 candidates are restricted to same-language
+    docs — the composition a multilingual corpus runs so a query only
+    touches its language's partition. Scores keep global corpus
+    statistics (declared semantics); at warehouse scale the lang
+    filter pushes into the match join against lang-PARTITIONED
+    postings, so the scan prunes to ~1/L of the corpus — here the
+    routing is applied before the ranking window, which is what the
+    oracle replays (train + predict + scoring + route as one CTE
+    chain)."""
+    from embeddingsearch_spark.operators import langid as langid_ops
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    dense, langs = langid_ops.charngram_lang_model(
+        docs, "doc_id", "text", "lang", n=3, vocab_size=1024
+    )
+    qpred = langid_ops.lang_id_predict(
+        queries, "query_id", "text", dense, langs, n=3
+    ).select("query_id", "lang_pred")
+    scored = retrieval.bm25_scores(docs, queries)
+    routed = (
+        scored.join(F.broadcast(qpred), "query_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") == F.col("lang_pred"))
+        .select(
+            "query_id", "doc_id", "score", "n_matched", "lang_pred"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return routed.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= 10)
+
+
+def _bm25_lang_routed_sql() -> str:
+    from embeddingsearch_spark.suite.textops import nb_langid_ctes
+
+    toks_d = TOKS_SQL.replace("text", "d.text")
+    return f"""WITH {RD_SQL},
+d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM rd
+),
+qtxt AS (
+  SELECT e.vec_id AS query_id,
+         lower(coalesce(array_to_string(({toks_d})[2:6], ' '), '')) AS t
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+{nb_langid_ctes("d", "qtxt", "query_id", 1024)},
+{_bm25_ctes("rd")},
+routed AS (
+  SELECT b.query_id, b.doc_id, b.score, b.n_matched, p.lang_pred
+  FROM bm b
+  JOIN pred p USING (query_id)
+  JOIN rd ON rd.doc_id = b.doc_id
+  WHERE rd.lang = p.lang_pred
+)
+SELECT query_id, doc_id, score, n_matched, lang_pred,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM routed
+QUALIFY rank <= 10"""
+
+
+BM25_LANG_ROUTED_SQL = _bm25_lang_routed_sql()
+
+
 def q_search_snippets(spark, sf_dir):
     """Best query-term window per (query, doc) over the realistic
     corpus: hit positions joined to broadcast query terms, a
@@ -384,6 +458,7 @@ QUERIES = {
     "bm25_indexed_topk": (q_bm25_indexed_topk, BM25_TOPK_SQL),
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
+    "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
 }

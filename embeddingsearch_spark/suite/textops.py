@@ -163,12 +163,83 @@ def q_lang_id_model(spark, sf_dir):
     )
 
 
+def nb_langid_ctes(
+    train_cte: str = "d",
+    predict_cte: str = "te",
+    pid: str = "doc_id",
+    vocab: int = 1024,
+) -> str:
+    """The char-trigram NB oracle chain as reusable CTEs: trains on
+    ``train_cte`` (cols: doc_id, t, lang), predicts ``predict_cte``
+    (cols: {pid}, t), ends in ``pred({pid}, lang_pred, score,
+    n_grams)``. Shared by `lang_id_model` and the language-routed
+    retrieval query so the replayed recipe cannot drift between them."""
+    gram = """unnest(list_transform(range(1, greatest(0, length(t) - 2) + 1),
+                               i -> substr(t, i, 3))) AS gram"""
+    vp1 = float(vocab + 1)
+    return f"""g AS (SELECT doc_id, lang, {gram} FROM {train_cte}),
+c AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, sum(c) AS tot FROM c GROUP BY gram
+    ORDER BY tot DESC, gram ASC LIMIT {vocab})
+),
+nl AS (
+  SELECT lang, sum(c) AS n_lang FROM c JOIN vocab USING (gram)
+  GROUP BY lang
+),
+ld AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM {train_cte}
+       GROUP BY lang),
+nd AS (SELECT count(DISTINCT doc_id) AS total FROM {train_cte}),
+lng AS (
+  SELECT ld.lang,
+         ln(1.0 / (coalesce(nl.n_lang, 0) + {vp1})) AS floor_logp,
+         ln(ld.n_docs * 1.0 / nd.total) AS log_prior
+  FROM ld LEFT JOIN nl USING (lang), nd
+),
+dense AS (
+  SELECT l.lang, v.gram,
+         ln((coalesce(c.c, 0) + 1.0)
+            / (coalesce(nl.n_lang, 0) + {vp1})) AS logp
+  FROM (SELECT lang FROM ld) l
+  CROSS JOIN vocab v
+  LEFT JOIN nl ON nl.lang = l.lang
+  LEFT JOIN c ON c.lang = l.lang AND c.gram = v.gram
+),
+gte AS (SELECT {pid}, {gram} FROM {predict_cte}),
+iv AS (
+  SELECT gte.{pid}, dense.lang, sum(dense.logp) AS s_iv,
+         count(*) AS n_iv
+  FROM gte JOIN dense USING (gram) GROUP BY gte.{pid}, dense.lang
+),
+base AS (
+  SELECT dd.{pid}, l.lang, dd.n_grams
+  FROM (SELECT {pid}, greatest(0, length(t) - 2) AS n_grams
+        FROM {predict_cte}) dd
+  CROSS JOIN (SELECT lang FROM ld) l
+),
+scores AS (
+  SELECT b.{pid}, b.lang, b.n_grams,
+         lg.log_prior + coalesce(iv.s_iv, 0)
+         + (b.n_grams - coalesce(iv.n_iv, 0)) * lg.floor_logp AS score
+  FROM base b
+  JOIN lng lg ON lg.lang = b.lang
+  LEFT JOIN iv ON iv.{pid} = b.{pid} AND iv.lang = b.lang
+),
+pred AS (
+  SELECT {pid}, lang AS lang_pred, round(score, {RD}) AS score,
+         n_grams
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY {pid}
+              ORDER BY round(score, {RD}) DESC, lang ASC) AS rn
+    FROM scores)
+  WHERE rn = 1
+)"""
+
+
 def _lang_id_model_sql() -> str:
     from embeddingsearch_spark.suite.realistic import RD_SQL
 
-    gram_extract = """SELECT doc_id, lang,
-         unnest(list_transform(range(1, greatest(0, length(t) - 2) + 1),
-                               i -> substr(t, i, 3))) AS gram"""
     return f"""WITH {RD_SQL},
 d AS (
   SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM rd
@@ -178,62 +249,7 @@ te AS (
   SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM rd
   WHERE doc_id % 2 = 1
 ),
-g AS ({gram_extract} FROM d),
-c AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram),
-vocab AS (
-  SELECT gram FROM (
-    SELECT gram, sum(c) AS tot FROM c GROUP BY gram
-    ORDER BY tot DESC, gram ASC LIMIT 1024)
-),
-nl AS (
-  SELECT lang, sum(c) AS n_lang FROM c JOIN vocab USING (gram)
-  GROUP BY lang
-),
-ld AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY lang),
-nd AS (SELECT count(DISTINCT doc_id) AS total FROM d),
-lng AS (
-  SELECT ld.lang,
-         ln(1.0 / (coalesce(nl.n_lang, 0) + 1025.0)) AS floor_logp,
-         ln(ld.n_docs * 1.0 / nd.total) AS log_prior
-  FROM ld LEFT JOIN nl USING (lang), nd
-),
-dense AS (
-  SELECT l.lang, v.gram,
-         ln((coalesce(c.c, 0) + 1.0)
-            / (coalesce(nl.n_lang, 0) + 1025.0)) AS logp
-  FROM (SELECT lang FROM ld) l
-  CROSS JOIN vocab v
-  LEFT JOIN nl ON nl.lang = l.lang
-  LEFT JOIN c ON c.lang = l.lang AND c.gram = v.gram
-),
-gte AS ({gram_extract} FROM te),
-iv AS (
-  SELECT gte.doc_id, dense.lang, sum(dense.logp) AS s_iv,
-         count(*) AS n_iv
-  FROM gte JOIN dense USING (gram) GROUP BY gte.doc_id, dense.lang
-),
-base AS (
-  SELECT dd.doc_id, l.lang, dd.n_grams
-  FROM (SELECT doc_id, greatest(0, length(t) - 2) AS n_grams FROM te) dd
-  CROSS JOIN (SELECT lang FROM ld) l
-),
-scores AS (
-  SELECT b.doc_id, b.lang, b.n_grams,
-         lg.log_prior + coalesce(iv.s_iv, 0)
-         + (b.n_grams - coalesce(iv.n_iv, 0)) * lg.floor_logp AS score
-  FROM base b
-  JOIN lng lg ON lg.lang = b.lang
-  LEFT JOIN iv ON iv.doc_id = b.doc_id AND iv.lang = b.lang
-),
-pred AS (
-  SELECT doc_id, lang AS lang_pred, round(score, {RD}) AS score,
-         n_grams
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY doc_id
-              ORDER BY round(score, {RD}) DESC, lang ASC) AS rn
-    FROM scores)
-  WHERE rn = 1
-)
+{nb_langid_ctes("d", "te", "doc_id", 1024)}
 SELECT p.doc_id, t2.lang AS lang_true, p.lang_pred,
        CAST(p.lang_pred = t2.lang AS INT) AS correct,
        p.score, p.n_grams
