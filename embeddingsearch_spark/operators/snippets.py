@@ -87,3 +87,98 @@ def best_snippets(
             " ", F.slice(F.col("_orig"), F.col("start") + 1, window)
         ).alias("snippet"),
     )
+
+
+def top_snippets(
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 10,
+    s: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-``s`` NON-OVERLAPPING query-term windows per (query, doc):
+    ``(query_id, doc_id, start, n_hits, snip_rank, snippet)`` — the
+    multi-passage variant every result page shows (Lucene's unified
+    highlighter shape). Greedy selection, declared exactly: round i
+    picks the best remaining window (hits desc, position asc), then
+    every candidate start within ``window`` tokens of a picked start is
+    suppressed; ``s`` is fixed and small, so the loop is a finite CTE
+    chain the oracle replays round by round. Hit counts are computed
+    ONCE over the full hit stream (suppression removes candidate
+    STARTS, not hits) and the candidate frame is pinned per round —
+    round i's lineage never replays rounds 0..i-1."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.operators.retrieval import query_terms
+
+    if window < 1 or s < 1:
+        raise ValueError("window and s must be >= 1")
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    staged = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_orig"),
+    ).withColumn("_low", F.transform(F.col("_orig"), F.lower))
+    pos = staged.select(
+        F.col(id_col), F.posexplode("_low").alias("pos", "term")
+    )
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col, "pos"
+    )
+    wf = (
+        Window.partitionBy(query_id_col, id_col)
+        .orderBy("pos")
+        .rangeBetween(0, window - 1)
+    )
+    remaining = hits.withColumn(
+        "n_hits", F.count(F.lit(1)).over(wf)
+    ).localCheckpoint(eager=False)
+    rank = Window.partitionBy(query_id_col, id_col).orderBy(
+        F.col("n_hits").desc(), F.col("pos").asc()
+    )
+    picks = []
+    for i in range(1, s + 1):
+        pick = (
+            remaining.withColumn("_rn", F.row_number().over(rank))
+            .filter(F.col("_rn") == 1)
+            .select(
+                query_id_col,
+                id_col,
+                F.col("pos").alias("start"),
+                "n_hits",
+                F.lit(i).alias("snip_rank"),
+            )
+        )
+        picks.append(pick)
+        if i < s:
+            remaining = (
+                remaining.join(
+                    pick.select(
+                        query_id_col,
+                        id_col,
+                        F.col("start").alias("_p"),
+                    ),
+                    [query_id_col, id_col],
+                    "left",
+                )
+                .filter(
+                    F.col("_p").isNull()
+                    | (F.abs(F.col("pos") - F.col("_p")) >= window)
+                )
+                .drop("_p")
+                .localCheckpoint(eager=False)
+            )
+    sel = picks[0]
+    for p in picks[1:]:
+        sel = sel.unionByName(p)
+    return sel.join(staged.select(id_col, "_orig"), id_col).select(
+        query_id_col,
+        id_col,
+        "start",
+        "n_hits",
+        "snip_rank",
+        F.concat_ws(
+            " ", F.slice(F.col("_orig"), F.col("start") + 1, window)
+        ).alias("snippet"),
+    )

@@ -384,6 +384,83 @@ SELECT b.query_id, b.doc_id, b.start, b.n_hits,
 FROM best b JOIN staged s USING (doc_id)"""
 
 
+def q_search_snippets_multi(spark, sf_dir):
+    """Top-2 NON-OVERLAPPING passages per (query, doc) — the greedy
+    multi-passage selection result pages actually show: round 1 picks
+    the best window, round 2 the best window at least 10 tokens away;
+    counts computed once over the hit stream, rounds pinned. The
+    oracle replays both rounds as chained CTEs."""
+    from embeddingsearch_spark.operators.snippets import top_snippets
+
+    docs = _corpus(spark, sf_dir)
+    return top_snippets(
+        docs, _text_queries(spark, sf_dir, docs), window=10, s=2
+    )
+
+
+def _multi_snippets_sql(window: int = 10, s: int = 2) -> str:
+    rounds = []
+    sels = []
+    prev = "counted"
+    for i in range(1, s + 1):
+        rounds.append(
+            f"""sel{i} AS (
+  SELECT query_id, doc_id, pos AS start, n_hits,
+         CAST({i} AS INT) AS snip_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+              ORDER BY n_hits DESC, pos ASC) AS rn
+    FROM {prev}) WHERE rn = 1
+)"""
+        )
+        sels.append(f"SELECT * FROM sel{i}")
+        if i < s:
+            rounds.append(
+                f"""rem{i} AS (
+  SELECT r.query_id, r.doc_id, r.pos, r.n_hits
+  FROM {prev} r LEFT JOIN sel{i} s
+    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+  WHERE s.start IS NULL OR abs(r.pos - s.start) >= {window}
+)"""
+            )
+            prev = f"rem{i}"
+    round_sql = ",\n".join(rounds)
+    union_sql = "\n  UNION ALL ".join(sels)
+    return f"""WITH {RD_SQL},
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+staged AS (
+  SELECT doc_id, {TOKS_SQL} AS orig,
+         list_transform({TOKS_SQL}, x -> lower(x)) AS low
+  FROM rd
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(low, 1) - 1 AS pos,
+         unnest(low) AS term
+  FROM staged
+),
+hits AS (
+  SELECT qterm.query_id, pos.doc_id, pos.pos
+  FROM pos JOIN qterm USING (term)
+),
+counted AS (
+  SELECT query_id, doc_id, pos,
+         count(*) OVER (PARTITION BY query_id, doc_id ORDER BY pos
+                        RANGE BETWEEN CURRENT ROW AND {window - 1}
+                        FOLLOWING) AS n_hits
+  FROM hits
+),
+{round_sql},
+sel AS ({union_sql})
+SELECT b.query_id, b.doc_id, b.start, b.n_hits, b.snip_rank,
+       array_to_string(s.orig[b.start + 1 : b.start + {window}], ' ')
+         AS snippet
+FROM sel b JOIN staged s USING (doc_id)"""
+
+
+SEARCH_SNIPPETS_MULTI_SQL = _multi_snippets_sql()
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 (realistic corpus) fused
     with exact-cosine ANN top-10 via reciprocal-rank fusion (k=60) —
@@ -461,4 +538,8 @@ QUERIES = {
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
+    "search_snippets_multi": (
+        q_search_snippets_multi,
+        SEARCH_SNIPPETS_MULTI_SQL,
+    ),
 }

@@ -178,6 +178,55 @@ def test_postings_index_roundtrip_and_upsert(spark):
     assert _frames_equal(out2, retrieval.bm25_topk(docs2, qs, k=10))
 
 
+def test_top_snippets_overlap_suppression(spark):
+    """Round 2 may not pick a window whose start is within `window`
+    tokens of round 1's pick; pairs with no remaining candidates yield
+    fewer than s rows."""
+    from embeddingsearch_spark.operators.snippets import (
+        best_snippets,
+        top_snippets,
+    )
+
+    # hits at positions 0,1 (dense cluster) and 20 (isolated): best
+    # window starts at 0 (2 hits); second passage must start at 20
+    text = (
+        "cat cat "
+        + " ".join(f"f{i}" for i in range(18))
+        + " cat tail"
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, "cat alone here")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(7, "cat")], "query_id long, text string"
+    )
+    out = top_snippets(docs, qs, window=10, s=3)
+    rows = sorted(
+        (r["doc_id"], r["snip_rank"], r["start"], r["n_hits"])
+        for r in out.collect()
+    )
+    # doc 1: two passages (0 and 20); third round has nothing left
+    assert (1, 1, 0, 2) in rows and (1, 2, 20, 1) in rows
+    assert not any(d == 1 and sr == 3 for d, sr, _, _ in rows)
+    # doc 2: a single candidate → one passage only
+    assert (2, 1, 0, 1) in rows
+    assert sum(1 for d, *_ in rows if d == 2) == 1
+    # every selected pair of starts per doc is >= window apart
+    starts = [s for d, _, s, _ in rows if d == 1]
+    assert all(
+        abs(a - b) >= 10
+        for i, a in enumerate(starts)
+        for b in starts[i + 1 :]
+    )
+    # rank-1 rows equal best_snippets
+    b = {
+        (r["doc_id"], r["start"], r["n_hits"])
+        for r in best_snippets(docs, qs, window=10).collect()
+    }
+    got1 = {(d, s, n) for d, sr, s, n in rows if sr == 1}
+    assert got1 == b
+
+
 def test_rrf_fuse_arithmetic(spark):
     r1 = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
