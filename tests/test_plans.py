@@ -514,6 +514,32 @@ def test_bm25_single_corpus_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_lang_routed_broadcasts_model_and_pred(spark):
+    """The routing composition: NB model and per-query predictions
+    broadcast; no cartesian product sneaks in."""
+    from embeddingsearch_spark.suite.retrievalops import (
+        q_bm25_lang_routed,
+    )
+
+    df = q_bm25_lang_routed(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_search_snippets_multi_no_cartesian(spark):
+    """Two greedy rounds stay join+window work — no self-join of the
+    hit stream, no cartesian."""
+    from embeddingsearch_spark.suite.retrievalops import (
+        q_search_snippets_multi,
+    )
+
+    df = q_search_snippets_multi(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_wand_broadcasts_bounds_no_cartesian(spark):
     """The pruned path: bound/seed/essential tables all broadcast, the
     candidate semi-join shares the (query, doc) exchange with the final
