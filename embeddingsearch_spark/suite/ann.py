@@ -473,16 +473,26 @@ def q_graph_ann_realistic(spark, sf_dir):
         derive_realistic_embeddings,
     )
 
-    emb = derive_realistic_embeddings(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+    # the derivation ends in a (doc, dim) aggregation — pin it, or the
+    # build (3 reads) and every search hop (4 more) replay the explode
+    # + shuffle chain (measured 79.8 s unpinned at sf0.1)
+    emb = (
+        derive_realistic_embeddings(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
-    centroids = emb.filter(F.col("vec_id") < 32).select(
+    # C=128: language clusters SKEW coarse blocks (first-32 centroids
+    # left one block with 27% of the corpus — Σ block² 5.4M pair
+    # slots); finer blocks rebalance (1.6M) and m=12 keeps the graph
+    # navigable across the finer seams — recall@10 = 1.00 at both gate
+    # scales (BASELINE.md probe row)
+    centroids = emb.filter(F.col("vec_id") < 128).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    edges = graphann.knn_graph(emb, centroids, m=8, n_assign=2)
+    edges = graphann.knn_graph(emb, centroids, m=12, n_assign=2)
     return graphann.graph_search(
         edges, emb, queries, k=10, beam=24, hops=4, n_entry=8
     )
@@ -491,7 +501,7 @@ def q_graph_ann_realistic(spark, sf_dir):
 def _graph_ann_realistic_sql() -> str:
     from embeddingsearch_spark.suite.realistic import RD_SQL, rd_emb_sql
 
-    body = _graph_ann_sql(src="rd_emb")
+    body = _graph_ann_sql(src="rd_emb", n_cents=128, m=12)
     assert body.startswith("WITH ")
     return f"WITH {RD_SQL},\n{rd_emb_sql()},\n" + body[len("WITH ") :]
 
