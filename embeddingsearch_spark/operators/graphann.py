@@ -354,6 +354,11 @@ def graph_search(
     ``beam`` per query (monotone: the union retains the previous
     frontier). ``hops`` is fixed → the plan is a finite chain and the
     oracle replays it hop by hop."""
+    if beam < k:
+        raise ValueError(
+            f"beam ({beam}) must be >= k ({k}): the answer is drawn "
+            "from the final frontier, which holds only `beam` rows"
+        )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),

@@ -38,8 +38,14 @@ from embeddingsearch_spark.suite.dedup import TOKS_SQL
 
 
 def _corpus(spark, sf_dir):
+    # pin the derived corpus: a retrieval query references it from the
+    # postings build, the query derivation, and (snippets) the
+    # text join-back — one materialization instead of re-running the
+    # 2-md5-per-token synthesis per reference
     docs = derive_realistic_docs(spark, sf_dir)
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
 
 
 def _text_queries(spark, sf_dir, docs=None):

@@ -173,6 +173,14 @@ def test_graph_auto_config_recall(corpus, cents, queries, spark, sf_dir):
     assert r >= 0.9, r
 
 
+def test_graph_search_rejects_beam_below_k(corpus, cents, queries):
+    edges = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    with pytest.raises(ValueError, match="beam"):
+        graphann.graph_search(
+            edges, corpus, queries, k=10, beam=4, hops=2
+        )
+
+
 def test_graph_search_no_cartesian(spark, corpus, cents, queries):
     from embeddingsearch_spark.plans import inspect as pi
 
