@@ -95,6 +95,30 @@ class HttpReranker:
         return out
 
 
+@dataclass
+class HashReranker:
+    """Deterministic local stand-in cross-encoder (the `mock:model`
+    convention of the embedder seam, applied to reranking): the score
+    of a (query, document) pair is the md5 fraction of their joined
+    text — a pure function both engines reproduce, so the WHOLE
+    applyInPandas rerank path (grouping, batching, ranking) is
+    value-oracled end-to-end. Swap `HttpReranker` in for a real
+    provider; the interface is identical."""
+
+    def rerank(self, query: str, documents: list[str]) -> list[float]:
+        import hashlib
+
+        out = []
+        for d in documents:
+            h = hashlib.md5(
+                (query + "||" + d).encode("utf-8")
+            ).hexdigest()[:8]
+            # 32-bit int / 2^32: exactly representable in float64 —
+            # rounding happens once, in rerank_topk's F.round
+            out.append(int(h, 16) / 4294967296.0)
+        return out
+
+
 def rerank_topk(
     candidates: DataFrame,
     queries: DataFrame,

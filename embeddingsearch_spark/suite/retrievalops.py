@@ -339,6 +339,58 @@ QUALIFY rank <= 10"""
 BM25_LANG_ROUTED_SQL = _bm25_lang_routed_sql()
 
 
+def q_rerank_hash_topk(spark, sf_dir):
+    """The full two-stage retrieval pipeline, value-oracled end to
+    end: BM25 top-10 candidates → cross-encoder rerank to top-5 via
+    the deterministic HashReranker (md5 pair fraction — the mock:model
+    convention applied to the rerank seam), exercising the REAL
+    applyInPandas grouped-rerank path the HTTP provider uses."""
+    from embeddingsearch_spark.sources.reranker import (
+        HashReranker,
+        rerank_topk,
+    )
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    lex = retrieval.bm25_topk(docs, queries, k=10)
+    candidates = lex.select("query_id", "doc_id").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return rerank_topk(candidates, queries, HashReranker(), k=5)
+
+
+def _rerank_hash_sql() -> str:
+    toks_d = TOKS_SQL.replace("text", "d.text")
+    return f"""WITH {RD_SQL},
+{_bm25_ctes("rd")},
+qtext AS (
+  SELECT e.vec_id AS query_id,
+         array_to_string(({toks_d})[2:6], ' ') AS qt_text
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+cand AS (
+  SELECT b.query_id, b.doc_id, rd.text AS dtext
+  FROM bmranked b JOIN rd ON rd.doc_id = b.doc_id
+  WHERE b.rank <= 10
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         CAST(('0x' || substr(md5(q.qt_text || '||' || c.dtext), 1, 8))
+              AS BIGINT) / 4294967296.0 AS rerank_score
+  FROM cand c JOIN qtext q USING (query_id)
+)
+SELECT query_id, doc_id, round(rerank_score, {RD}) AS rerank_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY round(rerank_score, {RD}) DESC, doc_id ASC)
+            AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5"""
+
+
+RERANK_HASH_TOPK_SQL = _rerank_hash_sql()
+
+
 def q_search_snippets(spark, sf_dir):
     """Best query-term window per (query, doc) over the realistic
     corpus: hit positions joined to broadcast query terms, a
@@ -542,6 +594,7 @@ QUERIES = {
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
+    "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
     "search_snippets_multi": (
