@@ -347,13 +347,23 @@ def graph_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search over a `knn_graph`: ``(query_id, vec_id, cosine,
     rank<=k)``. Each hop expands the frontier's out-edges, rescores the
     candidate set against the broadcast queries, and keeps the best
     ``beam`` per query (monotone: the union retains the previous
     frontier). ``hops`` is fixed → the plan is a finite chain and the
-    oracle replays it hop by hop."""
+    oracle replays it hop by hop.
+
+    ``allowed`` (optional (id) frame) makes this FILTERED ANN: the
+    answer is restricted to allowed ids, but navigation is NOT — the
+    beam keeps disallowed nodes as waypoints (the standard filtered-
+    search design: restricting the walk itself disconnects the graph
+    under selective filters and recall collapses; post-filtering the
+    final top-k loses every allowed node the beam visited earlier).
+    Every allowed node SCORED at any hop enters the answer pool, so
+    filtered recall ≥ post-filter recall by construction (tested)."""
     if beam < k:
         raise ValueError(
             f"beam ({beam}) must be >= k ({k}): the answer is drawn "
@@ -383,12 +393,14 @@ def graph_search(
         F.col("_sim").desc(), F.col("_node").asc()
     )
 
-    def score_and_beam(cand: DataFrame) -> DataFrame:
-        scored = (
+    def score(cand: DataFrame) -> DataFrame:
+        return (
             cand.join(vecs, "_node")
             .join(q, query_id_col)
             .select(query_id_col, "_node", sim.alias("_sim"))
         )
+
+    def beam_cut(scored: DataFrame) -> DataFrame:
         return (
             scored.withColumn("_r", F.row_number().over(fw))
             .filter(F.col("_r") <= beam)
@@ -397,10 +409,32 @@ def graph_search(
             .localCheckpoint(eager=False)
         )
 
+    allowed_ids = None
+    acc = None
+    if allowed is not None:
+        allowed_ids = allowed.select(
+            F.col(id_col).alias("_node")
+        ).distinct()
+
+    def step(scored: DataFrame) -> DataFrame:
+        nonlocal acc
+        if allowed_ids is None:
+            return beam_cut(scored)
+        # pin the scored frame once: the beam cut AND the answer-pool
+        # accumulation both read it
+        scored = scored.localCheckpoint(eager=False)
+        hits = scored.join(allowed_ids, "_node", "left_semi")
+        acc = hits if acc is None else acc.unionByName(hits)
+        return beam_cut(scored)
+
     entries = entry_points(emb, n_entry=n_entry, id_col=id_col)
-    frontier = score_and_beam(
-        queries.select(query_id_col).crossJoin(
-            F.broadcast(entries.select(F.col(id_col).alias("_node")))
+    frontier = step(
+        score(
+            queries.select(query_id_col).crossJoin(
+                F.broadcast(
+                    entries.select(F.col(id_col).alias("_node"))
+                )
+            )
         )
     )
     esrc = edges.select(
@@ -417,9 +451,10 @@ def graph_search(
                 frontier.select(query_id_col, "_node")
             ).distinct()
         )
-        frontier = score_and_beam(cand)
+        frontier = step(score(cand))
+    pool = frontier if acc is None else acc.distinct()
     return (
-        frontier.withColumn("_r", F.row_number().over(fw))
+        pool.withColumn("_r", F.row_number().over(fw))
         .filter(F.col("_r") <= k)
         .select(
             query_id_col,

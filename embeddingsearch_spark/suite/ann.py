@@ -323,6 +323,7 @@ def _graph_ann_sql(
     k: int = 10,
     n_cents: int = 32,
     src: str = "embeddings",
+    allowed_where: str | None = None,
 ) -> str:
     """The full graph-ANN oracle: build (multi-assign → block pairs →
     top-m symmetrized edges) + entry sampling + one CTE trio per beam
@@ -447,16 +448,77 @@ f0 AS (
               ORDER BY sim DESC, node ASC) AS r
     FROM sc0) WHERE r <= {beam}
 ),
-{hop_sql}
+{hop_sql}{_filtered_tail(hops, k, src, allowed_where)}"""
+
+
+def _filtered_tail(
+    hops: int, k: int, src: str, allowed_where: str | None
+) -> str:
+    """Final SELECT of the graph oracle: plain top-k of the last
+    frontier, or — filtered mode — top-k of the DISTINCT union of
+    every hop's allowed scored rows (the answer-pool accumulator)."""
+    if allowed_where is None:
+        return f"""
 SELECT query_id, node AS vec_id, sim AS cosine, CAST(r AS INT) AS rank
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY sim DESC, node ASC) AS r
   FROM f{hops})
 WHERE r <= {k}"""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT * FROM sc{h}" for h in range(hops + 1)
+    )
+    return f""",
+alw AS (SELECT vec_id AS node FROM {src} WHERE {allowed_where}),
+acc AS (
+  SELECT DISTINCT query_id, node, sim FROM (
+    {unions}) u
+  WHERE node IN (SELECT node FROM alw)
+)
+SELECT query_id, node AS vec_id, sim AS cosine, CAST(r AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, node ASC) AS r
+  FROM acc)
+WHERE r <= {k}"""
 
 
 GRAPH_ANN_TOPK_SQL = _graph_ann_sql()
+
+
+def q_graph_ann_filtered(spark, sf_dir):
+    """FILTERED ANN (attribute-constrained search — the searchdomain-
+    scoping × ANN composition): graph beam search where the answer is
+    restricted to ``label < 3`` vectors (~30% selectivity) while
+    navigation keeps disallowed waypoints, and every allowed node
+    scored at any hop enters the answer pool — the design that keeps
+    recall from collapsing under selective filters (post-filtering the
+    final beam loses allowed nodes visited earlier; tested). Same
+    build config as `graph_ann_topk`; the oracle accumulates each
+    hop's allowed scored rows."""
+    from embeddingsearch_spark.operators import graphann
+
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n)
+    centroids = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    allowed = corpus.filter(F.col("label") < 3).select("vec_id")
+    edges = graphann.knn_graph(corpus, centroids, m=8, n_assign=2)
+    return graphann.graph_search(
+        edges,
+        corpus,
+        _queries_df(spark, sf_dir),
+        k=10,
+        beam=24,
+        hops=4,
+        n_entry=8,
+        allowed=allowed,
+    )
+
+
+GRAPH_ANN_FILTERED_SQL = _graph_ann_sql(allowed_where="label < 3")
 
 
 def q_graph_ann_realistic(spark, sf_dir):
@@ -1131,6 +1193,10 @@ QUERIES = {
     "graph_ann_realistic": (
         q_graph_ann_realistic,
         GRAPH_ANN_REALISTIC_SQL,
+    ),
+    "graph_ann_filtered": (
+        q_graph_ann_filtered,
+        GRAPH_ANN_FILTERED_SQL,
     ),
     "ivf_kmeans_build": (q_ivf_kmeans_build, IVF_KMEANS_BUILD_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),

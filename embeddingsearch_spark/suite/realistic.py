@@ -175,7 +175,11 @@ def derive_realistic_embeddings(spark, sf_dir, dim: int = 32):
 
 def rd_emb_sql(dim: int = 32) -> str:
     """The `rd_emb` CTE (requires `rd` upstream) — DuckDB twin of
-    derive_realistic_embeddings."""
+    derive_realistic_embeddings. MATERIALIZED: the graph-ANN oracle
+    references the embedding table 9×, and DuckDB re-inlines plain
+    CTEs per reference — re-running the 12M-row derivation chain nine
+    times OOMed the sf0.1 oracle; materializing (the SQL twin of the
+    Spark side's localCheckpoint pin) makes it one pass."""
     return f"""rdtok AS (
   SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM rd
 ),
@@ -186,14 +190,18 @@ rdval AS (
   FROM rdtok CROSS JOIN range(1, {dim + 1}) AS t(d)
   GROUP BY doc_id, t.d
 ),
-rd_emb AS (
+rd_emb AS MATERIALIZED (
   SELECT doc_id AS vec_id, list(v ORDER BY d) AS embedding
   FROM rdval GROUP BY doc_id
 )"""
 
 
-# the `rd` CTE — DuckDB twin of derive_realistic_docs
-RD_SQL = f"""rd AS (
+# the `rd` CTE — DuckDB twin of derive_realistic_docs. MATERIALIZED:
+# retrieval/lang-id oracles reference the derived corpus repeatedly
+# and DuckDB re-inlines plain CTEs per reference (the 2-md5-per-token
+# synthesis would re-run each time — the SQL twin of the Spark side's
+# corpus pin).
+RD_SQL = f"""rd AS MATERIALIZED (
   SELECT doc_id, lang, source,
     array_to_string(
       list_transform(

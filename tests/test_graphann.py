@@ -173,6 +173,47 @@ def test_graph_auto_config_recall(corpus, cents, queries, spark, sf_dir):
     assert r >= 0.9, r
 
 
+def test_graph_search_filtered(corpus, cents, queries):
+    """Filtered ANN: every answer satisfies the predicate; recall vs
+    the exact filtered ground truth is at least the post-filter
+    baseline (the answer pool keeps allowed nodes the final beam
+    forgot)."""
+    allowed = corpus.filter(F.col("label") < 3).select("vec_id")
+    allowed_set = {r["vec_id"] for r in allowed.collect()}
+    edges = graphann.knn_graph(corpus, cents, m=8, n_assign=2)
+    res = graphann.graph_search(
+        edges, corpus, queries, k=10, beam=16, hops=3, n_entry=8,
+        allowed=allowed,
+    )
+    rows = res.collect()
+    assert rows and all(r["vec_id"] in allowed_set for r in rows)
+
+    exact_allowed = ann.brute_force_topk(
+        corpus.join(allowed, "vec_id", "left_semi"), queries, k=10
+    )
+
+    def recall(approx):
+        return (
+            ann.ann_recall(approx, exact_allowed, k=10)
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+        )
+
+    r_filtered = recall(res)
+    # post-filter baseline: unfiltered search, then drop disallowed
+    # (rank column removed so ann_recall treats it as an uncapped set
+    # of <= k rows — re-rank after the filter)
+    unf = graphann.graph_search(
+        edges, corpus, queries, k=10, beam=16, hops=3, n_entry=8
+    )
+    post = unf.join(allowed, "vec_id", "left_semi").select(
+        "query_id", "vec_id", "rank"
+    )
+    r_post = recall(post)
+    assert r_filtered >= r_post - 1e-9, (r_filtered, r_post)
+    assert r_filtered >= 0.5, r_filtered
+
+
 def test_graph_search_rejects_beam_below_k(corpus, cents, queries):
     edges = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
     with pytest.raises(ValueError, match="beam"):
