@@ -540,6 +540,27 @@ def test_search_snippets_multi_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_graph_ann_filtered_no_cartesian(spark):
+    """Filtered beam search: the allowed-id restriction is a semi
+    join, never a cartesian; entry fan-out stays a broadcast."""
+    from embeddingsearch_spark.suite.ann import q_graph_ann_filtered
+
+    df = q_graph_ann_filtered(spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_rerank_hash_pipeline_no_cartesian(spark):
+    from embeddingsearch_spark.suite.retrievalops import (
+        q_rerank_hash_topk,
+    )
+
+    df = q_rerank_hash_topk(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_wand_broadcasts_bounds_no_cartesian(spark):
     """The pruned path: bound/seed/essential tables all broadcast, the
     candidate semi-join shares the (query, doc) exchange with the final
