@@ -936,6 +936,71 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    prefix: str,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> tuple[str, str]:
+    """PERSIST the IVF index: the assigned corpus saved PARTITIONED by
+    ``centroid_id`` (the design note on `ivf_topk` made real — a probe
+    touching ``nprobe`` of C centroids prunes the scan to nprobe/C of
+    the data via static partition pruning) and bucketed by id within
+    each partition; the centroid table (tiny — it IS the quantizer)
+    saved plain. Cross-session reuse needs a persistent metastore.
+    Returns the two table names."""
+    from embeddingsearch_spark.storage import drop_table, replace_bucketed
+
+    replace_bucketed(
+        assigned,
+        f"{prefix}_assigned",
+        [id_col],
+        n_buckets=n_buckets,
+        partition_cols=[centroid_id_col],
+    )
+    drop_table(centroids.sparkSession, f"{prefix}_centroids")
+    centroids.write.saveAsTable(f"{prefix}_centroids")
+    return f"{prefix}_assigned", f"{prefix}_centroids"
+
+
+def ivf_topk_from_index(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """`ivf_topk` over a persisted `save_ivf_index` — identical output
+    (same oracle). The probed centroid ids (≤ C values, the quantizer
+    is bounded by construction) are collected into a literal isin
+    filter on the PARTITION column, so the scan statically prunes to
+    the probed partitions before any join runs — the read-side win the
+    partitioned layout exists for."""
+    cents = spark.table(f"{prefix}_centroids")
+    assigned = spark.table(f"{prefix}_assigned")
+    probe = brute_force_topk(
+        cents, queries, k=nprobe,
+        id_col=centroid_id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    probed = [
+        r[0]
+        for r in probe.select(centroid_id_col).distinct().collect()
+    ]
+    pruned = assigned.filter(F.col(centroid_id_col).isin(probed))
+    return ivf_topk(
+        pruned, cents, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        centroid_id_col=centroid_id_col,
+    )
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

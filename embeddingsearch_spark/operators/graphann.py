@@ -280,6 +280,80 @@ def merge_into_graph(
     return pairs, assigned, edges_from_pairs(pairs, m=m)
 
 
+def save_graph_index(
+    pairs: DataFrame,
+    assigned: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+) -> tuple[str, str]:
+    """PERSIST the graph-ANN build artifacts as catalog tables — the
+    build-once/query-forever story (`build_postings_index`'s twin for
+    the vector side). Two tables:
+
+    - ``{prefix}_pairs``: the scored pair table (THE persisted
+      artifact — `edges_from_pairs` derives the navigable graph from
+      it with rank windows only, no vector math), bucketed by
+      ``_ida`` so the incremental merge's anti-joins on the pair ids
+      need no exchange on the stored side;
+    - ``{prefix}_assigned``: the (id, _blk) multi-assignment, bucketed
+      by ``_blk`` — `upsert_graph_index` joins it on the affected
+      blocks, and a bucket join reads only those buckets.
+
+    Cross-session reuse needs a persistent metastore (standard on
+    clusters; local in-memory catalogs keep the files but forget the
+    table). Returns the two table names."""
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    return (
+        replace_bucketed(
+            pairs, f"{prefix}_pairs", ["_ida"], n_buckets=n_buckets
+        ),
+        replace_bucketed(
+            assigned, f"{prefix}_assigned", ["_blk"], n_buckets=n_buckets
+        ),
+    )
+
+
+def load_graph_index(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(pairs, assigned) from a `save_graph_index` prefix."""
+    return (
+        spark.table(f"{prefix}_pairs"),
+        spark.table(f"{prefix}_assigned"),
+    )
+
+
+def upsert_graph_index(
+    spark,
+    prefix: str,
+    emb_all: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 6,
+    n_assign: int = 2,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Incremental maintenance ACROSS sessions: load the persisted pair
+    and assignment tables, run the exactly-rebuild-equivalent
+    `merge_into_graph` over the batch, rewrite both tables, and return
+    the fresh edge frame. The merged frames are eagerly pinned before
+    the overwrite so the write never reads the tables it replaces.
+    Ingest cost = the batch's pairs + one table rewrite (on Delta the
+    rewrite is a MERGE)."""
+    pairs_old, assigned_old = load_graph_index(spark, prefix)
+    pairs, assigned, _ = merge_into_graph(
+        pairs_old, assigned_old, emb_all, new_emb, centroids,
+        m=m, n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True)
+    save_graph_index(pairs, assigned, prefix, n_buckets=n_buckets)
+    return edges_from_pairs(spark.table(f"{prefix}_pairs"), m=m)
+
+
 def graph_config_for(
     n: int, block_size: float = 64.0, k: int = 10
 ) -> dict:

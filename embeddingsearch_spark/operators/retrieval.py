@@ -272,6 +272,28 @@ def bm25_topk_pruned(
         docs, queries, k, id_col, text_col, query_id_col,
         query_text_col, k1, b,
     )
+    return _bm25_ranked_pruned(
+        matched, dfreq, qterms, stats, cand, k, id_col, query_id_col,
+        k1, b,
+    )
+
+
+def _bm25_ranked_pruned(
+    matched: DataFrame,
+    dfreq: DataFrame,
+    qterms: DataFrame,
+    stats: dict,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Exact-scoring tail of the pruned path: score only candidate
+    (query, doc) pairs (the semi-join and the final aggregation share
+    the (query, doc) exchange), rank, cut to top-``k``. Shared by the
+    scan path, the index path, and both passes of the pruned PRF."""
     contrib = _bm25_contrib(stats, k1, b)
     scored = (
         matched.join(F.broadcast(dfreq), "term")
@@ -292,6 +314,34 @@ def bm25_topk_pruned(
     )
 
 
+def bm25_topk_pruned_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Max-score/WAND pruning over a PERSISTED postings index — the
+    production composition: zero corpus scans (stats and postings both
+    come from the term-bucketed catalog table) AND non-essential terms'
+    posting lists never generate candidate rows. Rank-safe: identical
+    output to `bm25_topk` / `bm25_topk_from_index` (same oracle)."""
+    post = spark.table(table)
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    stats = corpus_stats_from_postings(post, id_col)
+    matched, dfreq, cand = _wand_candidates_from_parts(
+        post, qterms, stats, k, id_col, query_id_col, k1, b
+    )
+    return _bm25_ranked_pruned(
+        matched, dfreq, qterms, stats, cand, k, id_col, query_id_col,
+        k1, b,
+    )
+
+
 def _wand_candidates(
     docs: DataFrame,
     queries: DataFrame,
@@ -306,12 +356,32 @@ def _wand_candidates(
     """Steps 1–4's candidate generation, shared with the probe:
     returns ``(matched, dfreq, qterms, stats, cand)`` where ``cand`` is
     the distinct rank-safe candidate (query, doc) frame."""
-    quantum = 10.0 ** (-ROUND_DIGITS)
     qterms = query_terms(queries, query_id_col, query_text_col)
     post = _postings(
         docs, id_col, text_col, include_empty=True
     ).localCheckpoint(eager=False)
     stats = corpus_stats_from_postings(post, id_col)
+    matched, dfreq, cand = _wand_candidates_from_parts(
+        post, qterms, stats, k, id_col, query_id_col, k1, b
+    )
+    return matched, dfreq, qterms, stats, cand
+
+
+def _wand_candidates_from_parts(
+    post: DataFrame,
+    qterms: DataFrame,
+    stats: dict,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    k1: float,
+    b: float,
+):
+    """The WAND candidate core over a pre-built postings frame (pinned
+    or persisted) and an arbitrary (query_id, term) frame — generic in
+    the term set, so the PRF-expanded second pass prunes with the same
+    machinery. Returns ``(matched, dfreq, cand)``."""
+    quantum = 10.0 ** (-ROUND_DIGITS)
     matched = post.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
@@ -389,7 +459,7 @@ def _wand_candidates(
         .select(query_id_col, id_col)
         .distinct()
     )
-    return matched, dfreq, qterms, stats, cand
+    return matched, dfreq, cand
 
 
 def bm25_prune_stats(
@@ -458,19 +528,9 @@ def build_postings_index(
 
 
 def _drop_table(spark, table: str) -> None:
-    """Drop a managed table AND its orphaned warehouse directory (a
-    previous session's managed location survives a metastore reset and
-    blocks saveAsTable even in overwrite mode)."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
+    from embeddingsearch_spark.storage import drop_table
 
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
-        loc = Path(wh) / table.split(".")[-1].lower()
-        if loc.exists():
-            shutil.rmtree(loc, ignore_errors=True)
+    drop_table(spark, table)
 
 
 def bm25_topk_from_index(
@@ -614,20 +674,32 @@ def _prf_terms_from_parts(
     query_id_col: str,
     k1: float,
     b: float,
+    prune: bool = False,
 ) -> DataFrame:
     """Expansion-term core over pre-built postings/stats — shared with
-    `bm25_prf_topk` so the two-pass query builds the postings ONCE."""
-    scored = bm25_scores_from_terms(
-        post, qterms, stats, id_col, query_id_col, k1, b
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    fb = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k_fb)
-        .select(query_id_col, id_col)
-    )
+    `bm25_prf_topk` so the two-pass query builds the postings ONCE.
+    ``prune=True`` selects the feedback docs via the rank-safe WAND
+    candidate cut (identical top-``k_fb`` set by construction)."""
+    if prune:
+        matched, dfreq_p, cand = _wand_candidates_from_parts(
+            post, qterms, stats, k_fb, id_col, query_id_col, k1, b
+        )
+        fb = _bm25_ranked_pruned(
+            matched, dfreq_p, qterms, stats, cand, k_fb, id_col,
+            query_id_col, k1, b,
+        ).select(query_id_col, id_col)
+    else:
+        scored = bm25_scores_from_terms(
+            post, qterms, stats, id_col, query_id_col, k1, b
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        fb = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k_fb)
+            .select(query_id_col, id_col)
+        )
     # feedback postings: every term of every feedback doc — the fb set
     # is tiny (|queries|·k_fb ids), so this is a broadcast join on id
     fb_post = post.join(F.broadcast(fb), id_col)
@@ -675,12 +747,21 @@ def bm25_prf_topk(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    prune: bool = False,
 ) -> DataFrame:
     """BM25 with pseudo-relevance feedback: expand each query with its
     ``m_terms`` PRF terms and re-score — ``(query_id, doc_id, score,
     n_matched, rank<=k)``. Both passes share the declared BM25
     semantics; the expanded term set is the union of original and
-    expansion terms (distinct)."""
+    expansion terms (distinct).
+
+    ``prune=True`` applies the rank-safe max-score/WAND cut to BOTH
+    passes — the feedback selection AND the expanded re-score (the
+    candidate machinery is generic in the term set, so the expanded
+    union prunes exactly like a plain query). Identical output by
+    construction; the win compounds because PRF expansion adds
+    mid-frequency terms whose posting lists the second pass would
+    otherwise score in full."""
     qterms = query_terms(queries, query_id_col, query_text_col)
     # one postings frame shared by the stats, the feedback pass, and
     # the re-score — pinned, so all passes read a single materialization
@@ -693,9 +774,23 @@ def bm25_prf_topk(
     ).localCheckpoint(eager=False)
     stats = corpus_stats_from_postings(post, id_col)
     expansion = _prf_terms_from_parts(
-        post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1, b
+        post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1,
+        b, prune=prune,
     ).select(query_id_col, "term")
-    expanded = qterms.unionByName(expansion).distinct()
+    # pin: the expanded term frame is tiny (|Q|·(|T|+m) rows) but its
+    # lineage is the whole feedback pass — the re-score (and in pruned
+    # mode the candidate machinery) references it several times
+    expanded = (
+        qterms.unionByName(expansion).distinct().localCheckpoint(eager=False)
+    )
+    if prune:
+        matched, dfreq, cand = _wand_candidates_from_parts(
+            post, expanded, stats, k, id_col, query_id_col, k1, b
+        )
+        return _bm25_ranked_pruned(
+            matched, dfreq, expanded, stats, cand, k, id_col,
+            query_id_col, k1, b,
+        )
     scored = bm25_scores_from_terms(
         post, expanded, stats, id_col, query_id_col, k1, b
     )

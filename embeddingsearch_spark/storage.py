@@ -216,6 +216,41 @@ def save_bucketed(
     )
 
 
+def drop_table(spark, table: str) -> None:
+    """Drop a managed table AND its orphaned warehouse directory (a
+    previous session's managed location survives a metastore reset and
+    blocks saveAsTable even in overwrite mode)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        loc = Path(wh) / table.split(".")[-1].lower()
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
+
+
+def replace_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    partition_cols: list[str] | None = None,
+) -> str:
+    """Drop-and-save a bucketed catalog table (the index-persistence
+    primitive shared by the postings / graph-ANN / IVF index writers).
+    The caller must ensure ``df`` does not read the table it replaces
+    (pin with an eager checkpoint first when merging)."""
+    drop_table(df.sparkSession, table)
+    save_bucketed(
+        df, table, bucket_cols, n_buckets=n_buckets,
+        partition_cols=partition_cols,
+    )
+    return table
+
+
 def write_manifest(
     spark,
     path: str,

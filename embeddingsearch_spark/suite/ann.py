@@ -283,6 +283,66 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+def q_ivf_indexed_topk(spark, sf_dir):
+    """IVF over the PERSISTED index: the assigned corpus saved as a
+    catalog table PARTITIONED by centroid_id, the probe's centroid ids
+    collected into a literal isin filter so the scan statically prunes
+    to the 4 probed partitions of 16 (the 100-TB design note on
+    `ivf_topk` made real and plan-tested). Identical output to
+    `ivf_topk` — shared oracle."""
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    centroids = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids(corpus.repartition(n), centroids)
+    ann_ops.save_ivf_index(
+        assigned, centroids, "es_gate_ivf", n_buckets=4
+    )
+    return ann_ops.ivf_topk_from_index(
+        spark, "es_gate_ivf", _queries_df(spark, sf_dir), k=10, nprobe=4
+    )
+
+
+def q_graph_ann_persisted(spark, sf_dir):
+    """The graph index's build-once/query-forever story, gated end to
+    end: the scored pair table and block assignment of 4/5 of the
+    corpus are SAVED as bucketed catalog tables, the remaining fifth
+    arrives as a later batch through `upsert_graph_index` (load →
+    exactly-rebuild-equivalent merge → rewrite), and the search runs
+    over edges derived from the PERSISTED pair table. Because the merge
+    is rebuild-equivalent, the result is identical to building over the
+    full corpus in one shot — `graph_ann_topk`'s oracle verbatim."""
+    from embeddingsearch_spark.operators import graphann
+
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n).localCheckpoint(eager=False)
+    centroids = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    old = corpus.filter(F.col("vec_id") % 5 != 0)
+    batch = corpus.filter(F.col("vec_id") % 5 == 0)
+    assigned_old = graphann.assign_blocks(old, centroids, n_assign=2)
+    pairs_old = graphann.block_pair_sims(old, assigned_old)
+    graphann.save_graph_index(
+        pairs_old, assigned_old, "es_gate_graph", n_buckets=8
+    )
+    edges = graphann.upsert_graph_index(
+        spark, "es_gate_graph", corpus, batch, centroids,
+        m=8, n_assign=2, n_buckets=8,
+    )
+    return graphann.graph_search(
+        edges,
+        corpus,
+        _queries_df(spark, sf_dir),
+        k=10,
+        beam=24,
+        hops=4,
+        n_entry=8,
+    )
+
+
 def q_graph_ann_topk(spark, sf_dir):
     """Graph ANN (NSW/HNSW family): blocked k-NN graph (coarse
     centroids = first 32 vectors, 2-way multi-assignment, top-8
@@ -1189,6 +1249,9 @@ QUERIES = {
         EMBEDDING_CONTAMINATION_SQL,
     ),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
+    # persisted-index paths are result-identical ⇒ shared oracles
+    "ivf_indexed_topk": (q_ivf_indexed_topk, IVF_TOPK_SQL),
+    "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),
     "graph_ann_realistic": (
         q_graph_ann_realistic,

@@ -192,6 +192,36 @@ def q_bm25_indexed_topk(spark, sf_dir):
     )
 
 
+def q_bm25_wand_indexed(spark, sf_dir):
+    """The production BM25 composition: max-score/WAND pruning over the
+    PERSISTED term-bucketed postings index — zero corpus scans AND
+    non-essential posting lists never generate candidates. Rank-safe on
+    both axes, so it shares `bm25_topk`'s oracle verbatim."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_postings_index(
+        docs, "es_gate_postings_wand", n_buckets=8
+    )
+    return retrieval.bm25_topk_pruned_from_index(
+        spark,
+        "es_gate_postings_wand",
+        _text_queries(spark, sf_dir, docs),
+        k=10,
+    )
+
+
+def q_bm25_prf_pruned(spark, sf_dir):
+    """PRF with the WAND cut applied to BOTH passes — feedback
+    selection and the expanded re-score (the candidate machinery is
+    generic in the term set). Identical output to `bm25_prf_topk` by
+    construction — shared oracle; the probe rows in BASELINE.md record
+    what pruning the expanded pass saves."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_prf_topk(
+        docs, _text_queries(spark, sf_dir, docs), k=10, k_fb=5,
+        m_terms=3, prune=True,
+    )
+
+
 def q_bm25_dense_topk(spark, sf_dir):
     """The dense |Q|·|D| STRESS case: plain BM25 over the raw
     documents table, whose ~100-word shared vocabulary makes every doc
@@ -591,6 +621,10 @@ QUERIES = {
     "bm25_wand_topk": (q_bm25_wand_topk, BM25_TOPK_SQL),
     # index path is definitionally result-identical ⇒ identical oracle
     "bm25_indexed_topk": (q_bm25_indexed_topk, BM25_TOPK_SQL),
+    # WAND ∘ index: rank-safe on both axes ⇒ identical oracle
+    "bm25_wand_indexed": (q_bm25_wand_indexed, BM25_TOPK_SQL),
+    # both-pass pruning is rank-safe ⇒ shares the PRF oracle
+    "bm25_prf_pruned": (q_bm25_prf_pruned, BM25_PRF_TOPK_SQL),
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),

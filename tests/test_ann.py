@@ -265,3 +265,32 @@ def test_ann_recall_rejects_uncapped_rankless_frames(spark):
     )
     with pytest.raises(ValueError, match="no 'rank' column"):
         ann_ops.ann_recall(approx, exact, k=10)
+
+
+def test_ivf_index_persist_prune_and_parity(spark):
+    """Persisted IVF: the partitioned index path returns exactly
+    `ivf_topk`'s frame, and the scan statically prunes to the probed
+    centroid partitions (PartitionFilters carries the isin cut)."""
+    emb, qs = _corpus_queries(spark)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids(emb, cents)
+    ann_ops.save_ivf_index(assigned, cents, "es_test_ivf", n_buckets=2)
+    for nprobe in (2, 8):
+        got = ann_ops.ivf_topk_from_index(
+            spark, "es_test_ivf", qs, k=5, nprobe=nprobe
+        )
+        want = ann_ops.ivf_topk(assigned, cents, qs, k=5, nprobe=nprobe)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), nprobe
+    # partition pruning: a literal isin on the partition column reaches
+    # the scan as a PartitionFilter (no data read outside the probe)
+    pruned = spark.table("es_test_ivf_assigned").filter(
+        F.col("centroid_id").isin([0, 3])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan

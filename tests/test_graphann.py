@@ -231,3 +231,39 @@ def test_graph_search_no_cartesian(spark, corpus, cents, queries):
     )
     plan = pi.physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_graph_index_persist_and_upsert(spark, corpus, cents):
+    """Cross-session persistence: save pairs+assigned as catalog
+    tables, merge a batch through `upsert_graph_index`, and the edges
+    derived from the PERSISTED pair table equal a full rebuild."""
+    old = corpus.filter(F.col("vec_id") % 7 != 0)
+    batch = corpus.filter(F.col("vec_id") % 7 == 0)
+    assigned_old = graphann.assign_blocks(old, cents, n_assign=2)
+    pairs_old = graphann.block_pair_sims(old, assigned_old)
+    tp, ta = graphann.save_graph_index(
+        pairs_old, assigned_old, "es_test_graph", n_buckets=4
+    )
+    assert tp == "es_test_graph_pairs" and ta == "es_test_graph_assigned"
+    # the saved tables round-trip (schema + row count)
+    lp, la = graphann.load_graph_index(spark, "es_test_graph")
+    assert lp.count() == pairs_old.count()
+    assert la.count() == assigned_old.count()
+    edges = graphann.upsert_graph_index(
+        spark, "es_test_graph", corpus, batch, cents,
+        m=6, n_assign=2, n_buckets=4,
+    )
+    full = graphann.knn_graph(corpus, cents, m=6, n_assign=2)
+    assert sorted(tuple(r) for r in edges.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    # persisted state also matches: a SECOND upsert with an empty batch
+    # leaves everything unchanged (idempotence of the stored artifact)
+    empty = corpus.filter(F.col("vec_id") < 0)
+    edges2 = graphann.upsert_graph_index(
+        spark, "es_test_graph", corpus, empty, cents,
+        m=6, n_assign=2, n_buckets=4,
+    )
+    assert sorted(tuple(r) for r in edges2.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )

@@ -178,6 +178,84 @@ def test_postings_index_roundtrip_and_upsert(spark):
     assert _frames_equal(out2, retrieval.bm25_topk(docs2, qs, k=10))
 
 
+def test_bm25_wand_from_index_identical(spark):
+    """WAND ∘ persisted index: identical frame to plain bm25_topk on a
+    corpus with empty docs, no-match queries, and k over-asking — and
+    still identical after an index upsert changes the corpus."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    retrieval.build_postings_index(
+        docs, "es_test_postings_wand", n_buckets=4
+    )
+    for k in (1, 2, 10):
+        out = retrieval.bm25_topk_pruned_from_index(
+            spark, "es_test_postings_wand", qs, k=k
+        )
+        assert _frames_equal(
+            out, retrieval.bm25_topk(docs, qs, k=k)
+        ), f"k={k}"
+    changed = spark.createDataFrame(
+        [(3, "the cat chased the dog")], "doc_id long, text string"
+    )
+    retrieval.upsert_postings_index(
+        spark, "es_test_postings_wand", changed, n_buckets=4
+    )
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in DOCS if i != 3]
+        + [(3, "the cat chased the dog")],
+        "doc_id long, text string",
+    )
+    assert _frames_equal(
+        retrieval.bm25_topk_pruned_from_index(
+            spark, "es_test_postings_wand", qs, k=10
+        ),
+        retrieval.bm25_topk(docs2, qs, k=10),
+    )
+
+
+def test_bm25_prf_pruned_identical(spark):
+    """Both-pass WAND pruning leaves the PRF result bit-identical —
+    feedback docs, expansion terms, and the final ranking all agree."""
+    docs = spark.createDataFrame(
+        [
+            (1, "solar panels convert sunlight into electricity"),
+            (2, "solar energy and photovoltaic cells electricity grid"),
+            (3, "photovoltaic cells power the grid"),
+            (4, "completely unrelated cooking recipe with butter"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "solar electricity"), (2, "nonexistent_term")],
+        "query_id long, text string",
+    )
+    for k, k_fb, m in ((2, 2, 2), (10, 3, 3)):
+        assert _frames_equal(
+            retrieval.bm25_prf_topk(
+                docs, qs, k=k, k_fb=k_fb, m_terms=m
+            ),
+            retrieval.bm25_prf_topk(
+                docs, qs, k=k, k_fb=k_fb, m_terms=m, prune=True
+            ),
+        ), (k, k_fb, m)
+
+
+def test_bm25_prf_pruned_identical_on_testdata(spark, sf_dir):
+    """Parity on the gated fixture inputs (realistic corpus, sf0.001)."""
+    from embeddingsearch_spark.suite.realistic import derive_realistic_docs
+    from embeddingsearch_spark.suite.retrievalops import _text_queries
+
+    docs = derive_realistic_docs(spark, sf_dir)
+    qs = _text_queries(spark, sf_dir, docs)
+    assert _frames_equal(
+        retrieval.bm25_prf_topk(docs, qs, k=10, k_fb=5, m_terms=3),
+        retrieval.bm25_prf_topk(
+            docs, qs, k=10, k_fb=5, m_terms=3, prune=True
+        ),
+    )
+
+
 def test_top_snippets_overlap_suppression(spark):
     """Round 2 may not pick a window whose start is within `window`
     tokens of round 1's pick; pairs with no remaining candidates yield
