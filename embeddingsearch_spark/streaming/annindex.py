@@ -1,0 +1,159 @@
+"""Streaming index maintenance: keep the persisted retrieval indexes
+(term-bucketed postings, graph-ANN pair/assignment tables) current as
+documents/vectors arrive — the streaming twin of `curate_incremental`.
+
+Shape: foreachBatch over an AvailableNow (or continuous) drain; each
+micro-batch runs the SAME incremental upsert the batch path uses
+(`retrieval.upsert_postings_index` / `graphann.upsert_graph_index`),
+so the maintained index is BATCH-EQUIVALENT by construction:
+
+- postings: a batch's docs are re-tokenized and replace their previous
+  rows (last-writer-wins per doc id — re-delivery converges);
+- graph: `merge_into_graph` is exactly rebuild-equivalent under a
+  fixed coarse quantizer (old-old pairs cannot change), so after any
+  sequence of batches the persisted pair table equals the one-shot
+  build over everything that streamed — which is what the gated oracle
+  checks.
+
+The first batch CREATES the index when the table does not exist yet,
+so a cold start needs no separate bootstrap job. State lives in the
+catalog tables themselves (not a state store): index maintenance needs
+full merge semantics and the artifact must outlive the stream — the
+whole point of the persisted index family.
+
+At warehouse scale each upsert is one MERGE into the bucketed table
+(cost: the batch + one rewrite of touched buckets on Delta); here the
+local-parquet fallback rewrites the table, which the batch operators
+already pin eagerly before overwriting.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def _drain(stream: DataFrame, step) -> None:
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="esannidx_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
+def postings_index_available_now(
+    stream: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> list[int]:
+    """Drain a document stream, maintaining the persisted postings
+    index per micro-batch (create on first batch, upsert after).
+    Returns the per-batch ingested-row counts (driver-side history —
+    one scalar per batch, the monitoring hook)."""
+    from embeddingsearch_spark.operators.retrieval import (
+        build_postings_index,
+        upsert_postings_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch frames are transient: pin before the double use
+        # (count + upsert) and before any table rewrite reads them
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(table):
+            upsert_postings_index(
+                spark, table, batch_df, id_col, text_col, n_buckets
+            )
+        else:
+            build_postings_index(
+                batch_df, table, id_col, text_col, n_buckets
+            )
+
+    _drain(stream, step)
+    return history
+
+
+def graph_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame,
+    m: int = 6,
+    n_assign: int = 2,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> list[int]:
+    """Drain a vector stream, maintaining the persisted graph-ANN
+    index per micro-batch. The coarse quantizer is FIXED for the
+    stream's lifetime (the rebuild-equivalence precondition — re-train
+    it offline and rebuild to re-center). The accumulated corpus needed
+    by `merge_into_graph` (affected-block members join back to their
+    vectors) is reconstructed from the persisted assignment table plus
+    the batch — the stream itself is never retained.
+
+    Returns per-batch ingested-row counts."""
+    from embeddingsearch_spark.operators.graphann import (
+        assign_blocks,
+        block_pair_sims,
+        save_graph_index,
+        upsert_graph_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+    # vectors already ingested, keyed by id — maintained alongside the
+    # index so the merge can score new-old pairs. Persisted like the
+    # index (a catalog table), because the stream may outlive the
+    # driver and the NEXT run must see them.
+    vec_table = f"{prefix}_vectors"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from embeddingsearch_spark.storage import replace_bucketed
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if not spark.catalog.tableExists(f"{prefix}_pairs"):
+            assigned = assign_blocks(
+                batch_df, centroids, n_assign, id_col, vec_col,
+                centroid_id_col,
+            )
+            pairs = block_pair_sims(batch_df, assigned, id_col, vec_col)
+            save_graph_index(pairs, assigned, prefix, n_buckets)
+            replace_bucketed(
+                batch_df, vec_table, [id_col], n_buckets=n_buckets
+            )
+            return
+        old_vecs = spark.table(vec_table)
+        emb_all = (
+            old_vecs.join(
+                batch_df.select(id_col).distinct(), id_col, "left_anti"
+            )
+            .unionByName(batch_df)
+            .localCheckpoint(eager=True)
+        )
+        upsert_graph_index(
+            spark, prefix, emb_all, batch_df, centroids,
+            m=m, n_assign=n_assign, n_buckets=n_buckets,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
+        replace_bucketed(
+            emb_all, vec_table, [id_col], n_buckets=n_buckets
+        )
+
+    _drain(stream, step)
+    return history

@@ -69,9 +69,17 @@ def derive_realistic_docs(spark, sf_dir):
     """(doc_id, lang, source, text): the derived corpus, one row per
     document of the driver's documents table. Pure scan-stage column
     arithmetic — no shuffle, no UDF; ~2 md5 evaluations per token."""
-    docs = tables.load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source"
+    return realistic_text(
+        tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source"
+        )
     )
+
+
+def realistic_text(docs):
+    """Apply the derivation to any (doc_id, lang, source) frame —
+    batch or STREAMING (stateless column arithmetic, so the streaming
+    ingest path can synthesize the same corpus per micro-batch)."""
     did = F.col("doc_id").cast("string")
     n_words = (
         F.lit(30) + _h32(F.concat(F.lit("rdlen:"), did)) % 90

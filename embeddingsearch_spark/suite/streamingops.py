@@ -336,7 +336,56 @@ FROM js"""
 STREAMING_DRIFT_SQL = _streaming_drift_sql()
 
 
+def q_streaming_postings_index(spark, sf_dir):
+    """Streaming maintenance of the PERSISTED inverted index (the
+    streaming twin of `curate_incremental`, applied to the index
+    family): the even-doc_id half of the realistic corpus streams
+    through `postings_index_available_now` (first batch CREATES the
+    term-bucketed postings table), then the odd half streams through a
+    SECOND AvailableNow run (per-batch `upsert_postings_index` — the
+    index outlives the stream, which is the point of persistence).
+    BM25 served from the maintained index equals the one-shot batch
+    build over everything that streamed — `bm25_topk`'s oracle
+    verbatim, because maintenance is last-writer-wins per doc and the
+    corpus halves are disjoint."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        postings_index_available_now,
+    )
+    from embeddingsearch_spark.suite.realistic import realistic_text
+    from embeddingsearch_spark.suite.retrievalops import _text_queries
+
+    table = "es_gate_stream_postings"
+    drop_table(spark, table)  # re-runnable: first drain must CREATE
+
+    def half(parity):
+        stream = (
+            spark.readStream.schema(DOCUMENTS_RAW)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("doc_id") % 2 == parity)
+            .select("doc_id", "lang", "source")
+        )
+        return realistic_text(stream)
+
+    postings_index_available_now(half(0), table, n_buckets=8)
+    postings_index_available_now(half(1), table, n_buckets=8)
+    return retrieval.bm25_topk_from_index(
+        spark, table, _text_queries(spark, sf_dir), k=10
+    )
+
+
+# served-result equivalence: the maintained index is batch-equivalent,
+# so the gated check is bm25_topk's full value oracle
+from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
+
+
 QUERIES = {
+    "streaming_postings_index": (
+        q_streaming_postings_index,
+        BM25_TOPK_SQL,
+    ),
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_drift": (q_streaming_drift, STREAMING_DRIFT_SQL),
     "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),

@@ -1,0 +1,138 @@
+"""Streaming index maintenance: the per-micro-batch postings / graph
+upserts converge to the one-shot batch build (batch-equivalence), with
+true multi-batch streams (maxFilesPerTrigger=1 over multi-file input).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark.operators import graphann, retrieval
+from embeddingsearch_spark.streaming.annindex import (
+    graph_index_available_now,
+    postings_index_available_now,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "cats and dogs living together"),
+    (4, ""),
+    (5, "a third batch arrives later"),
+    (6, "the cat returns in batch three"),
+]
+
+
+def _multi_file_source(spark, tmp_path, rows, schema, n_files):
+    path = os.path.join(str(tmp_path), "feed")
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_streaming_postings_converges_to_batch_build(spark, tmp_path):
+    schema = "doc_id long, text string"
+    stream = _multi_file_source(spark, tmp_path, DOCS, schema, 3)
+    history = postings_index_available_now(
+        stream, "es_test_stream_postings", n_buckets=2
+    )
+    assert len(history) >= 2 and sum(history) == len(DOCS)
+    docs = spark.createDataFrame(DOCS, schema)
+    want = sorted(
+        tuple(r)
+        for r in retrieval._postings(
+            docs, "doc_id", "text", include_empty=True
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table("es_test_stream_postings").collect()
+    )
+    assert got == want
+    # and the index serves identical BM25 results
+    qs = spark.createDataFrame(
+        [(1, "the cat"), (2, "batch")], "query_id long, text string"
+    )
+    assert sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk_from_index(
+            spark, "es_test_stream_postings", qs, k=10
+        ).collect()
+    ) == sorted(
+        tuple(r) for r in retrieval.bm25_topk(docs, qs, k=10).collect()
+    )
+
+
+def test_streaming_postings_redelivery_converges(spark, tmp_path):
+    """A doc re-delivered in a later batch (same id, edited text)
+    converges to the last version — last-writer-wins per id."""
+    schema = "doc_id long, text string"
+    rows = list(DOCS) + [(1, "the cat text was edited")]
+    stream = _multi_file_source(spark, tmp_path, rows, schema, 4)
+    postings_index_available_now(
+        stream, "es_test_stream_postings_rd", n_buckets=2
+    )
+    final_docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS if i != 1]
+        + [(1, "the cat text was edited")],
+        schema,
+    )
+    want = sorted(
+        tuple(r)
+        for r in retrieval._postings(
+            final_docs, "doc_id", "text", include_empty=True
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table("es_test_stream_postings_rd").collect()
+    )
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def vec_rows():
+    import hashlib
+
+    rows = []
+    for i in range(60):
+        h = hashlib.md5(f"svec:{i}".encode()).digest()
+        rows.append((i, [float(b % 16) - 7.5 for b in h[:8]]))
+    return rows
+
+
+def test_streaming_graph_converges_to_rebuild(spark, tmp_path, vec_rows):
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(vec_rows, schema)
+    cents = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    stream = _multi_file_source(spark, tmp_path, vec_rows, schema, 3)
+    history = graph_index_available_now(
+        stream, "es_test_stream_graph", cents, m=4, n_assign=2,
+        n_buckets=2,
+    )
+    assert len(history) >= 2 and sum(history) == len(vec_rows)
+    pairs = spark.table("es_test_stream_graph_pairs")
+    edges = graphann.edges_from_pairs(pairs, m=4)
+    full = graphann.knn_graph(corpus, cents, m=4, n_assign=2)
+    assert sorted(tuple(r) for r in edges.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    # the maintained vector table holds the full corpus exactly once
+    assert (
+        spark.table("es_test_stream_graph_vectors").count()
+        == len(vec_rows)
+    )
