@@ -41,6 +41,38 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# CJK Unified Ideographs (the BMP block both Java regex and RE2 match
+# as a literal character range, so the SQL oracle mirrors it verbatim)
+CJK_RANGE = "一-鿿"
+
+
+def tokens_cjk(text: Column, n: int = 2) -> Column:
+    """Tokenizer-aware mixed-script tokens: whitespace-split, then any
+    token that is entirely CJK ideographs expands into its overlapping
+    character ``n``-grams (single-char tokens stay whole); all other
+    tokens pass through unchanged.
+
+    Whitespace tokenization is meaningless for unsegmented CJK text —
+    the standard IR fallback (Lucene's CJKAnalyzer — public) indexes
+    overlapping character bigrams instead. This is the `tokens()`
+    strategy flag for BM25/snippets over multilingual corpora: pass it
+    as ``tokenizer=`` and zh queries match at sub-word granularity
+    while other languages keep whitespace semantics. Pure scan-stage
+    higher-order functions — no UDF, no shuffle."""
+    is_cjk = f"^[{CJK_RANGE}]+$"
+
+    def expand(tok: Column) -> Column:
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.lit(1), F.length(tok) - (n - 1))
+            ),
+            lambda i: F.substring(tok, i, n),
+        )
+        return F.when(tok.rlike(is_cjk), grams).otherwise(F.array(tok))
+
+    return F.flatten(F.transform(tokens(text), expand))
+
+
 # BPE-ish pre-tokenization: contractions, space-prefixed letter runs,
 # digit runs, punctuation runs (the GPT-2 pattern family, without the
 # lookahead so the same regex runs in Java regex and RE2 engines alike).

@@ -38,6 +38,7 @@ def _postings(
     id_col: str,
     text_col: str,
     include_empty: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """(id, term, tf, dl) per distinct doc-term, from one scan.
 
@@ -45,14 +46,20 @@ def _postings(
     sentinel row (explode_outer) so corpus stats (N, avgdl — which by
     declared semantics INCLUDE empty docs) can be derived from the
     postings frame itself instead of a second corpus scan. NULL terms
-    can never equi-join a query term, so scoring is unaffected."""
+    can never equi-join a query term, so scoring is unaffected.
+
+    ``tokenizer`` is the strategy flag (Column -> ARRAY<STRING>;
+    default the whitespace engine tokenizer) — pass
+    `functions.text.tokens_cjk` for mixed-script corpora where CJK
+    runs must index as character n-grams."""
     from embeddingsearch_spark.functions.text import tokens
 
+    tokenizer = tokenizer or tokens
     explode = F.explode_outer if include_empty else F.explode
     toks = df.select(
         F.col(id_col),
         F.coalesce(
-            tokens(F.lower(F.col(text_col))),
+            tokenizer(F.lower(F.col(text_col))),
             F.array().cast("array<string>"),
         ).alias("_t"),
     ).select(
@@ -93,6 +100,7 @@ def bm25_scores(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    tokenizer=None,
 ) -> DataFrame:
     """BM25 score per (query, doc) with at least one term match:
     ``(query_id, doc_id, score, n_matched)``.
@@ -109,9 +117,11 @@ def bm25_scores(
     materialization. The materialized postings ARE the transient
     inverted index; at warehouse scale you'd persist them bucketed by
     term and skip the scan entirely."""
-    qterms = query_terms(queries, query_id_col, query_text_col)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
     post = _postings(
-        docs, id_col, text_col, include_empty=True
+        docs, id_col, text_col, include_empty=True, tokenizer=tokenizer
     ).localCheckpoint(eager=False)
     stats = corpus_stats_from_postings(post, id_col)
     return bm25_scores_from_terms(
@@ -139,14 +149,18 @@ def query_terms(
     queries: DataFrame,
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
-    """(query_id, term): distinct lowered tokens per query."""
+    """(query_id, term): distinct lowered tokens per query (same
+    ``tokenizer`` strategy flag as `_postings` — queries must be
+    segmented like the corpus they search)."""
     from embeddingsearch_spark.functions.text import tokens
 
+    tokenizer = tokenizer or tokens
     return queries.select(
         F.col(query_id_col),
         F.explode(
-            F.array_distinct(tokens(F.lower(F.col(query_text_col))))
+            F.array_distinct(tokenizer(F.lower(F.col(query_text_col))))
         ).alias("term"),
     )
 
@@ -233,6 +247,7 @@ def bm25_topk_pruned(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    tokenizer=None,
 ) -> DataFrame:
     """Max-score/WAND-family pruned BM25 top-k — RANK-SAFE: returns the
     identical ``(query_id, doc_id, score, n_matched, rank<=k)`` frame
@@ -270,7 +285,7 @@ def bm25_topk_pruned(
     """
     matched, dfreq, qterms, stats, cand = _wand_candidates(
         docs, queries, k, id_col, text_col, query_id_col,
-        query_text_col, k1, b,
+        query_text_col, k1, b, tokenizer=tokenizer,
     )
     return _bm25_ranked_pruned(
         matched, dfreq, qterms, stats, cand, k, id_col, query_id_col,
@@ -352,13 +367,16 @@ def _wand_candidates(
     query_text_col: str,
     k1: float,
     b: float,
+    tokenizer=None,
 ):
     """Steps 1–4's candidate generation, shared with the probe:
     returns ``(matched, dfreq, qterms, stats, cand)`` where ``cand`` is
     the distinct rank-safe candidate (query, doc) frame."""
-    qterms = query_terms(queries, query_id_col, query_text_col)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
     post = _postings(
-        docs, id_col, text_col, include_empty=True
+        docs, id_col, text_col, include_empty=True, tokenizer=tokenizer
     ).localCheckpoint(eager=False)
     stats = corpus_stats_from_postings(post, id_col)
     matched, dfreq, cand = _wand_candidates_from_parts(
@@ -506,6 +524,7 @@ def build_postings_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 32,
+    tokenizer=None,
 ) -> str:
     """PERSIST the inverted index: the postings frame (with the
     empty-doc sentinel rows, so stats stay derivable) saved as a
@@ -521,7 +540,9 @@ def build_postings_index(
     name."""
     from embeddingsearch_spark.storage import save_bucketed
 
-    post = _postings(docs, id_col, text_col, include_empty=True)
+    post = _postings(
+        docs, id_col, text_col, include_empty=True, tokenizer=tokenizer
+    )
     _drop_table(docs.sparkSession, table)
     save_bucketed(post, table, ["term"], n_buckets=n_buckets)
     return table
@@ -570,6 +591,7 @@ def upsert_postings_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 32,
+    tokenizer=None,
 ) -> str:
     """Incremental index maintenance: re-tokenize ONLY the changed
     docs, drop their old rows (anti-join on id — handles re-ingest and
@@ -582,7 +604,10 @@ def upsert_postings_index(
     from embeddingsearch_spark.storage import save_bucketed
 
     old = spark.table(table)
-    new = _postings(changed_docs, id_col, text_col, include_empty=True)
+    new = _postings(
+        changed_docs, id_col, text_col, include_empty=True,
+        tokenizer=tokenizer,
+    )
     merged = (
         old.join(
             new.select(id_col).distinct(), id_col, "left_anti"

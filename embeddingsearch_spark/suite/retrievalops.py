@@ -66,17 +66,42 @@ def _text_queries(spark, sf_dir, docs=None):
     )
 
 
-# lowercased tokens; query terms = distinct lowered tokens 2..6
-def _qt_sql(src: str) -> str:
+# lowercased tokens; query terms = distinct lowered tokens 2..6.
+# ``wrap`` is the tokenizer strategy flag's SQL twin: a function over a
+# token-list expression (default identity = whitespace semantics).
+def _qt_sql(src: str, wrap=None) -> str:
+    inner = "list_transform(({t})[2:6], x -> lower(x))".format(
+        t=TOKS_SQL.replace("text", "d.text")
+    )
+    if wrap is not None:
+        inner = wrap(inner)
     return """q AS (
   SELECT e.vec_id AS query_id,
-         list_distinct(list_transform(({t})[2:6], x -> lower(x))) AS qt
+         list_distinct({inner}) AS qt
   FROM embeddings e JOIN {src} d ON d.doc_id = e.vec_id
   WHERE e.vec_id % 13 = 0
-)""".format(t=TOKS_SQL.replace("text", "d.text"), src=src)
+)""".format(inner=inner, src=src)
 
 
 _LTOKS = TOKS_SQL.replace("text", "lower(text)")
+
+
+def _cjk_expand_sql(list_expr: str) -> str:
+    """DuckDB twin of `functions.text.tokens_cjk` over a token-list
+    expression: all-CJK tokens expand into overlapping character
+    bigrams (single chars stay whole), everything else passes
+    through."""
+    from embeddingsearch_spark.functions.text import CJK_RANGE
+
+    return (
+        "flatten(list_transform(" + list_expr + ", x -> "
+        f"CASE WHEN regexp_matches(x, '^[{CJK_RANGE}]+$') "
+        "THEN list_transform("
+        "range(1, greatest(2, CAST(length(x) AS BIGINT))), "
+        "i -> substr(x, CAST(i AS INT), 2)) "
+        "ELSE [x] END))"
+    )
+
 
 def _bm25_pass_sql(suffix: str, qterm_cte: str) -> str:
     """One BM25 scoring pass (matched -> dfreq -> contrib -> bm ->
@@ -114,13 +139,15 @@ bmranked{suffix} AS (
 )"""
 
 
-def _bm25_ctes(src: str) -> str:
+def _bm25_ctes(src: str, wrap=None) -> str:
     """The shared BM25 CTE chain over an arbitrary (doc_id, text)
     source table — `rd` for the realistic queries, `documents` for the
-    dense stress case."""
-    return f"""{_qt_sql(src)},
+    dense stress case. ``wrap`` applies the tokenizer strategy's SQL
+    twin to both the corpus and the query token lists."""
+    dtoks = _LTOKS if wrap is None else wrap(_LTOKS)
+    return f"""{_qt_sql(src, wrap)},
 qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
-dtok AS (SELECT doc_id, {_LTOKS} AS t FROM {src}),
+dtok AS (SELECT doc_id, {dtoks} AS t FROM {src}),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
          CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
@@ -146,6 +173,10 @@ BM25_TOPK_SQL = f"""WITH {RD_SQL},
 {_BM25_SELECT}"""
 
 BM25_DENSE_TOPK_SQL = f"""WITH {_bm25_ctes("documents")}
+{_BM25_SELECT}"""
+
+BM25_CJK_TOPK_SQL = f"""WITH {RD_SQL},
+{_bm25_ctes("rd", wrap=_cjk_expand_sql)}
 {_BM25_SELECT}"""
 
 
@@ -235,6 +266,22 @@ def q_bm25_dense_topk(spark, sf_dir):
             spark, sf_dir, docs.select("doc_id", "text")
         ),
         k=10,
+    )
+
+
+def q_bm25_cjk_topk(spark, sf_dir):
+    """Tokenizer-aware multilingual BM25: the `tokens_cjk` strategy
+    flag expands all-CJK tokens (the zh fifth of the realistic corpus)
+    into overlapping character bigrams — the Lucene-CJKAnalyzer
+    fallback for unsegmented scripts — while the Latin-script
+    languages keep whitespace semantics. Queries segment the same way
+    as the corpus, so zh queries match at sub-word granularity;
+    scoring, stats, and pruning machinery are untouched (the tokenizer
+    is a scan-stage strategy, not a new operator)."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_topk(
+        docs, _text_queries(spark, sf_dir, docs), k=10,
+        tokenizer=T.tokens_cjk,
     )
 
 
@@ -626,6 +673,7 @@ QUERIES = {
     # both-pass pruning is rank-safe ⇒ shares the PRF oracle
     "bm25_prf_pruned": (q_bm25_prf_pruned, BM25_PRF_TOPK_SQL),
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
+    "bm25_cjk_topk": (q_bm25_cjk_topk, BM25_CJK_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),

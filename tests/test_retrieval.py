@@ -394,3 +394,53 @@ def test_best_snippets_window_and_case(spark):
     assert r["start"] == 0 and r["n_hits"] == 2
     # snippet preserves original case
     assert r["snippet"] == "Alpha beta GAMMA"
+
+
+def test_tokens_cjk_expansion(spark):
+    """All-CJK tokens expand to overlapping bigrams; single CJK chars
+    stay whole; Latin and mixed tokens pass through unchanged."""
+    from embeddingsearch_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "的一是 hello 不"),
+            (2, "mixed的token stays"),
+            (3, ""),
+            (4, "的一是不了"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", T.tokens_cjk(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert got[1] == ["的一", "一是", "hello", "不"]
+    # a token mixing scripts is NOT all-CJK -> passes through whole
+    assert got[2] == ["mixed的token", "stays"]
+    assert got[3] == []
+    assert got[4] == ["的一", "一是", "是不", "不了"]
+
+
+def test_bm25_cjk_subword_matching(spark):
+    """With the CJK tokenizer a zh query matches docs sharing character
+    bigrams even when no whitespace token is shared — and the
+    whitespace tokenizer finds nothing."""
+    from embeddingsearch_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "的一是不 extra"), (2, "completely latin text")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        # different whitespace token, shares bigrams 的一/一是 with doc 1
+        [(9, "的一是")],
+        "query_id long, text string",
+    )
+    assert retrieval.bm25_topk(docs, qs, k=5).count() == 0
+    rows = retrieval.bm25_topk(
+        docs, qs, k=5, tokenizer=T.tokens_cjk
+    ).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert rows[0]["n_matched"] == 2  # 的一 and 一是
