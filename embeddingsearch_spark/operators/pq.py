@@ -240,6 +240,112 @@ def pq_topk(
     )
 
 
+def save_pq_index(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    prefix: str,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> tuple[str, str]:
+    """PERSIST the PQ index — the point of PQ is that the CODES are
+    the index (M bytes/vector), so what gets stored is exactly what a
+    query scans: ``{prefix}_codes`` (id, codes — bucketed by id so the
+    incremental upsert's anti-join needs no exchange on the stored
+    side) plus ``{prefix}_codebooks`` (one row per (subspace, code)
+    centroid — M·K rows, the few-KB driver artifact made durable).
+    Cross-session reuse needs a persistent metastore. Returns the two
+    table names."""
+    from embeddingsearch_spark.storage import drop_table, replace_bucketed
+
+    spark = coded.sparkSession
+    replace_bucketed(
+        coded.select(id_col, codes_col),
+        f"{prefix}_codes",
+        [id_col],
+        n_buckets=n_buckets,
+    )
+    rows = [
+        (m, j, [float(x) for x in c])
+        for m, cb in enumerate(codebooks)
+        for j, c in enumerate(cb)
+    ]
+    cb_df = spark.createDataFrame(
+        rows, "m int, code int, centroid array<double>"
+    )
+    drop_table(spark, f"{prefix}_codebooks")
+    cb_df.write.saveAsTable(f"{prefix}_codebooks")
+    return f"{prefix}_codes", f"{prefix}_codebooks"
+
+
+def load_pq_codebooks(spark, prefix: str) -> Codebooks:
+    """Rebuild the driver-side codebook list from the persisted table
+    (M·K rows — bounded by construction, the quantizer IS small)."""
+    rows = (
+        spark.table(f"{prefix}_codebooks").orderBy("m", "code").collect()
+    )
+    m_sub = max(r["m"] for r in rows) + 1
+    cbs: Codebooks = [[] for _ in range(m_sub)]
+    for r in rows:
+        cbs[r["m"]].append(list(r["centroid"]))
+    return cbs
+
+
+def pq_topk_from_index(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """`pq_topk` over a persisted `save_pq_index` — identical output
+    (same oracle); the scan reads only the stored (id, codes) table."""
+    cbs = load_pq_codebooks(spark, prefix)
+    return pq_topk(
+        spark.table(f"{prefix}_codes"), cbs, queries, k=k,
+        id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def upsert_pq_index(
+    spark,
+    prefix: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    n_buckets: int = 8,
+) -> str:
+    """Incremental PQ maintenance: encode ONLY the batch with the
+    persisted (FIXED) codebooks — codes of unchanged vectors cannot
+    change under a fixed quantizer, the same invariant the graph merge
+    rests on — replace re-ingested ids, rewrite the codes table.
+    Re-train codebooks offline and rebuild to re-center."""
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    cbs = load_pq_codebooks(spark, prefix)
+    new_codes = encode_pq(
+        new_vectors, cbs, id_col=id_col, vec_col=vec_col,
+        codes_col=codes_col,
+    ).select(id_col, codes_col)
+    old = spark.table(f"{prefix}_codes")
+    merged = (
+        old.join(
+            new_codes.select(id_col).distinct(), id_col, "left_anti"
+        )
+        .unionByName(new_codes)
+        .localCheckpoint(eager=True)
+    )
+    replace_bucketed(
+        merged, f"{prefix}_codes", [id_col], n_buckets=n_buckets
+    )
+    return f"{prefix}_codes"
+
+
 def ivfpq_topk(
     coded: DataFrame,
     codebooks: Codebooks,

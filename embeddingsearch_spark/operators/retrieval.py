@@ -620,6 +620,125 @@ def upsert_postings_index(
     return table
 
 
+def phrase_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Exact-phrase retrieval: docs whose token stream contains the
+    query's tokens CONSECUTIVELY — ``(query_id, doc_id, n_occurrences,
+    first_pos)`` (0-based first window start), one row per matching
+    (query, doc).
+
+    The positional-index recipe, reduced to two declarative stages:
+
+    1. **Anchor.** A doc can only contain the phrase if it contains
+       the phrase's RAREST term (global df over the postings — the
+       classic phrase-query optimization: intersecting from the
+       shortest posting list). Candidate (query, doc) pairs are that
+       term's postings rows — the broadcast query-term set keeps this
+       a scan-side semi-join, and a phrase containing any
+       out-of-vocabulary term anchors on df=0 and yields nothing
+       without touching the corpus.
+    2. **Verify.** Candidates join back to the doc token arrays and
+       count exact window matches with higher-order functions
+       (filter over sequence + slice equality) — scan-side array
+       arithmetic on candidate docs only, no per-position self-join
+       chain, no UDF.
+
+    At warehouse scale stage 1 reads the persisted postings index and
+    stage 2 fetches only candidate docs; verification cost is
+    |candidates| · |doc|, bounded by the rarest term's selectivity."""
+    qp = (
+        _phrase_frames(queries, query_id_col, query_text_col, tokenizer)
+        .localCheckpoint(eager=False)
+    )
+    qterms = qp.select(
+        query_id_col, F.explode(F.array_distinct("_p")).alias("term")
+    )
+    post = _postings(
+        docs, id_col, text_col, tokenizer=tokenizer
+    ).localCheckpoint(eager=False)
+    matched = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    rarest = (
+        qterms.join(F.broadcast(dfreq), "term", "left_outer")
+        .select(
+            query_id_col,
+            "term",
+            F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+        )
+        .groupBy(query_id_col)
+        .agg(F.min_by("term", F.struct("df", "term")).alias("term"))
+    )
+    anchors = (
+        matched.join(F.broadcast(rarest), "term")
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    from embeddingsearch_spark.functions.text import tokens
+
+    tok = tokenizer or tokens
+    staged = docs.select(
+        F.col(id_col), tok(F.lower(F.col(text_col))).alias("_t")
+    )
+    hits = (
+        staged.join(anchors, id_col)
+        .join(F.broadcast(qp), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            # guard: Spark's sequence() STEPS DOWN when start > stop,
+            # so a too-short doc must short-circuit to an empty window
+            # list (slice() also rejects start 0, which i = -1 would
+            # produce)
+            F.when(
+                F.size("_t") >= F.size("_p"),
+                F.filter(
+                    F.sequence(
+                        F.lit(0), F.size("_t") - F.size("_p")
+                    ),
+                    lambda i: F.slice(
+                        F.col("_t"), i + 1, F.size("_p")
+                    ) == F.col("_p"),
+                ),
+            )
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_m"),
+        )
+    )
+    return hits.filter(F.size("_m") > 0).select(
+        query_id_col,
+        id_col,
+        F.size("_m").alias("n_occurrences"),
+        F.element_at("_m", 1).alias("first_pos"),
+    )
+
+
+def _phrase_frames(
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    tokenizer=None,
+) -> DataFrame:
+    """(query_id, _p): the tokenized phrase, empty phrases dropped."""
+    from embeddingsearch_spark.functions.text import tokens
+
+    tok = tokenizer or tokens
+    return queries.select(
+        F.col(query_id_col),
+        tok(F.lower(F.col(query_text_col))).alias("_p"),
+    ).filter(F.size("_p") > 0)
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     query_id_col: str = "query_id",

@@ -1035,6 +1035,26 @@ FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.i >= a.i, n
 GROUP BY a.i, b.i, n.n"""
 
 
+def q_pq_indexed_topk(spark, sf_dir):
+    """PQ over the PERSISTED index: codes and codebooks saved as
+    catalog tables (the codes ARE the index — M bytes/vector), the
+    last fifth of the corpus arriving as a later `upsert_pq_index`
+    batch (encode-only under the fixed persisted codebooks — codes of
+    unchanged vectors cannot change, the same invariant as the graph
+    merge), and ADC served from the stored codes table. Identical
+    output to `pq_topk` — shared oracle."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_ops.initial_codebooks(emb, m_sub=8, k_codes=16)
+    first = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    coded = pq_ops.encode_pq(first, cbs)
+    pq_ops.save_pq_index(coded, cbs, "es_gate_pq", n_buckets=4)
+    pq_ops.upsert_pq_index(spark, "es_gate_pq", batch, n_buckets=4)
+    return pq_ops.pq_topk_from_index(
+        spark, "es_gate_pq", _queries_df(spark, sf_dir), k=10
+    )
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF x PQ end-to-end (the FAISS IVFPQ shape): coarse-quantizer
     probe (nprobe=2 of 8 centroids) + ADC scoring over codes in the
@@ -1234,6 +1254,7 @@ QUERIES = {
     "embedding_drift": (q_embedding_drift, EMBEDDING_DRIFT_SQL),
     "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
+    "pq_indexed_topk": (q_pq_indexed_topk, PQ_TOPK_SQL),
     "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "chunk_maxsim_topk": (q_chunk_maxsim_topk, CHUNK_MAXSIM_TOPK_SQL),

@@ -416,6 +416,78 @@ QUALIFY rank <= 10"""
 BM25_LANG_ROUTED_SQL = _bm25_lang_routed_sql()
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over the realistic corpus: each query is
+    the 3-token phrase at positions 2..4 of its source doc (so every
+    query matches at least that doc). Stage 1 anchors on the phrase's
+    rarest term (smallest-df posting list — the classic phrase-query
+    intersection order); stage 2 verifies consecutive windows with
+    scan-side array arithmetic on the anchored candidates only."""
+    docs = _corpus(spark, sf_dir)
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    qs = docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 3)).alias(
+            "text"
+        ),
+    )
+    return retrieval.phrase_search(docs, qs)
+
+
+def _phrase_search_sql() -> str:
+    toks_d = TOKS_SQL.replace("text", "d.text")
+    return f"""WITH {RD_SQL},
+q AS (
+  SELECT e.vec_id AS query_id,
+         list_transform(({toks_d})[2:4], x -> lower(x)) AS p
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+dtok AS (SELECT doc_id, {_LTOKS} AS t FROM rd),
+post AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM dtok),
+qterm AS (
+  SELECT DISTINCT query_id, unnest(p) AS term FROM q
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+  GROUP BY term
+),
+rarest AS (
+  SELECT query_id, term FROM (
+    SELECT qt.query_id, qt.term,
+           row_number() OVER (PARTITION BY qt.query_id
+             ORDER BY coalesce(d.df, 0) ASC, qt.term ASC) AS rn
+    FROM qterm qt LEFT JOIN dfreq d USING (term)) WHERE rn = 1
+),
+anchors AS (
+  SELECT DISTINCT r.query_id, p.doc_id
+  FROM post p JOIN rarest r USING (term)
+),
+hits AS (
+  SELECT a.query_id, a.doc_id,
+         list_filter(
+           range(0, greatest(0, len(t) - len(p) + 1)),
+           i -> t[CAST(i + 1 AS INT) : CAST(i + len(p) AS INT)] = p
+         ) AS m
+  FROM anchors a
+  JOIN dtok USING (doc_id)
+  JOIN q USING (query_id)
+)
+SELECT query_id, doc_id, CAST(len(m) AS INT) AS n_occurrences,
+       CAST(m[1] AS INT) AS first_pos
+FROM hits WHERE len(m) > 0"""
+
+
+PHRASE_SEARCH_SQL = _phrase_search_sql()
+
+
 def q_rerank_hash_topk(spark, sf_dir):
     """The full two-stage retrieval pipeline, value-oracled end to
     end: BM25 top-10 candidates → cross-encoder rerank to top-5 via
@@ -678,6 +750,7 @@ QUERIES = {
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
+    "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
     "search_snippets_multi": (
         q_search_snippets_multi,

@@ -597,3 +597,40 @@ def test_search_snippets_no_cartesian_single_window_pair(spark):
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert n_joins <= 6, n_joins
+
+
+def test_wand_from_index_zero_corpus_scans(spark):
+    """The production BM25 composition (WAND over the persisted
+    postings index): the returned plan reads ONLY the index table —
+    zero raw-corpus parquet scans beyond it — and never degenerates to
+    a cartesian product. (Scan parquet nodes in the plan must all be
+    the postings table, not documents.)"""
+    from embeddingsearch_spark.operators import retrieval
+
+    docs = tables.load(spark, SF, "documents")
+    retrieval.build_postings_index(
+        docs, "es_plan_postings", n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    df = retrieval.bm25_topk_pruned_from_index(
+        spark, "es_plan_postings", queries, k=10
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "es_plan_postings" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_broadcast_anchor_no_cartesian(spark):
+    """Phrase search: the query-term/rarest-term sides broadcast (the
+    corpus never shuffles for anchoring) and the verify join stays
+    equi-keyed."""
+    from embeddingsearch_spark.suite.retrievalops import q_phrase_search
+
+    df = q_phrase_search(spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan

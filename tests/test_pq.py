@@ -145,3 +145,30 @@ def test_ivfpq_prunes_buckets(emb, spark):
     cid_of = {r.vec_id: r.centroid_id for r in assigned.collect()}
     for r in out.collect():
         assert cid_of[r.vec_id] == probe[r.query_id]
+
+
+def test_pq_index_persist_upsert_and_parity(emb, spark):
+    """Persisted PQ index: codebooks round-trip exactly; the
+    save → upsert → query-from-index path returns pq_topk's frame over
+    the full corpus (codes of unchanged vectors cannot change under the
+    fixed persisted codebooks)."""
+    cbs = pq.train_codebooks(emb, m_sub=4, k_codes=8, iters=1)
+    first = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    coded_first = pq.encode_pq(first, cbs)
+    pq.save_pq_index(coded_first, cbs, "es_test_pq", n_buckets=2)
+    assert pq.load_pq_codebooks(spark, "es_test_pq") == [
+        [[float(x) for x in c] for c in cb] for cb in cbs
+    ]
+    pq.upsert_pq_index(spark, "es_test_pq", batch, n_buckets=2)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq.pq_topk_from_index(spark, "es_test_pq", qs, k=5)
+    want = pq.pq_topk(pq.encode_pq(emb, cbs), cbs, qs, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # re-ingest: upserting already-present ids replaces, not duplicates
+    pq.upsert_pq_index(spark, "es_test_pq", batch, n_buckets=2)
+    assert spark.table("es_test_pq_codes").count() == emb.count()

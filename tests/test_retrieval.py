@@ -444,3 +444,45 @@ def test_bm25_cjk_subword_matching(spark):
     ).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 1
     assert rows[0]["n_matched"] == 2  # 的一 and 一是
+
+
+def test_phrase_search_exact_windows(spark):
+    """Consecutive-window semantics: phrases match only contiguous
+    token runs; occurrences and the first 0-based start are counted;
+    out-of-vocabulary phrase terms yield nothing; too-short and empty
+    docs never error."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "cat the sat"),       # all terms, never consecutive
+            (3, "the cat"),           # shorter than 3-term phrases
+            (4, ""),
+            (5, "prefix the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "cat sat"),
+            (3, "zzz_nomatch cat"),
+            (4, "the"),
+        ],
+        "query_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["n_occurrences"], r["first_pos"]
+        )
+        for r in retrieval.phrase_search(docs, qs).collect()
+    }
+    assert got[(1, 1)] == (2, 0)      # "the cat sat" at 0 and 4
+    assert got[(1, 5)] == (1, 1)
+    assert (1, 2) not in got and (1, 3) not in got
+    assert got[(2, 1)] == (2, 1)      # "cat sat" at 1 and 5
+    assert got[(2, 5)] == (1, 2)
+    assert not any(q == 3 for q, _ in got)   # OOV term anchors to df=0
+    assert got[(4, 1)] == (2, 0)      # single-term phrase: "the" x2
+    assert got[(4, 2)] == (1, 1)
+    assert got[(4, 3)] == (1, 0) and got[(4, 5)] == (1, 1)
+    assert not any(d == 4 for _, d in got)   # empty doc never matches
