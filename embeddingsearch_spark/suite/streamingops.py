@@ -376,8 +376,66 @@ def q_streaming_postings_index(spark, sf_dir):
     )
 
 
-# served-result equivalence: the maintained index is batch-equivalent,
-# so the gated check is bm25_topk's full value oracle
+def q_streaming_graph_ann(spark, sf_dir):
+    """Streaming maintenance of the persisted graph-ANN index: the
+    low-id 4/5 of the embeddings table streams first (creates the
+    pair/assignment tables), the remaining fifth streams through a
+    second AvailableNow run (per-batch rebuild-equivalent merge via
+    `upsert_graph_index`), and the search runs over edges derived from
+    the persisted pair table. Because every merge is exactly
+    rebuild-equivalent under the fixed quantizer, the final answer is
+    `graph_ann_topk`'s oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        graph_index_available_now,
+    )
+
+    prefix = "es_gate_stream_graph"
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    centroids = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+        )
+        graph_index_available_now(
+            stream, prefix, centroids, m=8, n_assign=2, n_buckets=8
+        )
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    edges = graphann.edges_from_pairs(
+        spark.table(f"{prefix}_pairs"), m=8
+    )
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return graphann.graph_search(
+        edges, corpus, queries, k=10, beam=24, hops=4, n_entry=8
+    )
+
+
+# served-result equivalence: the maintained indexes are
+# batch-equivalent, so the gated checks are the batch oracles verbatim
+from embeddingsearch_spark.suite.ann import GRAPH_ANN_TOPK_SQL
 from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
 
 
@@ -386,6 +444,7 @@ QUERIES = {
         q_streaming_postings_index,
         BM25_TOPK_SQL,
     ),
+    "streaming_graph_ann": (q_streaming_graph_ann, GRAPH_ANN_TOPK_SQL),
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_drift": (q_streaming_drift, STREAMING_DRIFT_SQL),
     "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),
