@@ -39,8 +39,11 @@ def _postings(
     text_col: str,
     include_empty: bool = False,
     tokenizer=None,
+    carry: tuple = (),
 ) -> DataFrame:
-    """(id, term, tf, dl) per distinct doc-term, from one scan.
+    """(id, [carry...], term, tf, dl) per distinct doc-term, from one
+    scan. ``carry`` names pass-through columns (constant per doc —
+    e.g. the language label a partitioned index lays out on).
 
     ``include_empty=True`` keeps zero-token docs as a single NULL-term
     sentinel row (explode_outer) so corpus stats (N, avgdl — which by
@@ -56,18 +59,21 @@ def _postings(
 
     tokenizer = tokenizer or tokens
     explode = F.explode_outer if include_empty else F.explode
+    extra = [F.col(c) for c in carry]
     toks = df.select(
         F.col(id_col),
+        *extra,
         F.coalesce(
             tokenizer(F.lower(F.col(text_col))),
             F.array().cast("array<string>"),
         ).alias("_t"),
     ).select(
         F.col(id_col),
+        *extra,
         F.size("_t").alias("dl"),
         explode("_t").alias("term"),
     )
-    return toks.groupBy(id_col, "dl", "term").agg(
+    return toks.groupBy(id_col, *carry, "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
 
@@ -546,6 +552,130 @@ def build_postings_index(
     _drop_table(docs.sparkSession, table)
     save_bucketed(post, table, ["term"], n_buckets=n_buckets)
     return table
+
+
+def build_partitioned_postings_index(
+    docs: DataFrame,
+    table: str,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+) -> str:
+    """The language-partitioned postings index — the `bm25_lang_routed`
+    design note made literal: postings laid out PARTITIONED by the
+    routing column (term-bucketed within each partition), so a routed
+    query's scan statically prunes to its language's partitions
+    (~1/L of the corpus; the `save_ivf_index` partition-pruning
+    precedent applied to text). Serve with
+    `bm25_federated_from_index`."""
+    from embeddingsearch_spark.storage import save_bucketed
+
+    post = _postings(
+        docs, id_col, text_col, include_empty=True,
+        tokenizer=tokenizer, carry=(partition_col,),
+    )
+    _drop_table(docs.sparkSession, table)
+    save_bucketed(
+        post, table, ["term"], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    return table
+
+
+def bm25_federated_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Federated BM25 over a partitioned postings index: each query is
+    ROUTED to one collection (``route`` = (query_id, partition value),
+    e.g. the trained language-ID's predictions) and scored with that
+    collection's OWN statistics — N, avgdl, and df per partition, the
+    per-shard model federated/multilingual search engines use (each
+    language is its own collection; global df would let one language's
+    token frequencies distort another's idf on incidental spelling
+    collisions).
+
+    Scale shape: the routed partition values (≤ L by construction)
+    collect into a literal isin filter, so the scan statically prunes
+    to the routed partitions — nothing outside them is read, which is
+    also what makes per-collection stats derivable from the pruned
+    frame alone. Route, per-collection stats (L rows), df
+    (distinct-term-bounded), and the query-term set all broadcast; the
+    only wide exchange is the final (query, doc) aggregation."""
+    vals = [
+        r[0] for r in route.select(partition_col).distinct().collect()
+    ]
+    pruned = spark.table(table).filter(
+        F.col(partition_col).isin(vals)
+    )
+    stats_l = (
+        pruned.select(partition_col, id_col, "dl")
+        .distinct()
+        .groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg("dl").alias("_avgdl"),
+        )
+        .withColumn(
+            "_avgdl",
+            F.when(
+                F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
+                F.lit(1.0),
+            ).otherwise(F.col("_avgdl")),
+        )
+    )
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    matched = pruned.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy(partition_col, "term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / norm
+    scored = (
+        matched.join(
+            F.broadcast(route.select(query_id_col, partition_col)),
+            partition_col,
+        )
+        .join(F.broadcast(qterms), [query_id_col, "term"])
+        .join(F.broadcast(dfreq), [partition_col, "term"])
+        .join(F.broadcast(stats_l), partition_col)
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def _drop_table(spark, table: str) -> None:

@@ -488,6 +488,104 @@ FROM hits WHERE len(m) > 0"""
 PHRASE_SEARCH_SQL = _phrase_search_sql()
 
 
+def q_bm25_routed_indexed(spark, sf_dir):
+    """Language-partitioned postings made literal: the index persists
+    PARTITIONED by lang (term-bucketed within partitions), the trained
+    NB routes each query to its language, the routed partition values
+    collect into an isin filter (static partition pruning — nothing
+    outside the routed languages is read), and scoring uses each
+    collection's OWN statistics (per-lang N/avgdl/df — the federated
+    per-shard model, which is also what partition-local reads make
+    derivable). The oracle replays train + predict + per-collection
+    scoring as one CTE chain."""
+    from embeddingsearch_spark.operators import langid as langid_ops
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    retrieval.build_partitioned_postings_index(
+        docs, "es_gate_postings_lang", partition_col="lang",
+        n_buckets=8,
+    )
+    dense, langs = langid_ops.charngram_lang_model(
+        docs, "doc_id", "text", "lang", n=3, vocab_size=1024
+    )
+    route = langid_ops.lang_id_predict(
+        queries, "query_id", "text", dense, langs, n=3
+    ).select("query_id", F.col("lang_pred").alias("lang"))
+    return retrieval.bm25_federated_from_index(
+        spark, "es_gate_postings_lang", queries, route, k=10
+    )
+
+
+def _bm25_routed_indexed_sql() -> str:
+    from embeddingsearch_spark.suite.textops import nb_langid_ctes
+
+    toks_d = TOKS_SQL.replace("text", "d.text")
+    return f"""WITH {RD_SQL},
+d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, lang FROM rd
+),
+qtxt AS (
+  SELECT e.vec_id AS query_id,
+         lower(coalesce(array_to_string(({toks_d})[2:6], ' '), '')) AS t
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+{nb_langid_ctes("d", "qtxt", "query_id", 1024)},
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+rlang AS (SELECT DISTINCT lang_pred AS lang FROM pred),
+dtokr AS (
+  SELECT doc_id, lang, {_LTOKS} AS t FROM rd
+  WHERE lang IN (SELECT lang FROM rlang)
+),
+statsl AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM dtokr GROUP BY lang
+),
+postr AS (
+  SELECT doc_id, lang, len(t) AS dl, unnest(t) AS term FROM dtokr
+),
+tfpr AS (
+  SELECT doc_id, lang, dl, term, count(*) AS tf FROM postr
+  GROUP BY doc_id, lang, dl, term
+),
+matchedr AS (
+  SELECT * FROM tfpr
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+),
+dflr AS (
+  SELECT lang, term, count(DISTINCT doc_id) AS df FROM matchedr
+  GROUP BY lang, term
+),
+contribr AS (
+  SELECT p.query_id, m.doc_id,
+         ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5))
+           * CAST(m.tf AS DOUBLE) * 2.2
+           / (CAST(m.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+  FROM matchedr m
+  JOIN pred p ON p.lang_pred = m.lang
+  JOIN qterm qt ON qt.query_id = p.query_id AND qt.term = m.term
+  JOIN dflr d2 ON d2.lang = m.lang AND d2.term = m.term
+  JOIN statsl s ON s.lang = m.lang
+),
+bmr AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM contribr GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, n_matched,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM bmr QUALIFY rank <= 10"""
+
+
+BM25_ROUTED_INDEXED_SQL = _bm25_routed_indexed_sql()
+
+
 def q_rerank_hash_topk(spark, sf_dir):
     """The full two-stage retrieval pipeline, value-oracled end to
     end: BM25 top-10 candidates → cross-encoder rerank to top-5 via
@@ -748,6 +846,10 @@ QUERIES = {
     "bm25_cjk_topk": (q_bm25_cjk_topk, BM25_CJK_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
+    "bm25_routed_indexed": (
+        q_bm25_routed_indexed,
+        BM25_ROUTED_INDEXED_SQL,
+    ),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),

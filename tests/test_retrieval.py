@@ -486,3 +486,59 @@ def test_phrase_search_exact_windows(spark):
     assert got[(4, 2)] == (1, 1)
     assert got[(4, 3)] == (1, 0) and got[(4, 5)] == (1, 1)
     assert not any(d == 4 for _, d in got)   # empty doc never matches
+
+
+def test_federated_routed_equals_per_collection_bm25(spark):
+    """Federated contract: routing every query to collection 'en' makes
+    the partitioned-index result identical to plain bm25_topk over the
+    en sub-corpus alone (per-collection stats == that collection's
+    global stats) — and the partition filter reaches the scan."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog sat on the log", "en"),
+            (3, "der hund sitzt auf dem baumstamm", "de"),
+            (4, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "the cat"), (101, "dog")], "query_id long, text string"
+    )
+    retrieval.build_partitioned_postings_index(
+        docs, "es_test_postings_lang", partition_col="lang",
+        n_buckets=2,
+    )
+    route = spark.createDataFrame(
+        [(100, "en"), (101, "en")], "query_id long, lang string"
+    )
+    got = retrieval.bm25_federated_from_index(
+        spark, "es_test_postings_lang", qs, route, k=10
+    )
+    want = retrieval.bm25_topk(
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        qs,
+        k=10,
+    )
+    assert _frames_equal(got, want)
+    # partition pruning: the isin filter lands as a PartitionFilter
+    pruned = spark.table("es_test_postings_lang").filter(
+        F.col("lang").isin(["en"])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # cross-collection stats independence: df/idf of 'the' ignores de
+    # docs entirely even though the index holds them
+    mixed_route = spark.createDataFrame(
+        [(100, "en"), (101, "de")], "query_id long, lang string"
+    )
+    got2 = {
+        (r["query_id"], r["doc_id"])
+        for r in retrieval.bm25_federated_from_index(
+            spark, "es_test_postings_lang", qs, mixed_route, k=10
+        ).collect()
+    }
+    # query 101 ("dog") routed to de matches nothing there
+    assert got2 and not any(q == 101 for q, _ in got2)
