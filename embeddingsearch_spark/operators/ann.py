@@ -567,6 +567,113 @@ def srp_cosine_pairs(
     )
 
 
+def srp_multiprobe_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bits: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.65,
+) -> DataFrame:
+    """Multi-probe SRP-LSH (the Lv et al. multi-probe recipe —
+    public): candidates collide when two band signatures agree EXACTLY
+    or differ in at most one bit — the recall knob the plain banding
+    lacks. Adding a band costs a full extra signature pass and another
+    Σ bucket² candidate volume; probing the ``rows`` Hamming-1
+    neighbor buckets reuses the signatures already computed and only
+    multiplies the join's probe side by (rows+1). A true near-dup
+    whose angle flips one marginal bit per band is invisible to exact
+    banding at ANY band count, but always within one probe.
+
+    Same output contract as `srp_cosine_pairs`:
+    ``(id_a < id_b, cosine >= threshold)``, exact-cosine verified.
+    Declarative shape: one signature pass (scan-side GEMM), the probe
+    side explodes each (band, bucket) into its XOR-flip variants, one
+    equi-join on (band, bucket), exact verify on the distinct
+    candidates."""
+    import numpy as np
+
+    if (n_bits is None) != (bands is None):
+        raise ValueError("set both n_bits and bands, or neither")
+    if n_bits is None:
+        n_bits, bands = srp_config_for(emb.count())
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rows = n_bits // bands
+    H = srp_hyperplanes(dim, n_bits)
+
+    def sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (V @ H.T >= 0).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for bd in range(bands):
+                seg = bits[:, bd * rows : (bd + 1) * rows]
+                vals = (seg << np.arange(rows)).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: ids, "band": bd, "bucket": vals}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sigs = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(sig, schema=f"{id_col} long, band int, bucket long")
+        .localCheckpoint(eager=False)
+    )
+    flips = [0] + [1 << j for j in range(rows)]
+    a = sigs.select(F.col(id_col).alias("_ida"), "band", "bucket")
+    b = sigs.select(
+        F.col(id_col).alias("_idb"), "band", "bucket"
+    ).withColumn(
+        "_f", F.explode(F.array(*[F.lit(f) for f in flips]))
+    ).select(
+        "_idb",
+        "band",
+        F.col("bucket").bitwiseXOR(F.col("_f")).alias("bucket"),
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        norm2(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        norm2(F.col(vec_col)).alias("_nb"),
+    )
+    scored = cand.join(va, "_ida").join(vb, "_idb").select(
+        F.col("_ida").alias("id_a"),
+        F.col("_idb").alias("id_b"),
+        F.round(
+            _cosine_from_parts(
+                dot(F.col("_va"), F.col("_vb")),
+                F.col("_na"),
+                F.col("_nb"),
+            ),
+            ROUND_DIGITS,
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def srp_cross_pairs(
     train: DataFrame,
     eval_df: DataFrame,

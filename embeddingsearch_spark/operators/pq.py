@@ -240,6 +240,77 @@ def pq_topk(
     )
 
 
+def pq_topk_refined(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ with a refine stage (the FAISS ``IndexRefineFlat`` recipe —
+    public): the ADC pass shortlists ``refine_factor·k`` candidates
+    per query from the codes alone, then ONLY those ids fetch their
+    raw vectors and re-score exactly; the final top-``k`` ranks by
+    exact cosine. Buys back ADC's quantization error at the cost of
+    reading refine_factor·k·|Q| raw vectors instead of zero — the
+    read volume stays independent of corpus size, which is the whole
+    point. With refine_factor·k ≥ |corpus| this degenerates to exact
+    brute force (the test contract).
+
+    Output matches the exact scorers' contract: ``(query_id, vec_id,
+    cosine, rank<=k)`` with remapped rounded cosine and (score desc,
+    id asc) ties."""
+    from embeddingsearch_spark.functions.vectors import dot, norm2
+    from embeddingsearch_spark.operators.ann import _cosine_from_parts
+
+    shortlist = pq_topk(
+        coded, codebooks, queries, k=refine_factor * k,
+        id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            norm2(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    vecs = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        norm2(F.col(vec_col)).alias("_vn"),
+    )
+    # the shortlist is |Q|·refine_factor·k rows — broadcast it so the
+    # raw-vector fetch is a scan-side semi-join, not a corpus shuffle
+    scored = (
+        vecs.join(F.broadcast(shortlist), id_col)
+        .join(q, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _cosine_from_parts(
+                    dot(F.col("_v"), F.col("_qv")),
+                    F.col("_vn"),
+                    F.col("_qn"),
+                ),
+                ROUND_DIGITS,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def save_pq_index(
     coded: DataFrame,
     codebooks: Codebooks,

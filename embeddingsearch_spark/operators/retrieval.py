@@ -853,6 +853,89 @@ def phrase_search(
     )
 
 
+def build_positions_index(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+) -> str:
+    """PERSIST the positional index: one (id, pos, term) row per token
+    occurrence, bucketed+sorted by term — the classic positional
+    inverted index, serving `phrase_search_from_index` with zero
+    corpus scans and a term-bucketed (exchange-free on the stored
+    side) match join. ~dl rows per doc vs the postings index's
+    distinct-term rows; build it when phrase/proximity queries matter
+    enough to pay that storage."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.storage import save_bucketed
+
+    tok = tokenizer or tokens
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tok(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    _drop_table(docs.sparkSession, table)
+    save_bucketed(pos, table, ["term"], n_buckets=n_buckets)
+    return table
+
+
+def phrase_search_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """`phrase_search` over a persisted `build_positions_index` —
+    identical output (same oracle), zero corpus scans, and the verify
+    step becomes pure position ARITHMETIC instead of array slicing:
+
+    join the stored (doc, pos, term) rows to the broadcast
+    (query, offset i, term_i) phrase rows on term — each surviving row
+    proposes a window start ``pos − i`` — then a window start is a
+    real occurrence iff it accumulated exactly |phrase| distinct
+    offsets (offset i contributes iff the token at start+i equals
+    term_i). One equi-join + one aggregation; only phrase-term
+    positions ever leave the scan, and the bucketed layout ships them
+    without an exchange."""
+    phrase = (
+        _phrase_frames(queries, query_id_col, query_text_col, tokenizer)
+        .select(
+            query_id_col,
+            F.size("_p").alias("_m"),
+            F.posexplode("_p").alias("_i", "term"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pos = spark.table(table)
+    hits = (
+        pos.join(F.broadcast(phrase), "term")
+        .select(
+            query_id_col,
+            id_col,
+            "_m",
+            "_i",
+            (F.col("pos") - F.col("_i")).alias("_start"),
+        )
+        .filter(F.col("_start") >= 0)
+    )
+    occ = (
+        hits.groupBy(query_id_col, id_col, "_m", "_start")
+        .agg(F.countDistinct("_i").alias("_hit"))
+        .filter(F.col("_hit") == F.col("_m"))
+    )
+    return occ.groupBy(query_id_col, id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+        F.min("_start").cast("int").alias("first_pos"),
+    )
+
+
 def _phrase_frames(
     queries: DataFrame,
     query_id_col: str,

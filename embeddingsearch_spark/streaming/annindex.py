@@ -84,6 +84,89 @@ def postings_index_available_now(
     return history
 
 
+def monitored_postings_ingest(
+    stream: DataFrame,
+    table: str,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    smoothing: float = 1.0,
+    threshold: float = 0.05,
+    n_buckets: int = 8,
+):
+    """Drift-TRIGGERED index maintenance: one stream pass that both
+    maintains the persisted postings index (create-or-upsert per
+    micro-batch) and merges each batch's token counts into the running
+    drift table, recording cumulative JS divergence vs the pinned
+    ``reference`` snapshot after every batch. The monitoring loop
+    closed into an action: any batch whose cumulative divergence
+    crosses ``threshold`` sets the retrain flag — the signal that the
+    corpus has moved enough that trained artifacts (language model,
+    centroids, codebooks) were fitted to a different distribution and
+    the offline retrain+rebuild cycle should run. The INDEX keeps
+    updating either way (postings are distribution-free; only trained
+    artifacts go stale).
+
+    Returns ``(history, flagged)``: per-batch
+    (batch_id, n_docs, js_divergence) tuples and whether any batch
+    crossed the threshold. Counts are associative, so the final
+    divergence is batch-equivalent to the batch computation over
+    everything that streamed — the gated oracle's check."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.drift import (
+        vocab_drift_from_counts,
+    )
+    from embeddingsearch_spark.operators.lmscore import (
+        corpus_token_counts,
+    )
+    from embeddingsearch_spark.operators.retrieval import (
+        build_postings_index,
+        upsert_postings_index,
+    )
+
+    spark = stream.sparkSession
+    ref_counts = corpus_token_counts(
+        reference, text_col
+    ).localCheckpoint(eager=True)
+    counts = spark.createDataFrame([], "tok string, c long")
+    history: list[tuple] = []
+    state = {"counts": counts, "flagged": False}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_docs = batch_df.count()
+        if spark.catalog.tableExists(table):
+            upsert_postings_index(
+                spark, table, batch_df, id_col, text_col, n_buckets
+            )
+        else:
+            build_postings_index(
+                batch_df, table, id_col, text_col, n_buckets
+            )
+        bc = corpus_token_counts(batch_df, text_col)
+        merged = (
+            state["counts"].unionByName(bc)
+            .groupBy("tok")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        state["counts"] = merged
+        summary, _ = vocab_drift_from_counts(
+            merged, ref_counts, vocab_size=vocab_size,
+            smoothing=smoothing,
+        )
+        row = summary.collect()[0]
+        js = row["js_divergence"]
+        if js is not None and js > threshold:
+            state["flagged"] = True
+        history.append((int(batch_id), n_docs, js))
+
+    _drain(stream, step)
+    return history, state["flagged"]
+
+
 def graph_index_available_now(
     stream: DataFrame,
     prefix: str,

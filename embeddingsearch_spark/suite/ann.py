@@ -138,6 +138,67 @@ SELECT id_a, id_b, round(sim, {RD}) AS cosine
 FROM sims WHERE round(sim, {RD}) >= 0.65"""
 
 
+def q_srp_multiprobe(spark, sf_dir):
+    """Multi-probe SRP-LSH: same 16/4 banding as
+    `embedding_neardup_lsh`, but each band also probes its 4 Hamming-1
+    neighbor buckets — the recall knob that reuses the signatures
+    already computed instead of paying for another band. Candidates
+    are a strict superset of the exact-banding query's (flip 0 is the
+    identity probe); the oracle replays planes → buckets → XOR-probe
+    join → exact verify."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.srp_multiprobe_pairs(
+        emb, dim=64, n_bits=16, bands=4, threshold=0.65
+    )
+
+
+SRP_MULTIPROBE_SQL = f"""WITH planes AS (
+  SELECT b, d,
+         CASE WHEN strpos('01234567',
+                 substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+                        1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(16)) AS b), (SELECT unnest(range(64)) AS d)
+),
+elems AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, p.b, sum(e.x * p.w) AS pr
+  FROM elems e JOIN planes p ON e.d = p.d
+  GROUP BY e.vec_id, p.b
+),
+buckets AS (
+  SELECT vec_id, CAST(b // 4 AS INT) AS band,
+         CAST(sum(CASE WHEN pr >= 0 THEN 2 ** (b % 4) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, b // 4
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM buckets a
+  JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) p ON true
+  JOIN buckets c
+    ON a.band = c.band
+   AND a.bucket = xor(c.bucket, CAST(p.f AS BIGINT))
+   AND a.vec_id < c.vec_id
+),
+pair_elems AS (
+  SELECT cd.id_a, cd.id_b,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM cands cd JOIN embeddings ea ON ea.vec_id = cd.id_a
+                JOIN embeddings eb ON eb.vec_id = cd.id_b
+),
+sims AS (
+  SELECT id_a, id_b, {_COS} AS sim FROM pair_elems GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(sim, {RD}) AS cosine
+FROM sims WHERE round(sim, {RD}) >= 0.65"""
+
+
 def q_embedding_contamination(spark, sf_dir):
     """Embedding-level train/eval decontamination: SRP-LSH near-dup
     pairs BETWEEN the train split (vec_id >= 40) and the eval split
@@ -1013,6 +1074,59 @@ FROM (
 ) WHERE rank <= 10"""
 
 
+def q_pq_refined_topk(spark, sf_dir):
+    """PQ + refine (the FAISS IndexRefineFlat recipe): ADC shortlists
+    40 candidates per query from codes alone, only those fetch raw
+    vectors and re-score exactly, final top-10 ranks by exact cosine —
+    quantization error bought back at a fixed refine_factor·k read
+    volume per query, independent of corpus size. Oracle = the PQ
+    encode/ADC chain cut at rank 40, plus an exact-cosine re-rank."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_ops.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq_ops.encode_pq(emb, cbs)
+    return pq_ops.pq_topk_refined(
+        coded, cbs, emb, _queries_df(spark, sf_dir), k=10,
+        refine_factor=4,
+    )
+
+
+def _pq_refined_sql(k: int = 10, refine_factor: int = 4) -> str:
+    """Splice the refine tail onto PQ_TOPK_SQL's CTE chain: shortlist
+    at rank ≤ r·k from the ADC `sims`, exact re-score via `q`."""
+    marker = "SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank"
+    prefix = PQ_TOPK_SQL.rsplit(marker, 1)[0].rstrip()
+    assert prefix.endswith("),") or prefix.endswith(")"), prefix[-40:]
+    if prefix.endswith(")"):
+        prefix += ","
+    return f"""{prefix}
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM sims) WHERE r <= {refine_factor * k}
+),
+exact AS (
+  SELECT query_id, vec_id, {_COS} AS sim FROM (
+    SELECT s.query_id, s.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(qq.qv) AS DOUBLE) AS y
+    FROM shortlist s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    JOIN (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 4) qq
+      ON qq.query_id = s.query_id) t
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, round(sim, {RD}) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY round(sim, {RD}) DESC, vec_id ASC) AS rank
+  FROM exact
+) WHERE rank <= {k}"""
+
+
 def q_embedding_gram(spark, sf_dir):
     """Covariance Gramian of the embedding space (PCA's distributed
     stage, `operators/pca.gram_upper`): per-batch partial X^T X emitted
@@ -1255,6 +1369,7 @@ QUERIES = {
     "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "pq_indexed_topk": (q_pq_indexed_topk, PQ_TOPK_SQL),
+    "pq_refined_topk": (q_pq_refined_topk, _pq_refined_sql()),
     "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "chunk_maxsim_topk": (q_chunk_maxsim_topk, CHUNK_MAXSIM_TOPK_SQL),
@@ -1265,6 +1380,7 @@ QUERIES = {
         q_embedding_neardup_lsh,
         EMBEDDING_NEARDUP_LSH_SQL,
     ),
+    "srp_multiprobe": (q_srp_multiprobe, SRP_MULTIPROBE_SQL),
     "embedding_contamination": (
         q_embedding_contamination,
         EMBEDDING_CONTAMINATION_SQL,

@@ -488,6 +488,35 @@ FROM hits WHERE len(m) > 0"""
 PHRASE_SEARCH_SQL = _phrase_search_sql()
 
 
+def q_phrase_indexed(spark, sf_dir):
+    """Exact-phrase retrieval over the PERSISTED positional index:
+    (doc, pos, term) rows bucketed by term, verification by position
+    arithmetic (a window start is real iff it accumulates |phrase|
+    distinct matching offsets) — one equi-join + one aggregation, zero
+    corpus scans. Identical output to `phrase_search` — shared
+    oracle."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_positions_index(
+        docs, "es_gate_positions", n_buckets=8
+    )
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    qs = docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 3)).alias(
+            "text"
+        ),
+    )
+    return retrieval.phrase_search_from_index(
+        spark, "es_gate_positions", qs
+    )
+
+
 def q_bm25_routed_indexed(spark, sf_dir):
     """Language-partitioned postings made literal: the index persists
     PARTITIONED by lang (term-bucketed within partitions), the trained
@@ -853,6 +882,8 @@ QUERIES = {
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),
+    # the positional-index path is result-identical ⇒ shared oracle
+    "phrase_indexed": (q_phrase_indexed, PHRASE_SEARCH_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
     "search_snippets_multi": (
         q_search_snippets_multi,

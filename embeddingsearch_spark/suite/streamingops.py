@@ -433,6 +433,99 @@ def q_streaming_graph_ann(spark, sf_dir):
     )
 
 
+def q_drift_triggered_reindex(spark, sf_dir):
+    """The monitoring loop closed into an action: ONE stream pass over
+    the odd-doc_id half both maintains the persisted postings index
+    (create-or-upsert per batch) and tracks cumulative vocabulary JS
+    divergence vs the pinned even-half reference — the retrain flag
+    says whether trained artifacts (language model, centroids,
+    codebooks) were fitted to a distribution the corpus has left. One
+    summary row: final divergence, how many docs the maintained index
+    covers, and the flag. Counts are associative and the index is
+    last-writer-wins, so every column is batch-equivalent — the oracle
+    recomputes all three from the batch tables."""
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_postings_ingest,
+    )
+
+    table = "es_gate_monitored_postings"
+    drop_table(spark, table)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_RAW)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    reference = (
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    history, _ = monitored_postings_ingest(
+        stream, table, reference, vocab_size=1024, threshold=0.05
+    )
+    assert history, "stream produced no micro-batch"
+    final_js = history[-1][2]
+    n_indexed = (
+        spark.table(table).select("doc_id").distinct().count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                final_js,
+                n_indexed,
+                bool(final_js is not None and final_js > 0.05),
+            )
+        ],
+        "js_divergence double, n_indexed long, retrain boolean",
+    )
+
+
+def _drift_triggered_sql() -> str:
+    from embeddingsearch_spark.suite.dedup import TOKS_SQL
+
+    ltoks = TOKS_SQL.replace("text", "lower(text)")
+    return f"""WITH ca AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({ltoks}) AS tok FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY tok
+),
+cb AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({ltoks}) AS tok FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY tok
+),
+merged AS (
+  SELECT tok, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM ca FULL OUTER JOIN cb USING (tok)
+),
+vocab AS (
+  SELECT tok, ca, cb FROM merged
+  ORDER BY ca + cb DESC, tok ASC LIMIT 1024
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM merged),
+js AS (
+  SELECT (ca + 1.0) / (tot.na + 1025.0) AS pa,
+         (cb + 1.0) / (tot.nb + 1025.0) AS pb
+  FROM vocab, tot
+),
+s AS (
+  SELECT round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2
+               + pb * ln(pb / ((pa + pb) / 2)) / 2), {RD}) AS jsd
+  FROM js
+)
+SELECT jsd AS js_divergence,
+       (SELECT count(DISTINCT doc_id) FROM documents
+        WHERE doc_id % 2 = 1) AS n_indexed,
+       jsd > 0.05 AS retrain
+FROM s"""
+
+
+DRIFT_TRIGGERED_SQL = _drift_triggered_sql()
+
+
 # served-result equivalence: the maintained indexes are
 # batch-equivalent, so the gated checks are the batch oracles verbatim
 from embeddingsearch_spark.suite.ann import GRAPH_ANN_TOPK_SQL
@@ -445,6 +538,10 @@ QUERIES = {
         BM25_TOPK_SQL,
     ),
     "streaming_graph_ann": (q_streaming_graph_ann, GRAPH_ANN_TOPK_SQL),
+    "drift_triggered_reindex": (
+        q_drift_triggered_reindex,
+        DRIFT_TRIGGERED_SQL,
+    ),
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_drift": (q_streaming_drift, STREAMING_DRIFT_SQL),
     "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),

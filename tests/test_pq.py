@@ -172,3 +172,35 @@ def test_pq_index_persist_upsert_and_parity(emb, spark):
     # re-ingest: upserting already-present ids replaces, not duplicates
     pq.upsert_pq_index(spark, "es_test_pq", batch, n_buckets=2)
     assert spark.table("es_test_pq_codes").count() == emb.count()
+
+
+def test_pq_refined_degenerates_to_brute_force(emb, spark):
+    """Refine contract: with refine_factor·k covering the corpus the
+    refined result IS exact brute force; at small factors refined
+    recall@k >= plain ADC recall@k (exact re-ranking can only fix the
+    shortlist's order)."""
+    cbs = pq.train_codebooks(emb, m_sub=4, k_codes=8, iters=1)
+    coded = pq.encode_pq(emb, cbs)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.brute_force_topk(emb, qs, k=5)
+    full = pq.pq_topk_refined(
+        coded, cbs, emb, qs, k=5, refine_factor=48  # 240 >= corpus
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    def recall(df):
+        want = {
+            (r["query_id"], r["vec_id"]) for r in exact.collect()
+        }
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & want) / len(want)
+
+    plain = pq.pq_topk(coded, cbs, qs, k=5)
+    refined = pq.pq_topk_refined(
+        coded, cbs, emb, qs, k=5, refine_factor=4
+    )
+    assert recall(refined) >= recall(plain)

@@ -542,3 +542,43 @@ def test_federated_routed_equals_per_collection_bm25(spark):
     }
     # query 101 ("dog") routed to de matches nothing there
     assert got2 and not any(q == 101 for q, _ in got2)
+
+
+def test_phrase_from_index_identical(spark):
+    """The positional-index path returns phrase_search's exact frame —
+    including repeated-term phrases, where a window start must
+    accumulate every DISTINCT offset."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "cat the sat"),
+            (3, "the the the"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the the"),
+            (3, "zzz_nomatch"),
+        ],
+        "query_id long, text string",
+    )
+    retrieval.build_positions_index(
+        docs, "es_test_positions", n_buckets=2
+    )
+    got = retrieval.phrase_search_from_index(
+        spark, "es_test_positions", qs
+    )
+    want = retrieval.phrase_search(docs, qs)
+    assert _frames_equal(got, want)
+    rows = {
+        (r["query_id"], r["doc_id"]): (
+            r["n_occurrences"], r["first_pos"]
+        )
+        for r in got.collect()
+    }
+    # "the the" only in doc 3, twice (starts 0 and 1)
+    assert rows[(2, 3)] == (2, 0)
+    assert not any(q == 2 and d != 3 for q, d in rows)

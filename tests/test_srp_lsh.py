@@ -119,3 +119,26 @@ def test_cross_pairs_cross_side_only_and_recall(spark):
     # every planted leak found (identical vector -> cosine 1.0)
     found = {(r.train_id, r.eval_id) for r in out if r.cosine >= 0.999}
     assert {(j * 7, 100 + j) for j in range(5)} <= found
+
+
+def test_multiprobe_superset_of_exact_banding(spark, sf_dir):
+    """Flip 0 is the identity probe, so multi-probe candidates (and
+    thus verified pairs) are a superset of the exact-banding query's;
+    every extra pair still clears the exact-cosine threshold."""
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in ann_ops.srp_cosine_pairs(
+            emb, dim=64, n_bits=16, bands=4, threshold=0.65
+        ).collect()
+    }
+    multi_rows = ann_ops.srp_multiprobe_pairs(
+        emb, dim=64, n_bits=16, bands=4, threshold=0.65
+    ).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert plain <= multi
+    assert all(r["cosine"] >= 0.65 for r in multi_rows)
+    assert all(a < b for a, b in multi)

@@ -136,3 +136,38 @@ def test_streaming_graph_converges_to_rebuild(spark, tmp_path, vec_rows):
         spark.table("es_test_stream_graph_vectors").count()
         == len(vec_rows)
     )
+
+
+def test_monitored_ingest_indexes_and_flags(spark, tmp_path):
+    """Drift-triggered maintenance: the index converges to the batch
+    build while the per-batch history tracks cumulative divergence,
+    and a disjoint-vocabulary reference trips the retrain flag."""
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_postings_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    stream = _multi_file_source(spark, tmp_path, DOCS, schema, 3)
+    reference = spark.createDataFrame(
+        [(100, "völlig anderes vokabular überall"),
+         (101, "noch mehr fremde wörter")],
+        schema,
+    )
+    history, flagged = monitored_postings_ingest(
+        stream, "es_test_monitored", reference,
+        vocab_size=64, smoothing=0.1, threshold=0.05, n_buckets=2,
+    )
+    assert len(history) >= 2
+    assert sum(n for _, n, _ in history) == len(DOCS)
+    assert flagged  # zero shared tokens (JS 0.32 at smoothing 0.1)
+    docs = spark.createDataFrame(DOCS, schema)
+    want = sorted(
+        tuple(r)
+        for r in retrieval._postings(
+            docs, "doc_id", "text", include_empty=True
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("es_test_monitored").collect()
+    )
+    assert got == want
