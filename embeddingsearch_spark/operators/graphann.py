@@ -391,6 +391,75 @@ def graph_config_for(
     }
 
 
+def dense_knn_graph(
+    nodes: DataFrame,
+    m: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (all-pairs) k-NN graph over a SMALL node set — the HNSW
+    upper layer, where the nodes are the coarse centroids themselves
+    (≤ a few thousand at any scale, so n² pairs stay trivial). Same
+    edge contract as `knn_graph`."""
+    a = nodes.select(F.col(id_col).alias("_ida"))
+    b = nodes.select(F.col(id_col).alias("_idb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_ida") < F.col("_idb"))
+    )
+    return edges_from_pairs(
+        _score_pairs(pairs, nodes, id_col, vec_col), m=m
+    )
+
+
+def hierarchical_entries(
+    coarse_edges: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    n_blocks_probe: int = 4,
+    beam: int = 8,
+    hops: int = 2,
+    n_entry: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """HNSW's upper layer as a per-query entry selector: beam-search
+    the CENTROID graph to find each query's ``n_blocks_probe`` best
+    blocks, then seed the base-layer search with the lowest-id member
+    of each (deterministic; base-layer navigation does the rest).
+    Returns a ``(query_id, vec_id)`` entry frame for
+    `graph_search(entries=...)` — entry quality stops depending on a
+    global md5 sample, so fewer base-layer hops reach the same
+    recall."""
+    blocks = graph_search(
+        coarse_edges,
+        centroids.select(
+            F.col(centroid_id_col).alias(id_col), vec_col
+        ),
+        queries,
+        k=n_blocks_probe,
+        beam=beam,
+        hops=hops,
+        n_entry=n_entry,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, F.col(id_col).alias("_blk"))
+    return (
+        assigned.join(F.broadcast(blocks), "_blk")
+        .groupBy(query_id_col, "_blk")
+        .agg(F.min(id_col).alias(id_col))
+        # two blocks can share a min member (n_assign > 1) — the
+        # frontier must hold each (query, node) once or duplicate rows
+        # waste beam slots
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+
+
 def entry_points(
     emb: DataFrame,
     n_entry: int = 4,
@@ -422,6 +491,7 @@ def graph_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     allowed: DataFrame | None = None,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search over a `knn_graph`: ``(query_id, vec_id, cosine,
     rank<=k)``. Each hop expands the frontier's out-edges, rescores the
@@ -429,6 +499,11 @@ def graph_search(
     ``beam`` per query (monotone: the union retains the previous
     frontier). ``hops`` is fixed → the plan is a finite chain and the
     oracle replays it hop by hop.
+
+    ``entries`` (optional (query_id, id) frame) seeds the search with
+    PER-QUERY entry points — `hierarchical_entries` supplies them from
+    the coarse centroid graph (HNSW's upper layer); default is the
+    global md5 sample shared by all queries.
 
     ``allowed`` (optional (id) frame) makes this FILTERED ANN: the
     answer is restricted to allowed ids, but navigation is NOT — the
@@ -501,16 +576,16 @@ def graph_search(
         acc = hits if acc is None else acc.unionByName(hits)
         return beam_cut(scored)
 
-    entries = entry_points(emb, n_entry=n_entry, id_col=id_col)
-    frontier = step(
-        score(
-            queries.select(query_id_col).crossJoin(
-                F.broadcast(
-                    entries.select(F.col(id_col).alias("_node"))
-                )
-            )
+    if entries is None:
+        sampled = entry_points(emb, n_entry=n_entry, id_col=id_col)
+        init = queries.select(query_id_col).crossJoin(
+            F.broadcast(sampled.select(F.col(id_col).alias("_node")))
         )
-    )
+    else:
+        init = entries.select(
+            query_id_col, F.col(id_col).alias("_node")
+        )
+    frontier = step(score(init))
     esrc = edges.select(
         F.col("src").alias("_node"), F.col("dst").alias("_dst")
     )

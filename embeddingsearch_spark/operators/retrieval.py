@@ -853,6 +853,375 @@ def phrase_search(
     )
 
 
+def bm25_topk_champion(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    tier: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Champion-list (tiered-index) BM25 top-k — RANK-SAFE (identical
+    frame to `bm25_topk`, shared oracle): per term, the ``tier``
+    highest-tf docs form the champion list (the static index-pruning
+    tier of Manning et al. IR ch.7 — public); exact scoring over
+    champion postings alone seeds the threshold, and everything else
+    is admitted only if an upper bound says it could still reach the
+    top-k.
+
+    The safety argument, per query q with threshold θ = k-th highest
+    champion-partial score (NULL = no pruning):
+
+    - any doc's final score ≥ its champion-partial score (term
+      contributions are non-negative), so θ lower-bounds the final
+      k-th score;
+    - a doc OUTSIDE term t's tier has tf ≤ the tier's minimum tf m_t,
+      and its contribution is ≤ ub_nc(t) = idf·(k1+1)·m_t/(m_t +
+      k1·(1−b)) (contribution increases in tf, decreases in dl;
+      dl→0 maximizes). Terms with df ≤ tier have NO outside docs:
+      ub_nc = 0;
+    - champion doc d: final ≤ partial(d) + Σ_{t∈q, d∉tier_t} ub_nc(t)
+      — admitted iff that bound ≥ θ − one rounding quantum;
+    - a doc with NO champion row scores ≤ S = Σ_{t∈q} ub_nc(t): if
+      S < θ − quantum, every such doc is pruned WITHOUT generating a
+      candidate row (the tiered win: only champion postings are read
+      to decide); otherwise the query falls back to full scoring —
+      no worse than the plain path.
+
+    On Zipfian corpora filler terms have huge df but m_t ≈ 1, so
+    their ub_nc is tiny and θ (driven by rare-term champions) prunes
+    their posting lists wholesale — the same economics as WAND, but
+    decided from ``tier`` rows per term instead of the full matched
+    postings."""
+    quantum = 10.0 ** (-ROUND_DIGITS)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    post = _postings(
+        docs, id_col, text_col, include_empty=True, tokenizer=tokenizer
+    ).localCheckpoint(eager=False)
+    stats = corpus_stats_from_postings(post, id_col)
+    matched = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    tw = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    champ = (
+        matched.withColumn("_r", F.row_number().over(tw))
+        .filter(F.col("_r") <= tier)
+        .drop("_r")
+        .localCheckpoint(eager=False)
+    )
+    # per-term non-champion upper bound (0 when the tier holds the
+    # whole posting list)
+    tfm = champ.groupBy("term").agg(
+        F.min("tf").cast("double").alias("_tfm")
+    )
+    idf = bm25_idf(F.col("df"), stats["n"])
+    ub_nc_expr = F.when(
+        F.col("df") > tier,
+        idf
+        * F.lit(k1 + 1.0)
+        * F.col("_tfm")
+        / (F.col("_tfm") + F.lit(k1 * (1.0 - b))),
+    ).otherwise(F.lit(0.0))
+    ubt = (
+        qterms.join(dfreq, "term")
+        .join(tfm, "term")
+        .select(
+            query_id_col, "term", ub_nc_expr.alias("_ub")
+        )
+        .localCheckpoint(eager=False)
+    )
+    s_all = ubt.groupBy(query_id_col).agg(
+        F.sum("_ub").alias("_s")
+    )
+    contrib = _bm25_contrib(stats, k1, b)
+    partial = (
+        champ.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(ubt), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum(contrib).alias("_ps"),
+            F.sum("_ub").alias("_ub_in"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    theta = partial.groupBy(query_id_col).agg(
+        F.when(
+            F.count(F.lit(1)) >= k,
+            F.element_at(
+                F.sort_array(
+                    F.collect_list(F.round(F.col("_ps"), ROUND_DIGITS)),
+                    asc=False,
+                ),
+                k,
+            ),
+        ).alias("_theta")
+    )
+    gate = F.broadcast(
+        theta.join(s_all, query_id_col, "full_outer").select(
+            query_id_col, "_theta", F.coalesce("_s", F.lit(0.0)).alias("_s")
+        )
+    )
+    cand_champ = (
+        partial.join(gate, query_id_col)
+        .filter(
+            F.col("_theta").isNull()
+            | (
+                F.col("_ps") + (F.col("_s") - F.col("_ub_in"))
+                >= F.col("_theta") - F.lit(quantum)
+            )
+        )
+        .select(query_id_col, id_col)
+    )
+    # queries whose non-champion-only docs can't be ruled out score
+    # everything (no worse than the plain path)
+    fb = gate.filter(
+        F.col("_theta").isNull()
+        | (F.col("_s") >= F.col("_theta") - F.lit(quantum))
+    ).select(query_id_col)
+    cand_fb = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(fb), query_id_col, "left_semi")
+        .select(query_id_col, id_col)
+    )
+    cand = cand_champ.unionByName(cand_fb).distinct()
+    return _bm25_ranked_pruned(
+        matched, dfreq, qterms, stats, cand, k, id_col, query_id_col,
+        k1, b,
+    )
+
+
+def bm25f_topk(
+    fields: DataFrame,
+    queries: DataFrame,
+    weights: dict,
+    k: int = 10,
+    id_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """BM25F (Robertson/Zaragoza field-weighted BM25 — public) over a
+    ``(doc, field, text)`` frame (one row per doc-field; the
+    reference's own data model — an entity's named datapoints — is
+    exactly this shape): per-field termfrequencies normalize by THEIR
+    field's length (tfn_f = tf_f / (1 + b·(len_f/avglen_f − 1))),
+    weighted-sum into one pseudo-frequency per (doc, term)
+    (tfc = Σ_f w_f·tfn_f), then a single saturation
+    idf·tfc/(k1 + tfc) — so a title hit counts ~w_title/w_body times
+    a body hit WITHOUT double-saturating, the property naive per-field
+    BM25 summation loses. df/N count docs containing the term in ANY
+    field. Output: ``(query_id, doc_id, score, n_matched, rank<=k)``;
+    n_matched = distinct matched terms.
+
+    Plan: one scan of the fields frame (postings carry the field
+    column), field stats are |fields| rows, df is
+    distinct-term-bounded, the weighted fold is a (doc, term)
+    aggregation — the corpus never shuffles wider than (doc, term)
+    before the final (query, doc) exchange."""
+    if not weights:
+        raise ValueError("weights must map field name -> weight")
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    post = _postings(
+        fields, id_col, text_col, include_empty=True,
+        tokenizer=tokenizer, carry=(field_col,),
+    ).localCheckpoint(eager=False)
+    n_docs = float(
+        post.select(id_col).distinct().count()
+    )
+    stats_f = (
+        post.select(field_col, id_col, "dl")
+        .distinct()
+        .groupBy(field_col)
+        .agg(F.avg("dl").alias("_avgdl"))
+        .withColumn(
+            "_avgdl",
+            F.when(
+                F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
+                F.lit(1.0),
+            ).otherwise(F.col("_avgdl")),
+        )
+    )
+    matched = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    w_expr = None
+    for fname, wgt in sorted(weights.items()):
+        branch = F.lit(float(wgt))
+        w_expr = (
+            F.when(F.col(field_col) == fname, branch)
+            if w_expr is None
+            else w_expr.when(F.col(field_col) == fname, branch)
+        )
+    w_expr = w_expr.otherwise(F.lit(0.0))
+    tfn = F.col("tf").cast("double") / (
+        F.lit(1.0)
+        + F.lit(b) * (F.col("dl") / F.col("_avgdl") - F.lit(1.0))
+    )
+    tfc = (
+        matched.join(F.broadcast(stats_f), field_col)
+        .select(
+            id_col, "term", (w_expr * tfn).alias("_wtfn")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.sum("_wtfn").alias("_tfc"))
+    )
+    contrib = (
+        bm25_idf(F.col("df"), n_docs)
+        * F.col("_tfc")
+        / (F.lit(k1) + F.col("_tfc"))
+    )
+    scored = (
+        tfc.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def min_pair_distance(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """``(query_id, doc_id, min_dist)``: the minimum token distance
+    between occurrences of two DIFFERENT query terms in the doc — the
+    MinDist proximity feature (Tao & Zhai '07 — public). Only docs
+    with ≥ 2 distinct matched terms produce a row.
+
+    Declarative trick: the minimizing cross-term pair is always
+    ADJACENT in position order (any hit strictly between a cross-term
+    pair forms a closer cross-term pair with one of its ends), so one
+    lag window over the hit stream — bounded by query-term frequency,
+    not corpus size — replaces the quadratic hit self-join."""
+    from embeddingsearch_spark.functions.text import tokens
+
+    tok = tokenizer or tokens
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tok(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col, "term", "pos"
+    )
+    w = Window.partitionBy(query_id_col, id_col).orderBy("pos")
+    lagged = hits.select(
+        query_id_col,
+        id_col,
+        "term",
+        "pos",
+        F.lag("term").over(w).alias("_pt"),
+        F.lag("pos").over(w).alias("_pp"),
+    )
+    return (
+        lagged.filter(
+            F.col("_pt").isNotNull() & (F.col("_pt") != F.col("term"))
+        )
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("pos") - F.col("_pp")).alias("_d"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.min("_d").alias("min_dist"))
+    )
+
+
+def bm25_proximity_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prox_weight: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Proximity-boosted BM25 (the additive MinDist composition —
+    public): score' = bm25 + prox_weight/(1 + min_dist), boost 0 for
+    docs matching fewer than two distinct terms. Declared semantics:
+    the rounded BM25 score plus the boost, re-rounded, ranked
+    (score desc, id asc) — ``(query_id, doc_id, score, n_matched,
+    min_dist, rank<=k)``. Term positions matter, term bags don't
+    change: two docs with identical BM25 scores rank by how tightly
+    the query terms co-occur."""
+    scored = bm25_scores(
+        docs, queries, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b, tokenizer=tokenizer,
+    )
+    md = min_pair_distance(
+        docs, queries, id_col, text_col, query_id_col,
+        query_text_col, tokenizer,
+    )
+    boosted = scored.join(
+        md, [query_id_col, id_col], "left_outer"
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(
+            F.col("score")
+            + F.coalesce(
+                F.lit(prox_weight)
+                / (F.lit(1.0) + F.col("min_dist")),
+                F.lit(0.0),
+            ),
+            ROUND_DIGITS,
+        ).alias("score"),
+        "n_matched",
+        "min_dist",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def build_positions_index(
     docs: DataFrame,
     table: str,

@@ -404,6 +404,295 @@ def q_graph_ann_persisted(spark, sf_dir):
     )
 
 
+def q_graph_ann_hier(spark, sf_dir):
+    """Two-layer graph ANN (HNSW's upper layer made literal): an exact
+    all-pairs k-NN graph over the 32 coarse centroids is beam-searched
+    per query to pick its 4 best blocks, whose lowest-id members seed
+    the base-layer search — per-query entries instead of a global md5
+    sample, so the base layer runs 3 hops instead of `graph_ann_topk`'s
+    4 at the same beam. The oracle replays BOTH layers hop by hop."""
+    from embeddingsearch_spark.operators import graphann
+
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n).localCheckpoint(eager=False)
+    centroids = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks(corpus, centroids, n_assign=2)
+    edges = graphann.edges_from_pairs(
+        graphann.block_pair_sims(corpus, assigned), m=8
+    )
+    coarse = graphann.dense_knn_graph(
+        centroids, m=4, id_col="centroid_id"
+    )
+    hent = graphann.hierarchical_entries(
+        coarse, centroids, assigned, _queries_df(spark, sf_dir),
+        n_blocks_probe=4, beam=8, hops=2, n_entry=4,
+    )
+    return graphann.graph_search(
+        edges,
+        corpus,
+        _queries_df(spark, sf_dir),
+        k=10,
+        beam=24,
+        hops=3,
+        entries=hent,
+    )
+
+
+def _graph_ann_hier_sql(
+    m: int = 8,
+    n_assign: int = 2,
+    beam: int = 24,
+    hops: int = 3,
+    k: int = 10,
+    n_cents: int = 32,
+    cm: int = 4,
+    cbeam: int = 8,
+    chops: int = 2,
+    cn_entry: int = 4,
+    n_blocks: int = 4,
+) -> str:
+    """The two-layer oracle: base-layer build (shared shape with
+    `_graph_ann_sql`), coarse all-pairs layer + its beam hops, the
+    min-member entry derivation, then the base hops."""
+    # coarse hops over the centroid graph
+    chop_ctes = []
+    prev = "cf0"
+    for h in range(1, chops + 1):
+        chop_ctes.append(
+            f"""ccand{h} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT f.query_id, ed.dst AS node
+    FROM {prev} f JOIN ccedges ed ON ed.src = f.node
+    UNION ALL
+    SELECT query_id, node FROM {prev})
+),
+csc{h} AS (
+  SELECT query_id, node, round(sim, {RD}) AS sim FROM (
+    SELECT c.query_id, c.node, {_COS} AS sim FROM (
+      SELECT c.query_id, c.node,
+             CAST(unnest(ce.cv) AS DOUBLE) AS x,
+             CAST(unnest(q.qv) AS DOUBLE) AS y
+      FROM ccand{h} c
+      JOIN cents ce ON ce.centroid_id = c.node
+      JOIN q ON q.query_id = c.query_id) c
+    GROUP BY c.query_id, c.node)
+),
+cf{h} AS (
+  SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, node ASC) AS r
+    FROM csc{h}) WHERE r <= {cbeam}
+)"""
+        )
+        prev = f"cf{h}"
+    chop_sql = ",\n".join(chop_ctes)
+    # base hops
+    hop_ctes = []
+    prev_b = "f0"
+    for h in range(1, hops + 1):
+        hop_ctes.append(
+            f"""cand{h} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT f.query_id, ed.dst AS node
+    FROM {prev_b} f JOIN edges ed ON ed.src = f.node
+    UNION ALL
+    SELECT query_id, node FROM {prev_b})
+),
+sc{h} AS (
+  SELECT query_id, node, round(sim, {RD}) AS sim FROM (
+    SELECT c.query_id, c.node, {_COS} AS sim FROM (
+      SELECT c.query_id, c.node,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qv) AS DOUBLE) AS y
+      FROM cand{h} c
+      JOIN embeddings e ON e.vec_id = c.node
+      JOIN q ON q.query_id = c.query_id) c
+    GROUP BY c.query_id, c.node)
+),
+f{h} AS (
+  SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, node ASC) AS r
+    FROM sc{h}) WHERE r <= {beam}
+)"""
+        )
+        prev_b = f"f{h}"
+    hop_sql = ",\n".join(hop_ctes)
+    return f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id < {n_cents}
+),
+assign_elems AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cv) AS DOUBLE) AS y
+  FROM embeddings e, cents c
+),
+assign_sims AS (
+  SELECT vec_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM assign_elems GROUP BY vec_id, centroid_id
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM assign_sims
+  ) WHERE r <= {n_assign}
+),
+prs AS (
+  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+pair_elems AS (
+  SELECT p.ida, p.idb,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM prs p
+  JOIN embeddings ea ON ea.vec_id = p.ida
+  JOIN embeddings eb ON eb.vec_id = p.idb
+),
+pair_sims AS (
+  SELECT ida, idb, round({_COS}, {RD}) AS cosine
+  FROM pair_elems GROUP BY ida, idb
+),
+directed AS (
+  SELECT ida AS src, idb AS dst, cosine FROM pair_sims
+  UNION ALL
+  SELECT idb AS src, ida AS dst, cosine FROM pair_sims
+),
+topm AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst ASC) AS r
+    FROM directed) WHERE r <= {m}
+),
+sym AS (
+  SELECT src, dst, max(cosine) AS cosine FROM (
+    SELECT src, dst, cosine FROM topm
+    UNION ALL
+    SELECT dst AS src, src AS dst, cosine FROM topm)
+  GROUP BY src, dst
+),
+edges AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst ASC) AS r
+    FROM sym) WHERE r <= {2 * m}
+),
+ccprs AS (
+  SELECT a.centroid_id AS ida, b.centroid_id AS idb
+  FROM cents a JOIN cents b ON a.centroid_id < b.centroid_id
+),
+ccpe AS (
+  SELECT p.ida, p.idb,
+         CAST(unnest(ca.cv) AS DOUBLE) AS x,
+         CAST(unnest(cb.cv) AS DOUBLE) AS y
+  FROM ccprs p
+  JOIN cents ca ON ca.centroid_id = p.ida
+  JOIN cents cb ON cb.centroid_id = p.idb
+),
+ccps AS (
+  SELECT ida, idb, round({_COS}, {RD}) AS cosine
+  FROM ccpe GROUP BY ida, idb
+),
+ccdir AS (
+  SELECT ida AS src, idb AS dst, cosine FROM ccps
+  UNION ALL
+  SELECT idb AS src, ida AS dst, cosine FROM ccps
+),
+cctopm AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst ASC) AS r
+    FROM ccdir) WHERE r <= {cm}
+),
+ccsym AS (
+  SELECT src, dst, max(cosine) AS cosine FROM (
+    SELECT src, dst, cosine FROM cctopm
+    UNION ALL
+    SELECT dst AS src, src AS dst, cosine FROM cctopm)
+  GROUP BY src, dst
+),
+ccedges AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst ASC) AS r
+    FROM ccsym) WHERE r <= {2 * cm}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 4
+),
+centries AS (
+  SELECT centroid_id FROM cents
+  ORDER BY md5('nsw_entry:' || CAST(centroid_id AS VARCHAR)),
+           centroid_id
+  LIMIT {cn_entry}
+),
+csc0 AS (
+  SELECT query_id, node, round(sim, {RD}) AS sim FROM (
+    SELECT c.query_id, c.node, {_COS} AS sim FROM (
+      SELECT q.query_id, en.centroid_id AS node,
+             CAST(unnest(ce.cv) AS DOUBLE) AS x,
+             CAST(unnest(q.qv) AS DOUBLE) AS y
+      FROM centries en
+      JOIN cents ce ON ce.centroid_id = en.centroid_id
+      CROSS JOIN q) c
+    GROUP BY c.query_id, c.node)
+),
+cf0 AS (
+  SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, node ASC) AS r
+    FROM csc0) WHERE r <= {cbeam}
+),
+{chop_sql},
+cbest AS (
+  SELECT query_id, node AS centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, node ASC) AS r
+    FROM cf{chops}) WHERE r <= {n_blocks}
+),
+hent AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT b.query_id, min(a.vec_id) AS node
+    FROM assigned a JOIN cbest b ON a.centroid_id = b.centroid_id
+    GROUP BY b.query_id, b.centroid_id)
+),
+sc0 AS (
+  SELECT query_id, node, round(sim, {RD}) AS sim FROM (
+    SELECT c.query_id, c.node, {_COS} AS sim FROM (
+      SELECT h.query_id, h.node,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qv) AS DOUBLE) AS y
+      FROM hent h
+      JOIN embeddings e ON e.vec_id = h.node
+      JOIN q ON q.query_id = h.query_id) c
+    GROUP BY c.query_id, c.node)
+),
+f0 AS (
+  SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, node ASC) AS r
+    FROM sc0) WHERE r <= {beam}
+),
+{hop_sql}
+SELECT query_id, node AS vec_id, sim AS cosine, CAST(r AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, node ASC) AS r
+  FROM f{hops})
+WHERE r <= {k}"""
+
+
+GRAPH_ANN_HIER_SQL = _graph_ann_hier_sql()
+
+
 def q_graph_ann_topk(spark, sf_dir):
     """Graph ANN (NSW/HNSW family): blocked k-NN graph (coarse
     centroids = first 32 vectors, 2-way multi-assignment, top-8
@@ -1389,6 +1678,7 @@ QUERIES = {
     # persisted-index paths are result-identical ⇒ shared oracles
     "ivf_indexed_topk": (q_ivf_indexed_topk, IVF_TOPK_SQL),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
+    "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),
     "graph_ann_realistic": (
         q_graph_ann_realistic,

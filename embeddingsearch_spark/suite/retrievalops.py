@@ -416,6 +416,204 @@ QUALIFY rank <= 10"""
 BM25_LANG_ROUTED_SQL = _bm25_lang_routed_sql()
 
 
+def q_bm25_champion_topk(spark, sf_dir):
+    """Champion-list (tiered-index) BM25: per-term top-32-tf champion
+    lists seed the threshold, non-champion posting lists are admitted
+    only if the per-term upper bound (tier-min-tf saturated at dl→0)
+    says they could still reach the top-10 — static index pruning with
+    a per-query rank-safety proof, identical output to `bm25_topk`
+    (shared oracle). On the Zipfian corpus filler terms have m_t ≈ 1,
+    so θ from rare-term champions prunes their lists wholesale."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_topk_champion(
+        docs, _text_queries(spark, sf_dir, docs), k=10, tier=32
+    )
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F over a two-field derivation of the realistic corpus
+    (title = tokens 1..5 at weight 2, body = the rest at weight 1 —
+    the reference's entity/datapoint shape, where a doc is NAMED
+    fields): per-field length normalization folds into one weighted
+    pseudo-frequency before the single saturation, so title hits
+    count double without double-saturating. df/N count docs matching
+    in any field."""
+    docs = _corpus(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    fields = docs.select(
+        "doc_id",
+        F.lit("title").alias("field"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("text"),
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.lit("body").alias("field"),
+            F.concat_ws(" ", F.slice(toks, 6, 1_000_000)).alias(
+                "text"
+            ),
+        )
+    )
+    return retrieval.bm25f_topk(
+        fields,
+        _text_queries(spark, sf_dir, docs),
+        {"title": 2.0, "body": 1.0},
+        k=10,
+    )
+
+
+def _bm25f_sql() -> str:
+    ftoks = TOKS_SQL.replace("text", "lower(ftext)")
+    return f"""WITH {RD_SQL},
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+ftab AS (
+  SELECT doc_id, 'title' AS field,
+         array_to_string(({TOKS_SQL})[1:5], ' ') AS ftext
+  FROM rd
+  UNION ALL
+  SELECT doc_id, 'body',
+         array_to_string(({TOKS_SQL})[6:], ' ')
+  FROM rd
+),
+fdtok AS (SELECT doc_id, field, {ftoks} AS t FROM ftab),
+ndocs AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM fdtok
+),
+fstats AS (
+  SELECT field,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM fdtok GROUP BY field
+),
+fpost AS (
+  SELECT doc_id, field, len(t) AS dl, unnest(t) AS term FROM fdtok
+),
+ftf AS (
+  SELECT doc_id, field, dl, term, count(*) AS tf FROM fpost
+  GROUP BY doc_id, field, dl, term
+),
+fmatched AS (
+  SELECT * FROM ftf
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+),
+fdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM fmatched
+  GROUP BY term
+),
+ftfc AS (
+  SELECT m.doc_id, m.term,
+         sum((CASE m.field WHEN 'title' THEN 2.0 ELSE 1.0 END)
+             * CAST(m.tf AS DOUBLE)
+             / (1.0 + 0.75 * (m.dl / s.avgdl - 1.0))) AS tfc
+  FROM fmatched m JOIN fstats s USING (field)
+  GROUP BY m.doc_id, m.term
+),
+fcontrib AS (
+  SELECT qt.query_id, c.doc_id,
+         ln(1.0 + (nd.n - d.df + 0.5) / (d.df + 0.5))
+           * c.tfc / (1.2 + c.tfc) AS c
+  FROM ftfc c
+  JOIN fdf d USING (term)
+  JOIN qterm qt USING (term), ndocs nd
+),
+fbm AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM fcontrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, n_matched,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM fbm QUALIFY rank <= 10"""
+
+
+BM25F_TOPK_SQL = _bm25f_sql()
+
+
+def q_bm25_cached_serve(spark, sf_dir):
+    """The reference's QueryCache at warehouse scale: a persisted
+    (md5(index_version ‖ query) → ranking) table. First serve fills
+    the cache with the even-id half's rankings; the second serve
+    answers those from the table (broadcast hash probe, no corpus
+    work) and computes only the odd half. The returned full ranking is
+    identical to computing everything directly — `bm25_topk`'s oracle
+    verbatim, because cache rows ARE prior runs of the same
+    deterministic ranking."""
+    from embeddingsearch_spark.operators.query_cache import (
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_gate_query_cache"
+    drop_table(spark, table)
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs).localCheckpoint(
+        eager=False
+    )
+    serve_bm25_cached(
+        spark, table, docs,
+        queries.filter(F.col("query_id") % 2 == 0),
+        index_version="v1", k=10,
+    )
+    return serve_bm25_cached(
+        spark, table, docs, queries, index_version="v1", k=10
+    )
+
+
+def q_bm25_proximity_topk(spark, sf_dir):
+    """Proximity-boosted BM25 (MinDist composition): the rounded BM25
+    score plus prox_weight/(1+min cross-term distance), using the
+    adjacent-pair lemma so one lag window over the hit stream replaces
+    the quadratic hit self-join. Docs where the query's terms co-occur
+    tightly (the source doc: adjacent, distance 1) outrank equal-bag
+    scatter."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_proximity_topk(
+        docs, _text_queries(spark, sf_dir, docs), k=10
+    )
+
+
+def _bm25_proximity_sql() -> str:
+    return f"""WITH {RD_SQL},
+{_bm25_ctes("rd")},
+ppos AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+         unnest(t) AS term
+  FROM dtok
+),
+phits AS (
+  SELECT qterm.query_id, ppos.doc_id, ppos.term, ppos.pos
+  FROM ppos JOIN qterm USING (term)
+),
+plagged AS (
+  SELECT query_id, doc_id, term, pos,
+         lag(term) OVER w AS pt, lag(pos) OVER w AS pp
+  FROM phits
+  WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos)
+),
+prox AS (
+  SELECT query_id, doc_id, min(pos - pp) AS min_dist
+  FROM plagged
+  WHERE pt IS NOT NULL AND pt != term
+  GROUP BY query_id, doc_id
+),
+boosted AS (
+  SELECT b.query_id, b.doc_id,
+         round(b.score + coalesce(1.0 / (1.0 + p.min_dist), 0.0),
+               {RD}) AS score,
+         b.n_matched, p.min_dist
+  FROM bm b LEFT JOIN prox p USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, score, n_matched, min_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM boosted
+QUALIFY rank <= 10"""
+
+
+BM25_PROXIMITY_SQL = _bm25_proximity_sql()
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase retrieval over the realistic corpus: each query is
     the 3-token phrase at positions 2..4 of its source doc (so every
@@ -869,10 +1067,16 @@ QUERIES = {
     "bm25_indexed_topk": (q_bm25_indexed_topk, BM25_TOPK_SQL),
     # WAND ∘ index: rank-safe on both axes ⇒ identical oracle
     "bm25_wand_indexed": (q_bm25_wand_indexed, BM25_TOPK_SQL),
+    # cache rows are prior runs of the same ranking ⇒ identical oracle
+    "bm25_cached_serve": (q_bm25_cached_serve, BM25_TOPK_SQL),
+    # champion-tier pruning is rank-safe ⇒ identical oracle
+    "bm25_champion_topk": (q_bm25_champion_topk, BM25_TOPK_SQL),
     # both-pass pruning is rank-safe ⇒ shares the PRF oracle
     "bm25_prf_pruned": (q_bm25_prf_pruned, BM25_PRF_TOPK_SQL),
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "bm25_cjk_topk": (q_bm25_cjk_topk, BM25_CJK_TOPK_SQL),
+    "bm25_proximity_topk": (q_bm25_proximity_topk, BM25_PROXIMITY_SQL),
+    "bm25f_topk": (q_bm25f_topk, BM25F_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
     "bm25_routed_indexed": (

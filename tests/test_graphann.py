@@ -267,3 +267,42 @@ def test_graph_index_persist_and_upsert(spark, corpus, cents):
     assert sorted(tuple(r) for r in edges2.collect()) == sorted(
         tuple(r) for r in full.collect()
     )
+
+
+def test_hierarchical_entries_and_recall(spark, corpus, cents, queries):
+    """Two-layer search: per-query entries from the coarse centroid
+    graph reach at least the recall of the global-sample entries at
+    one FEWER base hop and the same beam; entries are deduped
+    (query, node) pairs drawn from the probed blocks' members."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    assigned = graphann.assign_blocks(corpus, cents, n_assign=2)
+    edges = graphann.edges_from_pairs(
+        graphann.block_pair_sims(corpus, assigned), m=6
+    )
+    coarse = graphann.dense_knn_graph(
+        cents, m=4, id_col="centroid_id"
+    )
+    hent = graphann.hierarchical_entries(
+        coarse, cents, assigned, queries,
+        n_blocks_probe=4, beam=8, hops=2, n_entry=4,
+    )
+    rows = hent.collect()
+    assert len(rows) == len({(r[0], r[1]) for r in rows})  # deduped
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_ops.brute_force_topk(corpus, queries, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    hier = graphann.graph_search(
+        edges, corpus, queries, k=10, beam=24, hops=3, entries=hent
+    )
+    flat = graphann.graph_search(
+        edges, corpus, queries, k=10, beam=24, hops=3, n_entry=8
+    )
+    assert recall(hier) >= recall(flat) - 1e-9

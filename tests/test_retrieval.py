@@ -582,3 +582,139 @@ def test_phrase_from_index_identical(spark):
     # "the the" only in doc 3, twice (starts 0 and 1)
     assert rows[(2, 3)] == (2, 0)
     assert not any(q == 2 and d != 3 for q, d in rows)
+
+
+def test_min_pair_distance_adjacent_pair_lemma(spark):
+    """MinDist: the minimizing cross-term pair need not be the naive
+    closest-in-text words — it is found by the adjacent-pair lag scan;
+    single-term matches produce no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "cat x x x dog cat"),      # cat@5,dog@4 -> dist 1
+            (2, "cat cat cat dog"),        # adjacent same-term runs
+            (3, "cat only here"),
+            (4, "dog"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "cat dog")], "query_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in retrieval.min_pair_distance(docs, qs).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_bm25_proximity_reranks_tight_cooccurrence(spark):
+    """Two docs with the identical term bag (identical BM25 score)
+    rank by proximity: adjacent terms beat scattered ones."""
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog x x x x"),   # adjacent: boost 1/(1+1)
+            (2, "cat x x x x dog"),   # scattered: boost 1/(1+5)
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "cat dog")], "query_id long, text string"
+    )
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(docs, qs, k=5).collect()
+    }
+    assert plain[1] == plain[2]  # identical bags -> tie, id tiebreak
+    rows = {
+        r["doc_id"]: r
+        for r in retrieval.bm25_proximity_topk(docs, qs, k=5).collect()
+    }
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    assert rows[1]["min_dist"] == 1 and rows[2]["min_dist"] == 5
+    assert abs(
+        (rows[1]["score"] - rows[2]["score"]) - round(1 / 2 - 1 / 6, 6)
+    ) < 1e-6
+
+
+def test_bm25f_field_weighting(spark):
+    """BM25F: a title hit outranks a body hit of the same term; with
+    one field at weight 1 it reduces to field-local BM25-style scoring
+    (single saturation); n_matched counts distinct terms across
+    fields."""
+    fields = spark.createDataFrame(
+        [
+            (1, "title", "cat story"),
+            (1, "body", "a long tale about nothing much at all"),
+            (2, "title", "dog story"),
+            (2, "body", "a long tale about a cat and more words"),
+            (3, "title", ""),
+            (3, "body", "entirely unrelated content"),
+        ],
+        "doc_id long, field string, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "cat")], "query_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in retrieval.bm25f_topk(
+            fields, qs, {"title": 2.0, "body": 1.0}, k=10
+        ).collect()
+    }
+    # both docs contain "cat" once; doc 1 has it in the weighted,
+    # shorter title field -> higher pseudo-frequency -> rank 1
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    assert 3 not in rows
+    assert rows[1]["n_matched"] == 1
+
+    # same term in title AND body accumulates without double idf
+    fields2 = spark.createDataFrame(
+        [
+            (1, "title", "cat"),
+            (1, "body", "cat elsewhere"),
+            (2, "title", "cat"),
+            (2, "body", "unrelated text"),
+        ],
+        "doc_id long, field string, text string",
+    )
+    rows2 = {
+        r["doc_id"]: r
+        for r in retrieval.bm25f_topk(
+            fields2, qs, {"title": 2.0, "body": 1.0}, k=10
+        ).collect()
+    }
+    assert rows2[1]["score"] > rows2[2]["score"]
+    assert rows2[1]["n_matched"] == 1  # distinct terms, not fields
+
+
+def test_bm25_champion_identical_to_plain(spark):
+    """Rank-safety of the tiered path at aggressive tiers: identical
+    frame to bm25_topk at tier sizes from 1 (maximal pruning pressure,
+    heavy fallback) through larger-than-corpus (tier == full lists)."""
+    filler = "common words everywhere always"
+    rows = [(i, f"{filler} rare{i % 5}" + " extra" * (i % 3))
+            for i in range(60)] + [(60, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, f"{filler} rare0"), (2, "rare1"), (3, "zzz_nomatch")],
+        "query_id long, text string",
+    )
+    for tier in (1, 3, 8, 1000):
+        for k in (2, 10):
+            assert _frames_equal(
+                retrieval.bm25_topk(docs, qs, k=k),
+                retrieval.bm25_topk_champion(docs, qs, k=k, tier=tier),
+            ), (tier, k)
+
+
+def test_bm25_champion_identical_on_testdata(spark, sf_dir):
+    """Parity on the gated fixture inputs (realistic corpus)."""
+    from embeddingsearch_spark.suite.realistic import derive_realistic_docs
+    from embeddingsearch_spark.suite.retrievalops import _text_queries
+
+    docs = derive_realistic_docs(spark, sf_dir)
+    qs = _text_queries(spark, sf_dir, docs)
+    assert _frames_equal(
+        retrieval.bm25_topk(docs, qs, k=10),
+        retrieval.bm25_topk_champion(docs, qs, k=10, tier=32),
+    )
