@@ -101,6 +101,21 @@ def serve_bm25_cached(
     re-serving after an index change recomputes instead of repairing,
     which `incremental_refresh` above covers for the cascade).
 
+    Rankings are stored K-COMPLETE: each write records the depth it was
+    computed at (``_kmax``), and a cached entry serves a request only
+    when it can answer it in full — its depth covers ``k``, or the
+    ranking is provably complete (fewer matched docs than its depth).
+    Serving applies ``rank <= k`` at READ time over the deepest usable
+    generation, so re-serving the same query at a smaller k is a pure
+    table read and a larger k recomputes — the engine's own declared
+    topN-at-read semantics (SURVEY.md §2.6), deliberately NOT the
+    reference's truncated-cache quirk (Searchdomain.cs:185-189, where a
+    cached top-10 silently answers a top-100 request with 10 rows).
+    Concurrent misses on one key may both append; reads collapse
+    duplicate generations (distinct over the deepest usable one), so
+    last-writer-wins is unnecessary — every generation of a key holds
+    prefixes of the same deterministic ranking.
+
     Returns the full ranking for ALL queries — identical to
     `bm25_topk(docs, queries, k)` by construction (cache rows ARE
     prior computations of the same deterministic ranking; tested and
@@ -120,8 +135,9 @@ def serve_bm25_cached(
             )
         ).alias("_qh"),
     ).localCheckpoint(eager=False)
+    id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        f"_qh string, {id_col} long, score double, "
+        f"_qh string, _kmax int, {id_col} {id_type}, score double, "
         "n_matched long, rank int"
     )
     if not spark.catalog.tableExists(cache_table):
@@ -132,11 +148,31 @@ def serve_bm25_cached(
     # append below would otherwise leak the just-computed rows into
     # `hits` (lazy table reads see the post-append state) and
     # duplicate them
-    hits = cache.join(
+    relevant = cache.join(
         F.broadcast(keys), "_qh", "left_semi"
     ).localCheckpoint(eager=True)
+    # a generation (one key at one depth) is usable iff it covers k:
+    # depth >= k, or it holds fewer rows than its depth (the query
+    # matched fewer docs than requested — the ranking is complete at
+    # ANY k). Duplicate concurrent appends double a generation's row
+    # count, so completeness counts DISTINCT ranks, not rows.
+    gen = relevant.groupBy("_qh", "_kmax").agg(
+        F.countDistinct("rank").alias("_nranks")
+    )
+    usable = gen.filter(
+        (F.col("_kmax") >= F.lit(int(k)))
+        | (F.col("_nranks") < F.col("_kmax"))
+    )
+    best = usable.groupBy("_qh").agg(F.max("_kmax").alias("_kmax"))
+    hits = (
+        relevant.join(F.broadcast(best), ["_qh", "_kmax"])
+        .filter(F.col("rank") <= k)
+        .drop("_kmax")
+        # concurrent misses append identical generations — serve one
+        .distinct()
+    )
     misses_q = qkeyed.join(
-        cache.select("_qh").distinct(), "_qh", "left_anti"
+        usable.select("_qh").distinct(), "_qh", "left_anti"
     ).localCheckpoint(eager=True)
     computed = bm25_topk(
         docs,
@@ -152,14 +188,21 @@ def serve_bm25_cached(
             F.broadcast(qkeyed.select(query_id_col, "_qh")),
             query_id_col,
         )
-        .select("_qh", id_col, "score", "n_matched", "rank")
+        .select(
+            "_qh",
+            F.lit(int(k)).cast("int").alias("_kmax"),
+            id_col,
+            "score",
+            "n_matched",
+            "rank",
+        )
         # two miss query_ids with identical text produce identical
         # rows per key — store each ranking once
         .distinct()
         .localCheckpoint(eager=True)
     )
     computed_keyed.write.mode("append").saveAsTable(cache_table)
-    served = hits.unionByName(computed_keyed)
+    served = hits.unionByName(computed_keyed.drop("_kmax"))
     return (
         qkeyed.select(query_id_col, "_qh")
         .join(served, "_qh")

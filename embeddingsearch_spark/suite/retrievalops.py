@@ -560,6 +560,42 @@ def q_bm25_cached_serve(spark, sf_dir):
     )
 
 
+def q_bm25_cached_topn(spark, sf_dir):
+    """K-COMPLETE cache semantics end-to-end (the §2.6 topN-at-read
+    declaration, value-oracled): a shallow k=3 fill is correctly
+    REFUSED by a later k=10 serve (recompute + deeper generation —
+    the reference's truncated-cache quirk, not replicated), and the
+    final k=5 serve answers the even half by TRUNCATING the cached
+    k=10 generation at read while computing only the odd half. The
+    returned frame equals `bm25_topk(..., k=5)` exactly."""
+    from embeddingsearch_spark.operators.query_cache import (
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_gate_query_cache_topn"
+    drop_table(spark, table)
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs).localCheckpoint(
+        eager=False
+    )
+    even = queries.filter(F.col("query_id") % 2 == 0)
+    serve_bm25_cached(spark, table, docs, even, "v1", k=3)
+    serve_bm25_cached(spark, table, docs, even, "v1", k=10)
+    return serve_bm25_cached(
+        spark, table, docs, queries, index_version="v1", k=5
+    )
+
+
+_BM25_SELECT5 = """SELECT query_id, doc_id, score, n_matched,
+       CAST(rank AS INT) AS rank
+FROM bmranked WHERE rank <= 5"""
+
+BM25_TOP5_SQL = f"""WITH {RD_SQL},
+{_bm25_ctes("rd")}
+{_BM25_SELECT5}"""
+
+
 def q_bm25_proximity_topk(spark, sf_dir):
     """Proximity-boosted BM25 (MinDist composition): the rounded BM25
     score plus prox_weight/(1+min cross-term distance), using the
@@ -1069,6 +1105,9 @@ QUERIES = {
     "bm25_wand_indexed": (q_bm25_wand_indexed, BM25_TOPK_SQL),
     # cache rows are prior runs of the same ranking ⇒ identical oracle
     "bm25_cached_serve": (q_bm25_cached_serve, BM25_TOPK_SQL),
+    # k-complete serve: shallow refused, deep truncated at read ⇒ the
+    # result IS bm25_topk at k=5
+    "bm25_cached_topn": (q_bm25_cached_topn, BM25_TOP5_SQL),
     # champion-tier pruning is rank-safe ⇒ identical oracle
     "bm25_champion_topk": (q_bm25_champion_topk, BM25_TOPK_SQL),
     # both-pass pruning is rank-safe ⇒ shares the PRF oracle

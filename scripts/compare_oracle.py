@@ -60,7 +60,16 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("compare-oracle", master="local[8]", shuffle_partitions=8)
+    spark = get_spark(
+        "compare-oracle",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # same rationale as bench.py: the provably-bounded single-partition
+    # windows emit a benign WindowExec warning per execution that buries
+    # real signal in sweep logs — errors still surface
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",

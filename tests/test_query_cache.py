@@ -105,3 +105,80 @@ def test_serve_bm25_cached_hit_miss_and_version(spark):
         spark, "es_test_query_cache", docs, qs, "v2", k=10
     )
     assert sorted(tuple(r) for r in third.collect()) == direct(qs)
+
+
+def test_serve_bm25_cached_k_complete(spark):
+    """A cached shallow ranking must NOT answer a deeper request (the
+    reference's truncated-cache quirk, deliberately not replicated):
+    serving k=5 after k=2 recomputes; serving k=2 after k=5 truncates
+    at read; a complete-at-depth ranking serves any k."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.operators.query_cache import (
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_test_query_cache_k"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [(i, f"common word{'x' if i % 2 else ''} tok{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "common")], "query_id long, text string"
+    )
+
+    def direct(k):
+        return sorted(
+            tuple(r) for r in retrieval.bm25_topk(docs, qs, k=k).collect()
+        )
+
+    shallow = serve_bm25_cached(spark, table, docs, qs, "v1", k=2)
+    assert len(shallow.collect()) == 2
+    # deeper request: the k=2 generation is unusable -> recompute at 5
+    deep = serve_bm25_cached(spark, table, docs, qs, "v1", k=5)
+    assert sorted(tuple(r) for r in deep.collect()) == direct(5)
+    # shallower request: pure read of the k=5 generation, rank<=3
+    n_rows = spark.table(table).count()
+    top3 = serve_bm25_cached(spark, table, docs, qs, "v1", k=3)
+    assert sorted(tuple(r) for r in top3.collect()) == direct(3)
+    assert spark.table(table).count() == n_rows  # nothing appended
+    # complete ranking (8 matching docs < depth 20) answers ANY k
+    serve_bm25_cached(spark, table, docs, qs, "v2", k=20)
+    n_rows = spark.table(table).count()
+    all_k = serve_bm25_cached(spark, table, docs, qs, "v2", k=50)
+    assert sorted(tuple(r) for r in all_k.collect()) == direct(50)
+    assert spark.table(table).count() == n_rows
+
+
+def test_serve_bm25_cached_string_ids_and_dup_generations(spark):
+    """String doc ids persist (schema derives from the docs frame);
+    duplicate appends of one generation (concurrent misses) collapse
+    to a single ranking on read."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.operators.query_cache import (
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_test_query_cache_str"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [("a", "red fish"), ("b", "blue fish"), ("c", "one fish")],
+        "doc_id string, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "fish")], "query_id long, text string"
+    )
+    first = serve_bm25_cached(spark, table, docs, qs, "v1", k=10)
+    want = sorted(
+        tuple(r) for r in retrieval.bm25_topk(docs, qs, k=10).collect()
+    )
+    assert sorted(tuple(r) for r in first.collect()) == want
+    # simulate a concurrent miss: append the same generation again
+    dup = spark.table(table).localCheckpoint(eager=True)
+    dup.write.mode("append").saveAsTable(table)
+    again = serve_bm25_cached(spark, table, docs, qs, "v1", k=10)
+    assert sorted(tuple(r) for r in again.collect()) == want
