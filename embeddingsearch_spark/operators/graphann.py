@@ -228,6 +228,7 @@ def merge_into_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    deleted_ids: DataFrame | None = None,
 ):
     """Incremental graph maintenance, EXACTLY rebuild-equivalent:
     returns ``(pairs, assigned, edges)`` identical to rebuilding over
@@ -239,25 +240,63 @@ def merge_into_graph(
     table simply grows by the batch's pairs and the final edge
     derivation (rank windows, no vector math) re-runs over it.
     Re-ingested ids are handled by dropping their previous pair and
-    assignment rows first. ``emb_all`` must contain old AND new
-    vectors (it is only joined for the affected block members)."""
+    assignment rows first; ids in ``deleted_ids`` (one-column frame)
+    are dropped WITHOUT replacement — pairs on either endpoint go,
+    which is exactly what a rebuild over the remaining corpus would
+    produce (old pairs among survivors are unchanged under a fixed
+    quantizer). ``emb_all`` must contain old AND new vectors (it is
+    only joined for the affected block members)."""
     new_ids = new_emb.select(F.col(id_col)).distinct()
+    gone = new_ids
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_emb = new_emb.join(dd, id_col, "left_anti")
+        emb_all = emb_all.join(dd, id_col, "left_anti")
+        gone = gone.unionByName(dd).distinct()
     pairs_old = pairs_old.join(
-        F.broadcast(new_ids.select(F.col(id_col).alias("_ida"))),
+        F.broadcast(gone.select(F.col(id_col).alias("_ida"))),
         "_ida",
         "left_anti",
     ).join(
-        F.broadcast(new_ids.select(F.col(id_col).alias("_idb"))),
+        F.broadcast(gone.select(F.col(id_col).alias("_idb"))),
         "_idb",
         "left_anti",
     )
-    assigned_old = assigned_old.join(new_ids, id_col, "left_anti")
+    assigned_old = assigned_old.join(gone, id_col, "left_anti")
+    new_assigned, new_pairs = _graph_delta(
+        assigned_old, emb_all, new_emb, centroids, n_assign,
+        id_col, vec_col, centroid_id_col,
+    )
+    pairs = pairs_old.unionByName(new_pairs)
+    assigned = assigned_old.unionByName(new_assigned)
+    return pairs, assigned, edges_from_pairs(pairs, m=m)
+
+
+def _graph_delta(
+    assigned_base: DataFrame,
+    emb_all: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    n_assign: int,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+):
+    """The batch-only delta shared by the in-memory merge and the
+    persisted-index upsert: given the surviving old assignment rows
+    (batch and deleted ids already excluded), return
+    ``(new_assigned, new_pairs)`` — the INSERT half of the seam's
+    delete-insert. Candidate pairs are (new × affected-block member)
+    and (new × new); old-old pairs cannot change under the fixed
+    quantizer."""
     new_assigned = assign_blocks(
         new_emb, centroids, n_assign, id_col, vec_col, centroid_id_col
     )
     affected = new_assigned.select("_blk").distinct()
     members = (
-        assigned_old.join(F.broadcast(affected), "_blk")
+        assigned_base.join(F.broadcast(affected), "_blk")
         .withColumn("_new", F.lit(False))
         .unionByName(new_assigned.withColumn("_new", F.lit(True)))
     )
@@ -275,9 +314,7 @@ def merge_into_graph(
         .distinct()
     )
     new_pairs = _score_pairs(cand, emb_all, id_col, vec_col)
-    pairs = pairs_old.unionByName(new_pairs)
-    assigned = assigned_old.unionByName(new_assigned)
-    return pairs, assigned, edges_from_pairs(pairs, m=m)
+    return new_assigned, new_pairs
 
 
 def save_graph_index(
@@ -334,23 +371,49 @@ def upsert_graph_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    deleted_ids: DataFrame | None = None,
+    sink=None,
 ) -> DataFrame:
-    """Incremental maintenance ACROSS sessions: load the persisted pair
-    and assignment tables, run the exactly-rebuild-equivalent
-    `merge_into_graph` over the batch, rewrite both tables, and return
-    the fresh edge frame. The merged frames are eagerly pinned before
-    the overwrite so the write never reads the tables it replaces.
-    Ingest cost = the batch's pairs + one table rewrite (on Delta the
-    rewrite is a MERGE)."""
-    pairs_old, assigned_old = load_graph_index(spark, prefix)
-    pairs, assigned, _ = merge_into_graph(
-        pairs_old, assigned_old, emb_all, new_emb, centroids,
-        m=m, n_assign=n_assign, id_col=id_col, vec_col=vec_col,
-        centroid_id_col=centroid_id_col,
+    """Incremental maintenance ACROSS sessions: compute the batch's
+    delta (new assignments + new pairs against the affected blocks),
+    then DELETE-INSERT both persisted tables through the MERGE-capable
+    storage seam (`embeddingsearch_spark.sink`) — delete keys are the
+    batch's ids plus ``deleted_ids`` (removed on EITHER pair endpoint),
+    inserts are the delta frames, so on an ACID format ingest costs
+    the batch plus touched files. Rebuild-equivalent under the fixed
+    coarse quantizer (tested, including deletes); the local parquet
+    fallback rewrites with identical semantics. Returns the fresh edge
+    frame."""
+    from embeddingsearch_spark.sink import ParquetRewriteSink
+
+    sink = sink or ParquetRewriteSink()
+    assigned_old = spark.table(f"{prefix}_assigned")
+    gone = new_emb.select(F.col(id_col)).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_emb = new_emb.join(dd, id_col, "left_anti")
+        emb_all = emb_all.join(dd, id_col, "left_anti")
+        gone = gone.unionByName(dd).distinct()
+    assigned_base = assigned_old.join(gone, id_col, "left_anti")
+    new_assigned, new_pairs = _graph_delta(
+        assigned_base, emb_all, new_emb, centroids, n_assign,
+        id_col, vec_col, centroid_id_col,
     )
-    pairs = pairs.localCheckpoint(eager=True)
-    assigned = assigned.localCheckpoint(eager=True)
-    save_graph_index(pairs, assigned, prefix, n_buckets=n_buckets)
+    # pin the deltas and the key set: their lineage reads the tables
+    # the sink is about to rewrite
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+    new_assigned = new_assigned.localCheckpoint(eager=True)
+    gone = gone.localCheckpoint(eager=True)
+    sink.delete_insert(
+        spark, f"{prefix}_pairs", new_pairs, ["_ida", "_idb"],
+        delete_keys=gone, bucket_cols=["_ida"], n_buckets=n_buckets,
+    )
+    sink.delete_insert(
+        spark, f"{prefix}_assigned", new_assigned, [id_col],
+        delete_keys=gone, bucket_cols=["_blk"], n_buckets=n_buckets,
+    )
     return edges_from_pairs(spark.table(f"{prefix}_pairs"), m=m)
 
 

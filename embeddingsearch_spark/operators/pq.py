@@ -390,29 +390,37 @@ def upsert_pq_index(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     n_buckets: int = 8,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
 ) -> str:
     """Incremental PQ maintenance: encode ONLY the batch with the
     persisted (FIXED) codebooks — codes of unchanged vectors cannot
     change under a fixed quantizer, the same invariant the graph merge
-    rests on — replace re-ingested ids, rewrite the codes table.
-    Re-train codebooks offline and rebuild to re-center."""
-    from embeddingsearch_spark.storage import replace_bucketed
+    rests on — then DELETE-INSERT the codes table through the
+    MERGE-capable storage seam: delete keys are the batch's ids plus
+    ``deleted_ids`` (delete wins over a conflicting batch row),
+    inserts the fresh codes. Re-train codebooks offline and rebuild to
+    re-center."""
+    from pyspark.sql import functions as F
 
+    from embeddingsearch_spark.sink import ParquetRewriteSink
+
+    sink = sink or ParquetRewriteSink()
     cbs = load_pq_codebooks(spark, prefix)
+    dk = new_vectors.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_vectors = new_vectors.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
     new_codes = encode_pq(
         new_vectors, cbs, id_col=id_col, vec_col=vec_col,
         codes_col=codes_col,
     ).select(id_col, codes_col)
-    old = spark.table(f"{prefix}_codes")
-    merged = (
-        old.join(
-            new_codes.select(id_col).distinct(), id_col, "left_anti"
-        )
-        .unionByName(new_codes)
-        .localCheckpoint(eager=True)
-    )
-    replace_bucketed(
-        merged, f"{prefix}_codes", [id_col], n_buckets=n_buckets
+    sink.delete_insert(
+        spark, f"{prefix}_codes", new_codes, [id_col],
+        delete_keys=dk, bucket_cols=[id_col], n_buckets=n_buckets,
     )
     return f"{prefix}_codes"
 

@@ -345,14 +345,20 @@ def bm25_topk_pruned_from_index(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    tokenizer=None,
 ) -> DataFrame:
     """Max-score/WAND pruning over a PERSISTED postings index — the
     production composition: zero corpus scans (stats and postings both
     come from the term-bucketed catalog table) AND non-essential terms'
     posting lists never generate candidate rows. Rank-safe: identical
-    output to `bm25_topk` / `bm25_topk_from_index` (same oracle)."""
+    output to `bm25_topk` / `bm25_topk_from_index` (same oracle).
+    ``tokenizer`` MUST match the one the index was built with (queries
+    segment like the stored corpus — a CJK-built index served with
+    whitespace query terms silently matches nothing)."""
     post = spark.table(table)
-    qterms = query_terms(queries, query_id_col, query_text_col)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
     stats = corpus_stats_from_postings(post, id_col)
     matched, dfreq, cand = _wand_candidates_from_parts(
         post, qterms, stats, k, id_col, query_id_col, k1, b
@@ -694,13 +700,17 @@ def bm25_topk_from_index(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    tokenizer=None,
 ) -> DataFrame:
     """`bm25_topk` over a persisted postings index — identical output
     (same declared semantics, same oracle), zero corpus scans: stats
     derive from the index's (id, dl) projection and scoring joins the
-    bucketed table directly."""
+    bucketed table directly. ``tokenizer`` MUST match the one the
+    index was built with (queries segment like the stored corpus)."""
     post = spark.table(table)
-    qterms = query_terms(queries, query_id_col, query_text_col)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
     stats = corpus_stats_from_postings(post, id_col)
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b
@@ -722,31 +732,38 @@ def upsert_postings_index(
     text_col: str = "text",
     n_buckets: int = 32,
     tokenizer=None,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
 ) -> str:
     """Incremental index maintenance: re-tokenize ONLY the changed
-    docs, drop their old rows (anti-join on id — handles re-ingest and
-    text edits; a doc deleted upstream simply isn't in the batch and
-    keeps its rows, use an explicit empty-text row to tombstone), and
-    rewrite the table. The merge frame is eagerly pinned before the
-    overwrite so the write never reads the table it replaces. Ingest
-    cost scales with the batch + one index rewrite (on Delta this
-    whole function is one MERGE)."""
-    from embeddingsearch_spark.storage import save_bucketed
+    docs, delete their old rows (by id — handles re-ingest and text
+    edits), delete the rows of docs removed upstream (``deleted_ids``,
+    a one-column id frame — delete wins over a conflicting changed
+    row), and insert the fresh postings. Routed through the
+    MERGE-capable storage seam (`embeddingsearch_spark.sink`): on an
+    ACID format the whole operation is one MERGE + append costing the
+    batch plus touched files; the local parquet fallback rewrites the
+    table with identical semantics (rebuild-equivalence tested).
+    Deleted docs leave N/avgdl automatically — corpus stats derive
+    from the index itself."""
+    from embeddingsearch_spark.sink import ParquetRewriteSink
 
-    old = spark.table(table)
+    sink = sink or ParquetRewriteSink()
+    dk = changed_docs.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        changed_docs = changed_docs.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
     new = _postings(
         changed_docs, id_col, text_col, include_empty=True,
         tokenizer=tokenizer,
     )
-    merged = (
-        old.join(
-            new.select(id_col).distinct(), id_col, "left_anti"
-        )
-        .unionByName(new)
-        .localCheckpoint(eager=True)
+    sink.delete_insert(
+        spark, table, new, [id_col], delete_keys=dk,
+        bucket_cols=["term"], n_buckets=n_buckets,
     )
-    _drop_table(spark, table)
-    save_bucketed(merged, table, ["term"], n_buckets=n_buckets)
     return table
 
 
@@ -1117,6 +1134,7 @@ def min_pair_distance(
     query_id_col: str = "query_id",
     query_text_col: str = "text",
     tokenizer=None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """``(query_id, doc_id, min_dist)``: the minimum token distance
     between occurrences of two DIFFERENT query terms in the doc — the
@@ -1127,7 +1145,13 @@ def min_pair_distance(
     ADJACENT in position order (any hit strictly between a cross-term
     pair forms a closer cross-term pair with one of its ends), so one
     lag window over the hit stream — bounded by query-term frequency,
-    not corpus size — replaces the quadratic hit self-join."""
+    not corpus size — replaces the quadratic hit self-join.
+
+    ``candidates`` (query_id, id) restricts the hit stream to a
+    shortlist: the position explode only keeps candidate docs
+    (broadcast id semi-join on the scan side) and the per-(query, doc)
+    window runs over candidate pairs only — the pruned proximity
+    path's volume knob."""
     from embeddingsearch_spark.functions.text import tokens
 
     tok = tokenizer or tokens
@@ -1140,9 +1164,28 @@ def min_pair_distance(
             "pos", "term"
         ),
     )
+    if candidates is not None:
+        pos = pos.join(
+            F.broadcast(candidates.select(id_col).distinct()),
+            id_col,
+            "left_semi",
+        )
     hits = pos.join(F.broadcast(qterms), "term").select(
         query_id_col, id_col, "term", "pos"
     )
+    if candidates is not None:
+        hits = hits.join(
+            F.broadcast(candidates), [query_id_col, id_col], "left_semi"
+        )
+    return _min_dist_from_hits(hits, id_col, query_id_col)
+
+
+def _min_dist_from_hits(
+    hits: DataFrame, id_col: str, query_id_col: str
+) -> DataFrame:
+    """MinDist tail shared by the scan and positional-index paths: one
+    lag window over a (query, doc, term, pos) hit stream (the
+    adjacent-pair lemma), then the per-(query, doc) minimum."""
     w = Window.partitionBy(query_id_col, id_col).orderBy("pos")
     lagged = hits.select(
         query_id_col,
@@ -1178,6 +1221,7 @@ def bm25_proximity_topk(
     k1: float = 1.2,
     b: float = 0.75,
     tokenizer=None,
+    prune: bool = False,
 ) -> DataFrame:
     """Proximity-boosted BM25 (the additive MinDist composition —
     public): score' = bm25 + prox_weight/(1 + min_dist), boost 0 for
@@ -1186,16 +1230,79 @@ def bm25_proximity_topk(
     (score desc, id asc) — ``(query_id, doc_id, score, n_matched,
     min_dist, rank<=k)``. Term positions matter, term bags don't
     change: two docs with identical BM25 scores rank by how tightly
-    the query terms co-occur."""
+    the query terms co-occur.
+
+    ``prune=True`` is RANK-SAFE shortlisting (identical output, shared
+    oracle): cross-term distances are ≥ 1 in a token stream, so the
+    boost is bounded by prox_weight/2; any doc whose plain BM25 score
+    sits below θ − prox_weight/2 − one rounding quantum (θ = the k-th
+    plain score) can never out-rank the k docs whose boosted score is
+    already ≥ θ, so MinDist — the position-explode, the expensive
+    half — is computed ONLY for the shortlist. On dense queries the
+    shortlist is ~k-sized while the match set is corpus-sized."""
     scored = bm25_scores(
         docs, queries, id_col=id_col, text_col=text_col,
         query_id_col=query_id_col, query_text_col=query_text_col,
         k1=k1, b=b, tokenizer=tokenizer,
     )
+    cand = None
+    if prune:
+        scored = _proximity_shortlist(
+            scored, k, prox_weight, id_col, query_id_col
+        )
+        cand = scored.select(query_id_col, id_col)
     md = min_pair_distance(
         docs, queries, id_col, text_col, query_id_col,
-        query_text_col, tokenizer,
+        query_text_col, tokenizer, candidates=cand,
     )
+    return _proximity_rank(scored, md, k, prox_weight, id_col, query_id_col)
+
+
+def _proximity_shortlist(
+    scored: DataFrame,
+    k: int,
+    prox_weight: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The rank-safe proximity shortlist over a plain-BM25 scored
+    frame: keep docs with score ≥ θ − prox_weight/2 − quantum, where
+    θ is the k-th plain score (no θ = fewer than k matches = keep
+    everything). The k-th largest VALUE is well-defined regardless of
+    tie order, so the row_number cut is deterministic."""
+    quantum = 10.0 ** (-ROUND_DIGITS)
+    scored = scored.localCheckpoint(eager=False)
+    tw = Window.partitionBy(query_id_col).orderBy(F.col("score").desc())
+    theta = (
+        scored.withColumn("_r", F.row_number().over(tw))
+        .filter(F.col("_r") == k)
+        .select(query_id_col, F.col("score").alias("_theta"))
+    )
+    return (
+        scored.join(F.broadcast(theta), query_id_col, "left_outer")
+        .filter(
+            F.col("_theta").isNull()
+            | (
+                F.col("score")
+                >= F.col("_theta")
+                - F.lit(prox_weight / 2.0)
+                - F.lit(quantum)
+            )
+        )
+        .drop("_theta")
+    )
+
+
+def _proximity_rank(
+    scored: DataFrame,
+    md: DataFrame,
+    k: int,
+    prox_weight: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Boost + re-round + rank tail shared by the scan, pruned, and
+    positional-index proximity paths."""
     boosted = scored.join(
         md, [query_id_col, id_col], "left_outer"
     ).select(
@@ -1220,6 +1327,56 @@ def bm25_proximity_topk(
         boosted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_proximity_from_index(
+    spark,
+    postings_table: str,
+    positions_table: str,
+    queries: DataFrame,
+    k: int = 10,
+    prox_weight: float = 1.0,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+    prune: bool = True,
+) -> DataFrame:
+    """Proximity-boosted BM25 with ZERO corpus scans: BM25 comes from
+    the persisted term-bucketed postings index, and MinDist reads the
+    persisted positional index (`build_positions_index`) instead of
+    re-tokenizing — hit positions arrive from a term equi-join the
+    bucketed layout ships without an exchange. ``prune=True`` (default
+    — this IS the serving path) applies the rank-safe shortlist so
+    only shortlist (query, doc) pairs' positions feed the lag window.
+    Identical output to `bm25_proximity_topk` — shared oracle.
+    ``tokenizer`` must match the one both indexes were built with."""
+    post = spark.table(postings_table)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    stats = corpus_stats_from_postings(post, id_col)
+    scored = bm25_scores_from_terms(
+        post, qterms, stats, id_col, query_id_col, k1, b
+    )
+    cand = None
+    if prune:
+        scored = _proximity_shortlist(
+            scored, k, prox_weight, id_col, query_id_col
+        )
+        cand = scored.select(query_id_col, id_col)
+    pos = spark.table(positions_table)
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col, "term", "pos"
+    )
+    if cand is not None:
+        hits = hits.join(
+            F.broadcast(cand), [query_id_col, id_col], "left_semi"
+        )
+    md = _min_dist_from_hits(hits, id_col, query_id_col)
+    return _proximity_rank(scored, md, k, prox_weight, id_col, query_id_col)
 
 
 def build_positions_index(

@@ -1,0 +1,144 @@
+"""MERGE-capable storage seam for persisted-index maintenance.
+
+Every persisted index (term-bucketed postings, positional index,
+graph-ANN pair/assignment tables, PQ codes) is maintained by the same
+storage operation: **delete the rows keyed by a batch's ids, insert the
+batch's freshly derived rows** — the reference's delete/upsert-by-join
+semantics (DatabaseHelper.cs:196-209, SearchdomainHelper.cs:148-343)
+applied to index rows instead of entity rows. At 100 TB an ingest batch
+must not cost a full index rewrite, so the operation is a SEAM:
+
+- `MergeSink` is the warehouse implementation — one ANSI
+  ``MERGE INTO … WHEN MATCHED THEN DELETE`` against the key set plus an
+  append, which ACID table formats (Delta, Iceberg) execute by
+  rewriting only the files that contain matched rows. Cost: the batch
+  plus touched files. The MERGE text is unit-asserted; the local
+  container has no ACID format baked in, so the class is the
+  production slot-in, not the test path.
+- `ParquetRewriteSink` is the documented local fallback — anti-join
+  the stored table on the key set, union the inserts, eagerly pin,
+  drop-and-rewrite the bucketed table. Cost: one table rewrite per
+  batch (what the seam exists to remove); semantics are identical,
+  which the contract tests prove by rebuild-equivalence.
+
+Both implementations share one contract: after
+``delete_insert(table, insert, key_cols, delete_keys)`` the table
+equals ``old_rows − (rows whose value in ANY of key_cols ∈
+delete_keys) ∪ insert``. Multi-column keys cover the graph pair table,
+where a vector's deletion must remove pairs on EITHER endpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keys_one_col(delete_keys: DataFrame, alias: str) -> DataFrame:
+    """Normalize a delete-key frame to one distinct column ``alias``
+    (callers pass whatever single-column frame they have)."""
+    first = delete_keys.columns[0]
+    return delete_keys.select(F.col(first).alias(alias)).distinct()
+
+
+class IndexSink:
+    """The seam: delete-by-key + insert into a persisted index table."""
+
+    def delete_insert(
+        self,
+        spark,
+        table: str,
+        insert: DataFrame,
+        key_cols: list[str],
+        delete_keys: DataFrame | None = None,
+        bucket_cols: list[str] | None = None,
+        n_buckets: int = 32,
+        partition_cols: list[str] | None = None,
+    ) -> str:
+        raise NotImplementedError
+
+
+class ParquetRewriteSink(IndexSink):
+    """Local fallback: full-table rewrite with identical semantics.
+
+    The merged frame is eagerly pinned before the overwrite so the
+    write never reads the table it replaces (the invariant every
+    upserter relied on before the seam existed)."""
+
+    def delete_insert(
+        self,
+        spark,
+        table: str,
+        insert: DataFrame,
+        key_cols: list[str],
+        delete_keys: DataFrame | None = None,
+        bucket_cols: list[str] | None = None,
+        n_buckets: int = 32,
+        partition_cols: list[str] | None = None,
+    ) -> str:
+        from embeddingsearch_spark.storage import (
+            drop_table,
+            save_bucketed,
+        )
+
+        kept = spark.table(table)
+        if delete_keys is not None:
+            for kc in key_cols:
+                kept = kept.join(
+                    _keys_one_col(delete_keys, kc), kc, "left_anti"
+                )
+        merged = kept.unionByName(insert).localCheckpoint(eager=True)
+        drop_table(spark, table)
+        save_bucketed(
+            merged,
+            table,
+            bucket_cols or key_cols[:1],
+            n_buckets=n_buckets,
+            partition_cols=partition_cols,
+        )
+        return table
+
+
+class MergeSink(IndexSink):
+    """Warehouse implementation: MERGE-delete + append.
+
+    ``merge_sql`` is a pure function of (table, key_cols, keys view) so
+    the statement an ACID catalog would execute is unit-assertable
+    without one. ``delete_insert`` registers the key set as a temp
+    view, runs the MERGE, and appends the insert frame — on Delta or
+    Iceberg this rewrites only the files containing matched rows, so
+    ingest cost scales with the batch, not the index. Bucketing
+    arguments are accepted for interface parity and ignored: ACID
+    formats cluster with OPTIMIZE/ZORDER instead of static buckets."""
+
+    KEYS_VIEW = "_es_sink_delete_keys"
+
+    @staticmethod
+    def merge_sql(
+        table: str, key_cols: list[str], keys_view: str | None = None
+    ) -> str:
+        view = keys_view or MergeSink.KEYS_VIEW
+        on = " OR ".join(f"t.`{c}` = s.`_key`" for c in key_cols)
+        return (
+            f"MERGE INTO {table} t USING {view} s "
+            f"ON {on} WHEN MATCHED THEN DELETE"
+        )
+
+    def delete_insert(
+        self,
+        spark,
+        table: str,
+        insert: DataFrame,
+        key_cols: list[str],
+        delete_keys: DataFrame | None = None,
+        bucket_cols: list[str] | None = None,
+        n_buckets: int = 32,
+        partition_cols: list[str] | None = None,
+    ) -> str:
+        if delete_keys is not None:
+            _keys_one_col(delete_keys, "_key").createOrReplaceTempView(
+                self.KEYS_VIEW
+            )
+            spark.sql(self.merge_sql(table, key_cols))
+        insert.write.mode("append").saveAsTable(table)
+        return table

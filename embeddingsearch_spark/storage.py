@@ -219,17 +219,45 @@ def save_bucketed(
 def drop_table(spark, table: str) -> None:
     """Drop a managed table AND its orphaned warehouse directory (a
     previous session's managed location survives a metastore reset and
-    blocks saveAsTable even in overwrite mode)."""
+    blocks saveAsTable even in overwrite mode).
+
+    The directory is resolved from the CATALOG while the table still
+    exists (DESCRIBE ... Location) — never guessed from the name alone
+    for a live table, because a qualified ``db.tbl`` maps to
+    ``<warehouse>/<db>.db/tbl``, and naive name-splitting would point
+    at the DEFAULT database's unrelated table ``tbl``. Only when the
+    catalog has no entry (the orphaned-directory case this function
+    exists for) is the managed layout reconstructed, honoring the
+    ``<db>.db/<table>`` convention."""
     import shutil
     from pathlib import Path
     from urllib.parse import urlparse
 
+    loc = None
+    try:
+        # existence-check first: DESCRIBE on a missing table logs an
+        # ERROR line even when the exception is caught
+        if spark.catalog.tableExists(table):
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table}"
+            ).collect():
+                if r[0] == "Location":
+                    loc = Path(urlparse(r[1]).path)
+                    break
+    except Exception:
+        loc = None
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
-        loc = Path(wh) / table.split(".")[-1].lower()
-        if loc.exists():
-            shutil.rmtree(loc, ignore_errors=True)
+    if loc is None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if not wh:
+            return
+        parts = [p.lower() for p in table.split(".")]
+        if len(parts) > 1 and parts[-2] != "default":
+            loc = Path(wh) / f"{parts[-2]}.db" / parts[-1]
+        else:
+            loc = Path(wh) / parts[-1]
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def replace_bucketed(

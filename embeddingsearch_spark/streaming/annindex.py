@@ -34,17 +34,29 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
-def _drain(stream: DataFrame, step) -> None:
+def _drain(
+    stream: DataFrame, step, checkpoint_dir: str | None = None
+) -> None:
+    """Run the foreachBatch drain. ``checkpoint_dir`` is the stream's
+    checkpointLocation — pass a STABLE path (derive it from the index
+    table/prefix) so a restarted ingest resumes from stream progress
+    instead of reprocessing the entire source. When omitted, a fresh
+    temp directory is used and removed afterwards (single-shot
+    semantics: every call processes everything available — what the
+    gated batch-equivalence oracles replay)."""
+    import shutil
+
+    own = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="esannidx_ckpt_")
     q = (
         stream.writeStream.foreachBatch(step)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="esannidx_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
+    if own:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def postings_index_available_now(
@@ -53,11 +65,13 @@ def postings_index_available_now(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> list[int]:
     """Drain a document stream, maintaining the persisted postings
     index per micro-batch (create on first batch, upsert after).
     Returns the per-batch ingested-row counts (driver-side history —
-    one scalar per batch, the monitoring hook)."""
+    one scalar per batch, the monitoring hook). Pass a stable
+    ``checkpoint_dir`` for resumable production ingest."""
     from embeddingsearch_spark.operators.retrieval import (
         build_postings_index,
         upsert_postings_index,
@@ -80,7 +94,7 @@ def postings_index_available_now(
                 batch_df, table, id_col, text_col, n_buckets
             )
 
-    _drain(stream, step)
+    _drain(stream, step, checkpoint_dir)
     return history
 
 
@@ -94,6 +108,7 @@ def monitored_postings_ingest(
     smoothing: float = 1.0,
     threshold: float = 0.05,
     n_buckets: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """Drift-TRIGGERED index maintenance: one stream pass that both
     maintains the persisted postings index (create-or-upsert per
@@ -163,7 +178,7 @@ def monitored_postings_ingest(
             state["flagged"] = True
         history.append((int(batch_id), n_docs, js))
 
-    _drain(stream, step)
+    _drain(stream, step, checkpoint_dir)
     return history, state["flagged"]
 
 
@@ -177,6 +192,7 @@ def graph_index_available_now(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    checkpoint_dir: str | None = None,
 ) -> list[int]:
     """Drain a vector stream, maintaining the persisted graph-ANN
     index per micro-batch. The coarse quantizer is FIXED for the
@@ -238,5 +254,5 @@ def graph_index_available_now(
             emb_all, vec_table, [id_col], n_buckets=n_buckets
         )
 
-    _drain(stream, step)
+    _drain(stream, step, checkpoint_dir)
     return history

@@ -650,6 +650,42 @@ QUALIFY rank <= 10"""
 BM25_PROXIMITY_SQL = _bm25_proximity_sql()
 
 
+def q_bm25_proximity_pruned(spark, sf_dir):
+    """Rank-safe pruned proximity: the boost is bounded by
+    prox_weight/2 (cross-term distances ≥ 1), so MinDist — the
+    position-explode half — is computed only for docs within that
+    bound of the k-th plain BM25 score. Identical output to
+    `bm25_proximity_topk` by the shortlist proof — shared oracle; the
+    probe rows in BASELINE.md record the hit-stream volume drop."""
+    docs = _corpus(spark, sf_dir)
+    return retrieval.bm25_proximity_topk(
+        docs, _text_queries(spark, sf_dir, docs), k=10, prune=True
+    )
+
+
+def q_bm25_proximity_indexed(spark, sf_dir):
+    """The proximity serving path: BM25 from the persisted postings
+    index, MinDist from the persisted positional index (no
+    re-tokenization — the round-5 `min_pair_distance` posexplode
+    replaced by stored (doc, pos, term) rows), shortlist-pruned.
+    Zero corpus scans (plan-asserted); identical output — shared
+    oracle."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_postings_index(
+        docs, "es_gate_prox_postings", n_buckets=8
+    )
+    retrieval.build_positions_index(
+        docs, "es_gate_prox_positions", n_buckets=8
+    )
+    return retrieval.bm25_proximity_from_index(
+        spark,
+        "es_gate_prox_postings",
+        "es_gate_prox_positions",
+        _text_queries(spark, sf_dir, docs),
+        k=10,
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase retrieval over the realistic corpus: each query is
     the 3-token phrase at positions 2..4 of its source doc (so every
@@ -1115,6 +1151,16 @@ QUERIES = {
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),
     "bm25_cjk_topk": (q_bm25_cjk_topk, BM25_CJK_TOPK_SQL),
     "bm25_proximity_topk": (q_bm25_proximity_topk, BM25_PROXIMITY_SQL),
+    # shortlist pruning is rank-safe ⇒ identical oracle
+    "bm25_proximity_pruned": (
+        q_bm25_proximity_pruned,
+        BM25_PROXIMITY_SQL,
+    ),
+    # postings+positions index path is result-identical ⇒ same oracle
+    "bm25_proximity_indexed": (
+        q_bm25_proximity_indexed,
+        BM25_PROXIMITY_SQL,
+    ),
     "bm25f_topk": (q_bm25f_topk, BM25F_TOPK_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),

@@ -634,3 +634,32 @@ def test_phrase_search_broadcast_anchor_no_cartesian(spark):
     plan = pi.physical_plan(df)
     assert pi.has_broadcast_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_proximity_from_index_zero_corpus_scans(spark):
+    """The proximity serving composition (postings index for BM25 +
+    positional index for MinDist): every parquet scan in the plan is
+    one of the two index tables — the corpus is never re-read or
+    re-tokenized — and no cartesian product appears."""
+    from embeddingsearch_spark.operators import retrieval
+
+    docs = tables.load(spark, SF, "documents")
+    retrieval.build_postings_index(
+        docs, "es_plan_prox_post", n_buckets=2
+    )
+    retrieval.build_positions_index(
+        docs, "es_plan_prox_pos", n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    df = retrieval.bm25_proximity_from_index(
+        spark, "es_plan_prox_post", "es_plan_prox_pos", queries, k=10
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert (
+                "es_plan_prox_post" in line or "es_plan_prox_pos" in line
+            ), line
+    assert "CartesianProduct" not in plan

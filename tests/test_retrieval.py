@@ -718,3 +718,41 @@ def test_bm25_champion_identical_on_testdata(spark, sf_dir):
         retrieval.bm25_topk(docs, qs, k=10),
         retrieval.bm25_topk_champion(docs, qs, k=10, tier=32),
     )
+
+
+def test_bm25_proximity_pruned_identical(spark):
+    """Rank-safe shortlist: pruned and from-index proximity equal the
+    plain path for several k, including ties and single-term docs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha x x x beta"),
+            (3, "alpha alpha alpha"),
+            (4, "beta beta beta"),
+            (5, "gamma alpha beta"),
+            (6, "x y z"),
+            (7, "delta gamma beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha")],
+        "query_id long, text string",
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_test_prox_post")
+    drop_table(spark, "es_test_prox_pos")
+    retrieval.build_postings_index(docs, "es_test_prox_post", n_buckets=2)
+    retrieval.build_positions_index(docs, "es_test_prox_pos", n_buckets=2)
+    for k in (2, 3, 10):
+        plain = retrieval.bm25_proximity_topk(docs, qs, k=k)
+        assert _frames_equal(
+            plain, retrieval.bm25_proximity_topk(docs, qs, k=k, prune=True)
+        ), k
+        assert _frames_equal(
+            plain,
+            retrieval.bm25_proximity_from_index(
+                spark, "es_test_prox_post", "es_test_prox_pos", qs, k=k
+            ),
+        ), k

@@ -1,0 +1,182 @@
+"""The MERGE-capable index-sink seam: rewrite-path parity (upsert with
+deletes equals a rebuild over the remaining rows) for all index
+families, and the MERGE statement the warehouse implementation would
+run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddingsearch_spark import tables
+from embeddingsearch_spark.operators import graphann, pq, retrieval
+from embeddingsearch_spark.sink import MergeSink, ParquetRewriteSink
+from embeddingsearch_spark.storage import drop_table
+
+
+def test_merge_sink_sql_single_and_multi_key():
+    assert MergeSink.merge_sql("idx_post", ["doc_id"]) == (
+        "MERGE INTO idx_post t USING _es_sink_delete_keys s "
+        "ON t.`doc_id` = s.`_key` WHEN MATCHED THEN DELETE"
+    )
+    # the graph pair table deletes on EITHER endpoint
+    assert MergeSink.merge_sql(
+        "g_pairs", ["_ida", "_idb"], keys_view="batch_keys"
+    ) == (
+        "MERGE INTO g_pairs t USING batch_keys s "
+        "ON t.`_ida` = s.`_key` OR t.`_idb` = s.`_key` "
+        "WHEN MATCHED THEN DELETE"
+    )
+
+
+def test_parquet_sink_delete_insert_semantics(spark):
+    """Contract: table := old − (rows keyed by delete_keys) ∪ insert."""
+    drop_table(spark, "es_test_sink_basic")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.saveAsTable("es_test_sink_basic")
+    sink = ParquetRewriteSink()
+    sink.delete_insert(
+        spark,
+        "es_test_sink_basic",
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        ["k"],
+        delete_keys=spark.createDataFrame([(2,), (3,)], "k long"),
+        bucket_cols=["k"],
+        n_buckets=2,
+    )
+    got = sorted(tuple(r) for r in spark.table("es_test_sink_basic").collect())
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_postings_upsert_with_delete_equals_rebuild(spark):
+    """upsert(changed, deleted) == build over (old − deleted ∪ changed),
+    including corpus stats (N/avgdl derive from the index)."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} common filler word{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") < 15)
+    changed = docs.filter(
+        (F.col("doc_id") >= 15) | (F.col("doc_id") == 3)
+    )
+    deleted = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    drop_table(spark, "es_test_sink_post")
+    retrieval.build_postings_index(old, "es_test_sink_post", n_buckets=4)
+    retrieval.upsert_postings_index(
+        spark, "es_test_sink_post", changed, n_buckets=4,
+        deleted_ids=deleted,
+    )
+    remaining = old.filter(~F.col("doc_id").isin(1, 4)).unionByName(
+        changed.filter(F.col("doc_id") != 3)
+    ).dropDuplicates(["doc_id"])
+    drop_table(spark, "es_test_sink_post_ref")
+    retrieval.build_postings_index(
+        remaining, "es_test_sink_post_ref", n_buckets=4
+    )
+    got = sorted(tuple(r) for r in spark.table("es_test_sink_post").collect())
+    want = sorted(
+        tuple(r) for r in spark.table("es_test_sink_post_ref").collect()
+    )
+    assert got == want
+    # a doc listed in BOTH changed and deleted stays deleted
+    deleted2 = spark.createDataFrame([(3,)], "doc_id long")
+    retrieval.upsert_postings_index(
+        spark, "es_test_sink_post", changed.filter(F.col("doc_id") == 3),
+        n_buckets=4, deleted_ids=deleted2,
+    )
+    assert (
+        spark.table("es_test_sink_post")
+        .filter(F.col("doc_id") == 3)
+        .count()
+        == 0
+    )
+
+
+def test_graph_upsert_with_delete_equals_rebuild(spark, sf_dir):
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    old = corpus.filter(F.col("vec_id") % 7 != 0)
+    batch = corpus.filter(F.col("vec_id") % 7 == 0)
+    deleted = corpus.filter(F.col("vec_id") % 11 == 3).select("vec_id")
+    assigned_old = graphann.assign_blocks(old, cents, n_assign=2)
+    pairs_old = graphann.block_pair_sims(old, assigned_old)
+    drop_table(spark, "es_test_sink_graph_pairs")
+    drop_table(spark, "es_test_sink_graph_assigned")
+    graphann.save_graph_index(
+        pairs_old, assigned_old, "es_test_sink_graph", n_buckets=4
+    )
+    edges = graphann.upsert_graph_index(
+        spark, "es_test_sink_graph", corpus, batch, cents,
+        m=6, n_assign=2, n_buckets=4, deleted_ids=deleted,
+    )
+    remaining = corpus.join(deleted, "vec_id", "left_anti")
+    full = graphann.knn_graph(remaining, cents, m=6, n_assign=2)
+    assert sorted(tuple(r) for r in edges.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    # deleted ids are gone from both persisted tables, either endpoint
+    ids = {r[0] for r in deleted.collect()}
+    pairs = spark.table("es_test_sink_graph_pairs")
+    assert (
+        pairs.filter(
+            F.col("_ida").isin(*ids) | F.col("_idb").isin(*ids)
+        ).count()
+        == 0
+    )
+    assert (
+        spark.table("es_test_sink_graph_assigned")
+        .filter(F.col("vec_id").isin(*ids))
+        .count()
+        == 0
+    )
+
+
+def test_merge_into_graph_with_delete_equals_rebuild(spark, sf_dir):
+    """The in-memory merge honors deleted_ids the same way."""
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    old = corpus.filter(F.col("vec_id") % 10 != 0)
+    batch = corpus.filter(F.col("vec_id") % 10 == 0)
+    deleted = corpus.filter(F.col("vec_id") % 9 == 2).select("vec_id")
+    assigned_old = graphann.assign_blocks(old, cents, n_assign=2)
+    pairs_old = graphann.block_pair_sims(old, assigned_old)
+    _, _, edges = graphann.merge_into_graph(
+        pairs_old, assigned_old, corpus, batch, cents,
+        m=6, n_assign=2, deleted_ids=deleted,
+    )
+    remaining = corpus.join(deleted, "vec_id", "left_anti")
+    full = graphann.knn_graph(remaining, cents, m=6, n_assign=2)
+    assert sorted(tuple(r) for r in edges.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+
+
+def test_pq_upsert_with_delete_equals_rebuild(spark, sf_dir):
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    train = corpus.filter(F.col("vec_id") % 5 != 4)
+    batch = corpus.filter(F.col("vec_id") % 5 == 4)
+    deleted = corpus.filter(F.col("vec_id") % 13 == 1).select("vec_id")
+    cbs = pq.train_codebooks(train, m_sub=4, k_codes=16, iters=2)
+    coded = pq.encode_pq(train, cbs)
+    drop_table(spark, "es_test_sink_pq_codes")
+    drop_table(spark, "es_test_sink_pq_codebooks")
+    pq.save_pq_index(coded, cbs, "es_test_sink_pq", n_buckets=4)
+    pq.upsert_pq_index(
+        spark, "es_test_sink_pq", batch, n_buckets=4,
+        deleted_ids=deleted,
+    )
+    remaining = corpus.join(deleted, "vec_id", "left_anti")
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq.encode_pq(remaining, cbs).collect()
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.table("es_test_sink_pq_codes").collect()
+    )
+    assert got == want
