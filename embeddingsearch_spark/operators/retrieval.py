@@ -915,7 +915,6 @@ def bm25_topk_champion(
     their posting lists wholesale — the same economics as WAND, but
     decided from ``tier`` rows per term instead of the full matched
     postings."""
-    quantum = 10.0 ** (-ROUND_DIGITS)
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
@@ -938,6 +937,32 @@ def bm25_topk_champion(
         .drop("_r")
         .localCheckpoint(eager=False)
     )
+    return _champion_cut(
+        matched, dfreq, qterms, stats, champ, k, tier, id_col,
+        query_id_col, k1, b,
+    )
+
+
+def _champion_cut(
+    matched: DataFrame,
+    dfreq: DataFrame,
+    qterms: DataFrame,
+    stats: dict,
+    champ: DataFrame,
+    k: int,
+    tier: int,
+    id_col: str,
+    query_id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The champion-list pruning core over a pre-built champion frame
+    (per-term top-``tier`` postings of the query's terms) — shared by
+    the scan path (window-derived tier) and the persisted-tier serve
+    (`bm25_champion_from_index`). ``tier`` must be the EFFECTIVE tier:
+    the exact per-term row cap ``champ`` satisfies (the ub_nc = 0 case
+    relies on df ≤ tier meaning no doc exists outside the list)."""
+    quantum = 10.0 ** (-ROUND_DIGITS)
     # per-term non-champion upper bound (0 when the tier holds the
     # whole posting list)
     tfm = champ.groupBy("term").agg(
@@ -1016,6 +1041,94 @@ def bm25_topk_champion(
     return _bm25_ranked_pruned(
         matched, dfreq, qterms, stats, cand, k, id_col, query_id_col,
         k1, b,
+    )
+
+
+def save_champion_tier(
+    spark,
+    table: str,
+    tier: int = 32,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> str:
+    """PERSIST the champion tier of a postings index: per term, the
+    ``tier`` highest-tf postings rows with their tier rank ``_r``
+    (1-based), saved term-bucketed as ``{table}_tiers`` — the static
+    index-pruning tier made durable, so champion serving reads tier
+    rows (≤ tier · |terms|, a small fraction of the postings) instead
+    of re-deriving them with a per-query window over matched postings.
+    Storing the rank lets ONE tier table serve any requested
+    tier ≤ the built one (filter ``_r <= t``).
+
+    Champion membership is a GLOBAL per-term property: a postings
+    upsert can change any term's tier, so this table is refreshed
+    AFTER upserts (one window over the postings table — no corpus
+    scan), not merged incrementally. The NULL-term sentinel rows
+    (empty docs) carry no tf ordering and are excluded. Returns the
+    tier-table name."""
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    post = spark.table(table).filter(F.col("term").isNotNull())
+    tw = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    tiers = post.withColumn("_r", F.row_number().over(tw)).filter(
+        F.col("_r") <= tier
+    )
+    replace_bucketed(
+        tiers, f"{table}_tiers", ["term"], n_buckets=n_buckets
+    )
+    return f"{table}_tiers"
+
+
+def bm25_champion_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    tier: int = 32,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Champion-list BM25 over the PERSISTED postings index and its
+    persisted tier table (`save_champion_tier`): the threshold-seeding
+    champion rows are READ (term-bucketed filter ``_r <= tier``), not
+    re-derived per query, and everything else — stats, df, exact
+    scoring — comes from the index. Zero corpus scans (plan-asserted);
+    rank-safe, identical output to `bm25_topk` (shared oracle).
+
+    The effective tier is min(requested, stored): the rank-safety
+    argument's ub_nc = 0 case (df ≤ tier ⇒ no doc outside the list)
+    must describe the rows actually stored, so a request deeper than
+    the built tier correctly degrades to the stored depth instead of
+    silently under-bounding."""
+    post = spark.table(table)
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    stats = corpus_stats_from_postings(post, id_col)
+    matched = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    tiers = spark.table(f"{table}_tiers")
+    stored = tiers.agg(F.max("_r")).collect()[0][0] or 0
+    eff_tier = min(int(tier), int(stored)) if stored else int(tier)
+    champ = (
+        tiers.filter(F.col("_r") <= eff_tier)
+        .drop("_r")
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .localCheckpoint(eager=False)
+    )
+    return _champion_cut(
+        matched, dfreq, qterms, stats, champ, k, eff_tier, id_col,
+        query_id_col, k1, b,
     )
 
 

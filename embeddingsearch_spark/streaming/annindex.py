@@ -256,3 +256,126 @@ def graph_index_available_now(
 
     _drain(stream, step, checkpoint_dir)
     return history
+
+
+def monitored_graph_ingest(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame,
+    reference: DataFrame,
+    m: int = 6,
+    n_assign: int = 2,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    drift_threshold: float = 0.25,
+    skew_threshold: float = 4.0,
+    checkpoint_dir: str | None = None,
+):
+    """Drift-TRIGGERED maintenance for the VECTOR index family — the
+    `monitored_postings_ingest` loop closed for graph/IVF/PQ: one
+    stream pass that maintains the persisted graph index per
+    micro-batch (create-or-upsert, rebuild-equivalent under the FIXED
+    coarse quantizer) while watching the two signals that say the
+    quantizer no longer fits the corpus:
+
+    - **embedding drift**: ‖μ_ingested − μ_reference‖₂
+      (`operators.drift.embedding_drift`) between everything ingested
+      so far (the persisted ``{prefix}_vectors`` table) and the pinned
+      snapshot the quantizer was trained on — distribution shift the
+      incremental merge is blind to;
+    - **block skew** from the persisted assignment table:
+      max block population × n_observed_blocks / total assignments
+      (uniform = 1). Skew is the graph family's failure knob — a
+      drifted corpus piles into few coarse blocks, blowing up the
+      Σ block² build bound and starving the beam of cross-block
+      edges (the round-5 C=128 probe: 1360/5000 in one block before
+      re-sizing).
+
+    Crossing EITHER threshold sets the retrain flag: re-train the
+    quantizer offline (k-means over the accumulated vectors) and
+    rebuild — the index keeps updating under the old quantizer either
+    way, exactly correct, just increasingly lopsided. Returns
+    ``(history, flagged)``: per-batch
+    (batch_id, n_vecs, mean_shift_l2, block_skew) and the flag. All
+    signals derive from persisted tables, so they are batch-equivalent
+    to the one-shot computation over everything that streamed — the
+    gated oracle's check."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.drift import embedding_drift
+    from embeddingsearch_spark.operators.graphann import (
+        assign_blocks,
+        block_pair_sims,
+        save_graph_index,
+        upsert_graph_index,
+    )
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    vec_table = f"{prefix}_vectors"
+    history: list[tuple] = []
+    state = {"flagged": False}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_vecs = batch_df.count()
+        if not spark.catalog.tableExists(f"{prefix}_pairs"):
+            assigned = assign_blocks(
+                batch_df, centroids, n_assign, id_col, vec_col,
+                centroid_id_col,
+            )
+            pairs = block_pair_sims(batch_df, assigned, id_col, vec_col)
+            save_graph_index(pairs, assigned, prefix, n_buckets)
+            replace_bucketed(
+                batch_df, vec_table, [id_col], n_buckets=n_buckets
+            )
+        else:
+            old_vecs = spark.table(vec_table)
+            emb_all = (
+                old_vecs.join(
+                    batch_df.select(id_col).distinct(), id_col,
+                    "left_anti",
+                )
+                .unionByName(batch_df)
+                .localCheckpoint(eager=True)
+            )
+            upsert_graph_index(
+                spark, prefix, emb_all, batch_df, centroids,
+                m=m, n_assign=n_assign, n_buckets=n_buckets,
+                id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            )
+            replace_bucketed(
+                emb_all, vec_table, [id_col], n_buckets=n_buckets
+            )
+        summary, _ = embedding_drift(
+            spark.table(vec_table), reference, vec_col=vec_col
+        )
+        shift = summary.collect()[0]["mean_shift_l2"]
+        blk = (
+            spark.table(f"{prefix}_assigned")
+            .groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.max("_c").alias("_mx"),
+                F.sum("_c").alias("_tot"),
+                F.count(F.lit(1)).alias("_nblk"),
+            )
+            .collect()[0]
+        )
+        skew = (
+            float(blk["_mx"]) * float(blk["_nblk"]) / float(blk["_tot"])
+            if blk["_tot"]
+            else 0.0
+        )
+        if (shift is not None and shift > drift_threshold) or (
+            skew > skew_threshold
+        ):
+            state["flagged"] = True
+        history.append((int(batch_id), n_vecs, shift, round(skew, 6)))
+
+    _drain(stream, step, checkpoint_dir)
+    return history, state["flagged"]

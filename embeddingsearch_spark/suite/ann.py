@@ -734,10 +734,14 @@ def _graph_ann_sql(
     n_cents: int = 32,
     src: str = "embeddings",
     allowed_where: str | None = None,
+    cents_where: str | None = None,
 ) -> str:
     """The full graph-ANN oracle: build (multi-assign → block pairs →
     top-m symmetrized edges) + entry sampling + one CTE trio per beam
-    hop, generated by loop like the PRF two-pass chain."""
+    hop, generated by loop like the PRF two-pass chain.
+    ``cents_where`` overrides the centroid predicate (default
+    ``vec_id < n_cents``) — the drift-reindex query retrains its
+    quantizer over BOTH eras of the corpus."""
     hop_ctes = []
     prev = "f0"
     for h in range(1, hops + 1):
@@ -769,9 +773,10 @@ f{h} AS (
         )
         prev = f"f{h}"
     hop_sql = ",\n".join(hop_ctes)
+    cw = cents_where or f"vec_id < {n_cents}"
     return f"""WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cv FROM {src}
-  WHERE vec_id < {n_cents}
+  WHERE {cw}
 ),
 assign_elems AS (
   SELECT e.vec_id, c.centroid_id,

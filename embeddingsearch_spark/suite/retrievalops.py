@@ -430,6 +430,29 @@ def q_bm25_champion_topk(spark, sf_dir):
     )
 
 
+def q_bm25_champion_indexed(spark, sf_dir):
+    """Champion serving from the PERSISTED tier: postings index +
+    `save_champion_tier` built once, then `bm25_champion_from_index`
+    reads tier rows (filter _r ≤ 32 on the term-bucketed tier table)
+    instead of re-deriving champions with a per-query window. Zero
+    corpus scans (plan-asserted); rank-safe — `bm25_topk`'s oracle
+    verbatim."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_postings_index(
+        docs, "es_gate_champ_postings", n_buckets=8
+    )
+    retrieval.save_champion_tier(
+        spark, "es_gate_champ_postings", tier=32, n_buckets=8
+    )
+    return retrieval.bm25_champion_from_index(
+        spark,
+        "es_gate_champ_postings",
+        _text_queries(spark, sf_dir, docs),
+        k=10,
+        tier=32,
+    )
+
+
 def q_bm25f_topk(spark, sf_dir):
     """BM25F over a two-field derivation of the realistic corpus
     (title = tokens 1..5 at weight 2, body = the rest at weight 1 —
@@ -1146,6 +1169,8 @@ QUERIES = {
     "bm25_cached_topn": (q_bm25_cached_topn, BM25_TOP5_SQL),
     # champion-tier pruning is rank-safe ⇒ identical oracle
     "bm25_champion_topk": (q_bm25_champion_topk, BM25_TOPK_SQL),
+    # persisted-tier serve is result-identical ⇒ identical oracle
+    "bm25_champion_indexed": (q_bm25_champion_indexed, BM25_TOPK_SQL),
     # both-pass pruning is rank-safe ⇒ shares the PRF oracle
     "bm25_prf_pruned": (q_bm25_prf_pruned, BM25_PRF_TOPK_SQL),
     "bm25_dense_topk": (q_bm25_dense_topk, BM25_DENSE_TOPK_SQL),

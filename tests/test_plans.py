@@ -663,3 +663,29 @@ def test_proximity_from_index_zero_corpus_scans(spark):
                 "es_plan_prox_post" in line or "es_plan_prox_pos" in line
             ), line
     assert "CartesianProduct" not in plan
+
+
+def test_champion_from_index_zero_corpus_scans(spark):
+    """Champion serving reads the postings index and its tier table
+    only — no raw-corpus scan, no per-query tier window re-derivation
+    feeding from parquet, no cartesian."""
+    from embeddingsearch_spark.operators import retrieval
+
+    docs = tables.load(spark, SF, "documents")
+    retrieval.build_postings_index(
+        docs, "es_plan_champ_post", n_buckets=2
+    )
+    retrieval.save_champion_tier(
+        spark, "es_plan_champ_post", tier=8, n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    df = retrieval.bm25_champion_from_index(
+        spark, "es_plan_champ_post", queries, k=10, tier=8
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "es_plan_champ_post" in line, line
+    assert "CartesianProduct" not in plan

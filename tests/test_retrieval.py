@@ -756,3 +756,56 @@ def test_bm25_proximity_pruned_identical(spark):
                 spark, "es_test_prox_post", "es_test_prox_pos", qs, k=k
             ),
         ), k
+
+
+def test_bm25_champion_from_index_identical(spark):
+    """Persisted-tier champion serve equals the plain ranking for
+    several (tier, k), including a requested tier DEEPER than the
+    stored one (degrades to the stored depth, stays rank-safe) and a
+    post-upsert tier refresh."""
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common tok{i % 4} " + ("rare " if i % 7 == 0 else "")
+             + f"w{i}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "common rare"), (2, "tok1 w3"), (3, "zzz")],
+        "query_id long, text string",
+    )
+    drop_table(spark, "es_test_champ_post")
+    drop_table(spark, "es_test_champ_post_tiers")
+    retrieval.build_postings_index(docs, "es_test_champ_post", n_buckets=2)
+    retrieval.save_champion_tier(
+        spark, "es_test_champ_post", tier=4, n_buckets=2
+    )
+    for tier in (1, 2, 4, 100):
+        for k in (3, 10):
+            assert _frames_equal(
+                retrieval.bm25_topk(docs, qs, k=k),
+                retrieval.bm25_champion_from_index(
+                    spark, "es_test_champ_post", qs, k=k, tier=tier
+                ),
+            ), (tier, k)
+    # upsert shifts tf distributions -> refresh the tier, still exact
+    changed = spark.createDataFrame(
+        [(2, "rare rare rare common"), (31, "common tok1 w31")],
+        "doc_id long, text string",
+    )
+    retrieval.upsert_postings_index(
+        spark, "es_test_champ_post", changed, n_buckets=2
+    )
+    retrieval.save_champion_tier(
+        spark, "es_test_champ_post", tier=4, n_buckets=2
+    )
+    docs2 = docs.filter(F.col("doc_id") != 2).unionByName(changed)
+    assert _frames_equal(
+        retrieval.bm25_topk(docs2, qs, k=10),
+        retrieval.bm25_champion_from_index(
+            spark, "es_test_champ_post", qs, k=10, tier=4
+        ),
+    )

@@ -171,3 +171,75 @@ def test_monitored_ingest_indexes_and_flags(spark, tmp_path):
         tuple(r) for r in spark.table("es_test_monitored").collect()
     )
     assert got == want
+
+
+def test_monitored_graph_ingest_flags_skew_and_drift(spark, tmp_path):
+    """The vector-side monitor: a balanced same-distribution stream
+    maintains the index WITHOUT flagging; a skew-degraded batch (all
+    mass piling into one coarse block) trips the retrain flag even
+    though the index keeps updating; a mean-shifted batch trips it on
+    drift."""
+    import math
+
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_graph_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    # 8 unit directions in 2-D; balanced reference corpus
+    def unit(i):
+        a = 2 * math.pi * i / 8
+        return [math.cos(a), math.sin(a)]
+
+    ref_rows = [(i, unit(i % 8)) for i in range(40)]
+    cents = spark.createDataFrame(
+        [(100 + i, unit(i)) for i in range(8)],
+        "centroid_id long, embedding array<double>",
+    )
+    reference = spark.createDataFrame(ref_rows, schema)
+
+    # pass 1: balanced, zero drift -> no flag
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, "es_test_mon_graph" + t)
+    s1 = _multi_file_source(spark, tmp_path, ref_rows, schema, 2)
+    h1, f1 = monitored_graph_ingest(
+        s1, "es_test_mon_graph", cents, reference,
+        m=4, n_assign=1, n_buckets=2,
+        drift_threshold=0.25, skew_threshold=3.0,
+    )
+    assert len(h1) >= 2 and not f1, h1
+
+    # pass 2: 40 vectors all in ONE direction -> one block degrades;
+    # per-dim means also shift, but make skew the decisive signal by
+    # setting the drift threshold out of reach
+    skew_rows = [(1000 + i, unit(0)) for i in range(40)]
+    s2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p2"), skew_rows, schema, 1
+    )
+    h2, f2 = monitored_graph_ingest(
+        s2, "es_test_mon_graph", cents, reference,
+        m=4, n_assign=1, n_buckets=2,
+        drift_threshold=1e9, skew_threshold=3.0,
+    )
+    assert f2, h2
+    # the index kept updating: all 80 vectors are assigned
+    assert (
+        spark.table("es_test_mon_graph_assigned").count() == 80
+    )
+
+    # drift alone (fresh index, balanced blocks, shifted values)
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, "es_test_mon_graph2" + t)
+    shifted = [
+        (i, [x * 0.2 + 0.8 for x in v]) for i, v in ref_rows
+    ]
+    s3 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p3"), shifted, schema, 1
+    )
+    h3, f3 = monitored_graph_ingest(
+        s3, "es_test_mon_graph2", cents, reference,
+        m=4, n_assign=1, n_buckets=2,
+        drift_threshold=0.25, skew_threshold=1e9,
+    )
+    assert f3, h3
