@@ -590,6 +590,50 @@ def build_partitioned_postings_index(
     return table
 
 
+def upsert_partitioned_postings_index(
+    spark,
+    table: str,
+    changed_docs: DataFrame,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental maintenance of the PARTITIONED postings index at
+    PARTITION cost: the default sink rewrites only the hive partitions
+    the batch touches (insert landing spots + the partitions deleted
+    or re-ingested docs currently live in — dynamic partition
+    overwrite, bucketing preserved), so a batch of one language's docs
+    never reads or writes the other languages' index files. A doc
+    whose routing value CHANGES is handled: its old partition is
+    rewritten without it, the new partition gains its rows.
+    ``deleted_ids`` deletes (delete wins over a conflicting changed
+    row); on an ACID format pass a `MergeSink` instead."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    sink = sink or PartitionOverwriteSink(partition_col)
+    dk = changed_docs.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        changed_docs = changed_docs.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    new = _postings(
+        changed_docs, id_col, text_col, include_empty=True,
+        tokenizer=tokenizer, carry=(partition_col,),
+    )
+    sink.delete_insert(
+        spark, table, new, [id_col], delete_keys=dk,
+        bucket_cols=["term"], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    return table
+
+
 def bm25_federated_from_index(
     spark,
     table: str,
@@ -1490,6 +1534,54 @@ def bm25_proximity_from_index(
         )
     md = _min_dist_from_hits(hits, id_col, query_id_col)
     return _proximity_rank(scored, md, k, prox_weight, id_col, query_id_col)
+
+
+def bm25_proximity_prune_stats(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prox_weight: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> dict:
+    """Measure what the proximity shortlist saves — the probe numbers
+    for BASELINE.md: matched (query, doc) pairs vs shortlist pairs,
+    and the MinDist hit-stream rows ((query, doc, pos) triples feeding
+    the lag window) with and without the cut."""
+    from embeddingsearch_spark.functions.text import tokens
+
+    scored = bm25_scores(
+        docs, queries, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+    ).localCheckpoint(eager=False)
+    cand = _proximity_shortlist(
+        scored, k, prox_weight, id_col, query_id_col
+    ).select(query_id_col, id_col)
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    hits_full = pos.join(F.broadcast(qterms), "term").count()
+    hits_cand = (
+        pos.join(
+            F.broadcast(cand.select(id_col).distinct()), id_col,
+            "left_semi",
+        )
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cand), [query_id_col, id_col], "left_semi")
+        .count()
+    )
+    return {
+        "full_pairs": scored.count(),
+        "cand_pairs": cand.count(),
+        "full_hit_rows": int(hits_full),
+        "cand_hit_rows": int(hits_cand),
+    }
 
 
 def build_positions_index(

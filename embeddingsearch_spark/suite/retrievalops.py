@@ -553,6 +553,109 @@ FROM fbm QUALIFY rank <= 10"""
 BM25F_TOPK_SQL = _bm25f_sql()
 
 
+def q_bm25f_entity_search(spark, sf_dir):
+    """BM25F over the REFERENCE SURFACE: entities are searched by
+    their NAMED datapoints (title/text/filename — the reference's own
+    data model, example.py:59-63 / derive_corpus's vec_id→(entity,
+    datapoint) arithmetic), with field weights taken from the
+    reference's entity-level DictionaryWeightedAverage parameters
+    (Probmethods.cs:159-176 — title 2.0, text 0.25, filename 0.1, the
+    DWA_ENT constants in tables.py). Field text is the realistic
+    corpus doc at the datapoint's modelA vec_id, so this unites the
+    two halves of the engine: lexical field-weighted search over the
+    entity/datapoint hierarchy the cascade scores semantically.
+    Output: (query_id, entity, score, n_matched, rank)."""
+    docs = _corpus(spark, sf_dir)
+    e = F.expr("doc_id div 6")
+    dpi = F.expr("(doc_id % 6) div 2")
+    fields = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("ent_"), F.lpad(e.cast("string"), 6, "0")
+        ).alias("entity"),
+        F.when(dpi == 0, F.lit("title"))
+        .when(dpi == 1, F.lit("text"))
+        .otherwise(F.lit("filename"))
+        .alias("field"),
+        "text",
+    )
+    return retrieval.bm25f_topk(
+        fields,
+        _text_queries(spark, sf_dir, docs),
+        {"title": 2.0, "text": 0.25, "filename": 0.1},
+        k=10,
+        id_col="entity",
+    )
+
+
+def _bm25f_entity_sql() -> str:
+    ftoks = TOKS_SQL.replace("text", "lower(ftext)")
+    return f"""WITH {RD_SQL},
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+ftab AS (
+  SELECT concat('ent_', lpad(CAST(doc_id // 6 AS VARCHAR), 6, '0'))
+           AS entity,
+         CASE ((doc_id % 6) // 2) WHEN 0 THEN 'title'
+              WHEN 1 THEN 'text' ELSE 'filename' END AS field,
+         text AS ftext
+  FROM rd WHERE doc_id % 2 = 0
+),
+fdtok AS (SELECT entity, field, {ftoks} AS t FROM ftab),
+ndocs AS (
+  SELECT CAST(count(DISTINCT entity) AS DOUBLE) AS n FROM fdtok
+),
+fstats AS (
+  SELECT field,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM fdtok GROUP BY field
+),
+fpost AS (
+  SELECT entity, field, len(t) AS dl, unnest(t) AS term FROM fdtok
+),
+ftf AS (
+  SELECT entity, field, dl, term, count(*) AS tf FROM fpost
+  GROUP BY entity, field, dl, term
+),
+fmatched AS (
+  SELECT * FROM ftf
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+),
+fdf AS (
+  SELECT term, count(DISTINCT entity) AS df FROM fmatched
+  GROUP BY term
+),
+ftfc AS (
+  SELECT m.entity, m.term,
+         sum((CASE m.field WHEN 'title' THEN 2.0
+              WHEN 'text' THEN 0.25 ELSE 0.1 END)
+             * CAST(m.tf AS DOUBLE)
+             / (1.0 + 0.75 * (m.dl / s.avgdl - 1.0))) AS tfc
+  FROM fmatched m JOIN fstats s USING (field)
+  GROUP BY m.entity, m.term
+),
+fcontrib AS (
+  SELECT qt.query_id, c.entity,
+         ln(1.0 + (nd.n - d.df + 0.5) / (d.df + 0.5))
+           * c.tfc / (1.2 + c.tfc) AS c
+  FROM ftfc c
+  JOIN fdf d USING (term)
+  JOIN qterm qt USING (term), ndocs nd
+),
+fbm AS (
+  SELECT query_id, entity, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM fcontrib GROUP BY query_id, entity
+)
+SELECT query_id, entity, score, n_matched,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, entity ASC) AS INT) AS rank
+FROM fbm QUALIFY rank <= 10"""
+
+
+BM25F_ENTITY_SQL = _bm25f_entity_sql()
+
+
 def q_bm25_cached_serve(spark, sf_dir):
     """The reference's QueryCache at warehouse scale: a persisted
     (md5(index_version ‖ query) → ranking) table. First serve fills
@@ -836,6 +939,40 @@ def q_bm25_routed_indexed(spark, sf_dir):
     ).select("query_id", F.col("lang_pred").alias("lang"))
     return retrieval.bm25_federated_from_index(
         spark, "es_gate_postings_lang", queries, route, k=10
+    )
+
+
+def q_bm25_routed_upsert(spark, sf_dir):
+    """Partition-cost maintenance of the lang-partitioned index: the
+    even-doc half builds the index, the odd half arrives as an upsert
+    through `PartitionOverwriteSink` (only the batch's language
+    partitions are rewritten — dynamic partition overwrite, bucketing
+    preserved, untouched partitions' files byte-identical in the unit
+    test), then federated serving routes the trained NB's predictions
+    over the converged index. Maintenance is last-writer-wins per doc
+    and the halves are disjoint, so the served ranking is
+    `bm25_routed_indexed`'s oracle verbatim."""
+    from embeddingsearch_spark.operators import langid as langid_ops
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    table = "es_gate_postings_lang_up"
+    retrieval.build_partitioned_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), table,
+        partition_col="lang", n_buckets=8,
+    )
+    retrieval.upsert_partitioned_postings_index(
+        spark, table, docs.filter(F.col("doc_id") % 2 == 1),
+        partition_col="lang", n_buckets=8,
+    )
+    dense, langs = langid_ops.charngram_lang_model(
+        docs, "doc_id", "text", "lang", n=3, vocab_size=1024
+    )
+    route = langid_ops.lang_id_predict(
+        queries, "query_id", "text", dense, langs, n=3
+    ).select("query_id", F.col("lang_pred").alias("lang"))
+    return retrieval.bm25_federated_from_index(
+        spark, table, queries, route, k=10
     )
 
 
@@ -1187,12 +1324,15 @@ QUERIES = {
         BM25_PROXIMITY_SQL,
     ),
     "bm25f_topk": (q_bm25f_topk, BM25F_TOPK_SQL),
+    "bm25f_entity_search": (q_bm25f_entity_search, BM25F_ENTITY_SQL),
     "hybrid_rrf": (q_hybrid_rrf, HYBRID_RRF_SQL),
     "bm25_lang_routed": (q_bm25_lang_routed, BM25_LANG_ROUTED_SQL),
     "bm25_routed_indexed": (
         q_bm25_routed_indexed,
         BM25_ROUTED_INDEXED_SQL,
     ),
+    # partition-cost upsert converges to the full index ⇒ same oracle
+    "bm25_routed_upsert": (q_bm25_routed_upsert, BM25_ROUTED_INDEXED_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),

@@ -180,3 +180,115 @@ def test_pq_upsert_with_delete_equals_rebuild(spark, sf_dir):
         for r in spark.table("es_test_sink_pq_codes").collect()
     )
     assert got == want
+
+
+def test_partitioned_postings_upsert_partition_cost(spark):
+    """PartitionOverwriteSink: upsert(changed, deleted) over the
+    lang-partitioned postings equals a rebuild over the remaining
+    docs, an UNTOUCHED partition's files are byte-identical (never
+    rewritten), and a partition whose docs are all deleted is
+    dropped."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 3} common w{i}",
+             ["en", "de", "fr"][i % 3])
+            for i in range(18)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    drop_table(spark, "es_test_sink_ppost")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_test_sink_ppost", partition_col="lang", n_buckets=2
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    fr_files = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(
+            os.path.join(wh, "es_test_sink_ppost", "lang=fr", "*")
+        )
+    )
+    # batch touches en (edit doc 0, add doc 100) and deletes doc 1 (de)
+    changed = spark.createDataFrame(
+        [(0, "edited text now", "en"), (100, "brand new", "en")],
+        "doc_id long, text string, lang string",
+    )
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    retrieval.upsert_partitioned_postings_index(
+        spark, "es_test_sink_ppost", changed, partition_col="lang",
+        n_buckets=2, deleted_ids=deleted,
+    )
+    remaining = (
+        docs.filter(~F.col("doc_id").isin(0, 1)).unionByName(changed)
+    )
+    drop_table(spark, "es_test_sink_ppost_ref")
+    retrieval.build_partitioned_postings_index(
+        remaining, "es_test_sink_ppost_ref", partition_col="lang",
+        n_buckets=2,
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("es_test_sink_ppost").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.table("es_test_sink_ppost_ref").collect()
+    )
+    assert got == want
+    # fr untouched: identical file listing (names + sizes)
+    fr_after = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(
+            os.path.join(wh, "es_test_sink_ppost", "lang=fr", "*")
+        )
+    )
+    assert fr_after == fr_files
+    # delete EVERY de doc -> partition dropped entirely
+    all_de = docs.filter(F.col("lang") == "de").select("doc_id")
+    retrieval.upsert_partitioned_postings_index(
+        spark, "es_test_sink_ppost",
+        spark.createDataFrame([], "doc_id long, text string, lang string"),
+        partition_col="lang", n_buckets=2, deleted_ids=all_de,
+    )
+    assert (
+        spark.table("es_test_sink_ppost")
+        .filter(F.col("lang") == "de")
+        .count()
+        == 0
+    )
+    # the dropped partition is gone from the table's partition listing
+    parts = [
+        r[0] for r in spark.sql(
+            "SHOW PARTITIONS es_test_sink_ppost"
+        ).collect()
+    ]
+    assert not any("lang=de" in p for p in parts), parts
+
+
+def test_partitioned_upsert_moves_doc_across_partitions(spark):
+    """A doc whose routing value changes leaves its old partition and
+    appears in the new one."""
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hallo welt", "de")],
+        "doc_id long, text string, lang string",
+    )
+    drop_table(spark, "es_test_sink_move")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_test_sink_move", partition_col="lang", n_buckets=2
+    )
+    moved = spark.createDataFrame(
+        [(1, "bonjour monde", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    retrieval.upsert_partitioned_postings_index(
+        spark, "es_test_sink_move", moved, partition_col="lang",
+        n_buckets=2,
+    )
+    t = spark.table("es_test_sink_move")
+    assert t.filter(
+        (F.col("doc_id") == 1) & (F.col("lang") == "en")
+    ).count() == 0
+    assert t.filter(
+        (F.col("doc_id") == 1) & (F.col("lang") == "fr")
+    ).count() > 0
