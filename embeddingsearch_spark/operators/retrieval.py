@@ -1125,6 +1125,89 @@ def save_champion_tier(
     return f"{table}_tiers"
 
 
+def upsert_champion_tier(
+    spark,
+    table: str,
+    affected_terms: DataFrame,
+    tier: int = 32,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+    sink=None,
+) -> str:
+    """BATCH-COST champion-tier maintenance: tier membership is a
+    per-TERM ranking, so a postings upsert can only change the tier
+    content of terms the batch touched (old rows' terms ∪ new rows'
+    terms — compute them BEFORE the postings upsert deletes the old
+    rows). Re-rank just those terms' postings (a term-bucketed
+    semi-join read, not a full-table window) and delete-insert the
+    tier table keyed by term through the storage seam. Equals a full
+    `save_champion_tier` re-derive (tested). The stored depth must
+    match the existing tier table's."""
+    from embeddingsearch_spark.sink import ParquetRewriteSink
+
+    sink = sink or ParquetRewriteSink()
+    terms = (
+        affected_terms.select(
+            F.col(affected_terms.columns[0]).alias("term")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    post = (
+        spark.table(table)
+        .filter(F.col("term").isNotNull())
+        .join(F.broadcast(terms), "term", "left_semi")
+    )
+    tw = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    tiers_new = (
+        post.withColumn("_r", F.row_number().over(tw))
+        .filter(F.col("_r") <= tier)
+        .localCheckpoint(eager=True)
+    )
+    sink.delete_insert(
+        spark, f"{table}_tiers", tiers_new, ["term"],
+        delete_keys=terms, bucket_cols=["term"], n_buckets=n_buckets,
+    )
+    return f"{table}_tiers"
+
+
+def affected_terms_of_upsert(
+    spark,
+    table: str,
+    changed_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+    deleted_ids: DataFrame | None = None,
+) -> DataFrame:
+    """The (term) frame whose tier content a postings upsert can
+    change: terms of the batch's/deleted docs' CURRENT index rows plus
+    terms of the batch's new text. Call BEFORE `upsert_postings_index`
+    (the upsert deletes the old rows this reads) and pin eagerly."""
+    dk = changed_docs.select(id_col).distinct()
+    if deleted_ids is not None:
+        dk = dk.unionByName(
+            deleted_ids.select(
+                F.col(deleted_ids.columns[0]).alias(id_col)
+            )
+        ).distinct()
+    old_terms = (
+        spark.table(table)
+        .join(dk, id_col, "left_semi")
+        .select("term")
+        .filter(F.col("term").isNotNull())
+        .distinct()
+    )
+    new_terms = (
+        _postings(changed_docs, id_col, text_col, tokenizer=tokenizer)
+        .select("term")
+        .distinct()
+    )
+    return old_terms.unionByName(new_terms).distinct()
+
+
 def bm25_champion_from_index(
     spark,
     table: str,
@@ -1611,6 +1694,49 @@ def build_positions_index(
     )
     _drop_table(docs.sparkSession, table)
     save_bucketed(pos, table, ["term"], n_buckets=n_buckets)
+    return table
+
+
+def upsert_positions_index(
+    spark,
+    table: str,
+    changed_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental maintenance of the positional index (the postings
+    family's delete-insert applied to (doc, pos, term) rows): re-derive
+    positions ONLY for the changed docs, delete the batch's and
+    ``deleted_ids``' old rows, insert the fresh ones — routed through
+    the MERGE-capable storage seam like every other index upserter.
+    Positions are per-doc-local, so the upsert is exactly
+    rebuild-equivalent (tested)."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.sink import ParquetRewriteSink
+
+    sink = sink or ParquetRewriteSink()
+    dk = changed_docs.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        changed_docs = changed_docs.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    tok = tokenizer or tokens
+    new = changed_docs.select(
+        F.col(id_col),
+        F.posexplode(tok(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    sink.delete_insert(
+        spark, table, new, [id_col], delete_keys=dk,
+        bucket_cols=["term"], n_buckets=n_buckets,
+    )
     return table
 
 

@@ -82,12 +82,19 @@ class ParquetRewriteSink(IndexSink):
         )
 
         kept = spark.table(table)
+        cols = kept.columns
         if delete_keys is not None:
             for kc in key_cols:
                 kept = kept.join(
                     _keys_one_col(delete_keys, kc), kc, "left_anti"
                 )
-        merged = kept.unionByName(insert).localCheckpoint(eager=True)
+        # equi-joins move the key column first — restore the table's
+        # column order so repeated upserts keep a stable schema
+        merged = (
+            kept.unionByName(insert)
+            .select(*cols)
+            .localCheckpoint(eager=True)
+        )
         drop_table(spark, table)
         save_bucketed(
             merged,

@@ -209,6 +209,7 @@ def graph_index_available_now(
         save_graph_index,
         upsert_graph_index,
     )
+    from embeddingsearch_spark.sink import ParquetRewriteSink
 
     spark = stream.sparkSession
     history: list[int] = []
@@ -250,8 +251,12 @@ def graph_index_available_now(
             id_col=id_col, vec_col=vec_col,
             centroid_id_col=centroid_id_col,
         )
-        replace_bucketed(
-            emb_all, vec_table, [id_col], n_buckets=n_buckets
+        # vectors table through the same seam: batch-cost on an ACID
+        # format, rewrite locally
+        ParquetRewriteSink().delete_insert(
+            spark, vec_table, batch_df, [id_col],
+            delete_keys=batch_df.select(id_col).distinct(),
+            bucket_cols=[id_col], n_buckets=n_buckets,
         )
 
     _drain(stream, step, checkpoint_dir)
@@ -311,6 +316,7 @@ def monitored_graph_ingest(
         save_graph_index,
         upsert_graph_index,
     )
+    from embeddingsearch_spark.sink import ParquetRewriteSink
     from embeddingsearch_spark.storage import replace_bucketed
 
     spark = stream.sparkSession
@@ -348,8 +354,10 @@ def monitored_graph_ingest(
                 id_col=id_col, vec_col=vec_col,
                 centroid_id_col=centroid_id_col,
             )
-            replace_bucketed(
-                emb_all, vec_table, [id_col], n_buckets=n_buckets
+            ParquetRewriteSink().delete_insert(
+                spark, vec_table, batch_df, [id_col],
+                delete_keys=batch_df.select(id_col).distinct(),
+                bucket_cols=[id_col], n_buckets=n_buckets,
             )
         summary, _ = embedding_drift(
             spark.table(vec_table), reference, vec_col=vec_col

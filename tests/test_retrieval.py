@@ -809,3 +809,112 @@ def test_bm25_champion_from_index_identical(spark):
             spark, "es_test_champ_post", qs, k=10, tier=4
         ),
     )
+
+
+def test_upsert_positions_index_equals_rebuild(spark):
+    """Positions upsert (changed + deleted) == fresh positional index
+    over the remaining docs; phrase serving stays exact."""
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta gamma delta"),
+            (3, "gamma delta alpha"),
+            (4, "delta alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    drop_table(spark, "es_test_pos_up")
+    retrieval.build_positions_index(
+        docs.filter(F.col("doc_id") <= 3), "es_test_pos_up", n_buckets=2
+    )
+    changed = spark.createDataFrame(
+        [(2, "beta beta echo"), (4, "delta alpha beta")],
+        "doc_id long, text string",
+    )
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    retrieval.upsert_positions_index(
+        spark, "es_test_pos_up", changed, n_buckets=2,
+        deleted_ids=deleted,
+    )
+    remaining = spark.createDataFrame(
+        [
+            (2, "beta beta echo"),
+            (3, "gamma delta alpha"),
+            (4, "delta alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    drop_table(spark, "es_test_pos_ref")
+    retrieval.build_positions_index(
+        remaining, "es_test_pos_ref", n_buckets=2
+    )
+    got = sorted(tuple(r) for r in spark.table("es_test_pos_up").collect())
+    want = sorted(
+        tuple(r) for r in spark.table("es_test_pos_ref").collect()
+    )
+    assert got == want
+    qs = spark.createDataFrame(
+        [(1, "delta alpha")], "query_id long, text string"
+    )
+    assert _frames_equal(
+        retrieval.phrase_search(remaining, qs),
+        retrieval.phrase_search_from_index(
+            spark, "es_test_pos_up", qs
+        ),
+    )
+
+
+def test_upsert_champion_tier_equals_full_rederive(spark):
+    """Term-keyed tier maintenance: after a postings upsert (with a
+    delete), refreshing ONLY the affected terms' tier rows equals the
+    full save_champion_tier re-derive, and serving stays exact."""
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common tok{i % 3} w{i}" + (" rare" if i == 5 else ""))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    table = "es_test_champ_up"
+    drop_table(spark, table)
+    drop_table(spark, f"{table}_tiers")
+    retrieval.build_postings_index(docs, table, n_buckets=2)
+    retrieval.save_champion_tier(spark, table, tier=3, n_buckets=2)
+    changed = spark.createDataFrame(
+        [(3, "rare rare fresh common"), (20, "tok1 fresh w20")],
+        "doc_id long, text string",
+    )
+    deleted = spark.createDataFrame([(5,)], "doc_id long")
+    terms = retrieval.affected_terms_of_upsert(
+        spark, table, changed, deleted_ids=deleted
+    ).localCheckpoint(eager=True)
+    retrieval.upsert_postings_index(
+        spark, table, changed, n_buckets=2, deleted_ids=deleted
+    )
+    retrieval.upsert_champion_tier(
+        spark, table, terms, tier=3, n_buckets=2
+    )
+    got = sorted(
+        tuple(r) for r in spark.table(f"{table}_tiers").collect()
+    )
+    drop_table(spark, f"{table}_tiers")
+    retrieval.save_champion_tier(spark, table, tier=3, n_buckets=2)
+    want = sorted(
+        tuple(r) for r in spark.table(f"{table}_tiers").collect()
+    )
+    assert got == want
+    remaining = docs.filter(~F.col("doc_id").isin(3, 5)).unionByName(
+        changed
+    )
+    qs = spark.createDataFrame(
+        [(1, "rare common"), (2, "fresh tok1")],
+        "query_id long, text string",
+    )
+    assert _frames_equal(
+        retrieval.bm25_topk(remaining, qs, k=5),
+        retrieval.bm25_champion_from_index(spark, table, qs, k=5, tier=3),
+    )
