@@ -387,3 +387,62 @@ def monitored_graph_ingest(
 
     _drain(stream, step, checkpoint_dir)
     return history, state["flagged"]
+
+
+def pq_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    codebooks=None,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """Drain a vector stream, maintaining the persisted PQ index per
+    micro-batch — the third index family's streaming wrapper
+    (postings and graph above). The codebooks are FIXED for the
+    stream's lifetime (the offline-trained artifact; the
+    rebuild-equivalence precondition the whole family shares): they
+    are required for the CREATING run and ignored afterwards (later
+    batches encode with the PERSISTED ``{prefix}_codebooks``, so a
+    restarted stream cannot silently re-encode under different
+    codebooks). Returns per-batch ingested-row counts."""
+    from embeddingsearch_spark.operators.pq import (
+        encode_pq,
+        save_pq_index,
+        upsert_pq_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(f"{prefix}_codes"):
+            upsert_pq_index(
+                spark, prefix, batch_df, id_col=id_col,
+                vec_col=vec_col, codes_col=codes_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            if codebooks is None:
+                raise ValueError(
+                    "codebooks required to CREATE the PQ index "
+                    "(train offline; the stream never trains)"
+                )
+            save_pq_index(
+                encode_pq(
+                    batch_df, codebooks, id_col=id_col,
+                    vec_col=vec_col, codes_col=codes_col,
+                ),
+                codebooks,
+                prefix,
+                n_buckets=n_buckets,
+                id_col=id_col,
+                codes_col=codes_col,
+            )
+
+    _drain(stream, step, checkpoint_dir)
+    return history

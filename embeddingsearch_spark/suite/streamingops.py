@@ -433,6 +433,56 @@ def q_streaming_graph_ann(spark, sf_dir):
     )
 
 
+def q_streaming_pq_index(spark, sf_dir):
+    """Streaming maintenance of the persisted PQ index (the third
+    index family's streaming twin, completing postings + graph): the
+    codebooks are the offline artifact (deterministic
+    initial_codebooks over the full corpus), the low-id 4/5 of the
+    embeddings streams first (creates codes + codebooks tables), the
+    remaining fifth streams through a second AvailableNow run
+    (per-batch `upsert_pq_index` — encode-only under the PERSISTED
+    codebooks), and ADC serves from the stored codes. Codes of
+    unchanged vectors cannot change under fixed codebooks, so the
+    served ranking is `pq_topk`'s oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        pq_index_available_now,
+    )
+    from embeddingsearch_spark.suite.ann import _queries_df
+
+    prefix = "es_gate_stream_pq"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_ops.initial_codebooks(emb, m_sub=8, k_codes=16)
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+        )
+        pq_index_available_now(stream, prefix, cbs, n_buckets=4)
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    return pq_ops.pq_topk_from_index(
+        spark, prefix, _queries_df(spark, sf_dir), k=10
+    )
+
+
 def q_drift_triggered_reindex(spark, sf_dir):
     """The monitoring loop closed into an action: ONE stream pass over
     the odd-doc_id half both maintains the persisted postings index
@@ -643,7 +693,7 @@ DRIFT_TRIGGERED_SQL = _drift_triggered_sql()
 
 # served-result equivalence: the maintained indexes are
 # batch-equivalent, so the gated checks are the batch oracles verbatim
-from embeddingsearch_spark.suite.ann import GRAPH_ANN_TOPK_SQL
+from embeddingsearch_spark.suite.ann import GRAPH_ANN_TOPK_SQL, PQ_TOPK_SQL
 from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
 
 
@@ -653,6 +703,7 @@ QUERIES = {
         BM25_TOPK_SQL,
     ),
     "streaming_graph_ann": (q_streaming_graph_ann, GRAPH_ANN_TOPK_SQL),
+    "streaming_pq_index": (q_streaming_pq_index, PQ_TOPK_SQL),
     "drift_triggered_reindex": (
         q_drift_triggered_reindex,
         DRIFT_TRIGGERED_SQL,
