@@ -137,8 +137,8 @@ def serve_bm25_cached(
     ).localCheckpoint(eager=False)
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        f"_qh string, _kmax int, {id_col} {id_type}, score double, "
-        "n_matched long, rank int"
+        f"_qh string, _kmax int, _gen int, {id_col} {id_type}, "
+        "score double, n_matched long, rank int"
     )
     if not spark.catalog.tableExists(cache_table):
         spark.createDataFrame([], schema).write.saveAsTable(cache_table)
@@ -167,7 +167,7 @@ def serve_bm25_cached(
     hits = (
         relevant.join(F.broadcast(best), ["_qh", "_kmax"])
         .filter(F.col("rank") <= k)
-        .drop("_kmax")
+        .drop("_kmax", "_gen")
         # concurrent misses append identical generations — serve one
         .distinct()
     )
@@ -183,6 +183,12 @@ def serve_bm25_cached(
         query_id_col=query_id_col,
         query_text_col=query_text_col,
     )
+    # write-recency counter for capacity eviction: one generation id
+    # per serve call (max over a single int column of the cache — at
+    # the reference's 1M-entry capacity this is a scan of one small
+    # column; a production deployment would keep the counter in the
+    # catalog). Deterministic — no wall clock.
+    gen = (cache.agg(F.max("_gen")).collect()[0][0] or 0) + 1
     computed_keyed = (
         computed.join(
             F.broadcast(qkeyed.select(query_id_col, "_qh")),
@@ -191,6 +197,7 @@ def serve_bm25_cached(
         .select(
             "_qh",
             F.lit(int(k)).cast("int").alias("_kmax"),
+            F.lit(int(gen)).cast("int").alias("_gen"),
             id_col,
             "score",
             "n_matched",
@@ -202,9 +209,52 @@ def serve_bm25_cached(
         .localCheckpoint(eager=True)
     )
     computed_keyed.write.mode("append").saveAsTable(cache_table)
-    served = hits.unionByName(computed_keyed.drop("_kmax"))
+    served = hits.unionByName(computed_keyed.drop("_kmax", "_gen"))
     return (
         qkeyed.select(query_id_col, "_qh")
         .join(served, "_qh")
         .select(query_id_col, id_col, "score", "n_matched", "rank")
     )
+
+
+def evict_query_cache(
+    spark, cache_table: str, keep_keys: int
+) -> dict:
+    """Capacity eviction for the persisted query cache — the
+    reference's `QueryCacheSize` bound (SearchdomainModels.cs:98,
+    default 1,000,000 entries per searchdomain) as a maintenance
+    operator: keep the ``keep_keys`` most-recently-WRITTEN query keys
+    (the `_gen` serve-call counter; ties break by key for
+    determinism), drop every other key's rows. Write-recency, not
+    true LRU — hits don't rewrite, so a hot-but-old key can evict
+    (declared deviation: read-tracking would make every serve a
+    write; the reference pays that cost in memory, we decline it in
+    storage). Evicted keys simply recompute on next serve — serving
+    results never change (gated: a post-eviction serve shares
+    `bm25_topk`'s oracle verbatim).
+
+    Returns {"keys_before", "keys_after", "rows_evicted"}."""
+    from pyspark.sql import functions as F
+
+    cache = spark.table(cache_table)
+    n_rows = cache.count()
+    keys = cache.groupBy("_qh").agg(F.max("_gen").alias("_g"))
+    n_keys = keys.count()
+    keep = (
+        keys.orderBy(F.col("_g").desc(), F.col("_qh").asc())
+        .limit(int(keep_keys))
+        .select("_qh")
+    )
+    kept = cache.join(
+        F.broadcast(keep), "_qh", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_kept = kept.count()
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, cache_table)
+    kept.write.saveAsTable(cache_table)
+    return {
+        "keys_before": int(n_keys),
+        "keys_after": int(min(n_keys, keep_keys)),
+        "rows_evicted": int(n_rows - n_kept),
+    }

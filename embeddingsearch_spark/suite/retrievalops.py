@@ -713,6 +713,38 @@ def q_bm25_cached_topn(spark, sf_dir):
     )
 
 
+def q_bm25_cache_evicted_serve(spark, sf_dir):
+    """Cache CAPACITY eviction (the reference's QueryCacheSize bound,
+    SearchdomainModels.cs:98) closed into the serve loop: fill the
+    cache in two serve generations (even keys, then the rest), evict
+    down to the 10 most-recently-written keys, then serve everything —
+    evicted keys recompute, surviving keys hit, and the returned
+    ranking is `bm25_topk`'s oracle verbatim either way (eviction can
+    never change results, only costs)."""
+    from embeddingsearch_spark.operators.query_cache import (
+        evict_query_cache,
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_gate_query_cache_evict"
+    drop_table(spark, table)
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs).localCheckpoint(
+        eager=False
+    )
+    serve_bm25_cached(
+        spark, table, docs,
+        queries.filter(F.col("query_id") % 2 == 0), "v1", k=10,
+    )
+    serve_bm25_cached(spark, table, docs, queries, "v1", k=10)
+    stats = evict_query_cache(spark, table, keep_keys=10)
+    assert stats["keys_after"] <= 10, stats
+    return serve_bm25_cached(
+        spark, table, docs, queries, index_version="v1", k=10
+    )
+
+
 _BM25_SELECT5 = """SELECT query_id, doc_id, score, n_matched,
        CAST(rank AS INT) AS rank
 FROM bmranked WHERE rank <= 5"""
@@ -1304,6 +1336,11 @@ QUERIES = {
     # k-complete serve: shallow refused, deep truncated at read ⇒ the
     # result IS bm25_topk at k=5
     "bm25_cached_topn": (q_bm25_cached_topn, BM25_TOP5_SQL),
+    # eviction changes costs, never results ⇒ identical oracle
+    "bm25_cache_evicted_serve": (
+        q_bm25_cache_evicted_serve,
+        BM25_TOPK_SQL,
+    ),
     # champion-tier pruning is rank-safe ⇒ identical oracle
     "bm25_champion_topk": (q_bm25_champion_topk, BM25_TOPK_SQL),
     # persisted-tier serve is result-identical ⇒ identical oracle

@@ -182,3 +182,54 @@ def test_serve_bm25_cached_string_ids_and_dup_generations(spark):
     dup.write.mode("append").saveAsTable(table)
     again = serve_bm25_cached(spark, table, docs, qs, "v1", k=10)
     assert sorted(tuple(r) for r in again.collect()) == want
+
+
+def test_evict_query_cache_recency_and_reserve(spark):
+    """Write-recency eviction keeps the most recent generations'
+    keys; evicted keys recompute on re-serve with identical results;
+    surviving keys still hit (no rows appended for them)."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.operators.query_cache import (
+        evict_query_cache,
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_test_query_cache_evict"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [(i, f"common tok{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(i, f"tok{i} common") for i in range(6)],
+        "query_id long, text string",
+    )
+
+    def direct(q):
+        return sorted(
+            tuple(r)
+            for r in retrieval.bm25_topk(docs, q, k=10).collect()
+        )
+
+    serve_bm25_cached(
+        spark, table, docs, qs.filter(F.col("query_id") < 3), "v1", k=10
+    )  # gen 1: keys 0-2
+    serve_bm25_cached(spark, table, docs, qs, "v1", k=10)  # gen 2: 3-5
+    stats = evict_query_cache(spark, table, keep_keys=3)
+    assert stats["keys_before"] == 6
+    assert stats["keys_after"] == 3
+    assert stats["rows_evicted"] > 0
+    # survivors are the gen-2 keys (most recent writes)
+    gens = {
+        r["_gen"] for r in spark.table(table).select("_gen").collect()
+    }
+    assert gens == {2}
+    n_rows = spark.table(table).count()
+    final = serve_bm25_cached(spark, table, docs, qs, "v1", k=10)
+    assert sorted(tuple(r) for r in final.collect()) == direct(qs)
+    # only the 3 evicted keys' rankings were recomputed and appended
+    appended = spark.table(table).count() - n_rows
+    assert appended == retrieval.bm25_topk(
+        docs, qs.filter(F.col("query_id") < 3), k=10
+    ).count()
