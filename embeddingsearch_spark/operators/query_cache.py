@@ -174,6 +174,16 @@ def serve_bm25_cached(
     misses_q = qkeyed.join(
         usable.select("_qh").distinct(), "_qh", "left_anti"
     ).localCheckpoint(eager=True)
+    # a fully-hit serve must NEVER touch the corpus — that is the
+    # cache's whole contract. Without this early-out the miss pass
+    # still materializes the postings frame (its stats collect() runs
+    # even over zero miss queries), costing one corpus scan per serve.
+    if misses_q.isEmpty():
+        return (
+            qkeyed.select(query_id_col, "_qh")
+            .join(hits, "_qh")
+            .select(query_id_col, id_col, "score", "n_matched", "rank")
+        )
     computed = bm25_topk(
         docs,
         misses_q.select(query_id_col, query_text_col),

@@ -89,6 +89,70 @@ def best_snippets(
     )
 
 
+def best_snippets_from_index(
+    spark,
+    positions_table: str,
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """`best_snippets` served from the PERSISTED positional index
+    (`retrieval.build_positions_index`): the hit stream comes from a
+    term-bucketed equi-join against stored (doc, pos, term) rows — no
+    corpus-wide posexplode — and the corpus is touched exactly once,
+    SEMI-JOINED down to the matched docs, solely to slice the
+    original-case snippet text (positions store lowered terms, which
+    is also the matching semantics). On selective queries the
+    tokenize-for-text pass is matched-docs-sized, not corpus-sized.
+    Identical output to `best_snippets` — shared oracle."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.operators.retrieval import query_terms
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    pos = spark.table(positions_table)
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col, "pos"
+    )
+    wf = (
+        Window.partitionBy(query_id_col, id_col)
+        .orderBy("pos")
+        .rangeBetween(0, window - 1)
+    )
+    counted = hits.withColumn("n_hits", F.count(F.lit(1)).over(wf))
+    rank = Window.partitionBy(query_id_col, id_col).orderBy(
+        F.col("n_hits").desc(), F.col("pos").asc()
+    )
+    best = (
+        counted.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("pos").alias("start"),
+            "n_hits",
+        )
+        .localCheckpoint(eager=False)
+    )
+    staged = docs.join(
+        best.select(id_col).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_orig"))
+    return best.join(staged, id_col).select(
+        query_id_col,
+        id_col,
+        "start",
+        "n_hits",
+        F.concat_ws(
+            " ", F.slice(F.col("_orig"), F.col("start") + 1, window)
+        ).alias("snippet"),
+    )
+
+
 def top_snippets(
     docs: DataFrame,
     queries: DataFrame,

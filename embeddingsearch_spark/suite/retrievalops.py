@@ -1180,6 +1180,30 @@ SELECT b.query_id, b.doc_id, b.start, b.n_hits,
 FROM best b JOIN staged s USING (doc_id)"""
 
 
+def q_snippets_indexed(spark, sf_dir):
+    """Snippet serving from the PERSISTED positional index: the hit
+    stream is a term-bucketed join against stored (doc, pos, term)
+    rows (no corpus-wide posexplode), and the corpus is tokenized
+    once, semi-joined to the matched docs, only to slice the
+    original-case snippet text. Identical output to `best_snippets` —
+    shared oracle."""
+    from embeddingsearch_spark.operators.snippets import (
+        best_snippets_from_index,
+    )
+
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_positions_index(
+        docs, "es_gate_snip_positions", n_buckets=8
+    )
+    return best_snippets_from_index(
+        spark,
+        "es_gate_snip_positions",
+        docs,
+        _text_queries(spark, sf_dir, docs),
+        window=10,
+    )
+
+
 def q_search_snippets_multi(spark, sf_dir):
     """Top-2 NON-OVERLAPPING passages per (query, doc) — the greedy
     multi-passage selection result pages actually show: round 1 picks
@@ -1376,6 +1400,8 @@ QUERIES = {
     # the positional-index path is result-identical ⇒ shared oracle
     "phrase_indexed": (q_phrase_indexed, PHRASE_SEARCH_SQL),
     "search_snippets": (q_search_snippets, SEARCH_SNIPPETS_SQL),
+    # positional-index serving is result-identical ⇒ shared oracle
+    "snippets_indexed": (q_snippets_indexed, SEARCH_SNIPPETS_SQL),
     "search_snippets_multi": (
         q_search_snippets_multi,
         SEARCH_SNIPPETS_MULTI_SQL,

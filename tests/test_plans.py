@@ -689,3 +689,28 @@ def test_champion_from_index_zero_corpus_scans(spark):
         if "Scan parquet" in line:
             assert "es_plan_champ_post" in line, line
     assert "CartesianProduct" not in plan
+
+
+def test_snippets_from_index_no_corpus_posexplode(spark):
+    """Indexed snippet serving: the hit stream reads the positional
+    index (no Generate/posexplode over the corpus anywhere in the
+    plan); the only corpus access is the semi-joined original-case
+    text fetch for matched docs."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.operators.snippets import (
+        best_snippets_from_index,
+    )
+
+    docs = tables.load(spark, SF, "documents")
+    retrieval.build_positions_index(
+        docs, "es_plan_snip_pos", n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    df = best_snippets_from_index(
+        spark, "es_plan_snip_pos", docs, queries, window=10
+    )
+    plan = pi.physical_plan(df)
+    assert "Generate" not in plan, plan
+    assert "CartesianProduct" not in plan

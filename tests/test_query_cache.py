@@ -233,3 +233,36 @@ def test_evict_query_cache_recency_and_reserve(spark):
     assert appended == retrieval.bm25_topk(
         docs, qs.filter(F.col("query_id") < 3), k=10
     ).count()
+
+
+def test_fully_hit_serve_never_touches_corpus(spark, monkeypatch):
+    """The cache contract: when every query hits, the corpus-side
+    BM25 computation is never invoked (no scan, no stats pass)."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.operators.query_cache import (
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_test_query_cache_hit"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [(1, "hot cached doc"), (2, "another doc")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "cached doc")], "query_id long, text string"
+    )
+    want = sorted(
+        tuple(r)
+        for r in serve_bm25_cached(
+            spark, table, docs, qs, "v1", k=10
+        ).collect()
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("corpus BM25 ran on a fully-hit serve")
+
+    monkeypatch.setattr(retrieval, "bm25_topk", boom)
+    again = serve_bm25_cached(spark, table, docs, qs, "v1", k=10)
+    assert sorted(tuple(r) for r in again.collect()) == want
