@@ -190,6 +190,30 @@ def top_snippets(
     hits = pos.join(F.broadcast(qterms), "term").select(
         query_id_col, id_col, "pos"
     )
+    sel = _greedy_windows(hits, window, s, id_col, query_id_col)
+    return sel.join(staged.select(id_col, "_orig"), id_col).select(
+        query_id_col,
+        id_col,
+        "start",
+        "n_hits",
+        "snip_rank",
+        F.concat_ws(
+            " ", F.slice(F.col("_orig"), F.col("start") + 1, window)
+        ).alias("snippet"),
+    )
+
+
+def _greedy_windows(
+    hits: DataFrame,
+    window: int,
+    s: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The greedy non-overlapping window selection over a
+    (query, doc, pos) hit stream — shared by the scan path and the
+    positional-index serve. Hit counts computed once; each round's
+    candidate frame pinned so round i never replays rounds 0..i-1."""
     wf = (
         Window.partitionBy(query_id_col, id_col)
         .orderBy("pos")
@@ -236,7 +260,43 @@ def top_snippets(
     sel = picks[0]
     for p in picks[1:]:
         sel = sel.unionByName(p)
-    return sel.join(staged.select(id_col, "_orig"), id_col).select(
+    return sel
+
+
+def top_snippets_from_index(
+    spark,
+    positions_table: str,
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 10,
+    s: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """`top_snippets` served from the persisted positional index —
+    the `best_snippets_from_index` composition applied to the greedy
+    multi-passage rounds: hit stream from stored (doc, pos, term)
+    rows, corpus tokenized once semi-joined to matched docs for the
+    original-case text. Identical output — shared oracle."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.operators.retrieval import query_terms
+
+    if window < 1 or s < 1:
+        raise ValueError("window and s must be >= 1")
+    qterms = query_terms(queries, query_id_col, query_text_col)
+    pos = spark.table(positions_table)
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        query_id_col, id_col, "pos"
+    )
+    sel = _greedy_windows(
+        hits, window, s, id_col, query_id_col
+    ).localCheckpoint(eager=False)
+    staged = docs.join(
+        sel.select(id_col).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_orig"))
+    return sel.join(staged, id_col).select(
         query_id_col,
         id_col,
         "start",

@@ -1281,6 +1281,30 @@ FROM sel b JOIN staged s USING (doc_id)"""
 SEARCH_SNIPPETS_MULTI_SQL = _multi_snippets_sql()
 
 
+def q_snippets_multi_indexed(spark, sf_dir):
+    """Multi-passage snippet serving from the persisted positional
+    index: the greedy non-overlapping rounds run over stored
+    (doc, pos, term) hit rows; the corpus is tokenized once,
+    semi-joined to matched docs, for the original-case text. Shares
+    `search_snippets_multi`'s oracle."""
+    from embeddingsearch_spark.operators.snippets import (
+        top_snippets_from_index,
+    )
+
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_positions_index(
+        docs, "es_gate_snipm_positions", n_buckets=8
+    )
+    return top_snippets_from_index(
+        spark,
+        "es_gate_snipm_positions",
+        docs,
+        _text_queries(spark, sf_dir, docs),
+        window=10,
+        s=2,
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 (realistic corpus) fused
     with exact-cosine ANN top-10 via reciprocal-rank fusion (k=60) —
@@ -1404,6 +1428,11 @@ QUERIES = {
     "snippets_indexed": (q_snippets_indexed, SEARCH_SNIPPETS_SQL),
     "search_snippets_multi": (
         q_search_snippets_multi,
+        SEARCH_SNIPPETS_MULTI_SQL,
+    ),
+    # positional-index multi-passage serve ⇒ shared oracle
+    "snippets_multi_indexed": (
+        q_snippets_multi_indexed,
         SEARCH_SNIPPETS_MULTI_SQL,
     ),
 }
