@@ -728,6 +728,182 @@ def bm25_federated_from_index(
     )
 
 
+def bm25_federated_pruned_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Max-score/WAND pruning composed with FEDERATED serving: each
+    query is routed to one collection and pruned with THAT
+    collection's statistics — per-(collection, term) upper bounds
+    ub = idf_c·(k1+1), a pooled seed pass fixes each query's θ from
+    exact collection-stat scores, non-essential terms (running ub-sum
+    below θ − quantum, ub asc) never generate candidates, and exact
+    scoring runs semi-joined to the surviving pairs. Because a routed
+    query's scoring universe is exactly its collection's postings and
+    statistics, the global rank-safety argument applies verbatim per
+    collection — identical output to `bm25_federated_from_index`
+    (shared oracle). A query term absent from its collection has no
+    matched rows and no df there: it drops from the bound table with
+    effective ub = 0, which can neither reach θ nor produce a
+    candidate — safe to omit.
+
+    Scale shape: static partition pruning to the routed languages,
+    broadcast route/bounds/stats/df, candidate generation from
+    essential-term postings only; the single wide exchange is the
+    final (query, doc) aggregation."""
+    quantum = 10.0 ** (-ROUND_DIGITS)
+    vals = [
+        r[0] for r in route.select(partition_col).distinct().collect()
+    ]
+    pruned = spark.table(table).filter(
+        F.col(partition_col).isin(vals)
+    )
+    stats_l = (
+        pruned.select(partition_col, id_col, "dl")
+        .distinct()
+        .groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg("dl").alias("_avgdl"),
+        )
+        .withColumn(
+            "_avgdl",
+            F.when(
+                F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
+                F.lit(1.0),
+            ).otherwise(F.col("_avgdl")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    qt_c = qterms.join(
+        F.broadcast(route.select(query_id_col, partition_col)),
+        query_id_col,
+    ).localCheckpoint(eager=False)
+    matched = pruned.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy(partition_col, "term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    contrib = (
+        idf
+        * tf
+        * F.lit(k1 + 1.0)
+        / (
+            tf
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("_avgdl")
+            )
+        )
+    )
+    ubt = (
+        qt_c.join(F.broadcast(dfreq), [partition_col, "term"])
+        .join(F.broadcast(stats_l), partition_col)
+        .select(
+            query_id_col,
+            partition_col,
+            "term",
+            (idf * F.lit(k1 + 1.0)).alias("_ub"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sw = Window.partitionBy(query_id_col, "term").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    seed_pairs = (
+        matched.join(F.broadcast(qt_c), [partition_col, "term"])
+        .select(query_id_col, id_col, "term", "tf")
+        .withColumn("_r", F.row_number().over(sw))
+        .filter(F.col("_r") <= k)
+        .select(query_id_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_scores = (
+        matched.join(
+            F.broadcast(seed_pairs.select(id_col).distinct()), id_col
+        )
+        .join(F.broadcast(dfreq), [partition_col, "term"])
+        .join(F.broadcast(qt_c), [partition_col, "term"])
+        .join(
+            F.broadcast(stats_l.select(partition_col, "_n", "_avgdl")),
+            partition_col,
+        )
+        .join(
+            F.broadcast(seed_pairs), [query_id_col, id_col], "left_semi"
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), ROUND_DIGITS).alias("score"))
+    )
+    theta = seed_scores.groupBy(query_id_col).agg(
+        F.when(
+            F.count(F.lit(1)) >= k,
+            F.element_at(
+                F.sort_array(F.collect_list("score"), asc=False), k
+            ),
+        ).alias("_theta")
+    )
+    cw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_ub").asc(), F.col("term").asc()
+    )
+    ess = (
+        ubt.withColumn("_cum", F.sum("_ub").over(cw))
+        .join(theta, query_id_col, "left_outer")
+        .filter(
+            F.col("_theta").isNull()
+            | (F.col("_cum") >= F.col("_theta") - F.lit(quantum))
+        )
+        .select(query_id_col, partition_col, "term")
+    )
+    cand = (
+        matched.join(F.broadcast(ess), [partition_col, "term"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), [partition_col, "term"])
+        .join(F.broadcast(qt_c), [partition_col, "term"])
+        .join(
+            F.broadcast(stats_l.select(partition_col, "_n", "_avgdl")),
+            partition_col,
+        )
+        .join(cand, [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _drop_table(spark, table: str) -> None:
     from embeddingsearch_spark.storage import drop_table
 

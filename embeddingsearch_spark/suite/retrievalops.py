@@ -1008,6 +1008,32 @@ def q_bm25_routed_upsert(spark, sf_dir):
     )
 
 
+def q_bm25_routed_wand(spark, sf_dir):
+    """The full production stack in one query: language-partitioned
+    persisted postings (static partition pruning) × trained-NB routing
+    × per-collection statistics × max-score/WAND pruning with
+    per-collection bounds. Rank-safe per collection (each routed
+    query's scoring universe is exactly its collection), so it shares
+    `bm25_routed_indexed`'s oracle verbatim."""
+    from embeddingsearch_spark.operators import langid as langid_ops
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    table = "es_gate_postings_lang_wand"
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col="lang", n_buckets=8
+    )
+    dense, langs = langid_ops.charngram_lang_model(
+        docs, "doc_id", "text", "lang", n=3, vocab_size=1024
+    )
+    route = langid_ops.lang_id_predict(
+        queries, "query_id", "text", dense, langs, n=3
+    ).select("query_id", F.col("lang_pred").alias("lang"))
+    return retrieval.bm25_federated_pruned_from_index(
+        spark, table, queries, route, k=10
+    )
+
+
 def _bm25_routed_indexed_sql() -> str:
     from embeddingsearch_spark.suite.textops import nb_langid_ctes
 
@@ -1418,6 +1444,8 @@ QUERIES = {
     ),
     # partition-cost upsert converges to the full index ⇒ same oracle
     "bm25_routed_upsert": (q_bm25_routed_upsert, BM25_ROUTED_INDEXED_SQL),
+    # per-collection WAND is rank-safe per collection ⇒ same oracle
+    "bm25_routed_wand": (q_bm25_routed_wand, BM25_ROUTED_INDEXED_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),

@@ -918,3 +918,47 @@ def test_upsert_champion_tier_equals_full_rederive(spark):
         retrieval.bm25_topk(remaining, qs, k=5),
         retrieval.bm25_champion_from_index(spark, table, qs, k=5, tier=3),
     )
+
+
+def test_federated_wand_identical_to_federated_plain(spark):
+    """Per-collection WAND pruning equals the plain federated serve
+    for several k, including a query whose term is missing from its
+    routed collection and a collection with fewer than k matches."""
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common tok{i % 4} en{i}", "en") for i in range(12)
+        ] + [
+            (100 + i, f"gemein tok{i % 3} de{i}", "de")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, "common tok1"),
+            (2, "gemein tok2"),
+            (3, "common gemein"),   # one term missing per collection
+            (4, "en3 tok0"),
+        ],
+        "query_id long, text string",
+    )
+    route = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en"), (4, "en")],
+        "query_id long, lang string",
+    )
+    table = "es_test_fed_wand"
+    drop_table(spark, table)
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col="lang", n_buckets=2
+    )
+    for k in (2, 5, 50):
+        assert _frames_equal(
+            retrieval.bm25_federated_from_index(
+                spark, table, qs, route, k=k
+            ),
+            retrieval.bm25_federated_pruned_from_index(
+                spark, table, qs, route, k=k
+            ),
+        ), k
