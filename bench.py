@@ -43,6 +43,7 @@ BUILD_QUERIES = {
     "streaming_index_build",
     "drift_triggered_reindex",
     "drift_ann_reindex",
+    "drift_pq_reindex",
 }
 
 

@@ -82,9 +82,18 @@ def encode_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "codes",
+    err_col: str | None = None,
 ) -> DataFrame:
     """All input columns + ``codes`` (array<int>, one per subspace):
-    argmin_j round(||x_m - c_mj||^2, ROUND_DIGITS), ties -> smallest j."""
+    argmin_j round(||x_m - c_mj||^2, ROUND_DIGITS), ties -> smallest j.
+
+    With ``err_col`` set, also emits the per-row RECONSTRUCTION error
+    Σ_m min_j round(||x_m − c_mj||², ROUND_DIGITS) — the quantization
+    distortion the chosen codes leave behind, free at encode time (the
+    min is the value at the argmin already computed). Mean distortion
+    rising against the codebook-training era is the PQ-native signal
+    that the corpus drifted away from the quantizer
+    (`streaming.annindex.monitored_pq_ingest` consumes it)."""
     import numpy as np
 
     C = [np.array(cb, dtype=np.float64) for cb in codebooks]
@@ -95,6 +104,8 @@ def encode_pq(
         f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema
     )
     out_schema = f"{fields}, {codes_col} array<int>"
+    if err_col:
+        out_schema += f", {err_col} double"
 
     def run(batches):
         for pdf in batches:
@@ -104,23 +115,46 @@ def encode_pq(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             codes = np.empty((len(V), m_sub), dtype=np.int32)
+            errs = np.zeros(len(V))
             for m in range(m_sub):
                 X = V[:, m * ds : (m + 1) * ds]
                 # ||x||^2 - 2 x.c + ||c||^2, rounded before argmin so the
                 # choice is reproducible cross-engine
-                d2 = (
+                d2 = np.round(
                     np.sum(X * X, axis=1)[:, None]
                     - 2.0 * (X @ C[m].T)
-                    + cn2[m][None, :]
+                    + cn2[m][None, :],
+                    ROUND_DIGITS,
                 )
-                codes[:, m] = np.argmin(
-                    np.round(d2, ROUND_DIGITS), axis=1
-                )  # first min = smallest code
+                codes[:, m] = np.argmin(d2, axis=1)  # first min = code
+                errs += np.min(d2, axis=1)
             pdf = pdf.copy()
             pdf[codes_col] = [list(map(int, c)) for c in codes]
+            if err_col:
+                pdf[err_col] = errs
             yield pdf
 
     return corpus.mapInPandas(run, schema=out_schema)
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[float, int]:
+    """(Σ reconstruction error, n rows) of ``corpus`` under
+    ``codebooks`` — one scan-stage encode + a 2-scalar aggregate.
+    Sum/count are associative, so distortion accumulated per micro-batch
+    equals this one-shot computation (the monitored-ingest invariant)."""
+    enc = encode_pq(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col,
+        err_col="_qerr",
+    )
+    row = enc.agg(
+        F.sum("_qerr").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return float(row["s"] or 0.0), int(row["n"])
 
 
 def train_codebooks(

@@ -389,6 +389,120 @@ def monitored_graph_ingest(
     return history, state["flagged"]
 
 
+def monitored_pq_ingest(
+    stream: DataFrame,
+    prefix: str,
+    reference: DataFrame,
+    codebooks=None,
+    distortion_ratio_threshold: float = 2.0,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    checkpoint_dir: str | None = None,
+):
+    """Drift-TRIGGERED maintenance for the PQ index — the
+    `monitored_graph_ingest` loop with the PQ-NATIVE signal:
+    **quantization distortion**. Every batch is encoded anyway; the
+    reconstruction error Σ_m min_j ||x_m − c_mj||² falls out of the
+    same argmin for free (`encode_pq(err_col=...)`), so the monitor
+    costs two extra aggregate scalars per batch, not a second pass.
+    When the corpus drifts away from the distribution the codebooks
+    were trained on, vectors land far from every codeword and mean
+    distortion rises — the exact failure PQ has (ADC scores degrade
+    silently; rankings stay plausible but recall decays), and one that
+    mean-shift monitoring alone can miss (a variance blow-up drifts
+    distortion without moving the mean).
+
+    The flag trips when cumulative mean distortion of everything
+    ingested THIS RUN exceeds ``distortion_ratio_threshold`` × the mean
+    distortion of the pinned ``reference`` snapshot (the codebooks'
+    training era) under the SAME codebooks. Sum/count are associative,
+    so the final ratio is batch-equivalent to the one-shot computation
+    over everything that streamed — the gated oracle's check. The index
+    keeps updating either way (codes of unchanged vectors cannot change
+    under the fixed persisted codebooks); the flag says the offline
+    retrain+re-encode cycle should run.
+
+    ``codebooks`` are required only when the stream CREATES the index;
+    an existing index monitors under its PERSISTED codebooks. Returns
+    ``(history, flagged)``: per-batch
+    (batch_id, n_vecs, mean_distortion, ratio) and the flag."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.pq import (
+        encode_pq,
+        load_pq_codebooks,
+        pq_distortion,
+        save_pq_index,
+    )
+    from embeddingsearch_spark.sink import ParquetRewriteSink
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    # cbs/ref_mean resolve at the FIRST batch (the persisted codebooks
+    # may not exist until then); sums accumulate driver-side
+    state = {
+        "cbs": None, "ref_mean": None,
+        "sum": 0.0, "n": 0, "flagged": False,
+    }
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        exists = spark.catalog.tableExists(f"{prefix}_codes")
+        if state["cbs"] is None:
+            if exists:
+                state["cbs"] = load_pq_codebooks(spark, prefix)
+            elif codebooks is not None:
+                state["cbs"] = codebooks
+            else:
+                raise ValueError(
+                    "codebooks required to CREATE the PQ index "
+                    "(train offline; the stream never trains)"
+                )
+            s, n = pq_distortion(
+                reference, state["cbs"], id_col=id_col, vec_col=vec_col
+            )
+            state["ref_mean"] = (s / n) if n else 0.0
+        # ONE encode serves both the index write and the monitor
+        coded = encode_pq(
+            batch_df, state["cbs"], id_col=id_col, vec_col=vec_col,
+            codes_col=codes_col, err_col="_qerr",
+        ).localCheckpoint(eager=True)
+        agg = coded.agg(
+            F.sum("_qerr").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        state["sum"] += float(agg["s"] or 0.0)
+        state["n"] += int(agg["n"])
+        if exists:
+            ParquetRewriteSink().delete_insert(
+                spark, f"{prefix}_codes",
+                coded.select(id_col, codes_col), [id_col],
+                delete_keys=coded.select(id_col).distinct(),
+                bucket_cols=[id_col], n_buckets=n_buckets,
+            )
+        else:
+            save_pq_index(
+                coded.select(id_col, codes_col), state["cbs"], prefix,
+                n_buckets=n_buckets, id_col=id_col, codes_col=codes_col,
+            )
+        mean = state["sum"] / state["n"] if state["n"] else 0.0
+        ratio = (
+            mean / state["ref_mean"] if state["ref_mean"] else
+            (0.0 if mean == 0.0 else float("inf"))
+        )
+        if ratio > distortion_ratio_threshold:
+            state["flagged"] = True
+        history.append(
+            (int(batch_id), int(agg["n"]), round(mean, 6),
+             round(ratio, 6))
+        )
+
+    _drain(stream, step, checkpoint_dir)
+    return history, state["flagged"]
+
+
 def pq_index_available_now(
     stream: DataFrame,
     prefix: str,

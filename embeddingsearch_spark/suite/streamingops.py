@@ -614,6 +614,169 @@ def q_drift_ann_reindex(spark, sf_dir):
     )
 
 
+def q_drift_pq_reindex(spark, sf_dir):
+    """The monitor→action loop closed for the PQ index family with the
+    PQ-NATIVE signal (quantization distortion, a free byproduct of the
+    encode every batch runs anyway): pass 1 streams the reference-era
+    two-thirds of the embeddings through `monitored_pq_ingest`
+    (creates the codes table under era-1 codebooks; cumulative
+    distortion equals the reference's own — ratio 1.0, no flag),
+    pass 2 streams a SHIFTED era (new ids, x → 3x + 1 — a scale
+    blow-up that lands far from every era-1 codeword). The monitor
+    flags retrain on the distortion ratio, and the ACTION runs:
+    re-seed codebooks over BOTH eras (a fixed 8+8 id set so the oracle
+    can replay the deterministic init) and re-encode, then ADC-serve.
+    The oracle replays the two-era corpus, the retrained encode, and
+    the ADC ranking — plus the flag columns (retrain TRUE, premature
+    FALSE), so a missed or spurious trigger value-fails the gate."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_pq_ingest,
+    )
+
+    prefix = "es_gate_drift_pq"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    reference = corpus.filter(F.col("vec_id") % 3 != 0)
+    cb1 = pq_ops.initial_codebooks(reference, m_sub=8, k_codes=16)
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+
+    def shift(df):
+        return df.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x * F.lit(3.0) + F.lit(1.0),
+            ).alias("embedding"),
+        )
+
+    _, flag1 = monitored_pq_ingest(
+        stream().filter(F.col("vec_id") % 3 != 0), prefix, reference,
+        codebooks=cb1, n_buckets=4, distortion_ratio_threshold=2.0,
+    )
+    _, flag2 = monitored_pq_ingest(
+        shift(stream().filter(F.col("vec_id") % 3 == 0)),
+        prefix, reference, n_buckets=4,
+        distortion_ratio_threshold=2.0,
+    )
+    # the action: re-seed the quantizer over both eras and re-encode —
+    # the offline cycle the flag demands
+    acc = reference.unionByName(
+        shift(corpus.filter(F.col("vec_id") % 3 == 0))
+    ).localCheckpoint(eager=False)
+    new_cbs = pq_ops.initial_codebooks(
+        acc.filter(
+            (F.col("vec_id") < 12)
+            | ((F.col("vec_id") >= 10000) & (F.col("vec_id") < 10024))
+        ),
+        m_sub=8,
+        k_codes=16,
+    )
+    coded = pq_ops.encode_pq(acc, new_cbs)
+    queries = acc.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_ops.pq_topk(coded, new_cbs, queries, k=10)
+    return res.withColumn("retrain", F.lit(bool(flag2))).withColumn(
+        "premature", F.lit(bool(flag1))
+    )
+
+
+def _drift_pq_sql() -> str:
+    """The PQ encode/ADC chain (PQ_TOPK_SQL's shape) over the two-era
+    corpus with codebooks re-seeded from a fixed 8+8 id set, coded by
+    id rank (`initial_codebooks`' j-th-lowest-id rule)."""
+    return f"""WITH srcm AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 3.0 + 1.0)
+           AS embedding
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+cbsel AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM srcm
+  WHERE vec_id < 12 OR (vec_id >= 10000 AND vec_id < 10024)
+),
+cbe AS (
+  SELECT c.code, m.m, i.i,
+         CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
+  FROM cbsel c, range(0, 8) m(m), range(1, 9) i(i)
+),
+d2 AS (
+  SELECT v.vec_id, b.m, b.code,
+         round(sum((CAST(v.embedding[b.m * 8 + b.i] AS DOUBLE) - b.cv) ^ 2),
+               {RD}) AS dist
+  FROM srcm v JOIN cbe b ON true
+  GROUP BY v.vec_id, b.m, b.code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+rec AS (
+  SELECT e.vec_id, q.query_id,
+         sum(b.cv * CAST(q.qv[e.m * 8 + b.i] AS DOUBLE)) AS dot,
+         sum(b.cv * b.cv) AS rn2
+  FROM enc e
+  JOIN cbe b ON b.m = e.m AND b.code = e.code
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM srcm WHERE vec_id < 4) q ON true
+  GROUP BY e.vec_id, q.query_id
+),
+qn AS (
+  SELECT vec_id AS query_id,
+         sqrt(sum(CAST(x AS DOUBLE) ^ 2)) AS qnorm
+  FROM (SELECT vec_id, unnest(embedding) AS x
+        FROM srcm WHERE vec_id < 4)
+  GROUP BY vec_id
+),
+sims AS (
+  SELECT r.query_id, r.vec_id,
+         round(CASE WHEN sqrt(r.rn2) * q.qnorm = 0 THEN 0.5
+               ELSE (r.dot / (sqrt(r.rn2) * q.qnorm) + 1.0) / 2.0 END,
+               {RD}) AS cosine
+  FROM rec r JOIN qn q USING (query_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank,
+       TRUE AS retrain, FALSE AS premature
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
+DRIFT_PQ_SQL = _drift_pq_sql()
+
+
 def _drift_ann_sql() -> str:
     from embeddingsearch_spark.suite.ann import _graph_ann_sql
 
@@ -709,6 +872,7 @@ QUERIES = {
         DRIFT_TRIGGERED_SQL,
     ),
     "drift_ann_reindex": (q_drift_ann_reindex, DRIFT_ANN_SQL),
+    "drift_pq_reindex": (q_drift_pq_reindex, DRIFT_PQ_SQL),
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_drift": (q_streaming_drift, STREAMING_DRIFT_SQL),
     "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),

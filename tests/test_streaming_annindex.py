@@ -243,3 +243,67 @@ def test_monitored_graph_ingest_flags_skew_and_drift(spark, tmp_path):
         drift_threshold=0.25, skew_threshold=1e9,
     )
     assert f3, h3
+
+
+def test_monitored_pq_ingest_flags_distortion(spark, tmp_path):
+    """The PQ-native monitor: a same-distribution stream maintains the
+    codes table WITHOUT flagging (cumulative distortion == reference
+    distortion, ratio 1.0); a second run streaming vectors far from
+    every codeword trips the retrain flag while the index keeps
+    updating; the final codes table equals the one-shot encode."""
+    import hashlib
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_pq_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+
+    def vec(i):
+        h = hashlib.md5(f"pqmon:{i}".encode()).digest()
+        return [float(b % 16) - 7.5 for b in h[:8]]
+
+    ref_rows = [(i, vec(i)) for i in range(40)]
+    reference = spark.createDataFrame(ref_rows, schema)
+    cbs = pq_ops.initial_codebooks(reference, m_sub=4, k_codes=4)
+
+    prefix = "es_test_mon_pq"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, prefix + t)
+
+    # pass 1: the training era itself -> ratio exactly 1.0, no flag
+    s1 = _multi_file_source(spark, tmp_path, ref_rows, schema, 2)
+    h1, f1 = monitored_pq_ingest(
+        s1, prefix, reference, codebooks=cbs, n_buckets=2,
+        distortion_ratio_threshold=2.0,
+    )
+    assert len(h1) >= 2 and not f1, h1
+    assert h1[-1][3] == 1.0  # cumulative ratio over the full era
+
+    # pass 2: vectors far outside the codeword range -> distortion
+    # blows past 2x reference; codebooks load from the PERSISTED table
+    far_rows = [(1000 + i, [x * 9.0 for x in v]) for i, v in ref_rows]
+    s2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p2"), far_rows, schema, 1
+    )
+    h2, f2 = monitored_pq_ingest(
+        s2, prefix, reference, n_buckets=2,
+        distortion_ratio_threshold=2.0,
+    )
+    assert f2, h2
+
+    # the index kept updating and equals the one-shot encode
+    all_rows = ref_rows + far_rows
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_ops.encode_pq(
+            spark.createDataFrame(all_rows, schema), cbs
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.table(prefix + "_codes").collect()
+    )
+    assert got == want
