@@ -1397,6 +1397,94 @@ FROM fused
 QUALIFY fused_rank <= 10"""
 
 
+def q_unified_index_serve(spark, sf_dir):
+    """ONE index pair serves every lexical query shape — the
+    production layout: `build_postings_index` + `build_positions_index`
+    run ONCE over the corpus, then ranked BM25, proximity-boosted BM25,
+    and exact-phrase retrieval all serve from those two tables (zero
+    corpus scans in every branch; the corpus is tokenized exactly once
+    per table at build time). The gated result is the union of the
+    three served shapes tagged by ``mode`` — each branch is
+    result-identical to its scan-path twin, so the oracle is the three
+    existing oracles union-tagged the same way. The separately-gated
+    `bm25_indexed_topk` / `bm25_proximity_indexed` / `phrase_indexed`
+    each build their own tables for oracle isolation; this query pins
+    the sharing."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_postings_index(
+        docs, "es_gate_unified_postings", n_buckets=8
+    )
+    retrieval.build_positions_index(
+        docs, "es_gate_unified_positions", n_buckets=8
+    )
+    queries = _text_queries(spark, sf_dir, docs)
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    phrase_qs = docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 3)).alias(
+            "text"
+        ),
+    )
+    b = retrieval.bm25_topk_from_index(
+        spark, "es_gate_unified_postings", queries, k=10
+    )
+    x = retrieval.bm25_proximity_from_index(
+        spark, "es_gate_unified_postings", "es_gate_unified_positions",
+        queries, k=10,
+    )
+    p = retrieval.phrase_search_from_index(
+        spark, "es_gate_unified_positions", phrase_qs
+    )
+    nd = F.lit(None).cast("double")
+    ni = F.lit(None).cast("int")
+    nl = F.lit(None).cast("long")
+    return (
+        b.select(
+            F.lit("bm25").alias("mode"), "query_id", "doc_id",
+            "score", "n_matched", ni.alias("min_dist"), "rank",
+            ni.alias("n_occurrences"), ni.alias("first_pos"),
+        )
+        .unionByName(
+            x.select(
+                F.lit("proximity").alias("mode"), "query_id",
+                "doc_id", "score", "n_matched", "min_dist", "rank",
+                ni.alias("n_occurrences"), ni.alias("first_pos"),
+            )
+        )
+        .unionByName(
+            p.select(
+                F.lit("phrase").alias("mode"), "query_id", "doc_id",
+                nd.alias("score"), nl.alias("n_matched"),
+                ni.alias("min_dist"), ni.alias("rank"),
+                "n_occurrences", "first_pos",
+            )
+        )
+    )
+
+
+UNIFIED_INDEX_SERVE_SQL = f"""SELECT 'bm25' AS mode, query_id, doc_id,
+       score, n_matched, CAST(NULL AS BIGINT) AS min_dist, rank,
+       CAST(NULL AS INT) AS n_occurrences, CAST(NULL AS INT) AS first_pos
+FROM ({BM25_TOPK_SQL})
+UNION ALL
+SELECT 'proximity' AS mode, query_id, doc_id, score, n_matched,
+       min_dist, rank, CAST(NULL AS INT) AS n_occurrences,
+       CAST(NULL AS INT) AS first_pos
+FROM ({BM25_PROXIMITY_SQL})
+UNION ALL
+SELECT 'phrase' AS mode, query_id, doc_id,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS n_matched,
+       CAST(NULL AS BIGINT) AS min_dist, CAST(NULL AS INT) AS rank,
+       n_occurrences, first_pos
+FROM ({PHRASE_SEARCH_SQL})"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     # rank-safe pruning ⇒ identical result set ⇒ identical oracle
@@ -1462,5 +1550,11 @@ QUERIES = {
     "snippets_multi_indexed": (
         q_snippets_multi_indexed,
         SEARCH_SNIPPETS_MULTI_SQL,
+    ),
+    # one postings+positions pair serves all three shapes; each branch
+    # result-identical to its scan twin ⇒ union of the three oracles
+    "unified_index_serve": (
+        q_unified_index_serve,
+        UNIFIED_INDEX_SERVE_SQL,
     ),
 }

@@ -714,3 +714,41 @@ def test_snippets_from_index_no_corpus_posexplode(spark):
     plan = pi.physical_plan(df)
     assert "Generate" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_unified_serve_zero_corpus_scans(spark):
+    """The unified serving composition: BM25, proximity, and phrase
+    all serve from the SAME postings+positions pair — every parquet
+    scan in the combined plan is one of the two index tables (the
+    corpus was tokenized exactly once per table at build time), and no
+    cartesian product appears in any branch."""
+    from embeddingsearch_spark.operators import retrieval
+
+    docs = tables.load(spark, SF, "documents")
+    retrieval.build_postings_index(
+        docs, "es_plan_uni_post", n_buckets=2
+    )
+    retrieval.build_positions_index(
+        docs, "es_plan_uni_pos", n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    b = retrieval.bm25_topk_from_index(
+        spark, "es_plan_uni_post", queries, k=10
+    )
+    x = retrieval.bm25_proximity_from_index(
+        spark, "es_plan_uni_post", "es_plan_uni_pos", queries, k=10
+    )
+    p = retrieval.phrase_search_from_index(
+        spark, "es_plan_uni_pos", queries
+    )
+    for df in (b, x, p):
+        plan = pi.physical_plan(df)
+        for line in plan.splitlines():
+            if "Scan parquet" in line:
+                assert (
+                    "es_plan_uni_post" in line
+                    or "es_plan_uni_pos" in line
+                ), line
+        assert "CartesianProduct" not in plan
