@@ -44,6 +44,7 @@ BUILD_QUERIES = {
     "drift_triggered_reindex",
     "drift_ann_reindex",
     "drift_pq_reindex",
+    "streaming_ivf_index",
 }
 
 

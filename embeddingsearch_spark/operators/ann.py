@@ -1108,6 +1108,53 @@ def ivf_topk_from_index(
     )
 
 
+def upsert_ivf_index(
+    spark,
+    prefix: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental IVF maintenance: assign ONLY the batch under the
+    persisted (FIXED) centroid table — assignments of unchanged
+    vectors cannot change under a fixed quantizer, the invariant the
+    whole index family shares — then DELETE-INSERT through the storage
+    seam. The default sink is `PartitionOverwriteSink` on the
+    centroid-id partition column: the assigned table is PARTITIONED by
+    centroid, so an upsert rewrites only the partitions the batch's
+    vectors assign into (plus those its deleted/changed ids currently
+    occupy) — ingest cost scales with the batch's centroid spread, not
+    the corpus. A vector whose nearest centroid changed moves
+    partitions via the seam's affected-partition union. Re-train
+    centroids offline and rebuild to re-center. ``deleted_ids`` wins
+    over a conflicting batch row."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    sink = sink or PartitionOverwriteSink(centroid_id_col)
+    cents = spark.table(f"{prefix}_centroids")
+    dk = new_vectors.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_vectors = new_vectors.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    assigned = assign_centroids(
+        new_vectors, cents, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    sink.delete_insert(
+        spark, f"{prefix}_assigned", assigned, [id_col],
+        delete_keys=dk, bucket_cols=[id_col], n_buckets=n_buckets,
+        partition_cols=[centroid_id_col],
+    )
+    return f"{prefix}_assigned"
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -389,6 +389,162 @@ def monitored_graph_ingest(
     return history, state["flagged"]
 
 
+def ivf_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame = None,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """Drain a vector stream, maintaining the persisted IVF index per
+    micro-batch — the streaming wrapper completing the vector-index
+    trio (postings, graph, PQ above). The coarse centroids are FIXED
+    for the stream's lifetime (the rebuild-equivalence precondition):
+    required for the CREATING run, ignored afterwards (later batches
+    assign under the PERSISTED ``{prefix}_centroids``). Each upsert
+    rewrites only the centroid partitions the batch touches
+    (`upsert_ivf_index` → PartitionOverwriteSink). Returns per-batch
+    ingested-row counts."""
+    from embeddingsearch_spark.operators.ann import (
+        assign_centroids,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(f"{prefix}_assigned"):
+            upsert_ivf_index(
+                spark, prefix, batch_df, id_col=id_col,
+                vec_col=vec_col, centroid_id_col=centroid_id_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            if centroids is None:
+                raise ValueError(
+                    "centroids required to CREATE the IVF index "
+                    "(train offline; the stream never trains)"
+                )
+            assigned = assign_centroids(
+                batch_df, centroids, id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            )
+            save_ivf_index(
+                assigned, centroids, prefix, n_buckets=n_buckets,
+                id_col=id_col, centroid_id_col=centroid_id_col,
+            )
+
+    _drain(stream, step, checkpoint_dir)
+    return history
+
+
+def monitored_ivf_ingest(
+    stream: DataFrame,
+    prefix: str,
+    reference: DataFrame,
+    centroids: DataFrame = None,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    drift_threshold: float = 0.25,
+    skew_threshold: float = 4.0,
+    checkpoint_dir: str | None = None,
+):
+    """Drift-TRIGGERED IVF maintenance — `monitored_graph_ingest`'s
+    signal pair read off the IVF index's OWN table (the assigned
+    corpus carries both the vectors and the centroid ids, so no
+    auxiliary vectors table is needed):
+
+    - **embedding drift**: ‖μ_assigned − μ_reference‖₂ vs the pinned
+      snapshot the centroids were trained on;
+    - **centroid skew**: max centroid population × n_observed / total
+      (uniform = 1) — a drifted corpus piles into few coarse cells,
+      which for IVF means probe-time partition pruning stops pruning
+      (one partition holds everything) and per-probe scan cost
+      degrades toward brute force.
+
+    Crossing EITHER threshold sets the retrain flag (re-train
+    centroids offline over the accumulated corpus and rebuild); the
+    index keeps updating under the old quantizer either way. Returns
+    ``(history, flagged)``: per-batch
+    (batch_id, n_vecs, mean_shift_l2, centroid_skew) and the flag —
+    all derived from the persisted table, hence batch-equivalent."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.drift import embedding_drift
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    state = {"flagged": False}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        from embeddingsearch_spark.operators.ann import (
+            assign_centroids,
+            save_ivf_index,
+            upsert_ivf_index,
+        )
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_vecs = batch_df.count()
+        if spark.catalog.tableExists(f"{prefix}_assigned"):
+            upsert_ivf_index(
+                spark, prefix, batch_df, id_col=id_col,
+                vec_col=vec_col, centroid_id_col=centroid_id_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            if centroids is None:
+                raise ValueError(
+                    "centroids required to CREATE the IVF index "
+                    "(train offline; the stream never trains)"
+                )
+            save_ivf_index(
+                assign_centroids(
+                    batch_df, centroids, id_col=id_col,
+                    vec_col=vec_col, centroid_id_col=centroid_id_col,
+                ),
+                centroids, prefix, n_buckets=n_buckets,
+                id_col=id_col, centroid_id_col=centroid_id_col,
+            )
+        stored = spark.table(f"{prefix}_assigned")
+        summary, _ = embedding_drift(
+            stored.select(id_col, vec_col), reference, vec_col=vec_col
+        )
+        shift = summary.collect()[0]["mean_shift_l2"]
+        pop = (
+            stored.groupBy(centroid_id_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.max("_c").alias("_mx"),
+                F.sum("_c").alias("_tot"),
+                F.count(F.lit(1)).alias("_ncell"),
+            )
+            .collect()[0]
+        )
+        skew = (
+            float(pop["_mx"]) * float(pop["_ncell"]) / float(pop["_tot"])
+            if pop["_tot"]
+            else 0.0
+        )
+        if (shift is not None and shift > drift_threshold) or (
+            skew > skew_threshold
+        ):
+            state["flagged"] = True
+        history.append((int(batch_id), n_vecs, shift, round(skew, 6)))
+
+    _drain(stream, step, checkpoint_dir)
+    return history, state["flagged"]
+
+
 def monitored_pq_ingest(
     stream: DataFrame,
     prefix: str,

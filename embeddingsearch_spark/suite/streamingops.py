@@ -483,6 +483,59 @@ def q_streaming_pq_index(spark, sf_dir):
     )
 
 
+def q_streaming_ivf_index(spark, sf_dir):
+    """Streaming maintenance of the persisted IVF index — the fourth
+    persisted index family's streaming twin (postings, graph, PQ
+    above, completing the set): centroids are the fixed offline
+    artifact, the low-id 4/5 of the embeddings streams first (creates
+    the centroid-partitioned assigned table), the remaining fifth
+    streams through a second AvailableNow run (per-batch
+    `upsert_ivf_index` — assign-only under the PERSISTED centroids,
+    partition-cost delete-insert), and the probe serves from the
+    stored table with static partition pruning. Assignments of
+    unchanged vectors cannot change under fixed centroids, so the
+    served ranking is `ivf_topk`'s oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        ivf_index_available_now,
+    )
+    from embeddingsearch_spark.suite.ann import _queries_df
+
+    prefix = "es_gate_stream_ivf"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+        )
+        ivf_index_available_now(stream, prefix, centroids, n_buckets=4)
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    return ann_ops.ivf_topk_from_index(
+        spark, prefix, _queries_df(spark, sf_dir), k=10, nprobe=4
+    )
+
+
 def q_drift_triggered_reindex(spark, sf_dir):
     """The monitoring loop closed into an action: ONE stream pass over
     the odd-doc_id half both maintains the persisted postings index
@@ -856,7 +909,11 @@ DRIFT_TRIGGERED_SQL = _drift_triggered_sql()
 
 # served-result equivalence: the maintained indexes are
 # batch-equivalent, so the gated checks are the batch oracles verbatim
-from embeddingsearch_spark.suite.ann import GRAPH_ANN_TOPK_SQL, PQ_TOPK_SQL
+from embeddingsearch_spark.suite.ann import (
+    GRAPH_ANN_TOPK_SQL,
+    IVF_TOPK_SQL,
+    PQ_TOPK_SQL,
+)
 from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
 
 
@@ -867,6 +924,7 @@ QUERIES = {
     ),
     "streaming_graph_ann": (q_streaming_graph_ann, GRAPH_ANN_TOPK_SQL),
     "streaming_pq_index": (q_streaming_pq_index, PQ_TOPK_SQL),
+    "streaming_ivf_index": (q_streaming_ivf_index, IVF_TOPK_SQL),
     "drift_triggered_reindex": (
         q_drift_triggered_reindex,
         DRIFT_TRIGGERED_SQL,

@@ -292,3 +292,77 @@ def test_partitioned_upsert_moves_doc_across_partitions(spark):
     assert t.filter(
         (F.col("doc_id") == 1) & (F.col("lang") == "fr")
     ).count() > 0
+
+
+def test_ivf_upsert_with_delete_equals_rebuild(spark, sf_dir):
+    """IVF joins the delete-insert family: assign only the batch under
+    the persisted centroids, delete-insert through the
+    partition-overwrite seam — equals a one-shot build over the
+    remaining corpus, and an untouched centroid partition's files are
+    byte-identical."""
+    import glob
+    import os
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    old = corpus.filter(F.col("vec_id") % 100 != 24)
+    batch = corpus.filter(F.col("vec_id") % 100 == 24)
+    deleted = corpus.filter(F.col("vec_id") % 250 == 1).select("vec_id")
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_sink_ivf" + t)
+    ann_ops.save_ivf_index(
+        ann_ops.assign_centroids(old, cents), cents,
+        "es_test_sink_ivf", n_buckets=2,
+    )
+    # a partition neither the batch nor the deletes touch stays
+    # byte-identical (names + sizes)
+    assigned_all = ann_ops.assign_centroids(corpus, cents)
+    touched = {
+        r[0]
+        for r in assigned_all.filter(
+            (F.col("vec_id") % 100 == 24) | (F.col("vec_id") % 250 == 1)
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    every = {
+        r[0]
+        for r in assigned_all.select("centroid_id").distinct().collect()
+    }
+    untouched = sorted(every - touched)
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(cid):
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_sink_ivf_assigned",
+                    f"centroid_id={cid}", "*",
+                )
+            )
+        )
+
+    before = {cid: listing(cid) for cid in untouched}
+    ann_ops.upsert_ivf_index(
+        spark, "es_test_sink_ivf", batch, n_buckets=2,
+        deleted_ids=deleted,
+    )
+    remaining = corpus.join(deleted, "vec_id", "left_anti")
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in ann_ops.assign_centroids(remaining, cents).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.table("es_test_sink_ivf_assigned").collect()
+    )
+    assert got == want
+    assert untouched, "fixture degenerate: every partition touched"
+    for cid in untouched:
+        assert listing(cid) == before[cid], cid

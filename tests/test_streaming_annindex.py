@@ -307,3 +307,107 @@ def test_monitored_pq_ingest_flags_distortion(spark, tmp_path):
         for r in spark.table(prefix + "_codes").collect()
     )
     assert got == want
+
+
+def test_streaming_ivf_converges_to_rebuild(spark, tmp_path, vec_rows):
+    """The IVF streaming wrapper: per-batch assign-and-delete-insert
+    under fixed centroids converges to the one-shot assignment, and
+    the persisted index serves identically."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        ivf_index_available_now,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(vec_rows, schema)
+    cents = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_stream_ivf" + t)
+    stream = _multi_file_source(spark, tmp_path, vec_rows, schema, 3)
+    history = ivf_index_available_now(
+        stream, "es_test_stream_ivf", cents, n_buckets=2
+    )
+    assert len(history) >= 2 and sum(history) == len(vec_rows)
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in ann_ops.assign_centroids(corpus, cents).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.table("es_test_stream_ivf_assigned").collect()
+    )
+    assert got == want
+    qs = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ann_ops.ivf_topk_from_index(
+        spark, "es_test_stream_ivf", qs, k=5, nprobe=3
+    )
+    direct = ann_ops.ivf_topk(
+        ann_ops.assign_centroids(corpus, cents), cents, qs, k=5,
+        nprobe=3,
+    )
+    assert sorted(tuple(r) for r in served.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+
+
+def test_monitored_ivf_ingest_flags_skew_and_drift(spark, tmp_path):
+    """The IVF monitor reads both signals off the index's own table:
+    balanced same-distribution stream -> no flag; all mass piling into
+    one centroid cell -> skew flag; mean-shifted values -> drift
+    flag."""
+    import math
+
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_ivf_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+
+    def unit(i):
+        a = 2 * math.pi * i / 8
+        return [math.cos(a), math.sin(a)]
+
+    ref_rows = [(i, unit(i % 8)) for i in range(40)]
+    cents = spark.createDataFrame(
+        [(100 + i, unit(i)) for i in range(8)],
+        "centroid_id long, embedding array<double>",
+    )
+    reference = spark.createDataFrame(ref_rows, schema)
+
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_mon_ivf" + t)
+    s1 = _multi_file_source(spark, tmp_path, ref_rows, schema, 2)
+    h1, f1 = monitored_ivf_ingest(
+        s1, "es_test_mon_ivf", reference, centroids=cents,
+        n_buckets=2, drift_threshold=0.25, skew_threshold=3.0,
+    )
+    assert len(h1) >= 2 and not f1, h1
+
+    skew_rows = [(1000 + i, unit(0)) for i in range(40)]
+    s2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p2"), skew_rows, schema, 1
+    )
+    h2, f2 = monitored_ivf_ingest(
+        s2, "es_test_mon_ivf", reference,
+        n_buckets=2, drift_threshold=1e9, skew_threshold=3.0,
+    )
+    assert f2, h2
+    assert spark.table("es_test_mon_ivf_assigned").count() == 80
+
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_mon_ivf2" + t)
+    shifted = [(i, [x * 0.2 + 0.8 for x in v]) for i, v in ref_rows]
+    s3 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p3"), shifted, schema, 1
+    )
+    h3, f3 = monitored_ivf_ingest(
+        s3, "es_test_mon_ivf2", reference, centroids=cents,
+        n_buckets=2, drift_threshold=0.25, skew_threshold=1e9,
+    )
+    assert f3, h3
