@@ -1103,6 +1103,99 @@ FROM bmr QUALIFY rank <= 10"""
 BM25_ROUTED_INDEXED_SQL = _bm25_routed_indexed_sql()
 
 
+def q_bm25_tenant_serve(spark, sf_dir):
+    """Multi-tenant searchdomain layout over the retrieval index —
+    the reference's per-searchdomain corpus semantics (every
+    Searchdomain is its OWN corpus: stats must be domain-local, and a
+    query addressed to one domain must never read another's data,
+    reference Searchdomain.cs:183-258) expressed as physical layout:
+    the postings index persists PARTITIONED by tenant (``source`` is
+    the tenant axis of the realistic corpus), each query routes to the
+    searchdomain it belongs to, the routed tenant values collect into
+    a static partition-pruning filter (nothing outside the addressed
+    domains is read — tenant isolation enforced by the scan, not by a
+    post-filter), and scoring uses each tenant's OWN N/avgdl/df. Same
+    machinery as the language-federated family
+    (`bm25_federated_from_index`); per-tenant upserts touch one
+    partition via the same PartitionOverwriteSink seam the lang
+    variant unit-tests. The oracle replays per-tenant scoring with
+    direct tenancy routing."""
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    table = "es_gate_postings_tenant"
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col="source", n_buckets=8
+    )
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source")
+    return retrieval.bm25_federated_from_index(
+        spark, table, queries, route, k=10, partition_col="source"
+    )
+
+
+def _bm25_tenant_sql() -> str:
+    return f"""WITH {RD_SQL},
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+troute AS (
+  SELECT e.vec_id AS query_id, d.source AS src
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+rsrc AS (SELECT DISTINCT src FROM troute),
+dtokr AS (
+  SELECT doc_id, source AS src, {_LTOKS} AS t FROM rd
+  WHERE source IN (SELECT src FROM rsrc)
+),
+statsl AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS n,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM dtokr GROUP BY src
+),
+postr AS (
+  SELECT doc_id, src, len(t) AS dl, unnest(t) AS term FROM dtokr
+),
+tfpr AS (
+  SELECT doc_id, src, dl, term, count(*) AS tf FROM postr
+  GROUP BY doc_id, src, dl, term
+),
+matchedr AS (
+  SELECT * FROM tfpr
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+),
+dflr AS (
+  SELECT src, term, count(DISTINCT doc_id) AS df FROM matchedr
+  GROUP BY src, term
+),
+contribr AS (
+  SELECT p.query_id, m.doc_id,
+         ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5))
+           * CAST(m.tf AS DOUBLE) * 2.2
+           / (CAST(m.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+  FROM matchedr m
+  JOIN troute p ON p.src = m.src
+  JOIN qterm qt ON qt.query_id = p.query_id AND qt.term = m.term
+  JOIN dflr d2 ON d2.src = m.src AND d2.term = m.term
+  JOIN statsl s ON s.src = m.src
+),
+bmr AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM contribr GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, n_matched,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM bmr QUALIFY rank <= 10"""
+
+
+BM25_TENANT_SQL = _bm25_tenant_sql()
+
+
 def q_rerank_hash_topk(spark, sf_dir):
     """The full two-stage retrieval pipeline, value-oracled end to
     end: BM25 top-10 candidates → cross-encoder rerank to top-5 via
@@ -1534,6 +1627,7 @@ QUERIES = {
     "bm25_routed_upsert": (q_bm25_routed_upsert, BM25_ROUTED_INDEXED_SQL),
     # per-collection WAND is rank-safe per collection ⇒ same oracle
     "bm25_routed_wand": (q_bm25_routed_wand, BM25_ROUTED_INDEXED_SQL),
+    "bm25_tenant_serve": (q_bm25_tenant_serve, BM25_TENANT_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),
