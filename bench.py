@@ -45,6 +45,7 @@ BUILD_QUERIES = {
     "drift_ann_reindex",
     "drift_pq_reindex",
     "streaming_ivf_index",
+    "drift_ivf_reindex",
 }
 
 

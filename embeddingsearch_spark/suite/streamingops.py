@@ -755,6 +755,131 @@ def q_drift_pq_reindex(spark, sf_dir):
     )
 
 
+def q_drift_ivf_reindex(spark, sf_dir):
+    """The monitor→action loop closed for the IVF family — the third
+    of the three vector-index families, making the gated set
+    symmetric (graph: drift_ann_reindex; PQ: drift_pq_reindex): pass 1
+    streams the reference-era two-thirds through
+    `monitored_ivf_ingest` (creates the centroid-partitioned index;
+    balanced cells, zero drift — no flag), pass 2 streams a SHIFTED
+    era (new ids, x → 0.2x + 0.8 — the mean shift piles the
+    compressed mass into few coarse cells, which for IVF means the
+    partition pruning the layout exists for stops pruning). The
+    monitor flags retrain, and the ACTION runs: re-select centroids
+    over BOTH eras (a fixed id set the oracle replays) and re-assign,
+    then probe-serve. Oracle: the IVF assign/probe/score chain over
+    the two-era corpus with the retrained quantizer, plus the flag
+    columns (retrain TRUE, premature FALSE)."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_ivf_ingest,
+    )
+
+    prefix = "es_gate_drift_ivf"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    reference = corpus.filter(F.col("vec_id") % 3 != 0)
+    cents1 = reference.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+
+    def shift(df):
+        return df.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x * F.lit(0.2) + F.lit(0.8),
+            ).alias("embedding"),
+        )
+
+    _, flag1 = monitored_ivf_ingest(
+        stream().filter(F.col("vec_id") % 3 != 0), prefix, reference,
+        centroids=cents1, n_buckets=4,
+        drift_threshold=0.25, skew_threshold=4.0,
+    )
+    _, flag2 = monitored_ivf_ingest(
+        shift(stream().filter(F.col("vec_id") % 3 == 0)),
+        prefix, reference, n_buckets=4,
+        drift_threshold=0.25, skew_threshold=4.0,
+    )
+    # the action: re-select the quantizer over both eras and re-assign
+    acc = reference.unionByName(
+        shift(corpus.filter(F.col("vec_id") % 3 == 0))
+    ).localCheckpoint(eager=False)
+    new_cents = acc.filter(
+        (F.col("vec_id") < 24)
+        | ((F.col("vec_id") >= 10000) & (F.col("vec_id") < 10024))
+    ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    assigned = ann_ops.assign_centroids(acc, new_cents)
+    queries = acc.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ann_ops.ivf_topk(
+        assigned, new_cents, queries, k=10, nprobe=4
+    )
+    return res.withColumn("retrain", F.lit(bool(flag2))).withColumn(
+        "premature", F.lit(bool(flag1))
+    )
+
+
+def _drift_ivf_sql() -> str:
+    """IVF_TOPK_SQL re-sourced to the two-era corpus with the
+    re-selected mixed-era centroid set, plus the flag columns."""
+    from embeddingsearch_spark.suite.ann import IVF_TOPK_SQL
+
+    srcm = """srcm AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 0.2 + 0.8)
+           AS embedding
+  FROM embeddings WHERE vec_id % 3 = 0
+)"""
+    body = IVF_TOPK_SQL
+    assert body.startswith("WITH ")
+    body = body.replace("FROM embeddings", "FROM srcm").replace(
+        "JOIN embeddings", "JOIN srcm"
+    )
+    assert "embeddings" not in body
+    body = body.replace(
+        "WHERE vec_id < 16",
+        "WHERE vec_id < 24 OR (vec_id >= 10000 AND vec_id < 10024)",
+        1,
+    )
+    sql = "WITH " + srcm + ",\n" + body[len("WITH "):]
+    return sql.replace(
+        "SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank",
+        "SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank, "
+        "TRUE AS retrain, FALSE AS premature",
+        1,
+    )
+
+
+DRIFT_IVF_SQL = _drift_ivf_sql()
+
+
 def _drift_pq_sql() -> str:
     """The PQ encode/ADC chain (PQ_TOPK_SQL's shape) over the two-era
     corpus with codebooks re-seeded from a fixed 8+8 id set, coded by
@@ -931,6 +1056,7 @@ QUERIES = {
     ),
     "drift_ann_reindex": (q_drift_ann_reindex, DRIFT_ANN_SQL),
     "drift_pq_reindex": (q_drift_pq_reindex, DRIFT_PQ_SQL),
+    "drift_ivf_reindex": (q_drift_ivf_reindex, DRIFT_IVF_SQL),
     "streaming_dedup": (q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_drift": (q_streaming_drift, STREAMING_DRIFT_SQL),
     "streaming_curation": (q_streaming_curation, STREAMING_CURATION_SQL),
