@@ -371,3 +371,42 @@ def verify_manifest(
         if h.hexdigest() != expected[name]["sha256"]:
             problems.append(f"content mismatch: {name}")
     return problems
+
+
+def set_index_alias(spark, alias: str, prefix: str) -> None:
+    """Point a logical index ``alias`` at a physical generation
+    ``prefix`` — the blue/green swap primitive for the retrain cycle:
+    the drift monitors (`streaming.annindex.monitored_*_ingest`) flag
+    that the quantizer/codebooks/centroids went stale, the offline
+    rebuild writes a NEW generation (``{alias}__g2_*`` tables) while
+    the old one keeps serving, and this one-row overwrite flips
+    readers to the new generation. Serve paths that resolve the alias
+    per query (`resolve_index_alias`) never see a half-built index:
+    the old generation's tables are untouched until the swap, and
+    dropping them afterwards is garbage collection, not correctness.
+
+    On a shared metastore the overwrite of the one-row mapping table
+    is the transaction boundary (a single-table CREATE OR REPLACE VIEW
+    achieves the same for single-table indexes; the mapping table also
+    covers multi-table families — graph's _pairs/_assigned, PQ's
+    _codes/_codebooks — whose generations must swap together)."""
+    if not spark.catalog.tableExists(f"{alias}_alias"):
+        # a stale location from a previous session (table gone from
+        # this catalog, directory still on disk) would fail CREATE
+        drop_table(spark, f"{alias}_alias")
+    spark.createDataFrame([(prefix,)], "prefix string").write.mode(
+        "overwrite"
+    ).saveAsTable(f"{alias}_alias")
+
+
+def resolve_index_alias(spark, alias: str) -> str:
+    """The physical generation prefix an ``alias`` currently serves
+    (one-row read — resolve once per query, then read the resolved
+    generation's tables for the whole plan so a concurrent swap cannot
+    split a query across generations)."""
+    rows = spark.table(f"{alias}_alias").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"alias {alias!r} has {len(rows)} mapping rows (want 1)"
+        )
+    return rows[0]["prefix"]

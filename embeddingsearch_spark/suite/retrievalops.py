@@ -1196,6 +1196,76 @@ FROM bmr QUALIFY rank <= 10"""
 BM25_TENANT_SQL = _bm25_tenant_sql()
 
 
+def q_bluegreen_index_swap(spark, sf_dir):
+    """Blue/green index generations — zero-downtime serving through
+    the retrain/rebuild cycle the drift monitors demand: generation 1
+    (the even-doc half) serves via the alias while generation 2 (the
+    full corpus) builds under a different prefix; a query served
+    BETWEEN build and swap still reads g1 exactly (the 'blue' rows —
+    the full-corpus tables exist but are invisible to the alias), the
+    one-row alias overwrite flips readers, and the post-swap serve
+    reads g2 (the 'green' rows). Result-identical to serving each
+    generation directly, so the oracle is the two BM25 chains (even
+    corpus / full corpus, same query set) union-tagged by phase."""
+    from embeddingsearch_spark.storage import (
+        resolve_index_alias,
+        set_index_alias,
+    )
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    alias = "es_gate_bg"
+    retrieval.build_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), f"{alias}__g1",
+        n_buckets=8,
+    )
+    set_index_alias(spark, alias, f"{alias}__g1")
+    # generation 2 builds while g1 serves — the alias is untouched
+    retrieval.build_postings_index(docs, f"{alias}__g2", n_buckets=8)
+    blue = retrieval.bm25_topk_from_index(
+        spark, resolve_index_alias(spark, alias), queries, k=10
+    ).localCheckpoint(eager=True)  # served BEFORE the swap
+    set_index_alias(spark, alias, f"{alias}__g2")
+    green = retrieval.bm25_topk_from_index(
+        spark, resolve_index_alias(spark, alias), queries, k=10
+    )
+    return blue.select(F.lit("blue").alias("phase"), "*").unionByName(
+        green.select(F.lit("green").alias("phase"), "*")
+    )
+
+
+def _bluegreen_sql() -> str:
+    blue_chain = f"""WITH {RD_SQL},
+rdh AS (SELECT * FROM rd WHERE doc_id % 2 = 0),
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+dtok AS (SELECT doc_id, {_LTOKS} AS t FROM rdh),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM dtok
+),
+post AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dtok
+),
+tfp AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM post
+  GROUP BY doc_id, dl, term
+),
+{_bm25_pass_sql("", "qterm")}
+{_BM25_SELECT}"""
+    return f"""SELECT 'blue' AS phase, query_id, doc_id, score,
+       n_matched, rank
+FROM ({blue_chain})
+UNION ALL
+SELECT 'green' AS phase, query_id, doc_id, score, n_matched, rank
+FROM ({BM25_TOPK_SQL})"""
+
+
+BLUEGREEN_SQL = _bluegreen_sql()
+
+
 def q_rerank_hash_topk(spark, sf_dir):
     """The full two-stage retrieval pipeline, value-oracled end to
     end: BM25 top-10 candidates → cross-encoder rerank to top-5 via
@@ -1628,6 +1698,8 @@ QUERIES = {
     # per-collection WAND is rank-safe per collection ⇒ same oracle
     "bm25_routed_wand": (q_bm25_routed_wand, BM25_ROUTED_INDEXED_SQL),
     "bm25_tenant_serve": (q_bm25_tenant_serve, BM25_TENANT_SQL),
+    # each phase serves its generation directly ⇒ two chains, tagged
+    "bluegreen_index_swap": (q_bluegreen_index_swap, BLUEGREEN_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),
     "bm25_prf_topk": (q_bm25_prf_topk, BM25_PRF_TOPK_SQL),
     "phrase_search": (q_phrase_search, PHRASE_SEARCH_SQL),

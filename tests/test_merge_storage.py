@@ -245,3 +245,37 @@ def test_streaming_indexer_persists_only_touched_partitions(spark, tmp_path):
         (r["text_hash"], r["model"])
         for r in idx.embedding_cache.collect()
     )
+
+
+def test_index_alias_bluegreen_swap(spark):
+    """The blue/green primitive: the alias serves its generation until
+    the one-row overwrite flips it; a new generation existing under
+    another prefix is invisible until then; a corrupt mapping (0 or 2
+    rows) fails loudly instead of serving an arbitrary generation."""
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        resolve_index_alias,
+        set_index_alias,
+    )
+
+    for t in ("es_test_bg_alias", "es_test_bg_g1", "es_test_bg_g2"):
+        drop_table(spark, t)
+    spark.createDataFrame([(1, "one")], "id long, v string").write.saveAsTable(
+        "es_test_bg_g1"
+    )
+    set_index_alias(spark, "es_test_bg", "es_test_bg_g1")
+    assert resolve_index_alias(spark, "es_test_bg") == "es_test_bg_g1"
+    # generation 2 appears on disk -> alias still serves g1
+    spark.createDataFrame(
+        [(1, "one"), (2, "two")], "id long, v string"
+    ).write.saveAsTable("es_test_bg_g2")
+    assert resolve_index_alias(spark, "es_test_bg") == "es_test_bg_g1"
+    assert spark.table(resolve_index_alias(spark, "es_test_bg")).count() == 1
+    set_index_alias(spark, "es_test_bg", "es_test_bg_g2")
+    assert spark.table(resolve_index_alias(spark, "es_test_bg")).count() == 2
+    # corrupt mapping fails loudly
+    spark.createDataFrame(
+        [("a",), ("b",)], "prefix string"
+    ).write.mode("overwrite").saveAsTable("es_test_bg_alias")
+    with pytest.raises(ValueError):
+        resolve_index_alias(spark, "es_test_bg")
