@@ -560,6 +560,32 @@ def build_postings_index(
     return table
 
 
+def _pcols(partition_col) -> list:
+    """Normalize a partition spec (single column or composite list)."""
+    return (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+
+
+def _partition_filter(pcs: list, routed_rows) -> "F.Column":
+    """Static-pruning predicate for the routed partitions: a plain
+    isin for single-column specs (the plan tests pin its
+    PartitionFilters shape), a disjunction of per-tuple conjunctions
+    for composite specs — both are literal-only, so the scan prunes
+    before any join runs; an empty route reads nothing."""
+    if len(pcs) == 1:
+        return F.col(pcs[0]).isin([r[0] for r in routed_rows])
+    cond = F.lit(False)
+    for r in routed_rows:
+        c = F.lit(True)
+        for pc in pcs:
+            c = c & (F.col(pc) == F.lit(r[pc]))
+        cond = cond | c
+    return cond
+
+
 def build_partitioned_postings_index(
     docs: DataFrame,
     table: str,
@@ -575,17 +601,23 @@ def build_partitioned_postings_index(
     query's scan statically prunes to its language's partitions
     (~1/L of the corpus; the `save_ivf_index` partition-pruning
     precedent applied to text). Serve with
-    `bm25_federated_from_index`."""
+    `bm25_federated_from_index`.
+
+    ``partition_col`` may be a LIST for composite layouts — e.g.
+    ``["source", "lang"]`` nests language partitions inside each
+    tenant's, so a (tenant, language)-routed query prunes on BOTH
+    levels and a tenant's ingest touches only its own subtree."""
     from embeddingsearch_spark.storage import save_bucketed
 
+    pcs = _pcols(partition_col)
     post = _postings(
         docs, id_col, text_col, include_empty=True,
-        tokenizer=tokenizer, carry=(partition_col,),
+        tokenizer=tokenizer, carry=tuple(pcs),
     )
     _drop_table(docs.sparkSession, table)
     save_bucketed(
         post, table, ["term"], n_buckets=n_buckets,
-        partition_cols=[partition_col],
+        partition_cols=pcs,
     )
     return table
 
@@ -614,7 +646,8 @@ def upsert_partitioned_postings_index(
     row); on an ACID format pass a `MergeSink` instead."""
     from embeddingsearch_spark.sink import PartitionOverwriteSink
 
-    sink = sink or PartitionOverwriteSink(partition_col)
+    pcs = _pcols(partition_col)
+    sink = sink or PartitionOverwriteSink(pcs)
     dk = changed_docs.select(id_col).distinct()
     if deleted_ids is not None:
         dd = deleted_ids.select(
@@ -624,12 +657,12 @@ def upsert_partitioned_postings_index(
         dk = dk.unionByName(dd).distinct()
     new = _postings(
         changed_docs, id_col, text_col, include_empty=True,
-        tokenizer=tokenizer, carry=(partition_col,),
+        tokenizer=tokenizer, carry=tuple(pcs),
     )
     sink.delete_insert(
         spark, table, new, [id_col], delete_keys=dk,
         bucket_cols=["term"], n_buckets=n_buckets,
-        partition_cols=[partition_col],
+        partition_cols=pcs,
     )
     return table
 
@@ -663,17 +696,20 @@ def bm25_federated_from_index(
     also what makes per-collection stats derivable from the pruned
     frame alone. Route, per-collection stats (L rows), df
     (distinct-term-bounded), and the query-term set all broadcast; the
-    only wide exchange is the final (query, doc) aggregation."""
-    vals = [
-        r[0] for r in route.select(partition_col).distinct().collect()
-    ]
-    pruned = spark.table(table).filter(
-        F.col(partition_col).isin(vals)
-    )
+    only wide exchange is the final (query, doc) aggregation.
+
+    ``partition_col`` accepts a composite LIST (e.g.
+    ``["source", "lang"]``): a collection is then a value tuple, the
+    pruning predicate is a literal disjunction over the routed tuples
+    (two-level static pruning), and stats/df/scoring key on the full
+    tuple."""
+    pcs = _pcols(partition_col)
+    routed = route.select(*pcs).distinct().collect()
+    pruned = spark.table(table).filter(_partition_filter(pcs, routed))
     stats_l = (
-        pruned.select(partition_col, id_col, "dl")
+        pruned.select(*pcs, id_col, "dl")
         .distinct()
-        .groupBy(partition_col)
+        .groupBy(*pcs)
         .agg(
             F.count(F.lit(1)).cast("double").alias("_n"),
             F.avg("dl").alias("_avgdl"),
@@ -692,7 +728,7 @@ def bm25_federated_from_index(
     matched = pruned.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
-    dfreq = matched.groupBy(partition_col, "term").agg(
+    dfreq = matched.groupBy(*pcs, "term").agg(
         F.countDistinct(id_col).alias("df")
     )
     tf = F.col("tf").cast("double")
@@ -707,12 +743,11 @@ def bm25_federated_from_index(
     contrib = idf * tf * F.lit(k1 + 1.0) / norm
     scored = (
         matched.join(
-            F.broadcast(route.select(query_id_col, partition_col)),
-            partition_col,
+            F.broadcast(route.select(query_id_col, *pcs)), pcs
         )
         .join(F.broadcast(qterms), [query_id_col, "term"])
-        .join(F.broadcast(dfreq), [partition_col, "term"])
-        .join(F.broadcast(stats_l), partition_col)
+        .join(F.broadcast(dfreq), pcs + ["term"])
+        .join(F.broadcast(stats_l), pcs)
         .groupBy(query_id_col, id_col)
         .agg(
             F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),

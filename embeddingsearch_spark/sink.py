@@ -168,10 +168,23 @@ class PartitionOverwriteSink(IndexSink):
     (every doc deleted) cannot be rewritten by dynamic overwrite (no
     rows carry it), so those partitions are dropped explicitly via
     ALTER TABLE … DROP PARTITION — ≤ |touched partitions| statements,
-    bounded by the batch."""
+    bounded by the batch.
 
-    def __init__(self, partition_col: str):
-        self.partition_col = partition_col
+    ``partition_col`` may be a single column or a LIST for composite
+    (multi-level) hive partitioning — e.g. (tenant, lang): a partition
+    is then a value TUPLE, and "touched" means the exact tuple the
+    batch lands in or a deleted key lives in, so a tenant's upsert
+    never rewrites another tenant's partitions even within the same
+    language."""
+
+    def __init__(self, partition_col):
+        self.pcols = (
+            [partition_col]
+            if isinstance(partition_col, str)
+            else list(partition_col)
+        )
+        # backward-compat attribute (single-col callers introspect it)
+        self.partition_col = self.pcols[0]
 
     def delete_insert(
         self,
@@ -184,35 +197,32 @@ class PartitionOverwriteSink(IndexSink):
         n_buckets: int = 32,
         partition_cols: list[str] | None = None,
     ) -> str:
-        pc = self.partition_col
+        pcs = self.pcols
         old = spark.table(table)
         # affected partitions: where inserts land + where deleted keys
         # currently live (a deleted doc's partition must be rewritten
         # even if nothing new lands there)
-        parts = insert.select(pc).distinct()
+        parts = insert.select(*pcs).distinct()
         if delete_keys is not None:
             for kc in key_cols:
                 parts = parts.unionByName(
                     old.join(
                         _keys_one_col(delete_keys, kc), kc, "left_semi"
                     )
-                    .select(pc)
+                    .select(*pcs)
                     .distinct()
                 )
         parts = parts.distinct().localCheckpoint(eager=True)
-        kept = old.join(F.broadcast(parts), pc, "left_semi")
+        kept = old.join(F.broadcast(parts), pcs, "left_semi")
         if delete_keys is not None:
             for kc in key_cols:
                 kept = kept.join(
                     _keys_one_col(delete_keys, kc), kc, "left_anti"
                 )
         merged = kept.unionByName(insert).localCheckpoint(eager=True)
-        emptied = [
-            r[0]
-            for r in parts.join(
-                merged.select(pc).distinct(), pc, "left_anti"
-            ).collect()
-        ]
+        emptied = parts.join(
+            merged.select(*pcs).distinct(), pcs, "left_anti"
+        ).collect()
         # insertInto resolves by POSITION: emit columns in table order
         cols = [f.name for f in old.schema.fields]
         key = "spark.sql.sources.partitionOverwriteMode"
@@ -227,10 +237,13 @@ class PartitionOverwriteSink(IndexSink):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        for val in emptied:
-            lit = str(val).replace("'", "''")
+        for row in emptied:
+            spec = ", ".join(
+                "{}='{}'".format(c, str(row[c]).replace("'", "''"))
+                for c in pcs
+            )
             spark.sql(
                 f"ALTER TABLE {table} DROP IF EXISTS "
-                f"PARTITION ({pc}='{lit}')"
+                f"PARTITION ({spec})"
             )
         return table

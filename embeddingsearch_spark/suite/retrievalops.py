@@ -1196,6 +1196,84 @@ FROM bmr QUALIFY rank <= 10"""
 BM25_TENANT_SQL = _bm25_tenant_sql()
 
 
+def q_bm25_tenant_lang_serve(spark, sf_dir):
+    """Composite (tenant × language) partitioning: the postings index
+    persists PARTITIONED by ``(source, lang)`` — language partitions
+    nested inside each tenant's subtree — each query routes to the
+    (tenant, language) tuple it belongs to, the routed tuples become a
+    literal disjunction the scan prunes on at BOTH levels, and scoring
+    uses each (tenant, language) collection's OWN N/avgdl/df. The
+    full multi-tenant multilingual layout: a tenant's ingest touches
+    only its subtree (`PartitionOverwriteSink` on the composite spec),
+    a routed query reads one leaf. Oracle replays per-(source, lang)
+    collection scoring with direct tuple routing."""
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    table = "es_gate_postings_tl"
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col=["source", "lang"], n_buckets=8
+    )
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source", "lang")
+    return retrieval.bm25_federated_from_index(
+        spark, table, queries, route, k=10,
+        partition_col=["source", "lang"],
+    )
+
+
+def _bm25_tenant_lang_sql() -> str:
+    return (
+        _bm25_tenant_sql()
+        .replace(
+            "SELECT e.vec_id AS query_id, d.source AS src",
+            "SELECT e.vec_id AS query_id, d.source AS src, d.lang AS lg",
+        )
+        .replace(
+            "rsrc AS (SELECT DISTINCT src FROM troute)",
+            "rsrc AS (SELECT DISTINCT src, lg FROM troute)",
+        )
+        .replace(
+            "SELECT doc_id, source AS src, {t} AS t FROM rd\n"
+            "  WHERE source IN (SELECT src FROM rsrc)".format(t=_LTOKS),
+            "SELECT doc_id, source AS src, lang AS lg, {t} AS t FROM rd\n"
+            "  WHERE (source, lang) IN (SELECT (src, lg) FROM rsrc)".format(
+                t=_LTOKS
+            ),
+        )
+        .replace("SELECT src,", "SELECT src, lg,")
+        .replace("GROUP BY src", "GROUP BY src, lg")
+        .replace(
+            "SELECT doc_id, src, len(t) AS dl, unnest(t) AS term",
+            "SELECT doc_id, src, lg, len(t) AS dl, unnest(t) AS term",
+        )
+        .replace(
+            "SELECT doc_id, src, dl, term, count(*) AS tf",
+            "SELECT doc_id, src, lg, dl, term, count(*) AS tf",
+        )
+        .replace(
+            "GROUP BY doc_id, src, dl, term",
+            "GROUP BY doc_id, src, lg, dl, term",
+        )
+        .replace(
+            "JOIN troute p ON p.src = m.src",
+            "JOIN troute p ON p.src = m.src AND p.lg = m.lg",
+        )
+        .replace(
+            "JOIN dflr d2 ON d2.src = m.src",
+            "JOIN dflr d2 ON d2.src = m.src AND d2.lg = m.lg",
+        )
+        .replace(
+            "JOIN statsl s ON s.src = m.src",
+            "JOIN statsl s ON s.src = m.src AND s.lg = m.lg",
+        )
+    )
+
+
+BM25_TENANT_LANG_SQL = _bm25_tenant_lang_sql()
+
+
 def q_bluegreen_index_swap(spark, sf_dir):
     """Blue/green index generations — zero-downtime serving through
     the retrain/rebuild cycle the drift monitors demand: generation 1
@@ -1698,6 +1776,10 @@ QUERIES = {
     # per-collection WAND is rank-safe per collection ⇒ same oracle
     "bm25_routed_wand": (q_bm25_routed_wand, BM25_ROUTED_INDEXED_SQL),
     "bm25_tenant_serve": (q_bm25_tenant_serve, BM25_TENANT_SQL),
+    "bm25_tenant_lang_serve": (
+        q_bm25_tenant_lang_serve,
+        BM25_TENANT_LANG_SQL,
+    ),
     # each phase serves its generation directly ⇒ two chains, tagged
     "bluegreen_index_swap": (q_bluegreen_index_swap, BLUEGREEN_SQL),
     "rerank_hash_topk": (q_rerank_hash_topk, RERANK_HASH_TOPK_SQL),

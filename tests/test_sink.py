@@ -366,3 +366,72 @@ def test_ivf_upsert_with_delete_equals_rebuild(spark, sf_dir):
     assert untouched, "fixture degenerate: every partition touched"
     for cid in untouched:
         assert listing(cid) == before[cid], cid
+
+
+def test_composite_partitioned_upsert_tenant_isolation(spark):
+    """Composite (tenant, lang) partitioning: an upsert of ONE
+    tenant's docs rewrites only that tenant's touched leaves — another
+    tenant's leaf in the SAME language stays byte-identical — and the
+    result equals a rebuild over the final corpus."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 3} common w{i}",
+             ["en", "de"][i % 2], ["acme", "globex"][i % 3 == 0])
+            for i in range(16)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    drop_table(spark, "es_test_sink_tl")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_test_sink_tl", partition_col=["source", "lang"],
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src, lg):
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_sink_tl",
+                    f"source={src}", f"lang={lg}", "*",
+                )
+            )
+        )
+
+    before = {
+        (s, lg): listing(s, lg)
+        for s in ("acme", "globex")
+        for lg in ("en", "de")
+    }
+    # acme/en upsert: edit doc 1 (acme, de -> en move) + add doc 100
+    changed = spark.createDataFrame(
+        [(1, "edited text", "en", "acme"),
+         (100, "brand new", "en", "acme")],
+        "doc_id long, text string, lang string, source string",
+    )
+    retrieval.upsert_partitioned_postings_index(
+        spark, "es_test_sink_tl", changed,
+        partition_col=["source", "lang"], n_buckets=2,
+    )
+    remaining = docs.filter(F.col("doc_id") != 1).unionByName(changed)
+    drop_table(spark, "es_test_sink_tl_ref")
+    retrieval.build_partitioned_postings_index(
+        remaining, "es_test_sink_tl_ref",
+        partition_col=["source", "lang"], n_buckets=2,
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("es_test_sink_tl").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.table("es_test_sink_tl_ref").collect()
+    )
+    assert got == want
+    # globex leaves untouched in BOTH languages — tenant isolation
+    # holds even within the language the batch touched
+    for lg in ("en", "de"):
+        assert listing("globex", lg) == before[("globex", lg)], lg
