@@ -962,3 +962,58 @@ def test_federated_wand_identical_to_federated_plain(spark):
                 spark, table, qs, route, k=k
             ),
         ), k
+
+
+def test_federated_composite_spec_prunes_both_levels(spark):
+    """Composite (source, lang) federated serve: per-tuple collection
+    stats (parity vs direct BM25 over exactly that tuple's docs), and
+    the routed-tuple disjunction reaches the scan as PartitionFilters
+    on BOTH levels."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en", "acme"),
+            (2, "the dog sat on the log", "en", "globex"),
+            (3, "the cat naps on the couch", "en", "acme"),
+            (4, "der hund sitzt auf dem baumstamm", "de", "acme"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "the cat")], "query_id long, text string"
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_test_postings_tl")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_test_postings_tl",
+        partition_col=["source", "lang"], n_buckets=2,
+    )
+    route = spark.createDataFrame(
+        [(100, "acme", "en")],
+        "query_id long, source string, lang string",
+    )
+    got = retrieval.bm25_federated_from_index(
+        spark, "es_test_postings_tl", qs, route, k=10,
+        partition_col=["source", "lang"],
+    )
+    want = retrieval.bm25_topk(
+        docs.filter(
+            (F.col("source") == "acme") & (F.col("lang") == "en")
+        ).select("doc_id", "text"),
+        qs,
+        k=10,
+    )
+    assert _frames_equal(got, want)
+    # the literal disjunction prunes on BOTH partition levels
+    from embeddingsearch_spark.operators.retrieval import (
+        _partition_filter,
+    )
+
+    pruned = spark.table("es_test_postings_tl").filter(
+        _partition_filter(
+            ["source", "lang"], route.select("source", "lang").collect()
+        )
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "source" in pf and "lang" in pf, plan
