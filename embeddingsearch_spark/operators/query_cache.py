@@ -90,6 +90,7 @@ def serve_bm25_cached(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    now: float = 0.0,
 ) -> DataFrame:
     """The reference's QueryCache (Searchdomain.cs:22) as a PERSISTED
     (query-key → ranking) table: rankings are keyed by
@@ -121,7 +122,14 @@ def serve_bm25_cached(
     prior computations of the same deterministic ranking; tested and
     oracle-shared). Queries with an empty result set cache nothing and
     recompute on re-serve (a production cache would store an
-    empty-sentinel row; declared deviation, harmless to results)."""
+    empty-sentinel row; declared deviation, harmless to results).
+
+    ``now`` is the write-time stamp recorded on rows this serve call
+    appends (``_ts``) — the reference also AGES cache entries, and
+    `expire_query_cache` below drops keys older than a TTL against
+    the same clock. Injected by the caller rather than read from the
+    wall clock so serving stays deterministic (the engine-wide
+    no-wall-clock rule; a production deployment passes time.time())."""
     from embeddingsearch_spark.operators.retrieval import bm25_topk
 
     qkeyed = queries.select(
@@ -137,8 +145,8 @@ def serve_bm25_cached(
     ).localCheckpoint(eager=False)
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        f"_qh string, _kmax int, _gen int, {id_col} {id_type}, "
-        "score double, n_matched long, rank int"
+        f"_qh string, _kmax int, _gen int, _ts double, "
+        f"{id_col} {id_type}, score double, n_matched long, rank int"
     )
     if not spark.catalog.tableExists(cache_table):
         spark.createDataFrame([], schema).write.saveAsTable(cache_table)
@@ -167,7 +175,7 @@ def serve_bm25_cached(
     hits = (
         relevant.join(F.broadcast(best), ["_qh", "_kmax"])
         .filter(F.col("rank") <= k)
-        .drop("_kmax", "_gen")
+        .drop("_kmax", "_gen", "_ts")
         # concurrent misses append identical generations — serve one
         .distinct()
     )
@@ -208,6 +216,7 @@ def serve_bm25_cached(
             "_qh",
             F.lit(int(k)).cast("int").alias("_kmax"),
             F.lit(int(gen)).cast("int").alias("_gen"),
+            F.lit(float(now)).cast("double").alias("_ts"),
             id_col,
             "score",
             "n_matched",
@@ -219,7 +228,9 @@ def serve_bm25_cached(
         .localCheckpoint(eager=True)
     )
     computed_keyed.write.mode("append").saveAsTable(cache_table)
-    served = hits.unionByName(computed_keyed.drop("_kmax", "_gen"))
+    served = hits.unionByName(
+        computed_keyed.drop("_kmax", "_gen", "_ts")
+    )
     return (
         qkeyed.select(query_id_col, "_qh")
         .join(served, "_qh")
@@ -267,4 +278,44 @@ def evict_query_cache(
         "keys_before": int(n_keys),
         "keys_after": int(min(n_keys, keep_keys)),
         "rows_evicted": int(n_rows - n_kept),
+    }
+
+
+def expire_query_cache(
+    spark, cache_table: str, now: float, ttl: float
+) -> dict:
+    """TTL aging for the persisted query cache — the time axis of the
+    reference's cache hygiene, complementing `evict_query_cache`'s
+    capacity axis: a key whose most recent WRITE (`max(_ts)` across
+    its generations — a deeper recompute refreshes the key's age) is
+    older than ``now − ttl`` is dropped wholesale; fresh keys keep
+    every generation. ``now`` is the same injected clock
+    `serve_bm25_cached` stamps writes with, so tests and oracles
+    replay aging deterministically. Expired keys recompute on next
+    serve — like eviction, aging changes costs, never results (gated:
+    the post-expiry serve shares `bm25_topk`'s oracle verbatim).
+
+    Returns {"keys_before", "keys_after", "rows_expired"}."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.storage import drop_table
+
+    cache = spark.table(cache_table)
+    n_rows = cache.count()
+    recency = cache.groupBy("_qh").agg(F.max("_ts").alias("_t"))
+    n_keys = recency.count()
+    fresh = recency.filter(
+        F.col("_t") >= F.lit(float(now)) - F.lit(float(ttl))
+    ).select("_qh")
+    kept = cache.join(
+        F.broadcast(fresh), "_qh", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_kept = kept.count()
+    n_fresh = fresh.count()
+    drop_table(spark, cache_table)
+    kept.write.saveAsTable(cache_table)
+    return {
+        "keys_before": int(n_keys),
+        "keys_after": int(n_fresh),
+        "rows_expired": int(n_rows - n_kept),
     }

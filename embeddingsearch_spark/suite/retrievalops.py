@@ -745,6 +745,48 @@ def q_bm25_cache_evicted_serve(spark, sf_dir):
     )
 
 
+def q_bm25_cache_ttl_serve(spark, sf_dir):
+    """Cache TTL aging closed into the serve loop (the time axis of
+    the reference's cache hygiene; capacity eviction is gated
+    separately): the even keys are written at t=100, the odd keys at
+    t=160, then `expire_query_cache(now=230, ttl=100)` ages out the
+    even generation (230−100 > 100) while the odd keys survive
+    (230−160 ≤ 100), and the final serve at t=230 recomputes exactly
+    the expired half, hits the fresh half, and re-stamps the
+    recomputed keys. Time is INJECTED (`now=`), never read from the
+    wall clock, so the whole aging cycle is deterministic — and like
+    eviction it can change only costs, never results: the returned
+    ranking is `bm25_topk`'s oracle verbatim."""
+    from embeddingsearch_spark.operators.query_cache import (
+        expire_query_cache,
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_gate_query_cache_ttl"
+    drop_table(spark, table)
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs).localCheckpoint(
+        eager=False
+    )
+    serve_bm25_cached(
+        spark, table, docs,
+        queries.filter(F.col("query_id") % 2 == 0), "v1", k=10,
+        now=100.0,
+    )
+    serve_bm25_cached(
+        spark, table, docs,
+        queries.filter(F.col("query_id") % 2 != 0), "v1", k=10,
+        now=160.0,
+    )
+    stats = expire_query_cache(spark, table, now=230.0, ttl=100.0)
+    assert stats["keys_after"] < stats["keys_before"], stats
+    return serve_bm25_cached(
+        spark, table, docs, queries, index_version="v1", k=10,
+        now=230.0,
+    )
+
+
 _BM25_SELECT5 = """SELECT query_id, doc_id, score, n_matched,
        CAST(rank AS INT) AS rank
 FROM bmranked WHERE rank <= 5"""
@@ -1744,6 +1786,8 @@ QUERIES = {
         q_bm25_cache_evicted_serve,
         BM25_TOPK_SQL,
     ),
+    # TTL aging changes costs, never results ⇒ identical oracle
+    "bm25_cache_ttl_serve": (q_bm25_cache_ttl_serve, BM25_TOPK_SQL),
     # champion-tier pruning is rank-safe ⇒ identical oracle
     "bm25_champion_topk": (q_bm25_champion_topk, BM25_TOPK_SQL),
     # persisted-tier serve is result-identical ⇒ identical oracle

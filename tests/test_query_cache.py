@@ -266,3 +266,63 @@ def test_fully_hit_serve_never_touches_corpus(spark, monkeypatch):
     monkeypatch.setattr(retrieval, "bm25_topk", boom)
     again = serve_bm25_cached(spark, table, docs, qs, "v1", k=10)
     assert sorted(tuple(r) for r in again.collect()) == want
+
+
+def test_expire_query_cache_ttl_and_reserve(spark):
+    """TTL aging: keys written longer than ttl before `now` are
+    dropped (recency = the key's LATEST write), fresh keys keep all
+    generations; an expired key recomputes on re-serve with identical
+    results and a fresh stamp; surviving keys still hit."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.operators.query_cache import (
+        expire_query_cache,
+        serve_bm25_cached,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_test_query_cache_ttl"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [(i, f"common tok{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(i, f"tok{i} common") for i in range(4)],
+        "query_id long, text string",
+    )
+
+    def direct(q):
+        return sorted(
+            tuple(r)
+            for r in retrieval.bm25_topk(docs, q, k=10).collect()
+        )
+
+    old = qs.filter(F.col("query_id") < 2)
+    serve_bm25_cached(spark, table, docs, old, "v1", k=10, now=100.0)
+    serve_bm25_cached(spark, table, docs, qs, "v1", k=10, now=160.0)
+    # hits never re-stamp: the t=160 serve answered keys 0/1 from the
+    # t=100 generation (4 matched docs < k=10 ⇒ provably complete, so
+    # even a DEEPER k hits), leaving their recency at 100
+    n_mid = spark.table(table).count()
+    serve_bm25_cached(
+        spark, table, docs, qs.filter(F.col("query_id") == 0),
+        "v1", k=20, now=220.0,
+    )
+    assert spark.table(table).count() == n_mid  # complete ⇒ pure hit
+    # now=230, ttl=100: keys 0/1 (recency 100) age out; 2/3 survive
+    stats = expire_query_cache(spark, table, now=230.0, ttl=100.0)
+    assert stats["keys_before"] == 4
+    assert stats["keys_after"] == 2
+    assert stats["rows_expired"] > 0
+    n_rows = spark.table(table).count()
+    final = serve_bm25_cached(
+        spark, table, docs, qs, "v1", k=10, now=230.0
+    )
+    assert sorted(tuple(r) for r in final.collect()) == direct(qs)
+    # only the expired keys' rankings were recomputed and appended
+    appended = spark.table(table).count() - n_rows
+    assert appended == retrieval.bm25_topk(docs, old, k=10).count()
+    # everything fresh: expire at the same clock is a no-op
+    stats2 = expire_query_cache(spark, table, now=230.0, ttl=100.0)
+    assert stats2["rows_expired"] == 0
+    assert stats2["keys_after"] == 4
