@@ -299,14 +299,32 @@ def pq_topk_refined(
     Output matches the exact scorers' contract: ``(query_id, vec_id,
     cosine, rank<=k)`` with remapped rounded cosine and (score desc,
     id asc) ties."""
-    from embeddingsearch_spark.functions.vectors import dot, norm2
-    from embeddingsearch_spark.operators.ann import _cosine_from_parts
-
     shortlist = pq_topk(
         coded, codebooks, queries, k=refine_factor * k,
         id_col=id_col, codes_col=codes_col, vec_col=vec_col,
         query_id_col=query_id_col,
     ).select(query_id_col, id_col)
+    return _exact_rescore(
+        emb, queries, shortlist, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _exact_rescore(
+    emb: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Fetch raw vectors for the (query, candidate) ``shortlist`` and
+    rank by exact rounded cosine — the refine tail shared by the fixed
+    and adaptive refine paths."""
+    from embeddingsearch_spark.functions.vectors import dot, norm2
+    from embeddingsearch_spark.operators.ann import _cosine_from_parts
+
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -319,7 +337,7 @@ def pq_topk_refined(
         F.col(vec_col).alias("_v"),
         norm2(F.col(vec_col)).alias("_vn"),
     )
-    # the shortlist is |Q|·refine_factor·k rows — broadcast it so the
+    # the shortlist is |Q|·factor·k rows — broadcast it so the
     # raw-vector fetch is a scan-side semi-join, not a corpus shuffle
     scored = (
         vecs.join(F.broadcast(shortlist), id_col)
@@ -342,6 +360,114 @@ def pq_topk_refined(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def pq_topk_refined_adaptive(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    base_factor: int = 2,
+    deep_factor: int = 8,
+    budget_rows: int | None = None,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    err_col: str = "qerr",
+) -> DataFrame:
+    """DISTORTION-BUDGETED refine: `pq_topk_refined`'s refine_factor
+    is one global knob, paying the same raw-vector read volume for a
+    query whose ADC candidates reconstruct almost exactly as for one
+    whose candidates the quantizer mangled. The per-row quantization
+    error `encode_pq(err_col=...)` already emits (free at encode time)
+    says WHICH queries need the deeper look: a query whose top
+    candidates carry high distortion has an untrustworthy ADC ranking.
+
+    Allocation, all deterministic: one ADC pass shortlists
+    ``deep_factor·k`` per query; each query's distortion signal is the
+    rounded mean ``err_col`` over its top ``base_factor·k`` ADC
+    candidates; queries rank by (signal desc, id asc); under a total
+    read budget of ``budget_rows`` raw vectors, every query gets the
+    ``base_factor·k`` floor and the highest-distortion queries widen
+    to ``deep_factor·k`` until the budget is spent —
+    n_deep = clamp(⌊(budget − nq·base·k) / ((deep−base)·k)⌋, 0, nq).
+    ``budget_rows=None`` widens every query (= fixed refine at
+    deep_factor). The signal/allocation frames are |Q|-bounded (the
+    single-partition windows below never see corpus-sized data); the
+    corpus-side work is the ADC codes scan, a column-pruned (id, err)
+    re-scan for the shortlist's distortions, and the budgeted vector
+    fetch — the raw-vector read volume is the knob the budget caps.
+
+    ``coded`` must carry ``err_col`` from `encode_pq`. Output contract
+    matches the exact scorers: (query_id, vec_id, cosine, rank<=k)."""
+    if base_factor < 1 or deep_factor < base_factor:
+        raise ValueError("need 1 <= base_factor <= deep_factor")
+    short = pq_topk(
+        coded, codebooks, queries, k=deep_factor * k,
+        id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col, F.col("rank").alias("_adc_rank"))
+    # per-candidate distortion: scan-side broadcast join against the
+    # codes table's err column (|Q|·deep·k rows out)
+    cand = (
+        coded.select(id_col, F.col(err_col).alias("_err"))
+        .join(F.broadcast(short), id_col)
+        .localCheckpoint(eager=False)
+    )
+    sig = (
+        cand.filter(F.col("_adc_rank") <= base_factor * k)
+        .groupBy(query_id_col)
+        .agg(F.round(F.avg("_err"), ROUND_DIGITS).alias("_sig"))
+    )
+    if budget_rows is None:
+        depths = sig.select(
+            query_id_col,
+            F.lit(deep_factor * k).alias("_depth"),
+        )
+    else:
+        # |Q|-row frame: the unpartitioned windows are bounded by the
+        # query count, never the corpus
+        wq = Window.orderBy(
+            F.col("_sig").desc(), F.col(query_id_col).asc()
+        )
+        wall = Window.partitionBy(F.lit(1))
+        extra = (deep_factor - base_factor) * k
+        n_deep = F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("_nq"),
+                F.floor(
+                    (
+                        F.lit(int(budget_rows))
+                        - F.col("_nq") * base_factor * k
+                    )
+                    / extra
+                ),
+            ),
+        )
+        depths = (
+            sig.withColumn("_qr", F.row_number().over(wq))
+            .withColumn("_nq", F.count(F.lit(1)).over(wall))
+            .select(
+                query_id_col,
+                F.when(
+                    F.col("_qr") <= n_deep, F.lit(deep_factor * k)
+                )
+                .otherwise(F.lit(base_factor * k))
+                .alias("_depth"),
+            )
+        )
+    shortlist = (
+        cand.join(F.broadcast(depths), query_id_col)
+        .filter(F.col("_adc_rank") <= F.col("_depth"))
+        .select(query_id_col, id_col)
+    )
+    return _exact_rescore(
+        emb, queries, shortlist, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 

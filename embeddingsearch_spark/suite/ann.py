@@ -1421,6 +1421,98 @@ FROM (
 ) WHERE rank <= {k}"""
 
 
+def q_pq_adaptive_refined(spark, sf_dir):
+    """Distortion-BUDGETED refine: instead of one global
+    refine_factor, the per-row quantization error that `encode_pq`
+    emits for free decides WHICH queries widen their exact-rescore
+    shortlist — queries whose top ADC candidates carry high
+    reconstruction error rank deep (8·k), the rest keep the 2·k
+    floor, under a hard total read budget of 200 raw vectors
+    (= exactly 2 of the 4 gated queries widen: 4·20 floor + 2·60
+    extra). The oracle replays the encode chain's per-vector error,
+    the signal ranking, and the budget allocation in SQL."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_ops.initial_codebooks(emb, m_sub=8, k_codes=16)
+    coded = pq_ops.encode_pq(emb, cbs, err_col="qerr")
+    return pq_ops.pq_topk_refined_adaptive(
+        coded, cbs, emb, _queries_df(spark, sf_dir), k=10,
+        base_factor=2, deep_factor=8, budget_rows=200,
+    )
+
+
+def _pq_adaptive_sql(
+    k: int = 10,
+    base_factor: int = 2,
+    deep_factor: int = 8,
+    budget_rows: int = 200,
+) -> str:
+    """Splice the adaptive-refine tail onto PQ_TOPK_SQL's CTE chain:
+    per-vector reconstruction error from the encode distances, the
+    per-query distortion signal over the base shortlist, the budget
+    allocation, and the depth-filtered exact re-score."""
+    marker = "SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank"
+    prefix = PQ_TOPK_SQL.rsplit(marker, 1)[0].rstrip()
+    assert prefix.endswith("),") or prefix.endswith(")"), prefix[-40:]
+    if prefix.endswith(")"):
+        prefix += ","
+    bk, dk = base_factor * k, deep_factor * k
+    extra = (deep_factor - base_factor) * k
+    return f"""{prefix}
+verr AS (  -- per-vector quantization error = sum of per-subspace mins
+  SELECT vec_id, sum(dist) AS err FROM (
+    SELECT vec_id, m, dist,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2) WHERE rn = 1
+  GROUP BY vec_id
+),
+shortq AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM sims QUALIFY r <= {dk}
+),
+sig AS (
+  SELECT s.query_id, round(avg(v.err), {RD}) AS sg
+  FROM shortq s JOIN verr v USING (vec_id)
+  WHERE s.r <= {bk}
+  GROUP BY s.query_id
+),
+alloc AS (
+  SELECT query_id,
+         row_number() OVER (ORDER BY sg DESC, query_id ASC) AS qr,
+         count(*) OVER () AS nq
+  FROM sig
+),
+depths AS (
+  SELECT query_id,
+         CASE WHEN qr <= greatest(0, least(nq,
+              floor(({budget_rows} - nq * {bk}) / {extra})))
+              THEN {dk} ELSE {bk} END AS depth
+  FROM alloc
+),
+exact AS (
+  SELECT query_id, vec_id, {_COS} AS sim FROM (
+    SELECT s.query_id, s.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(qq.qv) AS DOUBLE) AS y
+    FROM shortq s
+    JOIN depths dp ON dp.query_id = s.query_id AND s.r <= dp.depth
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    JOIN (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 4) qq
+      ON qq.query_id = s.query_id) t
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, round(sim, {RD}) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY round(sim, {RD}) DESC, vec_id ASC) AS rank
+  FROM exact
+) WHERE rank <= {k}"""
+
+
 def q_embedding_gram(spark, sf_dir):
     """Covariance Gramian of the embedding space (PCA's distributed
     stage, `operators/pca.gram_upper`): per-batch partial X^T X emitted
@@ -1664,6 +1756,7 @@ QUERIES = {
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "pq_indexed_topk": (q_pq_indexed_topk, PQ_TOPK_SQL),
     "pq_refined_topk": (q_pq_refined_topk, _pq_refined_sql()),
+    "pq_adaptive_refined": (q_pq_adaptive_refined, _pq_adaptive_sql()),
     "ivfpq_topk": (q_ivfpq_topk, IVFPQ_TOPK_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "chunk_maxsim_topk": (q_chunk_maxsim_topk, CHUNK_MAXSIM_TOPK_SQL),

@@ -204,3 +204,70 @@ def test_pq_refined_degenerates_to_brute_force(emb, spark):
         coded, cbs, emb, qs, k=5, refine_factor=4
     )
     assert recall(refined) >= recall(plain)
+
+
+def test_pq_adaptive_refine_budget_envelope(emb, spark):
+    """Adaptive-refine contract: an unconstrained budget (or None)
+    reproduces fixed refine at deep_factor; a budget at the floor
+    (every query base-only) reproduces fixed refine at base_factor;
+    a mid budget widens exactly the floor(extra/[(deep-base)k])
+    highest-distortion queries and stays within the read envelope
+    (every per-query shortlist is base·k or deep·k)."""
+    cbs = pq.train_codebooks(emb, m_sub=4, k_codes=8, iters=1)
+    coded = pq.encode_pq(emb, cbs, err_col="qerr")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    deep = pq.pq_topk_refined(
+        coded, cbs, emb, qs, k=5, refine_factor=6
+    )
+    base = pq.pq_topk_refined(
+        coded, cbs, emb, qs, k=5, refine_factor=2
+    )
+    # budget >= nq*deep*k (4*30=120) => all queries widen
+    assert rows(
+        pq.pq_topk_refined_adaptive(
+            coded, cbs, emb, qs, k=5, base_factor=2,
+            deep_factor=6, budget_rows=120,
+        )
+    ) == rows(deep)
+    # budget_rows=None => all deep
+    assert rows(
+        pq.pq_topk_refined_adaptive(
+            coded, cbs, emb, qs, k=5, base_factor=2, deep_factor=6,
+        )
+    ) == rows(deep)
+    # budget == floor (4*10=40) => nothing widens
+    assert rows(
+        pq.pq_topk_refined_adaptive(
+            coded, cbs, emb, qs, k=5, base_factor=2,
+            deep_factor=6, budget_rows=40,
+        )
+    ) == rows(base)
+    # mid budget 60: floor 40 + one 20-row widening => exactly the
+    # single highest-distortion query deepens; result rows stay k per
+    # query and within the {base,deep} envelope per query
+    mid = pq.pq_topk_refined_adaptive(
+        coded, cbs, emb, qs, k=5, base_factor=2,
+        deep_factor=6, budget_rows=60,
+    )
+    got = mid.groupBy("query_id").count().collect()
+    assert len(got) == 4 and all(r["count"] == 5 for r in got)
+
+
+def test_pq_adaptive_refine_validates_factors(emb):
+    cbs = pq.initial_codebooks(emb, m_sub=4, k_codes=8)
+    coded = pq.encode_pq(emb, cbs, err_col="qerr")
+    qs = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pq.pq_topk_refined_adaptive(
+            coded, cbs, coded, qs, base_factor=4, deep_factor=2
+        )
