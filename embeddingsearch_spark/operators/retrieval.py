@@ -704,6 +704,40 @@ def bm25_federated_from_index(
     (two-level static pruning), and stats/df/scoring key on the full
     tuple."""
     pcs = _pcols(partition_col)
+    scored = _federated_scores(
+        spark, table, queries, route, pcs,
+        id_col=id_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, k1=k1, b=b,
+        tokenizer=tokenizer,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _federated_scores(
+    spark,
+    table: str,
+    queries: DataFrame,
+    route: DataFrame,
+    pcs: list,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """The federated scoring stage shared by the ranked, proximity,
+    and (via shortlist) pruned tenant serves: statically prune the
+    partitioned postings index to the routed collections, derive each
+    collection's OWN stats/df from the pruned frame, and emit the
+    FULL (query, doc, score, n_matched) frame (no top-k cut — the
+    proximity path boosts before ranking)."""
     routed = route.select(*pcs).distinct().collect()
     pruned = spark.table(table).filter(_partition_filter(pcs, routed))
     stats_l = (
@@ -741,7 +775,7 @@ def bm25_federated_from_index(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
     )
     contrib = idf * tf * F.lit(k1 + 1.0) / norm
-    scored = (
+    return (
         matched.join(
             F.broadcast(route.select(query_id_col, *pcs)), pcs
         )
@@ -753,13 +787,6 @@ def bm25_federated_from_index(
             F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),
             F.count(F.lit(1)).alias("n_matched"),
         )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
 
 
@@ -1949,6 +1976,210 @@ def upsert_positions_index(
         bucket_cols=["term"], n_buckets=n_buckets,
     )
     return table
+
+
+def build_partitioned_positions_index(
+    docs: DataFrame,
+    table: str,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+) -> str:
+    """The positional index laid out like the partitioned postings
+    index: (id, pos, term) rows PARTITIONED by the routing column(s)
+    (tenant, language, or a composite), term-bucketed within each
+    partition — so a routed phrase/proximity query's position fetch
+    statically prunes to its own collection's files and a tenant's
+    ingest touches only its subtree. Completes the multi-tenant
+    searchdomain layout: with both the postings and positions tables
+    partitioned the same way, EVERY lexical query shape serves
+    tenant-isolated (`bm25_federated_from_index`,
+    `bm25_proximity_federated_from_index`,
+    `phrase_search_federated_from_index`)."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.storage import save_bucketed
+
+    pcs = _pcols(partition_col)
+    tok = tokenizer or tokens
+    pos = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in pcs],
+        F.posexplode(tok(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    _drop_table(docs.sparkSession, table)
+    save_bucketed(
+        pos, table, ["term"], n_buckets=n_buckets, partition_cols=pcs
+    )
+    return table
+
+
+def upsert_partitioned_positions_index(
+    spark,
+    table: str,
+    changed_docs: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental maintenance of the PARTITIONED positional index at
+    PARTITION cost — the `upsert_partitioned_postings_index` contract
+    applied to (id, pos, term) rows: the default sink rewrites only
+    the hive partitions the batch touches (insert landing spots plus
+    the partitions deleted or re-ingested docs currently live in), so
+    one tenant's ingest never reads or writes another tenant's
+    position files. Positions are per-doc-local, so the upsert is
+    exactly rebuild-equivalent. ``deleted_ids`` deletes (delete wins
+    over a conflicting changed row)."""
+    from embeddingsearch_spark.functions.text import tokens
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    pcs = _pcols(partition_col)
+    sink = sink or PartitionOverwriteSink(pcs)
+    dk = changed_docs.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        changed_docs = changed_docs.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    tok = tokenizer or tokens
+    new = changed_docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in pcs],
+        F.posexplode(tok(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    sink.delete_insert(
+        spark, table, new, [id_col], delete_keys=dk,
+        bucket_cols=["term"], n_buckets=n_buckets,
+        partition_cols=pcs,
+    )
+    return table
+
+
+def phrase_search_federated_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    route: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """`phrase_search_from_index` over the PARTITIONED positional
+    index with tenant routing: each query matches ONLY within the
+    collection ``route`` addresses it to — the routed partition
+    values become a literal pruning predicate (nothing outside the
+    addressed searchdomains is read; isolation enforced by the scan),
+    and the per-query route join scopes each phrase to its own
+    tenant. Same verify-by-position-arithmetic tail as the global
+    path."""
+    pcs = _pcols(partition_col)
+    routed = route.select(*pcs).distinct().collect()
+    phrase = (
+        _phrase_frames(queries, query_id_col, query_text_col, tokenizer)
+        .select(
+            query_id_col,
+            F.size("_p").alias("_m"),
+            F.posexplode("_p").alias("_i", "term"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pos = spark.table(table).filter(_partition_filter(pcs, routed))
+    hits = (
+        pos.join(F.broadcast(route.select(query_id_col, *pcs)), pcs)
+        .join(F.broadcast(phrase), [query_id_col, "term"])
+        .select(
+            query_id_col,
+            id_col,
+            "_m",
+            "_i",
+            (F.col("pos") - F.col("_i")).alias("_start"),
+        )
+        .filter(F.col("_start") >= 0)
+    )
+    occ = (
+        hits.groupBy(query_id_col, id_col, "_m", "_start")
+        .agg(F.countDistinct("_i").alias("_hit"))
+        .filter(F.col("_hit") == F.col("_m"))
+    )
+    return occ.groupBy(query_id_col, id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+        F.min("_start").cast("int").alias("first_pos"),
+    )
+
+
+def bm25_proximity_federated_from_index(
+    spark,
+    postings_table: str,
+    positions_table: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    prox_weight: float = 1.0,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+    prune: bool = True,
+) -> DataFrame:
+    """Proximity-boosted BM25 over the multi-tenant layout: BM25 from
+    the tenant-partitioned postings index with each collection's OWN
+    stats (`_federated_scores` — the federated serving contract), and
+    MinDist from the tenant-partitioned positional index — BOTH scans
+    statically pruned to the routed collections, with each query's
+    hit stream scoped to its own tenant by the route join. The
+    rank-safe shortlist (``prune=True``) cuts the position volume
+    exactly as in the single-corpus path; the boost/rank tail is
+    shared, so the result equals per-tenant `bm25_proximity_topk`
+    run inside each collection."""
+    pcs = _pcols(partition_col)
+    routed = route.select(*pcs).distinct().collect()
+    scored = _federated_scores(
+        spark, postings_table, queries, route, pcs,
+        id_col=id_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, k1=k1, b=b,
+        tokenizer=tokenizer,
+    )
+    qterms = query_terms(
+        queries, query_id_col, query_text_col, tokenizer=tokenizer
+    )
+    cand = None
+    if prune:
+        scored = _proximity_shortlist(
+            scored, k, prox_weight, id_col, query_id_col
+        )
+        cand = scored.select(query_id_col, id_col)
+    pos = spark.table(positions_table).filter(
+        _partition_filter(pcs, routed)
+    )
+    hits = (
+        pos.join(F.broadcast(route.select(query_id_col, *pcs)), pcs)
+        .join(F.broadcast(qterms), [query_id_col, "term"])
+        .select(query_id_col, id_col, "term", "pos")
+    )
+    if cand is not None:
+        hits = hits.join(
+            F.broadcast(cand), [query_id_col, id_col], "left_semi"
+        )
+    md = _min_dist_from_hits(hits, id_col, query_id_col)
+    return _proximity_rank(
+        scored, md, k, prox_weight, id_col, query_id_col
+    )
 
 
 def phrase_search_from_index(

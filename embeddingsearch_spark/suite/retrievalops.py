@@ -1768,6 +1768,188 @@ SELECT 'phrase' AS mode, query_id, doc_id,
 FROM ({PHRASE_SEARCH_SQL})"""
 
 
+def q_unified_tenant_serve(spark, sf_dir):
+    """The FULL multi-tenant serving stack in one layout: postings
+    AND positions persist PARTITIONED by tenant (``source``), and one
+    table pair serves all three lexical shapes tenant-isolated —
+    ranked BM25 with each searchdomain's own stats
+    (`bm25_federated_from_index`), proximity-boosted BM25 whose
+    MinDist reads only the routed tenants' position partitions
+    (`bm25_proximity_federated_from_index`), and exact-phrase
+    retrieval scoped to each query's own searchdomain
+    (`phrase_search_federated_from_index`). Every branch statically
+    prunes both indexes to the routed partitions — tenant isolation
+    enforced by the scan — and zero corpus scans anywhere
+    (plan-tested). Result = the three shapes union-tagged by
+    ``mode``; the oracle replays per-tenant scoring, per-tenant
+    MinDist, and tenant-scoped phrase matching."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_partitioned_postings_index(
+        docs, "es_gate_ut_postings", partition_col="source",
+        n_buckets=8,
+    )
+    retrieval.build_partitioned_positions_index(
+        docs, "es_gate_ut_positions", partition_col="source",
+        n_buckets=8,
+    )
+    queries = _text_queries(spark, sf_dir, docs)
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source").localCheckpoint(eager=False)
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    phrase_qs = docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 3)).alias(
+            "text"
+        ),
+    )
+    b = retrieval.bm25_federated_from_index(
+        spark, "es_gate_ut_postings", queries, route, k=10,
+        partition_col="source",
+    )
+    x = retrieval.bm25_proximity_federated_from_index(
+        spark, "es_gate_ut_postings", "es_gate_ut_positions",
+        queries, route, k=10, partition_col="source",
+    )
+    p = retrieval.phrase_search_federated_from_index(
+        spark, "es_gate_ut_positions", phrase_qs, route,
+        partition_col="source",
+    )
+    nd = F.lit(None).cast("double")
+    ni = F.lit(None).cast("int")
+    nl = F.lit(None).cast("long")
+    return (
+        b.select(
+            F.lit("bm25").alias("mode"), "query_id", "doc_id",
+            "score", "n_matched", ni.alias("min_dist"), "rank",
+            ni.alias("n_occurrences"), ni.alias("first_pos"),
+        )
+        .unionByName(
+            x.select(
+                F.lit("proximity").alias("mode"), "query_id",
+                "doc_id", "score", "n_matched", "min_dist", "rank",
+                ni.alias("n_occurrences"), ni.alias("first_pos"),
+            )
+        )
+        .unionByName(
+            p.select(
+                F.lit("phrase").alias("mode"), "query_id", "doc_id",
+                nd.alias("score"), nl.alias("n_matched"),
+                ni.alias("min_dist"), ni.alias("rank"),
+                "n_occurrences", "first_pos",
+            )
+        )
+    )
+
+
+def _prox_tenant_sql() -> str:
+    """Tenant-scoped proximity: the per-tenant BM25 chain
+    (`_bm25_tenant_sql`) with MinDist computed from each query's OWN
+    collection's positions only."""
+    base = _bm25_tenant_sql()
+    marker = "SELECT query_id, doc_id, score, n_matched,"
+    prefix = base.rsplit(marker, 1)[0].rstrip()
+    assert prefix.endswith(")"), prefix[-40:]
+    return f"""{prefix},
+pposr AS (
+  SELECT doc_id, src, generate_subscripts(t, 1) - 1 AS pos,
+         unnest(t) AS term
+  FROM dtokr
+),
+phitsr AS (
+  SELECT p.query_id, pp.doc_id, pp.term, pp.pos
+  FROM pposr pp
+  JOIN troute p ON p.src = pp.src
+  JOIN qterm qt ON qt.query_id = p.query_id AND qt.term = pp.term
+),
+plaggedr AS (
+  SELECT query_id, doc_id, term, pos,
+         lag(term) OVER w AS pt, lag(pos) OVER w AS pp
+  FROM phitsr
+  WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos)
+),
+proxr AS (
+  SELECT query_id, doc_id, min(pos - pp) AS min_dist
+  FROM plaggedr
+  WHERE pt IS NOT NULL AND pt != term
+  GROUP BY query_id, doc_id
+),
+boostedr AS (
+  SELECT b.query_id, b.doc_id,
+         round(b.score + coalesce(1.0 / (1.0 + p.min_dist), 0.0),
+               {RD}) AS score,
+         b.n_matched, p.min_dist
+  FROM bmr b LEFT JOIN proxr p USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, score, n_matched, min_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM boostedr
+QUALIFY rank <= 10"""
+
+
+def _phrase_tenant_sql() -> str:
+    """Tenant-scoped phrase search: candidate docs restricted to the
+    query's routed collection (the anchor optimization is a physical
+    detail — the oracle checks every tenant doc directly)."""
+    toks_d = TOKS_SQL.replace("text", "d.text")
+    return f"""WITH {RD_SQL},
+q AS (
+  SELECT e.vec_id AS query_id,
+         list_transform(({toks_d})[2:4], x -> lower(x)) AS p
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+troute AS (
+  SELECT e.vec_id AS query_id, d.source AS src
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+dtokr AS (
+  SELECT doc_id, source AS src, {_LTOKS} AS t FROM rd
+  WHERE source IN (SELECT DISTINCT src FROM troute)
+),
+hitsr AS (
+  SELECT p.query_id, dk.doc_id,
+         list_filter(
+           range(0, greatest(0, len(dk.t) - len(q.p) + 1)),
+           i -> dk.t[CAST(i + 1 AS INT) : CAST(i + len(q.p) AS INT)]
+                = q.p
+         ) AS m
+  FROM troute p
+  JOIN dtokr dk ON dk.src = p.src
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, doc_id, CAST(len(m) AS INT) AS n_occurrences,
+       CAST(m[1] AS INT) AS first_pos
+FROM hitsr WHERE len(m) > 0"""
+
+
+UNIFIED_TENANT_SERVE_SQL = f"""SELECT 'bm25' AS mode, query_id,
+       doc_id, score, n_matched, CAST(NULL AS BIGINT) AS min_dist,
+       rank, CAST(NULL AS INT) AS n_occurrences,
+       CAST(NULL AS INT) AS first_pos
+FROM ({BM25_TENANT_SQL})
+UNION ALL
+SELECT 'proximity' AS mode, query_id, doc_id, score, n_matched,
+       min_dist, rank, CAST(NULL AS INT) AS n_occurrences,
+       CAST(NULL AS INT) AS first_pos
+FROM ({_prox_tenant_sql()})
+UNION ALL
+SELECT 'phrase' AS mode, query_id, doc_id,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS n_matched,
+       CAST(NULL AS BIGINT) AS min_dist, CAST(NULL AS INT) AS rank,
+       n_occurrences, first_pos
+FROM ({_phrase_tenant_sql()})"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     # rank-safe pruning ⇒ identical result set ⇒ identical oracle
@@ -1848,5 +2030,10 @@ QUERIES = {
     "unified_index_serve": (
         q_unified_index_serve,
         UNIFIED_INDEX_SERVE_SQL,
+    ),
+    # the multi-tenant layout serving all three shapes tenant-isolated
+    "unified_tenant_serve": (
+        q_unified_tenant_serve,
+        UNIFIED_TENANT_SERVE_SQL,
     ),
 }

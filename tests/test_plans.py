@@ -752,3 +752,58 @@ def test_unified_serve_zero_corpus_scans(spark):
                     or "es_plan_uni_pos" in line
                 ), line
         assert "CartesianProduct" not in plan
+
+
+def test_unified_tenant_serve_prunes_and_zero_corpus_scans(spark):
+    """The multi-tenant unified layout: all three serve shapes read
+    ONLY the two tenant-partitioned index tables (zero corpus scans),
+    and the routed-tenant predicate reaches every index scan as
+    PartitionFilters — tenant isolation enforced by the scan."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = tables.load(spark, SF, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    drop_table(spark, "es_plan_ut_post")
+    drop_table(spark, "es_plan_ut_pos")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_plan_ut_post", partition_col="source", n_buckets=2
+    )
+    retrieval.build_partitioned_positions_index(
+        docs, "es_plan_ut_pos", partition_col="source", n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    route = spark.createDataFrame(
+        [(1, "acme")], "query_id long, source string"
+    )
+    b = retrieval.bm25_federated_from_index(
+        spark, "es_plan_ut_post", queries, route, k=10,
+        partition_col="source",
+    )
+    x = retrieval.bm25_proximity_federated_from_index(
+        spark, "es_plan_ut_post", "es_plan_ut_pos", queries, route,
+        k=10, partition_col="source",
+    )
+    p = retrieval.phrase_search_federated_from_index(
+        spark, "es_plan_ut_pos", queries, route,
+        partition_col="source",
+    )
+    for df in (b, x, p):
+        plan = pi.physical_plan(df)
+        for line in plan.splitlines():
+            if "Scan parquet" in line:
+                assert (
+                    "es_plan_ut_post" in line
+                    or "es_plan_ut_pos" in line
+                ), line
+        assert "CartesianProduct" not in plan
+        pi.assert_partition_pruned(df)
+        # the routed tenant value is a literal in the partition filter
+        pf = "\n".join(
+            m for m in plan.splitlines() if "PartitionFilters" in m
+        )
+        assert "source" in pf, plan[:3000]

@@ -1017,3 +1017,85 @@ def test_federated_composite_spec_prunes_both_levels(spark):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "source" in pf and "lang" in pf, plan
+
+
+def test_federated_proximity_and_phrase_tenant_isolation(spark):
+    """The tenant-partitioned positions index serves proximity and
+    phrase TENANT-ISOLATED: each equals its single-corpus twin run
+    over only the query's own tenant's docs — even though the terms
+    and the exact phrase also occur in the other tenant."""
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "acme"),
+            (2, "alpha delta beta gamma", "acme"),
+            (3, "alpha beta gamma delta", "globex"),  # same text!
+            (4, "beta alpha unrelated filler", "globex"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "alpha beta")],
+        "query_id long, text string",
+    )
+    route = spark.createDataFrame(
+        [(100, "acme"), (101, "globex")],
+        "query_id long, source string",
+    )
+    drop_table(spark, "es_test_ut_post")
+    drop_table(spark, "es_test_ut_pos")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_test_ut_post", partition_col="source", n_buckets=2
+    )
+    retrieval.build_partitioned_positions_index(
+        docs, "es_test_ut_pos", partition_col="source", n_buckets=2
+    )
+
+    got_x = retrieval.bm25_proximity_federated_from_index(
+        spark, "es_test_ut_post", "es_test_ut_pos", qs, route, k=10,
+        partition_col="source",
+    )
+    want_x = None
+    for tenant, qid in (("acme", 100), ("globex", 101)):
+        part = retrieval.bm25_proximity_topk(
+            docs.filter(F.col("source") == tenant).select(
+                "doc_id", "text"
+            ),
+            qs.filter(F.col("query_id") == qid),
+            k=10,
+        )
+        want_x = part if want_x is None else want_x.unionByName(part)
+    assert _frames_equal(got_x, want_x)
+    # isolation is load-bearing: doc 3 duplicates doc 1's text, so a
+    # non-isolated serve would return it for query 100 too
+    acme_docs = {
+        r["doc_id"]
+        for r in got_x.filter(F.col("query_id") == 100).collect()
+    }
+    assert acme_docs == {1, 2}
+
+    phrase_qs = spark.createDataFrame(
+        [(100, "beta gamma"), (101, "beta gamma")],
+        "query_id long, text string",
+    )
+    got_p = retrieval.phrase_search_federated_from_index(
+        spark, "es_test_ut_pos", phrase_qs, route,
+        partition_col="source",
+    )
+    want_p = None
+    for tenant, qid in (("acme", 100), ("globex", 101)):
+        part = retrieval.phrase_search(
+            docs.filter(F.col("source") == tenant).select(
+                "doc_id", "text"
+            ),
+            phrase_qs.filter(F.col("query_id") == qid),
+        )
+        want_p = part if want_p is None else want_p.unionByName(part)
+    assert _frames_equal(got_p, want_p)
+    rows_p = {
+        (r["query_id"], r["doc_id"]) for r in got_p.collect()
+    }
+    # "beta gamma" occurs in docs 1/2 (acme) and 3 (globex); each
+    # query only sees its own tenant's occurrences
+    assert rows_p == {(100, 1), (100, 2), (101, 3)}

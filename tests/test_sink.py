@@ -435,3 +435,67 @@ def test_composite_partitioned_upsert_tenant_isolation(spark):
     # holds even within the language the batch touched
     for lg in ("en", "de"):
         assert listing("globex", lg) == before[("globex", lg)], lg
+
+
+def test_partitioned_positions_upsert_tenant_isolation(spark):
+    """The positional index's partitioned upsert: one tenant's batch
+    (edit + add + delete) rewrites only that tenant's partition —
+    the other tenant's files stay byte-identical — and the result
+    equals a rebuild over the final corpus."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 3} common w{i}",
+             ["acme", "globex"][i % 2])
+            for i in range(10)
+        ],
+        "doc_id long, text string, source string",
+    )
+    drop_table(spark, "es_test_sink_pos_t")
+    retrieval.build_partitioned_positions_index(
+        docs, "es_test_sink_pos_t", partition_col="source",
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src):
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_sink_pos_t", f"source={src}", "*"
+                )
+            )
+        )
+
+    before_globex = listing("globex")
+    changed = spark.createDataFrame(
+        [(0, "edited words here", "acme"),
+         (100, "brand new doc", "acme")],
+        "doc_id long, text string, source string",
+    )
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    retrieval.upsert_partitioned_positions_index(
+        spark, "es_test_sink_pos_t", changed,
+        partition_col="source", n_buckets=2, deleted_ids=deleted,
+    )
+    remaining = docs.filter(
+        ~F.col("doc_id").isin(0, 2)
+    ).unionByName(changed)
+    drop_table(spark, "es_test_sink_pos_ref")
+    retrieval.build_partitioned_positions_index(
+        remaining, "es_test_sink_pos_ref", partition_col="source",
+        n_buckets=2,
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table("es_test_sink_pos_t").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.table("es_test_sink_pos_ref").collect()
+    )
+    assert got == want
+    assert listing("globex") == before_globex
