@@ -1950,6 +1950,147 @@ SELECT 'phrase' AS mode, query_id, doc_id,
 FROM ({_phrase_tenant_sql()})"""
 
 
+def q_hybrid_indexed_serve(spark, sf_dir):
+    """Hybrid retrieval SERVED ENTIRELY FROM PERSISTED INDEXES — the
+    production shape of `hybrid_rrf`: the lexical ranking comes from
+    the bucketed postings index (`bm25_topk_from_index` — stats, df,
+    and scoring all derive from the stored rows) and the dense ranking
+    from the persisted IVF index (`ivf_topk_from_index` — the probed
+    centroid ids become a static partition-pruning filter on the
+    centroid-partitioned assigned table), fused by reciprocal-rank
+    fusion over rank rows only. Zero scans of either raw table in the
+    serve plan (plan-tested): the corpus is tokenized once at build
+    time and the embeddings are scanned once at assignment time; a
+    repeated query afterwards touches only index files, and the dense
+    side reads nprobe/C of the vectors. The result equals
+    index-free BM25 ∘ IVF ∘ RRF by construction — the oracle replays
+    both chains from the raw tables."""
+    docs = _corpus(spark, sf_dir)
+    retrieval.build_postings_index(
+        docs, "es_gate_hyb_postings", n_buckets=8
+    )
+    emb = tables.load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids(emb.repartition(n), centroids)
+    ann_ops.save_ivf_index(
+        assigned, centroids, "es_gate_hyb_ivf", n_buckets=4
+    )
+    lex = retrieval.bm25_topk_from_index(
+        spark, "es_gate_hyb_postings",
+        _text_queries(spark, sf_dir, docs), k=10,
+    )
+    qvecs = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = ann_ops.ivf_topk_from_index(
+        spark, "es_gate_hyb_ivf", qvecs, k=10, nprobe=4
+    )
+    return retrieval.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=60,
+        top_k=10,
+    )
+
+
+# the IVF probe chain (IVF_TOPK_SQL's shape) with the hybrid query set
+# (vec_id % 13 = 0), d-prefixed so its CTEs never clash with the BM25
+# chain's names inside one WITH block
+_IVF_DENSE_SQL = f"""dcents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id < 16
+),
+dassign_elems AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cv) AS DOUBLE) AS y
+  FROM embeddings e, dcents c
+),
+dassign_sims AS (
+  SELECT vec_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM dassign_elems GROUP BY vec_id, centroid_id
+),
+dassigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM dassign_sims
+  ) WHERE r = 1
+),
+dq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 13 = 0
+),
+dprobe_elems AS (
+  SELECT dq.query_id, c.centroid_id,
+         CAST(unnest(c.cv) AS DOUBLE) AS x,
+         CAST(unnest(dq.qv) AS DOUBLE) AS y
+  FROM dcents c, dq
+),
+dprobe_sims AS (
+  SELECT query_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM dprobe_elems GROUP BY query_id, centroid_id
+),
+dprobe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM dprobe_sims
+  ) WHERE r <= 4
+),
+dcand_elems AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(dq.qv) AS DOUBLE) AS y
+  FROM dprobe p
+  JOIN dassigned a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN dq ON dq.query_id = p.query_id
+),
+dcand_sims AS (
+  SELECT query_id, vec_id, {_COS} AS sim
+  FROM dcand_elems GROUP BY query_id, vec_id
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, {RD}) DESC,
+                                     vec_id ASC) AS rank
+  FROM dcand_sims
+)"""
+
+
+HYBRID_INDEXED_SERVE_SQL = f"""WITH {RD_SQL},
+{_bm25_ctes("rd")},
+{_IVF_DENSE_SQL},
+unioned AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c
+  FROM bmranked WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank)
+  FROM dense WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS rrf_score,
+         count(*) AS n_rankings
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_rankings,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     # rank-safe pruning ⇒ identical result set ⇒ identical oracle
@@ -2035,5 +2176,10 @@ QUERIES = {
     "unified_tenant_serve": (
         q_unified_tenant_serve,
         UNIFIED_TENANT_SERVE_SQL,
+    ),
+    # sparse+dense fusion served from persisted indexes only
+    "hybrid_indexed_serve": (
+        q_hybrid_indexed_serve,
+        HYBRID_INDEXED_SERVE_SQL,
     ),
 }

@@ -807,3 +807,66 @@ def test_unified_tenant_serve_prunes_and_zero_corpus_scans(spark):
             m for m in plan.splitlines() if "PartitionFilters" in m
         )
         assert "source" in pf, plan[:3000]
+
+
+def test_hybrid_indexed_serve_zero_raw_scans(spark):
+    """The hybrid serving stack: the fused BM25+IVF plan reads ONLY
+    the postings index and the two IVF index tables — neither the raw
+    corpus nor the raw embeddings appear as scans — and the dense
+    branch's probed centroids reach the assigned table as a static
+    partition-pruning filter."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = tables.load(spark, SF, "documents")
+    emb = tables.load(spark, SF, "embeddings")
+    drop_table(spark, "es_plan_hyb_post")
+    retrieval.build_postings_index(
+        docs, "es_plan_hyb_post", n_buckets=2
+    )
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids(emb, centroids)
+    ann_ops.save_ivf_index(
+        assigned, centroids, "es_plan_hyb_ivf", n_buckets=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan slow")], "query_id long, text string"
+    )
+    lex = retrieval.bm25_topk_from_index(
+        spark, "es_plan_hyb_post", queries, k=10
+    )
+    # query inputs are external to the index by definition — make them
+    # literal rows so the assertion isolates the SERVE path's scans
+    qrow = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).collect()[0]
+    qvecs = spark.createDataFrame(
+        [(qrow["query_id"], qrow["embedding"])],
+        "query_id long, embedding array<float>",
+    )
+    dense = ann_ops.ivf_topk_from_index(
+        spark, "es_plan_hyb_ivf", qvecs, k=10, nprobe=2
+    )
+    fused = retrieval.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=60,
+        top_k=10,
+    )
+    plan = pi.physical_plan(fused)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert (
+                "es_plan_hyb_post" in line
+                or "es_plan_hyb_ivf_assigned" in line
+                or "es_plan_hyb_ivf_centroids" in line
+            ), line
+    assert "CartesianProduct" not in plan
+    # the probed centroid ids statically prune the assigned table
+    pi.assert_partition_pruned(dense)
