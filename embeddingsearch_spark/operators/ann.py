@@ -1155,6 +1155,209 @@ def upsert_ivf_index(
     return f"{prefix}_assigned"
 
 
+def assign_centroids_federated(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Per-collection coarse quantizers in ONE corpus pass: each vector
+    assigns to the nearest centroid OF ITS OWN collection — the
+    reference's per-searchdomain corpus semantics (Searchdomain.cs:
+    183-258) applied to the vector index, the dense twin of
+    `build_partitioned_postings_index`'s per-tenant stats. All
+    collections' centroid tables together are still "small by
+    construction" (each IS a coarse quantizer), so they ship in the
+    task closure keyed by collection and assignment stays a
+    zero-shuffle scan-stage GEMM — same remap/round/argmax-tiebreak as
+    `assign_centroids` (a single-collection corpus assigns
+    identically; tested). Vectors whose collection has no quantizer
+    are NOT indexed (dropped — an unknown tenant needs onboarding, not
+    a silent cross-tenant assignment)."""
+    import numpy as np
+
+    cents = centroids.select(
+        partition_col, centroid_id_col, vec_col
+    ).collect()
+    grouped: dict = {}
+    for r in sorted(cents, key=lambda r: (str(r[0]), r[1])):
+        grouped.setdefault(r[0], []).append(r)
+    packs = {}
+    for t, rows in grouped.items():
+        cids = np.array([r[1] for r in rows], dtype=np.int64)
+        C = np.array(
+            [np.asarray(r[2], dtype=np.float64) for r in rows]
+        )
+        packs[t] = (cids, C, np.linalg.norm(C, axis=1))
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema
+    )
+    out_schema = f"{fields}, {centroid_id_col} long"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True).copy()
+            out = np.full(len(pdf), -1, dtype=np.int64)
+            for t, grp in pdf.groupby(partition_col, sort=False):
+                pack = packs.get(t)
+                if pack is None:
+                    continue
+                cids, C, cn = pack
+                V = np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in grp[vec_col]
+                    ]
+                )
+                vn = np.linalg.norm(V, axis=1)
+                denom = vn[:, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = np.where(
+                        denom == 0.0, 0.0, (V @ C.T) / denom
+                    )
+                sim = np.round((raw + 1.0) / 2.0, ROUND_DIGITS)
+                out[grp.index.to_numpy()] = cids[
+                    np.argmax(sim, axis=1)
+                ]
+            pdf[centroid_id_col] = out
+            yield pdf[pdf[centroid_id_col] >= 0]
+
+    return corpus.mapInPandas(run, schema=out_schema)
+
+
+def save_federated_ivf_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    prefix: str,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> tuple[str, str]:
+    """PERSIST the multi-tenant IVF index: the per-tenant-assigned
+    corpus saved PARTITIONED by (collection, centroid_id) — a routed
+    probe statically prunes on BOTH levels (its own tenant's subtree,
+    then nprobe of that tenant's cells), and a tenant's ingest
+    rewrites only its own partitions — with the per-tenant centroid
+    tables (tiny) saved together, keyed by the collection column."""
+    from embeddingsearch_spark.storage import drop_table, replace_bucketed
+
+    replace_bucketed(
+        assigned,
+        f"{prefix}_assigned",
+        [id_col],
+        n_buckets=n_buckets,
+        partition_cols=[partition_col, centroid_id_col],
+    )
+    drop_table(centroids.sparkSession, f"{prefix}_centroids")
+    centroids.write.saveAsTable(f"{prefix}_centroids")
+    return f"{prefix}_assigned", f"{prefix}_centroids"
+
+
+def ivf_federated_from_index(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Tenant-routed IVF serving over `save_federated_ivf_index` — the
+    vector twin of `bm25_federated_from_index`: each query probes ONLY
+    the centroids of the collection ``route`` addresses it to (the
+    per-tenant quantizer), and the probed (collection, centroid)
+    pairs become a literal two-level partition predicate on the
+    assigned table — tenant isolation enforced by the scan, which
+    reads ≤ nprobe/C_t of each routed tenant's vectors and NOTHING of
+    any other tenant's. The probe collect is bounded by
+    |queries| × nprobe (the same contract as `ivf_topk_from_index`;
+    batch-serve huge query sets through the join path instead).
+    Result = per-tenant `ivf_topk` run inside each collection
+    (tested), columns (query_id, id, cosine, rank)."""
+    from embeddingsearch_spark.operators.retrieval import (
+        _partition_filter,
+    )
+
+    cents = spark.table(f"{prefix}_centroids")
+    routed = route.select(partition_col).distinct().collect()
+    tcents = cents.filter(
+        F.col(partition_col).isin([r[0] for r in routed])
+    )
+    qv = queries.join(
+        F.broadcast(route.select(query_id_col, partition_col)),
+        query_id_col,
+    ).select(
+        query_id_col,
+        partition_col,
+        F.col(vec_col).alias("_qvec"),
+        norm2(F.col(vec_col)).alias("_qn"),
+    )
+    pc = tcents.select(
+        partition_col,
+        centroid_id_col,
+        F.col(vec_col).alias("_cvec"),
+        norm2(F.col(vec_col)).alias("_cn"),
+    )
+    psim = _cosine_from_parts(
+        dot(F.col("_cvec"), F.col("_qvec")),
+        F.col("_cn"),
+        F.col("_qn"),
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_psim").desc(), F.col(centroid_id_col).asc()
+    )
+    probe = (
+        qv.join(F.broadcast(pc), partition_col)
+        .select(
+            query_id_col,
+            partition_col,
+            centroid_id_col,
+            F.round(psim, ROUND_DIGITS).alias("_psim"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select(query_id_col, partition_col, centroid_id_col)
+        .localCheckpoint(eager=False)
+    )
+    pairs = probe.select(partition_col, centroid_id_col).distinct().collect()
+    pruned = spark.table(f"{prefix}_assigned").filter(
+        _partition_filter([partition_col, centroid_id_col], pairs)
+    )
+    cand = (
+        pruned.withColumn("_vn", norm2(F.col(vec_col)))
+        .join(F.broadcast(probe), [partition_col, centroid_id_col])
+        .join(
+            F.broadcast(qv.select(query_id_col, "_qvec", "_qn")),
+            query_id_col,
+        )
+    )
+    sim = _cosine_from_parts(
+        dot(F.col(vec_col), F.col("_qvec")),
+        F.col("_vn"),
+        F.col("_qn"),
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(sim, ROUND_DIGITS).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -365,6 +365,116 @@ def q_ivf_indexed_topk(spark, sf_dir):
     )
 
 
+def q_ivf_tenant_serve(spark, sf_dir):
+    """Multi-tenant IVF serving — the vector side of the multi-tenant
+    searchdomain layout (the reference's per-searchdomain corpora,
+    Searchdomain.cs:183-258): each collection gets its OWN coarse
+    quantizer (`assign_centroids_federated`, one corpus pass), the
+    assigned table persists PARTITIONED by (tenant, centroid), and a
+    routed query probes only its own tenant's centroids — the probed
+    (tenant, centroid) pairs statically prune the scan on BOTH
+    partition levels, so tenant isolation is enforced by the files
+    read, exactly like the lexical `bm25_tenant_serve`. Result =
+    per-tenant `ivf_topk` inside each collection; the oracle replays
+    the tenant-scoped assign/probe/score chain."""
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_tivf", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return ann_ops.ivf_federated_from_index(
+        spark, "es_gate_tivf", queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
+IVF_TENANT_SERVE_SQL = f"""WITH src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+),
+tcents AS (
+  SELECT source, vec_id AS centroid_id, embedding AS cv FROM src
+  WHERE vec_id < 16
+),
+assign_elems AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cv) AS DOUBLE) AS y
+  FROM src e JOIN tcents c ON c.source = e.source
+),
+assign_sims AS (
+  SELECT vec_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM assign_elems GROUP BY vec_id, centroid_id
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM assign_sims
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, source, embedding AS qv FROM src
+  WHERE vec_id % 13 = 0
+),
+probe_elems AS (
+  SELECT q.query_id, c.centroid_id,
+         CAST(unnest(c.cv) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM q JOIN tcents c ON c.source = q.source
+),
+probe_sims AS (
+  SELECT query_id, centroid_id, round({_COS}, {RD}) AS sim
+  FROM probe_elems GROUP BY query_id, centroid_id
+),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM probe_sims
+  ) WHERE r <= 4
+),
+cand_elems AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM probe p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN src e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+),
+cand_sims AS (
+  SELECT query_id, vec_id, {_COS} AS sim
+  FROM cand_elems GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(sim, {RD}) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, {RD}) DESC,
+                                     vec_id ASC) AS rank
+  FROM cand_sims
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 def q_graph_ann_persisted(spark, sf_dir):
     """The graph index's build-once/query-forever story, gated end to
     end: the scored pair table and block assignment of 4/5 of the
@@ -1775,6 +1885,8 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     # persisted-index paths are result-identical ⇒ shared oracles
     "ivf_indexed_topk": (q_ivf_indexed_topk, IVF_TOPK_SQL),
+    # per-tenant quantizers + two-level partition isolation
+    "ivf_tenant_serve": (q_ivf_tenant_serve, IVF_TENANT_SERVE_SQL),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),

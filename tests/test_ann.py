@@ -294,3 +294,102 @@ def test_ivf_index_persist_prune_and_parity(spark):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0], plan
+
+
+def test_federated_assign_single_tenant_parity(spark):
+    """A one-collection corpus assigns identically under the federated
+    kernel and the plain one (same remap/round/argmax-tiebreak), and
+    vectors of a collection with no quantizer are dropped, not
+    cross-assigned."""
+    emb, _ = _corpus_queries(spark)
+    one = emb.withColumn("source", F.lit("acme"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    fcents = cents.withColumn("source", F.lit("acme"))
+    plain = ann_ops.assign_centroids(emb, cents).select(
+        "vec_id", "centroid_id"
+    )
+    fed = ann_ops.assign_centroids_federated(
+        one, fcents, partition_col="source"
+    ).select("vec_id", "centroid_id")
+    assert sorted(map(tuple, fed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # a second collection with no quantizer: its vectors vanish
+    mixed = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("unknown"),
+    )
+    fed2 = ann_ops.assign_centroids_federated(
+        mixed, fcents, partition_col="source"
+    )
+    srcs = {r["source"] for r in fed2.select("source").distinct().collect()}
+    assert srcs == {"acme"}
+
+
+def test_ivf_federated_tenant_isolation_and_parity(spark):
+    """The federated IVF serve equals per-tenant `ivf_topk` run inside
+    each collection, and a query never sees another tenant's vectors —
+    even when the other tenant holds an IDENTICAL vector."""
+    emb, _ = _corpus_queries(spark)
+    two = emb.select("vec_id", "embedding").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    # clone vec 0 (acme) into globex under a new id: the best possible
+    # cross-tenant match for query 0, which must NOT appear
+    clone = two.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        F.lit("globex").alias("source"),
+    )
+    two = two.unionByName(clone)
+    cents = two.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        two, cents, partition_col="source"
+    ).localCheckpoint(eager=True)
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_test_tivf", partition_col="source",
+        n_buckets=2,
+    )
+    qdf = two.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    got = ann_ops.ivf_federated_from_index(
+        spark, "es_test_tivf", queries, route, k=5, nprobe=4,
+        partition_col="source",
+    )
+    want = None
+    for tenant in ("acme", "globex"):
+        t_assigned = assigned.filter(F.col("source") == tenant)
+        t_cents = cents.filter(F.col("source") == tenant).select(
+            "centroid_id", "embedding"
+        )
+        t_qids = [
+            r["query_id"]
+            for r in route.filter(F.col("source") == tenant)
+            .select("query_id")
+            .collect()
+        ]
+        part = ann_ops.ivf_topk(
+            t_assigned, t_cents,
+            queries.filter(F.col("query_id").isin(t_qids)),
+            k=5, nprobe=4,
+        )
+        want = part if want is None else want.unionByName(part)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # isolation: query 0 (acme) never returns the globex clone
+    hits0 = {
+        r["vec_id"]
+        for r in got.filter(F.col("query_id") == 0).collect()
+    }
+    assert 100000 not in hits0
+    # ...even though the clone IS the perfect match inside globex
+    q1 = queries.filter(F.col("query_id") == 1)
+    r1 = route.filter(F.col("query_id") == 1)
+    assert r1.collect()[0]["source"] == "globex"

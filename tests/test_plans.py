@@ -870,3 +870,52 @@ def test_hybrid_indexed_serve_zero_raw_scans(spark):
     assert "CartesianProduct" not in plan
     # the probed centroid ids statically prune the assigned table
     pi.assert_partition_pruned(dense)
+
+
+def test_ivf_federated_serve_prunes_both_levels(spark):
+    """The multi-tenant IVF serve: every parquet scan in the plan is
+    one of the two index tables, and the probed (tenant, centroid)
+    pairs reach the assigned scan as PartitionFilters on BOTH
+    partition levels — tenant isolation enforced by the files read."""
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = two.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        two, cents, partition_col="source"
+    )
+    drop_table(spark, "es_plan_tivf_assigned")
+    drop_table(spark, "es_plan_tivf_centroids")
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_plan_tivf", partition_col="source",
+        n_buckets=2,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = ann_ops.ivf_federated_from_index(
+        spark, "es_plan_tivf", queries, route, k=5, nprobe=2,
+        partition_col="source",
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "es_plan_tivf" in line, line
+    assert "CartesianProduct" not in plan
+    pi.assert_partition_pruned(df)
+    pf = "\n".join(
+        m for m in plan.splitlines() if "PartitionFilters" in m
+    )
+    assert "source" in pf and "centroid_id" in pf, plan[:3000]
