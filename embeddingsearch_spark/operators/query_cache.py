@@ -143,10 +143,64 @@ def serve_bm25_cached(
             )
         ).alias("_qh"),
     ).localCheckpoint(eager=False)
-    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def compute(misses_q):
+        return bm25_topk(
+            docs,
+            misses_q.select(query_id_col, query_text_col),
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            query_id_col=query_id_col,
+            query_text_col=query_text_col,
+        )
+
+    return _serve_cached(
+        spark,
+        cache_table,
+        qkeyed,
+        compute,
+        k,
+        id_col,
+        docs.schema[id_col].dataType.simpleString(),
+        [("score", "double"), ("n_matched", "long")],
+        query_id_col,
+        now,
+    )
+
+
+def _serve_cached(
+    spark,
+    cache_table: str,
+    qkeyed: DataFrame,
+    compute,
+    k: int,
+    id_col: str,
+    id_type: str,
+    value_schema: list,
+    query_id_col: str,
+    now: float,
+) -> DataFrame:
+    """The k-complete cached-serving core shared by the lexical and
+    the vector serve: ``qkeyed`` carries (query_id, ..., _qh) where
+    ``_qh`` is the caller's cache key (the caller decides what
+    identifies a query — normalized text, exact vector bytes — and
+    folds the index version in); ``compute`` maps the MISSED qkeyed
+    rows to (query_id, id, *values, rank); ``value_schema`` is the
+    payload column spec [(name, sql_type), ...] between the id and
+    rank columns of the cache table. All cache semantics live here
+    once: k-complete generations (a hit must cover ``k`` — depth ≥ k
+    or provably-complete ranking), topN at read over the deepest
+    usable generation, read-side dedup of concurrent appends, the
+    fully-hit early-out (a hit serve NEVER runs ``compute``), the
+    `_gen` write-recency counter and the injected `_ts` write stamp
+    that `evict_query_cache` / `expire_query_cache` consume."""
+    vcols = [c for c, _ in value_schema]
     schema = (
         f"_qh string, _kmax int, _gen int, _ts double, "
-        f"{id_col} {id_type}, score double, n_matched long, rank int"
+        f"{id_col} {id_type}, "
+        + ", ".join(f"{c} {t}" for c, t in value_schema)
+        + ", rank int"
     )
     if not spark.catalog.tableExists(cache_table):
         spark.createDataFrame([], schema).write.saveAsTable(cache_table)
@@ -182,25 +236,18 @@ def serve_bm25_cached(
     misses_q = qkeyed.join(
         usable.select("_qh").distinct(), "_qh", "left_anti"
     ).localCheckpoint(eager=True)
-    # a fully-hit serve must NEVER touch the corpus — that is the
-    # cache's whole contract. Without this early-out the miss pass
-    # still materializes the postings frame (its stats collect() runs
-    # even over zero miss queries), costing one corpus scan per serve.
+    # a fully-hit serve must NEVER touch the corpus/index — that is
+    # the cache's whole contract. Without this early-out the miss
+    # pass still materializes its input frames (e.g. the postings
+    # stats collect() runs even over zero miss queries), costing one
+    # scan per serve.
     if misses_q.isEmpty():
         return (
             qkeyed.select(query_id_col, "_qh")
             .join(hits, "_qh")
-            .select(query_id_col, id_col, "score", "n_matched", "rank")
+            .select(query_id_col, id_col, *vcols, "rank")
         )
-    computed = bm25_topk(
-        docs,
-        misses_q.select(query_id_col, query_text_col),
-        k=k,
-        id_col=id_col,
-        text_col=text_col,
-        query_id_col=query_id_col,
-        query_text_col=query_text_col,
-    )
+    computed = compute(misses_q)
     # write-recency counter for capacity eviction: one generation id
     # per serve call (max over a single int column of the cache — at
     # the reference's 1M-entry capacity this is a scan of one small
@@ -218,12 +265,11 @@ def serve_bm25_cached(
             F.lit(int(gen)).cast("int").alias("_gen"),
             F.lit(float(now)).cast("double").alias("_ts"),
             id_col,
-            "score",
-            "n_matched",
+            *vcols,
             "rank",
         )
-        # two miss query_ids with identical text produce identical
-        # rows per key — store each ranking once
+        # two miss query_ids with identical key content produce
+        # identical rows per key — store each ranking once
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -234,7 +280,78 @@ def serve_bm25_cached(
     return (
         qkeyed.select(query_id_col, "_qh")
         .join(served, "_qh")
-        .select(query_id_col, id_col, "score", "n_matched", "rank")
+        .select(query_id_col, id_col, *vcols, "rank")
+    )
+
+
+def serve_ann_cached(
+    spark,
+    cache_table: str,
+    index_prefix: str,
+    queries: DataFrame,
+    index_version: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    now: float = 0.0,
+) -> DataFrame:
+    """The vector twin of `serve_bm25_cached`: cached serving over the
+    PERSISTED IVF index, so a repeated query costs a broadcast hash
+    probe of the cache table and a fully-hit serve reads NEITHER the
+    index nor the corpus. The cache key is md5(index_version ‖ the
+    query vector's exact element-wise text form) — identical float32
+    vectors hit, anything else recomputes, and bumping
+    ``index_version`` (e.g. after `upsert_ivf_index` or a blue/green
+    retrain) makes every old entry unreachable. Misses probe the
+    index via `ivf_topk_from_index` once and append k-complete
+    generations; every cache semantic (topN at read, depth coverage,
+    read-side dedup, `_gen`/`_ts` hygiene columns shared with
+    `evict_query_cache`/`expire_query_cache`) comes from the shared
+    core. Identical to `ivf_topk_from_index(..., k, nprobe)` by
+    construction — gated with the shared oracle."""
+    from embeddingsearch_spark.operators.ann import ivf_topk_from_index
+
+    qkeyed = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.lit(index_version),
+                F.concat_ws(
+                    ",", F.col(vec_col).cast("array<string>")
+                ),
+            )
+        ).alias("_qh"),
+    ).localCheckpoint(eager=False)
+    assigned = spark.table(f"{index_prefix}_assigned")
+    id_type = assigned.schema[id_col].dataType.simpleString()
+
+    def compute(misses_q):
+        return ivf_topk_from_index(
+            spark,
+            index_prefix,
+            misses_q.select(query_id_col, vec_col),
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+
+    return _serve_cached(
+        spark,
+        cache_table,
+        qkeyed,
+        compute,
+        k,
+        id_col,
+        id_type,
+        [("cosine", "double")],
+        query_id_col,
+        now,
     )
 
 

@@ -365,6 +365,39 @@ def q_ivf_indexed_topk(spark, sf_dir):
     )
 
 
+def q_ann_cached_serve(spark, sf_dir):
+    """Cached vector serving — `serve_ann_cached` over the persisted
+    IVF index: the first serve misses, probes the index once, and
+    appends k-complete generations keyed by md5(index_version ‖ exact
+    query vector); the returned SECOND serve is a pure cache read
+    (broadcast hash probe — the fully-hit early-out never touches the
+    index; monkeypatch-pinned in tests). Results are identical to
+    `ivf_topk_from_index` by construction — the shared IVF oracle,
+    the same serve-twice gating pattern as `bm25_cached_serve`."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_ann_cache")
+    corpus = tables.load(spark, sf_dir, "embeddings")
+    centroids = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids(corpus.repartition(n), centroids)
+    ann_ops.save_ivf_index(
+        assigned, centroids, "es_gate_annc_ivf", n_buckets=4
+    )
+    qs = _queries_df(spark, sf_dir)
+    qc.serve_ann_cached(
+        spark, "es_gate_ann_cache", "es_gate_annc_ivf", qs, "v1",
+        k=10, nprobe=4,
+    ).collect()
+    return qc.serve_ann_cached(
+        spark, "es_gate_ann_cache", "es_gate_annc_ivf", qs, "v1",
+        k=10, nprobe=4,
+    )
+
+
 def q_ivf_tenant_serve(spark, sf_dir):
     """Multi-tenant IVF serving — the vector side of the multi-tenant
     searchdomain layout (the reference's per-searchdomain corpora,
@@ -1887,6 +1920,8 @@ QUERIES = {
     "ivf_indexed_topk": (q_ivf_indexed_topk, IVF_TOPK_SQL),
     # per-tenant quantizers + two-level partition isolation
     "ivf_tenant_serve": (q_ivf_tenant_serve, IVF_TENANT_SERVE_SQL),
+    # cache-served vector search is result-identical ⇒ shared oracle
+    "ann_cached_serve": (q_ann_cached_serve, IVF_TOPK_SQL),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),

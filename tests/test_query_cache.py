@@ -326,3 +326,70 @@ def test_expire_query_cache_ttl_and_reserve(spark):
     stats2 = expire_query_cache(spark, table, now=230.0, ttl=100.0)
     assert stats2["rows_expired"] == 0
     assert stats2["keys_after"] == 4
+
+
+def test_serve_ann_cached_hit_miss_version_and_k(spark, monkeypatch):
+    """The vector cache: a cold serve equals `ivf_topk_from_index`,
+    a warm serve returns the same rows WITHOUT touching the index
+    (monkeypatch-pinned), a smaller k reads from the deeper
+    generation, a larger k recomputes, and bumping the index version
+    makes old entries unreachable."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    table = "es_test_ann_cache"
+    drop_table(spark, table)
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids(emb, cents)
+    ann_ops.save_ivf_index(assigned, cents, "es_test_annc_ivf", n_buckets=2)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        tuple(r)
+        for r in ann_ops.ivf_topk_from_index(
+            spark, "es_test_annc_ivf", qs, k=5, nprobe=2
+        ).collect()
+    )
+    cold = qc.serve_ann_cached(
+        spark, table, "es_test_annc_ivf", qs, "v1", k=5, nprobe=2
+    )
+    assert sorted(tuple(r) for r in cold.collect()) == want
+
+    def boom(*a, **kw):
+        raise AssertionError("index probe ran on a fully-hit serve")
+
+    monkeypatch.setattr(ann_ops, "ivf_topk_from_index", boom)
+    warm = qc.serve_ann_cached(
+        spark, table, "es_test_annc_ivf", qs, "v1", k=5, nprobe=2
+    )
+    assert sorted(tuple(r) for r in warm.collect()) == want
+    # smaller k: topN at read over the k=5 generation, still no probe
+    small = qc.serve_ann_cached(
+        spark, table, "es_test_annc_ivf", qs, "v1", k=2, nprobe=2
+    )
+    got2 = sorted(tuple(r) for r in small.collect())
+    assert got2 == [t for t in want if t[3] <= 2]
+    monkeypatch.undo()
+    # larger k must recompute (the k=5 generation can't answer k=8)
+    big = qc.serve_ann_cached(
+        spark, table, "es_test_annc_ivf", qs, "v1", k=8, nprobe=2
+    )
+    want8 = sorted(
+        tuple(r)
+        for r in ann_ops.ivf_topk_from_index(
+            spark, "es_test_annc_ivf", qs, k=8, nprobe=2
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in big.collect()) == want8
+    # version bump: old entries unreachable, results identical
+    v2 = qc.serve_ann_cached(
+        spark, table, "es_test_annc_ivf", qs, "v2", k=5, nprobe=2
+    )
+    assert sorted(tuple(r) for r in v2.collect()) == want
