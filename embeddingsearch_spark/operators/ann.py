@@ -1358,6 +1358,57 @@ def ivf_federated_from_index(
     )
 
 
+def upsert_federated_ivf_index(
+    spark,
+    prefix: str,
+    new_vectors: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental maintenance of the MULTI-TENANT IVF index —
+    `upsert_ivf_index`'s contract under per-collection quantizers:
+    assign ONLY the batch, each vector against ITS OWN collection's
+    persisted (fixed) centroids, then delete-insert through the
+    partition-overwrite seam on the (collection, centroid) composite —
+    so one tenant's ingest rewrites only the cells its batch assigns
+    into (plus the cells its deleted/changed ids occupy) and NEVER
+    reads or writes another tenant's files: the ingest blast radius is
+    a single searchdomain, matching the serve path's isolation.
+    ``new_vectors`` must carry the collection column (a vector's
+    collection is part of its identity here). ``deleted_ids`` wins
+    over a conflicting batch row. Re-train a drifted tenant's
+    centroids offline and rebuild THAT tenant only — the other
+    collections' quantizers, partitions, and cache keys are untouched
+    by construction."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    sink = sink or PartitionOverwriteSink([partition_col, centroid_id_col])
+    cents = spark.table(f"{prefix}_centroids")
+    dk = new_vectors.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_vectors = new_vectors.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    assigned = assign_centroids_federated(
+        new_vectors, cents, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    sink.delete_insert(
+        spark, f"{prefix}_assigned", assigned, [id_col],
+        delete_keys=dk, bucket_cols=[id_col], n_buckets=n_buckets,
+        partition_cols=[partition_col, centroid_id_col],
+    )
+    return f"{prefix}_assigned"
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

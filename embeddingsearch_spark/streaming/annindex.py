@@ -445,6 +445,68 @@ def ivf_index_available_now(
     return history
 
 
+def federated_ivf_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame = None,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """`ivf_index_available_now` under per-collection quantizers: the
+    stream's rows carry their collection column, each micro-batch
+    assigns every vector against ITS OWN collection's persisted
+    centroids, and the upsert rewrites only the (collection, centroid)
+    cells the batch lands in — a multi-tenant vector ingest whose
+    blast radius per batch is the batch's own tenants. The
+    per-collection centroid table is FIXED for the stream's lifetime
+    (required on the CREATING run, ignored afterwards), so maintained
+    and rebuilt indexes serve identically (batch-equivalence, the
+    family invariant). Returns per-batch ingested-row counts."""
+    from embeddingsearch_spark.operators.ann import (
+        assign_centroids_federated,
+        save_federated_ivf_index,
+        upsert_federated_ivf_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(f"{prefix}_assigned"):
+            upsert_federated_ivf_index(
+                spark, prefix, batch_df,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, centroid_id_col=centroid_id_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            if centroids is None:
+                raise ValueError(
+                    "centroids required to CREATE the federated IVF "
+                    "index (train per collection offline; the stream "
+                    "never trains)"
+                )
+            assigned = assign_centroids_federated(
+                batch_df, centroids, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            )
+            save_federated_ivf_index(
+                assigned, centroids, prefix,
+                partition_col=partition_col, n_buckets=n_buckets,
+                id_col=id_col, centroid_id_col=centroid_id_col,
+            )
+
+    _drain(stream, step, checkpoint_dir)
+    return history
+
+
 def monitored_ivf_ingest(
     stream: DataFrame,
     prefix: str,

@@ -536,6 +536,72 @@ def q_streaming_ivf_index(spark, sf_dir):
     )
 
 
+def q_streaming_tivf_index(spark, sf_dir):
+    """Streaming maintenance of the MULTI-TENANT IVF index: vectors
+    stream in carrying their collection (tenant) column, the first
+    AvailableNow run creates the (tenant, centroid)-partitioned
+    assigned table under per-tenant quantizers, the second run
+    upserts the remaining fifth at touched-cell cost
+    (`upsert_federated_ivf_index` — one tenant's batch never rewrites
+    another tenant's files, tested), and the routed serve statically
+    prunes on both partition levels. Fixed per-tenant centroids ⇒
+    maintained ≡ rebuilt ⇒ the serve shares `ivf_tenant_serve`'s
+    oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        federated_ivf_index_available_now,
+    )
+
+    prefix = "es_gate_stream_tivf"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        tenant.alias("source"),
+        F.col("vec_id").alias("centroid_id"),
+        "embedding",
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+            .withColumn("source", tenant)
+        )
+        federated_ivf_index_available_now(
+            stream, prefix, centroids, partition_col="source",
+            n_buckets=4,
+        )
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(
+        F.col("vec_id").alias("query_id"), tenant.alias("source")
+    )
+    return ann_ops.ivf_federated_from_index(
+        spark, prefix, queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
 def q_drift_triggered_reindex(spark, sf_dir):
     """The monitoring loop closed into an action: ONE stream pass over
     the odd-doc_id half both maintains the persisted postings index
@@ -1036,6 +1102,7 @@ DRIFT_TRIGGERED_SQL = _drift_triggered_sql()
 # batch-equivalent, so the gated checks are the batch oracles verbatim
 from embeddingsearch_spark.suite.ann import (
     GRAPH_ANN_TOPK_SQL,
+    IVF_TENANT_SERVE_SQL,
     IVF_TOPK_SQL,
     PQ_TOPK_SQL,
 )
@@ -1050,6 +1117,11 @@ QUERIES = {
     "streaming_graph_ann": (q_streaming_graph_ann, GRAPH_ANN_TOPK_SQL),
     "streaming_pq_index": (q_streaming_pq_index, PQ_TOPK_SQL),
     "streaming_ivf_index": (q_streaming_ivf_index, IVF_TOPK_SQL),
+    # maintained ≡ rebuilt under fixed per-tenant quantizers
+    "streaming_tivf_index": (
+        q_streaming_tivf_index,
+        IVF_TENANT_SERVE_SQL,
+    ),
     "drift_triggered_reindex": (
         q_drift_triggered_reindex,
         DRIFT_TRIGGERED_SQL,

@@ -499,3 +499,76 @@ def test_partitioned_positions_upsert_tenant_isolation(spark):
     )
     assert got == want
     assert listing("globex") == before_globex
+
+
+def test_federated_ivf_upsert_tenant_isolation(spark, sf_dir):
+    """The multi-tenant IVF upsert: one tenant's batch (edit + add +
+    delete) rewrites only that tenant's touched cells — every other
+    tenant's partition subtree stays byte-identical — and the result
+    equals a rebuild over the final corpus under the same per-tenant
+    quantizers."""
+    import glob
+    import os
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_sink_tivf" + t)
+    old = corpus.filter(F.col("vec_id") % 100 != 24)
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(old, cents),
+        cents, "es_test_sink_tivf", partition_col="source",
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src):
+        return sorted(
+            (os.path.relpath(p, wh), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_sink_tivf_assigned",
+                    f"source={src}", "**", "*",
+                ),
+                recursive=True,
+            )
+            if os.path.isfile(p)
+        )
+
+    before_globex = listing("globex")
+    # an acme-only batch: edits (vec_id % 100 == 24 are even → acme)
+    # plus one delete (vec 0, acme)
+    batch = corpus.filter(F.col("vec_id") % 100 == 24)
+    assert batch.filter(F.col("source") != "acme").count() == 0
+    deleted = spark.createDataFrame([(0,)], "vec_id long")
+    ann_ops.upsert_federated_ivf_index(
+        spark, "es_test_sink_tivf", batch, partition_col="source",
+        n_buckets=2, deleted_ids=deleted,
+    )
+    remaining = corpus.filter(
+        (F.col("vec_id") % 100 == 24) | (F.col("vec_id") % 100 != 24)
+    ).join(deleted, "vec_id", "left_anti")
+    want = sorted(
+        (r["vec_id"], r["source"], r["centroid_id"])
+        for r in ann_ops.assign_centroids_federated(
+            remaining, cents
+        ).select("vec_id", "source", "centroid_id").collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["source"], r["centroid_id"])
+        for r in spark.table("es_test_sink_tivf_assigned")
+        .select("vec_id", "source", "centroid_id")
+        .collect()
+    )
+    assert got == want
+    # the other tenant's subtree: byte-identical
+    assert listing("globex") == before_globex
