@@ -1409,6 +1409,56 @@ def upsert_federated_ivf_index(
     return f"{prefix}_assigned"
 
 
+def retrain_federated_ivf_tenants(
+    spark,
+    prefix: str,
+    tenant_corpus: DataFrame,
+    new_centroids: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+) -> str:
+    """Single-collection quantizer retrain for the multi-tenant IVF
+    index — the ACTION arm of `embedding_drift_federated`, with the
+    blast radius the federated layout exists for: swap ONLY the
+    flagged collection(s)' centroid rows, then re-assign ONLY their
+    vectors through the partitioned upsert — every other collection's
+    quantizer, assignments, and partition files stay byte-identical
+    (tested). ``new_centroids`` carries the flagged collections' new
+    quantizer rows (its collection values define which tenants
+    retrain); ``tenant_corpus`` is those collections' FULL current
+    corpus (a retrain is per-tenant-total, cross-tenant-zero; rows
+    that moved cells are cleaned up by the upsert's delete keys).
+    The fixed-quantizer invariant the incremental family relies on is
+    intentionally broken HERE AND ONLY HERE, for the tenants being
+    retrained — which is the whole point of scoping it."""
+    from embeddingsearch_spark.storage import drop_table
+
+    cents = spark.table(f"{prefix}_centroids").localCheckpoint(
+        eager=True
+    )
+    tenants = [
+        r[0]
+        for r in new_centroids.select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    merged = cents.filter(
+        ~F.col(partition_col).isin(tenants)
+    ).unionByName(new_centroids.select(*cents.columns)).localCheckpoint(
+        eager=True
+    )
+    drop_table(spark, f"{prefix}_centroids")
+    merged.write.saveAsTable(f"{prefix}_centroids")
+    return upsert_federated_ivf_index(
+        spark, prefix, tenant_corpus, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col, n_buckets=n_buckets,
+    )
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

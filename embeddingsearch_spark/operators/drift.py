@@ -169,3 +169,48 @@ def embedding_drift(
         (F.max("n_b")).alias("n_b"),
     )
     return summary, per_dim
+
+
+def embedding_drift_federated(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    partition_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-collection embedding drift in ONE pass per side:
+    ``(collection, mean_shift_l2, n_a, n_b)`` — ‖μ_a − μ_b‖₂ computed
+    within each collection, so the monitor scopes a retrain's blast
+    radius to the DRIFTED searchdomain(s) instead of flagging the
+    whole index (the multi-tenant IVF's monitor arm: one tenant's
+    distribution shift triggers re-quantization of that tenant only —
+    `retrain_federated_ivf_tenants`). Collections present on one side
+    only are reported with the other side's count 0 and a NULL shift
+    (no basis for comparison — onboarding, not drift). Output is
+    (collections × d)-bounded before the final collapse."""
+
+    def dim_means(df, side):
+        return (
+            df.select(
+                F.col(partition_col),
+                F.posexplode(
+                    F.col(vec_col).cast("array<double>")
+                ).alias("dim", "x"),
+            )
+            .groupBy(partition_col, "dim")
+            .agg(
+                F.avg("x").alias(f"mean_{side}"),
+                F.count(F.lit(1)).alias(f"n_{side}"),
+            )
+        )
+
+    j = dim_means(emb_a, "a").join(
+        dim_means(emb_b, "b"), [partition_col, "dim"], "full_outer"
+    )
+    shift = F.col("mean_a") - F.col("mean_b")
+    return j.groupBy(partition_col).agg(
+        F.round(F.sqrt(F.sum(shift * shift)), ROUND_DIGITS).alias(
+            "mean_shift_l2"
+        ),
+        F.coalesce(F.max("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0)).alias("n_b"),
+    )

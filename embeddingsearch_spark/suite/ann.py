@@ -434,15 +434,28 @@ def q_ivf_tenant_serve(spark, sf_dir):
     )
 
 
-IVF_TENANT_SERVE_SQL = f"""WITH src AS (
+def _ivf_tenant_sql(
+    src_sql: str | None = None,
+    cents_where: str = "vec_id < 16",
+    q_where: str = "vec_id % 13 = 0",
+    extra_select: str = "",
+) -> str:
+    """The tenant-scoped IVF chain (per-collection quantizer →
+    tenant-routed probe → within-collection scoring), parameterized
+    over the corpus CTE, the quantizer id rule, and the query set —
+    `IVF_TENANT_SERVE_SQL` is the default instance; the drift-retrain
+    oracle re-sources it to the two-era corpus with a re-selected
+    quantizer for the drifted tenant only."""
+    src = src_sql or """src AS (
   SELECT vec_id, embedding,
          CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
            AS source
   FROM embeddings
-),
+)"""
+    return f"""WITH {src},
 tcents AS (
   SELECT source, vec_id AS centroid_id, embedding AS cv FROM src
-  WHERE vec_id < 16
+  WHERE {cents_where}
 ),
 assign_elems AS (
   SELECT e.vec_id, c.centroid_id,
@@ -464,7 +477,7 @@ assigned AS (
 ),
 q AS (
   SELECT vec_id AS query_id, source, embedding AS qv FROM src
-  WHERE vec_id % 13 = 0
+  WHERE {q_where}
 ),
 probe_elems AS (
   SELECT q.query_id, c.centroid_id,
@@ -504,8 +517,115 @@ ranked AS (
                                      vec_id ASC) AS rank
   FROM cand_sims
 )
-SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank{extra_select}
 FROM ranked WHERE rank <= 10"""
+
+
+IVF_TENANT_SERVE_SQL = _ivf_tenant_sql()
+
+
+def q_drift_tenant_reindex(spark, sf_dir):
+    """Per-tenant drift → single-tenant retrain — the monitor→action
+    loop SCOPED to one searchdomain, the payoff of the federated
+    layout: the reference era builds the (tenant, centroid)-
+    partitioned index under per-tenant quantizers; a shifted era
+    (x → 0.2x + 0.8, new odd ids) lands ONLY in globex via the
+    partitioned upsert; `embedding_drift_federated` compares the
+    index's own rows against the reference era PER COLLECTION and
+    flags globex (acme reads 0 shift — no flag, value-asserted by the
+    oracle's literal booleans); the action
+    (`retrain_federated_ivf_tenants`) re-selects globex's quantizer
+    over both eras and re-assigns globex ONLY — acme's partitions are
+    untouched files (byte-identity unit-tested), its quantizer and
+    cache keys never move. The routed serve then answers from both
+    tenants: acme under its original quantizer, globex under the
+    retrained one — exactly what the oracle replays."""
+    from embeddingsearch_spark.operators import drift as drift_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_gate_tivf_drift"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    ref = corpus.withColumn("source", tenant).localCheckpoint(
+        eager=False
+    )
+    cents1 = ref.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        ref.repartition(n), cents1, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents1, prefix, partition_col="source", n_buckets=4
+    )
+    newera = corpus.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") * 2 + 10001).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(0.2) + F.lit(0.8)
+        ).alias("embedding"),
+        F.lit("globex").alias("source"),
+    ).localCheckpoint(eager=False)
+    ann_ops.upsert_federated_ivf_index(
+        spark, prefix, newera, partition_col="source", n_buckets=4
+    )
+    cur = spark.table(f"{prefix}_assigned")
+    drift = drift_ops.embedding_drift_federated(
+        cur, ref, partition_col="source"
+    )
+    flags = {
+        r["source"]: bool(
+            r["mean_shift_l2"] is not None and r["mean_shift_l2"] > 0.25
+        )
+        for r in drift.collect()
+    }
+    gx = ref.filter(F.col("source") == "globex").unionByName(newera)
+    new_cents = gx.filter(
+        (F.col("vec_id") < 16)
+        | ((F.col("vec_id") > 10000) & (F.col("vec_id") < 10050))
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    ann_ops.retrain_federated_ivf_tenants(
+        spark, prefix, gx, new_cents, partition_col="source",
+        n_buckets=4,
+    )
+    qdf = ref.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    res = ann_ops.ivf_federated_from_index(
+        spark, prefix, queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+    return res.withColumn(
+        "retrain_globex", F.lit(flags["globex"])
+    ).withColumn("retrain_acme", F.lit(flags.get("acme", False)))
+
+
+DRIFT_TENANT_SQL = _ivf_tenant_sql(
+    src_sql="""src AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id * 2 + 10001 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 0.2 + 0.8)
+           AS embedding,
+         'globex' AS source
+  FROM embeddings WHERE vec_id % 3 = 0
+)""",
+    cents_where="""vec_id < 16 OR (source = 'globex'
+         AND vec_id > 10000 AND vec_id < 10050)""",
+    q_where="vec_id % 13 = 0 AND vec_id < 10000",
+    extra_select=",\n       TRUE AS retrain_globex, FALSE AS retrain_acme",
+)
 
 
 def q_graph_ann_persisted(spark, sf_dir):
@@ -1922,6 +2042,8 @@ QUERIES = {
     "ivf_tenant_serve": (q_ivf_tenant_serve, IVF_TENANT_SERVE_SQL),
     # cache-served vector search is result-identical ⇒ shared oracle
     "ann_cached_serve": (q_ann_cached_serve, IVF_TOPK_SQL),
+    # per-tenant drift flags → single-tenant re-quantization
+    "drift_tenant_reindex": (q_drift_tenant_reindex, DRIFT_TENANT_SQL),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),

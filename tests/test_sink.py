@@ -572,3 +572,85 @@ def test_federated_ivf_upsert_tenant_isolation(spark, sf_dir):
     assert got == want
     # the other tenant's subtree: byte-identical
     assert listing("globex") == before_globex
+
+
+def test_federated_retrain_single_tenant_blast_radius(spark, sf_dir):
+    """`retrain_federated_ivf_tenants`: re-quantizing ONE collection
+    re-assigns exactly that collection (equals a fresh per-tenant
+    build over its corpus with the new quantizer) while the other
+    collection's centroid rows AND partition files stay untouched."""
+    import glob
+    import os
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_retrain_tivf" + t)
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(corpus, cents),
+        cents, "es_test_retrain_tivf", partition_col="source",
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src):
+        return sorted(
+            (os.path.relpath(p, wh), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_retrain_tivf_assigned",
+                    f"source={src}", "**", "*",
+                ),
+                recursive=True,
+            )
+            if os.path.isfile(p)
+        )
+
+    before_acme = listing("acme")
+    # retrain globex with a DIFFERENT quantizer (ids 17..47 odd)
+    gx = corpus.filter(F.col("source") == "globex")
+    new_cents = gx.filter(
+        (F.col("vec_id") > 16) & (F.col("vec_id") < 48)
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    ann_ops.retrain_federated_ivf_tenants(
+        spark, "es_test_retrain_tivf", gx, new_cents,
+        partition_col="source", n_buckets=2,
+    )
+    # acme untouched: files byte-identical, centroid rows unchanged
+    assert listing("acme") == before_acme
+    kept_cents = {
+        (r["source"], r["centroid_id"])
+        for r in spark.table("es_test_retrain_tivf_centroids")
+        .select("source", "centroid_id")
+        .collect()
+    }
+    assert {c for c in kept_cents if c[0] == "acme"} == {
+        ("acme", i) for i in range(0, 16, 2)
+    }
+    assert {c for c in kept_cents if c[0] == "globex"} == {
+        ("globex", i) for i in range(17, 48, 2)
+    }
+    # globex equals a fresh assignment under the new quantizer
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in ann_ops.assign_centroids_federated(
+            gx, new_cents
+        ).select("vec_id", "centroid_id").collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.table("es_test_retrain_tivf_assigned")
+        .filter(F.col("source") == "globex")
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert got == want
