@@ -46,6 +46,8 @@ BUILD_QUERIES = {
     "drift_pq_reindex",
     "streaming_ivf_index",
     "drift_ivf_reindex",
+    "streaming_tivf_index",
+    "drift_tenant_reindex",
 }
 
 

@@ -216,6 +216,130 @@ def save_bucketed(
     )
 
 
+def compact_index_table(
+    spark, table: str, max_files_per_partition: int = 4
+) -> dict:
+    """Small-file compaction for a hive-partitioned (optionally
+    bucketed) CATALOG index table maintained by incremental upserts —
+    the operational complement of the partition-overwrite sink:
+    streaming create-or-upsert lands one file set per micro-batch per
+    touched cell, so a long-lived index accretes KB-scale files that
+    murder scan planning (one task + one open per file). This rewrites
+    ONLY the partitions whose data-file count exceeds
+    ``max_files_per_partition``, through the same dynamic-overwrite
+    insertInto path the sink uses (bucketing survives — verified), one
+    writer task per fragmented partition, so each compacted cell ends
+    at ≤ n_buckets files; partitions under the bound are never read or
+    written (byte-identical; tested). Rows and serving results are
+    unchanged by construction — compaction changes costs, never
+    results (gated: a post-compaction serve shares the uncompacted
+    oracle verbatim). Returns {"partitions_compacted",
+    "files_before", "files_after"} (file counts over the fragmented
+    partitions only)."""
+    import os
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    loc = _table_location(spark, table)
+    if loc is None:
+        raise ValueError(f"cannot resolve location of {table}")
+    pcols = [
+        c.name
+        for c in spark.catalog.listColumns(table)
+        if c.isPartition
+    ]
+    if not pcols:
+        raise ValueError(
+            f"{table} is not partitioned — use storage.compact on its "
+            "location instead"
+        )
+    old = spark.table(table)
+    types = {
+        f.name: f.dataType.simpleString() for f in old.schema.fields
+    }
+
+    def leaf_listing():
+        out = {}
+        for root, _, names in os.walk(loc):
+            data = [
+                n
+                for n in names
+                if not n.startswith(("_", "."))
+                and not n.endswith((".crc", "_SUCCESS"))
+            ]
+            if not data:
+                continue
+            rel = os.path.relpath(root, loc)
+            kv = dict(
+                p.split("=", 1)
+                for p in rel.split(os.sep)
+                if "=" in p
+            )
+            if set(kv) != set(pcols) or any(
+                v == "__HIVE_DEFAULT_PARTITION__" for v in kv.values()
+            ):
+                continue
+            out[tuple(kv[c] for c in pcols)] = len(data)
+        return out
+
+    counts = leaf_listing()
+    frag = {
+        t: n
+        for t, n in counts.items()
+        if n > max_files_per_partition
+    }
+    if not frag:
+        return {
+            "partitions_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+    cond = F.lit(False)
+    for t in frag:
+        c = F.lit(True)
+        for pc, v in zip(pcols, t):
+            c = c & (
+                F.col(pc) == F.lit(unquote(v)).cast(types[pc])
+            )
+        cond = cond | c
+    cols = [f.name for f in old.schema.fields]
+    # pin BEFORE the overwrite: the rewrite reads the table it rewrites
+    pinned = old.filter(cond).localCheckpoint(eager=True)
+    rewrite = pinned.repartition(
+        max(1, len(frag)), *[F.col(c) for c in pcols]
+    ).select(*cols)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        rewrite.write.mode("overwrite").insertInto(table)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    after = leaf_listing()
+    return {
+        "partitions_compacted": len(frag),
+        "files_before": sum(frag.values()),
+        "files_after": sum(after.get(t, 0) for t in frag),
+    }
+
+
+def _table_location(spark, table: str):
+    """Resolve a live table's storage location from the catalog."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    if not spark.catalog.tableExists(table):
+        return None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r[0] == "Location":
+            return Path(urlparse(r[1]).path)
+    return None
+
+
 def drop_table(spark, table: str) -> None:
     """Drop a managed table AND its orphaned warehouse directory (a
     previous session's managed location survives a metastore reset and

@@ -1950,6 +1950,43 @@ SELECT 'phrase' AS mode, query_id, doc_id,
 FROM ({_phrase_tenant_sql()})"""
 
 
+def q_compacted_index_serve(spark, sf_dir):
+    """Index lifecycle end-to-end: build the tenant-partitioned
+    postings index from MOST of the corpus, ship the holdout through
+    several small partitioned upserts (the fragmentation pattern of a
+    long-lived streaming ingest — each batch lands its own file set in
+    the touched cells), then run `storage.compact_index_table`
+    (rewrites only over-bound partitions, preserves bucketing and
+    hive layout) and serve routed BM25 from the compacted table.
+    Compaction changes file counts, never rows — the serve shares
+    `bm25_tenant_serve`'s oracle verbatim, which is the gate's point."""
+    from embeddingsearch_spark.storage import compact_index_table
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    table = "es_gate_postings_compact"
+    main = docs.filter(F.col("doc_id") % 7 != 0)
+    holdout = docs.filter(F.col("doc_id") % 7 == 0).localCheckpoint(
+        eager=False
+    )
+    retrieval.build_partitioned_postings_index(
+        main, table, partition_col="source", n_buckets=8
+    )
+    for j in range(3):
+        batch = holdout.filter(F.col("doc_id") % 3 == j)
+        retrieval.upsert_partitioned_postings_index(
+            spark, table, batch, partition_col="source", n_buckets=8
+        )
+    compact_index_table(spark, table, max_files_per_partition=2)
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source")
+    return retrieval.bm25_federated_from_index(
+        spark, table, queries, route, k=10, partition_col="source"
+    )
+
+
 def q_hybrid_indexed_serve(spark, sf_dir):
     """Hybrid retrieval SERVED ENTIRELY FROM PERSISTED INDEXES — the
     production shape of `hybrid_rrf`: the lexical ranking comes from
@@ -2181,5 +2218,10 @@ QUERIES = {
     "hybrid_indexed_serve": (
         q_hybrid_indexed_serve,
         HYBRID_INDEXED_SERVE_SQL,
+    ),
+    # compaction changes file counts, never rows ⇒ shared oracle
+    "compacted_index_serve": (
+        q_compacted_index_serve,
+        BM25_TENANT_SQL,
     ),
 }

@@ -82,3 +82,79 @@ def test_write_training_shards(spark, tmp_path):
     )
     assert stats2["rows"] == 1000
     assert stats2["n_files"] >= 10
+
+
+def test_compact_index_table_fragmented_partitions_only(spark):
+    """`storage.compact_index_table` on a bucketed, tenant-partitioned
+    postings index after repeated upserts: rows identical, the
+    under-bound partition's files untouched (byte-identical), the
+    fragmented partition's file count drops, and the bucketed join
+    layout survives (zero-exchange bucket-key aggregation after)."""
+    import glob
+
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.plans import inspect as pi
+    from embeddingsearch_spark.storage import (
+        compact_index_table,
+        drop_table,
+    )
+
+    table = "es_test_compact_idx"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 5} common word{i}",
+             ["acme", "globex"][i % 2])
+            for i in range(20)
+        ],
+        "doc_id long, text string, source string",
+    )
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col="source", n_buckets=2
+    )
+    # fragment acme the way a long-lived streaming ingest does: many
+    # small per-batch APPENDS, each landing its own file set
+    cols = spark.table(table).columns
+    template = (
+        spark.table(table)
+        .filter(F.col("source") == "acme")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    for j in range(8):
+        template.withColumn(
+            "doc_id", F.lit(1000 + j).cast("long")
+        ).select(*cols).repartition(1).write.mode("append").insertInto(
+            table
+        )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src):
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(wh, table, f"source={src}", "*")
+            )
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+
+    before_rows = sorted(
+        tuple(r) for r in spark.table(table).collect()
+    )
+    before_globex = listing("globex")
+    n_acme_before = len(listing("acme"))
+    assert n_acme_before > 4, n_acme_before
+    stats = compact_index_table(
+        spark, table, max_files_per_partition=4
+    )
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] < stats["files_before"]
+    assert len(listing("acme")) <= 2  # n_buckets files from one task
+    assert listing("globex") == before_globex
+    after_rows = sorted(
+        tuple(r) for r in spark.table(table).collect()
+    )
+    assert after_rows == before_rows
+    # bucketing preserved: term-key aggregation stays exchange-free
+    agg = spark.table(table).groupBy("term").count()
+    assert pi.count_shuffles(agg) == 0
