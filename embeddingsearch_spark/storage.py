@@ -534,3 +534,38 @@ def resolve_index_alias(spark, alias: str) -> str:
             f"alias {alias!r} has {len(rows)} mapping rows (want 1)"
         )
     return rows[0]["prefix"]
+
+
+def vacuum_index_generations(spark, alias: str) -> dict:
+    """Garbage-collect superseded blue/green generations: the swap
+    (`set_index_alias`) deliberately leaves the OLD generation's
+    tables on disk — in-flight queries that resolved the alias before
+    the flip finish against a complete index, and dropping afterwards
+    is GC, not correctness. This is that GC: every ``{alias}__g*``
+    table whose generation prefix is NOT the one the alias currently
+    serves is dropped (all of a multi-table family's tables —
+    _assigned/_centroids, _pairs, _codes/_codebooks — share the
+    generation prefix, so they collect together). Run it AFTER the
+    retrain cycle's in-flight drain window, exactly like an ACID
+    format's VACUUM retention. Returns {"kept_prefix",
+    "dropped_tables"}."""
+    import re
+
+    current = resolve_index_alias(spark, alias)
+    cur_l = current.lower()
+    pat = re.compile(re.escape(alias.lower()) + r"__g\d+")
+    dropped = []
+    for t in spark.catalog.listTables():
+        name = t.name
+        m = pat.match(name)
+        if not m:
+            continue
+        gen = m.group(0)
+        if gen == cur_l or cur_l.startswith(gen + "_"):
+            continue
+        # only whole-generation matches: __g2 must not claim __g21
+        if name != gen and not name.startswith(gen + "_"):
+            continue
+        drop_table(spark, name)
+        dropped.append(name)
+    return {"kept_prefix": current, "dropped_tables": sorted(dropped)}

@@ -279,3 +279,45 @@ def test_index_alias_bluegreen_swap(spark):
     ).write.mode("overwrite").saveAsTable("es_test_bg_alias")
     with pytest.raises(ValueError):
         resolve_index_alias(spark, "es_test_bg")
+
+
+def test_vacuum_index_generations_drops_only_superseded(spark):
+    """`vacuum_index_generations`: after a blue/green swap, the old
+    generation's WHOLE table family is dropped, the serving
+    generation and its alias mapping stay, and a lookalike
+    generation number (__g21 vs __g2) is matched as a whole token."""
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        resolve_index_alias,
+        set_index_alias,
+        vacuum_index_generations,
+    )
+
+    alias = "es_test_vacuum_idx"
+    for g, suf in (
+        ("__g1", "_assigned"), ("__g1", "_centroids"),
+        ("__g2", "_assigned"), ("__g2", "_centroids"),
+        ("__g21", "_assigned"),
+    ):
+        t = alias + g + suf
+        drop_table(spark, t)
+        spark.createDataFrame([(1,)], "x long").write.saveAsTable(t)
+    set_index_alias(spark, alias, alias + "__g2")
+    out = vacuum_index_generations(spark, alias)
+    assert out["kept_prefix"] == alias + "__g2"
+    assert sorted(out["dropped_tables"]) == [
+        alias + "__g1_assigned",
+        alias + "__g1_centroids",
+        alias + "__g21_assigned",
+    ]
+    assert spark.catalog.tableExists(alias + "__g2_assigned")
+    assert spark.catalog.tableExists(alias + "__g2_centroids")
+    assert not spark.catalog.tableExists(alias + "__g1_assigned")
+    assert not spark.catalog.tableExists(alias + "__g21_assigned")
+    assert resolve_index_alias(spark, alias) == alias + "__g2"
+    # idempotent: nothing left to collect
+    again = vacuum_index_generations(spark, alias)
+    assert again["dropped_tables"] == []
+    for g, suf in (("__g2", "_assigned"), ("__g2", "_centroids")):
+        drop_table(spark, alias + g + suf)
+    drop_table(spark, alias + "_alias")
