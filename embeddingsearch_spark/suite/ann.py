@@ -439,6 +439,7 @@ def _ivf_tenant_sql(
     cents_where: str = "vec_id < 16",
     q_where: str = "vec_id % 13 = 0",
     extra_select: str = "",
+    cents_sql: str | None = None,
 ) -> str:
     """The tenant-scoped IVF chain (per-collection quantizer →
     tenant-routed probe → within-collection scoring), parameterized
@@ -452,11 +453,12 @@ def _ivf_tenant_sql(
            AS source
   FROM embeddings
 )"""
-    return f"""WITH {src},
-tcents AS (
+    cents = cents_sql or f"""tcents AS (
   SELECT source, vec_id AS centroid_id, embedding AS cv FROM src
   WHERE {cents_where}
-),
+)"""
+    return f"""WITH {src},
+{cents},
 assign_elems AS (
   SELECT e.vec_id, c.centroid_id,
          CAST(unnest(e.embedding) AS DOUBLE) AS x,

@@ -2128,6 +2128,116 @@ FROM fused
 QUALIFY fused_rank <= 10"""
 
 
+def q_hybrid_tenant_serve(spark, sf_dir):
+    """The FULL multi-tenant hybrid stack: ONE tenant axis (the
+    corpus ``source``) partitions BOTH the postings index and the IVF
+    index (each vector inherits its document's searchdomain, each
+    tenant gets its own coarse quantizer — the 4 lowest ids per
+    collection, oracle-replayable), each query routes to its own
+    searchdomain, and the serve fuses per-tenant lexical BM25
+    (`bm25_federated_from_index` — tenant-local N/avgdl/df) with
+    per-tenant vector search (`ivf_federated_from_index` — two-level
+    static pruning) by reciprocal-rank fusion over rank rows. Both
+    branches read ONLY their routed tenant's partitions (isolation by
+    scan on both modalities); the oracle replays both tenant-scoped
+    chains from the raw tables and fuses identically."""
+    from pyspark.sql import Window
+
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    retrieval.build_partitioned_postings_index(
+        docs, "es_gate_hybt_postings", partition_col="source",
+        n_buckets=8,
+    )
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    embsrc = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"),
+        "vec_id",
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        embsrc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        embsrc.repartition(spark.sparkContext.defaultParallelism),
+        cents, partition_col="source",
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_hybt_ivf", partition_col="source",
+        n_buckets=4,
+    )
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source").localCheckpoint(eager=False)
+    lex = retrieval.bm25_federated_from_index(
+        spark, "es_gate_hybt_postings", queries, route, k=10,
+        partition_col="source",
+    )
+    qvecs = embsrc.join(
+        route.select("query_id"),
+        embsrc["vec_id"] == F.col("query_id"),
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    dense = ann_ops.ivf_federated_from_index(
+        spark, "es_gate_hybt_ivf", qvecs, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+    return retrieval.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=60,
+        top_k=10,
+    )
+
+
+def _ivf_tenant_hybrid_sql() -> str:
+    from embeddingsearch_spark.suite.ann import _ivf_tenant_sql
+
+    src = f"""{RD_SQL},
+src AS (
+  SELECT e.vec_id, e.embedding, d.source
+  FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
+)"""
+    cents = """tcents AS (
+  SELECT source, vec_id AS centroid_id, embedding AS cv FROM (
+    SELECT source, vec_id, embedding,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY vec_id) AS rn
+    FROM src
+  ) WHERE rn <= 4
+)"""
+    return _ivf_tenant_sql(src_sql=src, cents_sql=cents)
+
+
+HYBRID_TENANT_SERVE_SQL = f"""WITH unioned AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c
+  FROM ({BM25_TENANT_SQL}) WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank)
+  FROM ({_ivf_tenant_hybrid_sql()}) WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS rrf_score,
+         count(*) AS n_rankings
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_rankings,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     # rank-safe pruning ⇒ identical result set ⇒ identical oracle
@@ -2223,5 +2333,10 @@ QUERIES = {
     "compacted_index_serve": (
         q_compacted_index_serve,
         BM25_TENANT_SQL,
+    ),
+    # one tenant axis partitions BOTH modalities; fused per tenant
+    "hybrid_tenant_serve": (
+        q_hybrid_tenant_serve,
+        HYBRID_TENANT_SERVE_SQL,
     ),
 }

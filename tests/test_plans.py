@@ -919,3 +919,77 @@ def test_ivf_federated_serve_prunes_both_levels(spark):
         m for m in plan.splitlines() if "PartitionFilters" in m
     )
     assert "source" in pf and "centroid_id" in pf, plan[:3000]
+
+
+def test_hybrid_tenant_serve_zero_raw_scans_and_pruning(spark):
+    """The multi-tenant hybrid: the fused per-tenant BM25+IVF plan
+    reads ONLY the three tenant-partitioned index tables, and both
+    modalities' scans carry the routed tenant in PartitionFilters."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+
+    docs = tables.load(spark, SF, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    drop_table(spark, "es_plan_hybt_post")
+    retrieval.build_partitioned_postings_index(
+        docs, "es_plan_hybt_post", partition_col="source", n_buckets=2
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        emb, cents, partition_col="source"
+    )
+    drop_table(spark, "es_plan_hybt_ivf_assigned")
+    drop_table(spark, "es_plan_hybt_ivf_centroids")
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_plan_hybt_ivf", partition_col="source",
+        n_buckets=2,
+    )
+    queries = spark.createDataFrame(
+        [(0, "key agg row scan slow")], "query_id long, text string"
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvecs = spark.createDataFrame(
+        [(0, qrow["embedding"])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    lex = retrieval.bm25_federated_from_index(
+        spark, "es_plan_hybt_post", queries, route, k=10,
+        partition_col="source",
+    )
+    dense = ann_ops.ivf_federated_from_index(
+        spark, "es_plan_hybt_ivf", qvecs, route, k=10, nprobe=2,
+        partition_col="source",
+    )
+    fused = retrieval.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=60,
+        top_k=10,
+    )
+    plan = pi.physical_plan(fused)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert (
+                "es_plan_hybt_post" in line
+                or "es_plan_hybt_ivf_assigned" in line
+                or "es_plan_hybt_ivf_centroids" in line
+            ), line
+    assert "CartesianProduct" not in plan
+    pfs = [m for m in plan.splitlines() if "PartitionFilters" in m]
+    assert any("source" in m for m in pfs), plan[:3000]
