@@ -585,6 +585,324 @@ def upsert_pq_index(
     return f"{prefix}_codes"
 
 
+def initial_codebooks_federated(
+    corpus: DataFrame,
+    partition_col: str = "source",
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Per-collection seed codebooks — `initial_codebooks`' rule
+    applied within each collection: code j = the collection's j-th
+    LOWEST id (tenant-local ranks, so any engine reproduces each
+    tenant's quantizer independently of the others). One pass + one
+    bounded collect (collections × k_codes rows). Returns
+    {collection: Codebooks}."""
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    rows = (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_codes)
+        .select(
+            partition_col,
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    by: dict = {}
+    for r in sorted(rows, key=lambda r: (str(r[0]), r[1])):
+        by.setdefault(r[0], []).append(r["_v"])
+    out = {}
+    for t, vecs in by.items():
+        d = len(vecs[0])
+        if d % m_sub:
+            raise ValueError(
+                f"dim {d} not divisible by m_sub {m_sub}"
+            )
+        ds = d // m_sub
+        out[t] = [
+            [
+                [float(x) for x in v[m * ds : (m + 1) * ds]]
+                for v in vecs
+            ]
+            for m in range(m_sub)
+        ]
+    return out
+
+
+def encode_pq_federated(
+    corpus: DataFrame,
+    codebooks_by: dict,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Per-collection PQ encode in ONE corpus pass: each vector encodes
+    against ITS OWN collection's codebooks — the same round/argmin
+    tiebreak as `encode_pq` (a single-collection corpus encodes
+    identically; tested). All collections' codebooks together remain
+    a driver artifact (M·K·d floats per tenant), shipped in the task
+    closure keyed by collection. Vectors whose collection has no
+    codebooks are dropped, not cross-encoded (the
+    `assign_centroids_federated` contract)."""
+    import numpy as np
+
+    packs = {}
+    for t, codebooks in codebooks_by.items():
+        C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        packs[t] = (C, [np.sum(c * c, axis=1) for c in C])
+    m_sub = len(next(iter(codebooks_by.values())))
+    ds = len(codebooks_by[next(iter(codebooks_by))][0][0])
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema
+    )
+    out_schema = f"{fields}, {codes_col} array<int>"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True).copy()
+            codes_out = [None] * len(pdf)
+            for t, grp in pdf.groupby(partition_col, sort=False):
+                pack = packs.get(t)
+                if pack is None:
+                    continue
+                C, cn2 = pack
+                V = np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in grp[vec_col]
+                    ]
+                )
+                codes = np.empty((len(V), m_sub), dtype=np.int32)
+                for m in range(m_sub):
+                    X = V[:, m * ds : (m + 1) * ds]
+                    d2 = np.round(
+                        np.sum(X * X, axis=1)[:, None]
+                        - 2.0 * (X @ C[m].T)
+                        + cn2[m][None, :],
+                        ROUND_DIGITS,
+                    )
+                    codes[:, m] = np.argmin(d2, axis=1)
+                for pos, c in zip(grp.index.to_numpy(), codes):
+                    codes_out[pos] = list(map(int, c))
+            pdf[codes_col] = pd.Series(codes_out, dtype=object)
+            yield pdf[pdf[codes_col].notna()]
+
+    return corpus.mapInPandas(run, schema=out_schema)
+
+
+def save_federated_pq_index(
+    coded: DataFrame,
+    codebooks_by: dict,
+    prefix: str,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> tuple[str, str]:
+    """PERSIST the multi-tenant PQ index: the codes table PARTITIONED
+    by collection (a routed ADC scan statically prunes to its own
+    tenant's code files; a tenant's ingest rewrites only its subtree)
+    and bucketed by id within; all collections' codebooks in one
+    (collection, m, code, centroid) table."""
+    from embeddingsearch_spark.storage import drop_table, replace_bucketed
+
+    spark = coded.sparkSession
+    replace_bucketed(
+        coded.select(id_col, partition_col, codes_col),
+        f"{prefix}_codes",
+        [id_col],
+        n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    rows = [
+        (t, m, j, [float(x) for x in c])
+        for t, codebooks in sorted(codebooks_by.items())
+        for m, cb in enumerate(codebooks)
+        for j, c in enumerate(cb)
+    ]
+    cb_df = spark.createDataFrame(
+        rows,
+        f"{partition_col} string, m int, code int, "
+        "centroid array<double>",
+    )
+    drop_table(spark, f"{prefix}_codebooks")
+    cb_df.write.saveAsTable(f"{prefix}_codebooks")
+    return f"{prefix}_codes", f"{prefix}_codebooks"
+
+
+def load_federated_pq_codebooks(
+    spark, prefix: str, partition_col: str = "source"
+) -> dict:
+    """Rebuild {collection: Codebooks} from the persisted table."""
+    rows = (
+        spark.table(f"{prefix}_codebooks")
+        .orderBy(partition_col, "m", "code")
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        cbs = out.setdefault(r[partition_col], [])
+        while len(cbs) <= r["m"]:
+            cbs.append([])
+        cbs[r["m"]].append(list(r["centroid"]))
+    return out
+
+
+def pq_federated_from_index(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Tenant-routed ADC serving over `save_federated_pq_index` — the
+    compressed twin of `ivf_federated_from_index`: the routed
+    collections become a static partition predicate on the codes
+    table (a query's scan reads ONLY its own tenant's M-byte code
+    rows), and each query's LUTs derive from ITS collection's OWN
+    codebooks, so scoring is per-searchdomain by construction. Equals
+    per-tenant `pq_topk` inside each collection (tested); columns
+    (query_id, id, cosine, rank)."""
+    import numpy as np
+
+    cbs_by = load_federated_pq_codebooks(
+        spark, prefix, partition_col=partition_col
+    )
+    q_rows = queries.join(
+        F.broadcast(route.select(query_id_col, partition_col)),
+        query_id_col,
+    ).select(partition_col, query_id_col, vec_col).collect()
+    packs = {}
+    for t in sorted({str(r[0]) for r in q_rows}):
+        rows_t = [r for r in q_rows if str(r[0]) == t]
+        if t not in cbs_by:
+            raise ValueError(f"no codebooks for collection {t!r}")
+        C = [np.array(cb, dtype=np.float64) for cb in cbs_by[t]]
+        cn2 = [np.sum(c * c, axis=1) for c in C]
+        m_sub = len(C)
+        ds = C[0].shape[1]
+        qids = np.array([r[1] for r in rows_t])
+        Q = _as_matrix(rows_t, 2)
+        qn = np.linalg.norm(Q, axis=1)
+        lut = [
+            Q[:, m * ds : (m + 1) * ds] @ C[m].T for m in range(m_sub)
+        ]
+        packs[t] = (qids, qn, lut, cn2, m_sub)
+    pruned = spark.table(f"{prefix}_codes").filter(
+        F.col(partition_col).isin(list(packs))
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for t, grp in pdf.groupby(partition_col, sort=False):
+                pack = packs.get(t)
+                if pack is None:
+                    continue
+                qids, qn, lut, cn2, m_sub = pack
+                codes = np.array(
+                    [
+                        np.asarray(c, dtype=np.int64)
+                        for c in grp[codes_col]
+                    ]
+                )
+                n = len(codes)
+                dots = np.zeros((n, len(qids)))
+                rn2 = np.zeros(n)
+                for m in range(m_sub):
+                    cm = codes[:, m]
+                    dots += lut[m][:, cm].T
+                    rn2 += cn2[m][cm]
+                rn = np.sqrt(rn2)
+                denom = rn[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = np.where(denom == 0.0, 0.0, dots / denom)
+                sim = np.round((raw + 1.0) / 2.0, ROUND_DIGITS)
+                ids = grp[id_col].to_numpy()
+                recs = []
+                for j in range(len(qids)):
+                    col = sim[:, j]
+                    order = np.lexsort((ids, -col))[: min(k, n)]
+                    recs.extend(
+                        (int(qids[j]), int(ids[i]), float(col[i]))
+                        for i in order
+                    )
+                yield pd.DataFrame(
+                    recs, columns=[query_id_col, id_col, "cosine"]
+                )
+
+    partial = pruned.select(
+        id_col, partition_col, codes_col
+    ).mapInPandas(part, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def upsert_federated_pq_index(
+    spark,
+    prefix: str,
+    new_vectors: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    n_buckets: int = 8,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental maintenance of the multi-tenant PQ index: encode
+    ONLY the batch, each vector under ITS OWN collection's persisted
+    (fixed) codebooks, then delete-insert through the
+    partition-overwrite seam — one tenant's ingest never reads or
+    writes another tenant's code files. ``deleted_ids`` wins over a
+    conflicting batch row."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    sink = sink or PartitionOverwriteSink(partition_col)
+    cbs_by = load_federated_pq_codebooks(
+        spark, prefix, partition_col=partition_col
+    )
+    dk = new_vectors.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_vectors = new_vectors.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    new_codes = encode_pq_federated(
+        new_vectors, cbs_by, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+    ).select(id_col, partition_col, codes_col)
+    sink.delete_insert(
+        spark, f"{prefix}_codes", new_codes, [id_col],
+        delete_keys=dk, bucket_cols=[id_col], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    return f"{prefix}_codes"
+
+
 def ivfpq_topk(
     coded: DataFrame,
     codebooks: Codebooks,

@@ -630,6 +630,116 @@ DRIFT_TENANT_SQL = _ivf_tenant_sql(
 )
 
 
+def q_pq_tenant_serve(spark, sf_dir):
+    """Multi-tenant PQ serving — the COMPRESSED member of the
+    federated index family (postings, positions, and IVF already
+    serve tenant-partitioned): each collection trains its OWN
+    codebooks (tenant-local j-th-lowest-id seed rule, engine-
+    reproducible), one corpus pass encodes every vector under its own
+    collection's quantizer, the codes table persists PARTITIONED by
+    tenant, and a routed ADC serve statically prunes to its tenant's
+    M-byte code rows with LUTs from that tenant's own codebooks —
+    compression AND isolation from the same layout. Equals per-tenant
+    `pq_topk`; the oracle replays the tenant-scoped
+    codebook/encode/ADC chain."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source"
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpq", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return pq_ops.pq_federated_from_index(
+        spark, "es_gate_tpq", queries, route, k=10,
+        partition_col="source",
+    )
+
+
+PQ_TENANT_SERVE_SQL = f"""WITH src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+),
+cbsel AS (
+  SELECT source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY vec_id) - 1 AS INT) AS code,
+         embedding
+  FROM src
+  QUALIFY code < 16
+),
+cbe AS (
+  SELECT c.source, c.code, m.m, i.i,
+         CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
+  FROM cbsel c, range(0, 8) m(m), range(1, 9) i(i)
+),
+d2 AS (
+  SELECT v.vec_id, b.m, b.code,
+         round(sum((CAST(v.embedding[b.m * 8 + b.i] AS DOUBLE)
+                    - b.cv) ^ 2), {RD}) AS dist
+  FROM src v JOIN cbe b ON b.source = v.source
+  GROUP BY v.vec_id, b.m, b.code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, source, embedding AS qv FROM src
+  WHERE vec_id % 13 = 0
+),
+rec AS (
+  SELECT e.vec_id, q.query_id,
+         sum(b.cv * CAST(q.qv[e.m * 8 + b.i] AS DOUBLE)) AS dot,
+         sum(b.cv * b.cv) AS rn2
+  FROM enc e
+  JOIN src v ON v.vec_id = e.vec_id
+  JOIN cbe b ON b.m = e.m AND b.code = e.code
+            AND b.source = v.source
+  JOIN q ON q.source = v.source
+  GROUP BY e.vec_id, q.query_id
+),
+qn AS (
+  SELECT vec_id AS query_id,
+         sqrt(sum(CAST(x AS DOUBLE) ^ 2)) AS qnorm
+  FROM (SELECT vec_id, unnest(embedding) AS x
+        FROM embeddings WHERE vec_id % 13 = 0)
+  GROUP BY vec_id
+),
+sims AS (
+  SELECT r.query_id, r.vec_id,
+         round(CASE WHEN sqrt(r.rn2) * q.qnorm = 0 THEN 0.5
+               ELSE (r.dot / (sqrt(r.rn2) * q.qnorm) + 1.0) / 2.0 END,
+               {RD}) AS cosine
+  FROM rec r JOIN qn q USING (query_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
 def q_graph_ann_persisted(spark, sf_dir):
     """The graph index's build-once/query-forever story, gated end to
     end: the scored pair table and block assignment of 4/5 of the
@@ -2046,6 +2156,8 @@ QUERIES = {
     "ann_cached_serve": (q_ann_cached_serve, IVF_TOPK_SQL),
     # per-tenant drift flags → single-tenant re-quantization
     "drift_tenant_reindex": (q_drift_tenant_reindex, DRIFT_TENANT_SQL),
+    # per-tenant codebooks + partitioned codes: compressed isolation
+    "pq_tenant_serve": (q_pq_tenant_serve, PQ_TENANT_SERVE_SQL),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),

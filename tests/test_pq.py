@@ -271,3 +271,120 @@ def test_pq_adaptive_refine_validates_factors(emb):
         pq.pq_topk_refined_adaptive(
             coded, cbs, coded, qs, base_factor=4, deep_factor=2
         )
+
+
+def test_pq_federated_single_tenant_parity(emb, spark):
+    """One-collection corpus: the federated codebook seed, encode, and
+    serve all equal their single-corpus twins."""
+    one = emb.withColumn("source", F.lit("acme"))
+    cbs = pq.initial_codebooks(emb, m_sub=4, k_codes=8)
+    cbs_by = pq.initial_codebooks_federated(
+        one, partition_col="source", m_sub=4, k_codes=8
+    )
+    assert list(cbs_by) == ["acme"]
+    assert cbs_by["acme"] == cbs
+    plain = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.encode_pq(emb, cbs).select("vec_id", "codes").collect()
+    }
+    fed = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.encode_pq_federated(
+            one, cbs_by, partition_col="source"
+        ).select("vec_id", "codes").collect()
+    }
+    assert fed == plain
+
+
+def test_pq_federated_tenant_isolation_and_upsert(emb, spark):
+    """The federated PQ serve equals per-tenant `pq_topk` (own
+    codebooks, own codes), a query never scores another tenant's
+    vectors, and the partitioned upsert leaves the other tenant's
+    code files byte-identical."""
+    import glob
+    import os
+
+    from embeddingsearch_spark.storage import drop_table
+
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq.initial_codebooks_federated(
+        two, partition_col="source", m_sub=4, k_codes=8
+    )
+    coded = pq.encode_pq_federated(
+        two, cbs_by, partition_col="source"
+    ).localCheckpoint(eager=True)
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_tpq" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_test_tpq", partition_col="source",
+        n_buckets=2,
+    )
+    qdf = two.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    got = pq.pq_federated_from_index(
+        spark, "es_test_tpq", queries, route, k=5,
+        partition_col="source",
+    )
+    want = None
+    for tenant in ("acme", "globex"):
+        t_coded = coded.filter(F.col("source") == tenant)
+        t_qids = [
+            r["query_id"]
+            for r in route.filter(F.col("source") == tenant).collect()
+        ]
+        part = pq.pq_topk(
+            t_coded, cbs_by[tenant],
+            queries.filter(F.col("query_id").isin(t_qids)),
+            k=5,
+        )
+        want = part if want is None else want.unionByName(part)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # isolation by parity: results stay within the query's tenant
+    for r in got.collect():
+        assert r["vec_id"] % 2 == r["query_id"] % 2
+    # upsert: an acme batch leaves globex's files byte-identical and
+    # equals re-encoding the final corpus
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src):
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_tpq_codes", f"source={src}", "*"
+                )
+            )
+        )
+
+    before_globex = listing("globex")
+    batch = two.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        "embedding",
+        "source",
+    )
+    deleted = spark.createDataFrame([(2,)], "vec_id long")
+    pq.upsert_federated_pq_index(
+        spark, "es_test_tpq", batch, partition_col="source",
+        n_buckets=2, deleted_ids=deleted,
+    )
+    assert listing("globex") == before_globex
+    remaining = two.filter(F.col("vec_id") != 2).unionByName(batch)
+    want2 = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq.encode_pq_federated(
+            remaining, cbs_by, partition_col="source"
+        ).select("vec_id", "codes").collect()
+    )
+    got2 = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.table("es_test_tpq_codes")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    assert got2 == want2
