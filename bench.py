@@ -48,6 +48,7 @@ BUILD_QUERIES = {
     "drift_ivf_reindex",
     "streaming_tivf_index",
     "drift_tenant_reindex",
+    "graph_tenant_serve",
 }
 
 

@@ -93,9 +93,15 @@ def assign_blocks(
 
 
 def _score_pairs(
-    pairs: DataFrame, emb: DataFrame, id_col: str, vec_col: str
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    carry: tuple = (),
 ) -> DataFrame:
-    """Exact cosine per distinct (_ida < _idb) pair."""
+    """Exact cosine per distinct (_ida < _idb) pair; ``carry`` names
+    extra pair columns passed through unchanged (the federated build
+    threads the collection column)."""
     va = emb.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
@@ -109,6 +115,7 @@ def _score_pairs(
     return pairs.join(va, "_ida").join(vb, "_idb").select(
         "_ida",
         "_idb",
+        *carry,
         F.round(
             _cosine_from_parts(
                 dot(F.col("_va"), F.col("_vb")),
@@ -674,4 +681,165 @@ def graph_search(
             F.col("_sim").alias("cosine"),
             F.col("_r").alias("rank"),
         )
+    )
+
+
+def assign_blocks_federated(
+    emb: DataFrame,
+    centroids: DataFrame,
+    partition_col: str = "source",
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Per-collection multi-assignment: each vector's ``n_assign``
+    nearest coarse centroids OF ITS OWN collection — ``(id,
+    collection, _blk)``. Because every block belongs to one
+    collection, the within-block pair generation downstream NEVER
+    crosses tenants: the graph is tenant-pure by construction, not by
+    filtering. Same broadcast/zero-shuffle shape as `assign_blocks`
+    (the tenant equi-join replaces the crossJoin)."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(partition_col),
+            F.col(centroid_id_col),
+            F.col(vec_col).alias("_cvec"),
+            norm2(F.col(vec_col)).alias("_cn"),
+        )
+    )
+    sim_c = F.round(
+        _cosine_from_parts(
+            dot(F.col(vec_col), F.col("_cvec")),
+            F.col("_vn"),
+            F.col("_cn"),
+        ),
+        ROUND_DIGITS,
+    )
+    aw = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("_blk").asc()
+    )
+    return (
+        emb.select(
+            F.col(id_col),
+            F.col(partition_col),
+            F.col(vec_col),
+            norm2(F.col(vec_col)).alias("_vn"),
+        )
+        .join(c, partition_col)
+        .select(
+            F.col(id_col),
+            F.col(partition_col),
+            F.col(centroid_id_col).alias("_blk"),
+            sim_c.alias("_csim"),
+        )
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") <= n_assign)
+        .select(id_col, partition_col, "_blk")
+    )
+
+
+def block_pair_sims_federated(
+    emb: DataFrame,
+    assigned: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`block_pair_sims` over a per-collection assignment: pairs are
+    tenant-pure because blocks are (one join key, no tenant filter
+    anywhere), and the collection column rides along so the pair
+    table can persist PARTITIONED by tenant."""
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("_blk"), F.col(partition_col)
+    )
+    b = assigned.select(F.col(id_col).alias("_idb"), F.col("_blk"))
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", partition_col)
+        .distinct()
+    )
+    return _score_pairs(pairs, emb, id_col, vec_col, carry=(partition_col,))
+
+
+def save_federated_graph_index(
+    pairs: DataFrame,
+    assigned: DataFrame,
+    prefix: str,
+    partition_col: str = "source",
+    n_buckets: int = 32,
+) -> tuple[str, str]:
+    """PERSIST the multi-tenant graph index: the scored pair table and
+    the multi-assignment both PARTITIONED by collection (a routed
+    search statically prunes to its own tenant's edge files; a
+    tenant's ingest rewrites only its subtree), bucketed like
+    `save_graph_index` within each partition."""
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    return (
+        replace_bucketed(
+            pairs, f"{prefix}_pairs", ["_ida"], n_buckets=n_buckets,
+            partition_cols=[partition_col],
+        ),
+        replace_bucketed(
+            assigned, f"{prefix}_assigned", ["_blk"],
+            n_buckets=n_buckets, partition_cols=[partition_col],
+        ),
+    )
+
+
+def graph_search_federated(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    n_entry: int = 4,
+    m: int = 6,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    salt: str = "nsw_entry",
+) -> DataFrame:
+    """Tenant-routed beam search over `save_federated_graph_index` —
+    the graph member of the federated serving family: the routed
+    collections statically prune BOTH index tables, entry points are
+    a per-collection md5 sample (each query starts inside its own
+    searchdomain's graph), and because edges are tenant-pure by
+    construction the beam can NEVER walk into another tenant — no
+    per-hop filtering needed, isolation is a property of the stored
+    graph. Equals per-tenant `graph_search` with the same entry
+    sample (tested). ``emb`` supplies raw vectors for scoring (only
+    the query's own tenant's nodes are ever scored)."""
+    routed = route.select(partition_col).distinct().collect()
+    pf = F.col(partition_col).isin([r[0] for r in routed])
+    pairs = spark.table(f"{prefix}_pairs").filter(pf)
+    assigned = spark.table(f"{prefix}_assigned").filter(pf)
+    edges = edges_from_pairs(
+        pairs.select("_ida", "_idb", "cosine"), m=m
+    )
+    ids = assigned.select(partition_col, F.col(id_col)).distinct()
+    ew = Window.partitionBy(partition_col).orderBy(
+        F.md5(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ),
+        F.col(id_col).asc(),
+    )
+    ent = (
+        ids.withColumn("_r", F.row_number().over(ew))
+        .filter(F.col("_r") <= n_entry)
+        .select(partition_col, id_col)
+    )
+    entries = route.join(F.broadcast(ent), partition_col).select(
+        query_id_col, id_col
+    )
+    return graph_search(
+        edges, emb, queries, k=k, beam=beam, hops=hops,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        entries=entries,
     )

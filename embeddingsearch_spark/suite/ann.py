@@ -1099,6 +1099,71 @@ def q_graph_ann_topk(spark, sf_dir):
     )
 
 
+def q_graph_tenant_serve(spark, sf_dir):
+    """Multi-tenant graph ANN — the LAST index family joins the
+    federated set (postings, positions, IVF, PQ already serve
+    tenant-partitioned): per-collection coarse centroids make every
+    block tenant-pure, so within-block pair generation NEVER crosses
+    tenants and the persisted graph has no cross-tenant edge BY
+    CONSTRUCTION — isolation is a property of the stored edges, not a
+    filter. Both index tables persist PARTITIONED by tenant (routed
+    searches statically prune to their own tenant's files), entry
+    points are a per-collection md5 sample, and the beam provably
+    cannot leave the query's searchdomain. Equals per-tenant
+    `graph_search`; the oracle replays each tenant's full build+search
+    chain and unions them."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_gate_tgraph"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    n = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(n).localCheckpoint(eager=False)
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(
+        emb, cents, partition_col="source", n_assign=2
+    )
+    pairs = graphann.block_pair_sims_federated(
+        emb, assigned, partition_col="source"
+    )
+    graphann.save_federated_graph_index(
+        pairs, assigned, prefix, partition_col="source", n_buckets=4
+    )
+    qdf = emb.filter(F.col("vec_id") < 4)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return graphann.graph_search_federated(
+        spark, prefix, emb, queries, route, k=10, beam=24, hops=4,
+        n_entry=8, m=8, partition_col="source",
+    )
+
+
+def _graph_tenant_sql() -> str:
+    """Per-tenant build+search chains unioned: each tenant's chain is
+    `_graph_ann_sql` re-sourced to that tenant's sub-corpus (same
+    per-tenant centroid rule, same tenant-local md5 entry sample the
+    federated serve computes)."""
+    chains = []
+    for parity in (0, 1):
+        src = (
+            "(SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id % 2 = {parity})"
+        )
+        chains.append(
+            f"SELECT * FROM ({_graph_ann_sql(src=src)})"
+        )
+    return "\nUNION ALL\n".join(chains)
+
+
 def _graph_ann_sql(
     m: int = 8,
     n_assign: int = 2,
@@ -2158,6 +2223,8 @@ QUERIES = {
     "drift_tenant_reindex": (q_drift_tenant_reindex, DRIFT_TENANT_SQL),
     # per-tenant codebooks + partitioned codes: compressed isolation
     "pq_tenant_serve": (q_pq_tenant_serve, PQ_TENANT_SERVE_SQL),
+    # tenant-pure edges by construction: the beam cannot cross tenants
+    "graph_tenant_serve": (q_graph_tenant_serve, _graph_tenant_sql()),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),

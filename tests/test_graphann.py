@@ -306,3 +306,78 @@ def test_hierarchical_entries_and_recall(spark, corpus, cents, queries):
         edges, corpus, queries, k=10, beam=24, hops=3, n_entry=8
     )
     assert recall(hier) >= recall(flat) - 1e-9
+
+
+def test_graph_federated_tenant_isolation_and_parity(spark, sf_dir):
+    """The federated graph serve equals per-tenant `graph_search`
+    (same per-tenant entry sample), and the beam can never cross
+    tenants — even when the other tenant holds an IDENTICAL vector —
+    because the stored edges are tenant-pure by construction."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100001).alias("vec_id"),
+        "embedding",
+        F.lit("globex").alias("source"),
+    )
+    emb = emb.unionByName(clone).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(
+        emb, cents, partition_col="source", n_assign=2
+    )
+    pairs = graphann.block_pair_sims_federated(
+        emb, assigned, partition_col="source"
+    )
+    # edges are tenant-pure: every pair's endpoints share a parity
+    # (the clone id 100001 is odd = globex)
+    for r in pairs.select("_ida", "_idb").collect():
+        assert r["_ida"] % 2 == r["_idb"] % 2
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, "es_test_tgraph" + t)
+    graphann.save_federated_graph_index(
+        pairs, assigned, "es_test_tgraph", partition_col="source",
+        n_buckets=2,
+    )
+    qdf = emb.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    got = graphann.graph_search_federated(
+        spark, "es_test_tgraph", emb, queries, route, k=5, beam=12,
+        hops=3, n_entry=4, m=6, partition_col="source",
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    # parity twin: per-tenant graph over the tenant's sub-corpus with
+    # the same tenant-local md5 entry sample
+    want = None
+    for tenant in ("acme", "globex"):
+        t_emb = emb.filter(F.col("source") == tenant)
+        t_pairs = pairs.filter(F.col("source") == tenant)
+        t_edges = graphann.edges_from_pairs(
+            t_pairs.select("_ida", "_idb", "cosine"), m=6
+        )
+        t_entries = graphann.entry_points(t_emb, n_entry=4)
+        t_route = route.filter(F.col("source") == tenant)
+        t_q = queries.join(t_route.select("query_id"), "query_id")
+        init = t_q.select("query_id").crossJoin(
+            t_entries.select("vec_id")
+        )
+        part = graphann.graph_search(
+            t_edges, t_emb, t_q, k=5, beam=12, hops=3,
+            entries=init,
+        )
+        want = part if want is None else want.unionByName(part)
+    assert got_rows == sorted(map(tuple, want.collect()))
+    # isolation: query 0 (acme) never reaches the globex clone of
+    # its own vector — the perfect cross-tenant match
+    hits0 = {r["vec_id"] for r in got.collect() if r["query_id"] == 0}
+    assert 100001 not in hits0
+    assert all(v % 2 == 0 for v in hits0)
