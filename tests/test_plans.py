@@ -993,3 +993,48 @@ def test_hybrid_tenant_serve_zero_raw_scans_and_pruning(spark):
     assert "CartesianProduct" not in plan
     pfs = [m for m in plan.splitlines() if "PartitionFilters" in m]
     assert any("source" in m for m in pfs), plan[:3000]
+
+
+def test_pq_federated_serve_prunes_tenant_partitions(spark):
+    """The multi-tenant PQ serve: the ADC scan reads ONLY the codes
+    table, statically pruned to the routed tenant's partitions."""
+    from embeddingsearch_spark.operators import pq
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=4, k_codes=8
+    )
+    coded = pq.encode_pq_federated(emb, cbs_by, partition_col="source")
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_plan_tpq" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_plan_tpq", partition_col="source",
+        n_buckets=2,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])],
+        "query_id long, embedding array<float>",
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = pq.pq_federated_from_index(
+        spark, "es_plan_tpq", queries, route, k=5,
+        partition_col="source",
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "es_plan_tpq_codes" in line, line
+    pi.assert_partition_pruned(df)
+    pf = "\n".join(
+        m for m in plan.splitlines() if "PartitionFilters" in m
+    )
+    assert "source" in pf, plan[:3000]
