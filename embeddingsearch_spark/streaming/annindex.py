@@ -778,3 +778,66 @@ def pq_index_available_now(
 
     _drain(stream, step, checkpoint_dir)
     return history
+
+
+def federated_pq_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    codebooks_by: dict | None = None,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """`pq_index_available_now` under per-collection codebooks — the
+    compressed member of the federated streaming set (IVF above):
+    rows carry their collection column, each micro-batch encodes every
+    vector under ITS OWN collection's persisted codebooks, and the
+    upsert rewrites only the tenant partitions the batch lands in.
+    ``codebooks_by`` ({collection: Codebooks}, trained offline per
+    tenant) is required on the CREATING run and ignored afterwards.
+    Returns per-batch ingested-row counts."""
+    from embeddingsearch_spark.operators.pq import (
+        encode_pq_federated,
+        save_federated_pq_index,
+        upsert_federated_pq_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(f"{prefix}_codes"):
+            upsert_federated_pq_index(
+                spark, prefix, batch_df,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, codes_col=codes_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            if codebooks_by is None:
+                raise ValueError(
+                    "codebooks_by required to CREATE the federated "
+                    "PQ index (train per collection offline; the "
+                    "stream never trains)"
+                )
+            save_federated_pq_index(
+                encode_pq_federated(
+                    batch_df, codebooks_by,
+                    partition_col=partition_col, id_col=id_col,
+                    vec_col=vec_col, codes_col=codes_col,
+                ),
+                codebooks_by,
+                prefix,
+                partition_col=partition_col,
+                n_buckets=n_buckets,
+                id_col=id_col,
+                codes_col=codes_col,
+            )
+
+    _drain(stream, step, checkpoint_dir)
+    return history

@@ -602,6 +602,67 @@ def q_streaming_tivf_index(spark, sf_dir):
     )
 
 
+def q_streaming_tpq_index(spark, sf_dir):
+    """Streaming maintenance of the MULTI-TENANT PQ index: vectors
+    stream in with their collection column, the first AvailableNow
+    run creates the tenant-partitioned codes table under per-tenant
+    codebooks (the offline artifact), the second run encodes the
+    remaining fifth under the PERSISTED codebooks at touched-tenant
+    cost, and the routed ADC serves with per-tenant LUTs. Fixed
+    per-tenant codebooks ⇒ maintained ≡ rebuilt ⇒ the serve shares
+    `pq_tenant_serve`'s oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        federated_pq_index_available_now,
+    )
+
+    prefix = "es_gate_stream_tpq"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, prefix + t)
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("source", tenant)
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+            .withColumn("source", tenant)
+        )
+        federated_pq_index_available_now(
+            stream, prefix, cbs_by, partition_col="source",
+            n_buckets=4,
+        )
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return pq_ops.pq_federated_from_index(
+        spark, prefix, queries, route, k=10, partition_col="source"
+    )
+
+
 def q_drift_triggered_reindex(spark, sf_dir):
     """The monitoring loop closed into an action: ONE stream pass over
     the odd-doc_id half both maintains the persisted postings index
@@ -1104,6 +1165,7 @@ from embeddingsearch_spark.suite.ann import (
     GRAPH_ANN_TOPK_SQL,
     IVF_TENANT_SERVE_SQL,
     IVF_TOPK_SQL,
+    PQ_TENANT_SERVE_SQL,
     PQ_TOPK_SQL,
 )
 from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
@@ -1121,6 +1183,10 @@ QUERIES = {
     "streaming_tivf_index": (
         q_streaming_tivf_index,
         IVF_TENANT_SERVE_SQL,
+    ),
+    "streaming_tpq_index": (
+        q_streaming_tpq_index,
+        PQ_TENANT_SERVE_SQL,
     ),
     "drift_triggered_reindex": (
         q_drift_triggered_reindex,
