@@ -1459,6 +1459,119 @@ def retrain_federated_ivf_tenants(
     )
 
 
+def onboard_tenant_ivf(
+    spark,
+    prefix: str,
+    tenant_corpus: DataFrame,
+    tenant_centroids: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+) -> str:
+    """First-class tenant ONBOARDING for the multi-tenant IVF index:
+    append the new collection(s)' quantizer rows to the centroid
+    table, assign their corpus under those quantizers (one pass), and
+    insert the resulting partitions through the partition-overwrite
+    seam with NO delete keys — the touched partitions are exactly the
+    new collection's cells, which did not exist before, so existing
+    collections' files, assignments, and quantizers are untouched by
+    construction (byte-identity tested). Refuses collections that are
+    already onboarded (that is a retrain —
+    `retrain_federated_ivf_tenants` — or an ingest —
+    `upsert_federated_ivf_index`)."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+    from embeddingsearch_spark.storage import drop_table
+
+    cents = spark.table(f"{prefix}_centroids").localCheckpoint(
+        eager=True
+    )
+    existing = {
+        r[0]
+        for r in cents.select(partition_col).distinct().collect()
+    }
+    new_tenants = [
+        r[0]
+        for r in tenant_centroids.select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    overlap = sorted(t for t in new_tenants if t in existing)
+    if overlap:
+        raise ValueError(
+            f"collections already onboarded: {overlap} — use "
+            "retrain_federated_ivf_tenants (new quantizer) or "
+            "upsert_federated_ivf_index (new vectors)"
+        )
+    merged = cents.unionByName(
+        tenant_centroids.select(*cents.columns)
+    ).localCheckpoint(eager=True)
+    drop_table(spark, f"{prefix}_centroids")
+    merged.write.saveAsTable(f"{prefix}_centroids")
+    assigned = assign_centroids_federated(
+        tenant_corpus, tenant_centroids, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    PartitionOverwriteSink([partition_col, centroid_id_col]).delete_insert(
+        spark, f"{prefix}_assigned", assigned, [id_col],
+        delete_keys=None, bucket_cols=[id_col], n_buckets=n_buckets,
+        partition_cols=[partition_col, centroid_id_col],
+    )
+    return f"{prefix}_assigned"
+
+
+def offboard_tenant_ivf(
+    spark,
+    prefix: str,
+    tenant: str,
+    partition_col: str = "source",
+) -> dict:
+    """First-class tenant OFFBOARDING: drop the collection's
+    partitions (enumerated with a partial partition spec, dropped one
+    full spec at a time — bounded by the tenant's own cell count) and
+    its centroid rows. Every other collection's files are never read
+    or written; a subsequent routed serve for the gone tenant finds no
+    quantizer and returns nothing, and `onboard_tenant_ivf` accepts
+    the name again. Returns {"partitions_dropped",
+    "centroids_dropped"}."""
+    from embeddingsearch_spark.storage import drop_table
+
+    esc = str(tenant).replace("'", "''")
+    parts = spark.sql(
+        f"SHOW PARTITIONS {prefix}_assigned "
+        f"PARTITION ({partition_col}='{esc}')"
+    ).collect()
+    for r in parts:
+        from urllib.parse import unquote
+
+        spec = ", ".join(
+            "{}='{}'".format(
+                kv.split("=", 1)[0],
+                unquote(kv.split("=", 1)[1]).replace("'", "''"),
+            )
+            for kv in r[0].split("/")
+        )
+        spark.sql(
+            f"ALTER TABLE {prefix}_assigned DROP IF EXISTS "
+            f"PARTITION ({spec})"
+        )
+    cents = spark.table(f"{prefix}_centroids").localCheckpoint(
+        eager=True
+    )
+    n_before = cents.count()
+    kept = cents.filter(
+        F.col(partition_col) != tenant
+    ).localCheckpoint(eager=True)
+    drop_table(spark, f"{prefix}_centroids")
+    kept.write.saveAsTable(f"{prefix}_centroids")
+    return {
+        "partitions_dropped": len(parts),
+        "centroids_dropped": int(n_before - kept.count()),
+    }
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -630,6 +630,78 @@ DRIFT_TENANT_SQL = _ivf_tenant_sql(
 )
 
 
+def q_tenant_lifecycle_serve(spark, sf_dir):
+    """The searchdomain LIFECYCLE end-to-end — the reference's
+    create/delete-searchdomain surface (SearchdomainHelper.cs) as
+    index operations: the federated IVF index starts with two
+    collections, a THIRD is onboarded (`onboard_tenant_ivf`: append
+    its quantizer rows, insert its partitions — insert-only, existing
+    tenants' files untouched, byte-identity tested), then the first
+    is offboarded (`offboard_tenant_ivf`: its partitions and centroid
+    rows dropped at tenant-cell cost). The routed serve then answers
+    queries for the surviving original tenant AND the onboarded one —
+    rows that exist ONLY if onboarding inserted real partitions. The
+    oracle replays the per-tenant chains for the tenants that remain
+    routed."""
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_gate_tivf_lc"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tenant = (
+        F.when(F.col("vec_id") % 3 == 0, "t0")
+        .when(F.col("vec_id") % 3 == 1, "t1")
+        .otherwise("t2")
+    )
+    src = emb.withColumn("source", tenant).localCheckpoint(eager=False)
+    cents_all = src.filter(F.col("vec_id") < 24).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    ).localCheckpoint(eager=False)
+    base = src.filter(F.col("source") != "t2")
+    base_cents = cents_all.filter(F.col("source") != "t2")
+    n = spark.sparkContext.defaultParallelism
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(
+            base.repartition(n), base_cents, partition_col="source"
+        ),
+        base_cents, prefix, partition_col="source", n_buckets=4,
+    )
+    ann_ops.onboard_tenant_ivf(
+        spark, prefix,
+        src.filter(F.col("source") == "t2"),
+        cents_all.filter(F.col("source") == "t2"),
+        partition_col="source", n_buckets=4,
+    )
+    ann_ops.offboard_tenant_ivf(
+        spark, prefix, "t0", partition_col="source"
+    )
+    qdf = src.filter(
+        (F.col("vec_id") % 13 == 0) & (F.col("source") != "t0")
+    )
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return ann_ops.ivf_federated_from_index(
+        spark, prefix, queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
+TENANT_LIFECYCLE_SQL = _ivf_tenant_sql(
+    src_sql="""src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 3 = 0 THEN 't0'
+              WHEN vec_id % 3 = 1 THEN 't1'
+              ELSE 't2' END AS source
+  FROM embeddings
+)""",
+    cents_where="vec_id < 24",
+    q_where="vec_id % 13 = 0 AND vec_id % 3 <> 0",
+)
+
+
 def q_pq_tenant_serve(spark, sf_dir):
     """Multi-tenant PQ serving — the COMPRESSED member of the
     federated index family (postings, positions, and IVF already
@@ -2225,6 +2297,11 @@ QUERIES = {
     "pq_tenant_serve": (q_pq_tenant_serve, PQ_TENANT_SERVE_SQL),
     # tenant-pure edges by construction: the beam cannot cross tenants
     "graph_tenant_serve": (q_graph_tenant_serve, _graph_tenant_sql()),
+    # onboard a collection, offboard another, serve the survivors
+    "tenant_lifecycle_serve": (
+        q_tenant_lifecycle_serve,
+        TENANT_LIFECYCLE_SQL,
+    ),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),
     "graph_ann_topk": (q_graph_ann_topk, GRAPH_ANN_TOPK_SQL),

@@ -654,3 +654,101 @@ def test_federated_retrain_single_tenant_blast_radius(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_tenant_onboard_offboard_isolation(spark, sf_dir):
+    """`onboard_tenant_ivf` / `offboard_tenant_ivf`: onboarding a new
+    collection inserts ONLY its partitions (existing tenants' files
+    byte-identical), re-onboarding an existing name is refused,
+    offboarding drops exactly that tenant's partitions + centroid
+    rows (the survivor again byte-identical), and the name can be
+    onboarded again afterwards."""
+    import glob
+    import os
+
+    import pytest
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_lc_tivf" + t)
+    acme = corpus.filter(F.col("source") == "acme")
+    acme_cents = cents.filter(F.col("source") == "acme")
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(
+            acme, acme_cents, partition_col="source"
+        ),
+        acme_cents, "es_test_lc_tivf", partition_col="source",
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing(src):
+        return sorted(
+            (os.path.relpath(p, wh), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(
+                    wh, "es_test_lc_tivf_assigned",
+                    f"source={src}", "**", "*",
+                ),
+                recursive=True,
+            )
+            if os.path.isfile(p)
+        )
+
+    before_acme = listing("acme")
+    gx = corpus.filter(F.col("source") == "globex")
+    gx_cents = cents.filter(F.col("source") == "globex")
+    ann_ops.onboard_tenant_ivf(
+        spark, "es_test_lc_tivf", gx, gx_cents,
+        partition_col="source", n_buckets=2,
+    )
+    assert listing("acme") == before_acme
+    # the onboarded tenant serves like a from-scratch federated build
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in ann_ops.assign_centroids_federated(
+            gx, gx_cents
+        ).select("vec_id", "centroid_id").collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.table("es_test_lc_tivf_assigned")
+        .filter(F.col("source") == "globex")
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="already onboarded"):
+        ann_ops.onboard_tenant_ivf(
+            spark, "es_test_lc_tivf", gx, gx_cents,
+            partition_col="source", n_buckets=2,
+        )
+    out = ann_ops.offboard_tenant_ivf(
+        spark, "es_test_lc_tivf", "globex", partition_col="source"
+    )
+    assert out["partitions_dropped"] > 0
+    assert out["centroids_dropped"] == gx_cents.count()
+    assert listing("globex") == []
+    assert listing("acme") == before_acme
+    assert (
+        spark.table("es_test_lc_tivf_assigned")
+        .filter(F.col("source") == "globex")
+        .count()
+        == 0
+    )
+    # the name is free again
+    ann_ops.onboard_tenant_ivf(
+        spark, "es_test_lc_tivf", gx, gx_cents,
+        partition_col="source", n_buckets=2,
+    )
+    assert listing("acme") == before_acme
