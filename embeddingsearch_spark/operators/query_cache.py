@@ -436,3 +436,97 @@ def expire_query_cache(
         "keys_after": int(n_fresh),
         "rows_expired": int(n_rows - n_kept),
     }
+
+
+def serve_bm25_federated_cached(
+    spark,
+    cache_table: str,
+    postings_table: str,
+    queries: DataFrame,
+    route: DataFrame,
+    index_versions: dict,
+    k: int = 10,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+    now: float = 0.0,
+) -> DataFrame:
+    """Tenant-aware cached serving over the tenant-partitioned
+    postings index: the cache key folds in the query's OWN collection
+    and THAT collection's index version — md5(version[tenant] ‖ tenant
+    ‖ normalized text) — so a per-tenant retrain
+    (`retrain_federated_ivf_tenants`-style lifecycle: bump ONE
+    tenant's version) makes exactly that tenant's entries
+    unreachable while every other collection keeps hitting; and two
+    tenants asking the SAME text never share a ranking (their corpora,
+    stats, and results differ — the per-searchdomain semantics the
+    federated family exists for). Misses run
+    `bm25_federated_from_index` for the missed queries only; all
+    cache semantics (k-complete generations, topN at read, fully-hit
+    early-out, `_gen`/`_ts` hygiene) come from the shared core.
+    Identical to `bm25_federated_from_index(..., k)` by construction
+    (gated with the shared tenant oracle)."""
+    from embeddingsearch_spark.operators.retrieval import (
+        bm25_federated_from_index,
+    )
+
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            [(str(t), str(v)) for t, v in sorted(index_versions.items())],
+            f"{partition_col} string, _iv string",
+        )
+    )
+    routed = queries.join(
+        F.broadcast(route.select(query_id_col, partition_col)),
+        query_id_col,
+    ).join(vdf, partition_col)
+    qkeyed = routed.select(
+        F.col(query_id_col),
+        F.col(partition_col),
+        F.col(query_text_col),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("_iv"),
+                F.col(partition_col),
+                F.lower(F.trim(F.col(query_text_col))),
+            )
+        ).alias("_qh"),
+    ).localCheckpoint(eager=False)
+    id_type = (
+        spark.table(postings_table).schema[id_col]
+        .dataType.simpleString()
+    )
+
+    def compute(misses_q):
+        return bm25_federated_from_index(
+            spark,
+            postings_table,
+            misses_q.select(query_id_col, query_text_col),
+            misses_q.select(query_id_col, partition_col),
+            k=k,
+            partition_col=partition_col,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_text_col=query_text_col,
+            k1=k1,
+            b=b,
+            tokenizer=tokenizer,
+        )
+
+    return _serve_cached(
+        spark,
+        cache_table,
+        qkeyed,
+        compute,
+        k,
+        id_col,
+        id_type,
+        [("score", "double"), ("n_matched", "long")],
+        query_id_col,
+        now,
+    )

@@ -2128,6 +2128,44 @@ FROM fused
 QUALIFY fused_rank <= 10"""
 
 
+def q_bm25_tenant_cached_serve(spark, sf_dir):
+    """Tenant-aware cached serving: the cache key is
+    md5(version[tenant] ‖ tenant ‖ normalized text), so one
+    collection's retrain bumps ONE version and invalidates exactly
+    that collection's entries (unit-tested), and two tenants asking
+    identical text never share a ranking. Cold serve fills the cache
+    from the tenant-partitioned index; the returned warm serve is a
+    pure cache read (fully-hit early-out). Result identical to
+    `bm25_federated_from_index` — shares `bm25_tenant_serve`'s
+    oracle."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tcache")
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    table = "es_gate_postings_tcache"
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col="source", n_buckets=8
+    )
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source").localCheckpoint(eager=False)
+    versions = {
+        r["source"]: "v1"
+        for r in route.select("source").distinct().collect()
+    }
+    qc.serve_bm25_federated_cached(
+        spark, "es_gate_tcache", table, queries, route, versions,
+        k=10, partition_col="source",
+    ).collect()
+    return qc.serve_bm25_federated_cached(
+        spark, "es_gate_tcache", table, queries, route, versions,
+        k=10, partition_col="source",
+    )
+
+
 def q_hybrid_tenant_serve(spark, sf_dir):
     """The FULL multi-tenant hybrid stack: ONE tenant axis (the
     corpus ``source``) partitions BOTH the postings index and the IVF
@@ -2338,5 +2376,10 @@ QUERIES = {
     "hybrid_tenant_serve": (
         q_hybrid_tenant_serve,
         HYBRID_TENANT_SERVE_SQL,
+    ),
+    # tenant-keyed cache serve is result-identical ⇒ shared oracle
+    "bm25_tenant_cached_serve": (
+        q_bm25_tenant_cached_serve,
+        BM25_TENANT_SQL,
     ),
 }

@@ -393,3 +393,80 @@ def test_serve_ann_cached_hit_miss_version_and_k(spark, monkeypatch):
         spark, table, "es_test_annc_ivf", qs, "v2", k=5, nprobe=2
     )
     assert sorted(tuple(r) for r in v2.collect()) == want
+
+
+def test_tenant_cache_invalidation_scoped_to_one_collection(
+    spark, monkeypatch
+):
+    """`serve_bm25_federated_cached`: bumping ONE collection's index
+    version recomputes exactly that collection's queries — the other
+    tenant's entries keep hitting (the recompute set is observed via
+    the monkeypatched federated serve) — and identical text in two
+    tenants never shares a ranking."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+
+    cache = "es_test_tcache"
+    idx = "es_test_tcache_postings"
+    drop_table(spark, cache)
+    docs = spark.createDataFrame(
+        [
+            (1, "shared words alpha beta", "acme"),
+            (2, "alpha beta and more acme text", "acme"),
+            (3, "shared words alpha beta", "globex"),
+            (4, "globex only filler", "globex"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    retrieval.build_partitioned_postings_index(
+        docs, idx, partition_col="source", n_buckets=2
+    )
+    qs = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "alpha beta")],
+        "query_id long, text string",
+    )
+    route = spark.createDataFrame(
+        [(100, "acme"), (101, "globex")],
+        "query_id long, source string",
+    )
+    v1 = {"acme": "v1", "globex": "v1"}
+    cold = qc.serve_bm25_federated_cached(
+        spark, cache, idx, qs, route, v1, k=10,
+        partition_col="source",
+    )
+    rows = cold.collect()
+    # same text, different tenants → different rankings (per-tenant
+    # stats and corpora)
+    acme_docs = {r["doc_id"] for r in rows if r["query_id"] == 100}
+    globex_docs = {r["doc_id"] for r in rows if r["query_id"] == 101}
+    assert acme_docs == {1, 2} and globex_docs == {3}
+    want = sorted(map(tuple, rows))
+
+    seen = []
+    real = retrieval.bm25_federated_from_index
+
+    def spy(spark_, table, queries, route_, **kw):
+        seen.extend(
+            r["query_id"] for r in queries.select("query_id").collect()
+        )
+        return real(spark_, table, queries, route_, **kw)
+
+    import embeddingsearch_spark.operators.retrieval as rmod
+
+    monkeypatch.setattr(rmod, "bm25_federated_from_index", spy)
+    # warm serve at the same versions: zero recomputes
+    warm = qc.serve_bm25_federated_cached(
+        spark, cache, idx, qs, route, v1, k=10,
+        partition_col="source",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    assert seen == []
+    # bump ONLY acme's version: exactly query 100 recomputes
+    v2 = {"acme": "v2", "globex": "v1"}
+    bumped = qc.serve_bm25_federated_cached(
+        spark, cache, idx, qs, route, v2, k=10,
+        partition_col="source",
+    )
+    assert sorted(map(tuple, bumped.collect())) == want
+    assert seen == [100]
