@@ -94,22 +94,39 @@ def main() -> None:
         ),
     )
 
-    # graph: per-tenant blocks (32 cents), beam 24, 4 hops
-    gcents = emb.filter(F.col("vec_id") < 64).select(
-        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    # graph: per-tenant blocks sized by graph_config_for on the
+    # PER-TENANT corpus size (the tuning rule the global family pins)
+    n_tenant = emb.groupBy("source").count().agg(
+        F.max("count")
+    ).collect()[0][0]
+    cfg = graphann.graph_config_for(int(n_tenant))
+    cw = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("source").orderBy("vec_id")
     )
-    assigned = graphann.assign_blocks_federated(emb, gcents, n_assign=2)
+    gcents = (
+        emb.withColumn("_rn", cw)
+        .filter(F.col("_rn") <= cfg["n_blocks"])
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    assigned = graphann.assign_blocks_federated(
+        emb, gcents, n_assign=cfg["n_assign"]
+    )
     pairs = graphann.block_pair_sims_federated(emb, assigned)
     for t in ("_pairs", "_assigned"):
         drop_table(spark, "es_probe_tgraph" + t)
     graphann.save_federated_graph_index(
         pairs, assigned, "es_probe_tgraph", n_buckets=4
     )
+    print("graph config:", cfg)
     report(
         "graph_federated",
         graphann.graph_search_federated(
             spark, "es_probe_tgraph", emb, queries, route,
-            k=10, beam=24, hops=4, n_entry=8, m=8,
+            k=10, beam=cfg["beam"], hops=cfg["hops"],
+            n_entry=cfg["n_entry"], m=cfg["m"],
         ),
     )
     spark.stop()

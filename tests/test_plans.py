@@ -1038,3 +1038,54 @@ def test_pq_federated_serve_prunes_tenant_partitions(spark):
         m for m in plan.splitlines() if "PartitionFilters" in m
     )
     assert "source" in pf, plan[:3000]
+
+
+def test_graph_federated_serve_prunes_tenant_partitions(spark):
+    """The multi-tenant graph serve: both index scans statically prune
+    to the routed tenant's partitions, and no raw-table scan appears —
+    the beam runs entirely over tenant-pure stored edges (vector
+    scoring reads the caller's emb frame, pinned here as literals)."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(
+        emb, cents, partition_col="source", n_assign=2
+    )
+    pairs = graphann.block_pair_sims_federated(
+        emb, assigned, partition_col="source"
+    )
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, "es_plan_tgraph" + t)
+    graphann.save_federated_graph_index(
+        pairs, assigned, "es_plan_tgraph", partition_col="source",
+        n_buckets=2,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])],
+        "query_id long, embedding array<float>",
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = graphann.graph_search_federated(
+        spark, "es_plan_tgraph", emb, queries, route, k=5, beam=8,
+        hops=2, n_entry=4, m=6, partition_col="source",
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "es_plan_tgraph" in line, line
+    pf = "\n".join(
+        m for m in plan.splitlines() if "PartitionFilters" in m
+    )
+    assert "source" in pf, plan[:3000]
