@@ -816,6 +816,34 @@ def graph_search_federated(
     graph. Equals per-tenant `graph_search` with the same entry
     sample (tested). ``emb`` supplies raw vectors for scoring (only
     the query's own tenant's nodes are ever scored)."""
+    edges, entries = _federated_graph_inputs(
+        spark, prefix, route, m=m, n_entry=n_entry,
+        partition_col=partition_col, id_col=id_col,
+        query_id_col=query_id_col, salt=salt,
+    )
+    return graph_search(
+        edges, emb, queries, k=k, beam=beam, hops=hops,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        entries=entries,
+    )
+
+
+def _federated_graph_inputs(
+    spark,
+    prefix: str,
+    route: DataFrame,
+    m: int = 6,
+    n_entry: int = 4,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    salt: str = "nsw_entry",
+) -> tuple[DataFrame, DataFrame]:
+    """The routed serve's pruned inputs — (tenant-pruned edge frame,
+    per-query entry frame). Split out so the plan tests can assert the
+    partition pruning directly: `graph_search`'s per-hop checkpoints
+    deliberately truncate lineage, so the FINAL frame's plan no longer
+    shows the index scans that ran in earlier hops."""
     routed = route.select(partition_col).distinct().collect()
     pf = F.col(partition_col).isin([r[0] for r in routed])
     pairs = spark.table(f"{prefix}_pairs").filter(pf)
@@ -838,8 +866,4 @@ def graph_search_federated(
     entries = route.join(F.broadcast(ent), partition_col).select(
         query_id_col, id_col
     )
-    return graph_search(
-        edges, emb, queries, k=k, beam=beam, hops=hops,
-        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-        entries=entries,
-    )
+    return edges, entries

@@ -1077,15 +1077,24 @@ def test_graph_federated_serve_prunes_tenant_partitions(spark):
     route = spark.createDataFrame(
         [(0, "acme")], "query_id long, source string"
     )
-    df = graphann.graph_search_federated(
+    # graph_search's per-hop checkpoints truncate lineage, so assert
+    # the pruning on the serve's INPUT frames (the operator's own
+    # seam), then run the full serve for the value path
+    edges, entries = graphann._federated_graph_inputs(
+        spark, "es_plan_tgraph", route, m=6, n_entry=4,
+        partition_col="source",
+    )
+    for df in (edges, entries):
+        plan = pi.physical_plan(df)
+        for line in plan.splitlines():
+            if "Scan parquet" in line:
+                assert "es_plan_tgraph" in line, line
+        pf = "\n".join(
+            m for m in plan.splitlines() if "PartitionFilters" in m
+        )
+        assert "source" in pf, plan[:3000]
+    got = graphann.graph_search_federated(
         spark, "es_plan_tgraph", emb, queries, route, k=5, beam=8,
         hops=2, n_entry=4, m=6, partition_col="source",
     )
-    plan = pi.physical_plan(df)
-    for line in plan.splitlines():
-        if "Scan parquet" in line:
-            assert "es_plan_tgraph" in line, line
-    pf = "\n".join(
-        m for m in plan.splitlines() if "PartitionFilters" in m
-    )
-    assert "source" in pf, plan[:3000]
+    assert got.count() > 0
