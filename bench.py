@@ -51,6 +51,7 @@ BUILD_QUERIES = {
     "graph_tenant_serve",
     "streaming_pq_index",
     "streaming_tpq_index",
+    "streaming_tgraph_index",
     # lifecycle-dominated rows: in-query cost is build + upserts +
     # compaction / onboard+offboard, not the serve at the end — the
     # serving-shaped twins (bm25_tenant_serve, ivf_tenant_serve) stay

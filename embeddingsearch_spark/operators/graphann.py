@@ -867,3 +867,89 @@ def _federated_graph_inputs(
         query_id_col, id_col
     )
     return edges, entries
+
+
+def upsert_federated_graph_index(
+    spark,
+    prefix: str,
+    emb_all: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    partition_col: str = "source",
+    m: int = 6,
+    n_assign: int = 2,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> DataFrame:
+    """`upsert_graph_index` under per-collection quantizers: the
+    batch assigns against ITS OWN collections' fixed centroids,
+    candidate pairs form only inside the affected blocks — which are
+    tenant-pure, so the delta (like the stored graph) has no
+    cross-tenant edge — and both index tables rewrite through the
+    partition-overwrite seam on the tenant column: one tenant's
+    ingest never reads or writes another tenant's partitions.
+    Rebuild-equivalent per tenant under its fixed quantizer (the
+    family invariant, tested via the streaming gate). ``deleted_ids``
+    removes rows on either pair endpoint and wins over a conflicting
+    batch row."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    sink = sink or PartitionOverwriteSink(partition_col)
+    assigned_old = spark.table(f"{prefix}_assigned")
+    gone = new_emb.select(F.col(id_col)).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_emb = new_emb.join(dd, id_col, "left_anti")
+        emb_all = emb_all.join(dd, id_col, "left_anti")
+        gone = gone.unionByName(dd).distinct()
+    assigned_base = assigned_old.join(gone, id_col, "left_anti")
+    new_assigned = assign_blocks_federated(
+        new_emb, centroids, partition_col=partition_col,
+        n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    affected = new_assigned.select("_blk").distinct()
+    members = (
+        assigned_base.select(id_col, partition_col, "_blk")
+        .join(F.broadcast(affected), "_blk")
+        .withColumn("_new", F.lit(False))
+        .unionByName(new_assigned.withColumn("_new", F.lit(True)))
+    )
+    a = members.select(
+        F.col(id_col).alias("_ida"),
+        "_blk",
+        F.col(partition_col),
+        F.col("_new").alias("_an"),
+    )
+    b = members.select(
+        F.col(id_col).alias("_idb"), "_blk", F.col("_new").alias("_bn")
+    )
+    cand = (
+        a.join(b, "_blk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.col("_an") | F.col("_bn"))
+        .select("_ida", "_idb", partition_col)
+        .distinct()
+    )
+    new_pairs = _score_pairs(
+        cand, emb_all, id_col, vec_col, carry=(partition_col,)
+    ).localCheckpoint(eager=True)
+    new_assigned = new_assigned.localCheckpoint(eager=True)
+    gone = gone.localCheckpoint(eager=True)
+    sink.delete_insert(
+        spark, f"{prefix}_pairs", new_pairs, ["_ida", "_idb"],
+        delete_keys=gone, bucket_cols=["_ida"], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    sink.delete_insert(
+        spark, f"{prefix}_assigned", new_assigned, [id_col],
+        delete_keys=gone, bucket_cols=["_blk"], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    return edges_from_pairs(spark.table(f"{prefix}_pairs"), m=m)

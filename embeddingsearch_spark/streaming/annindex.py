@@ -841,3 +841,88 @@ def federated_pq_index_available_now(
 
     _drain(stream, step, checkpoint_dir)
     return history
+
+
+def federated_graph_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame,
+    partition_col: str = "source",
+    m: int = 6,
+    n_assign: int = 2,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """`graph_index_available_now` under per-collection quantizers —
+    the graph member of the federated streaming set (IVF and PQ
+    above, completing it): rows carry their collection column, each
+    micro-batch's delta pairs form only inside tenant-pure affected
+    blocks, and both index tables (plus the accumulated vectors
+    table) rewrite only the batch's tenants' partitions. The
+    per-collection quantizer is FIXED for the stream's lifetime
+    (rebuild-equivalence per tenant). Returns per-batch ingested-row
+    counts."""
+    from embeddingsearch_spark.operators.graphann import (
+        assign_blocks_federated,
+        block_pair_sims_federated,
+        save_federated_graph_index,
+        upsert_federated_graph_index,
+    )
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    spark = stream.sparkSession
+    history: list[int] = []
+    vec_table = f"{prefix}_vectors"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from embeddingsearch_spark.storage import replace_bucketed
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if not spark.catalog.tableExists(f"{prefix}_pairs"):
+            assigned = assign_blocks_federated(
+                batch_df, centroids, partition_col=partition_col,
+                n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            )
+            pairs = block_pair_sims_federated(
+                batch_df, assigned, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+            )
+            save_federated_graph_index(
+                pairs, assigned, prefix,
+                partition_col=partition_col, n_buckets=n_buckets,
+            )
+            replace_bucketed(
+                batch_df, vec_table, [id_col], n_buckets=n_buckets,
+                partition_cols=[partition_col],
+            )
+            return
+        old_vecs = spark.table(vec_table)
+        emb_all = (
+            old_vecs.join(
+                batch_df.select(id_col).distinct(), id_col, "left_anti"
+            )
+            .unionByName(batch_df)
+            .localCheckpoint(eager=True)
+        )
+        upsert_federated_graph_index(
+            spark, prefix, emb_all, batch_df, centroids,
+            partition_col=partition_col, m=m, n_assign=n_assign,
+            n_buckets=n_buckets, id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
+        PartitionOverwriteSink(partition_col).delete_insert(
+            spark, vec_table, batch_df, [id_col],
+            delete_keys=batch_df.select(id_col).distinct(),
+            bucket_cols=[id_col], n_buckets=n_buckets,
+            partition_cols=[partition_col],
+        )
+
+    _drain(stream, step, checkpoint_dir)
+    return history

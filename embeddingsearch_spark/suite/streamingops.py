@@ -663,6 +663,70 @@ def q_streaming_tpq_index(spark, sf_dir):
     )
 
 
+def q_streaming_tgraph_index(spark, sf_dir):
+    """Streaming maintenance of the MULTI-TENANT graph index — the
+    graph member completes the federated streaming set (IVF + PQ
+    above): vectors stream in with their collection column, the first
+    AvailableNow run creates the tenant-partitioned pair/assignment
+    tables under per-tenant quantizers, the second run merges the
+    remaining fifth (delta pairs form only inside tenant-pure
+    affected blocks — no cross-tenant edge can ever be written), and
+    the routed beam serve answers per tenant. Fixed per-tenant
+    quantizers ⇒ maintained ≡ rebuilt per tenant ⇒ the serve shares
+    `graph_tenant_serve`'s oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        federated_graph_index_available_now,
+    )
+
+    prefix = "es_gate_stream_tgraph"
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, prefix + t)
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("source", tenant)
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    ).localCheckpoint(eager=False)
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+            .withColumn("source", tenant)
+        )
+        federated_graph_index_available_now(
+            stream, prefix, cents, partition_col="source",
+            m=8, n_assign=2, n_buckets=4,
+        )
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    qdf = emb.filter(F.col("vec_id") < 4)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return graphann.graph_search_federated(
+        spark, prefix, emb, queries, route, k=10, beam=24, hops=4,
+        n_entry=8, m=8, partition_col="source",
+    )
+
+
 def q_drift_triggered_reindex(spark, sf_dir):
     """The monitoring loop closed into an action: ONE stream pass over
     the odd-doc_id half both maintains the persisted postings index
@@ -1167,6 +1231,7 @@ from embeddingsearch_spark.suite.ann import (
     IVF_TOPK_SQL,
     PQ_TENANT_SERVE_SQL,
     PQ_TOPK_SQL,
+    _graph_tenant_sql,
 )
 from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
 
@@ -1187,6 +1252,10 @@ QUERIES = {
     "streaming_tpq_index": (
         q_streaming_tpq_index,
         PQ_TENANT_SERVE_SQL,
+    ),
+    "streaming_tgraph_index": (
+        q_streaming_tgraph_index,
+        _graph_tenant_sql(),
     ),
     "drift_triggered_reindex": (
         q_drift_triggered_reindex,
