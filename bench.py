@@ -52,6 +52,7 @@ BUILD_QUERIES = {
     "streaming_pq_index",
     "streaming_tpq_index",
     "streaming_tgraph_index",
+    "streaming_tpostings_index",
     # lifecycle-dominated rows: in-query cost is build + upserts +
     # compaction / onboard+offboard, not the serve at the end — the
     # serving-shaped twins (bm25_tenant_serve, ivf_tenant_serve) stay

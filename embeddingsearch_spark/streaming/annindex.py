@@ -926,3 +926,51 @@ def federated_graph_index_available_now(
 
     _drain(stream, step, checkpoint_dir)
     return history
+
+
+def federated_postings_index_available_now(
+    stream: DataFrame,
+    table: str,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    tokenizer=None,
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """`postings_index_available_now` over the TENANT-PARTITIONED
+    layout — the lexical member of the federated streaming set
+    (IVF/PQ/graph above, completing it across both modalities): each
+    micro-batch re-tokenizes only its docs and rewrites only the
+    tenant partitions it touches (`upsert_partitioned_postings_index`
+    → PartitionOverwriteSink), so one collection's document feed
+    never reads or writes another's postings files. The positional
+    index streams identically through
+    `upsert_partitioned_positions_index` (same contract). Returns
+    per-batch ingested-row counts."""
+    from embeddingsearch_spark.operators.retrieval import (
+        build_partitioned_postings_index,
+        upsert_partitioned_postings_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(table):
+            upsert_partitioned_postings_index(
+                spark, table, batch_df, partition_col=partition_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=n_buckets, tokenizer=tokenizer,
+            )
+        else:
+            build_partitioned_postings_index(
+                batch_df, table, partition_col=partition_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=n_buckets, tokenizer=tokenizer,
+            )
+
+    _drain(stream, step, checkpoint_dir)
+    return history

@@ -376,6 +376,56 @@ def q_streaming_postings_index(spark, sf_dir):
     )
 
 
+def q_streaming_tpostings_index(spark, sf_dir):
+    """Streaming maintenance of the TENANT-PARTITIONED postings index
+    — the lexical member of the federated streaming set: the realistic
+    corpus streams in two AvailableNow runs (create, then
+    partition-cost upserts — each batch rewrites only the tenants it
+    touches), and the routed serve scores each query with its own
+    collection's stats over statically-pruned partitions. Maintained
+    ≡ rebuilt (last-writer-wins per doc, disjoint halves) ⇒ shares
+    `bm25_tenant_serve`'s oracle verbatim."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        federated_postings_index_available_now,
+    )
+    from embeddingsearch_spark.suite.realistic import realistic_text
+    from embeddingsearch_spark.suite.retrievalops import (
+        _corpus,
+        _text_queries,
+    )
+
+    table = "es_gate_stream_tpost"
+    drop_table(spark, table)
+
+    def half(parity):
+        stream = (
+            spark.readStream.schema(DOCUMENTS_RAW)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("doc_id") % 2 == parity)
+            .select("doc_id", "lang", "source")
+        )
+        return realistic_text(stream)
+
+    federated_postings_index_available_now(
+        half(0), table, partition_col="source", n_buckets=8
+    )
+    federated_postings_index_available_now(
+        half(1), table, partition_col="source", n_buckets=8
+    )
+    docs = _corpus(spark, sf_dir)
+    queries = _text_queries(spark, sf_dir, docs)
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source")
+    return retrieval.bm25_federated_from_index(
+        spark, table, queries, route, k=10, partition_col="source"
+    )
+
+
 def q_streaming_graph_ann(spark, sf_dir):
     """Streaming maintenance of the persisted graph-ANN index: the
     low-id 4/5 of the embeddings table streams first (creates the
@@ -1233,7 +1283,10 @@ from embeddingsearch_spark.suite.ann import (
     PQ_TOPK_SQL,
     _graph_tenant_sql,
 )
-from embeddingsearch_spark.suite.retrievalops import BM25_TOPK_SQL
+from embeddingsearch_spark.suite.retrievalops import (
+    BM25_TENANT_SQL,
+    BM25_TOPK_SQL,
+)
 
 
 QUERIES = {
@@ -1256,6 +1309,10 @@ QUERIES = {
     "streaming_tgraph_index": (
         q_streaming_tgraph_index,
         _graph_tenant_sql(),
+    ),
+    "streaming_tpostings_index": (
+        q_streaming_tpostings_index,
+        BM25_TENANT_SQL,
     ),
     "drift_triggered_reindex": (
         q_drift_triggered_reindex,
