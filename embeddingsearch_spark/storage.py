@@ -217,7 +217,10 @@ def save_bucketed(
 
 
 def compact_index_table(
-    spark, table: str, max_files_per_partition: int = 4
+    spark,
+    table: str,
+    max_files_per_partition: int | None = 4,
+    target_file_mb: int = 128,
 ) -> dict:
     """Small-file compaction for a hive-partitioned (optionally
     bucketed) CATALOG index table maintained by incremental upserts —
@@ -233,9 +236,14 @@ def compact_index_table(
     written (byte-identical; tested). Rows and serving results are
     unchanged by construction — compaction changes costs, never
     results (gated: a post-compaction serve shares the uncompacted
-    oracle verbatim). Returns {"partitions_compacted",
-    "files_before", "files_after"} (file counts over the fragmented
-    partitions only)."""
+    oracle verbatim). ``max_files_per_partition=None`` switches to
+    the ADAPTIVE bound: a partition is fragmented iff it holds more
+    than 2× the files its byte volume needs at ``target_file_mb``
+    per file (floor 4) — the data decides, so a big partition keeps
+    its legitimately-many files and a tiny one tolerates a handful of
+    micro-batch leftovers before a rewrite. Returns
+    {"partitions_compacted", "files_before", "files_after"} (file
+    counts over the fragmented partitions only)."""
     import os
     from urllib.parse import unquote
 
@@ -280,14 +288,30 @@ def compact_index_table(
                 v == "__HIVE_DEFAULT_PARTITION__" for v in kv.values()
             ):
                 continue
-            out[tuple(kv[c] for c in pcols)] = len(data)
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, n)) for n in data
+            )
+            out[tuple(kv[c] for c in pcols)] = (len(data), nbytes)
         return out
+
+    def bound(nbytes: int) -> int:
+        # adaptive mode: a partition legitimately needs about
+        # ceil(bytes / target_file_mb) files (one task open per file
+        # is the scan cost being bounded); 2× slack + a floor of 4
+        # tolerates normal write parallelism before rewriting
+        if max_files_per_partition is not None:
+            return int(max_files_per_partition)
+        import math
+
+        return max(
+            4, 2 * math.ceil(nbytes / (target_file_mb * 1024 * 1024))
+        )
 
     counts = leaf_listing()
     frag = {
         t: n
-        for t, n in counts.items()
-        if n > max_files_per_partition
+        for t, (n, nbytes) in counts.items()
+        if n > bound(nbytes)
     }
     if not frag:
         return {
@@ -323,7 +347,7 @@ def compact_index_table(
     return {
         "partitions_compacted": len(frag),
         "files_before": sum(frag.values()),
-        "files_after": sum(after.get(t, 0) for t in frag),
+        "files_after": sum(after.get(t, (0, 0))[0] for t in frag),
     }
 
 

@@ -158,3 +158,44 @@ def test_compact_index_table_fragmented_partitions_only(spark):
     # bucketing preserved: term-key aggregation stays exchange-free
     agg = spark.table(table).groupBy("term").count()
     assert pi.count_shuffles(agg) == 0
+
+
+def test_compact_index_table_adaptive_bound(spark):
+    """Adaptive mode (`max_files_per_partition=None`): a KB-scale
+    partition fragmented into a dozen micro-batch files exceeds the
+    2×needed-files bound (floor 4) and compacts; after one pass the
+    same call is a no-op."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import (
+        compact_index_table,
+        drop_table,
+    )
+
+    table = "es_test_compact_adaptive"
+    drop_table(spark, table)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} word{i}", "acme") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    retrieval.build_partitioned_postings_index(
+        docs, table, partition_col="source", n_buckets=2
+    )
+    cols = spark.table(table).columns
+    template = spark.table(table).limit(1).localCheckpoint(eager=True)
+    for j in range(12):
+        template.withColumn(
+            "doc_id", F.lit(2000 + j).cast("long")
+        ).select(*cols).repartition(1).write.mode("append").insertInto(
+            table
+        )
+    before = sorted(tuple(r) for r in spark.table(table).collect())
+    stats = compact_index_table(
+        spark, table, max_files_per_partition=None
+    )
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] <= 4 < stats["files_before"]
+    assert sorted(tuple(r) for r in spark.table(table).collect()) == before
+    again = compact_index_table(
+        spark, table, max_files_per_partition=None
+    )
+    assert again["partitions_compacted"] == 0
