@@ -1572,6 +1572,63 @@ def offboard_tenant_ivf(
     }
 
 
+def ivf_federated_serve_aliased(
+    spark,
+    alias: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Per-tenant BLUE/GREEN serving: resolve each routed collection's
+    CURRENT generation from the `set_tenant_index_alias` mapping, group
+    tenants by the generation they point at (during a retrain window
+    that is exactly two groups — the flipped tenant on the new
+    generation, everyone else on the old), and run the federated serve
+    once per generation over only ITS tenants — so one collection's
+    retrain+flip never touches, re-reads, or re-plans any other
+    collection's serving, and the flipped tenant's queries atomically
+    switch tables. The per-generation loop is bounded by the number
+    of LIVE generations (≤ tenants, ~2 in steady retrain), not by
+    query or corpus size. Result = per-tenant
+    `ivf_federated_from_index` against each tenant's own generation."""
+    from embeddingsearch_spark.storage import resolve_tenant_index_alias
+
+    mapping = resolve_tenant_index_alias(spark, alias)
+    routed = [
+        r[0]
+        for r in route.select(partition_col).distinct().collect()
+    ]
+    missing = sorted(t for t in routed if t not in mapping)
+    if missing:
+        raise ValueError(
+            f"no index generation mapped for collections: {missing}"
+        )
+    by_prefix: dict = {}
+    for t in routed:
+        by_prefix.setdefault(mapping[t], []).append(t)
+    out = None
+    for prefix in sorted(by_prefix):
+        tenants = by_prefix[prefix]
+        r = route.filter(F.col(partition_col).isin(tenants))
+        q = queries.join(
+            r.select(query_id_col).distinct(), query_id_col, "left_semi"
+        )
+        part = ivf_federated_from_index(
+            spark, prefix, q, r, k=k, nprobe=nprobe,
+            partition_col=partition_col, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
+            centroid_id_col=centroid_id_col,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -593,3 +593,45 @@ def vacuum_index_generations(spark, alias: str) -> dict:
         drop_table(spark, name)
         dropped.append(name)
     return {"kept_prefix": current, "dropped_tables": sorted(dropped)}
+
+
+def set_tenant_index_alias(
+    spark, alias: str, tenant: str, prefix: str
+) -> None:
+    """PER-TENANT blue/green: the mapping table ``{alias}_talias``
+    holds one (collection → physical generation prefix) row per
+    tenant, so ONE collection can retrain into a new generation and
+    flip while every other collection keeps serving its current one —
+    `set_index_alias`'s swap primitive at searchdomain granularity
+    (the blast-radius principle the whole federated layout follows).
+    The overwrite is a one-row upsert of a tiny mapping table; serve
+    paths resolve the whole map once per query
+    (`resolve_tenant_index_alias`) so a concurrent flip cannot split
+    one query across generations."""
+    from pyspark.sql import functions as F
+
+    t = f"{alias}_talias"
+    row = spark.createDataFrame(
+        [(str(tenant), str(prefix))], "tenant string, prefix string"
+    )
+    if not spark.catalog.tableExists(t):
+        drop_table(spark, t)  # clear any orphaned directory
+        row.write.saveAsTable(t)
+        return
+    kept = (
+        spark.table(t)
+        .filter(F.col("tenant") != str(tenant))
+        .localCheckpoint(eager=True)
+    )
+    merged = kept.unionByName(row).localCheckpoint(eager=True)
+    drop_table(spark, t)
+    merged.write.saveAsTable(t)
+
+
+def resolve_tenant_index_alias(spark, alias: str) -> dict:
+    """The {collection: generation prefix} map an alias currently
+    serves (one read of a tenant-count-bounded table)."""
+    return {
+        r["tenant"]: r["prefix"]
+        for r in spark.table(f"{alias}_talias").collect()
+    }

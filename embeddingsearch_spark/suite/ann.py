@@ -702,6 +702,73 @@ TENANT_LIFECYCLE_SQL = _ivf_tenant_sql(
 )
 
 
+def q_tenant_bluegreen_serve(spark, sf_dir):
+    """Per-tenant BLUE/GREEN through the retrain cycle: generation 1
+    (both collections, per-tenant quantizers) serves both tenants;
+    globex retrains into generation 2 — a fresh federated build over
+    ITS corpus only, under a NEW quantizer — and flips its alias row
+    while acme's still points at g1. The aliased serve then answers
+    acme from g1 (old quantizer, untouched files) and globex from g2
+    (new quantizer), grouped per generation. The oracle replays the
+    per-tenant chains with exactly that quantizer mix — result rows
+    exist only if the flip routed each tenant to the right
+    generation."""
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    alias = "es_gate_tbg"
+    for suffix in (
+        "_talias", "_g1_assigned", "_g1_centroids",
+        "_g2_assigned", "_g2_centroids",
+    ):
+        drop_table(spark, alias + suffix)
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    n = spark.sparkContext.defaultParallelism
+    cents1 = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(
+            emb.repartition(n), cents1, partition_col="source"
+        ),
+        cents1, f"{alias}_g1", partition_col="source", n_buckets=4,
+    )
+    set_tenant_index_alias(spark, alias, "acme", f"{alias}_g1")
+    set_tenant_index_alias(spark, alias, "globex", f"{alias}_g1")
+    # globex retrains: new quantizer (ids 17..47), its corpus only
+    gx = emb.filter(F.col("source") == "globex")
+    cents2 = gx.filter(
+        (F.col("vec_id") > 16) & (F.col("vec_id") < 48)
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(
+            gx, cents2, partition_col="source"
+        ),
+        cents2, f"{alias}_g2", partition_col="source", n_buckets=4,
+    )
+    set_tenant_index_alias(spark, alias, "globex", f"{alias}_g2")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return ann_ops.ivf_federated_serve_aliased(
+        spark, alias, queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
+TENANT_BLUEGREEN_SQL = _ivf_tenant_sql(
+    cents_where="""(source = 'acme' AND vec_id < 16)
+     OR (source = 'globex' AND vec_id > 16 AND vec_id < 48)""",
+)
+
+
 def q_pq_tenant_serve(spark, sf_dir):
     """Multi-tenant PQ serving — the COMPRESSED member of the
     federated index family (postings, positions, and IVF already
@@ -2301,6 +2368,11 @@ QUERIES = {
     "tenant_lifecycle_serve": (
         q_tenant_lifecycle_serve,
         TENANT_LIFECYCLE_SQL,
+    ),
+    # one collection flips generations; the other keeps serving g1
+    "tenant_bluegreen_serve": (
+        q_tenant_bluegreen_serve,
+        TENANT_BLUEGREEN_SQL,
     ),
     "graph_ann_persisted": (q_graph_ann_persisted, GRAPH_ANN_TOPK_SQL),
     "graph_ann_hier": (q_graph_ann_hier, GRAPH_ANN_HIER_SQL),

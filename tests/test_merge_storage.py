@@ -321,3 +321,37 @@ def test_vacuum_index_generations_drops_only_superseded(spark):
     for g, suf in (("__g2", "_assigned"), ("__g2", "_centroids")):
         drop_table(spark, alias + g + suf)
     drop_table(spark, alias + "_alias")
+
+
+def test_tenant_alias_upsert_and_aliased_serve_routing(spark):
+    """`set_tenant_index_alias` upserts one row per collection;
+    `ivf_federated_serve_aliased` groups tenants by generation and
+    refuses unmapped collections."""
+    import pytest
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        resolve_tenant_index_alias,
+        set_tenant_index_alias,
+    )
+
+    alias = "es_test_tbg"
+    drop_table(spark, alias + "_talias")
+    set_tenant_index_alias(spark, alias, "acme", "p1")
+    set_tenant_index_alias(spark, alias, "globex", "p1")
+    set_tenant_index_alias(spark, alias, "globex", "p2")  # flip
+    assert resolve_tenant_index_alias(spark, alias) == {
+        "acme": "p1", "globex": "p2",
+    }
+    queries = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(1, "unknown")], "query_id long, source string"
+    )
+    with pytest.raises(ValueError, match="no index generation"):
+        ann_ops.ivf_federated_serve_aliased(
+            spark, alias, queries, route, k=5
+        )
+    drop_table(spark, alias + "_talias")
