@@ -1597,36 +1597,20 @@ def ivf_federated_serve_aliased(
     of LIVE generations (≤ tenants, ~2 in steady retrain), not by
     query or corpus size. Result = per-tenant
     `ivf_federated_from_index` against each tenant's own generation."""
-    from embeddingsearch_spark.storage import resolve_tenant_index_alias
+    from embeddingsearch_spark.storage import federated_serve_aliased
 
-    mapping = resolve_tenant_index_alias(spark, alias)
-    routed = [
-        r[0]
-        for r in route.select(partition_col).distinct().collect()
-    ]
-    missing = sorted(t for t in routed if t not in mapping)
-    if missing:
-        raise ValueError(
-            f"no index generation mapped for collections: {missing}"
-        )
-    by_prefix: dict = {}
-    for t in routed:
-        by_prefix.setdefault(mapping[t], []).append(t)
-    out = None
-    for prefix in sorted(by_prefix):
-        tenants = by_prefix[prefix]
-        r = route.filter(F.col(partition_col).isin(tenants))
-        q = queries.join(
-            r.select(query_id_col).distinct(), query_id_col, "left_semi"
-        )
-        part = ivf_federated_from_index(
+    def serve(prefix, q, r):
+        return ivf_federated_from_index(
             spark, prefix, q, r, k=k, nprobe=nprobe,
             partition_col=partition_col, id_col=id_col,
             vec_col=vec_col, query_id_col=query_id_col,
             centroid_id_col=centroid_id_col,
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+
+    return federated_serve_aliased(
+        spark, alias, queries, route, serve,
+        partition_col=partition_col, query_id_col=query_id_col,
+    )
 
 
 def cluster_balanced_sample(

@@ -2457,3 +2457,43 @@ def bm25_prf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_federated_serve_aliased(
+    spark,
+    alias: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Per-tenant blue/green for LEXICAL serving: each routed
+    collection's queries answer from the postings-index GENERATION its
+    `set_tenant_index_alias` row currently points at — one
+    collection's reindex (re-ingest, tokenizer change, corpus cut)
+    builds a fresh `{alias}_gN` table and flips its row while every
+    other collection keeps serving its current generation untouched.
+    Grouping by generation lives in `storage.federated_serve_aliased`
+    (the family-agnostic helper); each group runs the ordinary
+    `bm25_federated_from_index` against its own table, so stats stay
+    tenant-local within the generation that tenant serves from."""
+    from embeddingsearch_spark.storage import federated_serve_aliased
+
+    def serve(prefix, q, r):
+        return bm25_federated_from_index(
+            spark, prefix, q, r, k=k, partition_col=partition_col,
+            id_col=id_col, query_id_col=query_id_col,
+            query_text_col=query_text_col, k1=k1, b=b,
+            tokenizer=tokenizer,
+        )
+
+    return federated_serve_aliased(
+        spark, alias, queries, route, serve,
+        partition_col=partition_col, query_id_col=query_id_col,
+    )

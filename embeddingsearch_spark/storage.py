@@ -635,3 +635,49 @@ def resolve_tenant_index_alias(spark, alias: str) -> dict:
         r["tenant"]: r["prefix"]
         for r in spark.table(f"{alias}_talias").collect()
     }
+
+
+def federated_serve_aliased(
+    spark,
+    alias: str,
+    queries: "DataFrame",
+    route: "DataFrame",
+    serve,
+    partition_col: str = "source",
+    query_id_col: str = "query_id",
+):
+    """The generation-grouping core of per-tenant blue/green serving,
+    family-agnostic: resolve each routed collection's current
+    generation (`resolve_tenant_index_alias`), group tenants by the
+    generation they point at, call ``serve(prefix, queries_subset,
+    route_subset)`` once per LIVE generation (≈2 during a retrain
+    window), and union — so ANY federated serve (`bm25_federated_from
+    _index`, `ivf_federated_from_index`, the graph/PQ routed serves)
+    flips per tenant with zero-downtime semantics through one helper.
+    Raises on collections with no mapped generation."""
+    from pyspark.sql import functions as F
+
+    mapping = resolve_tenant_index_alias(spark, alias)
+    routed = [
+        r[0]
+        for r in route.select(partition_col).distinct().collect()
+    ]
+    missing = sorted(t for t in routed if t not in mapping)
+    if missing:
+        raise ValueError(
+            f"no index generation mapped for collections: {missing}"
+        )
+    by_prefix: dict = {}
+    for t in routed:
+        by_prefix.setdefault(mapping[t], []).append(t)
+    out = None
+    for prefix in sorted(by_prefix):
+        r = route.filter(
+            F.col(partition_col).isin(by_prefix[prefix])
+        )
+        q = queries.join(
+            r.select(query_id_col).distinct(), query_id_col, "left_semi"
+        )
+        part = serve(prefix, q, r)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1099,3 +1099,81 @@ def test_federated_proximity_and_phrase_tenant_isolation(spark):
     # "beta gamma" occurs in docs 1/2 (acme) and 3 (globex); each
     # query only sees its own tenant's occurrences
     assert rows_p == {(100, 1), (100, 2), (101, 3)}
+
+
+def test_bm25_aliased_serve_per_tenant_generations(spark):
+    """Per-tenant blue/green for BM25: globex reindexes into g2 with
+    an UPDATED corpus and flips its alias row; acme keeps serving g1.
+    The aliased serve returns acme's ranking from the old generation
+    and globex's from the new one — each equal to the plain federated
+    serve against that generation."""
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    alias = "es_test_bm25_bg"
+    for t in ("_talias", "_g1", "_g2"):
+        drop_table(spark, alias + t)
+    docs1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "acme"),
+            (2, "alpha filler words", "acme"),
+            (3, "alpha beta gamma", "globex"),
+            (4, "alpha old content", "globex"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    retrieval.build_partitioned_postings_index(
+        docs1, alias + "_g1", partition_col="source", n_buckets=2
+    )
+    set_tenant_index_alias(spark, alias, "acme", alias + "_g1")
+    set_tenant_index_alias(spark, alias, "globex", alias + "_g1")
+    # globex reindexes: doc 4 re-ingested with new text, doc 5 added
+    docs2 = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma", "globex"),
+            (4, "completely different now", "globex"),
+            (5, "alpha beta fresh doc", "globex"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    retrieval.build_partitioned_postings_index(
+        docs2, alias + "_g2", partition_col="source", n_buckets=2
+    )
+    set_tenant_index_alias(spark, alias, "globex", alias + "_g2")
+    qs = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "alpha beta")],
+        "query_id long, text string",
+    )
+    route = spark.createDataFrame(
+        [(100, "acme"), (101, "globex")],
+        "query_id long, source string",
+    )
+    got = retrieval.bm25_federated_serve_aliased(
+        spark, alias, qs, route, k=10, partition_col="source"
+    )
+    want = None
+    for qid, gen in ((100, "_g1"), (101, "_g2")):
+        part = retrieval.bm25_federated_from_index(
+            spark, alias + gen,
+            qs.filter(F.col("query_id") == qid),
+            route.filter(F.col("query_id") == qid),
+            k=10, partition_col="source",
+        )
+        want = part if want is None else want.unionByName(part)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the flip is value-visible: globex sees the NEW corpus (doc 5
+    # present, doc 4's old text gone), acme the old one
+    g_docs = {
+        r["doc_id"]
+        for r in got.filter(F.col("query_id") == 101).collect()
+    }
+    assert 5 in g_docs and 4 not in g_docs
+    a_docs = {
+        r["doc_id"]
+        for r in got.filter(F.col("query_id") == 100).collect()
+    }
+    assert a_docs == {1, 2}
