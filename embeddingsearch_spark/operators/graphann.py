@@ -953,3 +953,42 @@ def upsert_federated_graph_index(
         partition_cols=[partition_col],
     )
     return edges_from_pairs(spark.table(f"{prefix}_pairs"), m=m)
+
+
+def graph_search_federated_aliased(
+    spark,
+    alias: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    n_entry: int = 4,
+    m: int = 6,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    salt: str = "nsw_entry",
+) -> DataFrame:
+    """Per-tenant blue/green for graph serving: each routed
+    collection's beam walks the pair/assignment GENERATION its
+    `set_tenant_index_alias` row points at (a re-blocked tenant flips
+    to its rebuilt graph while others keep serving theirs). Grouping
+    via `storage.federated_serve_aliased` — the helper now covers all
+    four federated families."""
+    from embeddingsearch_spark.storage import federated_serve_aliased
+
+    def serve(prefix, q, r):
+        return graph_search_federated(
+            spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,
+            n_entry=n_entry, m=m, partition_col=partition_col,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, salt=salt,
+        )
+
+    return federated_serve_aliased(
+        spark, alias, queries, route, serve,
+        partition_col=partition_col, query_id_col=query_id_col,
+    )

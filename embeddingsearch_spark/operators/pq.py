@@ -987,3 +987,36 @@ def ivfpq_topk(
     return partial.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_federated_serve_aliased(
+    spark,
+    alias: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-tenant blue/green for the compressed serve: each routed
+    collection's ADC runs against the codes+codebooks GENERATION its
+    `set_tenant_index_alias` row points at (a re-quantized tenant
+    flips to its new codebooks while others keep their current ones).
+    Grouping via `storage.federated_serve_aliased` — the same helper
+    as the IVF and BM25 aliased serves."""
+    from embeddingsearch_spark.storage import federated_serve_aliased
+
+    def serve(prefix, q, r):
+        return pq_federated_from_index(
+            spark, prefix, q, r, k=k, partition_col=partition_col,
+            id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+
+    return federated_serve_aliased(
+        spark, alias, queries, route, serve,
+        partition_col=partition_col, query_id_col=query_id_col,
+    )

@@ -355,3 +355,93 @@ def test_tenant_alias_upsert_and_aliased_serve_routing(spark):
             spark, alias, queries, route, k=5
         )
     drop_table(spark, alias + "_talias")
+
+
+def test_aliased_serving_covers_all_families(spark, sf_dir):
+    """`federated_serve_aliased` is family-agnostic: under a
+    single-generation mapping, the IVF, PQ, and graph aliased serves
+    each equal their direct federated serve — the blue/green wrapper
+    changes routing, never results."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import graphann, pq
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 120).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=True)
+    qdf = emb.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    # IVF
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_alf_ivf" + t)
+    drop_table(spark, "es_test_alf_talias")
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(emb, cents),
+        cents, "es_test_alf_ivf", n_buckets=2,
+    )
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, "es_test_alf", t, "es_test_alf_ivf")
+    got = ann_ops.ivf_federated_serve_aliased(
+        spark, "es_test_alf", queries, route, k=5, nprobe=2
+    )
+    want = ann_ops.ivf_federated_from_index(
+        spark, "es_test_alf_ivf", queries, route, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # PQ
+    cbs_by = pq.initial_codebooks_federated(emb, m_sub=8, k_codes=8)
+    coded = pq.encode_pq_federated(emb, cbs_by)
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_alf_pq" + t)
+    pq.save_federated_pq_index(coded, cbs_by, "es_test_alf_pq", n_buckets=2)
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, "es_test_alf", t, "es_test_alf_pq")
+    got = pq.pq_federated_serve_aliased(
+        spark, "es_test_alf", queries, route, k=5
+    )
+    want = pq.pq_federated_from_index(
+        spark, "es_test_alf_pq", queries, route, k=5
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # graph
+    assigned = graphann.assign_blocks_federated(emb, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(emb, assigned)
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, "es_test_alf_g" + t)
+    graphann.save_federated_graph_index(
+        pairs, assigned, "es_test_alf_g", n_buckets=2
+    )
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, "es_test_alf", t, "es_test_alf_g")
+    got = graphann.graph_search_federated_aliased(
+        spark, "es_test_alf", emb, queries, route, k=5, beam=8,
+        hops=2, n_entry=4, m=6,
+    )
+    want = graphann.graph_search_federated(
+        spark, "es_test_alf_g", emb, queries, route, k=5, beam=8,
+        hops=2, n_entry=4, m=6,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    drop_table(spark, "es_test_alf_talias")
