@@ -860,6 +860,57 @@ def pq_federated_from_index(
     )
 
 
+def pq_federated_refined(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    refine_factor: int = 8,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Tenant-routed PQ with the REFINE stage — `pq_topk_refined`'s
+    FAISS ``IndexRefineFlat`` recipe threaded through the federated
+    layout: the routed ADC serve shortlists ``refine_factor·k``
+    candidates per query from the tenant's OWN code partitions (the
+    `pq_federated_from_index` path, statically pruned), then ONLY
+    those ids fetch their raw vectors and re-score by exact rounded
+    cosine. The raw-vector frame is pruned to the ROUTED collections
+    first — a static partition predicate when ``emb`` scans a
+    tenant-partitioned table — so one tenant's refine never reads
+    another tenant's vector files; the fetch itself is a broadcast
+    semi-join of the |Q|·factor·k shortlist against the scan, read
+    volume independent of corpus size. The shortlist is tenant-pure
+    by construction (the ADC scan prunes per tenant), so the exact
+    re-rank cannot leak cross-tenant candidates.
+
+    Buys back the ADC-only federated path's quantization loss
+    (BASELINE.md tenant probe: recall@10 0.23 ADC-only → ~1.0 at
+    refine_factor=8 on the same config). Output matches the exact
+    scorers' contract: (query_id, vec_id, cosine, rank<=k)."""
+    shortlist = pq_federated_from_index(
+        spark, prefix, queries, route, k=refine_factor * k,
+        partition_col=partition_col, id_col=id_col,
+        codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    if partition_col in emb.columns:
+        routed = [
+            r[0]
+            for r in route.select(partition_col).distinct().collect()
+        ]  # bounded: <= #collections
+        emb = emb.filter(F.col(partition_col).isin(routed))
+    return _exact_rescore(
+        emb, queries, shortlist, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
 def upsert_federated_pq_index(
     spark,
     prefix: str,

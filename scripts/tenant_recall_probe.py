@@ -93,6 +93,35 @@ def main() -> None:
             spark, "es_probe_tpq", queries, route, k=10
         ),
     )
+    report(
+        "pq_fed_refined",
+        pq.pq_federated_refined(
+            spark, "es_probe_tpq", emb, queries, route, k=10,
+            refine_factor=8,
+        ),
+    )
+    # quality config: finer per-tenant quantizer (K=64) + wider
+    # shortlist — the knobs that buy recall>=0.9 on uniform-random
+    # vectors (the worst case); raw-vector reads stay factor*k*|Q|
+    cbs64 = pq.initial_codebooks_federated(emb, m_sub=8, k_codes=64)
+    coded64 = pq.encode_pq_federated(emb, cbs64)
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_probe_tpq64" + t)
+    pq.save_federated_pq_index(coded64, cbs64, "es_probe_tpq64", n_buckets=4)
+    report(
+        "pq_fed_ref_k64f16",
+        pq.pq_federated_refined(
+            spark, "es_probe_tpq64", emb, queries, route, k=10,
+            refine_factor=16,
+        ),
+    )
+    report(
+        "pq_fed_ref_k64f32",
+        pq.pq_federated_refined(
+            spark, "es_probe_tpq64", emb, queries, route, k=10,
+            refine_factor=32,
+        ),
+    )
 
     # graph: per-tenant blocks sized by graph_config_for on the
     # PER-TENANT corpus size (the tuning rule the global family pins)

@@ -388,3 +388,68 @@ def test_pq_federated_tenant_isolation_and_upsert(emb, spark):
         .collect()
     )
     assert got2 == want2
+
+
+def test_pq_federated_refined_exact_and_tenant_pure(emb, spark):
+    """The federated refine stage: with refine_factor*k >= the
+    per-tenant corpus the refined serve degenerates to PER-TENANT
+    exact brute force (the `pq_topk_refined` contract, tenant-scoped),
+    results never leave the query's tenant, and at a small factor the
+    refined recall@k >= the ADC-only serve's (refine can only buy
+    quality back)."""
+    from embeddingsearch_spark.storage import drop_table
+
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    cbs_by = pq.initial_codebooks_federated(
+        two, partition_col="source", m_sub=4, k_codes=8
+    )
+    coded = pq.encode_pq_federated(two, cbs_by, partition_col="source")
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_tpqr" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_test_tpqr", partition_col="source",
+        n_buckets=2,
+    )
+    qdf = two.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    # 240 rows / 2 tenants = 120 <= 40*5 -> degenerates to exact
+    got = pq.pq_federated_refined(
+        spark, "es_test_tpqr", two, queries, route, k=5,
+        refine_factor=40, partition_col="source",
+    ).localCheckpoint(eager=False)
+    want = None
+    for tenant in ("acme", "globex"):
+        t_emb = two.filter(F.col("source") == tenant)
+        t_qids = [
+            r["query_id"]
+            for r in route.filter(F.col("source") == tenant).collect()
+        ]
+        part = ann.brute_force_topk(
+            t_emb, queries.filter(F.col("query_id").isin(t_qids)), k=5
+        )
+        want = part if want is None else want.unionByName(part)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    for r in got.collect():
+        assert r["vec_id"] % 2 == r["query_id"] % 2
+    # refined-at-small-factor recall >= ADC-only recall
+    adc = pq.pq_federated_from_index(
+        spark, "es_test_tpqr", queries, route, k=5,
+        partition_col="source",
+    )
+    ref = pq.pq_federated_refined(
+        spark, "es_test_tpqr", two, queries, route, k=5,
+        refine_factor=4, partition_col="source",
+    )
+    r_adc = ann.ann_recall(adc, want, k=5).agg(
+        F.avg("recall")
+    ).collect()[0][0]
+    r_ref = ann.ann_recall(ref, want, k=5).agg(
+        F.avg("recall")
+    ).collect()[0][0]
+    assert r_ref >= r_adc
