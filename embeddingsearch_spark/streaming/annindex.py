@@ -34,6 +34,95 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+def _dim_sum_rows(df: DataFrame, vec_col: str):
+    """Per-dimension (sum, count) of a frame — ONE d-bounded aggregate
+    (d rows collected; `operators.drift.embedding_drift`'s posexplode
+    shape with the sums kept RAW so they merge across micro-batches)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.posexplode(
+                F.col(vec_col).cast("array<double>")
+            ).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+
+
+class _RunningDrift:
+    """O(batch) drift state for the streaming monitors: per-dim running
+    sums + count of everything ingested THIS RUN, merged per
+    micro-batch (the `monitored_pq_ingest` / `streaming/drift.py`
+    running-moments pattern — sums are associative, so the cumulative
+    mean equals the one-shot mean over the streamed rows), compared
+    against the PINNED reference means. The per-batch cost is one
+    d-bounded aggregate over the BATCH; the persisted index is never
+    rescanned for monitoring (the round-6 What's-wrong #1 fix)."""
+
+    def __init__(self, reference: DataFrame, vec_col: str):
+        rows = _dim_sum_rows(reference, vec_col)
+        self.ref_mean = {
+            r["dim"]: float(r["s"]) / float(r["c"])
+            for r in rows
+            if r["c"]
+        }
+        self.sums: dict = {}
+        self.n = 0
+
+    def update(self, batch_df: DataFrame, vec_col: str):
+        """Merge the batch's per-dim sums; return the cumulative
+        ‖μ_run − μ_reference‖₂ rounded like `embedding_drift`."""
+        import math
+
+        from embeddingsearch_spark.constants import ROUND_DIGITS
+
+        rows = _dim_sum_rows(batch_df, vec_col)
+        for r in rows:
+            self.sums[r["dim"]] = (
+                self.sums.get(r["dim"], 0.0) + float(r["s"])
+            )
+        if rows:
+            self.n += int(rows[0]["c"])
+        if not self.n:
+            return None
+        acc = 0.0
+        for d, s in self.sums.items():
+            diff = s / self.n - self.ref_mean.get(d, 0.0)
+            acc += diff * diff
+        return round(math.sqrt(acc), ROUND_DIGITS)
+
+
+class _RunningPops:
+    """O(batch) population-skew state: per-cell counts of everything
+    assigned THIS RUN, merged per micro-batch (bounded by the
+    quantizer size — the same bounded-collect convention the centroid
+    frames use). skew = max_pop × n_cells / total with ``n_cells`` the
+    QUANTIZER size (not the run-observed cell count: a run whose whole
+    mass lands in one cell must read as maximally skewed, not
+    uniform)."""
+
+    def __init__(self, n_cells: int):
+        self.n_cells = int(n_cells)
+        self.pops: dict = {}
+
+    def update(self, assigned_batch: DataFrame, key_col: str) -> float:
+        from pyspark.sql import functions as F
+
+        for r in (
+            assigned_batch.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        ):
+            self.pops[r[0]] = self.pops.get(r[0], 0) + int(r["_c"])
+        tot = sum(self.pops.values())
+        if not tot:
+            return 0.0
+        return float(max(self.pops.values())) * self.n_cells / tot
+
+
 def _drain(
     stream: DataFrame, step, checkpoint_dir: str | None = None
 ) -> None:
@@ -285,31 +374,36 @@ def monitored_graph_ingest(
     coarse quantizer) while watching the two signals that say the
     quantizer no longer fits the corpus:
 
-    - **embedding drift**: ‖μ_ingested − μ_reference‖₂
-      (`operators.drift.embedding_drift`) between everything ingested
-      so far (the persisted ``{prefix}_vectors`` table) and the pinned
-      snapshot the quantizer was trained on — distribution shift the
-      incremental merge is blind to;
-    - **block skew** from the persisted assignment table:
-      max block population × n_observed_blocks / total assignments
-      (uniform = 1). Skew is the graph family's failure knob — a
-      drifted corpus piles into few coarse blocks, blowing up the
-      Σ block² build bound and starving the beam of cross-block
-      edges (the round-5 C=128 probe: 1360/5000 in one block before
-      re-sizing).
+    - **embedding drift**: ‖μ_run − μ_reference‖₂ between everything
+      ingested THIS RUN (per-dim running sums merged per micro-batch —
+      the `monitored_pq_ingest` / `streaming/drift.py` running-moments
+      pattern) and the pinned snapshot the quantizer was trained on —
+      distribution shift the incremental merge is blind to;
+    - **block skew** of everything assigned THIS RUN:
+      max block population × n_blocks / total assignments (uniform =
+      1; n_blocks = the quantizer size). Skew is the graph family's
+      failure knob — a drifted corpus piles into few coarse blocks,
+      blowing up the Σ block² build bound and starving the beam of
+      cross-block edges (the round-5 C=128 probe: 1360/5000 in one
+      block before re-sizing).
 
     Crossing EITHER threshold sets the retrain flag: re-train the
     quantizer offline (k-means over the accumulated vectors) and
     rebuild — the index keeps updating under the old quantizer either
     way, exactly correct, just increasingly lopsided. Returns
     ``(history, flagged)``: per-batch
-    (batch_id, n_vecs, mean_shift_l2, block_skew) and the flag. All
-    signals derive from persisted tables, so they are batch-equivalent
-    to the one-shot computation over everything that streamed — the
-    gated oracle's check."""
-    from pyspark.sql import functions as F
+    (batch_id, n_vecs, mean_shift_l2, block_skew) and the flag.
 
-    from embeddingsearch_spark.operators.drift import embedding_drift
+    The signals are RUN-SCOPED (what arrived since this monitor
+    started — re-delivered ids count as new observations, the
+    `monitored_pq_ingest` distortion semantics), so the per-batch
+    monitor cost is one d-bounded aggregate + one blocks-bounded
+    aggregate over the BATCH — the persisted index is never rescanned
+    for monitoring (round-6 What's-wrong #1: the full-table
+    `embedding_drift`/population scans grew with index size, the
+    driver-side-bottleneck class at 100 TB). On a fresh index the run
+    IS the index, so the signals equal the one-shot computation over
+    everything that streamed — the gated oracle's check."""
     from embeddingsearch_spark.operators.graphann import (
         assign_blocks,
         block_pair_sims,
@@ -321,20 +415,28 @@ def monitored_graph_ingest(
 
     spark = stream.sparkSession
     reference = reference.localCheckpoint(eager=True)
+    centroids = centroids.localCheckpoint(eager=True)
     vec_table = f"{prefix}_vectors"
     history: list[tuple] = []
+    drift = _RunningDrift(reference, vec_col)
+    pops = _RunningPops(centroids.count())
     state = {"flagged": False}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
         n_vecs = batch_df.count()
+        # the monitor's assignment of THIS batch under the fixed
+        # quantizer (batch × centroids — O(batch); the create path's
+        # index build reuses it)
+        assigned_b = assign_blocks(
+            batch_df, centroids, n_assign, id_col, vec_col,
+            centroid_id_col,
+        ).localCheckpoint(eager=True)
         if not spark.catalog.tableExists(f"{prefix}_pairs"):
-            assigned = assign_blocks(
-                batch_df, centroids, n_assign, id_col, vec_col,
-                centroid_id_col,
+            pairs = block_pair_sims(
+                batch_df, assigned_b, id_col, vec_col
             )
-            pairs = block_pair_sims(batch_df, assigned, id_col, vec_col)
-            save_graph_index(pairs, assigned, prefix, n_buckets)
+            save_graph_index(pairs, assigned_b, prefix, n_buckets)
             replace_bucketed(
                 batch_df, vec_table, [id_col], n_buckets=n_buckets
             )
@@ -359,26 +461,8 @@ def monitored_graph_ingest(
                 delete_keys=batch_df.select(id_col).distinct(),
                 bucket_cols=[id_col], n_buckets=n_buckets,
             )
-        summary, _ = embedding_drift(
-            spark.table(vec_table), reference, vec_col=vec_col
-        )
-        shift = summary.collect()[0]["mean_shift_l2"]
-        blk = (
-            spark.table(f"{prefix}_assigned")
-            .groupBy("_blk")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.max("_c").alias("_mx"),
-                F.sum("_c").alias("_tot"),
-                F.count(F.lit(1)).alias("_nblk"),
-            )
-            .collect()[0]
-        )
-        skew = (
-            float(blk["_mx"]) * float(blk["_nblk"]) / float(blk["_tot"])
-            if blk["_tot"]
-            else 0.0
-        )
+        shift = drift.update(batch_df, vec_col)
+        skew = pops.update(assigned_b, "_blk")
         if (shift is not None and shift > drift_threshold) or (
             skew > skew_threshold
         ):
@@ -525,10 +609,12 @@ def monitored_ivf_ingest(
     corpus carries both the vectors and the centroid ids, so no
     auxiliary vectors table is needed):
 
-    - **embedding drift**: ‖μ_assigned − μ_reference‖₂ vs the pinned
-      snapshot the centroids were trained on;
-    - **centroid skew**: max centroid population × n_observed / total
-      (uniform = 1) — a drifted corpus piles into few coarse cells,
+    - **embedding drift**: ‖μ_run − μ_reference‖₂ vs the pinned
+      snapshot the centroids were trained on (per-dim running sums
+      merged per micro-batch);
+    - **centroid skew**: max centroid population × n_cells / total
+      over everything assigned THIS RUN (uniform = 1; n_cells = the
+      quantizer size) — a drifted corpus piles into few coarse cells,
       which for IVF means probe-time partition pruning stops pruning
       (one partition holds everything) and per-probe scan cost
       degrades toward brute force.
@@ -537,16 +623,20 @@ def monitored_ivf_ingest(
     centroids offline over the accumulated corpus and rebuild); the
     index keeps updating under the old quantizer either way. Returns
     ``(history, flagged)``: per-batch
-    (batch_id, n_vecs, mean_shift_l2, centroid_skew) and the flag —
-    all derived from the persisted table, hence batch-equivalent."""
-    from pyspark.sql import functions as F
+    (batch_id, n_vecs, mean_shift_l2, centroid_skew) and the flag.
 
-    from embeddingsearch_spark.operators.drift import embedding_drift
-
+    RUN-SCOPED like `monitored_graph_ingest`/`monitored_pq_ingest`:
+    the per-batch monitor cost is one d-bounded + one cells-bounded
+    aggregate over the BATCH (its assignment under the fixed quantizer
+    is an O(batch) GEMM) — the persisted table is never rescanned for
+    monitoring; on a fresh index the run IS the index, so the signals
+    equal the one-shot computation over everything that streamed —
+    the gated oracle's check."""
     spark = stream.sparkSession
     reference = reference.localCheckpoint(eager=True)
     history: list[tuple] = []
-    state = {"flagged": False}
+    drift = _RunningDrift(reference, vec_col)
+    state = {"flagged": False, "cents": None, "pops": None}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         from embeddingsearch_spark.operators.ann import (
@@ -557,46 +647,41 @@ def monitored_ivf_ingest(
 
         batch_df = batch_df.localCheckpoint(eager=True)
         n_vecs = batch_df.count()
-        if spark.catalog.tableExists(f"{prefix}_assigned"):
+        exists = spark.catalog.tableExists(f"{prefix}_assigned")
+        if state["cents"] is None:
+            # the quantizer (bounded): the persisted centroids of an
+            # existing index, else the caller's — loaded ONCE
+            if exists:
+                cents = spark.table(f"{prefix}_centroids").select(
+                    centroid_id_col, vec_col
+                )
+            elif centroids is not None:
+                cents = centroids
+            else:
+                raise ValueError(
+                    "centroids required to CREATE the IVF index "
+                    "(train offline; the stream never trains)"
+                )
+            state["cents"] = cents.localCheckpoint(eager=True)
+            state["pops"] = _RunningPops(state["cents"].count())
+        assigned_b = assign_centroids(
+            batch_df, state["cents"], id_col=id_col,
+            vec_col=vec_col, centroid_id_col=centroid_id_col,
+        ).localCheckpoint(eager=True)
+        if exists:
             upsert_ivf_index(
                 spark, prefix, batch_df, id_col=id_col,
                 vec_col=vec_col, centroid_id_col=centroid_id_col,
                 n_buckets=n_buckets,
             )
         else:
-            if centroids is None:
-                raise ValueError(
-                    "centroids required to CREATE the IVF index "
-                    "(train offline; the stream never trains)"
-                )
             save_ivf_index(
-                assign_centroids(
-                    batch_df, centroids, id_col=id_col,
-                    vec_col=vec_col, centroid_id_col=centroid_id_col,
-                ),
-                centroids, prefix, n_buckets=n_buckets,
+                assigned_b,
+                state["cents"], prefix, n_buckets=n_buckets,
                 id_col=id_col, centroid_id_col=centroid_id_col,
             )
-        stored = spark.table(f"{prefix}_assigned")
-        summary, _ = embedding_drift(
-            stored.select(id_col, vec_col), reference, vec_col=vec_col
-        )
-        shift = summary.collect()[0]["mean_shift_l2"]
-        pop = (
-            stored.groupBy(centroid_id_col)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.max("_c").alias("_mx"),
-                F.sum("_c").alias("_tot"),
-                F.count(F.lit(1)).alias("_ncell"),
-            )
-            .collect()[0]
-        )
-        skew = (
-            float(pop["_mx"]) * float(pop["_ncell"]) / float(pop["_tot"])
-            if pop["_tot"]
-            else 0.0
-        )
+        shift = drift.update(batch_df, vec_col)
+        skew = state["pops"].update(assigned_b, centroid_id_col)
         if (shift is not None and shift > drift_threshold) or (
             skew > skew_threshold
         ):
