@@ -1536,27 +1536,14 @@ def offboard_tenant_ivf(
     quantizer and returns nothing, and `onboard_tenant_ivf` accepts
     the name again. Returns {"partitions_dropped",
     "centroids_dropped"}."""
-    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        drop_tenant_partitions,
+    )
 
-    esc = str(tenant).replace("'", "''")
-    parts = spark.sql(
-        f"SHOW PARTITIONS {prefix}_assigned "
-        f"PARTITION ({partition_col}='{esc}')"
-    ).collect()
-    for r in parts:
-        from urllib.parse import unquote
-
-        spec = ", ".join(
-            "{}='{}'".format(
-                kv.split("=", 1)[0],
-                unquote(kv.split("=", 1)[1]).replace("'", "''"),
-            )
-            for kv in r[0].split("/")
-        )
-        spark.sql(
-            f"ALTER TABLE {prefix}_assigned DROP IF EXISTS "
-            f"PARTITION ({spec})"
-        )
+    n_parts = drop_tenant_partitions(
+        spark, f"{prefix}_assigned", partition_col, tenant
+    )
     cents = spark.table(f"{prefix}_centroids").localCheckpoint(
         eager=True
     )
@@ -1567,7 +1554,7 @@ def offboard_tenant_ivf(
     drop_table(spark, f"{prefix}_centroids")
     kept.write.saveAsTable(f"{prefix}_centroids")
     return {
-        "partitions_dropped": len(parts),
+        "partitions_dropped": n_parts,
         "centroids_dropped": int(n_before - kept.count()),
     }
 

@@ -746,16 +746,21 @@ def block_pair_sims_federated(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """`block_pair_sims` over a per-collection assignment: pairs are
-    tenant-pure because blocks are (one join key, no tenant filter
-    anywhere), and the collection column rides along so the pair
-    table can persist PARTITIONED by tenant."""
+    """`block_pair_sims` over a per-collection assignment: pairs join
+    on (collection, block) — tenant purity holds BY THE JOIN KEY, so
+    per-tenant centroid numbering (each collection 0..C-1, the
+    IVF/PQ federated convention) can never produce cross-tenant
+    edges even when two tenants share a block id; the collection
+    column rides along so the pair table can persist PARTITIONED by
+    tenant."""
     a = assigned.select(
         F.col(id_col).alias("_ida"), F.col("_blk"), F.col(partition_col)
     )
-    b = assigned.select(F.col(id_col).alias("_idb"), F.col("_blk"))
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("_blk"), F.col(partition_col)
+    )
     pairs = (
-        a.join(b, "_blk")
+        a.join(b, [partition_col, "_blk"])
         .filter(F.col("_ida") < F.col("_idb"))
         .select("_ida", "_idb", partition_col)
         .distinct()
@@ -914,10 +919,13 @@ def upsert_federated_graph_index(
         n_assign=n_assign, id_col=id_col, vec_col=vec_col,
         centroid_id_col=centroid_id_col,
     )
-    affected = new_assigned.select("_blk").distinct()
+    # affected blocks and candidate pairs key on (tenant, block) so
+    # per-tenant centroid numbering (two tenants sharing a block id)
+    # can never pull another tenant's members into the delta
+    affected = new_assigned.select(partition_col, "_blk").distinct()
     members = (
         assigned_base.select(id_col, partition_col, "_blk")
-        .join(F.broadcast(affected), "_blk")
+        .join(F.broadcast(affected), [partition_col, "_blk"])
         .withColumn("_new", F.lit(False))
         .unionByName(new_assigned.withColumn("_new", F.lit(True)))
     )
@@ -928,10 +936,13 @@ def upsert_federated_graph_index(
         F.col("_new").alias("_an"),
     )
     b = members.select(
-        F.col(id_col).alias("_idb"), "_blk", F.col("_new").alias("_bn")
+        F.col(id_col).alias("_idb"),
+        "_blk",
+        F.col(partition_col),
+        F.col("_new").alias("_bn"),
     )
     cand = (
-        a.join(b, "_blk")
+        a.join(b, [partition_col, "_blk"])
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(F.col("_an") | F.col("_bn"))
         .select("_ida", "_idb", partition_col)

@@ -180,6 +180,7 @@ def _serve_cached(
     value_schema: list,
     query_id_col: str,
     now: float,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """The k-complete cached-serving core shared by the lexical and
     the vector serve: ``qkeyed`` carries (query_id, ..., _qh) where
@@ -194,16 +195,28 @@ def _serve_cached(
     usable generation, read-side dedup of concurrent appends, the
     fully-hit early-out (a hit serve NEVER runs ``compute``), the
     `_gen` write-recency counter and the injected `_ts` write stamp
-    that `evict_query_cache` / `expire_query_cache` consume."""
+    that `evict_query_cache` / `expire_query_cache` consume.
+
+    ``scope_col`` names a qkeyed column (the federated serve's tenant)
+    stamped into each written row's ``_scope`` — the handle the
+    TENANT-SCOPED hygiene ops (`evict/expire(scope=)`,
+    `purge_query_cache_scope`, offboarding) key on; unscoped serves
+    write NULL. Pre-scope cache tables are migrated in place (ALTER
+    ADD COLUMNS; old rows read NULL scope)."""
     vcols = [c for c, _ in value_schema]
     schema = (
         f"_qh string, _kmax int, _gen int, _ts double, "
+        f"_scope string, "
         f"{id_col} {id_type}, "
         + ", ".join(f"{c} {t}" for c, t in value_schema)
         + ", rank int"
     )
     if not spark.catalog.tableExists(cache_table):
         spark.createDataFrame([], schema).write.saveAsTable(cache_table)
+    elif "_scope" not in spark.table(cache_table).columns:
+        spark.sql(
+            f"ALTER TABLE {cache_table} ADD COLUMNS (_scope string)"
+        )
     cache = spark.table(cache_table)
     keys = qkeyed.select("_qh").distinct()
     # eager pins: the final union must read the cache AS OF now — the
@@ -229,7 +242,7 @@ def _serve_cached(
     hits = (
         relevant.join(F.broadcast(best), ["_qh", "_kmax"])
         .filter(F.col("rank") <= k)
-        .drop("_kmax", "_gen", "_ts")
+        .drop("_kmax", "_gen", "_ts", "_scope")
         # concurrent misses append identical generations — serve one
         .distinct()
     )
@@ -254,16 +267,28 @@ def _serve_cached(
     # column; a production deployment would keep the counter in the
     # catalog). Deterministic — no wall clock.
     gen = (cache.agg(F.max("_gen")).collect()[0][0] or 0) + 1
+    scope_expr = (
+        F.col("_scope")
+        if scope_col
+        else F.lit(None).cast("string").alias("_scope")
+    )
+    keyed_q = qkeyed.select(
+        query_id_col,
+        "_qh",
+        *(
+            [F.col(scope_col).alias("_scope")]
+            if scope_col
+            else []
+        ),
+    )
     computed_keyed = (
-        computed.join(
-            F.broadcast(qkeyed.select(query_id_col, "_qh")),
-            query_id_col,
-        )
+        computed.join(F.broadcast(keyed_q), query_id_col)
         .select(
             "_qh",
             F.lit(int(k)).cast("int").alias("_kmax"),
             F.lit(int(gen)).cast("int").alias("_gen"),
             F.lit(float(now)).cast("double").alias("_ts"),
+            scope_expr,
             id_col,
             *vcols,
             "rank",
@@ -275,7 +300,7 @@ def _serve_cached(
     )
     computed_keyed.write.mode("append").saveAsTable(cache_table)
     served = hits.unionByName(
-        computed_keyed.drop("_kmax", "_gen", "_ts")
+        computed_keyed.drop("_kmax", "_gen", "_ts", "_scope")
     )
     return (
         qkeyed.select(query_id_col, "_qh")
@@ -355,12 +380,45 @@ def serve_ann_cached(
     )
 
 
+def _delete_cache_keys(spark, cache_table: str, keys: DataFrame) -> int:
+    """Drop every cache row of the given ``_qh`` keys through the sink
+    seam (delete-by-key MERGE on an ACID catalog; the local parquet
+    fallback rewrites) — hygiene no longer drop-and-rewrites the table
+    itself (round-6 What's-wrong #3). Returns rows deleted."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.sink import ParquetRewriteSink
+
+    keys = keys.select(
+        F.col(keys.columns[0]).alias("_qh")
+    ).distinct().localCheckpoint(eager=True)
+    if keys.isEmpty():
+        return 0
+    n_del = spark.table(cache_table).join(
+        F.broadcast(keys), "_qh", "left_semi"
+    ).count()
+    empty = spark.createDataFrame([], spark.table(cache_table).schema)
+    ParquetRewriteSink().delete_insert(
+        spark, cache_table, empty, ["_qh"], delete_keys=keys,
+        n_buckets=0,
+    )
+    return int(n_del)
+
+
+def _scoped(cache: DataFrame, scope):
+    from pyspark.sql import functions as F
+
+    if scope is None:
+        return cache
+    return cache.filter(F.col("_scope") == F.lit(str(scope)))
+
+
 def evict_query_cache(
-    spark, cache_table: str, keep_keys: int
+    spark, cache_table: str, keep_keys: int, scope: str | None = None
 ) -> dict:
     """Capacity eviction for the persisted query cache — the
     reference's `QueryCacheSize` bound (SearchdomainModels.cs:98,
-    default 1,000,000 entries per searchdomain) as a maintenance
+    default 1,000,000 entries PER SEARCHDOMAIN) as a maintenance
     operator: keep the ``keep_keys`` most-recently-WRITTEN query keys
     (the `_gen` serve-call counter; ties break by key for
     determinism), drop every other key's rows. Write-recency, not
@@ -371,35 +429,38 @@ def evict_query_cache(
     results never change (gated: a post-eviction serve shares
     `bm25_topk`'s oracle verbatim).
 
+    ``scope`` restricts the bound to ONE collection's key space (the
+    reference's per-searchdomain capacity, matching
+    `serve_bm25_federated_cached`'s `_scope` stamp): only that
+    tenant's keys compete and evict; other tenants' rows are never
+    read for eviction or touched. Deletion routes through the sink
+    seam, not a whole-table rewrite.
+
     Returns {"keys_before", "keys_after", "rows_evicted"}."""
     from pyspark.sql import functions as F
 
-    cache = spark.table(cache_table)
-    n_rows = cache.count()
-    keys = cache.groupBy("_qh").agg(F.max("_gen").alias("_g"))
+    scoped = _scoped(spark.table(cache_table), scope)
+    keys = scoped.groupBy("_qh").agg(F.max("_gen").alias("_g"))
     n_keys = keys.count()
-    keep = (
+    evicted = (
         keys.orderBy(F.col("_g").desc(), F.col("_qh").asc())
-        .limit(int(keep_keys))
+        .offset(int(keep_keys))
         .select("_qh")
     )
-    kept = cache.join(
-        F.broadcast(keep), "_qh", "left_semi"
-    ).localCheckpoint(eager=True)
-    n_kept = kept.count()
-    from embeddingsearch_spark.storage import drop_table
-
-    drop_table(spark, cache_table)
-    kept.write.saveAsTable(cache_table)
+    n_del = _delete_cache_keys(spark, cache_table, evicted)
     return {
         "keys_before": int(n_keys),
         "keys_after": int(min(n_keys, keep_keys)),
-        "rows_evicted": int(n_rows - n_kept),
+        "rows_evicted": n_del,
     }
 
 
 def expire_query_cache(
-    spark, cache_table: str, now: float, ttl: float
+    spark,
+    cache_table: str,
+    now: float,
+    ttl: float,
+    scope: str | None = None,
 ) -> dict:
     """TTL aging for the persisted query cache — the time axis of the
     reference's cache hygiene, complementing `evict_query_cache`'s
@@ -412,30 +473,50 @@ def expire_query_cache(
     serve — like eviction, aging changes costs, never results (gated:
     the post-expiry serve shares `bm25_topk`'s oracle verbatim).
 
+    ``scope`` ages ONE collection's keys only (per-searchdomain TTL);
+    deletion routes through the sink seam like eviction.
+
     Returns {"keys_before", "keys_after", "rows_expired"}."""
     from pyspark.sql import functions as F
 
-    from embeddingsearch_spark.storage import drop_table
-
-    cache = spark.table(cache_table)
-    n_rows = cache.count()
-    recency = cache.groupBy("_qh").agg(F.max("_ts").alias("_t"))
+    scoped = _scoped(spark.table(cache_table), scope)
+    recency = scoped.groupBy("_qh").agg(F.max("_ts").alias("_t"))
     n_keys = recency.count()
-    fresh = recency.filter(
-        F.col("_t") >= F.lit(float(now)) - F.lit(float(ttl))
+    expired = recency.filter(
+        F.col("_t") < F.lit(float(now)) - F.lit(float(ttl))
     ).select("_qh")
-    kept = cache.join(
-        F.broadcast(fresh), "_qh", "left_semi"
-    ).localCheckpoint(eager=True)
-    n_kept = kept.count()
-    n_fresh = fresh.count()
-    drop_table(spark, cache_table)
-    kept.write.saveAsTable(cache_table)
+    n_exp_keys = expired.count()
+    n_del = _delete_cache_keys(spark, cache_table, expired)
     return {
         "keys_before": int(n_keys),
-        "keys_after": int(n_fresh),
-        "rows_expired": int(n_rows - n_kept),
+        "keys_after": int(n_keys - n_exp_keys),
+        "rows_expired": n_del,
     }
+
+
+def purge_query_cache_scope(
+    spark, cache_table: str, scope: str
+) -> dict:
+    """OFFBOARDING hook for the tenant-keyed cache: drop EVERY cache
+    row of one collection (`_scope` = the federated serve's tenant
+    stamp) — the lifecycle complement of `offboard_tenant` family
+    offboarding, which without this leaves the gone tenant's entries
+    to age out via TTL/eviction after the version bump makes them
+    unreachable. Survivors' keys are untouched, so their next serve
+    still fully hits. No-op (zeros) when the cache table does not
+    exist yet. Returns {"keys_purged", "rows_purged"}."""
+    from pyspark.sql import functions as F
+
+    if not spark.catalog.tableExists(cache_table):
+        return {"keys_purged": 0, "rows_purged": 0}
+    keys = (
+        _scoped(spark.table(cache_table), scope)
+        .select("_qh")
+        .distinct()
+    )
+    n_keys = keys.count()
+    n_del = _delete_cache_keys(spark, cache_table, keys)
+    return {"keys_purged": int(n_keys), "rows_purged": n_del}
 
 
 def serve_bm25_federated_cached(
@@ -529,4 +610,5 @@ def serve_bm25_federated_cached(
         [("score", "double"), ("n_matched", "long")],
         query_id_col,
         now,
+        scope_col=partition_col,
     )

@@ -96,13 +96,21 @@ class ParquetRewriteSink(IndexSink):
             .localCheckpoint(eager=True)
         )
         drop_table(spark, table)
-        save_bucketed(
-            merged,
-            table,
-            bucket_cols or key_cols[:1],
-            n_buckets=n_buckets,
-            partition_cols=partition_cols,
-        )
+        if n_buckets == 0:
+            # unbucketed layout (the query-cache tables): plain
+            # rewrite, appenders keep using saveAsTable(append)
+            writer = merged.write
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.saveAsTable(table)
+        else:
+            save_bucketed(
+                merged,
+                table,
+                bucket_cols or key_cols[:1],
+                n_buckets=n_buckets,
+                partition_cols=partition_cols,
+            )
         return table
 
 
@@ -124,11 +132,38 @@ class MergeSink(IndexSink):
     def merge_sql(
         table: str, key_cols: list[str], keys_view: str | None = None
     ) -> str:
+        """Single-key delete as a MERGE. Valid ONLY for one key
+        column: the key set is distinct, so each target row matches at
+        most one source row. A multi-key table (the graph pair table,
+        keyed on either endpoint) would produce duplicate matches
+        whenever both endpoints of a pair are in the key set — the
+        common case for pair upserts (batch ids pair with each other) —
+        and Delta/Iceberg REJECT a MERGE where one target row matches
+        multiple source rows; those tables use `delete_sql`."""
+        if len(key_cols) != 1:
+            raise ValueError(
+                "merge_sql is single-key only (duplicate-match rows "
+                "fail on ACID catalogs); use delete_sql"
+            )
+        view = keys_view or MergeSink.KEYS_VIEW
+        return (
+            f"MERGE INTO {table} t USING {view} s "
+            f"ON t.`{key_cols[0]}` = s.`_key` WHEN MATCHED THEN DELETE"
+        )
+
+    @staticmethod
+    def delete_sql(
+        table: str, key_cols: list[str], keys_view: str | None = None
+    ) -> str:
+        """Delete-by-key as an EXISTS-predicated DELETE — safe at any
+        key-column count: a target row matching several source keys is
+        still ONE deleted row, so the duplicate-match restriction
+        MERGE carries on Delta/Iceberg cannot trigger."""
         view = keys_view or MergeSink.KEYS_VIEW
         on = " OR ".join(f"t.`{c}` = s.`_key`" for c in key_cols)
         return (
-            f"MERGE INTO {table} t USING {view} s "
-            f"ON {on} WHEN MATCHED THEN DELETE"
+            f"DELETE FROM {table} t WHERE EXISTS "
+            f"(SELECT 1 FROM {view} s WHERE {on})"
         )
 
     def delete_insert(
@@ -146,7 +181,12 @@ class MergeSink(IndexSink):
             _keys_one_col(delete_keys, "_key").createOrReplaceTempView(
                 self.KEYS_VIEW
             )
-            spark.sql(self.merge_sql(table, key_cols))
+            stmt = (
+                self.merge_sql(table, key_cols)
+                if len(key_cols) == 1
+                else self.delete_sql(table, key_cols)
+            )
+            spark.sql(stmt)
         insert.write.mode("append").saveAsTable(table)
         return table
 

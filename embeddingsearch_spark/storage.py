@@ -427,6 +427,36 @@ def replace_bucketed(
     return table
 
 
+def drop_tenant_partitions(
+    spark, table: str, partition_col: str, tenant: str
+) -> int:
+    """Drop every partition of ``table`` belonging to one collection:
+    enumerate with a partial partition spec, drop one full spec at a
+    time — bounded by the tenant's own partition count. Other
+    collections' files are never read or written (the
+    `offboard_tenant_ivf` loop, extracted for the family-generic
+    lifecycle). Returns the number of partitions dropped."""
+    from urllib.parse import unquote
+
+    esc = str(tenant).replace("'", "''")
+    parts = spark.sql(
+        f"SHOW PARTITIONS {table} "
+        f"PARTITION ({partition_col}='{esc}')"
+    ).collect()
+    for r in parts:
+        spec = ", ".join(
+            "{}='{}'".format(
+                kv.split("=", 1)[0],
+                unquote(kv.split("=", 1)[1]).replace("'", "''"),
+            )
+            for kv in r[0].split("/")
+        )
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec})"
+        )
+    return len(parts)
+
+
 def write_manifest(
     spark,
     path: str,

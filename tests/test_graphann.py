@@ -381,3 +381,61 @@ def test_graph_federated_tenant_isolation_and_parity(spark, sf_dir):
     hits0 = {r["vec_id"] for r in got.collect() if r["query_id"] == 0}
     assert 100001 not in hits0
     assert all(v % 2 == 0 for v in hits0)
+
+
+def test_graph_federated_per_tenant_centroid_numbering(spark, corpus):
+    """ADVICE round-6 #1: per-tenant-NUMBERED centroids (each tenant's
+    blocks 0..C-1, the IVF/PQ federated convention) must still produce
+    tenant-pure pairs — the candidate join keys on (tenant, block),
+    not block alone — for both the one-shot build and the incremental
+    upsert's delta."""
+    from pyspark.sql import Window
+
+    two = corpus.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    # both tenants number their 4 centroids 0..3 (colliding block ids)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        two.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4)
+        .select(
+            "source",
+            (F.col("_rn") - 1).alias("centroid_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = graphann.assign_blocks_federated(two, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(two, assigned)
+    rows = pairs.collect()
+    assert rows
+    # tenant purity by id parity: endpoints always share a tenant
+    assert all(r["_ida"] % 2 == r["_idb"] % 2 for r in rows)
+
+    # incremental path: persist 4/5, upsert the rest, same invariant —
+    # and the merged table equals the one-shot build
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_test_tgraph_num"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, prefix + t)
+    old = two.filter(F.col("vec_id") % 5 != 0)
+    batch = two.filter(F.col("vec_id") % 5 == 0)
+    a_old = graphann.assign_blocks_federated(old, cents, n_assign=2)
+    graphann.save_federated_graph_index(
+        graphann.block_pair_sims_federated(old, a_old), a_old,
+        prefix, n_buckets=2,
+    )
+    graphann.upsert_federated_graph_index(
+        spark, prefix, two, batch, cents, n_assign=2, n_buckets=2,
+    )
+    got = sorted(
+        (r["_ida"], r["_idb"], r["cosine"])
+        for r in spark.table(prefix + "_pairs").collect()
+    )
+    want = sorted(
+        (r["_ida"], r["_idb"], r["cosine"]) for r in rows
+    )
+    assert got == want

@@ -19,14 +19,19 @@ def test_merge_sink_sql_single_and_multi_key():
         "MERGE INTO idx_post t USING _es_sink_delete_keys s "
         "ON t.`doc_id` = s.`_key` WHEN MATCHED THEN DELETE"
     )
-    # the graph pair table deletes on EITHER endpoint
-    assert MergeSink.merge_sql(
+    # the graph pair table deletes on EITHER endpoint: a pair whose
+    # both endpoints are keyed matches TWO source rows — MERGE is
+    # rejected for that by Delta/Iceberg, so multi-key tables emit the
+    # EXISTS-style DELETE (duplicate-match safe) instead
+    assert MergeSink.delete_sql(
         "g_pairs", ["_ida", "_idb"], keys_view="batch_keys"
     ) == (
-        "MERGE INTO g_pairs t USING batch_keys s "
-        "ON t.`_ida` = s.`_key` OR t.`_idb` = s.`_key` "
-        "WHEN MATCHED THEN DELETE"
+        "DELETE FROM g_pairs t WHERE EXISTS "
+        "(SELECT 1 FROM batch_keys s "
+        "WHERE t.`_ida` = s.`_key` OR t.`_idb` = s.`_key`)"
     )
+    with pytest.raises(ValueError, match="single-key only"):
+        MergeSink.merge_sql("g_pairs", ["_ida", "_idb"])
 
 
 def test_parquet_sink_delete_insert_semantics(spark):
@@ -752,3 +757,63 @@ def test_tenant_onboard_offboard_isolation(spark, sf_dir):
         partition_col="source", n_buckets=2,
     )
     assert listing("acme") == before_acme
+
+
+@pytest.mark.external
+def test_merge_sink_on_delta_rebuild_equivalence(tmp_path):
+    """Opt-in ACID integration (round-7): a REAL `delete_insert`
+    through `MergeSink` on a Delta table, including the
+    duplicate-match case (both endpoints of a pair in the key set —
+    the exact shape Delta rejects under a MERGE and the EXISTS-DELETE
+    exists for). Runs in a subprocess so the Delta session extensions
+    don't collide with the test fixture's JVM session. Skipped unless
+    `delta-spark` is installed (mirrors the live-provider opt-ins);
+    no production-path change."""
+    pytest.importorskip("delta")
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parents[1]))})
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+        from embeddingsearch_spark.sink import MergeSink
+
+        builder = (
+            SparkSession.builder.appName("es-delta-it")
+            .master("local[2]")
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+            .config("spark.sql.warehouse.dir", {repr(str(tmp_path))} + "/wh")
+            .config("spark.sql.shuffle.partitions", "2")
+        )
+        spark = configure_spark_with_delta_pip(builder).getOrCreate()
+        spark.createDataFrame(
+            [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (4, 5, 0.6)],
+            "_ida long, _idb long, sim double",
+        ).write.format("delta").saveAsTable("g_pairs")
+        # keys 1 AND 2: pair (1,2) matches BOTH -> the MERGE-rejected
+        # duplicate-match shape; the EXISTS-DELETE handles it
+        MergeSink().delete_insert(
+            spark, "g_pairs",
+            spark.createDataFrame([(1, 2, 0.95)],
+                                  "_ida long, _idb long, sim double"),
+            ["_ida", "_idb"],
+            delete_keys=spark.createDataFrame([(1,), (2,)], "k long"),
+        )
+        got = sorted(tuple(r) for r in spark.table("g_pairs").collect())
+        want = [(1, 2, 0.95), (4, 5, 0.6)]
+        assert got == want, got
+        print("DELTA_SINK_OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert "DELTA_SINK_OK" in out.stdout, out.stderr[-2000:]
