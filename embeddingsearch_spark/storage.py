@@ -252,6 +252,16 @@ def compact_index_table(
     loc = _table_location(spark, table)
     if loc is None:
         raise ValueError(f"cannot resolve location of {table}")
+    if not os.path.isdir(loc):
+        # os.walk on a non-local warehouse (s3://, hdfs://) would
+        # silently yield no entries and report 0 partitions compacted —
+        # fail loudly instead; remote catalogs compact through their
+        # own OPTIMIZE/rewrite-data-files maintenance
+        raise ValueError(
+            f"{table} location {loc!r} is not a local directory — "
+            "compact_index_table walks the local filesystem; on a "
+            "remote warehouse use the catalog's own compaction"
+        )
     pcols = [
         c.name
         for c in spark.catalog.listColumns(table)
