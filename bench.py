@@ -28,38 +28,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# In-query INDEX/MODEL CONSTRUCTION rows (oracle-isolation rebuilds):
-# the graph-ANN family's blocked kNN builds, the trained-IVF build, the
-# stream-ingest index builds, and the drift-monitor ingests (each drains
-# the whole source through create+upsert before serving one query).
-BUILD_QUERIES = {
-    "graph_ann_topk",
-    "graph_ann_filtered",
-    "graph_ann_hier",
-    "graph_ann_realistic",
-    "ivf_kmeans_build",
-    "streaming_postings_index",
-    "streaming_graph_ann",
-    "streaming_index_build",
-    "drift_triggered_reindex",
-    "drift_ann_reindex",
-    "drift_pq_reindex",
-    "streaming_ivf_index",
-    "drift_ivf_reindex",
-    "streaming_tivf_index",
-    "drift_tenant_reindex",
-    "graph_tenant_serve",
-    "streaming_pq_index",
-    "streaming_tpq_index",
-    "streaming_tgraph_index",
-    "streaming_tpostings_index",
-    # lifecycle-dominated rows: in-query cost is build + upserts +
-    # compaction / onboard+offboard, not the serve at the end — the
-    # serving-shaped twins (bm25_tenant_serve, ivf_tenant_serve) stay
-    # in the headline
-    "compacted_index_serve",
-    "tenant_lifecycle_serve",
-}
+# In-query INDEX/MODEL CONSTRUCTION rows (oracle-isolation rebuilds,
+# streaming drains, lifecycle composites). The classification is SUITE
+# METADATA: each suite module tags its own names in a BUILD_QUERIES
+# set next to the registrations, and `build_query_names()` validates
+# every tag against that module's registry at import — a rename or a
+# mistag raises instead of silently skewing the headline (round-6
+# ADVICE #4). The rule is documented in suite/__init__.
+from embeddingsearch_spark.suite import build_query_names
+
+BUILD_QUERIES = build_query_names()
 
 
 def _partitions_for(sf_dir: str, target_mb: int = 64) -> int:

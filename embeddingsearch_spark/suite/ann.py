@@ -2465,3 +2465,23 @@ QUERIES = {
     "cluster_sample": (q_cluster_sample, CLUSTER_SAMPLE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }
+
+
+# Bench classification (see suite/__init__ docstring): in-query cost
+# dominated by blocked kNN/trained-quantizer builds, lifecycle ops, or
+# multi-generation builds; serving-shaped twins stay in the headline
+# (graph_ann_persisted, ivf_indexed_topk, pq_tenant_serve, ...).
+BUILD_QUERIES = {
+    "graph_ann_topk",
+    "graph_ann_filtered",
+    "graph_ann_hier",
+    "graph_ann_realistic",
+    "ivf_kmeans_build",
+    "drift_tenant_reindex",
+    "graph_tenant_serve",
+    "tenant_lifecycle_serve",
+    # builds TWO index generations in-query before the aliased serve
+    # (round-6 What's-wrong #2); twin: ivf tenant serving via
+    # unified_index_serve / pq_tenant_serve's routed path
+    "tenant_bluegreen_serve",
+}

@@ -2612,3 +2612,20 @@ QUERIES = {
         BM25_TENANT_BLUEGREEN_SQL,
     ),
 }
+
+
+# Bench classification: composite gates that build SEVERAL indexes /
+# generations or run lifecycle ops in-query before their serves
+# (round-6 What's-wrong #2 — these previously inflated the serve
+# headline). Serving-shaped twins stay in the headline:
+# unified_index_serve, hybrid_rrf, bm25_tenant_serve,
+# bm25_tenant_cached_serve, bm25_lang_routed.
+BUILD_QUERIES = {
+    "compacted_index_serve",
+    "unified_tenant_serve",
+    "hybrid_tenant_serve",
+    "bm25_tenant_lang_serve",
+    "tenant_lifecycle_postings_serve",
+    "tenant_cache_offboard_serve",
+    "bm25_tenant_bluegreen_serve",
+}

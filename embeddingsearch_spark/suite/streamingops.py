@@ -1341,3 +1341,24 @@ QUERIES = {
         STREAMING_ATTRIBUTION_SQL,
     ),
 }
+
+
+# Bench classification: every streaming-drain row ingests the whole
+# source through create+upsert (and the drift monitors add the
+# monitor→retrain→rebuild cycle) before one serve — build-dominated by
+# construction. Twins: the *_indexed / persisted serves.
+BUILD_QUERIES = {
+    "streaming_postings_index",
+    "streaming_graph_ann",
+    "streaming_index_build",
+    "drift_triggered_reindex",
+    "drift_ann_reindex",
+    "drift_pq_reindex",
+    "streaming_ivf_index",
+    "drift_ivf_reindex",
+    "streaming_tivf_index",
+    "streaming_pq_index",
+    "streaming_tpq_index",
+    "streaming_tgraph_index",
+    "streaming_tpostings_index",
+}
