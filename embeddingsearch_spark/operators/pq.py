@@ -363,6 +363,71 @@ def _exact_rescore(
     )
 
 
+def _allocate_shortlist(
+    cand: DataFrame,
+    k: int,
+    base_factor: int,
+    deep_factor: int,
+    budget_rows: int | None,
+    query_id_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The distortion-budgeted depth allocation shared by the global
+    and federated adaptive refines: ``cand`` carries (query_id, id,
+    _adc_rank, _err); each query's signal is the rounded mean error of
+    its top base_factor·k ADC candidates; queries rank by (signal
+    desc, id asc) and the highest-distortion ones widen to
+    deep_factor·k until ``budget_rows`` raw-vector reads are spent
+    (None widens every query). All frames here are |Q|-bounded — the
+    unpartitioned windows never see corpus-sized data."""
+    sig = (
+        cand.filter(F.col("_adc_rank") <= base_factor * k)
+        .groupBy(query_id_col)
+        .agg(F.round(F.avg("_err"), ROUND_DIGITS).alias("_sig"))
+    )
+    if budget_rows is None:
+        depths = sig.select(
+            query_id_col,
+            F.lit(deep_factor * k).alias("_depth"),
+        )
+    else:
+        wq = Window.orderBy(
+            F.col("_sig").desc(), F.col(query_id_col).asc()
+        )
+        wall = Window.partitionBy(F.lit(1))
+        extra = (deep_factor - base_factor) * k
+        n_deep = F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("_nq"),
+                F.floor(
+                    (
+                        F.lit(int(budget_rows))
+                        - F.col("_nq") * base_factor * k
+                    )
+                    / extra
+                ),
+            ),
+        )
+        depths = (
+            sig.withColumn("_qr", F.row_number().over(wq))
+            .withColumn("_nq", F.count(F.lit(1)).over(wall))
+            .select(
+                query_id_col,
+                F.when(
+                    F.col("_qr") <= n_deep, F.lit(deep_factor * k)
+                )
+                .otherwise(F.lit(base_factor * k))
+                .alias("_depth"),
+            )
+        )
+    return (
+        cand.join(F.broadcast(depths), query_id_col)
+        .filter(F.col("_adc_rank") <= F.col("_depth"))
+        .select(query_id_col, id_col)
+    )
+
+
 def pq_topk_refined_adaptive(
     coded: DataFrame,
     codebooks: Codebooks,
@@ -417,53 +482,9 @@ def pq_topk_refined_adaptive(
         .join(F.broadcast(short), id_col)
         .localCheckpoint(eager=False)
     )
-    sig = (
-        cand.filter(F.col("_adc_rank") <= base_factor * k)
-        .groupBy(query_id_col)
-        .agg(F.round(F.avg("_err"), ROUND_DIGITS).alias("_sig"))
-    )
-    if budget_rows is None:
-        depths = sig.select(
-            query_id_col,
-            F.lit(deep_factor * k).alias("_depth"),
-        )
-    else:
-        # |Q|-row frame: the unpartitioned windows are bounded by the
-        # query count, never the corpus
-        wq = Window.orderBy(
-            F.col("_sig").desc(), F.col(query_id_col).asc()
-        )
-        wall = Window.partitionBy(F.lit(1))
-        extra = (deep_factor - base_factor) * k
-        n_deep = F.greatest(
-            F.lit(0),
-            F.least(
-                F.col("_nq"),
-                F.floor(
-                    (
-                        F.lit(int(budget_rows))
-                        - F.col("_nq") * base_factor * k
-                    )
-                    / extra
-                ),
-            ),
-        )
-        depths = (
-            sig.withColumn("_qr", F.row_number().over(wq))
-            .withColumn("_nq", F.count(F.lit(1)).over(wall))
-            .select(
-                query_id_col,
-                F.when(
-                    F.col("_qr") <= n_deep, F.lit(deep_factor * k)
-                )
-                .otherwise(F.lit(base_factor * k))
-                .alias("_depth"),
-            )
-        )
-    shortlist = (
-        cand.join(F.broadcast(depths), query_id_col)
-        .filter(F.col("_adc_rank") <= F.col("_depth"))
-        .select(query_id_col, id_col)
+    shortlist = _allocate_shortlist(
+        cand, k, base_factor, deep_factor, budget_rows,
+        query_id_col, id_col,
     )
     return _exact_rescore(
         emb, queries, shortlist, k,
@@ -640,6 +661,7 @@ def encode_pq_federated(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "codes",
+    err_col: str | None = None,
 ) -> DataFrame:
     """Per-collection PQ encode in ONE corpus pass: each vector encodes
     against ITS OWN collection's codebooks — the same round/argmin
@@ -648,7 +670,11 @@ def encode_pq_federated(
     a driver artifact (M·K·d floats per tenant), shipped in the task
     closure keyed by collection. Vectors whose collection has no
     codebooks are dropped, not cross-encoded (the
-    `assign_centroids_federated` contract)."""
+    `assign_centroids_federated` contract). With ``err_col`` set, also
+    emits `encode_pq`'s per-row reconstruction error (each under its
+    own tenant's codebooks) — free at encode time, the signal the
+    distortion-budgeted adaptive refine and the PQ drift monitor
+    consume."""
     import numpy as np
 
     packs = {}
@@ -661,6 +687,8 @@ def encode_pq_federated(
         f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema
     )
     out_schema = f"{fields}, {codes_col} array<int>"
+    if err_col:
+        out_schema += f", {err_col} double"
 
     def run(batches):
         import pandas as pd
@@ -670,6 +698,7 @@ def encode_pq_federated(
                 continue
             pdf = pdf.reset_index(drop=True).copy()
             codes_out = [None] * len(pdf)
+            errs_out = [None] * len(pdf)
             for t, grp in pdf.groupby(partition_col, sort=False):
                 pack = packs.get(t)
                 if pack is None:
@@ -682,6 +711,7 @@ def encode_pq_federated(
                     ]
                 )
                 codes = np.empty((len(V), m_sub), dtype=np.int32)
+                errs = np.zeros(len(V))
                 for m in range(m_sub):
                     X = V[:, m * ds : (m + 1) * ds]
                     d2 = np.round(
@@ -691,9 +721,15 @@ def encode_pq_federated(
                         ROUND_DIGITS,
                     )
                     codes[:, m] = np.argmin(d2, axis=1)
-                for pos, c in zip(grp.index.to_numpy(), codes):
+                    errs += np.min(d2, axis=1)
+                for pos, c, e in zip(
+                    grp.index.to_numpy(), codes, errs
+                ):
                     codes_out[pos] = list(map(int, c))
+                    errs_out[pos] = float(e)
             pdf[codes_col] = pd.Series(codes_out, dtype=object)
+            if err_col:
+                pdf[err_col] = pd.Series(errs_out, dtype="float64")
             yield pdf[pdf[codes_col].notna()]
 
     return corpus.mapInPandas(run, schema=out_schema)
@@ -707,17 +743,23 @@ def save_federated_pq_index(
     n_buckets: int = 8,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    err_col: str | None = None,
 ) -> tuple[str, str]:
     """PERSIST the multi-tenant PQ index: the codes table PARTITIONED
     by collection (a routed ADC scan statically prunes to its own
     tenant's code files; a tenant's ingest rewrites only its subtree)
     and bucketed by id within; all collections' codebooks in one
-    (collection, m, code, centroid) table."""
+    (collection, m, code, centroid) table. ``err_col`` persists the
+    encode-time reconstruction error alongside the codes (one double
+    per row) — the adaptive refine's serve-time distortion signal."""
     from embeddingsearch_spark.storage import drop_table, replace_bucketed
 
     spark = coded.sparkSession
+    cols = [id_col, partition_col, codes_col] + (
+        [err_col] if err_col else []
+    )
     replace_bucketed(
-        coded.select(id_col, partition_col, codes_col),
+        coded.select(*cols),
         f"{prefix}_codes",
         [id_col],
         n_buckets=n_buckets,
@@ -911,6 +953,75 @@ def pq_federated_refined(
     )
 
 
+def pq_federated_refined_adaptive(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    base_factor: int = 2,
+    deep_factor: int = 8,
+    budget_rows: int | None = None,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    err_col: str = "qerr",
+) -> DataFrame:
+    """DISTORTION-BUDGETED refine through the tenant layout —
+    `pq_topk_refined_adaptive`'s allocation over the federated serve:
+    the routed ADC pass shortlists ``deep_factor·k`` per query from
+    each tenant's own code partitions; each candidate's encode-time
+    reconstruction error (persisted alongside the codes —
+    `save_federated_pq_index(err_col=)`, computed under the
+    candidate's OWN tenant's codebooks) feeds the shared
+    `_allocate_shortlist` depth allocation, so the raw-vector read
+    budget flows to the queries whose tenants' quantizers mangled
+    their candidates most — regardless of which tenant they belong
+    to (the budget is a GLOBAL read bound; per-tenant budgeting is a
+    `route`-split away). The distortion fetch and the exact re-rank
+    both prune to the routed tenants' partitions. Requires the codes
+    table to carry ``err_col``. Output: (query_id, vec_id, cosine,
+    rank<=k)."""
+    short = pq_federated_from_index(
+        spark, prefix, queries, route, k=deep_factor * k,
+        partition_col=partition_col, id_col=id_col,
+        codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(
+        query_id_col, id_col, F.col("rank").alias("_adc_rank")
+    )
+    routed = [
+        r[0]
+        for r in route.select(partition_col).distinct().collect()
+    ]  # bounded: <= #collections
+    codes_src = spark.table(f"{prefix}_codes").filter(
+        F.col(partition_col).isin(routed)
+    )
+    if err_col not in codes_src.columns:
+        raise ValueError(
+            f"codes table {prefix}_codes lacks {err_col!r} — save the "
+            "index with save_federated_pq_index(err_col=...)"
+        )
+    cand = (
+        codes_src.select(id_col, F.col(err_col).alias("_err"))
+        .join(F.broadcast(short), id_col)
+        .localCheckpoint(eager=False)
+    )
+    shortlist = _allocate_shortlist(
+        cand, k, base_factor, deep_factor, budget_rows,
+        query_id_col, id_col,
+    )
+    if partition_col in emb.columns:
+        emb = emb.filter(F.col(partition_col).isin(routed))
+    return _exact_rescore(
+        emb, queries, shortlist, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
 def upsert_federated_pq_index(
     spark,
     prefix: str,
@@ -922,13 +1033,16 @@ def upsert_federated_pq_index(
     n_buckets: int = 8,
     deleted_ids: DataFrame | None = None,
     sink=None,
+    err_col: str | None = None,
 ) -> str:
     """Incremental maintenance of the multi-tenant PQ index: encode
     ONLY the batch, each vector under ITS OWN collection's persisted
     (fixed) codebooks, then delete-insert through the
     partition-overwrite seam — one tenant's ingest never reads or
     writes another tenant's code files. ``deleted_ids`` wins over a
-    conflicting batch row."""
+    conflicting batch row. Pass ``err_col`` when the codes table was
+    saved with it (the adaptive-refine layout) so the batch's rows
+    carry the same distortion column."""
     from embeddingsearch_spark.sink import PartitionOverwriteSink
 
     sink = sink or PartitionOverwriteSink(partition_col)
@@ -945,7 +1059,11 @@ def upsert_federated_pq_index(
     new_codes = encode_pq_federated(
         new_vectors, cbs_by, partition_col=partition_col,
         id_col=id_col, vec_col=vec_col, codes_col=codes_col,
-    ).select(id_col, partition_col, codes_col)
+        err_col=err_col,
+    ).select(
+        id_col, partition_col, codes_col,
+        *([err_col] if err_col else []),
+    )
     sink.delete_insert(
         spark, f"{prefix}_codes", new_codes, [id_col],
         delete_keys=dk, bucket_cols=[id_col], n_buckets=n_buckets,

@@ -922,6 +922,102 @@ def q_pq_tenant_refined(spark, sf_dir):
     )
 
 
+def q_pq_tenant_refined_adaptive(spark, sf_dir):
+    """Distortion-budgeted refine through the TENANT layout — the
+    federated twin of `pq_adaptive_refined`: per-tenant codebooks
+    encode each vector under its own quantizer AND persist the
+    encode-time reconstruction error next to the codes; the routed ADC
+    pass shortlists deep_factor·k per query from its tenant's own
+    partitions; the shared allocation widens the highest-distortion
+    queries to 8·k under a 1500-raw-vector global budget while the
+    rest keep the 2·k floor; the exact re-rank fetches only the routed
+    tenants' vectors. The oracle shares the tenant ADC body and
+    replays the per-vector error, signal ranking, budget allocation,
+    and depth-filtered exact re-score."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source",
+        err_col="qerr",
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpqa", partition_col="source",
+        n_buckets=4, err_col="qerr",
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return pq_ops.pq_federated_refined_adaptive(
+        spark, "es_gate_tpqa", emb, queries, route, k=10,
+        base_factor=2, deep_factor=8, budget_rows=1500,
+        partition_col="source",
+    )
+
+
+PQ_TENANT_ADAPTIVE_SQL = _PQ_TENANT_BODY + f""",
+verr AS (
+  SELECT vec_id, sum(dist) AS err FROM (
+    SELECT vec_id, m, dist,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2) WHERE rn = 1
+  GROUP BY vec_id
+),
+shortq AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM sims QUALIFY r <= 80
+),
+sig AS (
+  SELECT s.query_id, round(avg(v.err), {RD}) AS sg
+  FROM shortq s JOIN verr v USING (vec_id)
+  WHERE s.r <= 20
+  GROUP BY s.query_id
+),
+alloc AS (
+  SELECT query_id,
+         row_number() OVER (ORDER BY sg DESC, query_id ASC) AS qr,
+         count(*) OVER () AS nq
+  FROM sig
+),
+depths AS (
+  SELECT query_id,
+         CASE WHEN qr <= greatest(0, least(nq,
+              floor((1500 - nq * 20) / 60)))
+              THEN 80 ELSE 20 END AS depth
+  FROM alloc
+),
+elems AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(unnest(v.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM shortq s
+  JOIN depths dp ON dp.query_id = s.query_id AND s.r <= dp.depth
+  JOIN src v ON v.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+ex AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM elems GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= 10"""
+
+
 PQ_TENANT_REFINED_SQL = _PQ_TENANT_BODY + f""",
 short AS (
   SELECT query_id, vec_id FROM (
@@ -2436,6 +2532,10 @@ QUERIES = {
     # per-tenant codebooks + partitioned codes: compressed isolation
     "pq_tenant_serve": (q_pq_tenant_serve, PQ_TENANT_SERVE_SQL),
     "pq_tenant_refined": (q_pq_tenant_refined, PQ_TENANT_REFINED_SQL),
+    "pq_tenant_refined_adaptive": (
+        q_pq_tenant_refined_adaptive,
+        PQ_TENANT_ADAPTIVE_SQL,
+    ),
     # tenant-pure edges by construction: the beam cannot cross tenants
     "graph_tenant_serve": (q_graph_tenant_serve, _graph_tenant_sql()),
     # onboard a collection, offboard another, serve the survivors

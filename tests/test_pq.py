@@ -453,3 +453,77 @@ def test_pq_federated_refined_exact_and_tenant_pure(emb, spark):
         F.avg("recall")
     ).collect()[0][0]
     assert r_ref >= r_adc
+
+
+def test_pq_federated_adaptive_budget_envelope(emb, spark):
+    """Federated adaptive refine: budget=None equals the fixed refine
+    at deep_factor (allocation degenerates to widen-everyone); a
+    floor-only budget equals the fixed refine at base_factor; and an
+    err-carrying upsert keeps the codes table schema intact."""
+    from embeddingsearch_spark.storage import drop_table
+
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    cbs_by = pq.initial_codebooks_federated(
+        two, partition_col="source", m_sub=4, k_codes=8
+    )
+    coded = pq.encode_pq_federated(
+        two, cbs_by, partition_col="source", err_col="qerr"
+    )
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_tpqa" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_test_tpqa", partition_col="source",
+        n_buckets=2, err_col="qerr",
+    )
+    qdf = two.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    unbudgeted = pq.pq_federated_refined_adaptive(
+        spark, "es_test_tpqa", two, queries, route, k=5,
+        base_factor=2, deep_factor=6, budget_rows=None,
+    )
+    fixed_deep = pq.pq_federated_refined(
+        spark, "es_test_tpqa", two, queries, route, k=5,
+        refine_factor=6,
+    )
+    assert rows(unbudgeted) == rows(fixed_deep)
+    floor_only = pq.pq_federated_refined_adaptive(
+        spark, "es_test_tpqa", two, queries, route, k=5,
+        base_factor=2, deep_factor=6, budget_rows=0,
+    )
+    fixed_base = pq.pq_federated_refined(
+        spark, "es_test_tpqa", two, queries, route, k=5,
+        refine_factor=2,
+    )
+    assert rows(floor_only) == rows(fixed_base)
+    # err-carrying upsert: batch rows land with the same schema and
+    # the recomputed error
+    batch = two.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "source"
+    )
+    pq.upsert_federated_pq_index(
+        spark, "es_test_tpqa", batch, partition_col="source",
+        n_buckets=2, err_col="qerr",
+    )
+    got = spark.table("es_test_tpqa_codes").filter(
+        F.col("vec_id") == 5001
+    ).collect()
+    assert len(got) == 1 and got[0]["qerr"] is not None
+    # missing err column fails loudly
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_tpqn" + t)
+    pq.save_federated_pq_index(
+        pq.encode_pq_federated(two, cbs_by, partition_col="source"),
+        cbs_by, "es_test_tpqn", partition_col="source", n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="lacks 'qerr'"):
+        pq.pq_federated_refined_adaptive(
+            spark, "es_test_tpqn", two, queries, route, k=5
+        ).collect()
