@@ -1098,3 +1098,61 @@ def test_graph_federated_serve_prunes_tenant_partitions(spark):
         hops=2, n_entry=4, m=6, partition_col="source",
     )
     assert got.count() > 0
+
+
+def test_pq_federated_refined_prunes_both_scans_and_broadcasts(spark):
+    """The tenant PQ refine: the ADC pass reads only the routed
+    tenant's CODE partitions, the exact-rescore raw-vector fetch reads
+    only the routed tenant's VECTOR partitions (a static partition
+    predicate when the raw side is a tenant-partitioned table), the
+    shortlist probes the scan as a broadcast join, and no other table
+    is scanned."""
+    from embeddingsearch_spark.operators import pq
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=4, k_codes=8
+    )
+    coded = pq.encode_pq_federated(emb, cbs_by, partition_col="source")
+    for t in ("_codes", "_codebooks", "_vecs"):
+        drop_table(spark, "es_plan_tpqr" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_plan_tpqr", partition_col="source",
+        n_buckets=2,
+    )
+    emb.write.partitionBy("source").saveAsTable("es_plan_tpqr_vecs")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])],
+        "query_id long, embedding array<float>",
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = pq.pq_federated_refined(
+        spark, "es_plan_tpqr", spark.table("es_plan_tpqr_vecs"),
+        queries, route, k=5, refine_factor=4,
+        partition_col="source",
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert (
+                "es_plan_tpqr_codes" in line
+                or "es_plan_tpqr_vecs" in line
+            ), line
+    # both the codes scan (inside the ADC pass, checkpoint-hidden
+    # here) and the raw fetch prune on the tenant; the visible plan is
+    # the rescore — its vecs scan must carry the partition filter
+    pi.assert_partition_pruned(df)
+    pf = "\n".join(
+        m for m in plan.splitlines() if "PartitionFilters" in m
+    )
+    assert "source" in pf, plan[:3000]
+    assert pi.has_broadcast_join(df), plan[:3000]
