@@ -27,8 +27,11 @@ postings/positions, where it IS the table name):
 - ``pq``       — ``{prefix}_codes`` + ``{prefix}_codebooks``;
 - ``graph``    — ``{prefix}_pairs`` + ``{prefix}_assigned``;
 - ``postings`` — the partitioned postings table itself
-                 (`build_partitioned_postings_index` layout; serves
-                 positions-style layouts too if built the same way).
+                 (`build_partitioned_postings_index` layout);
+- ``positions`` — the partitioned positional index
+                 (`build_partitioned_positions_index` layout), same
+                 insert-only/partition-drop shape with (pos, term)
+                 rows instead of (term, tf, dl).
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FAMILIES = ("ivf", "pq", "graph", "postings")
+FAMILIES = ("ivf", "pq", "graph", "postings", "positions")
 
 
 def _partition_values(spark, table: str, partition_col: str) -> set:
@@ -178,17 +181,28 @@ def onboard_tenant(
             delete_keys=None, bucket_cols=["_blk"],
             n_buckets=n_buckets, partition_cols=[partition_col],
         )
-    else:  # postings
+    else:  # postings / positions: the table IS the prefix
+        from embeddingsearch_spark.functions.text import tokens
         from embeddingsearch_spark.operators.retrieval import _postings
 
         existing = _partition_values(spark, prefix, partition_col)
         _refuse_onboarded(new_tenants, existing, family)
-        post = _postings(
-            corpus, doc_id_col, text_col, include_empty=True,
-            tokenizer=tokenizer, carry=(partition_col,),
-        )
+        if family == "postings":
+            rows = _postings(
+                corpus, doc_id_col, text_col, include_empty=True,
+                tokenizer=tokenizer, carry=(partition_col,),
+            )
+        else:
+            tok = tokenizer or tokens
+            rows = corpus.select(
+                F.col(doc_id_col),
+                F.col(partition_col),
+                F.posexplode(
+                    tok(F.lower(F.col(text_col)))
+                ).alias("pos", "term"),
+            )
         PartitionOverwriteSink(partition_col).delete_insert(
-            spark, prefix, post, [doc_id_col],
+            spark, prefix, rows, [doc_id_col],
             delete_keys=None, bucket_cols=["term"],
             n_buckets=n_buckets, partition_cols=[partition_col],
         )
@@ -250,7 +264,7 @@ def offboard_tenant(
         n_parts += drop_tenant_partitions(
             spark, f"{prefix}_assigned", partition_col, tenant
         )
-    else:  # postings
+    else:  # postings / positions: the table IS the prefix
         n_parts = drop_tenant_partitions(
             spark, prefix, partition_col, tenant
         )

@@ -1898,10 +1898,11 @@ FROM boostedr
 QUALIFY rank <= 10"""
 
 
-def _phrase_tenant_sql() -> str:
+def _phrase_tenant_sql(troute_where: str = "TRUE") -> str:
     """Tenant-scoped phrase search: candidate docs restricted to the
     query's routed collection (the anchor optimization is a physical
-    detail — the oracle checks every tenant doc directly)."""
+    detail — the oracle checks every tenant doc directly).
+    ``troute_where`` narrows the routed queries (lifecycle gates)."""
     toks_d = TOKS_SQL.replace("text", "d.text")
     return f"""WITH {RD_SQL},
 q AS (
@@ -1913,7 +1914,7 @@ q AS (
 troute AS (
   SELECT e.vec_id AS query_id, d.source AS src
   FROM embeddings e JOIN rd d ON d.doc_id = e.vec_id
-  WHERE e.vec_id % 13 = 0
+  WHERE e.vec_id % 13 = 0 AND ({troute_where})
 ),
 dtokr AS (
   SELECT doc_id, source AS src, {_LTOKS} AS t FROM rd
@@ -2268,6 +2269,61 @@ TENANT_LIFECYCLE_POSTINGS_SQL = _bm25_tenant_sql(
 )
 
 
+def q_tenant_lifecycle_positions_serve(spark, sf_dir):
+    """The POSITIONS family through the generic lifecycle — the
+    fifth `onboard_tenant`/`offboard_tenant` family, proving the
+    positional layout shares the insert-only/partition-drop shape:
+    the tenant-partitioned positions index starts WITHOUT src3,
+    onboarding inserts src3's (pos, term) partition, offboarding
+    drops src0's, and the tenant-routed exact-phrase serve
+    (`phrase_search_federated_from_index`) answers the survivors —
+    src3's phrase hits exist only if onboarding inserted a real
+    partition. Oracle: the tenant phrase chain with src0's routes
+    excluded."""
+    from embeddingsearch_spark.operators import lifecycle
+
+    docs = _corpus(spark, sf_dir)
+    table = "es_gate_positions_lc"
+    retrieval.build_partitioned_positions_index(
+        docs.filter(F.col("source") != "src3"), table,
+        partition_col="source", n_buckets=8,
+    )
+    lifecycle.onboard_tenant(
+        spark, table, "positions",
+        docs.filter(F.col("source") == "src3"),
+        partition_col="source", n_buckets=8,
+    )
+    lifecycle.offboard_tenant(
+        spark, table, "positions", "src0", partition_col="source"
+    )
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    phrase_qs = docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(
+            " ", F.slice(T.tokens(F.col("text")), 2, 3)
+        ).alias("text"),
+    )
+    route = docs.join(
+        phrase_qs.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source").filter(F.col("source") != "src0")
+    phrase_qs = phrase_qs.join(route.select("query_id"), "query_id")
+    return retrieval.phrase_search_federated_from_index(
+        spark, table, phrase_qs, route, partition_col="source"
+    )
+
+
+TENANT_LIFECYCLE_POSITIONS_SQL = _phrase_tenant_sql(
+    troute_where="d.source <> 'src0'"
+)
+
+
 def q_bm25_tenant_bluegreen_serve(spark, sf_dir):
     """Mixed-generation per-tenant BLUE/GREEN for a NON-IVF family
     (round-6 judge item #5): generation 1 of the tenant-partitioned
@@ -2611,6 +2667,10 @@ QUERIES = {
         q_bm25_tenant_bluegreen_serve,
         BM25_TENANT_BLUEGREEN_SQL,
     ),
+    "tenant_lifecycle_positions_serve": (
+        q_tenant_lifecycle_positions_serve,
+        TENANT_LIFECYCLE_POSITIONS_SQL,
+    ),
 }
 
 
@@ -2622,6 +2682,7 @@ QUERIES = {
 # bm25_tenant_cached_serve, bm25_lang_routed.
 BUILD_QUERIES = {
     "compacted_index_serve",
+    "tenant_lifecycle_positions_serve",
     "unified_tenant_serve",
     "hybrid_tenant_serve",
     "bm25_tenant_lang_serve",

@@ -294,3 +294,48 @@ def test_unknown_family_refused(spark, vecs):
         lifecycle.onboard_tenant(spark, "x", "bm42", vecs)
     with pytest.raises(ValueError, match="unknown family"):
         lifecycle.offboard_tenant(spark, "x", "bm42", "t0")
+
+
+def test_positions_onboard_offboard(spark):
+    from embeddingsearch_spark.operators import retrieval
+
+    prefix = "es_test_lc_pos"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "t0"),
+            (2, "alpha beta", "t1"),
+            (3, "beta alpha beta", "t2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    retrieval.build_partitioned_positions_index(
+        docs.filter(F.col("source") != "t2"), prefix,
+        partition_col="source", n_buckets=2,
+    )
+    before_t1 = _listing(spark, prefix, "t1")
+    lifecycle.onboard_tenant(
+        spark, prefix, "positions",
+        docs.filter(F.col("source") == "t2"), n_buckets=2,
+    )
+    assert _listing(spark, prefix, "t1") == before_t1
+    # onboarded rows equal the direct positional explode
+    got = sorted(
+        (r["doc_id"], r["pos"], r["term"])
+        for r in spark.table(prefix)
+        .filter(F.col("source") == "t2")
+        .collect()
+    )
+    assert got == [(3, 0, "beta"), (3, 1, "alpha"), (3, 2, "beta")]
+    with pytest.raises(ValueError, match="already onboarded"):
+        lifecycle.onboard_tenant(
+            spark, prefix, "positions",
+            docs.filter(F.col("source") == "t2"),
+        )
+    stats = lifecycle.offboard_tenant(
+        spark, prefix, "positions", "t0"
+    )
+    assert stats["partitions_dropped"] == 1
+    assert (
+        spark.table(prefix).filter(F.col("source") == "t0").count()
+        == 0
+    )
