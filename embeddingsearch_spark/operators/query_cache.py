@@ -612,3 +612,96 @@ def serve_bm25_federated_cached(
         now,
         scope_col=partition_col,
     )
+
+
+def serve_ivf_federated_cached(
+    spark,
+    cache_table: str,
+    index_prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    index_versions: dict,
+    k: int = 10,
+    nprobe: int = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    now: float = 0.0,
+) -> DataFrame:
+    """Tenant-aware cached serving for the VECTOR path — the federated
+    twin of `serve_ann_cached` and the vector twin of
+    `serve_bm25_federated_cached`, completing the cached-serve matrix
+    (global/tenant × lexical/vector): the cache key is
+    md5(version[tenant] ‖ tenant ‖ the query vector's exact
+    element-wise text form), so one collection's retrain bumps ONE
+    version and invalidates exactly that tenant's entries, and two
+    tenants asking the IDENTICAL vector never share a ranking (their
+    quantizers, partitions, and corpora differ). Rows are stamped
+    with the tenant `_scope`, so the per-tenant hygiene ops
+    (`evict/expire(scope=)`, `purge_query_cache_scope`, offboarding)
+    apply unchanged. Misses probe `ivf_federated_from_index` for the
+    missed queries only; all cache semantics come from the shared
+    core. Identical to `ivf_federated_from_index(..., k, nprobe)` by
+    construction (gated with the shared tenant oracle)."""
+    from embeddingsearch_spark.operators.ann import (
+        ivf_federated_from_index,
+    )
+
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            [(str(t), str(v)) for t, v in sorted(index_versions.items())],
+            f"{partition_col} string, _iv string",
+        )
+    )
+    routed = queries.join(
+        F.broadcast(route.select(query_id_col, partition_col)),
+        query_id_col,
+    ).join(vdf, partition_col)
+    qkeyed = routed.select(
+        F.col(query_id_col),
+        F.col(partition_col),
+        F.col(vec_col),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("_iv"),
+                F.col(partition_col),
+                F.concat_ws(
+                    ",", F.col(vec_col).cast("array<string>")
+                ),
+            )
+        ).alias("_qh"),
+    ).localCheckpoint(eager=False)
+    id_type = (
+        spark.table(f"{index_prefix}_assigned").schema[id_col]
+        .dataType.simpleString()
+    )
+
+    def compute(misses_q):
+        return ivf_federated_from_index(
+            spark,
+            index_prefix,
+            misses_q.select(query_id_col, vec_col),
+            misses_q.select(query_id_col, partition_col),
+            k=k,
+            nprobe=nprobe,
+            partition_col=partition_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+
+    return _serve_cached(
+        spark,
+        cache_table,
+        qkeyed,
+        compute,
+        k,
+        id_col,
+        id_type,
+        [("cosine", "double")],
+        query_id_col,
+        now,
+        scope_col=partition_col,
+    )

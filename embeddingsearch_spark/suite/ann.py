@@ -526,6 +526,48 @@ FROM ranked WHERE rank <= 10"""
 IVF_TENANT_SERVE_SQL = _ivf_tenant_sql()
 
 
+def q_ivf_tenant_cached_serve(spark, sf_dir):
+    """Tenant-aware cached serving for the VECTOR path — completes the
+    cached-serve matrix (global/tenant × lexical/vector): key =
+    md5(version[tenant] ‖ tenant ‖ exact vector text) over the shared
+    cache core, rows stamped with the tenant `_scope` (so the scoped
+    hygiene and offboard purge apply unchanged). Cold serve fills from
+    the tenant-partitioned IVF index; the returned warm serve is a
+    pure cache read (fully-hit early-out). Result identical to
+    `ivf_federated_from_index` — shares `ivf_tenant_serve`'s
+    oracle."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tivf_cache")
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(
+            emb.repartition(n), cents, partition_col="source"
+        ),
+        cents, "es_gate_tivfc", partition_col="source", n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_ivf_federated_cached(
+        spark, "es_gate_tivf_cache", "es_gate_tivfc", queries, route,
+        versions, k=10, nprobe=4, partition_col="source",
+    ).collect()
+    return qc.serve_ivf_federated_cached(
+        spark, "es_gate_tivf_cache", "es_gate_tivfc", queries, route,
+        versions, k=10, nprobe=4, partition_col="source",
+    )
+
+
 def q_drift_tenant_reindex(spark, sf_dir):
     """Per-tenant drift → single-tenant retrain — the monitor→action
     loop SCOPED to one searchdomain, the payoff of the federated
@@ -2525,6 +2567,11 @@ QUERIES = {
     "ivf_indexed_topk": (q_ivf_indexed_topk, IVF_TOPK_SQL),
     # per-tenant quantizers + two-level partition isolation
     "ivf_tenant_serve": (q_ivf_tenant_serve, IVF_TENANT_SERVE_SQL),
+    # tenant-keyed vector cache serve is result-identical ⇒ shared
+    "ivf_tenant_cached_serve": (
+        q_ivf_tenant_cached_serve,
+        IVF_TENANT_SERVE_SQL,
+    ),
     # cache-served vector search is result-identical ⇒ shared oracle
     "ann_cached_serve": (q_ann_cached_serve, IVF_TOPK_SQL),
     # per-tenant drift flags → single-tenant re-quantization

@@ -470,3 +470,88 @@ def test_tenant_cache_invalidation_scoped_to_one_collection(
     )
     assert sorted(map(tuple, bumped.collect())) == want
     assert seen == [100]
+
+
+def test_ivf_federated_cached_tenant_scoped(spark, monkeypatch):
+    """The tenant-keyed VECTOR cache serve: a warm serve never probes
+    the index (spy), bumping ONE tenant's version recomputes exactly
+    that tenant's queries, identical vectors in two tenants never
+    share a ranking, and the rows carry the `_scope` stamp so the
+    offboard purge applies."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    cache = "es_test_tivf_cache"
+    prefix = "es_test_tivf_cidx"
+    drop_table(spark, cache)
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "acme"),
+            (2, [0.9, 0.1], "acme"),
+            (3, [1.0, 0.0], "globex"),
+            (4, [0.0, 1.0], "globex"),
+        ],
+        "vec_id long, embedding array<double>, source string",
+    )
+    cents = spark.createDataFrame(
+        [("acme", 1, [1.0, 0.0]), ("globex", 3, [1.0, 0.0]),
+         ("globex", 4, [0.0, 1.0])],
+        "source string, centroid_id long, embedding array<double>",
+    )
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(emb, cents),
+        cents, prefix, n_buckets=2,
+    )
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [1.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    route = spark.createDataFrame(
+        [(100, "acme"), (101, "globex")],
+        "query_id long, source string",
+    )
+    v1 = {"acme": "v1", "globex": "v1"}
+    cold = qc.serve_ivf_federated_cached(
+        spark, cache, prefix, qs, route, v1, k=5, nprobe=2,
+    )
+    rows = cold.collect()
+    acme_ids = {r["vec_id"] for r in rows if r["query_id"] == 100}
+    globex_ids = {r["vec_id"] for r in rows if r["query_id"] == 101}
+    assert acme_ids == {1, 2} and globex_ids == {3, 4}
+    assert (
+        spark.table(cache).select("_scope").distinct().count() == 2
+    )
+    want = sorted(map(tuple, rows))
+
+    seen = []
+    real = ann_ops.ivf_federated_from_index
+
+    def spy(spark_, pfx, queries, route_, **kw):
+        seen.extend(
+            r["query_id"] for r in queries.select("query_id").collect()
+        )
+        return real(spark_, pfx, queries, route_, **kw)
+
+    monkeypatch.setattr(ann_ops, "ivf_federated_from_index", spy)
+    warm = qc.serve_ivf_federated_cached(
+        spark, cache, prefix, qs, route, v1, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    assert seen == []  # fully hit: the index was never probed
+    # bump acme only: exactly acme's query recomputes
+    v2 = {"acme": "v2", "globex": "v1"}
+    again = qc.serve_ivf_federated_cached(
+        spark, cache, prefix, qs, route, v2, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, again.collect())) == want
+    assert seen == [100]
+    # offboard-style purge drops one tenant's vector-cache keys
+    purged = qc.purge_query_cache_scope(spark, cache, "globex")
+    assert purged["keys_purged"] == 1
+    assert (
+        spark.table(cache).filter(F.col("_scope") == "globex").count()
+        == 0
+    )
