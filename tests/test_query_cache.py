@@ -555,3 +555,30 @@ def test_ivf_federated_cached_tenant_scoped(spark, monkeypatch):
         spark.table(cache).filter(F.col("_scope") == "globex").count()
         == 0
     )
+
+
+def test_pre_scope_cache_table_migrates_in_place(spark):
+    """A cache table written before the `_scope` column existed is
+    migrated on first serve (ALTER ADD COLUMNS; old rows read NULL
+    scope) — production caches survive the round-7 schema change."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    cache = "es_test_mig_cache"
+    drop_table(spark, cache)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(9, "alpha")], "query_id long, text string"
+    )
+    spark.createDataFrame(
+        [],
+        "_qh string, _kmax int, _gen int, _ts double, doc_id long, "
+        "score double, n_matched long, rank int",
+    ).write.saveAsTable(cache)
+    cold = qc.serve_bm25_cached(spark, cache, docs, qs, "v1", k=5)
+    want = sorted(map(tuple, cold.collect()))
+    assert "_scope" in spark.table(cache).columns
+    warm = qc.serve_bm25_cached(spark, cache, docs, qs, "v1", k=5)
+    assert sorted(map(tuple, warm.collect())) == want
