@@ -606,6 +606,43 @@ def upsert_pq_index(
     return f"{prefix}_codes"
 
 
+def pq_config_for(n: int, dim: int, k: int = 10) -> dict:
+    """Size the PQ quantizer + refine from the corpus — the
+    `graph_config_for` convention for the compressed family, constants
+    pinned by the BASELINE.md round-7 tenant recall probe (the probe's
+    finding: "refine ⇒ recall≥0.9" is a QUANTIZER-QUALITY property on
+    uniform-random vectors — the ADC shortlist must contain the true
+    neighbors before the exact re-rank can surface them; K=16 at
+    n=2500 refined to only 0.60 where K=64/factor=16 reached 0.91):
+
+    - ``k_codes``: the smallest power of two in [16, 256] covering
+      n/40 — codes grow with the (per-tenant) corpus so per-subspace
+      cells stay selective (n=250 → 16, n=2500 → 64, n=10k+ → 256,
+      the byte-per-subspace ceiling);
+    - ``m_sub``: 8-dim subspaces (dim/8, floor 1) — the probe's
+      measured config; finer subspaces raise LUT cost linearly for
+      little recall on this family;
+    - ``refine_factor``: 16 — with a corpus-sized quantizer this is
+      the factor that clears recall@10 ≈ 0.9 (0.98 at 32; raw-vector
+      reads stay factor·k·|Q|, corpus-size-independent).
+
+    Sized per COLLECTION for the federated family — each tenant's
+    quantizer grows with ITS corpus, the same per-tenant knob
+    `graph_config_for` pins for blocks."""
+    import math
+
+    n = max(int(n), 2)
+    k_codes = 16
+    while k_codes < min(256, max(16, n / 40.0)):
+        k_codes *= 2
+    m_sub = max(1, int(dim) // 8)
+    return {
+        "m_sub": m_sub,
+        "k_codes": int(k_codes),
+        "refine_factor": 16,
+    }
+
+
 def initial_codebooks_federated(
     corpus: DataFrame,
     partition_col: str = "source",

@@ -527,3 +527,20 @@ def test_pq_federated_adaptive_budget_envelope(emb, spark):
         pq.pq_federated_refined_adaptive(
             spark, "es_test_tpqn", two, queries, route, k=5
         ).collect()
+
+
+def test_pq_config_for_probe_anchors():
+    """The auto-config rule reproduces the BASELINE.md probe anchors
+    and is monotone in the corpus size."""
+    a = pq.pq_config_for(250, dim=64)
+    assert a == {"m_sub": 8, "k_codes": 16, "refine_factor": 16}
+    b = pq.pq_config_for(2500, dim=64)
+    assert b["k_codes"] == 64
+    c = pq.pq_config_for(1_000_000, dim=64)
+    assert c["k_codes"] == 256  # byte-per-subspace ceiling
+    ks = [
+        pq.pq_config_for(n, dim=64)["k_codes"]
+        for n in (10, 100, 1000, 10_000, 100_000)
+    ]
+    assert ks == sorted(ks)
+    assert pq.pq_config_for(100, dim=16)["m_sub"] == 2
