@@ -648,31 +648,10 @@ def serve_ivf_federated_cached(
         ivf_federated_from_index,
     )
 
-    vdf = F.broadcast(
-        spark.createDataFrame(
-            [(str(t), str(v)) for t, v in sorted(index_versions.items())],
-            f"{partition_col} string, _iv string",
-        )
+    qkeyed = _vector_tenant_qkeyed(
+        spark, queries, route, index_versions, partition_col,
+        vec_col, query_id_col,
     )
-    routed = queries.join(
-        F.broadcast(route.select(query_id_col, partition_col)),
-        query_id_col,
-    ).join(vdf, partition_col)
-    qkeyed = routed.select(
-        F.col(query_id_col),
-        F.col(partition_col),
-        F.col(vec_col),
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.col("_iv"),
-                F.col(partition_col),
-                F.concat_ws(
-                    ",", F.col(vec_col).cast("array<string>")
-                ),
-            )
-        ).alias("_qh"),
-    ).localCheckpoint(eager=False)
     id_type = (
         spark.table(f"{index_prefix}_assigned").schema[id_col]
         .dataType.simpleString()
@@ -703,5 +682,171 @@ def serve_ivf_federated_cached(
         [("cosine", "double")],
         query_id_col,
         now,
+        scope_col=partition_col,
+    )
+
+
+def _vector_tenant_qkeyed(
+    spark,
+    queries: DataFrame,
+    route: DataFrame,
+    index_versions: dict,
+    partition_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The tenant-keyed VECTOR cache key shared by the federated
+    IVF/PQ/graph cached serves: md5(version[tenant] ‖ tenant ‖ the
+    query vector's exact element-wise text form)."""
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            [(str(t), str(v)) for t, v in sorted(index_versions.items())],
+            f"{partition_col} string, _iv string",
+        )
+    )
+    return (
+        queries.join(
+            F.broadcast(route.select(query_id_col, partition_col)),
+            query_id_col,
+        )
+        .join(vdf, partition_col)
+        .select(
+            F.col(query_id_col),
+            F.col(partition_col),
+            F.col(vec_col),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("_iv"),
+                    F.col(partition_col),
+                    F.concat_ws(
+                        ",", F.col(vec_col).cast("array<string>")
+                    ),
+                )
+            ).alias("_qh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def serve_pq_federated_cached(
+    spark,
+    cache_table: str,
+    index_prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    index_versions: dict,
+    k: int = 10,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    now: float = 0.0,
+) -> DataFrame:
+    """Tenant-keyed cached serving over the COMPRESSED vector index —
+    same key/scope/hygiene contract as `serve_ivf_federated_cached`;
+    misses run the routed ADC serve (`pq_federated_from_index`) for
+    the missed queries only. Identical to the uncached serve by
+    construction (gated with the shared tenant oracle)."""
+    from embeddingsearch_spark.operators.pq import (
+        pq_federated_from_index,
+    )
+
+    qkeyed = _vector_tenant_qkeyed(
+        spark, queries, route, index_versions, partition_col,
+        vec_col, query_id_col,
+    )
+    id_type = (
+        spark.table(f"{index_prefix}_codes").schema[id_col]
+        .dataType.simpleString()
+    )
+
+    def compute(misses_q):
+        return pq_federated_from_index(
+            spark,
+            index_prefix,
+            misses_q.select(query_id_col, vec_col),
+            misses_q.select(query_id_col, partition_col),
+            k=k,
+            partition_col=partition_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+
+    return _serve_cached(
+        spark, cache_table, qkeyed, compute, k, id_col, id_type,
+        [("cosine", "double")], query_id_col, now,
+        scope_col=partition_col,
+    )
+
+
+def serve_graph_federated_cached(
+    spark,
+    cache_table: str,
+    index_prefix: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    route: DataFrame,
+    index_versions: dict,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    n_entry: int = 4,
+    m: int = 6,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    now: float = 0.0,
+) -> DataFrame:
+    """Tenant-keyed cached serving over the GRAPH index — the last
+    federated family joins the cached-serve matrix (all four now
+    serve through the shared `_serve_cached` core with `_scope`
+    stamps): same key contract; misses run the routed beam search
+    (`graph_search_federated`) for the missed queries only, scoring
+    raw vectors from ``emb`` pruned to the missed tenants."""
+    from embeddingsearch_spark.operators.graphann import (
+        graph_search_federated,
+    )
+
+    qkeyed = _vector_tenant_qkeyed(
+        spark, queries, route, index_versions, partition_col,
+        vec_col, query_id_col,
+    )
+    id_type = (
+        spark.table(f"{index_prefix}_assigned").schema[id_col]
+        .dataType.simpleString()
+    )
+
+    def compute(misses_q):
+        r = misses_q.select(query_id_col, partition_col)
+        src = emb
+        if partition_col in emb.columns:
+            routed = [
+                x[0]
+                for x in r.select(partition_col).distinct().collect()
+            ]  # bounded: <= #collections
+            src = emb.filter(F.col(partition_col).isin(routed))
+        return graph_search_federated(
+            spark,
+            index_prefix,
+            src,
+            misses_q.select(query_id_col, vec_col),
+            r,
+            k=k,
+            beam=beam,
+            hops=hops,
+            n_entry=n_entry,
+            m=m,
+            partition_col=partition_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+
+    return _serve_cached(
+        spark, cache_table, qkeyed, compute, k, id_col, id_type,
+        [("cosine", "double")], query_id_col, now,
         scope_col=partition_col,
     )

@@ -964,6 +964,48 @@ def q_pq_tenant_refined(spark, sf_dir):
     )
 
 
+def q_pq_tenant_cached_serve(spark, sf_dir):
+    """Tenant-keyed cached serving over the COMPRESSED index — the PQ
+    member of the cached-serve matrix: key = md5(version[tenant] ‖
+    tenant ‖ exact vector text) over the shared cache core, rows
+    `_scope`-stamped. Cold serve fills from the routed ADC path; the
+    returned warm serve is a pure cache read. Identical to
+    `pq_federated_from_index` — shares `pq_tenant_serve`'s oracle."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tpq_cache")
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source"
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpqc", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_pq_federated_cached(
+        spark, "es_gate_tpq_cache", "es_gate_tpqc", queries, route,
+        versions, k=10, partition_col="source",
+    ).collect()
+    return qc.serve_pq_federated_cached(
+        spark, "es_gate_tpq_cache", "es_gate_tpqc", queries, route,
+        versions, k=10, partition_col="source",
+    )
+
+
 def q_pq_tenant_refined_adaptive(spark, sf_dir):
     """Distortion-budgeted refine through the TENANT layout — the
     federated twin of `pq_adaptive_refined`: per-tenant codebooks
@@ -1494,6 +1536,58 @@ def q_graph_tenant_serve(spark, sf_dir):
     return graphann.graph_search_federated(
         spark, prefix, emb, queries, route, k=10, beam=24, hops=4,
         n_entry=8, m=8, partition_col="source",
+    )
+
+
+def q_graph_tenant_cached_serve(spark, sf_dir):
+    """Tenant-keyed cached serving over the GRAPH index — the fourth
+    and last federated family in the cached-serve matrix (postings,
+    IVF, PQ already cache through the shared core): same
+    version[tenant]-keyed contract, `_scope`-stamped rows, misses run
+    the routed beam search for the missed tenants only. Identical to
+    `graph_search_federated` — shares `graph_tenant_serve`'s
+    oracle."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_gate_tgraphc"
+    drop_table(spark, "es_gate_tgraph_cache")
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    n = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(n).localCheckpoint(eager=False)
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(
+        emb, cents, partition_col="source", n_assign=2
+    )
+    pairs = graphann.block_pair_sims_federated(
+        emb, assigned, partition_col="source"
+    )
+    graphann.save_federated_graph_index(
+        pairs, assigned, prefix, partition_col="source", n_buckets=4
+    )
+    qdf = emb.filter(F.col("vec_id") < 4)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_graph_federated_cached(
+        spark, "es_gate_tgraph_cache", prefix, emb, queries, route,
+        versions, k=10, beam=24, hops=4, n_entry=8, m=8,
+        partition_col="source",
+    ).collect()
+    return qc.serve_graph_federated_cached(
+        spark, "es_gate_tgraph_cache", prefix, emb, queries, route,
+        versions, k=10, beam=24, hops=4, n_entry=8, m=8,
+        partition_col="source",
     )
 
 
@@ -2578,6 +2672,11 @@ QUERIES = {
     "drift_tenant_reindex": (q_drift_tenant_reindex, DRIFT_TENANT_SQL),
     # per-tenant codebooks + partitioned codes: compressed isolation
     "pq_tenant_serve": (q_pq_tenant_serve, PQ_TENANT_SERVE_SQL),
+    # tenant-keyed PQ cache serve is result-identical => shared
+    "pq_tenant_cached_serve": (
+        q_pq_tenant_cached_serve,
+        PQ_TENANT_SERVE_SQL,
+    ),
     "pq_tenant_refined": (q_pq_tenant_refined, PQ_TENANT_REFINED_SQL),
     "pq_tenant_refined_adaptive": (
         q_pq_tenant_refined_adaptive,
@@ -2585,6 +2684,11 @@ QUERIES = {
     ),
     # tenant-pure edges by construction: the beam cannot cross tenants
     "graph_tenant_serve": (q_graph_tenant_serve, _graph_tenant_sql()),
+    # tenant-keyed graph cache serve is result-identical => shared
+    "graph_tenant_cached_serve": (
+        q_graph_tenant_cached_serve,
+        _graph_tenant_sql(),
+    ),
     # onboard a collection, offboard another, serve the survivors
     "tenant_lifecycle_serve": (
         q_tenant_lifecycle_serve,
@@ -2626,6 +2730,7 @@ BUILD_QUERIES = {
     "ivf_kmeans_build",
     "drift_tenant_reindex",
     "graph_tenant_serve",
+    "graph_tenant_cached_serve",
     "tenant_lifecycle_serve",
     # builds TWO index generations in-query before the aliased serve
     # (round-6 What's-wrong #2); twin: ivf tenant serving via

@@ -582,3 +582,96 @@ def test_pre_scope_cache_table_migrates_in_place(spark):
     assert "_scope" in spark.table(cache).columns
     warm = qc.serve_bm25_cached(spark, cache, docs, qs, "v1", k=5)
     assert sorted(map(tuple, warm.collect())) == want
+
+
+def test_pq_and_graph_federated_cached_hit_contract(spark, monkeypatch):
+    """The PQ and graph tenant-keyed cache serves: warm serves never
+    touch their index serve paths (spies), and one tenant's version
+    bump recomputes exactly that tenant's queries."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 5), float((i * 3) % 7)],
+             "acme" if i % 2 == 0 else "globex")
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<double>, source string",
+    ).localCheckpoint(eager=False)
+    qdf = emb.filter(F.col("vec_id") < 2)
+    qs = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    v1 = {"acme": "v1", "globex": "v1"}
+
+    # PQ
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_tpqcc" + t)
+    drop_table(spark, "es_test_tpq_cache2")
+    cbs = pq_ops.initial_codebooks_federated(emb, m_sub=2, k_codes=4)
+    pq_ops.save_federated_pq_index(
+        pq_ops.encode_pq_federated(emb, cbs), cbs, "es_test_tpqcc",
+        n_buckets=2,
+    )
+    cold = qc.serve_pq_federated_cached(
+        spark, "es_test_tpq_cache2", "es_test_tpqcc", qs, route, v1,
+        k=5,
+    )
+    want = sorted(map(tuple, cold.collect()))
+    seen = []
+    real_pq = pq_ops.pq_federated_from_index
+
+    def spy_pq(spark_, pfx, queries, route_, **kw):
+        seen.extend(
+            r["query_id"] for r in queries.select("query_id").collect()
+        )
+        return real_pq(spark_, pfx, queries, route_, **kw)
+
+    monkeypatch.setattr(pq_ops, "pq_federated_from_index", spy_pq)
+    warm = qc.serve_pq_federated_cached(
+        spark, "es_test_tpq_cache2", "es_test_tpqcc", qs, route, v1,
+        k=5,
+    )
+    assert sorted(map(tuple, warm.collect())) == want and seen == []
+    again = qc.serve_pq_federated_cached(
+        spark, "es_test_tpq_cache2", "es_test_tpqcc", qs, route,
+        {"acme": "v2", "globex": "v1"}, k=5,
+    )
+    assert sorted(map(tuple, again.collect())) == want
+    assert seen == [0]  # acme's query only (vec 0 is even)
+
+    # graph
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, "es_test_tgcc" + t)
+    drop_table(spark, "es_test_tg_cache2")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(emb, cents, n_assign=2)
+    graphann.save_federated_graph_index(
+        graphann.block_pair_sims_federated(emb, assigned), assigned,
+        "es_test_tgcc", n_buckets=2,
+    )
+    cold_g = qc.serve_graph_federated_cached(
+        spark, "es_test_tg_cache2", "es_test_tgcc", emb, qs, route,
+        v1, k=5, beam=8, hops=3, n_entry=4, m=4,
+    )
+    want_g = sorted(map(tuple, cold_g.collect()))
+    seen_g = []
+    real_g = graphann.graph_search_federated
+
+    def spy_g(spark_, pfx, src, queries, route_, **kw):
+        seen_g.extend(
+            r["query_id"] for r in queries.select("query_id").collect()
+        )
+        return real_g(spark_, pfx, src, queries, route_, **kw)
+
+    monkeypatch.setattr(graphann, "graph_search_federated", spy_g)
+    warm_g = qc.serve_graph_federated_cached(
+        spark, "es_test_tg_cache2", "es_test_tgcc", emb, qs, route,
+        v1, k=5, beam=8, hops=3, n_entry=4, m=4,
+    )
+    assert sorted(map(tuple, warm_g.collect())) == want_g
+    assert seen_g == []
