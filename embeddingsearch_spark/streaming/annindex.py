@@ -123,6 +123,110 @@ class _RunningPops:
         return float(max(self.pops.values())) * self.n_cells / tot
 
 
+class _RunningDriftFederated:
+    """`_RunningDrift` per collection: per-(tenant, dim) running sums
+    of everything ingested THIS RUN vs the pinned per-tenant reference
+    means — one (tenants × d)-bounded aggregate per batch, the
+    persisted index never rescanned. Tenants absent from a batch
+    report no new signal (their cumulative shift is unchanged);
+    tenants absent from the reference report None (no basis — the
+    `embedding_drift_federated` onboarding convention)."""
+
+    def __init__(self, reference: DataFrame, vec_col: str, partition_col: str):
+        rows = self._sums(reference, vec_col, partition_col)
+        self.ref_mean = {}
+        counts = {}
+        for r in rows:
+            self.ref_mean[(str(r[0]), r["dim"])] = float(r["s"])
+            counts[(str(r[0]), r["dim"])] = float(r["c"])
+        for k, c in counts.items():
+            if c:
+                self.ref_mean[k] /= c
+        self.pcol = partition_col
+        self.sums: dict = {}
+        self.n: dict = {}
+
+    @staticmethod
+    def _sums(df: DataFrame, vec_col: str, partition_col: str):
+        from pyspark.sql import functions as F
+
+        return (
+            df.select(
+                F.col(partition_col),
+                F.posexplode(
+                    F.col(vec_col).cast("array<double>")
+                ).alias("dim", "x"),
+            )
+            .groupBy(partition_col, "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+
+    def update(self, batch_df: DataFrame, vec_col: str) -> dict:
+        """Merge the batch; return {tenant: cumulative shift} for every
+        tenant seen this run (None where the reference lacks it)."""
+        import math
+
+        from embeddingsearch_spark.constants import ROUND_DIGITS
+
+        rows = self._sums(batch_df, vec_col, self.pcol)
+        per_t_count: dict = {}
+        for r in rows:
+            t = str(r[0])
+            self.sums[(t, r["dim"])] = (
+                self.sums.get((t, r["dim"]), 0.0) + float(r["s"])
+            )
+            per_t_count[t] = max(per_t_count.get(t, 0), int(r["c"]))
+        for t, c in per_t_count.items():
+            self.n[t] = self.n.get(t, 0) + c
+        out = {}
+        for t in {t for t, _ in self.sums}:
+            if not any(k[0] == t for k in self.ref_mean):
+                out[t] = None
+                continue
+            acc = 0.0
+            for (tt, d), s in self.sums.items():
+                if tt != t:
+                    continue
+                diff = s / self.n[t] - self.ref_mean.get((t, d), 0.0)
+                acc += diff * diff
+            out[t] = round(math.sqrt(acc), ROUND_DIGITS)
+        return out
+
+
+class _RunningPopsFederated:
+    """`_RunningPops` per collection: per-(tenant, cell) counts of
+    everything assigned THIS RUN; skew_t = max_pop_t × n_cells_t /
+    total_t with n_cells_t the TENANT's quantizer size."""
+
+    def __init__(self, n_cells_by: dict):
+        self.n_cells = {str(t): int(c) for t, c in n_cells_by.items()}
+        self.pops: dict = {}
+
+    def update(
+        self, assigned_batch: DataFrame, partition_col: str, key_col: str
+    ) -> dict:
+        from pyspark.sql import functions as F
+
+        for r in (
+            assigned_batch.groupBy(partition_col, key_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        ):
+            k = (str(r[0]), r[1])
+            self.pops[k] = self.pops.get(k, 0) + int(r["_c"])
+        out = {}
+        for t in {t for t, _ in self.pops}:
+            vals = [c for (tt, _), c in self.pops.items() if tt == t]
+            tot = sum(vals)
+            out[t] = (
+                float(max(vals)) * self.n_cells.get(t, len(vals)) / tot
+                if tot
+                else 0.0
+            )
+        return out
+
+
 def _maybe_compact(
     spark, tables, n_batches: int, compact_every, max_files
 ) -> None:
@@ -1110,3 +1214,121 @@ def federated_postings_index_available_now(
 
     _drain(stream, step, checkpoint_dir)
     return history
+
+
+def monitored_federated_ivf_ingest(
+    stream: DataFrame,
+    prefix: str,
+    reference: DataFrame,
+    centroids: DataFrame = None,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    drift_threshold: float = 0.25,
+    skew_threshold: float = 4.0,
+    checkpoint_dir: str | None = None,
+):
+    """Drift-TRIGGERED maintenance for the MULTI-TENANT IVF index —
+    `monitored_ivf_ingest`'s run-scoped O(batch) signals computed PER
+    COLLECTION, so the retrain flag carries a blast radius: one
+    tenant's distribution shift flags THAT tenant for
+    `retrain_federated_ivf_tenants` (single-tenant rebuild) while the
+    others keep their quantizers and files untouched — the streaming
+    twin of the batch `drift_tenant_reindex` loop.
+
+    Per micro-batch: the federated upsert (one tenant's rows rewrite
+    only its (tenant, centroid) cells), one (tenants × d)-bounded
+    drift aggregate, one (tenants × cells)-bounded population
+    aggregate — the persisted index is never rescanned for
+    monitoring. Signals are RUN-SCOPED (what each tenant ingested
+    since this monitor started); on a fresh index the run IS the
+    index. A tenant crossing EITHER threshold sets ITS flag; tenants
+    missing from the reference flag immediately as None-drift →
+    skew-only (onboarding is not drift).
+
+    Returns ``(history, flags)``: per-batch
+    (batch_id, n_vecs, {tenant: shift}, {tenant: skew}) and
+    {tenant: bool} for every tenant seen this run."""
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    drift = _RunningDriftFederated(reference, vec_col, partition_col)
+    state = {"flags": {}, "cents": None, "pops": None}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from embeddingsearch_spark.operators.ann import (
+            assign_centroids_federated,
+            save_federated_ivf_index,
+            upsert_federated_ivf_index,
+        )
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_vecs = batch_df.count()
+        exists = spark.catalog.tableExists(f"{prefix}_assigned")
+        if state["cents"] is None:
+            if exists:
+                cents = spark.table(f"{prefix}_centroids").select(
+                    partition_col, centroid_id_col, vec_col
+                )
+            elif centroids is not None:
+                cents = centroids
+            else:
+                raise ValueError(
+                    "centroids required to CREATE the federated IVF "
+                    "index (train per collection offline; the stream "
+                    "never trains)"
+                )
+            state["cents"] = cents.localCheckpoint(eager=True)
+            n_cells_by = {
+                r[0]: r[1]
+                for r in state["cents"]
+                .groupBy(partition_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            state["pops"] = _RunningPopsFederated(n_cells_by)
+        assigned_b = assign_centroids_federated(
+            batch_df, state["cents"], partition_col=partition_col,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        ).localCheckpoint(eager=True)
+        if exists:
+            upsert_federated_ivf_index(
+                spark, prefix, batch_df, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col, n_buckets=n_buckets,
+            )
+        else:
+            save_federated_ivf_index(
+                assigned_b, state["cents"], prefix,
+                partition_col=partition_col, n_buckets=n_buckets,
+                id_col=id_col, centroid_id_col=centroid_id_col,
+            )
+        shifts = drift.update(batch_df, vec_col)
+        skews = state["pops"].update(
+            assigned_b, partition_col, centroid_id_col
+        )
+        for t in set(shifts) | set(skews):
+            sh = shifts.get(t)
+            sk = skews.get(t, 0.0)
+            if (sh is not None and sh > drift_threshold) or (
+                sk > skew_threshold
+            ):
+                state["flags"][t] = True
+            else:
+                state["flags"].setdefault(t, False)
+        history.append(
+            (
+                int(batch_id),
+                n_vecs,
+                shifts,
+                {t: round(v, 6) for t, v in skews.items()},
+            )
+        )
+
+    _drain(stream, step, checkpoint_dir)
+    return history, dict(state["flags"])

@@ -652,6 +652,117 @@ def q_streaming_tivf_index(spark, sf_dir):
     )
 
 
+def q_streaming_drift_tenant_reindex(spark, sf_dir):
+    """Per-tenant drift → single-tenant retrain with the signals
+    computed IN THE STREAM — the streaming twin of
+    `drift_tenant_reindex`, run through
+    `monitored_federated_ivf_ingest`'s run-scoped per-collection
+    monitors (O(batch): one (tenants × d)-bounded drift aggregate +
+    one (tenants × cells)-bounded population aggregate per
+    micro-batch, the persisted index never rescanned): pass 1 streams
+    the reference era for BOTH collections (creates the federated
+    index; per-tenant drift ≈ 0, balanced cells — no flags), pass 2
+    streams a SHIFTED era into globex ONLY (x → 0.2x + 0.8, new odd
+    ids) — globex's run-scoped drift flags retrain, acme is silent.
+    The ACTION retrains globex's quantizer over both eras and
+    re-assigns globex only (`retrain_federated_ivf_tenants`); the
+    routed serve answers acme under its original quantizer and globex
+    under the retrained one. Shares `drift_tenant_reindex`'s oracle
+    VERBATIM (identical corpus, quantizer mix, and flag literals) —
+    the maintained-index ≡ upserted-index equivalence plus the
+    batch-equivalence of run-scoped signals is exactly what the
+    shared oracle proves."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_ivf_ingest,
+    )
+
+    prefix = "es_gate_sdrift_tivf"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    ref = corpus.withColumn("source", tenant).localCheckpoint(
+        eager=False
+    )
+    cents1 = ref.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+
+    _, flags1 = monitored_federated_ivf_ingest(
+        stream().withColumn("source", tenant),
+        prefix, ref, centroids=cents1, partition_col="source",
+        n_buckets=4, drift_threshold=0.25, skew_threshold=4.0,
+    )
+    shifted = stream().filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") * 2 + 10001).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x * F.lit(0.2) + F.lit(0.8),
+        ).alias("embedding"),
+        F.lit("globex").alias("source"),
+    )
+    _, flags2 = monitored_federated_ivf_ingest(
+        shifted, prefix, ref, partition_col="source",
+        n_buckets=4, drift_threshold=0.25, skew_threshold=4.0,
+    )
+    gx = ref.filter(F.col("source") == "globex").unionByName(
+        corpus.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") * 2 + 10001).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(0.2) + F.lit(0.8)
+            ).alias("embedding"),
+            F.lit("globex").alias("source"),
+        )
+    )
+    new_cents = gx.filter(
+        (F.col("vec_id") < 16)
+        | ((F.col("vec_id") > 10000) & (F.col("vec_id") < 10050))
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    ann_ops.retrain_federated_ivf_tenants(
+        spark, prefix, gx, new_cents, partition_col="source",
+        n_buckets=4,
+    )
+    qdf = ref.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    res = ann_ops.ivf_federated_from_index(
+        spark, prefix, queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+    return res.withColumn(
+        "retrain_globex", F.lit(bool(flags2.get("globex")))
+    ).withColumn(
+        "retrain_acme",
+        F.lit(
+            bool(flags1.get("acme")) or bool(flags2.get("acme"))
+        ),
+    )
+
+
 def q_streaming_tpq_index(spark, sf_dir):
     """Streaming maintenance of the MULTI-TENANT PQ index: vectors
     stream in with their collection column, the first AvailableNow
@@ -1276,6 +1387,7 @@ DRIFT_TRIGGERED_SQL = _drift_triggered_sql()
 # served-result equivalence: the maintained indexes are
 # batch-equivalent, so the gated checks are the batch oracles verbatim
 from embeddingsearch_spark.suite.ann import (
+    DRIFT_TENANT_SQL,
     GRAPH_ANN_TOPK_SQL,
     IVF_TENANT_SERVE_SQL,
     IVF_TOPK_SQL,
@@ -1298,6 +1410,10 @@ QUERIES = {
     "streaming_pq_index": (q_streaming_pq_index, PQ_TOPK_SQL),
     "streaming_ivf_index": (q_streaming_ivf_index, IVF_TOPK_SQL),
     # maintained ≡ rebuilt under fixed per-tenant quantizers
+    "streaming_drift_tenant_reindex": (
+        q_streaming_drift_tenant_reindex,
+        DRIFT_TENANT_SQL,
+    ),
     "streaming_tivf_index": (
         q_streaming_tivf_index,
         IVF_TENANT_SERVE_SQL,
@@ -1357,6 +1473,7 @@ BUILD_QUERIES = {
     "streaming_ivf_index",
     "drift_ivf_reindex",
     "streaming_tivf_index",
+    "streaming_drift_tenant_reindex",
     "streaming_pq_index",
     "streaming_tpq_index",
     "streaming_tgraph_index",

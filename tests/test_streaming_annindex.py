@@ -602,3 +602,92 @@ def test_federated_drain_auto_compaction_bounds_files(spark, tmp_path):
         for r in spark.table("es_test_drain_cc_assigned").collect()
     )
     assert a == b and len(a) == 120
+
+
+def test_monitored_federated_ivf_per_tenant_flags(spark, tmp_path):
+    """The federated monitor scopes the retrain flag per collection
+    IN ONE RUN: a mixed stream where globex's rows are mean-shifted
+    and acme's match the reference flags globex only — and the
+    signals are run-scoped (no full-index rescan: pass 2 runs with
+    `embedding_drift` poisoned)."""
+    import math
+
+    from embeddingsearch_spark.operators import drift as drift_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_ivf_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>, source string"
+
+    def unit(i):
+        a = 2 * math.pi * i / 8
+        return [math.cos(a), math.sin(a)]
+
+    ref_rows = [
+        (i, unit(i % 8), "acme" if i % 2 == 0 else "globex")
+        for i in range(40)
+    ]
+    reference = spark.createDataFrame(ref_rows, schema)
+    cents = spark.createDataFrame(
+        [
+            (t, 100 + i, unit(i))
+            for t in ("acme", "globex")
+            for i in range(8)
+        ],
+        "source string, centroid_id long, embedding array<double>",
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_mon_fed" + t)
+    s1 = _multi_file_source(spark, tmp_path, ref_rows, schema, 2)
+    h1, f1 = monitored_federated_ivf_ingest(
+        s1, "es_test_mon_fed", reference, centroids=cents,
+        n_buckets=2, drift_threshold=0.25, skew_threshold=1e9,
+    )
+    assert f1 == {"acme": False, "globex": False}, f1
+
+    # pass 2: acme same-distribution, globex shifted — mixed batches
+    mix = [
+        (
+            1000 + i,
+            unit(i % 8)
+            if i % 2 == 0
+            else [x * 0.2 + 0.8 for x in unit(i % 8)],
+            "acme" if i % 2 == 0 else "globex",
+        )
+        for i in range(40)
+    ]
+    orig = drift_ops.embedding_drift
+
+    def boom(*a, **kw):
+        raise AssertionError("full-index rescan during ingest")
+
+    drift_ops.embedding_drift = boom
+    try:
+        s2 = _multi_file_source(
+            spark, os.path.join(str(tmp_path), "fed2"), mix, schema, 2
+        )
+        h2, f2 = monitored_federated_ivf_ingest(
+            s2, "es_test_mon_fed", reference,
+            n_buckets=2, drift_threshold=0.25, skew_threshold=1e9,
+        )
+    finally:
+        drift_ops.embedding_drift = orig
+    assert f2 == {"acme": False, "globex": True}, f2
+    # the index kept updating for both tenants
+    assert (
+        spark.table("es_test_mon_fed_assigned").count() == 80
+    )
+    # a tenant missing from the reference reports None drift
+    onboard = [(5000 + i, unit(i % 8), "newco") for i in range(10)]
+    s3 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "fed3"), onboard, schema, 1
+    )
+    # newco has no quantizer -> its rows are DROPPED by the federated
+    # assign; drift still reports None for it (no reference basis)
+    h3, f3 = monitored_federated_ivf_ingest(
+        s3, "es_test_mon_fed", reference,
+        n_buckets=2, drift_threshold=0.25, skew_threshold=1e9,
+    )
+    assert f3.get("newco") is False, f3
+    assert h3[-1][2].get("newco") is None, h3
