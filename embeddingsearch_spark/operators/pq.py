@@ -999,7 +999,7 @@ def pq_federated_refined_adaptive(
     k: int = 10,
     base_factor: int = 2,
     deep_factor: int = 8,
-    budget_rows: int | None = None,
+    budget_rows: int | dict | None = None,
     partition_col: str = "source",
     id_col: str = "vec_id",
     codes_col: str = "codes",
@@ -1016,12 +1016,18 @@ def pq_federated_refined_adaptive(
     candidate's OWN tenant's codebooks) feeds the shared
     `_allocate_shortlist` depth allocation, so the raw-vector read
     budget flows to the queries whose tenants' quantizers mangled
-    their candidates most — regardless of which tenant they belong
-    to (the budget is a GLOBAL read bound; per-tenant budgeting is a
-    `route`-split away). The distortion fetch and the exact re-rank
+    their candidates most. The distortion fetch and the exact re-rank
     both prune to the routed tenants' partitions. Requires the codes
     table to carry ``err_col``. Output: (query_id, vec_id, cosine,
-    rank<=k)."""
+    rank<=k).
+
+    ``budget_rows`` may be an int (one GLOBAL read bound — queries
+    compete across tenants), a ``{tenant: budget}`` dict (the
+    reference's per-searchdomain cost model: each collection's
+    queries compete only for THEIR collection's raw-vector budget —
+    the allocation runs once per routed tenant, a bounded loop; every
+    routed tenant must appear in the map), or None (every query
+    widens to deep_factor·k)."""
     short = pq_federated_from_index(
         spark, prefix, queries, route, k=deep_factor * k,
         partition_col=partition_col, id_col=id_col,
@@ -1047,10 +1053,33 @@ def pq_federated_refined_adaptive(
         .join(F.broadcast(short), id_col)
         .localCheckpoint(eager=False)
     )
-    shortlist = _allocate_shortlist(
-        cand, k, base_factor, deep_factor, budget_rows,
-        query_id_col, id_col,
-    )
+    if isinstance(budget_rows, dict):
+        budgets = {str(t): b for t, b in budget_rows.items()}
+        missing = sorted(str(t) for t in routed if str(t) not in budgets)
+        if missing:
+            raise ValueError(
+                f"no budget for routed collections: {missing}"
+            )
+        r = route.select(query_id_col, partition_col)
+        shortlist = None
+        for t in sorted(budgets):  # bounded: <= #collections
+            qids_t = F.broadcast(
+                r.filter(F.col(partition_col) == t).select(query_id_col)
+            )
+            part = _allocate_shortlist(
+                cand.join(qids_t, query_id_col),
+                k, base_factor, deep_factor, budgets[t],
+                query_id_col, id_col,
+            )
+            shortlist = (
+                part if shortlist is None
+                else shortlist.unionByName(part)
+            )
+    else:
+        shortlist = _allocate_shortlist(
+            cand, k, base_factor, deep_factor, budget_rows,
+            query_id_col, id_col,
+        )
     if partition_col in emb.columns:
         emb = emb.filter(F.col(partition_col).isin(routed))
     return _exact_rescore(

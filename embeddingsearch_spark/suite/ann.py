@@ -1102,6 +1102,103 @@ FROM (
 ) WHERE rank <= 10"""
 
 
+def q_pq_tenant_budgeted_serve(spark, sf_dir):
+    """PER-TENANT read budgets in the adaptive refine — the
+    reference's per-searchdomain cost model applied to the raw-vector
+    fetch: each collection's queries compete only for THEIR
+    collection's budget (acme 1200 rows, globex 800), so one noisy
+    tenant can never starve another's refine depth. Same build as
+    `pq_tenant_refined_adaptive`; the oracle replays the allocation
+    PARTITIONED by tenant with each tenant's budget literal."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source",
+        err_col="qerr",
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpqb", partition_col="source",
+        n_buckets=4, err_col="qerr",
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return pq_ops.pq_federated_refined_adaptive(
+        spark, "es_gate_tpqb", emb, queries, route, k=10,
+        base_factor=2, deep_factor=8,
+        budget_rows={"acme": 1200, "globex": 800},
+        partition_col="source",
+    )
+
+
+PQ_TENANT_BUDGETED_SQL = _PQ_TENANT_BODY + f""",
+verr AS (
+  SELECT vec_id, sum(dist) AS err FROM (
+    SELECT vec_id, m, dist,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2) WHERE rn = 1
+  GROUP BY vec_id
+),
+shortq AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM sims QUALIFY r <= 80
+),
+sig AS (
+  SELECT s.query_id, round(avg(v.err), {RD}) AS sg
+  FROM shortq s JOIN verr v USING (vec_id)
+  WHERE s.r <= 20
+  GROUP BY s.query_id
+),
+buds AS (
+  SELECT * FROM (VALUES ('acme', 1200), ('globex', 800)) b(src, bud)
+),
+alloc AS (
+  SELECT s.query_id, q.source AS src,
+         row_number() OVER (PARTITION BY q.source
+                            ORDER BY s.sg DESC, s.query_id ASC) AS qr,
+         count(*) OVER (PARTITION BY q.source) AS nq
+  FROM sig s JOIN q ON q.query_id = s.query_id
+),
+depths AS (
+  SELECT a.query_id,
+         CASE WHEN a.qr <= greatest(0, least(a.nq,
+              floor((b.bud - a.nq * 20) / 60)))
+              THEN 80 ELSE 20 END AS depth
+  FROM alloc a JOIN buds b ON b.src = a.src
+),
+elems AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(unnest(v.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM shortq s
+  JOIN depths dp ON dp.query_id = s.query_id AND s.r <= dp.depth
+  JOIN src v ON v.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+ex AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM elems GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= 10"""
+
+
 PQ_TENANT_REFINED_SQL = _PQ_TENANT_BODY + f""",
 short AS (
   SELECT query_id, vec_id FROM (
@@ -2681,6 +2778,10 @@ QUERIES = {
     "pq_tenant_refined_adaptive": (
         q_pq_tenant_refined_adaptive,
         PQ_TENANT_ADAPTIVE_SQL,
+    ),
+    "pq_tenant_budgeted_serve": (
+        q_pq_tenant_budgeted_serve,
+        PQ_TENANT_BUDGETED_SQL,
     ),
     # tenant-pure edges by construction: the beam cannot cross tenants
     "graph_tenant_serve": (q_graph_tenant_serve, _graph_tenant_sql()),

@@ -544,3 +544,58 @@ def test_pq_config_for_probe_anchors():
     ]
     assert ks == sorted(ks)
     assert pq.pq_config_for(100, dim=16)["m_sub"] == 2
+
+
+def test_pq_federated_per_tenant_budget_isolation(emb, spark):
+    """Per-tenant budgets: one tenant's huge budget never changes the
+    other tenant's allocation (each collection competes only for its
+    own raw-vector budget), and a routed tenant missing from the map
+    fails loudly."""
+    from embeddingsearch_spark.storage import drop_table
+
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    cbs_by = pq.initial_codebooks_federated(
+        two, partition_col="source", m_sub=4, k_codes=8
+    )
+    coded = pq.encode_pq_federated(
+        two, cbs_by, partition_col="source", err_col="qerr"
+    )
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_tpqbud" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_test_tpqbud", partition_col="source",
+        n_buckets=2, err_col="qerr",
+    )
+    qdf = two.filter(F.col("vec_id") < 6)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+    def serve(buds):
+        return sorted(
+            map(
+                tuple,
+                pq.pq_federated_refined_adaptive(
+                    spark, "es_test_tpqbud", two, queries, route,
+                    k=5, base_factor=2, deep_factor=6,
+                    budget_rows=buds,
+                )
+                .join(route, "query_id")
+                .filter(F.col("source") == "globex")
+                .drop("source")
+                .collect(),
+            )
+        )
+
+    # globex's results are identical whether acme's budget is tiny or
+    # huge — allocation is per collection
+    a = serve({"acme": 0, "globex": 60})
+    b = serve({"acme": 10_000, "globex": 60})
+    assert a == b and a
+    with pytest.raises(ValueError, match="no budget for routed"):
+        pq.pq_federated_refined_adaptive(
+            spark, "es_test_tpqbud", two, queries, route, k=5,
+            budget_rows={"acme": 100},
+        )
