@@ -647,7 +647,7 @@ def initial_codebooks_federated(
     corpus: DataFrame,
     partition_col: str = "source",
     m_sub: int = 8,
-    k_codes: int = 16,
+    k_codes: int | dict = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
@@ -656,11 +656,22 @@ def initial_codebooks_federated(
     LOWEST id (tenant-local ranks, so any engine reproduces each
     tenant's quantizer independently of the others). One pass + one
     bounded collect (collections × k_codes rows). Returns
-    {collection: Codebooks}."""
+    {collection: Codebooks}.
+
+    ``k_codes`` may be a ``{tenant: K}`` dict (the `pq_config_for`
+    per-collection sizing — each tenant's quantizer grows with ITS
+    corpus); collections missing from the dict are dropped, matching
+    the no-codebooks-no-encode contract."""
+    if isinstance(k_codes, dict):
+        kmax = max(k_codes.values())
+        kfor = {str(t): int(v) for t, v in k_codes.items()}
+    else:
+        kmax = int(k_codes)
+        kfor = None
     w = Window.partitionBy(partition_col).orderBy(id_col)
     rows = (
         corpus.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k_codes)
+        .filter(F.col("_rn") <= kmax)
         .select(
             partition_col,
             F.col(id_col),
@@ -672,7 +683,12 @@ def initial_codebooks_federated(
         raise ValueError("empty corpus")
     by: dict = {}
     for r in sorted(rows, key=lambda r: (str(r[0]), r[1])):
-        by.setdefault(r[0], []).append(r["_v"])
+        t = r[0]
+        limit = kfor.get(str(t)) if kfor is not None else kmax
+        if limit is None:
+            continue
+        if len(by.get(t, ())) < limit:
+            by.setdefault(t, []).append(r["_v"])
     out = {}
     for t, vecs in by.items():
         d = len(vecs[0])

@@ -854,20 +854,49 @@ def q_pq_tenant_serve(spark, sf_dir):
 # `pq_tenant_refined` shortlists rank<=factor·k from the SAME sims and
 # exact-re-ranks — the established rank-safe-variant-shares-the-oracle
 # pattern, applied as oracle-shares-the-body.
-_PQ_TENANT_BODY = f"""WITH src AS (
-  SELECT vec_id, embedding,
-         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
-           AS source
-  FROM embeddings
-),
-cbsel AS (
+def _pq_tenant_body(autoconf: bool = False) -> str:
+    """The tenant-PQ oracle body (per-tenant codebooks → encode →
+    routed ADC sims). ``autoconf=True`` swaps the fixed K=16 seed for
+    the DATA-DERIVED `pq_config_for` rule — each tenant's K is the
+    smallest power of two in [16, 256] covering its corpus/40,
+    computed in SQL from the same counts the Spark side reads."""
+    if autoconf:
+        kcfg = """
+kcfg AS (
+  SELECT source,
+         CAST(pow(2, ceil(log2(
+           least(256.0, greatest(16.0, count(*) / 40.0))
+         ))) AS INT) AS kc
+  FROM src GROUP BY source
+),"""
+        cbsel = """cbsel AS (
+  SELECT s.source,
+         CAST(row_number() OVER (PARTITION BY s.source
+                                 ORDER BY s.vec_id) - 1 AS INT) AS code,
+         s.embedding, k.kc
+  FROM src s JOIN kcfg k USING (source)
+  QUALIFY code < k.kc
+),"""
+    else:
+        kcfg = ""
+        cbsel = """cbsel AS (
   SELECT source,
          CAST(row_number() OVER (PARTITION BY source
                                  ORDER BY vec_id) - 1 AS INT) AS code,
          embedding
   FROM src
   QUALIFY code < 16
-),
+),"""
+    return f"""WITH src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+),{kcfg}
+{cbsel}"""
+
+
+_PQ_TENANT_TAIL = f"""
 cbe AS (
   SELECT c.source, c.code, m.m, i.i,
          CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
@@ -917,6 +946,9 @@ sims AS (
                {RD}) AS cosine
   FROM rec r JOIN qn q USING (query_id)
 )"""
+
+_PQ_TENANT_BODY = _pq_tenant_body() + _PQ_TENANT_TAIL
+_PQ_TENANT_BODY_AUTO = _pq_tenant_body(autoconf=True) + _PQ_TENANT_TAIL
 
 PQ_TENANT_SERVE_SQL = _PQ_TENANT_BODY + """
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
@@ -1004,6 +1036,83 @@ def q_pq_tenant_cached_serve(spark, sf_dir):
         spark, "es_gate_tpq_cache", "es_gate_tpqc", queries, route,
         versions, k=10, partition_col="source",
     )
+
+
+def q_pq_tenant_autoconf_refined(spark, sf_dir):
+    """The `pq_config_for` auto-config closed into a gate (the knob →
+    gate loop the graph family has with `graph_config_for`): each
+    tenant's quantizer is sized FROM ITS OWN corpus count (K = the
+    smallest power of two in [16, 256] covering n/40) and the refine
+    runs at the rule's factor 16. The oracle derives the SAME K per
+    tenant in SQL from the same counts, so a drifted sizing rule
+    value-fails — and the gate is sf-adaptive by construction (K=16
+    at sf0.01's 250/tenant, K=64 at sf0.1's 2500/tenant)."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: <= #collections
+    dim = len(emb.select("embedding").head()[0])
+    kmap = {
+        t: pq_ops.pq_config_for(n, dim=dim)["k_codes"]
+        for t, n in counts.items()
+    }
+    factor = pq_ops.pq_config_for(
+        max(counts.values()), dim=dim
+    )["refine_factor"]
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=kmap
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source"
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpqauto", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return pq_ops.pq_federated_refined(
+        spark, "es_gate_tpqauto", emb, queries, route, k=10,
+        refine_factor=factor, partition_col="source",
+    )
+
+
+PQ_TENANT_AUTOCONF_SQL = _PQ_TENANT_BODY_AUTO + f""",
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM sims
+  ) WHERE rn <= 160
+),
+elems AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(unnest(v.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM short s
+  JOIN src v ON v.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+ex AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM elems GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= 10"""
 
 
 def q_pq_tenant_refined_adaptive(spark, sf_dir):
@@ -2782,6 +2891,10 @@ QUERIES = {
     "pq_tenant_budgeted_serve": (
         q_pq_tenant_budgeted_serve,
         PQ_TENANT_BUDGETED_SQL,
+    ),
+    "pq_tenant_autoconf_refined": (
+        q_pq_tenant_autoconf_refined,
+        PQ_TENANT_AUTOCONF_SQL,
     ),
     # tenant-pure edges by construction: the beam cannot cross tenants
     "graph_tenant_serve": (q_graph_tenant_serve, _graph_tenant_sql()),
