@@ -599,3 +599,25 @@ def test_pq_federated_per_tenant_budget_isolation(emb, spark):
             spark, "es_test_tpqbud", two, queries, route, k=5,
             budget_rows={"acme": 100},
         )
+
+
+def test_initial_codebooks_federated_per_tenant_k(emb, spark):
+    """{tenant: K} sizing: each collection's codebooks hold ITS K
+    lowest-id vectors' slices; tenants missing from the map are
+    dropped (the no-codebooks-no-encode contract)."""
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cbs = pq.initial_codebooks_federated(
+        two, m_sub=4, k_codes={"acme": 8, "globex": 4}
+    )
+    assert len(cbs["acme"][0]) == 8 and len(cbs["globex"][0]) == 4
+    # per-tenant K equals the uniform-K build truncated per tenant
+    uni = pq.initial_codebooks_federated(two, m_sub=4, k_codes=8)
+    assert cbs["acme"] == uni["acme"]
+    assert cbs["globex"] == [m[:4] for m in uni["globex"]]
+    only = pq.initial_codebooks_federated(
+        two, m_sub=4, k_codes={"acme": 8}
+    )
+    assert set(only) == {"acme"}
