@@ -1240,6 +1240,68 @@ def ivfpq_topk(
     )
 
 
+def retrain_federated_pq_tenants(
+    spark,
+    prefix: str,
+    tenant_corpus: DataFrame,
+    new_codebooks_by: dict,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    n_buckets: int = 8,
+    err_col: str | None = None,
+) -> str:
+    """Single-collection quantizer retrain for the multi-tenant PQ
+    index — `retrain_federated_ivf_tenants`' shape for the compressed
+    family: swap ONLY the flagged collection(s)' codebook rows, then
+    re-encode ONLY their vectors through the partitioned upsert —
+    every other collection's codebooks, codes, and partition files
+    stay byte-identical (tested). ``new_codebooks_by`` ({tenant:
+    Codebooks}) defines which tenants retrain; ``tenant_corpus`` is
+    those collections' FULL current corpus. The fixed-codebooks
+    invariant the incremental encode relies on is intentionally
+    broken HERE AND ONLY HERE, for the tenants being retrained."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+    from embeddingsearch_spark.storage import drop_table
+
+    cbs = spark.table(f"{prefix}_codebooks").localCheckpoint(
+        eager=True
+    )
+    tenants = sorted(str(t) for t in new_codebooks_by)
+    rows = [
+        (str(t), m, j, [float(x) for x in c])
+        for t, cb in sorted(new_codebooks_by.items())
+        for m, sub in enumerate(cb)
+        for j, c in enumerate(sub)
+    ]
+    add = spark.createDataFrame(
+        rows,
+        f"{partition_col} string, m int, code int, "
+        "centroid array<double>",
+    )
+    merged = cbs.filter(
+        ~F.col(partition_col).isin(tenants)
+    ).unionByName(add.select(*cbs.columns)).localCheckpoint(eager=True)
+    drop_table(spark, f"{prefix}_codebooks")
+    merged.write.saveAsTable(f"{prefix}_codebooks")
+    new_codes = encode_pq_federated(
+        tenant_corpus, new_codebooks_by, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+        err_col=err_col,
+    ).select(
+        id_col, partition_col, codes_col,
+        *([err_col] if err_col else []),
+    )
+    PartitionOverwriteSink(partition_col).delete_insert(
+        spark, f"{prefix}_codes", new_codes, [id_col],
+        delete_keys=tenant_corpus.select(id_col).distinct(),
+        bucket_cols=[id_col], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    return f"{prefix}_codes"
+
+
 def pq_federated_serve_aliased(
     spark,
     alias: str,

@@ -1332,3 +1332,141 @@ def monitored_federated_ivf_ingest(
 
     _drain(stream, step, checkpoint_dir)
     return history, dict(state["flags"])
+
+
+def monitored_federated_pq_ingest(
+    stream: DataFrame,
+    prefix: str,
+    reference: DataFrame,
+    codebooks_by: dict | None = None,
+    partition_col: str = "source",
+    distortion_ratio_threshold: float = 2.0,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    checkpoint_dir: str | None = None,
+):
+    """Drift-TRIGGERED maintenance for the MULTI-TENANT PQ index with
+    the PQ-NATIVE signal per collection: every batch is encoded under
+    each vector's OWN tenant's codebooks anyway, so the per-tenant
+    quantization distortion falls out of the same pass for free —
+    tenant t flags retrain when the cumulative mean distortion of ITS
+    rows ingested THIS RUN exceeds ``distortion_ratio_threshold`` ×
+    ITS reference-era mean under the SAME codebooks. One tenant's
+    scale blow-up flags that tenant for
+    `retrain_federated_pq_tenants` (single-tenant re-encode) while
+    the others keep their codebooks and code files untouched.
+
+    O(batch) per micro-batch: one federated encode (shared with the
+    index write on the CREATE path), one tenants-bounded (sum, count)
+    aggregate; the persisted codes table is never rescanned for
+    monitoring. Returns ``(history, flags)``: per-batch
+    (batch_id, n_vecs, {tenant: ratio}) and {tenant: bool}."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.pq import (
+        encode_pq_federated,
+        load_federated_pq_codebooks,
+        save_federated_pq_index,
+        upsert_federated_pq_index,
+    )
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    state = {
+        "cbs": None, "ref_mean": None,
+        "sum": {}, "n": {}, "flags": {},
+    }
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_vecs = batch_df.count()
+        exists = spark.catalog.tableExists(f"{prefix}_codes")
+        if state["cbs"] is None:
+            if exists:
+                state["cbs"] = load_federated_pq_codebooks(
+                    spark, prefix, partition_col=partition_col
+                )
+            elif codebooks_by is not None:
+                state["cbs"] = codebooks_by
+            else:
+                raise ValueError(
+                    "codebooks_by required to CREATE the federated "
+                    "PQ index (train per collection offline; the "
+                    "stream never trains)"
+                )
+            ref_rows = (
+                encode_pq_federated(
+                    reference, state["cbs"],
+                    partition_col=partition_col, id_col=id_col,
+                    vec_col=vec_col, codes_col=codes_col,
+                    err_col="_qerr",
+                )
+                .groupBy(partition_col)
+                .agg(F.sum("_qerr").alias("s"),
+                     F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            state["ref_mean"] = {
+                str(r[0]): (float(r["s"]) / r["c"] if r["c"] else 0.0)
+                for r in ref_rows
+            }
+        coded = encode_pq_federated(
+            batch_df, state["cbs"], partition_col=partition_col,
+            id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+            err_col="_qerr",
+        ).localCheckpoint(eager=True)
+        if exists:
+            # the upsert re-encodes internally under the persisted
+            # codebooks — identical codes; the monitor's encode above
+            # is the O(batch) signal pass
+            upsert_federated_pq_index(
+                spark, prefix, batch_df, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            save_federated_pq_index(
+                coded.select(id_col, partition_col, codes_col),
+                state["cbs"], prefix, partition_col=partition_col,
+                n_buckets=n_buckets, id_col=id_col,
+                codes_col=codes_col,
+            )
+        ratios = {}
+        for r in (
+            coded.groupBy(partition_col)
+            .agg(F.sum("_qerr").alias("s"),
+                 F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            t = str(r[0])
+            state["sum"][t] = state["sum"].get(t, 0.0) + float(
+                r["s"] or 0.0
+            )
+            state["n"][t] = state["n"].get(t, 0) + int(r["c"])
+            mean = (
+                state["sum"][t] / state["n"][t]
+                if state["n"][t]
+                else 0.0
+            )
+            ref = state["ref_mean"].get(t)
+            if ref is None:
+                ratios[t] = None  # no reference era: onboarding
+                state["flags"].setdefault(t, False)
+                continue
+            ratio = (
+                mean / ref if ref else
+                (0.0 if mean == 0.0 else float("inf"))
+            )
+            ratios[t] = round(ratio, 6)
+            if ratio > distortion_ratio_threshold:
+                state["flags"][t] = True
+            else:
+                state["flags"].setdefault(t, False)
+        history.append((int(batch_id), n_vecs, ratios))
+
+    _drain(stream, step, checkpoint_dir)
+    return history, dict(state["flags"])

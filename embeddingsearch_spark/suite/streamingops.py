@@ -1474,8 +1474,209 @@ BUILD_QUERIES = {
     "drift_ivf_reindex",
     "streaming_tivf_index",
     "streaming_drift_tenant_reindex",
+    "streaming_drift_tenant_pq_reindex",
     "streaming_pq_index",
     "streaming_tpq_index",
     "streaming_tgraph_index",
     "streaming_tpostings_index",
 }
+
+
+def q_streaming_drift_tenant_pq_reindex(spark, sf_dir):
+    """Per-tenant distortion → single-tenant RE-ENCODE for the
+    compressed family — the PQ member of the streaming tenant-drift
+    loop (`streaming_drift_tenant_reindex` is the IVF member):
+    `monitored_federated_pq_ingest` tracks each collection's
+    cumulative quantization distortion vs ITS reference-era mean
+    under ITS OWN codebooks (free at encode time, O(batch)); pass 1
+    streams the reference era for both tenants (ratios 1.0 — no
+    flags), pass 2 streams a scale blow-up (x → 3x + 1, new odd ids)
+    into globex ONLY — globex's ratio flags retrain, acme is silent.
+    The ACTION (`retrain_federated_pq_tenants`) re-seeds globex's
+    codebooks from the NEW era (16 lowest shifted ids) and re-encodes
+    globex only — acme's codebooks and code files byte-identical
+    (unit-tested). The routed ADC serve answers acme under its
+    original quantizer and globex under the retrained one; the oracle
+    replays both tenants' seed/encode/ADC chains over exactly that
+    corpus and quantizer mix, plus the flag literals."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_pq_ingest,
+    )
+
+    prefix = "es_gate_sdrift_tpq"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    reference = corpus.filter(F.col("vec_id") % 3 != 0).withColumn(
+        "source", tenant
+    ).localCheckpoint(eager=False)
+    cbs1 = pq_ops.initial_codebooks_federated(
+        reference, partition_col="source", m_sub=8, k_codes=16
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+
+    _, flags1 = monitored_federated_pq_ingest(
+        stream().filter(F.col("vec_id") % 3 != 0).withColumn(
+            "source", tenant
+        ),
+        prefix, reference, codebooks_by=cbs1, n_buckets=4,
+        distortion_ratio_threshold=2.0,
+    )
+
+    def shift(df):
+        return df.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") * 2 + 10001).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x * F.lit(3.0) + F.lit(1.0),
+            ).alias("embedding"),
+            F.lit("globex").alias("source"),
+        )
+
+    _, flags2 = monitored_federated_pq_ingest(
+        shift(stream()), prefix, reference, n_buckets=4,
+        distortion_ratio_threshold=2.0,
+    )
+    gx = reference.filter(
+        F.col("source") == "globex"
+    ).unionByName(shift(corpus)).localCheckpoint(eager=False)
+    new_cbs = pq_ops.initial_codebooks_federated(
+        gx.filter(F.col("vec_id") > 10000),
+        partition_col="source", m_sub=8, k_codes=16,
+    )
+    pq_ops.retrain_federated_pq_tenants(
+        spark, prefix, gx, new_cbs, partition_col="source",
+        n_buckets=4,
+    )
+    qdf = reference.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    res = pq_ops.pq_federated_from_index(
+        spark, prefix, queries, route, k=10, partition_col="source"
+    )
+    return res.withColumn(
+        "retrain_globex", F.lit(bool(flags2.get("globex")))
+    ).withColumn(
+        "retrain_acme",
+        F.lit(
+            bool(flags1.get("acme")) or bool(flags2.get("acme"))
+        ),
+    )
+
+
+STREAMING_DRIFT_TENANT_PQ_SQL = f"""WITH src AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings WHERE vec_id % 3 <> 0
+  UNION ALL
+  SELECT vec_id * 2 + 10001 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 3.0 + 1.0)
+           AS embedding,
+         'globex' AS source
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+cbsel AS (
+  SELECT source, code, embedding FROM (
+    SELECT source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY vec_id) - 1 AS INT)
+             AS code,
+           embedding
+    FROM src WHERE source = 'acme'
+    UNION ALL
+    SELECT source,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+             AS code,
+           embedding
+    FROM src WHERE source = 'globex' AND vec_id > 10000
+  ) WHERE code < 16
+),
+cbe AS (
+  SELECT c.source, c.code, m.m, i.i,
+         CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
+  FROM cbsel c, range(0, 8) m(m), range(1, 9) i(i)
+),
+d2 AS (
+  SELECT v.vec_id, b.m, b.code,
+         round(sum((CAST(v.embedding[b.m * 8 + b.i] AS DOUBLE)
+                    - b.cv) ^ 2), {RD}) AS dist
+  FROM src v JOIN cbe b ON b.source = v.source
+  GROUP BY v.vec_id, b.m, b.code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, source, embedding AS qv FROM src
+  WHERE vec_id % 13 = 0 AND vec_id < 10000
+),
+rec AS (
+  SELECT e.vec_id, q.query_id,
+         sum(b.cv * CAST(q.qv[e.m * 8 + b.i] AS DOUBLE)) AS dot,
+         sum(b.cv * b.cv) AS rn2
+  FROM enc e
+  JOIN src v ON v.vec_id = e.vec_id
+  JOIN cbe b ON b.m = e.m AND b.code = e.code
+            AND b.source = v.source
+  JOIN q ON q.source = v.source
+  GROUP BY e.vec_id, q.query_id
+),
+qn AS (
+  SELECT query_id, sqrt(sum(x * x)) AS qnorm
+  FROM (SELECT query_id, unnest(qv) AS x FROM q)
+  GROUP BY query_id
+),
+sims AS (
+  SELECT r.query_id, r.vec_id,
+         round(CASE WHEN sqrt(r.rn2) * q.qnorm = 0 THEN 0.5
+               ELSE (r.dot / (sqrt(r.rn2) * q.qnorm) + 1.0) / 2.0 END,
+               {RD}) AS cosine
+  FROM rec r JOIN qn q USING (query_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank,
+       TRUE AS retrain_globex, FALSE AS retrain_acme
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
+QUERIES["streaming_drift_tenant_pq_reindex"] = (
+    q_streaming_drift_tenant_pq_reindex,
+    STREAMING_DRIFT_TENANT_PQ_SQL,
+)
+BUILD_QUERIES.add("streaming_drift_tenant_pq_reindex")

@@ -621,3 +621,77 @@ def test_initial_codebooks_federated_per_tenant_k(emb, spark):
         two, m_sub=4, k_codes={"acme": 8}
     )
     assert set(only) == {"acme"}
+
+
+def test_retrain_federated_pq_tenants_blast_radius(emb, spark):
+    """Single-tenant PQ retrain: the flagged tenant's codebooks and
+    codes swap to the new quantizer; the OTHER tenant's codebook rows
+    and code partition files stay byte-identical."""
+    import glob
+    import os
+
+    from embeddingsearch_spark.storage import drop_table
+
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    cbs1 = pq.initial_codebooks_federated(
+        two, partition_col="source", m_sub=4, k_codes=8
+    )
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_pqrt" + t)
+    pq.save_federated_pq_index(
+        pq.encode_pq_federated(two, cbs1), cbs1, "es_test_pqrt",
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    before = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(
+            os.path.join(wh, "es_test_pqrt_codes", "source=acme", "*")
+        )
+    )
+    # globex retrains under a DIFFERENT seed (8 highest-id vectors)
+    gx = two.filter(F.col("source") == "globex")
+    hi = gx.orderBy(F.col("vec_id").desc()).limit(8).select(
+        "vec_id"
+    )
+    new_cbs = pq.initial_codebooks_federated(
+        gx.join(hi, "vec_id"), partition_col="source",
+        m_sub=4, k_codes=8,
+    )
+    pq.retrain_federated_pq_tenants(
+        spark, "es_test_pqrt", gx, new_cbs, n_buckets=2
+    )
+    after = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(
+            os.path.join(wh, "es_test_pqrt_codes", "source=acme", "*")
+        )
+    )
+    assert after == before
+    # acme's codebook rows untouched; globex's replaced
+    cb = spark.table("es_test_pqrt_codebooks")
+    acme_rows = sorted(
+        (r["m"], r["code"], tuple(r["centroid"]))
+        for r in cb.filter(F.col("source") == "acme").collect()
+    )
+    want_acme = sorted(
+        (m, j, tuple(c))
+        for m, sub in enumerate(cbs1["acme"])
+        for j, c in enumerate(sub)
+    )
+    assert acme_rows == want_acme
+    # globex codes equal a fresh encode under the NEW codebooks
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.table("es_test_pqrt_codes")
+        .filter(F.col("source") == "globex")
+        .collect()
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq.encode_pq_federated(gx, new_cbs).collect()
+    )
+    assert got == want

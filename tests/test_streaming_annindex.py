@@ -691,3 +691,65 @@ def test_monitored_federated_ivf_per_tenant_flags(spark, tmp_path):
     )
     assert f3.get("newco") is False, f3
     assert h3[-1][2].get("newco") is None, h3
+
+
+def test_monitored_federated_pq_per_tenant_ratios(spark, tmp_path):
+    """The federated PQ monitor scopes the distortion flag per
+    collection: a mixed second run where globex's vectors blow up in
+    scale and acme's match the reference flags globex only, while the
+    index keeps updating for both."""
+    import numpy as np
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_pq_ingest,
+    )
+
+    rng = np.random.default_rng(5)
+    schema = "vec_id long, embedding array<double>, source string"
+    ref_rows = [
+        (
+            i,
+            [float(x) for x in rng.normal(size=8)],
+            "acme" if i % 2 == 0 else "globex",
+        )
+        for i in range(60)
+    ]
+    reference = spark.createDataFrame(ref_rows, schema)
+    cbs = pq_ops.initial_codebooks_federated(
+        reference, m_sub=2, k_codes=4
+    )
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_mon_fpq" + t)
+    s1 = _multi_file_source(spark, tmp_path, ref_rows, schema, 2)
+    h1, f1 = monitored_federated_pq_ingest(
+        s1, "es_test_mon_fpq", reference, codebooks_by=cbs,
+        n_buckets=2, distortion_ratio_threshold=2.0,
+    )
+    assert f1 == {"acme": False, "globex": False}, f1
+    # ratios converge to 1.0 once the whole reference streamed
+    assert abs(h1[-1][2]["acme"] - 1.0) < 1e-6, h1
+
+    rng2 = np.random.default_rng(6)
+    mix = [
+        (
+            1000 + i,
+            [float(x) for x in rng2.normal(size=8)]
+            if i % 2 == 0
+            else [float(x * 5.0 + 3.0) for x in rng2.normal(size=8)],
+            "acme" if i % 2 == 0 else "globex",
+        )
+        for i in range(60)
+    ]
+    s2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "fpq2"), mix, schema, 2
+    )
+    h2, f2 = monitored_federated_pq_ingest(
+        s2, "es_test_mon_fpq", reference,
+        n_buckets=2, distortion_ratio_threshold=2.0,
+    )
+    assert f2 == {"acme": False, "globex": True}, f2
+    assert (
+        spark.table("es_test_mon_fpq_codes").count() == 120
+    )
