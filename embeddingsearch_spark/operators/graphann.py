@@ -1003,3 +1003,76 @@ def graph_search_federated_aliased(
         spark, alias, queries, route, serve,
         partition_col=partition_col, query_id_col=query_id_col,
     )
+
+
+def retrain_federated_graph_tenants(
+    spark,
+    prefix: str,
+    tenant_corpus: DataFrame,
+    new_centroids: DataFrame,
+    partition_col: str = "source",
+    n_assign: int = 2,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> str:
+    """Single-collection quantizer retrain for the multi-tenant graph
+    index — `retrain_federated_ivf_tenants`' shape for the graph
+    family: rebuild ONLY the flagged collection(s)' blocks and pair
+    table under their new coarse centroids and swap their partitions
+    wholesale — every other collection's blocks, edges, and partition
+    files stay byte-identical (tested). ``new_centroids`` carries the
+    flagged collections' quantizer rows (its collection values define
+    who retrains); ``tenant_corpus`` is those collections' FULL
+    current corpus. The maintained ``{prefix}_vectors`` table (when
+    the index is stream-fed) swaps the same way."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+    from embeddingsearch_spark.storage import drop_tenant_partitions
+
+    tenants = sorted(
+        str(r[0])
+        for r in new_centroids.select(partition_col)
+        .distinct()
+        .collect()
+    )
+    assigned = assign_blocks_federated(
+        tenant_corpus, new_centroids, partition_col=partition_col,
+        n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    ).localCheckpoint(eager=True)
+    pairs = block_pair_sims_federated(
+        tenant_corpus, assigned, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    corpus_pin = tenant_corpus.localCheckpoint(eager=True)
+    sink = PartitionOverwriteSink(partition_col)
+    for t in tenants:
+        drop_tenant_partitions(
+            spark, f"{prefix}_pairs", partition_col, t
+        )
+        drop_tenant_partitions(
+            spark, f"{prefix}_assigned", partition_col, t
+        )
+    sink.delete_insert(
+        spark, f"{prefix}_pairs", pairs, ["_ida", "_idb"],
+        delete_keys=None, bucket_cols=["_ida"], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    sink.delete_insert(
+        spark, f"{prefix}_assigned", assigned, [id_col],
+        delete_keys=None, bucket_cols=["_blk"], n_buckets=n_buckets,
+        partition_cols=[partition_col],
+    )
+    if spark.catalog.tableExists(f"{prefix}_vectors"):
+        cols = spark.table(f"{prefix}_vectors").columns
+        for t in tenants:
+            drop_tenant_partitions(
+                spark, f"{prefix}_vectors", partition_col, t
+            )
+        sink.delete_insert(
+            spark, f"{prefix}_vectors", corpus_pin.select(*cols),
+            [id_col], delete_keys=None, bucket_cols=[id_col],
+            n_buckets=n_buckets, partition_cols=[partition_col],
+        )
+    return f"{prefix}_pairs"

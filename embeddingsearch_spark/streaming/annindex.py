@@ -1470,3 +1470,126 @@ def monitored_federated_pq_ingest(
 
     _drain(stream, step, checkpoint_dir)
     return history, dict(state["flags"])
+
+
+def monitored_federated_graph_ingest(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame,
+    reference: DataFrame,
+    partition_col: str = "source",
+    m: int = 6,
+    n_assign: int = 2,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    drift_threshold: float = 0.25,
+    skew_threshold: float = 4.0,
+    checkpoint_dir: str | None = None,
+):
+    """Drift-TRIGGERED maintenance for the MULTI-TENANT graph index —
+    the third federated monitored drain (IVF and PQ above, completing
+    the set): per-collection run-scoped drift
+    (`_RunningDriftFederated`) and per-collection block skew
+    (`_RunningPopsFederated`, each tenant's n_blocks from ITS own
+    quantizer) flag retrain PER TENANT — the action is
+    `retrain_federated_graph_tenants` (single-tenant block/pair
+    rebuild), every other collection's graph untouched. O(batch) per
+    micro-batch; the persisted tables are never rescanned for
+    monitoring. ``centroids`` is the fixed per-collection quantizer
+    (required — the graph family's coarse quantizer is caller-owned).
+    Returns ``(history, flags)``: per-batch
+    (batch_id, n_vecs, {tenant: shift}, {tenant: skew}) and
+    {tenant: bool}."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.graphann import (
+        assign_blocks_federated,
+        block_pair_sims_federated,
+        save_federated_graph_index,
+        upsert_federated_graph_index,
+    )
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    centroids = centroids.localCheckpoint(eager=True)
+    vec_table = f"{prefix}_vectors"
+    history: list[tuple] = []
+    drift = _RunningDriftFederated(reference, vec_col, partition_col)
+    n_cells_by = {
+        str(r[0]): int(r[1])
+        for r in centroids.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    pops = _RunningPopsFederated(n_cells_by)
+    state = {"flags": {}}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_vecs = batch_df.count()
+        assigned_b = assign_blocks_federated(
+            batch_df, centroids, partition_col=partition_col,
+            n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        ).localCheckpoint(eager=True)
+        if not spark.catalog.tableExists(f"{prefix}_pairs"):
+            pairs = block_pair_sims_federated(
+                batch_df, assigned_b, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+            )
+            save_federated_graph_index(
+                pairs, assigned_b, prefix,
+                partition_col=partition_col, n_buckets=n_buckets,
+            )
+            replace_bucketed(
+                batch_df, vec_table, [id_col], n_buckets=n_buckets,
+                partition_cols=[partition_col],
+            )
+        else:
+            old_vecs = spark.table(vec_table)
+            emb_all = (
+                old_vecs.join(
+                    batch_df.select(id_col).distinct(), id_col,
+                    "left_anti",
+                )
+                .unionByName(batch_df)
+                .localCheckpoint(eager=True)
+            )
+            upsert_federated_graph_index(
+                spark, prefix, emb_all, batch_df, centroids,
+                partition_col=partition_col, m=m, n_assign=n_assign,
+                n_buckets=n_buckets, id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            )
+            PartitionOverwriteSink(partition_col).delete_insert(
+                spark, vec_table, batch_df, [id_col],
+                delete_keys=batch_df.select(id_col).distinct(),
+                bucket_cols=[id_col], n_buckets=n_buckets,
+                partition_cols=[partition_col],
+            )
+        shifts = drift.update(batch_df, vec_col)
+        skews = pops.update(assigned_b, partition_col, "_blk")
+        for t in set(shifts) | set(skews):
+            sh = shifts.get(t)
+            sk = skews.get(t, 0.0)
+            if (sh is not None and sh > drift_threshold) or (
+                sk > skew_threshold
+            ):
+                state["flags"][t] = True
+            else:
+                state["flags"].setdefault(t, False)
+        history.append(
+            (
+                int(batch_id),
+                n_vecs,
+                shifts,
+                {t: round(v, 6) for t, v in skews.items()},
+            )
+        )
+
+    _drain(stream, step, checkpoint_dir)
+    return history, dict(state["flags"])

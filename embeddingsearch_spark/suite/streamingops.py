@@ -1680,3 +1680,156 @@ QUERIES["streaming_drift_tenant_pq_reindex"] = (
     STREAMING_DRIFT_TENANT_PQ_SQL,
 )
 BUILD_QUERIES.add("streaming_drift_tenant_pq_reindex")
+
+
+def q_streaming_drift_tenant_graph_reindex(spark, sf_dir):
+    """Per-tenant drift → single-tenant graph REBUILD — the graph
+    member completes the streaming tenant-drift loop (IVF:
+    `streaming_drift_tenant_reindex`; PQ:
+    `streaming_drift_tenant_pq_reindex`):
+    `monitored_federated_graph_ingest` watches per-collection
+    run-scoped drift and block skew (each tenant's n_blocks from its
+    OWN quantizer); pass 1 streams the reference era for both tenants
+    (no flags), pass 2 streams a mean shift (x → 0.2x + 0.8, new odd
+    ids) into globex ONLY — globex flags, acme is silent. The ACTION
+    (`retrain_federated_graph_tenants`) re-blocks and re-pairs globex
+    under a two-era quantizer, swapping only its partitions (acme's
+    files byte-identical, unit-tested); the routed beam search then
+    answers acme over its original graph and globex over the rebuilt
+    one. Oracle: each tenant's full build+search chain
+    (`_graph_ann_sql` re-sourced per tenant) with exactly that
+    quantizer mix, unioned, plus the flag literals."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_graph_ingest,
+    )
+
+    prefix = "es_gate_sdrift_tgraph"
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, prefix + t)
+    corpus = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    reference = corpus.filter(F.col("vec_id") % 3 != 0).withColumn(
+        "source", tenant
+    ).localCheckpoint(eager=False)
+    cents1 = reference.filter(F.col("vec_id") < 32).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+
+    _, flags1 = monitored_federated_graph_ingest(
+        stream().filter(F.col("vec_id") % 3 != 0).withColumn(
+            "source", tenant
+        ),
+        prefix, cents1, reference, m=8, n_assign=2, n_buckets=4,
+        drift_threshold=0.25, skew_threshold=4.0,
+    )
+
+    def shift(df):
+        return df.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") * 2 + 10001).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x * F.lit(0.2) + F.lit(0.8),
+            ).alias("embedding"),
+            F.lit("globex").alias("source"),
+        )
+
+    _, flags2 = monitored_federated_graph_ingest(
+        shift(stream()), prefix, cents1, reference,
+        m=8, n_assign=2, n_buckets=4,
+        drift_threshold=0.25, skew_threshold=4.0,
+    )
+    gx = reference.filter(
+        F.col("source") == "globex"
+    ).unionByName(shift(corpus)).localCheckpoint(eager=False)
+    new_cents = gx.filter(
+        (F.col("vec_id") < 32)
+        | ((F.col("vec_id") > 10000) & (F.col("vec_id") < 10064))
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    graphann.retrain_federated_graph_tenants(
+        spark, prefix, gx, new_cents, partition_col="source",
+        n_assign=2, n_buckets=4,
+    )
+    emb_all = reference.select(
+        "vec_id", "embedding", "source"
+    ).unionByName(shift(corpus)).localCheckpoint(eager=False)
+    qdf = reference.filter(F.col("vec_id") < 4)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    res = graphann.graph_search_federated(
+        spark, prefix, emb_all, queries, route, k=10, beam=24,
+        hops=4, n_entry=8, m=8, partition_col="source",
+    )
+    return res.withColumn(
+        "retrain_globex", F.lit(bool(flags2.get("globex")))
+    ).withColumn(
+        "retrain_acme",
+        F.lit(
+            bool(flags1.get("acme")) or bool(flags2.get("acme"))
+        ),
+    )
+
+
+def _streaming_drift_tenant_graph_sql() -> str:
+    from embeddingsearch_spark.suite.ann import _graph_ann_sql
+
+    acme_src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 0 AND vec_id % 3 <> 0)"
+    )
+    gx_src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 1 AND vec_id % 3 <> 0 "
+        "UNION ALL "
+        "SELECT vec_id * 2 + 10001 AS vec_id, "
+        "list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * 0.2 + 0.8) AS embedding "
+        "FROM embeddings WHERE vec_id % 3 = 0)"
+    )
+    chains = [
+        f"SELECT * FROM ({_graph_ann_sql(src=acme_src)})",
+        "SELECT * FROM ({})".format(
+            _graph_ann_sql(
+                src=gx_src,
+                cents_where=(
+                    "(vec_id < 32) OR "
+                    "(vec_id > 10000 AND vec_id < 10064)"
+                ),
+            )
+        ),
+    ]
+    union = "\nUNION ALL\n".join(chains)
+    return (
+        f"SELECT *, TRUE AS retrain_globex, FALSE AS retrain_acme "
+        f"FROM ({union})"
+    )
+
+
+QUERIES["streaming_drift_tenant_graph_reindex"] = (
+    q_streaming_drift_tenant_graph_reindex,
+    _streaming_drift_tenant_graph_sql(),
+)
+BUILD_QUERIES.add("streaming_drift_tenant_graph_reindex")

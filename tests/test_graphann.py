@@ -439,3 +439,62 @@ def test_graph_federated_per_tenant_centroid_numbering(spark, corpus):
         (r["_ida"], r["_idb"], r["cosine"]) for r in rows
     )
     assert got == want
+
+
+def test_retrain_federated_graph_tenants_blast_radius(spark, corpus):
+    """Single-tenant graph retrain: the flagged tenant's blocks and
+    pairs rebuild under new centroids (equal to a fresh per-tenant
+    build); the OTHER tenant's pair-partition files stay
+    byte-identical."""
+    import glob
+    import os
+
+    from embeddingsearch_spark.storage import drop_table
+
+    two = corpus.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=False)
+    cents1 = two.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    prefix = "es_test_tgraph_rt"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, prefix + t)
+    a1 = graphann.assign_blocks_federated(two, cents1, n_assign=2)
+    graphann.save_federated_graph_index(
+        graphann.block_pair_sims_federated(two, a1), a1, prefix,
+        n_buckets=2,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+    def listing():
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(
+                os.path.join(wh, prefix + "_pairs", "source=acme", "*")
+            )
+        )
+
+    before = listing()
+    gx = two.filter(F.col("source") == "globex")
+    new_cents = gx.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 48)
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    graphann.retrain_federated_graph_tenants(
+        spark, prefix, gx, new_cents, n_assign=2, n_buckets=2
+    )
+    assert listing() == before
+    # globex's stored pairs equal a fresh build under the new quantizer
+    a2 = graphann.assign_blocks_federated(gx, new_cents, n_assign=2)
+    want = sorted(
+        (r["_ida"], r["_idb"], r["cosine"])
+        for r in graphann.block_pair_sims_federated(gx, a2).collect()
+    )
+    got = sorted(
+        (r["_ida"], r["_idb"], r["cosine"])
+        for r in spark.table(prefix + "_pairs")
+        .filter(F.col("source") == "globex")
+        .collect()
+    )
+    assert got == want and got
