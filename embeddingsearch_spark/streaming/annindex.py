@@ -1229,6 +1229,8 @@ def monitored_federated_ivf_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT IVF index —
     `monitored_ivf_ingest`'s run-scoped O(batch) signals computed PER
@@ -1308,6 +1310,10 @@ def monitored_federated_ivf_ingest(
                 partition_col=partition_col, n_buckets=n_buckets,
                 id_col=id_col, centroid_id_col=centroid_id_col,
             )
+        _maybe_compact(
+            spark, [f"{prefix}_assigned"], len(history) + 1,
+            compact_every, compact_max_files,
+        )
         shifts = drift.update(batch_df, vec_col)
         skews = state["pops"].update(
             assigned_b, partition_col, centroid_id_col
@@ -1346,6 +1352,8 @@ def monitored_federated_pq_ingest(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT PQ index with
     the PQ-NATIVE signal per collection: every batch is encoded under
@@ -1435,6 +1443,10 @@ def monitored_federated_pq_ingest(
                 n_buckets=n_buckets, id_col=id_col,
                 codes_col=codes_col,
             )
+        _maybe_compact(
+            spark, [f"{prefix}_codes"], len(history) + 1,
+            compact_every, compact_max_files,
+        )
         ratios = {}
         for r in (
             coded.groupBy(partition_col)
@@ -1487,6 +1499,8 @@ def monitored_federated_graph_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT graph index —
     the third federated monitored drain (IVF and PQ above, completing
@@ -1571,6 +1585,11 @@ def monitored_federated_graph_ingest(
                 bucket_cols=[id_col], n_buckets=n_buckets,
                 partition_cols=[partition_col],
             )
+        _maybe_compact(
+            spark,
+            [f"{prefix}_pairs", f"{prefix}_assigned", vec_table],
+            len(history) + 1, compact_every, compact_max_files,
+        )
         shifts = drift.update(batch_df, vec_col)
         skews = pops.update(assigned_b, partition_col, "_blk")
         for t in set(shifts) | set(skews):

@@ -753,3 +753,68 @@ def test_monitored_federated_pq_per_tenant_ratios(spark, tmp_path):
     assert (
         spark.table("es_test_mon_fpq_codes").count() == 120
     )
+
+
+def test_monitored_federated_ingests_take_compact_knob(spark, tmp_path):
+    """The monitored federated drains accept the same in-stream
+    compaction knob as the plain drains: a compact_every=1 run keeps
+    the maintained tables row-complete (compaction changes costs,
+    never rows)."""
+    import math
+
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_graph_ingest,
+        monitored_federated_ivf_ingest,
+        monitored_federated_pq_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>, source string"
+
+    def unit(i):
+        a = 2 * math.pi * i / 8
+        return [math.cos(a), math.sin(a)]
+
+    rows = [
+        (i, unit(i % 8), "a" if i % 2 == 0 else "b") for i in range(40)
+    ]
+    ref = spark.createDataFrame(rows, schema)
+    cents = spark.createDataFrame(
+        [(t, 100 + i, unit(i)) for t in ("a", "b") for i in range(4)],
+        "source string, centroid_id long, embedding array<double>",
+    )
+
+    def stream(sub):
+        return _multi_file_source(
+            spark, os.path.join(str(tmp_path), sub), rows, schema, 2
+        )
+
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_cmpk_ivf" + t)
+    h, _ = monitored_federated_ivf_ingest(
+        stream("i"), "es_test_cmpk_ivf", ref, centroids=cents,
+        n_buckets=2, drift_threshold=1e9, skew_threshold=1e9,
+        compact_every=1, compact_max_files=2,
+    )
+    assert len(h) == 2
+    assert spark.table("es_test_cmpk_ivf_assigned").count() == 40
+
+    cbs = pq_ops.initial_codebooks_federated(ref, m_sub=2, k_codes=4)
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_cmpk_pq" + t)
+    monitored_federated_pq_ingest(
+        stream("p"), "es_test_cmpk_pq", ref, codebooks_by=cbs,
+        n_buckets=2, compact_every=1, compact_max_files=2,
+    )
+    assert spark.table("es_test_cmpk_pq_codes").count() == 40
+
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, "es_test_cmpk_g" + t)
+    monitored_federated_graph_ingest(
+        stream("g"), "es_test_cmpk_g", cents, ref,
+        m=4, n_assign=1, n_buckets=2,
+        drift_threshold=1e9, skew_threshold=1e9,
+        compact_every=1, compact_max_files=2,
+    )
+    assert spark.table("es_test_cmpk_g_assigned").count() == 40
