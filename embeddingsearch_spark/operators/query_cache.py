@@ -459,7 +459,7 @@ def expire_query_cache(
     spark,
     cache_table: str,
     now: float,
-    ttl: float,
+    ttl: float | dict,
     scope: str | None = None,
 ) -> dict:
     """TTL aging for the persisted query cache — the time axis of the
@@ -474,17 +474,43 @@ def expire_query_cache(
     the post-expiry serve shares `bm25_topk`'s oracle verbatim).
 
     ``scope`` ages ONE collection's keys only (per-searchdomain TTL);
-    deletion routes through the sink seam like eviction.
+    deletion routes through the sink seam like eviction. ``ttl`` may
+    instead be a ``{scope: ttl}`` map — per-searchdomain retention in
+    ONE pass (the reference's per-searchdomain settings shape): each
+    listed collection's keys age against ITS ttl, unlisted
+    collections' and unscoped rows are untouched, and the union of
+    expired keys deletes once. A dict ttl ignores the ``scope``
+    argument.
 
-    Returns {"keys_before", "keys_after", "rows_expired"}."""
+    Returns {"keys_before", "keys_after", "rows_expired"} (over the
+    aged key spaces)."""
     from pyspark.sql import functions as F
 
-    scoped = _scoped(spark.table(cache_table), scope)
-    recency = scoped.groupBy("_qh").agg(F.max("_ts").alias("_t"))
-    n_keys = recency.count()
-    expired = recency.filter(
-        F.col("_t") < F.lit(float(now)) - F.lit(float(ttl))
-    ).select("_qh")
+    cache = spark.table(cache_table)
+    if isinstance(ttl, dict):
+        n_keys = 0
+        expired = None
+        for sc, t in sorted(ttl.items()):
+            rec = (
+                _scoped(cache, sc)
+                .groupBy("_qh")
+                .agg(F.max("_ts").alias("_t"))
+            )
+            n_keys += rec.count()
+            part = rec.filter(
+                F.col("_t") < F.lit(float(now)) - F.lit(float(t))
+            ).select("_qh")
+            expired = (
+                part if expired is None else expired.unionByName(part)
+            )
+    else:
+        recency = _scoped(cache, scope).groupBy("_qh").agg(
+            F.max("_ts").alias("_t")
+        )
+        n_keys = recency.count()
+        expired = recency.filter(
+            F.col("_t") < F.lit(float(now)) - F.lit(float(ttl))
+        ).select("_qh")
     n_exp_keys = expired.count()
     n_del = _delete_cache_keys(spark, cache_table, expired)
     return {

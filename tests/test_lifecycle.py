@@ -339,3 +339,34 @@ def test_positions_onboard_offboard(spark):
         spark.table(prefix).filter(F.col("source") == "t0").count()
         == 0
     )
+
+
+def test_per_tenant_ttl_map(spark):
+    """{scope: ttl} aging in one pass: each listed collection's keys
+    age against ITS ttl; unlisted collections untouched."""
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    cache = "es_test_ttlmap_cache"
+    drop_table(spark, cache)
+    rows = [
+        ("a1", 5, 1, 10.0, "acme", 1, 1.0, 1),   # age 90 at now=100
+        ("a2", 5, 2, 80.0, "acme", 2, 1.0, 1),   # age 20
+        ("g1", 5, 1, 10.0, "globex", 3, 1.0, 1),  # age 90
+        ("n1", 5, 1, 10.0, "newco", 4, 1.0, 1),   # unlisted
+    ]
+    spark.createDataFrame(
+        rows,
+        "_qh string, _kmax int, _gen int, _ts double, _scope string, "
+        "doc_id long, score double, rank int",
+    ).write.saveAsTable(cache)
+    stats = qc.expire_query_cache(
+        spark, cache, now=100.0,
+        ttl={"acme": 50.0, "globex": 95.0},
+    )
+    # acme: a1 expires (90 > 50), a2 survives; globex: g1 survives
+    # (90 <= 95); newco untouched (unlisted)
+    assert stats == {
+        "keys_before": 3, "keys_after": 2, "rows_expired": 1
+    }
+    left = {r["_qh"] for r in spark.table(cache).collect()}
+    assert left == {"a2", "g1", "n1"}
