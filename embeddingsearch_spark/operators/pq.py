@@ -984,10 +984,12 @@ def pq_federated_refined(
     by construction (the ADC scan prunes per tenant), so the exact
     re-rank cannot leak cross-tenant candidates.
 
-    Buys back the ADC-only federated path's quantization loss
-    (BASELINE.md tenant probe: recall@10 0.23 ADC-only → ~1.0 at
-    refine_factor=8 on the same config). Output matches the exact
-    scorers' contract: (query_id, vec_id, cosine, rank<=k)."""
+    Buys back the ADC-only federated path's quantization loss, but
+    only as far as the quantizer allows (BASELINE.md tenant probe:
+    recall@10 0.23 ADC-only → 0.60 at the K=16/refine_factor=8 gate
+    config; the `pq_config_for` quality config K=64/factor=16 reaches
+    0.91/0.90, 0.98 at factor=32). Output matches the exact scorers'
+    contract: (query_id, vec_id, cosine, rank<=k)."""
     shortlist = pq_federated_from_index(
         spark, prefix, queries, route, k=refine_factor * k,
         partition_col=partition_col, id_col=id_col,

@@ -34,6 +34,50 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+def _affected_vectors(
+    spark,
+    prefix: str,
+    old_vecs: DataFrame,
+    batch_df: DataFrame,
+    assigned_b: DataFrame,
+    id_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """The O(affected) replacement for the graph drains' full
+    merged-vectors checkpoint: `_graph_delta` (graphann.py) only ever
+    fetches vectors for candidate ids inside the batch's AFFECTED
+    blocks — (new × affected-block member) and (new × new) pairs — so
+    the corpus frame handed to the upsert need only contain
+    (affected-block members ∪ batch). Pruning BEFORE the eager pin
+    keeps the per-batch materialization O(batch + affected-block
+    membership) instead of O(index) — the same per-batch-O(index)
+    class the round-7 monitor rework removed from the signal side.
+
+    The affected blocks come from the batch's own assignment (already
+    O(batch × centroids)); members come from the persisted assignment
+    table, joined on the broadcast block set (federated: on
+    [tenant, _blk], so per-tenant block numbering never
+    cross-matches). The result is eagerly checkpointed because its
+    lineage reads the vectors table the drain is about to rewrite."""
+    from pyspark.sql import functions as F
+
+    on = ["_blk"] if partition_col is None else [partition_col, "_blk"]
+    affected = assigned_b.select(*on).distinct()
+    member_ids = (
+        spark.table(f"{prefix}_assigned")
+        .join(F.broadcast(affected), on)
+        .select(id_col)
+        .distinct()
+    )
+    batch_ids = batch_df.select(id_col).distinct()
+    return (
+        old_vecs.join(member_ids, id_col, "left_semi")
+        .join(batch_ids, id_col, "left_anti")
+        .unionByName(batch_df)
+        .localCheckpoint(eager=True)
+    )
+
+
 def _dim_sum_rows(df: DataFrame, vec_col: str):
     """Per-dimension (sum, count) of a frame — ONE d-bounded aggregate
     (d rows collected; `operators.drift.embedding_drift`'s posexplode
@@ -451,13 +495,13 @@ def graph_index_available_now(
                 batch_df, vec_table, [id_col], n_buckets=n_buckets
             )
             return
-        old_vecs = spark.table(vec_table)
-        emb_all = (
-            old_vecs.join(
-                batch_df.select(id_col).distinct(), id_col, "left_anti"
-            )
-            .unionByName(batch_df)
-            .localCheckpoint(eager=True)
+        assigned_b = assign_blocks(
+            batch_df, centroids, n_assign, id_col, vec_col,
+            centroid_id_col,
+        )
+        emb_all = _affected_vectors(
+            spark, prefix, spark.table(vec_table), batch_df,
+            assigned_b, id_col,
         )
         upsert_graph_index(
             spark, prefix, emb_all, batch_df, centroids,
@@ -566,14 +610,9 @@ def monitored_graph_ingest(
                 batch_df, vec_table, [id_col], n_buckets=n_buckets
             )
         else:
-            old_vecs = spark.table(vec_table)
-            emb_all = (
-                old_vecs.join(
-                    batch_df.select(id_col).distinct(), id_col,
-                    "left_anti",
-                )
-                .unionByName(batch_df)
-                .localCheckpoint(eager=True)
+            emb_all = _affected_vectors(
+                spark, prefix, spark.table(vec_table), batch_df,
+                assigned_b, id_col,
             )
             upsert_graph_index(
                 spark, prefix, emb_all, batch_df, centroids,
@@ -1132,13 +1171,14 @@ def federated_graph_index_available_now(
                 len(history), compact_every, compact_max_files,
             )
             return
-        old_vecs = spark.table(vec_table)
-        emb_all = (
-            old_vecs.join(
-                batch_df.select(id_col).distinct(), id_col, "left_anti"
-            )
-            .unionByName(batch_df)
-            .localCheckpoint(eager=True)
+        assigned_b = assign_blocks_federated(
+            batch_df, centroids, partition_col=partition_col,
+            n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
+        emb_all = _affected_vectors(
+            spark, prefix, spark.table(vec_table), batch_df,
+            assigned_b, id_col, partition_col=partition_col,
         )
         upsert_federated_graph_index(
             spark, prefix, emb_all, batch_df, centroids,
@@ -1564,14 +1604,9 @@ def monitored_federated_graph_ingest(
                 partition_cols=[partition_col],
             )
         else:
-            old_vecs = spark.table(vec_table)
-            emb_all = (
-                old_vecs.join(
-                    batch_df.select(id_col).distinct(), id_col,
-                    "left_anti",
-                )
-                .unionByName(batch_df)
-                .localCheckpoint(eager=True)
+            emb_all = _affected_vectors(
+                spark, prefix, spark.table(vec_table), batch_df,
+                assigned_b, id_col, partition_col=partition_col,
             )
             upsert_federated_graph_index(
                 spark, prefix, emb_all, batch_df, centroids,
