@@ -1258,13 +1258,48 @@ def save_federated_ivf_index(
     return f"{prefix}_assigned", f"{prefix}_centroids"
 
 
+def ivf_config_for(n: int, k: int = 10, recall_target: float = 0.9) -> dict:
+    """Size the IVF quantizer + probe width from the corpus — the
+    `graph_config_for`/`pq_config_for` convention for the cell-probed
+    family, constants pinned by the BASELINE.md round-8 probe over
+    uniform-random per-tenant corpora (the family's WORST case: recall
+    tracks the probed-cell fraction, measured recall ≈ frac^0.4 — 0.2
+    of cells → 0.50, 0.5 → 0.78, 0.7 → 0.90, stable across
+    n_cents ∈ {8,16,32} at n=1000):
+
+    - ``n_cents``: √n (floor(√n + 0.5), clamped [4, 4096]) — the
+      standard balance between the per-query centroid ranking cost
+      (n_cents distance evals) and the per-cell scan unit (n/n_cents
+      rows); recall depends on the probed FRACTION, not the cell
+      count, so √n costs nothing in quality;
+    - ``nprobe``: ceil(recall_target^2.5 × n_cents) — the inverse of
+      the measured frac→recall curve, so the rule's config reaches
+      ``recall_target`` on uniform-random vectors (clustered real
+      corpora reach it at far smaller nprobe; this is the
+      conservative floor). recall 0.9 → probe ~77% of cells — the
+      honest price of high recall on structureless data, and exactly
+      the trade BASELINE.md documents (the hand-picked 16-cent/
+      nprobe=4 config measured 0.549/0.499).
+
+    Sized per COLLECTION for the federated family — each tenant's
+    quantizer grows with ITS corpus. Returns
+    ``{"n_cents": int, "nprobe": int}``."""
+    import math
+
+    n = max(int(n), 4)
+    n_cents = int(min(4096, max(4, math.floor(math.sqrt(n) + 0.5))))
+    frac = min(1.0, max(0.0, float(recall_target)) ** 2.5)
+    nprobe = int(min(n_cents, max(1, math.ceil(frac * n_cents))))
+    return {"n_cents": n_cents, "nprobe": nprobe}
+
+
 def ivf_federated_from_index(
     spark,
     prefix: str,
     queries: DataFrame,
     route: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | dict = 2,
     partition_col: str = "source",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1281,6 +1316,10 @@ def ivf_federated_from_index(
     any other tenant's. The probe collect is bounded by
     |queries| × nprobe (the same contract as `ivf_topk_from_index`;
     batch-serve huge query sets through the join path instead).
+    ``nprobe`` may be a ``{tenant: nprobe}`` map (the `ivf_config_for`
+    per-collection sizing — each tenant's probe width grows with ITS
+    quantizer; string tenant keys, the federated convention): the
+    per-query cut then follows the query's OWN collection's width.
     Result = per-tenant `ivf_topk` run inside each collection
     (tested), columns (query_id, id, cosine, rank)."""
     from embeddingsearch_spark.operators.retrieval import (
@@ -1315,7 +1354,7 @@ def ivf_federated_from_index(
     pw = Window.partitionBy(query_id_col).orderBy(
         F.col("_psim").desc(), F.col(centroid_id_col).asc()
     )
-    probe = (
+    ranked = (
         qv.join(F.broadcast(pc), partition_col)
         .select(
             query_id_col,
@@ -1324,10 +1363,20 @@ def ivf_federated_from_index(
             F.round(psim, ROUND_DIGITS).alias("_psim"),
         )
         .withColumn("_r", F.row_number().over(pw))
-        .filter(F.col("_r") <= nprobe)
-        .select(query_id_col, partition_col, centroid_id_col)
-        .localCheckpoint(eager=False)
     )
+    if isinstance(nprobe, dict):
+        np_map = spark.createDataFrame(
+            [(str(t), int(v)) for t, v in nprobe.items()],
+            f"{partition_col} string, _np int",
+        )
+        ranked = ranked.join(F.broadcast(np_map), partition_col).filter(
+            F.col("_r") <= F.col("_np")
+        )
+    else:
+        ranked = ranked.filter(F.col("_r") <= nprobe)
+    probe = ranked.select(
+        query_id_col, partition_col, centroid_id_col
+    ).localCheckpoint(eager=False)
     pairs = probe.select(partition_col, centroid_id_col).distinct().collect()
     pruned = spark.table(f"{prefix}_assigned").filter(
         _partition_filter([partition_col, centroid_id_col], pairs)

@@ -116,6 +116,70 @@ def vocab_drift_from_counts(
     return summary, per_token.drop("_js")
 
 
+def vocab_drift_federated_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    partition_col: str = "source",
+    vocab_size: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """`vocab_drift_from_counts` PER COLLECTION: both inputs are
+    ``(partition_col, tok, c)`` frames (run counts vs a pinned
+    per-tenant reference — `corpus_token_counts_federated`'s shape);
+    the output is one row per collection present on EITHER side:
+    ``(partition_col, js_divergence, n_vocab, n_a, n_b)``. Everything
+    stays distributed: the vocabulary cut is a per-tenant rank window
+    (top ``vocab_size`` tokens by combined count, token-string
+    tie-break — the deterministic-cut convention), the per-tenant
+    totals join back as columns instead of collecting, and the JS sum
+    collapses per tenant — so one aggregate serves every searchdomain
+    at once, the lexical twin of `embedding_drift_federated`. A
+    collection's divergence is computed against ITS OWN reference
+    counts only; a tenant absent from the reference diverges against
+    an empty (all-smoothing) distribution — loud, which is correct
+    for an un-onboarded feed."""
+    from pyspark.sql import Window
+
+    pc = partition_col
+    merged = (
+        ca.withColumnRenamed("c", "ca")
+        .join(
+            cb.withColumnRenamed("c", "cb"), [pc, "tok"], "full_outer"
+        )
+        .select(
+            pc,
+            "tok",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(pc).orderBy(
+        (F.col("ca") + F.col("cb")).desc(), F.col("tok").asc()
+    )
+    vocab = (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_size)
+        .drop("_rk")
+    )
+    totals = merged.groupBy(pc).agg(
+        F.sum("ca").alias("_na"), F.sum("cb").alias("_nb")
+    )
+    j = vocab.join(F.broadcast(totals), pc)
+    denom_a = F.col("_na") + smoothing * (vocab_size + 1)
+    denom_b = F.col("_nb") + smoothing * (vocab_size + 1)
+    p_a = (F.col("ca") + F.lit(smoothing)) / denom_a
+    p_b = (F.col("cb") + F.lit(smoothing)) / denom_b
+    m = (p_a + p_b) / 2
+    contrib = p_a * F.log(p_a / m) / 2 + p_b * F.log(p_b / m) / 2
+    return j.groupBy(pc).agg(
+        F.round(F.sum(contrib), ROUND_DIGITS).alias("js_divergence"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+    )
+
+
 def embedding_drift(
     emb_a: DataFrame,
     emb_b: DataFrame,

@@ -53,6 +53,27 @@ def corpus_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_token_counts_federated(
+    df: DataFrame,
+    text_col: str = "text",
+    partition_col: str = "source",
+) -> DataFrame:
+    """`corpus_token_counts` PER COLLECTION: ``(partition_col, tok,
+    c)`` — one explode + one hash-partitioned count keyed by
+    (tenant, token), so a multi-tenant corpus's unigram statistics
+    come out domain-local in a single pass (the reference's
+    per-searchdomain corpus semantics applied to token counts). Feeds
+    the per-tenant vocabulary-drift monitor."""
+    return (
+        df.select(
+            F.col(partition_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy(partition_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def unigram_vocab(
     df: DataFrame, id_col: str, text_col: str, vocab_size: int = 65536
 ) -> DataFrame:

@@ -667,6 +667,55 @@ def upsert_partitioned_postings_index(
     return table
 
 
+def retrain_federated_postings_tenants(
+    spark,
+    table: str,
+    tenant_corpus: DataFrame,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+    sink=None,
+) -> str:
+    """Single-collection postings REBUILD for the multi-tenant lexical
+    index — the lexical member of the `retrain_federated_*_tenants`
+    set (IVF/PQ/graph have it for their quantizers): postings carry no
+    trained quantizer, so the per-searchdomain "retrain" is a
+    PARTITION SWAP — re-tokenize the flagged collection(s)' FULL
+    current corpus (optionally under a NEW ``tokenizer``, the lexical
+    analog of a retrained quantizer — the index must be served with
+    the tokenizer it was built with) and rewrite ONLY their
+    partitions through the partition-overwrite seam. Docs that
+    vanished from the corpus are removed (their ids are delete keys);
+    every other collection's postings files stay byte-identical
+    (tested). ``tenant_corpus``'s partition values define which
+    collections swap — the `retrain_federated_ivf_tenants`
+    convention."""
+    pcs = _pcols(partition_col)
+    tenants = tenant_corpus.select(*pcs).distinct().localCheckpoint(
+        eager=True
+    )
+    # ids currently indexed for the swapped tenants but absent from
+    # the fresh corpus: must delete, not linger (pin eagerly — the
+    # lineage reads the table the upsert is about to rewrite)
+    gone = (
+        spark.table(table)
+        .join(F.broadcast(tenants), pcs, "left_semi")
+        .select(id_col)
+        .distinct()
+        .join(
+            tenant_corpus.select(id_col).distinct(), id_col, "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
+    return upsert_partitioned_postings_index(
+        spark, table, tenant_corpus, partition_col=partition_col,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        tokenizer=tokenizer, deleted_ids=gone, sink=sink,
+    )
+
+
 def bm25_federated_from_index(
     spark,
     table: str,

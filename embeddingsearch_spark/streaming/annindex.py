@@ -167,6 +167,75 @@ class _RunningPops:
         return float(max(self.pops.values())) * self.n_cells / tot
 
 
+class _RunningVocabFederated:
+    """Per-collection run-scoped VOCABULARY drift: a running
+    ``(tenant, tok, c)`` count table of everything that streamed THIS
+    RUN, merged per micro-batch (counts are associative — the
+    cumulative divergence is batch-equivalent to the one-shot
+    computation over the streamed rows), diffed per tenant against
+    the pinned per-tenant reference counts via
+    `vocab_drift_federated_from_counts`. The per-batch cost is one
+    batch tokenization + one merge + one run-vocab-bounded aggregate;
+    the persisted postings table is never rescanned for monitoring
+    (the `_RunningDrift` contract, lexical edition). Unlike the
+    dim/cell monitors the state is a (pinned) DataFrame, not a driver
+    dict — a vocabulary is unbounded where d and n_cells are not."""
+
+    def __init__(
+        self,
+        reference: DataFrame,
+        text_col: str,
+        partition_col: str,
+        vocab_size: int,
+        smoothing: float,
+    ):
+        from embeddingsearch_spark.operators.lmscore import (
+            corpus_token_counts_federated,
+        )
+
+        self.pc = partition_col
+        self.vocab_size = vocab_size
+        self.smoothing = smoothing
+        self.ref_counts = corpus_token_counts_federated(
+            reference, text_col, partition_col
+        ).localCheckpoint(eager=True)
+        self.counts: DataFrame | None = None
+
+    def update(self, batch_df: DataFrame, text_col: str) -> dict:
+        """Merge the batch's per-tenant token counts; return
+        {tenant: cumulative js_divergence} for every tenant seen this
+        run."""
+        from pyspark.sql import functions as F
+
+        from embeddingsearch_spark.operators.drift import (
+            vocab_drift_federated_from_counts,
+        )
+        from embeddingsearch_spark.operators.lmscore import (
+            corpus_token_counts_federated,
+        )
+
+        bc = corpus_token_counts_federated(batch_df, text_col, self.pc)
+        merged = (
+            bc
+            if self.counts is None
+            else self.counts.unionByName(bc)
+            .groupBy(self.pc, "tok")
+            .agg(F.sum("c").alias("c"))
+        ).localCheckpoint(eager=True)
+        self.counts = merged
+        summary = vocab_drift_federated_from_counts(
+            merged, self.ref_counts, self.pc,
+            vocab_size=self.vocab_size, smoothing=self.smoothing,
+        )
+        # tenant-bounded collect; only tenants that streamed this run
+        # carry a signal (n_a > 0) — reference-only tenants are quiet
+        return {
+            str(r[self.pc]): r["js_divergence"]
+            for r in summary.collect()
+            if r["n_a"]
+        }
+
+
 class _RunningDriftFederated:
     """`_RunningDrift` per collection: per-(tenant, dim) running sums
     of everything ingested THIS RUN vs the pinned per-tenant reference
@@ -324,12 +393,15 @@ def postings_index_available_now(
     text_col: str = "text",
     n_buckets: int = 8,
     checkpoint_dir: str | None = None,
+    sink=None,
 ) -> list[int]:
     """Drain a document stream, maintaining the persisted postings
     index per micro-batch (create on first batch, upsert after).
     Returns the per-batch ingested-row counts (driver-side history —
     one scalar per batch, the monitoring hook). Pass a stable
-    ``checkpoint_dir`` for resumable production ingest."""
+    ``checkpoint_dir`` for resumable production ingest; pass an ACID
+    ``sink`` (e.g. `MergeSink`) so each upsert costs the batch plus
+    touched files instead of the local rewrite."""
     from embeddingsearch_spark.operators.retrieval import (
         build_postings_index,
         upsert_postings_index,
@@ -345,7 +417,8 @@ def postings_index_available_now(
         history.append(batch_df.count())
         if spark.catalog.tableExists(table):
             upsert_postings_index(
-                spark, table, batch_df, id_col, text_col, n_buckets
+                spark, table, batch_df, id_col, text_col, n_buckets,
+                sink=sink,
             )
         else:
             build_postings_index(
@@ -367,6 +440,7 @@ def monitored_postings_ingest(
     threshold: float = 0.05,
     n_buckets: int = 8,
     checkpoint_dir: str | None = None,
+    sink=None,
 ):
     """Drift-TRIGGERED index maintenance: one stream pass that both
     maintains the persisted postings index (create-or-upsert per
@@ -412,7 +486,8 @@ def monitored_postings_ingest(
         n_docs = batch_df.count()
         if spark.catalog.tableExists(table):
             upsert_postings_index(
-                spark, table, batch_df, id_col, text_col, n_buckets
+                spark, table, batch_df, id_col, text_col, n_buckets,
+                sink=sink,
             )
         else:
             build_postings_index(
@@ -451,6 +526,7 @@ def graph_index_available_now(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     checkpoint_dir: str | None = None,
+    sink=None,
 ) -> list[int]:
     """Drain a vector stream, maintaining the persisted graph-ANN
     index per micro-batch. The coarse quantizer is FIXED for the
@@ -507,11 +583,11 @@ def graph_index_available_now(
             spark, prefix, emb_all, batch_df, centroids,
             m=m, n_assign=n_assign, n_buckets=n_buckets,
             id_col=id_col, vec_col=vec_col,
-            centroid_id_col=centroid_id_col,
+            centroid_id_col=centroid_id_col, sink=sink,
         )
-        # vectors table through the same seam: batch-cost on an ACID
-        # format, rewrite locally
-        ParquetRewriteSink().delete_insert(
+        # vectors table through the same seam: an ACID ``sink``
+        # (MergeSink) realizes batch-cost; the default rewrites locally
+        (sink or ParquetRewriteSink()).delete_insert(
             spark, vec_table, batch_df, [id_col],
             delete_keys=batch_df.select(id_col).distinct(),
             bucket_cols=[id_col], n_buckets=n_buckets,
@@ -535,6 +611,7 @@ def monitored_graph_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
+    sink=None,
 ):
     """Drift-TRIGGERED maintenance for the VECTOR index family — the
     `monitored_postings_ingest` loop closed for graph/IVF/PQ: one
@@ -618,9 +695,9 @@ def monitored_graph_ingest(
                 spark, prefix, emb_all, batch_df, centroids,
                 m=m, n_assign=n_assign, n_buckets=n_buckets,
                 id_col=id_col, vec_col=vec_col,
-                centroid_id_col=centroid_id_col,
+                centroid_id_col=centroid_id_col, sink=sink,
             )
-            ParquetRewriteSink().delete_insert(
+            (sink or ParquetRewriteSink()).delete_insert(
                 spark, vec_table, batch_df, [id_col],
                 delete_keys=batch_df.select(id_col).distinct(),
                 bucket_cols=[id_col], n_buckets=n_buckets,
@@ -646,6 +723,7 @@ def ivf_index_available_now(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     checkpoint_dir: str | None = None,
+    sink=None,
 ) -> list[int]:
     """Drain a vector stream, maintaining the persisted IVF index per
     micro-batch — the streaming wrapper completing the vector-index
@@ -672,7 +750,7 @@ def ivf_index_available_now(
             upsert_ivf_index(
                 spark, prefix, batch_df, id_col=id_col,
                 vec_col=vec_col, centroid_id_col=centroid_id_col,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, sink=sink,
             )
         else:
             if centroids is None:
@@ -773,6 +851,7 @@ def monitored_ivf_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
+    sink=None,
 ):
     """Drift-TRIGGERED IVF maintenance — `monitored_graph_ingest`'s
     signal pair read off the IVF index's OWN table (the assigned
@@ -842,7 +921,7 @@ def monitored_ivf_ingest(
             upsert_ivf_index(
                 spark, prefix, batch_df, id_col=id_col,
                 vec_col=vec_col, centroid_id_col=centroid_id_col,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, sink=sink,
             )
         else:
             save_ivf_index(
@@ -873,6 +952,7 @@ def monitored_pq_ingest(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
+    sink=None,
 ):
     """Drift-TRIGGERED maintenance for the PQ index — the
     `monitored_graph_ingest` loop with the PQ-NATIVE signal:
@@ -949,7 +1029,7 @@ def monitored_pq_ingest(
         state["sum"] += float(agg["s"] or 0.0)
         state["n"] += int(agg["n"])
         if exists:
-            ParquetRewriteSink().delete_insert(
+            (sink or ParquetRewriteSink()).delete_insert(
                 spark, f"{prefix}_codes",
                 coded.select(id_col, codes_col), [id_col],
                 delete_keys=coded.select(id_col).distinct(),
@@ -985,6 +1065,7 @@ def pq_index_available_now(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
+    sink=None,
 ) -> list[int]:
     """Drain a vector stream, maintaining the persisted PQ index per
     micro-batch — the third index family's streaming wrapper
@@ -1011,7 +1092,7 @@ def pq_index_available_now(
             upsert_pq_index(
                 spark, prefix, batch_df, id_col=id_col,
                 vec_col=vec_col, codes_col=codes_col,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, sink=sink,
             )
         else:
             if codebooks is None:
@@ -1254,6 +1335,93 @@ def federated_postings_index_available_now(
 
     _drain(stream, step, checkpoint_dir)
     return history
+
+
+def monitored_federated_postings_ingest(
+    stream: DataFrame,
+    table: str,
+    reference: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    smoothing: float = 1.0,
+    threshold: float = 0.05,
+    n_buckets: int = 8,
+    tokenizer=None,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
+):
+    """Drift-TRIGGERED maintenance for the MULTI-TENANT lexical index
+    — the fourth federated monitored drain, closing the loop the
+    vector families already have (IVF drift/skew, PQ distortion,
+    graph drift/skew): one stream pass that maintains the
+    tenant-partitioned postings index per micro-batch (create-or-
+    upsert, each batch rewriting only the tenant partitions it
+    touches) while watching PER-COLLECTION vocabulary drift — each
+    searchdomain's run-scoped token counts vs ITS OWN pinned
+    reference counts, cumulative JS divergence per tenant after every
+    batch (`_RunningVocabFederated`; the reference is per-searchdomain
+    everything — Searchdomain.cs:49-181 — so a multi-tenant deployment
+    must get domain-local drift signals for BM25, not a whole-corpus
+    blur where one tenant's shift hides in nineteen stable ones).
+
+    A tenant whose cumulative divergence crosses ``threshold`` flags
+    retrain FOR THAT TENANT ONLY — the action is
+    `retrain_federated_postings_tenants` (single-collection partition
+    swap, optionally under a new tokenizer); the INDEX keeps updating
+    either way (postings are distribution-free; what goes stale is
+    whatever was TRAINED on the old distribution: language models,
+    stopword lists, quality classifiers, a learned tokenizer).
+
+    Signals are RUN-SCOPED (what streamed since this monitor started)
+    and O(batch) per micro-batch — the persisted postings table is
+    never rescanned for monitoring. Returns ``(history, flags)``:
+    per-batch ``(batch_id, n_docs, {tenant: js})`` and
+    ``{tenant: bool}``."""
+    from embeddingsearch_spark.operators.retrieval import (
+        build_partitioned_postings_index,
+        upsert_partitioned_postings_index,
+    )
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    vocab = _RunningVocabFederated(
+        reference, text_col, partition_col, vocab_size, smoothing
+    )
+    state = {"flags": {}}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_docs = batch_df.count()
+        if spark.catalog.tableExists(table):
+            upsert_partitioned_postings_index(
+                spark, table, batch_df, partition_col=partition_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=n_buckets, tokenizer=tokenizer,
+            )
+        else:
+            build_partitioned_postings_index(
+                batch_df, table, partition_col=partition_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=n_buckets, tokenizer=tokenizer,
+            )
+        _maybe_compact(
+            spark, [table], len(history) + 1,
+            compact_every, compact_max_files,
+        )
+        jss = vocab.update(batch_df, text_col)
+        for t, js in jss.items():
+            if js is not None and js > threshold:
+                state["flags"][t] = True
+            else:
+                state["flags"].setdefault(t, False)
+        history.append((int(batch_id), n_docs, jss))
+
+    _drain(stream, step, checkpoint_dir)
+    return history, dict(state["flags"])
 
 
 def monitored_federated_ivf_ingest(

@@ -440,13 +440,16 @@ def _ivf_tenant_sql(
     q_where: str = "vec_id % 13 = 0",
     extra_select: str = "",
     cents_sql: str | None = None,
+    probe_sql: str | None = None,
 ) -> str:
     """The tenant-scoped IVF chain (per-collection quantizer →
     tenant-routed probe → within-collection scoring), parameterized
-    over the corpus CTE, the quantizer id rule, and the query set —
-    `IVF_TENANT_SERVE_SQL` is the default instance; the drift-retrain
-    oracle re-sources it to the two-era corpus with a re-selected
-    quantizer for the drifted tenant only."""
+    over the corpus CTE, the quantizer id rule, the query set, and
+    (``probe_sql``) the probe-cut CTE — `IVF_TENANT_SERVE_SQL` is the
+    default instance; the drift-retrain oracle re-sources it to the
+    two-era corpus with a re-selected quantizer for the drifted
+    tenant only; the autoconf oracle swaps in a per-tenant probe
+    width derived from the same sizing rule."""
     src = src_sql or """src AS (
   SELECT vec_id, embedding,
          CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
@@ -456,6 +459,14 @@ def _ivf_tenant_sql(
     cents = cents_sql or f"""tcents AS (
   SELECT source, vec_id AS centroid_id, embedding AS cv FROM src
   WHERE {cents_where}
+)"""
+    probe = probe_sql or """probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM probe_sims
+  ) WHERE r <= 4
 )"""
     return f"""WITH {src},
 {cents},
@@ -491,14 +502,7 @@ probe_sims AS (
   SELECT query_id, centroid_id, round({_COS}, {RD}) AS sim
   FROM probe_elems GROUP BY query_id, centroid_id
 ),
-probe AS (
-  SELECT query_id, centroid_id FROM (
-    SELECT query_id, centroid_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY sim DESC, centroid_id ASC) AS r
-    FROM probe_sims
-  ) WHERE r <= 4
-),
+{probe},
 cand_elems AS (
   SELECT p.query_id, a.vec_id,
          CAST(unnest(e.embedding) AS DOUBLE) AS x,
@@ -2951,3 +2955,109 @@ BUILD_QUERIES = {
     # unified_index_serve / pq_tenant_serve's routed path
     "tenant_bluegreen_serve",
 }
+
+
+def q_ivf_tenant_autoconf_serve(spark, sf_dir):
+    """Corpus-sized federated IVF — `ivf_config_for` closed into a
+    gate, the IVF member of the autoconf set (`pq_tenant_autoconf_
+    refined` / the graph family's `graph_config_for` chain): each
+    collection's quantizer size (√n_t) AND probe width
+    (ceil(0.9^2.5 · n_cents), the measured uniform-random recall
+    curve's inverse) derive from ITS OWN live corpus count, the
+    per-tenant centroids are the n_cents lowest vec_ids (the
+    SQL-reproducible seeding convention), and the routed serve cuts
+    each query's probe at its own collection's width
+    (`ivf_federated_from_index(nprobe={tenant: np})`). The oracle
+    derives the SAME config in SQL from the same counts — a drifted
+    sizing rule value-fails, exactly like the PQ autoconf gate. Why
+    this matters: the hand-picked 16-cent/nprobe=4 config measured
+    recall@10 0.549/0.499 (BASELINE.md round-6 probe) — the
+    worst-quality federated serve until this rule; the rule's config
+    measures ≥0.9 per tenant (round-8 probe)."""
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: one row per collection
+    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    cfg_df = emb.sparkSession.createDataFrame(
+        [(t, c["n_cents"]) for t, c in cfg.items()],
+        "source string, _nc int",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy("vec_id")
+    cents = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(cfg_df), "source")
+        .filter(F.col("_rn") <= F.col("_nc"))
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_tivf_auto", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return ann_ops.ivf_federated_from_index(
+        spark, "es_gate_tivf_auto", queries, route, k=10,
+        nprobe={t: c["nprobe"] for t, c in cfg.items()},
+        partition_col="source",
+    )
+
+
+def _ivf_tenant_autoconf_sql() -> str:
+    """`_ivf_tenant_sql` with BOTH knobs derived from the per-tenant
+    corpus count by the same rule `ivf_config_for` encodes —
+    n_cents = clamp(floor(√n + 0.5), 4, 4096), nprobe =
+    min(n_cents, max(1, ceil(0.9^2.5 · n_cents))) — so the oracle
+    value-fails if the sizing rule drifts from the SQL."""
+    cents_sql = """tcfg AS (
+  SELECT source,
+         CAST(greatest(4, least(4096,
+              floor(sqrt(count(*)) + 0.5))) AS INT) AS n_cents,
+         CAST(least(greatest(4, least(4096,
+                    floor(sqrt(count(*)) + 0.5))),
+              greatest(1, ceil(pow(0.9, 2.5)
+                   * greatest(4, least(4096,
+                       floor(sqrt(count(*)) + 0.5)))))) AS INT) AS np
+  FROM src GROUP BY source
+),
+tcents AS (
+  SELECT source, centroid_id, cv FROM (
+    SELECT s.source, s.vec_id AS centroid_id, s.embedding AS cv,
+           row_number() OVER (PARTITION BY s.source
+                              ORDER BY s.vec_id) AS r,
+           g.n_cents
+    FROM src s JOIN tcfg g ON g.source = s.source
+  ) WHERE r <= n_cents
+)"""
+    probe_sql = """probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT ps.query_id, ps.centroid_id,
+           row_number() OVER (PARTITION BY ps.query_id
+                              ORDER BY ps.sim DESC,
+                                       ps.centroid_id ASC) AS r,
+           g.np
+    FROM probe_sims ps
+    JOIN q ON q.query_id = ps.query_id
+    JOIN tcfg g ON g.source = q.source
+  ) WHERE r <= np
+)"""
+    return _ivf_tenant_sql(cents_sql=cents_sql, probe_sql=probe_sql)
+
+
+QUERIES["ivf_tenant_autoconf_serve"] = (
+    q_ivf_tenant_autoconf_serve,
+    _ivf_tenant_autoconf_sql(),
+)

@@ -1833,3 +1833,145 @@ QUERIES["streaming_drift_tenant_graph_reindex"] = (
     _streaming_drift_tenant_graph_sql(),
 )
 BUILD_QUERIES.add("streaming_drift_tenant_graph_reindex")
+
+
+# the drifted era's alien vocabulary (shared by the Spark gate and the
+# oracle SQL — tokens absent from the realistic synthesis by
+# construction, so the drifted tenant's run-scoped JS is driven
+# entirely by this injection)
+_DRIFT_TEXT = (
+    "drifta driftb driftc driftd drifta driftb driftc driftd "
+    "drifta driftb driftc driftd"
+)
+
+
+def q_streaming_drift_tenant_postings_reindex(spark, sf_dir):
+    """Per-tenant VOCABULARY drift → single-tenant partition swap for
+    the LEXICAL index — the postings member of the streaming
+    tenant-drift loop, closing it across both modalities
+    (IVF/PQ/graph members above; the reference is per-searchdomain
+    everything — Searchdomain.cs:49-181 — and BM25 is the engine's
+    most-served family, so a multi-tenant deployment needs
+    domain-local lexical drift signals too, not a whole-corpus blur):
+    pass 1 streams the reference-era realistic corpus for ALL 20
+    tenants through `monitored_federated_postings_ingest` (creates
+    the tenant-partitioned postings index; per-tenant run counts ==
+    per-tenant reference counts, JS = 0 — no flags), pass 2 streams
+    an ALIEN-VOCABULARY era into src3 ONLY (new ids at +500000, text
+    = `_DRIFT_TEXT`) — src3's run-scoped cumulative JS (0.08 at
+    sf0.01, 0.27 at sf0.1, vs threshold 0.05) flags retrain, all
+    other tenants are silent. The ACTION
+    (`retrain_federated_postings_tenants`) swaps src3's partitions
+    with its post-cleanup corpus — the drift era's odd half was
+    culled, so the swap observably removes stale docs and changes
+    src3's N/avgdl — while every other tenant's postings files stay
+    byte-identical (unit-tested). The routed serve then scores each
+    query under its own collection's stats over the final corpus
+    mix; the oracle replays exactly that corpus (reference era ∪
+    surviving drift docs) plus the flag literals."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_postings_ingest,
+    )
+    from embeddingsearch_spark.suite.realistic import realistic_text
+    from embeddingsearch_spark.suite.retrievalops import (
+        _corpus,
+        _text_queries,
+    )
+
+    table = "es_gate_sdrift_tpost"
+    drop_table(spark, table)
+    docs = _corpus(spark, sf_dir)  # the reference era, batch twin
+
+    def raw_stream():
+        return (
+            spark.readStream.schema(DOCUMENTS_RAW)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "lang", "source")
+        )
+
+    _, flags1 = monitored_federated_postings_ingest(
+        realistic_text(raw_stream()), table, docs,
+        partition_col="source", vocab_size=1024, smoothing=1.0,
+        threshold=0.05, n_buckets=8,
+    )
+
+    def drift_era(df):
+        return df.filter(
+            (F.col("source") == "src3") & (F.col("doc_id") % 3 == 0)
+        ).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "lang",
+            "source",
+            F.lit(_DRIFT_TEXT).alias("text"),
+        )
+
+    _, flags2 = monitored_federated_postings_ingest(
+        drift_era(raw_stream()), table, docs,
+        partition_col="source", vocab_size=1024, smoothing=1.0,
+        threshold=0.05, n_buckets=8,
+    )
+    # post-drift cleanup culled the drift era's odd half; the swap
+    # rebuilds src3 from its CURRENT corpus — vanished docs removed
+    survivors = drift_era(docs).filter(
+        (F.col("doc_id") - 500000) % 6 == 0
+    )
+    gx = docs.filter(F.col("source") == "src3").unionByName(survivors)
+    retrieval.retrain_federated_postings_tenants(
+        spark, table, gx, partition_col="source", n_buckets=8
+    )
+    queries = _text_queries(spark, sf_dir, docs)
+    route = docs.join(
+        queries.select("query_id"),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "source")
+    res = retrieval.bm25_federated_from_index(
+        spark, table, queries, route, k=10, partition_col="source"
+    )
+    others = {
+        t: v
+        for d in (flags1, flags2)
+        for t, v in d.items()
+        if t != "src3"
+    }
+    return res.withColumn(
+        "retrain_drifted", F.lit(bool(flags2.get("src3")))
+    ).withColumn("retrain_others", F.lit(any(others.values())))
+
+
+def _streaming_drift_tenant_postings_sql() -> str:
+    from embeddingsearch_spark.suite.retrievalops import (
+        _bm25_tenant_sql,
+    )
+
+    base = _bm25_tenant_sql()
+    era2 = f"""rdall AS (
+  SELECT doc_id, lang, source, text FROM rd
+  UNION ALL
+  SELECT doc_id + 500000, lang, source, '{_DRIFT_TEXT}' AS text
+  FROM rd WHERE source = 'src3' AND doc_id % 6 = 0
+),
+qterm AS"""
+    return (
+        base.replace("qterm AS", era2, 1)
+        .replace(
+            "AS t FROM rd\n  WHERE source IN",
+            "AS t FROM rdall\n  WHERE source IN",
+            1,
+        )
+        .replace(
+            "SELECT query_id, doc_id, score, n_matched,",
+            "SELECT query_id, doc_id, score, n_matched,\n"
+            "       TRUE AS retrain_drifted, FALSE AS retrain_others,",
+            1,
+        )
+    )
+
+
+QUERIES["streaming_drift_tenant_postings_reindex"] = (
+    q_streaming_drift_tenant_postings_reindex,
+    _streaming_drift_tenant_postings_sql(),
+)
+BUILD_QUERIES.add("streaming_drift_tenant_postings_reindex")
