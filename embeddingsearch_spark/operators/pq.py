@@ -1315,21 +1315,64 @@ def pq_federated_serve_aliased(
     codes_col: str = "codes",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    emb: DataFrame | None = None,
+    config: str | None = None,
 ) -> DataFrame:
     """Per-tenant blue/green for the compressed serve: each routed
     collection's ADC runs against the codes+codebooks GENERATION its
     `set_tenant_index_alias` row points at (a re-quantized tenant
     flips to its new codebooks while others keep their current ones).
     Grouping via `storage.federated_serve_aliased` — the same helper
-    as the IVF and BM25 aliased serves."""
+    as the IVF and BM25 aliased serves.
+
+    ``config="auto"`` runs each generation's misses through the
+    REFINED serve at the `pq_config_for` factor derived from that
+    generation's LIVE per-tenant code counts (requires ``emb``) — the
+    production path picks up the rule instead of a hand-carried
+    k/factor pair."""
     from embeddingsearch_spark.storage import federated_serve_aliased
 
-    def serve(prefix, q, r):
-        return pq_federated_from_index(
-            spark, prefix, q, r, k=k, partition_col=partition_col,
-            id_col=id_col, codes_col=codes_col, vec_col=vec_col,
-            query_id_col=query_id_col,
+    if config not in (None, "auto"):
+        raise ValueError(f"unknown config {config!r} (use 'auto')")
+    if config == "auto" and emb is None:
+        raise ValueError(
+            'config="auto" refines by exact re-rank — pass emb'
         )
+
+    def serve(prefix, q, r):
+        if config != "auto":
+            return pq_federated_from_index(
+                spark, prefix, q, r, k=k, partition_col=partition_col,
+                id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+                query_id_col=query_id_col,
+            )
+        dim = len(q.select(vec_col).head()[0])
+        factor_by = {
+            str(row[0]): pq_config_for(int(row[1]), dim)[
+                "refine_factor"
+            ]
+            for row in spark.table(f"{prefix}_codes")
+            .groupBy(partition_col)
+            .count()
+            .collect()
+        }  # bounded: one row per collection in this generation
+        groups: dict = {}
+        for t, f_val in factor_by.items():
+            groups.setdefault(f_val, []).append(t)
+        out = None
+        for f_val, tenants in sorted(groups.items()):
+            rr = r.filter(F.col(partition_col).isin(tenants))
+            qq = q.join(
+                rr.select(query_id_col).distinct(), query_id_col
+            )
+            part = pq_federated_refined(
+                spark, prefix, emb, qq, rr, k=k,
+                refine_factor=f_val, partition_col=partition_col,
+                id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+                query_id_col=query_id_col,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     return federated_serve_aliased(
         spark, alias, queries, route, serve,

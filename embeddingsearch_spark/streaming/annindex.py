@@ -340,20 +340,95 @@ class _RunningPopsFederated:
         return out
 
 
+class _WriteCounter:
+    """Per-(table, partition) write counters backing the
+    ``compact_every="auto"`` trigger: the drains already KNOW which
+    partitions each micro-batch touches, so fragmentation can be
+    inferred from accrued writes instead of a fixed cadence — a
+    partition that has taken ``bound`` writes since its last
+    compaction has accreted ~bound micro-batch file sets and is due;
+    QUIET partitions never trigger anything (no periodic listing, no
+    hand-tuned cadence — the last hand-tuned knob in the streaming
+    path removed). `compact_index_table` then re-checks actual file
+    counts against its own bound, so a spurious trigger costs one
+    listing, never a rewrite. Driver-side and bounded: one counter
+    per touched (table, partition)."""
+
+    def __init__(self, bound: int):
+        self.bound = max(2, int(bound))
+        self.writes: dict = {}
+
+    def record(self, table: str, parts) -> None:
+        for p in parts:
+            k = (table, tuple(p))
+            self.writes[k] = self.writes.get(k, 0) + 1
+
+    def due(self, table: str) -> bool:
+        return any(
+            c >= self.bound
+            for (t, _), c in self.writes.items()
+            if t == table
+        )
+
+    def reset(self, table: str) -> None:
+        for k in [k for k in self.writes if k[0] == table]:
+            del self.writes[k]
+
+
+def _touched_parts(batch_df: DataFrame, partition_col, compact_every):
+    """The batch's distinct partition tuples — the auto trigger's
+    input (bounded collect: one row per touched partition). Skipped
+    entirely outside "auto" mode."""
+    if compact_every != "auto":
+        return None
+    pcs = (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    return [
+        tuple(r) for r in batch_df.select(*pcs).distinct().collect()
+    ]
+
+
 def _maybe_compact(
-    spark, tables, n_batches: int, compact_every, max_files
+    spark,
+    tables,
+    n_batches: int,
+    compact_every,
+    max_files,
+    counter: _WriteCounter | None = None,
+    touched=None,
 ) -> None:
-    """Every ``compact_every`` micro-batches, compact the drain's
-    fragmented partitions in place (`storage.compact_index_table` —
-    only partitions over the bound are rewritten; rows and serving
-    results are unchanged by construction). Closes the file-hygiene
-    loop inside the stream itself: a long-running federated ingest
-    otherwise accretes exactly the micro-batch leftovers the adaptive
-    bound was built to clean (round-6 judge item #6)."""
-    if not compact_every or n_batches % compact_every:
-        return
+    """Compact the drain's fragmented partitions in place
+    (`storage.compact_index_table` — only partitions over the bound
+    are rewritten; rows and serving results are unchanged by
+    construction). Two trigger modes:
+
+    - ``compact_every=N``: every N micro-batches (the fixed cadence);
+    - ``compact_every="auto"``: write-count driven — fire for a table
+      exactly when one of its partitions has accrued
+      ``compact_max_files`` (default 8) writes since its last
+      compaction (`_WriteCounter`), skipping the periodic listing on
+      quiet tables entirely.
+
+    Closes the file-hygiene loop inside the stream itself: a
+    long-running federated ingest otherwise accretes exactly the
+    micro-batch leftovers the adaptive bound was built to clean."""
     from embeddingsearch_spark.storage import compact_index_table
 
+    if compact_every == "auto":
+        for t in tables:
+            if touched:
+                counter.record(t, touched)
+            if counter.due(t) and spark.catalog.tableExists(t):
+                compact_index_table(
+                    spark, t, max_files_per_partition=max_files
+                )
+                counter.reset(t)
+        return
+    if not compact_every or n_batches % compact_every:
+        return
     for t in tables:
         if spark.catalog.tableExists(t):
             compact_index_table(
@@ -781,7 +856,7 @@ def federated_ivf_index_available_now(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
     """`ivf_index_available_now` under per-collection quantizers: the
@@ -802,6 +877,7 @@ def federated_ivf_index_available_now(
 
     spark = stream.sparkSession
     history: list[int] = []
+    counter = _WriteCounter(compact_max_files or 8)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -832,7 +908,10 @@ def federated_ivf_index_available_now(
             )
         _maybe_compact(
             spark, [f"{prefix}_assigned"], len(history),
-            compact_every, compact_max_files,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
 
     _drain(stream, step, checkpoint_dir)
@@ -1126,7 +1205,7 @@ def federated_pq_index_available_now(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
     """`pq_index_available_now` under per-collection codebooks — the
@@ -1145,6 +1224,7 @@ def federated_pq_index_available_now(
 
     spark = stream.sparkSession
     history: list[int] = []
+    counter = _WriteCounter(compact_max_files or 8)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -1178,7 +1258,10 @@ def federated_pq_index_available_now(
             )
         _maybe_compact(
             spark, [f"{prefix}_codes"], len(history),
-            compact_every, compact_max_files,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
 
     _drain(stream, step, checkpoint_dir)
@@ -1197,7 +1280,7 @@ def federated_graph_index_available_now(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
     """`graph_index_available_now` under per-collection quantizers —
@@ -1219,6 +1302,7 @@ def federated_graph_index_available_now(
 
     spark = stream.sparkSession
     history: list[int] = []
+    counter = _WriteCounter(compact_max_files or 8)
     vec_table = f"{prefix}_vectors"
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -1250,6 +1334,10 @@ def federated_graph_index_available_now(
                 spark,
                 [f"{prefix}_pairs", f"{prefix}_assigned", vec_table],
                 len(history), compact_every, compact_max_files,
+                counter=counter,
+                touched=_touched_parts(
+                    batch_df, partition_col, compact_every
+                ),
             )
             return
         assigned_b = assign_blocks_federated(
@@ -1277,6 +1365,10 @@ def federated_graph_index_available_now(
             spark,
             [f"{prefix}_pairs", f"{prefix}_assigned", vec_table],
             len(history), compact_every, compact_max_files,
+            counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
 
     _drain(stream, step, checkpoint_dir)
@@ -1292,7 +1384,7 @@ def federated_postings_index_available_now(
     n_buckets: int = 8,
     tokenizer=None,
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
     """`postings_index_available_now` over the TENANT-PARTITIONED
@@ -1312,6 +1404,7 @@ def federated_postings_index_available_now(
 
     spark = stream.sparkSession
     history: list[int] = []
+    counter = _WriteCounter(compact_max_files or 8)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -1330,7 +1423,10 @@ def federated_postings_index_available_now(
             )
         _maybe_compact(
             spark, [table], len(history),
-            compact_every, compact_max_files,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
 
     _drain(stream, step, checkpoint_dir)
@@ -1350,7 +1446,7 @@ def monitored_federated_postings_ingest(
     n_buckets: int = 8,
     tokenizer=None,
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT lexical index
@@ -1388,6 +1484,7 @@ def monitored_federated_postings_ingest(
     spark = stream.sparkSession
     reference = reference.localCheckpoint(eager=True)
     history: list[tuple] = []
+    counter = _WriteCounter(compact_max_files or 8)
     vocab = _RunningVocabFederated(
         reference, text_col, partition_col, vocab_size, smoothing
     )
@@ -1410,7 +1507,10 @@ def monitored_federated_postings_ingest(
             )
         _maybe_compact(
             spark, [table], len(history) + 1,
-            compact_every, compact_max_files,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
         jss = vocab.update(batch_df, text_col)
         for t, js in jss.items():
@@ -1437,7 +1537,7 @@ def monitored_federated_ivf_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT IVF index —
@@ -1464,6 +1564,7 @@ def monitored_federated_ivf_ingest(
     spark = stream.sparkSession
     reference = reference.localCheckpoint(eager=True)
     history: list[tuple] = []
+    counter = _WriteCounter(compact_max_files or 8)
     drift = _RunningDriftFederated(reference, vec_col, partition_col)
     state = {"flags": {}, "cents": None, "pops": None}
 
@@ -1520,7 +1621,10 @@ def monitored_federated_ivf_ingest(
             )
         _maybe_compact(
             spark, [f"{prefix}_assigned"], len(history) + 1,
-            compact_every, compact_max_files,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
         shifts = drift.update(batch_df, vec_col)
         skews = state["pops"].update(
@@ -1560,7 +1664,7 @@ def monitored_federated_pq_ingest(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT PQ index with
@@ -1592,6 +1696,7 @@ def monitored_federated_pq_ingest(
     spark = stream.sparkSession
     reference = reference.localCheckpoint(eager=True)
     history: list[tuple] = []
+    counter = _WriteCounter(compact_max_files or 8)
     state = {
         "cbs": None, "ref_mean": None,
         "sum": {}, "n": {}, "flags": {},
@@ -1653,7 +1758,10 @@ def monitored_federated_pq_ingest(
             )
         _maybe_compact(
             spark, [f"{prefix}_codes"], len(history) + 1,
-            compact_every, compact_max_files,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
         ratios = {}
         for r in (
@@ -1707,7 +1815,7 @@ def monitored_federated_graph_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
     """Drift-TRIGGERED maintenance for the MULTI-TENANT graph index —
@@ -1740,6 +1848,7 @@ def monitored_federated_graph_ingest(
     centroids = centroids.localCheckpoint(eager=True)
     vec_table = f"{prefix}_vectors"
     history: list[tuple] = []
+    counter = _WriteCounter(compact_max_files or 8)
     drift = _RunningDriftFederated(reference, vec_col, partition_col)
     n_cells_by = {
         str(r[0]): int(r[1])
@@ -1792,6 +1901,10 @@ def monitored_federated_graph_ingest(
             spark,
             [f"{prefix}_pairs", f"{prefix}_assigned", vec_table],
             len(history) + 1, compact_every, compact_max_files,
+            counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
         )
         shifts = drift.update(batch_df, vec_col)
         skews = pops.update(assigned_b, partition_col, "_blk")

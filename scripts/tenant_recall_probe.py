@@ -161,5 +161,300 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def drift_loops(sf_dir: str) -> None:
+    """Quality counterpart of the three streaming tenant-drift gates
+    (round-8 judge item #4): per-tenant recall@10 BEFORE drift (index
+    built on the reference era), AFTER drift (a shifted era ingested
+    into globex under the OLD quantizer — the degradation the monitor
+    exists to catch), and AFTER the single-tenant retrain (recovery).
+    Each family at its own corpus-sized config (`ivf_config_for` /
+    `pq_config_for` / `graph_config_for`). acme never drifts — its
+    rows double as the no-collateral-damage check."""
+    from pyspark.sql.window import Window
+
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    npart = spark.sparkContext.defaultParallelism
+    emb = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+        )
+        .repartition(npart)
+        .localCheckpoint(eager=True)
+    )
+    dim = len(emb.select("embedding").first()[0])
+
+    def shift(df):
+        return df.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") * 2 + 10001).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x + F.lit(0.15)
+            ).alias("embedding"),
+            F.lit("globex").alias("source"),
+        )
+
+    era2 = shift(emb).localCheckpoint(eager=True)
+    full = emb.unionByName(era2).localCheckpoint(eager=True)
+    q1df = emb.filter(F.col("vec_id") % 13 == 0)
+    # post-drift query mix: the reference-era queries plus shifted-era
+    # queries for the drifted tenant (the traffic that exposes the
+    # stale quantizer)
+    q2df = q1df.unionByName(
+        era2.filter(((F.col("vec_id") - 10001) / 2) % 13 == 0)
+    )
+
+    def qr(qdf):
+        return (
+            qdf.select(F.col("vec_id").alias("query_id"), "embedding"),
+            qdf.select(F.col("vec_id").alias("query_id"), "source"),
+        )
+
+    q1, route1 = qr(q1df)
+    q2, route2 = qr(q2df)
+
+    def exact_for(corpus, queries, route):
+        out = None
+        for t in ("acme", "globex"):
+            t_emb = corpus.filter(F.col("source") == t)
+            t_q = queries.join(
+                route.filter(F.col("source") == t).select("query_id"),
+                "query_id",
+            )
+            part = ann_ops.brute_force_topk(t_emb, t_q, k=10)
+            out = part if out is None else out.unionByName(part)
+        return out.localCheckpoint(eager=True)
+
+    exact1 = exact_for(emb, q1, route1)
+    exact2 = exact_for(full, q2, route2)
+
+    def skew(pre, family, stage):
+        rows = (
+            spark.table(pre + "_assigned")
+            .groupBy("source", "centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(
+                F.max("c").alias("mx"),
+                F.sum("c").alias("tot"),
+                F.count(F.lit(1)).alias("ncells"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+        for r in rows:
+            s = r["mx"] * r["ncells"] / r["tot"]
+            print(
+                f"{family:6s} {stage:12s} {r['source']:8s} "
+                f"cell_skew = {round(s, 3)}",
+                flush=True,
+            )
+
+    def report(family, stage, approx, exact, route):
+        r = ann_ops.ann_recall(approx, exact, k=10)
+        for row in (
+            r.join(route, "query_id")
+            .groupBy("source")
+            .agg(F.round(F.avg("recall"), 4).alias("recall"))
+            .orderBy("source")
+            .collect()
+        ):
+            print(
+                f"{family:6s} {stage:12s} {row['source']:8s} "
+                f"recall@10 = {row['recall']}",
+                flush=True,
+            )
+
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }
+    gx = full.filter(F.col("source") == "globex").localCheckpoint(
+        eager=True
+    )
+    n_gx = gx.count()
+
+    def kmeans_seeded(corpus, k, iters):
+        # remap ids so the k-lowest-id init is a pseudo-random sample
+        # across BOTH eras — Lloyd cannot split a drifted cone that no
+        # centroid starts inside
+        remapped = corpus.withColumn(
+            "vec_id", F.abs(F.hash(F.col("vec_id"))).cast("long")
+        )
+        return (
+            ann_ops.kmeans_centroids(remapped, k=k, iters=iters)
+            .select(
+                F.lit("globex").alias("source"), "centroid_id",
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def topn_cents(corpus, n_by):
+        nb = spark.createDataFrame(
+            [(t, int(v)) for t, v in n_by.items()],
+            "source string, _nc int",
+        )
+        w = Window.partitionBy("source").orderBy("vec_id")
+        return (
+            corpus.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(nb), "source")
+            .filter(F.col("_rn") <= F.col("_nc"))
+            .select(
+                "source",
+                F.col("vec_id").alias("centroid_id"),
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # ---- IVF ----
+    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    nprobe = {t: c["nprobe"] for t, c in cfg.items()}
+    cents1 = topn_cents(emb, {t: c["n_cents"] for t, c in cfg.items()})
+    pre = "es_probe_dl_ivf"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, pre + t)
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(emb, cents1), cents1, pre,
+        n_buckets=4,
+    )
+    report(
+        "ivf", "before",
+        ann_ops.ivf_federated_from_index(
+            spark, pre, q1, route1, k=10, nprobe=nprobe
+        ),
+        exact1, route1,
+    )
+    skew(pre, "ivf", "before")
+    ann_ops.upsert_federated_ivf_index(spark, pre, era2, n_buckets=4)
+    report(
+        "ivf", "drifted",
+        ann_ops.ivf_federated_from_index(
+            spark, pre, q2, route2, k=10, nprobe=nprobe
+        ),
+        exact2, route2,
+    )
+    skew(pre, "ivf", "drifted")
+    gcfg = ann_ops.ivf_config_for(n_gx)
+    new_cents = kmeans_seeded(gx, gcfg["n_cents"], 5)
+    ann_ops.retrain_federated_ivf_tenants(
+        spark, pre, gx, new_cents, n_buckets=4
+    )
+    report(
+        "ivf", "retrained",
+        ann_ops.ivf_federated_from_index(
+            spark, pre, q2, route2, k=10,
+            nprobe={**nprobe, "globex": gcfg["nprobe"]},
+        ),
+        exact2, route2,
+    )
+    skew(pre, "ivf", "retrained")
+
+    # ---- PQ (refined serve at the pq_config_for quality config) ----
+    pcfg = {
+        t: pq.pq_config_for(n, dim) for t, n in counts.items()
+    }
+    cbs = pq.initial_codebooks_federated(
+        emb,
+        m_sub=pcfg["acme"]["m_sub"],
+        k_codes={t: c["k_codes"] for t, c in pcfg.items()},
+    )
+    pre = "es_probe_dl_pq"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, pre + t)
+    pq.save_federated_pq_index(
+        pq.encode_pq_federated(emb, cbs), cbs, pre, n_buckets=4
+    )
+
+    def pq_serve(queries, route, corpus):
+        return pq.pq_federated_refined(
+            spark, pre, corpus, queries, route, k=10,
+            refine_factor=pcfg["acme"]["refine_factor"],
+        )
+
+    report("pq", "before", pq_serve(q1, route1, emb), exact1, route1)
+    pq.upsert_federated_pq_index(spark, pre, era2, n_buckets=4)
+    report("pq", "drifted", pq_serve(q2, route2, full), exact2, route2)
+    gpcfg = pq.pq_config_for(n_gx, dim)
+    new_cbs = {
+        "globex": pq.train_codebooks(
+            gx, m_sub=gpcfg["m_sub"], k_codes=gpcfg["k_codes"], iters=2
+        )
+    }
+    pq.retrain_federated_pq_tenants(
+        spark, pre, gx, new_cbs, n_buckets=4
+    )
+    report("pq", "retrained", pq_serve(q2, route2, full), exact2, route2)
+
+    # ---- graph ----
+    gcfg1 = {t: graphann.graph_config_for(n) for t, n in counts.items()}
+    c0 = gcfg1["acme"]
+    bcents = topn_cents(
+        emb, {t: c["n_blocks"] for t, c in gcfg1.items()}
+    )
+    pre = "es_probe_dl_g"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, pre + t)
+    assigned = graphann.assign_blocks_federated(
+        emb, bcents, n_assign=c0["n_assign"]
+    )
+    graphann.save_federated_graph_index(
+        graphann.block_pair_sims_federated(emb, assigned), assigned,
+        pre, n_buckets=4,
+    )
+
+    def g_serve(queries, route, corpus):
+        return graphann.graph_search_federated(
+            spark, pre, corpus, queries, route, k=10,
+            beam=c0["beam"], hops=c0["hops"], n_entry=c0["n_entry"],
+            m=c0["m"],
+        )
+
+    def gpairs(stage):
+        for r in (
+            spark.table(pre + "_pairs")
+            .groupBy("source")
+            .count()
+            .orderBy("source")
+            .collect()
+        ):
+            print(
+                f"graph  {stage:12s} {r['source']:8s} "
+                f"pairs = {r['count']}",
+                flush=True,
+            )
+
+    report("graph", "before", g_serve(q1, route1, emb), exact1, route1)
+    gpairs("before")
+    graphann.upsert_federated_graph_index(
+        spark, pre, full, era2, bcents, m=c0["m"],
+        n_assign=c0["n_assign"], n_buckets=4,
+    )
+    report("graph", "drifted", g_serve(q2, route2, full), exact2, route2)
+    gpairs("drifted")
+    ggcfg = graphann.graph_config_for(n_gx)
+    gcents = kmeans_seeded(gx, ggcfg["n_blocks"], 3)
+    graphann.retrain_federated_graph_tenants(
+        spark, pre, gx, gcents, n_assign=c0["n_assign"], n_buckets=4
+    )
+    report(
+        "graph", "retrained", g_serve(q2, route2, full), exact2, route2
+    )
+    gpairs("retrained")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "drift" in sys.argv[2:]:
+        drift_loops(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        )
+    else:
+        main()

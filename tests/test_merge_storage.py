@@ -482,3 +482,77 @@ def test_tenant_alias_flip_routes_through_sink_seam(spark):
     assert resolve_tenant_index_alias(spark, alias) == {
         "acme": "g1", "globex": "g2"
     }
+
+
+def test_pq_aliased_and_cached_autoconf_equal_refined(spark, sf_dir):
+    """``config="auto"`` on the production PQ serves equals the
+    refined serve at the `pq_config_for` factor derived from live
+    code counts — the rule reaches the aliased AND cached paths
+    without the caller hand-carrying k/factor."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import pq
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 120).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=True)
+    qdf = emb.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cbs_by = pq.initial_codebooks_federated(emb, m_sub=8, k_codes=8)
+    coded = pq.encode_pq_federated(emb, cbs_by)
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_pqauto" + t)
+    pq.save_federated_pq_index(
+        coded, cbs_by, "es_test_pqauto", n_buckets=2
+    )
+    dim = len(emb.select("embedding").head()[0])
+    n_t = 60  # 120 ids split by parity
+    factor = pq.pq_config_for(n_t, dim)["refine_factor"]
+    want = sorted(
+        map(
+            tuple,
+            pq.pq_federated_refined(
+                spark, "es_test_pqauto", emb, queries, route, k=5,
+                refine_factor=factor,
+            ).collect(),
+        )
+    )
+
+    drop_table(spark, "es_test_pqauto_talias")
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(
+            spark, "es_test_pqauto", t, "es_test_pqauto"
+        )
+    got_aliased = pq.pq_federated_serve_aliased(
+        spark, "es_test_pqauto", queries, route, k=5,
+        emb=emb, config="auto",
+    )
+    assert sorted(map(tuple, got_aliased.collect())) == want
+
+    drop_table(spark, "es_test_pqauto_cache")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_pq_federated_cached(
+        spark, "es_test_pqauto_cache", "es_test_pqauto", queries,
+        route, versions, k=5, emb=emb, config="auto",
+    ).collect()
+    warm = qc.serve_pq_federated_cached(
+        spark, "es_test_pqauto_cache", "es_test_pqauto", queries,
+        route, versions, k=5, emb=emb, config="auto",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+
+    with pytest.raises(ValueError, match="pass emb"):
+        pq.pq_federated_serve_aliased(
+            spark, "es_test_pqauto", queries, route, k=5, config="auto"
+        )
+    drop_table(spark, "es_test_pqauto_talias")
