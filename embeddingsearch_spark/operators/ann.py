@@ -1293,13 +1293,40 @@ def ivf_config_for(n: int, k: int = 10, recall_target: float = 0.9) -> dict:
     return {"n_cents": n_cents, "nprobe": nprobe}
 
 
+def ivf_auto_nprobe(
+    spark,
+    prefix: str,
+    partition_col: str = "source",
+    recall_target: float = 0.9,
+) -> dict:
+    """{tenant: nprobe} from the LIVE per-tenant quantizer sizes of a
+    persisted federated IVF index — `ivf_config_for`'s probe-width
+    rule (ceil(target^2.5 × n_cents), the measured uniform-random
+    recall curve's inverse) applied to each collection's ACTUAL
+    centroid count, so the serve-time width always matches the
+    quantizer it probes (a retrained/re-sized tenant's width follows
+    automatically). One bounded collect: a row per collection."""
+    import math
+
+    frac = min(1.0, max(0.0, float(recall_target)) ** 2.5)
+    return {
+        str(r[0]): int(
+            min(int(r[1]), max(1, math.ceil(frac * int(r[1]))))
+        )
+        for r in spark.table(f"{prefix}_centroids")
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    }
+
+
 def ivf_federated_from_index(
     spark,
     prefix: str,
     queries: DataFrame,
     route: DataFrame,
     k: int = 10,
-    nprobe: int | dict = 2,
+    nprobe: int | dict | str = 2,
     partition_col: str = "source",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1320,12 +1347,21 @@ def ivf_federated_from_index(
     per-collection sizing — each tenant's probe width grows with ITS
     quantizer; string tenant keys, the federated convention): the
     per-query cut then follows the query's OWN collection's width.
-    Result = per-tenant `ivf_topk` run inside each collection
-    (tested), columns (query_id, id, cosine, rank)."""
+    ``nprobe="auto"`` derives that map from the LIVE per-tenant
+    quantizer sizes at the rule's 0.9 recall target
+    (`ivf_auto_nprobe`) — so the production serves (direct, cached,
+    aliased — all of which thread ``nprobe`` here) pick up the sizing
+    rule without the caller re-deriving it. Result = per-tenant
+    `ivf_topk` run inside each collection (tested), columns
+    (query_id, id, cosine, rank)."""
     from embeddingsearch_spark.operators.retrieval import (
         _partition_filter,
     )
 
+    if isinstance(nprobe, str):
+        if nprobe != "auto":
+            raise ValueError(f"unknown nprobe {nprobe!r} (use 'auto')")
+        nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
     cents = spark.table(f"{prefix}_centroids")
     routed = route.select(partition_col).distinct().collect()
     tcents = cents.filter(
@@ -1614,7 +1650,7 @@ def ivf_federated_serve_aliased(
     queries: DataFrame,
     route: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | dict | str = 2,
     partition_col: str = "source",
     id_col: str = "vec_id",
     vec_col: str = "embedding",

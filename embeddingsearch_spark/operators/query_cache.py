@@ -648,7 +648,7 @@ def serve_ivf_federated_cached(
     route: DataFrame,
     index_versions: dict,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | dict | str = 2,
     partition_col: str = "source",
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -856,6 +856,7 @@ def federated_ivf_index_available_now(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
@@ -1205,6 +1206,7 @@ def federated_pq_index_available_now(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
@@ -1280,6 +1282,7 @@ def federated_graph_index_available_now(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
@@ -1353,9 +1356,9 @@ def federated_graph_index_available_now(
             spark, prefix, emb_all, batch_df, centroids,
             partition_col=partition_col, m=m, n_assign=n_assign,
             n_buckets=n_buckets, id_col=id_col, vec_col=vec_col,
-            centroid_id_col=centroid_id_col,
+            centroid_id_col=centroid_id_col, sink=sink,
         )
-        PartitionOverwriteSink(partition_col).delete_insert(
+        (sink or PartitionOverwriteSink(partition_col)).delete_insert(
             spark, vec_table, batch_df, [id_col],
             delete_keys=batch_df.select(id_col).distinct(),
             bucket_cols=[id_col], n_buckets=n_buckets,
@@ -1384,6 +1387,7 @@ def federated_postings_index_available_now(
     n_buckets: int = 8,
     tokenizer=None,
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ) -> list[int]:
@@ -1413,7 +1417,7 @@ def federated_postings_index_available_now(
             upsert_partitioned_postings_index(
                 spark, table, batch_df, partition_col=partition_col,
                 id_col=id_col, text_col=text_col,
-                n_buckets=n_buckets, tokenizer=tokenizer,
+                n_buckets=n_buckets, tokenizer=tokenizer, sink=sink,
             )
         else:
             build_partitioned_postings_index(
@@ -1446,6 +1450,7 @@ def monitored_federated_postings_ingest(
     n_buckets: int = 8,
     tokenizer=None,
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
@@ -1497,7 +1502,7 @@ def monitored_federated_postings_ingest(
             upsert_partitioned_postings_index(
                 spark, table, batch_df, partition_col=partition_col,
                 id_col=id_col, text_col=text_col,
-                n_buckets=n_buckets, tokenizer=tokenizer,
+                n_buckets=n_buckets, tokenizer=tokenizer, sink=sink,
             )
         else:
             build_partitioned_postings_index(
@@ -1537,6 +1542,7 @@ def monitored_federated_ivf_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
@@ -1612,6 +1618,7 @@ def monitored_federated_ivf_ingest(
                 spark, prefix, batch_df, partition_col=partition_col,
                 id_col=id_col, vec_col=vec_col,
                 centroid_id_col=centroid_id_col, n_buckets=n_buckets,
+                sink=sink,
             )
         else:
             save_federated_ivf_index(
@@ -1664,6 +1671,7 @@ def monitored_federated_pq_ingest(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
@@ -1747,7 +1755,7 @@ def monitored_federated_pq_ingest(
             upsert_federated_pq_index(
                 spark, prefix, batch_df, partition_col=partition_col,
                 id_col=id_col, vec_col=vec_col, codes_col=codes_col,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, sink=sink,
             )
         else:
             save_federated_pq_index(
@@ -1815,6 +1823,7 @@ def monitored_federated_graph_ingest(
     drift_threshold: float = 0.25,
     skew_threshold: float = 4.0,
     checkpoint_dir: str | None = None,
+    sink=None,
     compact_every: int | str | None = None,
     compact_max_files: int | None = None,
 ):
@@ -1889,9 +1898,9 @@ def monitored_federated_graph_ingest(
                 spark, prefix, emb_all, batch_df, centroids,
                 partition_col=partition_col, m=m, n_assign=n_assign,
                 n_buckets=n_buckets, id_col=id_col, vec_col=vec_col,
-                centroid_id_col=centroid_id_col,
+                centroid_id_col=centroid_id_col, sink=sink,
             )
-            PartitionOverwriteSink(partition_col).delete_insert(
+            (sink or PartitionOverwriteSink(partition_col)).delete_insert(
                 spark, vec_table, batch_df, [id_col],
                 delete_keys=batch_df.select(id_col).distinct(),
                 bucket_cols=[id_col], n_buckets=n_buckets,

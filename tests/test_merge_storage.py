@@ -556,3 +556,78 @@ def test_pq_aliased_and_cached_autoconf_equal_refined(spark, sf_dir):
             spark, "es_test_pqauto", queries, route, k=5, config="auto"
         )
     drop_table(spark, "es_test_pqauto_talias")
+
+
+def test_ivf_auto_nprobe_through_all_serves(spark, sf_dir):
+    """``nprobe="auto"`` derives each tenant's probe width from its
+    LIVE quantizer size inside `ivf_federated_from_index` — so the
+    direct, cached, and aliased serves all pick up the rule by
+    passing the string through."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 120).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=True)
+    qdf = emb.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cents = emb.filter(F.col("vec_id") < 12).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pre = "es_test_ivfauto"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, pre + t)
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(emb, cents), cents, pre,
+        n_buckets=2,
+    )
+    np_map = ann_ops.ivf_auto_nprobe(spark, pre)
+    assert np_map == {"acme": 5, "globex": 5}, np_map  # ceil(.768*6)
+    want = sorted(
+        map(
+            tuple,
+            ann_ops.ivf_federated_from_index(
+                spark, pre, queries, route, k=5, nprobe=np_map
+            ).collect(),
+        )
+    )
+    got = ann_ops.ivf_federated_from_index(
+        spark, pre, queries, route, k=5, nprobe="auto"
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+    drop_table(spark, pre + "_talias")
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, pre, t, pre)
+    got2 = ann_ops.ivf_federated_serve_aliased(
+        spark, pre, queries, route, k=5, nprobe="auto"
+    )
+    assert sorted(map(tuple, got2.collect())) == want
+
+    drop_table(spark, pre + "_cache")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_ivf_federated_cached(
+        spark, pre + "_cache", pre, queries, route, versions, k=5,
+        nprobe="auto",
+    ).collect()
+    warm = qc.serve_ivf_federated_cached(
+        spark, pre + "_cache", pre, queries, route, versions, k=5,
+        nprobe="auto",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    with pytest.raises(ValueError, match="unknown nprobe"):
+        ann_ops.ivf_federated_from_index(
+            spark, pre, queries, route, k=5, nprobe="wat"
+        )
+    drop_table(spark, pre + "_talias")

@@ -1276,3 +1276,86 @@ def test_write_count_driven_compaction_trigger(spark, tmp_path):
         compact_every="auto", compact_max_files=3,
     )
     assert _listing(spark, table, "quiet") == quiet_before
+
+
+def test_federated_drains_route_through_injected_sink(spark, tmp_path):
+    """The federated drains take ``sink=`` too — the upsert AND the
+    maintained vectors table (graph) route through it, completing the
+    seam across both drain families."""
+    import math
+
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        federated_graph_index_available_now,
+        federated_postings_index_available_now,
+    )
+
+    class SpySink:
+        def __init__(self):
+            self.calls = []
+
+        def delete_insert(
+            self, spark_, table, insert, key_cols,
+            delete_keys=None, **kw,
+        ):
+            self.calls.append(table)
+            return PartitionOverwriteSink("source").delete_insert(
+                spark_, table, insert, key_cols,
+                delete_keys=delete_keys, **kw,
+            )
+
+    dschema = "doc_id long, text string, source string"
+    table = "es_test_fsinkdrain_post"
+    drop_table(spark, table)
+    s1 = _multi_file_source(
+        spark, tmp_path,
+        [(1, "alpha beta", "acme"), (2, "gamma", "globex")],
+        dschema, 1,
+    )
+    federated_postings_index_available_now(
+        s1, table, partition_col="source", n_buckets=2
+    )
+    pspy = SpySink()
+    s2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p2"),
+        [(3, "delta epsilon", "acme")], dschema, 1,
+    )
+    federated_postings_index_available_now(
+        s2, table, partition_col="source", n_buckets=2, sink=pspy
+    )
+    assert pspy.calls == [table], pspy.calls
+
+    def unit(i):
+        a = 2 * math.pi * i / 4
+        return [math.cos(a), math.sin(a)]
+
+    vschema = "vec_id long, embedding array<double>, source string"
+    pre = "es_test_fsinkdrain_g"
+    for t in ("_pairs", "_assigned", "_vectors"):
+        drop_table(spark, pre + t)
+    cents = spark.createDataFrame(
+        [(t, i, unit(i)) for t in ("acme", "globex") for i in range(4)],
+        "source string, centroid_id long, embedding array<double>",
+    )
+    base = [
+        (i, unit(i % 4), "acme" if i % 2 == 0 else "globex")
+        for i in range(12)
+    ]
+    g1 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "g1"), base, vschema, 1
+    )
+    federated_graph_index_available_now(
+        g1, pre, cents, m=4, n_assign=1, n_buckets=2
+    )
+    gspy = SpySink()
+    g2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "g2"),
+        [(100, unit(1), "acme")], vschema, 1,
+    )
+    federated_graph_index_available_now(
+        g2, pre, cents, m=4, n_assign=1, n_buckets=2, sink=gspy
+    )
+    assert sorted(set(gspy.calls)) == [
+        pre + "_assigned", pre + "_pairs", pre + "_vectors"
+    ], gspy.calls
