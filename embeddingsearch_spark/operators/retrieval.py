@@ -692,14 +692,27 @@ def retrain_federated_postings_tenants(
     (tested). ``tenant_corpus``'s partition values define which
     collections swap — the `retrain_federated_ivf_tenants`
     convention."""
-    pcs = _pcols(partition_col)
+    gone = _stale_tenant_doc_ids(
+        spark, table, tenant_corpus, _pcols(partition_col), id_col
+    )
+    return upsert_partitioned_postings_index(
+        spark, table, tenant_corpus, partition_col=partition_col,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        tokenizer=tokenizer, deleted_ids=gone, sink=sink,
+    )
+
+
+def _stale_tenant_doc_ids(
+    spark, table: str, tenant_corpus: DataFrame, pcs, id_col: str
+) -> DataFrame:
+    """Ids currently indexed for the swapped tenants but absent from
+    the fresh corpus — the partition swap's delete set (they must be
+    removed, not linger). Pinned eagerly: the lineage reads the table
+    the upsert is about to rewrite."""
     tenants = tenant_corpus.select(*pcs).distinct().localCheckpoint(
         eager=True
     )
-    # ids currently indexed for the swapped tenants but absent from
-    # the fresh corpus: must delete, not linger (pin eagerly — the
-    # lineage reads the table the upsert is about to rewrite)
-    gone = (
+    return (
         spark.table(table)
         .join(F.broadcast(tenants), pcs, "left_semi")
         .select(id_col)
@@ -709,7 +722,31 @@ def retrain_federated_postings_tenants(
         )
         .localCheckpoint(eager=True)
     )
-    return upsert_partitioned_postings_index(
+
+
+def retrain_federated_positions_tenants(
+    spark,
+    table: str,
+    tenant_corpus: DataFrame,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    tokenizer=None,
+    sink=None,
+) -> str:
+    """`retrain_federated_postings_tenants` for the POSITIONAL index —
+    the same single-collection partition swap over (id, pos, term)
+    rows, so a flagged searchdomain's phrase/proximity serving
+    re-tokenizes (optionally under a NEW tokenizer) without touching
+    any other collection's position files. Completes the lexical
+    retrain pair: with both tables swapped, every lexical query shape
+    (ranked, proximity-boosted, exact-phrase) serves the flagged
+    tenant's post-drift corpus."""
+    gone = _stale_tenant_doc_ids(
+        spark, table, tenant_corpus, _pcols(partition_col), id_col
+    )
+    return upsert_partitioned_positions_index(
         spark, table, tenant_corpus, partition_col=partition_col,
         id_col=id_col, text_col=text_col, n_buckets=n_buckets,
         tokenizer=tokenizer, deleted_ids=gone, sink=sink,

@@ -63,16 +63,14 @@ def _affected_vectors(
 
     on = ["_blk"] if partition_col is None else [partition_col, "_blk"]
     affected = assigned_b.select(*on).distinct()
-    member_ids = (
-        spark.table(f"{prefix}_assigned")
-        .join(F.broadcast(affected), on)
-        .select(id_col)
-        .distinct()
-    )
-    batch_ids = batch_df.select(id_col).distinct()
+    # no distinct on either join's right side — semi/anti semantics
+    # ignore duplicate keys, and each saved distinct is an exchange
+    member_ids = spark.table(f"{prefix}_assigned").join(
+        F.broadcast(affected), on
+    ).select(id_col)
     return (
         old_vecs.join(member_ids, id_col, "left_semi")
-        .join(batch_ids, id_col, "left_anti")
+        .join(batch_df.select(id_col), id_col, "left_anti")
         .unionByName(batch_df)
         .localCheckpoint(eager=True)
     )
@@ -1506,6 +1504,81 @@ def monitored_federated_postings_ingest(
             )
         else:
             build_partitioned_postings_index(
+                batch_df, table, partition_col=partition_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=n_buckets, tokenizer=tokenizer,
+            )
+        _maybe_compact(
+            spark, [table], len(history) + 1,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
+        )
+        jss = vocab.update(batch_df, text_col)
+        for t, js in jss.items():
+            if js is not None and js > threshold:
+                state["flags"][t] = True
+            else:
+                state["flags"].setdefault(t, False)
+        history.append((int(batch_id), n_docs, jss))
+
+    _drain(stream, step, checkpoint_dir)
+    return history, dict(state["flags"])
+
+
+def monitored_federated_positions_ingest(
+    stream: DataFrame,
+    table: str,
+    reference: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    smoothing: float = 1.0,
+    threshold: float = 0.05,
+    n_buckets: int = 8,
+    tokenizer=None,
+    checkpoint_dir: str | None = None,
+    sink=None,
+    compact_every: int | str | None = None,
+    compact_max_files: int | None = None,
+):
+    """`monitored_federated_postings_ingest` for the POSITIONAL index
+    — the same per-collection run-scoped vocabulary-drift signals
+    (`_RunningVocabFederated`, O(batch), persisted table never
+    rescanned) over a drain that maintains the tenant-partitioned
+    (id, pos, term) table instead. With both lexical drains monitored,
+    a multi-tenant deployment gets domain-local drift flags for EVERY
+    lexical query shape (ranked, proximity-boosted, exact-phrase);
+    the action is `retrain_federated_positions_tenants`. Returns
+    ``(history, flags)``: per-batch ``(batch_id, n_docs,
+    {tenant: js})`` and ``{tenant: bool}``."""
+    from embeddingsearch_spark.operators.retrieval import (
+        build_partitioned_positions_index,
+        upsert_partitioned_positions_index,
+    )
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    counter = _WriteCounter(compact_max_files or 8)
+    vocab = _RunningVocabFederated(
+        reference, text_col, partition_col, vocab_size, smoothing
+    )
+    state = {"flags": {}}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_docs = batch_df.count()
+        if spark.catalog.tableExists(table):
+            upsert_partitioned_positions_index(
+                spark, table, batch_df, partition_col=partition_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=n_buckets, tokenizer=tokenizer, sink=sink,
+            )
+        else:
+            build_partitioned_positions_index(
                 batch_df, table, partition_col=partition_col,
                 id_col=id_col, text_col=text_col,
                 n_buckets=n_buckets, tokenizer=tokenizer,

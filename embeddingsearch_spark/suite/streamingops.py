@@ -1975,3 +1975,152 @@ QUERIES["streaming_drift_tenant_postings_reindex"] = (
     _streaming_drift_tenant_postings_sql(),
 )
 BUILD_QUERIES.add("streaming_drift_tenant_postings_reindex")
+
+
+# the positional drift era: an alien 24-token prefix (drives the
+# per-tenant JS signal) prepended to a COPY of the era-1 text (so the
+# drift docs genuinely MATCH era-1-derived phrases, at shifted
+# positions — the serve result depends on exactly which drift docs
+# survive the swap)
+_DRIFT_PFX = " ".join("driftp%x" % i for i in range(24))
+
+
+def q_streaming_drift_tenant_positions_reindex(spark, sf_dir):
+    """Per-tenant vocabulary drift → single-tenant partition swap for
+    the POSITIONAL index — the fifth and last lexical/vector member of
+    the streaming tenant-drift loop (IVF/PQ/graph/postings above):
+    pass 1 streams the reference era through
+    `monitored_federated_positions_ingest` (per-tenant JS exactly 0 —
+    no flags), pass 2 streams src3-only drift docs (alien 24-token
+    prefix ‖ a copy of the era-1 text, new ids at +500000) whose
+    run-scoped JS (0.058/0.082 at the two scales vs threshold 0.03)
+    flags src3 alone. The ACTION
+    (`retrain_federated_positions_tenants`) swaps src3's position
+    partitions with the post-cleanup corpus (the drift era's odd half
+    culled). The phrase serve then matches era-1-derived phrases over
+    the final corpus — drift docs DO match (the copied text), at
+    prefix-shifted first_pos, so a wrong swap (stale doc lingering,
+    survivor missing, positions off by the prefix) value-fails. The
+    oracle replays tenant-scoped phrase matching over exactly that
+    corpus plus the flag literals."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_positions_ingest,
+    )
+    from embeddingsearch_spark.suite.realistic import realistic_text
+    from embeddingsearch_spark.suite.retrievalops import _corpus
+
+    table = "es_gate_sdrift_tpos"
+    drop_table(spark, table)
+    docs = _corpus(spark, sf_dir)
+
+    def raw_stream():
+        return (
+            spark.readStream.schema(DOCUMENTS_RAW)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "lang", "source")
+        )
+
+    _, flags1 = monitored_federated_positions_ingest(
+        realistic_text(raw_stream()), table, docs,
+        partition_col="source", vocab_size=1024, smoothing=1.0,
+        threshold=0.03, n_buckets=8,
+    )
+
+    def drift_era(df):
+        return df.filter(
+            (F.col("source") == "src3") & (F.col("doc_id") % 3 == 0)
+        ).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "lang",
+            "source",
+            F.concat(F.lit(_DRIFT_PFX + " "), F.col("text")).alias(
+                "text"
+            ),
+        )
+
+    _, flags2 = monitored_federated_positions_ingest(
+        drift_era(realistic_text(raw_stream())), table, docs,
+        partition_col="source", vocab_size=1024, smoothing=1.0,
+        threshold=0.03, n_buckets=8,
+    )
+    survivors = drift_era(docs).filter(
+        (F.col("doc_id") - 500000) % 6 == 0
+    )
+    gx = docs.filter(F.col("source") == "src3").unionByName(survivors)
+    retrieval.retrain_federated_positions_tenants(
+        spark, table, gx, partition_col="source", n_buckets=8
+    )
+    qids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 13 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    from embeddingsearch_spark import functions as _fns  # noqa: F401
+    from embeddingsearch_spark.functions.text import tokens as _toks
+
+    phrase_qs = docs.join(
+        qids, docs["doc_id"] == qids["query_id"]
+    ).select(
+        "query_id",
+        F.concat_ws(" ", F.slice(_toks(F.col("text")), 2, 3)).alias(
+            "text"
+        ),
+    )
+    route = docs.join(
+        qids, docs["doc_id"] == F.col("query_id")
+    ).select("query_id", "source")
+    res = retrieval.phrase_search_federated_from_index(
+        spark, table, phrase_qs, route, partition_col="source"
+    )
+    others = {
+        t: v
+        for d in (flags1, flags2)
+        for t, v in d.items()
+        if t != "src3"
+    }
+    return res.withColumn(
+        "retrain_drifted", F.lit(bool(flags2.get("src3")))
+    ).withColumn("retrain_others", F.lit(any(others.values())))
+
+
+def _streaming_drift_tenant_positions_sql() -> str:
+    from embeddingsearch_spark.suite.retrievalops import (
+        _phrase_tenant_sql,
+    )
+
+    base = _phrase_tenant_sql()
+    era2 = f"""rdall AS (
+  SELECT doc_id, lang, source, text FROM rd
+  UNION ALL
+  SELECT doc_id + 500000, lang, source,
+         '{_DRIFT_PFX} ' || text AS text
+  FROM rd WHERE source = 'src3' AND doc_id % 6 = 0
+),
+q AS ("""
+    return (
+        base.replace("q AS (", era2, 1)
+        .replace(
+            "AS t FROM rd\n  WHERE source IN",
+            "AS t FROM rdall\n  WHERE source IN",
+            1,
+        )
+        .replace(
+            "SELECT query_id, doc_id, CAST(len(m) AS INT) "
+            "AS n_occurrences,",
+            "SELECT query_id, doc_id, CAST(len(m) AS INT) "
+            "AS n_occurrences,\n"
+            "       TRUE AS retrain_drifted, "
+            "FALSE AS retrain_others,",
+            1,
+        )
+    )
+
+
+QUERIES["streaming_drift_tenant_positions_reindex"] = (
+    q_streaming_drift_tenant_positions_reindex,
+    _streaming_drift_tenant_positions_sql(),
+)
+BUILD_QUERIES.add("streaming_drift_tenant_positions_reindex")

@@ -1359,3 +1359,81 @@ def test_federated_drains_route_through_injected_sink(spark, tmp_path):
     assert sorted(set(gspy.calls)) == [
         pre + "_assigned", pre + "_pairs", pre + "_vectors"
     ], gspy.calls
+
+
+def test_monitored_federated_positions_flags_and_swap(spark, tmp_path):
+    """The POSITIONAL federated monitor + retrain pair: per-tenant
+    flag isolation in one mixed run, and
+    `retrain_federated_positions_tenants` swaps only the flagged
+    collection's partitions (vanished docs removed, other tenant's
+    position files byte-identical)."""
+    from embeddingsearch_spark.operators import retrieval
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        monitored_federated_positions_ingest,
+    )
+    from tests.test_lifecycle import _listing
+
+    schema = "doc_id long, text string, source string"
+    ref_rows = [
+        (
+            i,
+            ("the quick brown fox" if i % 2 == 0
+             else "ein schneller brauner fuchs"),
+            "acme" if i % 2 == 0 else "globex",
+        )
+        for i in range(20)
+    ]
+    reference = spark.createDataFrame(ref_rows, schema)
+    table = "es_test_mon_fpos"
+    drop_table(spark, table)
+    s1 = _multi_file_source(spark, tmp_path, ref_rows, schema, 2)
+    _, f1 = monitored_federated_positions_ingest(
+        s1, table, reference, partition_col="source",
+        vocab_size=64, smoothing=0.1, threshold=0.05, n_buckets=2,
+    )
+    assert f1 == {"acme": False, "globex": False}, f1
+    mix = [
+        (
+            1000 + i,
+            ("the quick brown fox" if i % 2 == 0
+             else "zzalien zzvocab zzeverywhere zznow"),
+            "acme" if i % 2 == 0 else "globex",
+        )
+        for i in range(16)
+    ]
+    s2 = _multi_file_source(
+        spark, os.path.join(str(tmp_path), "p2"), mix, schema, 2
+    )
+    _, f2 = monitored_federated_positions_ingest(
+        s2, table, reference, partition_col="source",
+        vocab_size=64, smoothing=0.1, threshold=0.05, n_buckets=2,
+    )
+    assert f2 == {"acme": False, "globex": True}, f2
+    # the maintained table is the positional layout
+    assert set(spark.table(table).columns) == {
+        "doc_id", "source", "pos", "term"
+    }
+
+    # swap globex only: doc 1001 vanished, rest re-tokenized under a
+    # coarser corpus; acme's files byte-identical
+    before_acme = _listing(spark, table, "acme")
+    new_gx = spark.createDataFrame(
+        [(1, "neu geschrieben text", "globex")]
+        + [(r[0], r[1], r[2]) for r in mix if r[2] == "globex"][1:],
+        schema,
+    )
+    retrieval.retrain_federated_positions_tenants(
+        spark, table, new_gx, partition_col="source", n_buckets=2
+    )
+    assert _listing(spark, table, "acme") == before_acme
+    got_ids = {
+        r[0]
+        for r in spark.table(table)
+        .filter(F.col("source") == "globex")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    want_ids = {r[0] for r in new_gx.collect()}
+    assert got_ids == want_ids, (got_ids, want_ids)
