@@ -966,6 +966,50 @@ def upsert_federated_graph_index(
     return edges_from_pairs(spark.table(f"{prefix}_pairs"), m=m)
 
 
+def graph_auto_config(
+    spark,
+    prefix: str,
+    partition_col: str = "source",
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> dict:
+    """{tenant: serve config} from the LIVE per-tenant corpus sizes of
+    a persisted federated graph index — `graph_config_for`'s rule
+    applied to each collection's ACTUAL member count (distinct ids in
+    its assignment partitions), so the serve-time beam/hops/n_entry/m
+    always match the corpus each tenant's graph actually holds (a
+    grown or re-blocked tenant's search widens automatically). One
+    bounded aggregate: a row per collection."""
+    from pyspark.sql import functions as F2
+
+    return {
+        str(r[0]): graph_config_for(int(r[1]), k=k)
+        for r in spark.table(f"{prefix}_assigned")
+        .groupBy(partition_col)
+        .agg(F2.countDistinct(id_col).alias("n"))
+        .collect()
+    }
+
+
+def _graph_serve_groups(cfg_by: dict) -> list:
+    """Group tenants whose rule configs share the SERVE knobs
+    (beam, hops, n_entry, m) — one beam-search pass per distinct
+    config (a single pass in practice; configs step at corpus-size
+    breakpoints). Returns [(cfg, [tenants...]), ...] sorted for
+    determinism."""
+    groups: dict = {}
+    for t, cfg in cfg_by.items():
+        key = (cfg["beam"], cfg["hops"], cfg["n_entry"], cfg["m"])
+        groups.setdefault(key, []).append(t)
+    return [
+        (
+            {"beam": b, "hops": h, "n_entry": e, "m": m},
+            sorted(ts),
+        )
+        for (b, h, e, m), ts in sorted(groups.items())
+    ]
+
+
 def graph_search_federated_aliased(
     spark,
     alias: str,
@@ -982,22 +1026,49 @@ def graph_search_federated_aliased(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     salt: str = "nsw_entry",
+    config: str | None = None,
 ) -> DataFrame:
     """Per-tenant blue/green for graph serving: each routed
     collection's beam walks the pair/assignment GENERATION its
     `set_tenant_index_alias` row points at (a re-blocked tenant flips
     to its rebuilt graph while others keep serving theirs). Grouping
     via `storage.federated_serve_aliased` — the helper now covers all
-    four federated families."""
+    four federated families.
+
+    ``config="auto"`` derives each tenant's beam/hops/n_entry/m from
+    its generation's LIVE corpus size (`graph_auto_config`) — the
+    production path picks up `graph_config_for` instead of
+    hand-carried search knobs; explicit beam/hops/... are ignored."""
     from embeddingsearch_spark.storage import federated_serve_aliased
 
+    if config not in (None, "auto"):
+        raise ValueError(f"unknown config {config!r} (use 'auto')")
+
     def serve(prefix, q, r):
-        return graph_search_federated(
-            spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,
-            n_entry=n_entry, m=m, partition_col=partition_col,
-            id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col, salt=salt,
+        if config != "auto":
+            return graph_search_federated(
+                spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,
+                n_entry=n_entry, m=m, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col, salt=salt,
+            )
+        cfg_by = graph_auto_config(
+            spark, prefix, partition_col, k=k, id_col=id_col
         )
+        out = None
+        for cfg, tenants in _graph_serve_groups(cfg_by):
+            rr = r.filter(F.col(partition_col).isin(tenants))
+            qq = q.join(
+                rr.select(query_id_col).distinct(), query_id_col
+            )
+            part = graph_search_federated(
+                spark, prefix, emb, qq, rr, k=k, beam=cfg["beam"],
+                hops=cfg["hops"], n_entry=cfg["n_entry"], m=cfg["m"],
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col, salt=salt,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     return federated_serve_aliased(
         spark, alias, queries, route, serve,

@@ -884,17 +884,28 @@ def serve_graph_federated_cached(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     now: float = 0.0,
+    config: str | None = None,
 ) -> DataFrame:
     """Tenant-keyed cached serving over the GRAPH index — the last
     federated family joins the cached-serve matrix (all four now
     serve through the shared `_serve_cached` core with `_scope`
     stamps): same key contract; misses run the routed beam search
     (`graph_search_federated`) for the missed queries only, scoring
-    raw vectors from ``emb`` pruned to the missed tenants."""
+    raw vectors from ``emb`` pruned to the missed tenants.
+
+    ``config="auto"`` sizes each missed tenant's beam/hops/n_entry/m
+    from its LIVE corpus (`graph_auto_config`) — the production
+    cached path picks up `graph_config_for`; explicit knobs are
+    ignored. Bump ``index_versions`` when switching configs (cache
+    keys do not encode them)."""
     from embeddingsearch_spark.operators.graphann import (
+        _graph_serve_groups,
+        graph_auto_config,
         graph_search_federated,
     )
 
+    if config not in (None, "auto"):
+        raise ValueError(f"unknown config {config!r} (use 'auto')")
     qkeyed = _vector_tenant_qkeyed(
         spark, queries, route, index_versions, partition_col,
         vec_col, query_id_col,
@@ -913,22 +924,41 @@ def serve_graph_federated_cached(
                 for x in r.select(partition_col).distinct().collect()
             ]  # bounded: <= #collections
             src = emb.filter(F.col(partition_col).isin(routed))
-        return graph_search_federated(
-            spark,
-            index_prefix,
-            src,
-            misses_q.select(query_id_col, vec_col),
-            r,
-            k=k,
-            beam=beam,
-            hops=hops,
-            n_entry=n_entry,
-            m=m,
-            partition_col=partition_col,
-            id_col=id_col,
-            vec_col=vec_col,
-            query_id_col=query_id_col,
+        if config != "auto":
+            return graph_search_federated(
+                spark,
+                index_prefix,
+                src,
+                misses_q.select(query_id_col, vec_col),
+                r,
+                k=k,
+                beam=beam,
+                hops=hops,
+                n_entry=n_entry,
+                m=m,
+                partition_col=partition_col,
+                id_col=id_col,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
+            )
+        cfg_by = graph_auto_config(
+            spark, index_prefix, partition_col, k=k, id_col=id_col
         )
+        out = None
+        for cfg, tenants in _graph_serve_groups(cfg_by):
+            rr = r.filter(F.col(partition_col).isin(tenants))
+            qq = misses_q.select(query_id_col, vec_col).join(
+                rr.select(query_id_col).distinct(), query_id_col
+            )
+            part = graph_search_federated(
+                spark, index_prefix, src, qq, rr, k=k,
+                beam=cfg["beam"], hops=cfg["hops"],
+                n_entry=cfg["n_entry"], m=cfg["m"],
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     return _serve_cached(
         spark, cache_table, qkeyed, compute, k, id_col, id_type,

@@ -631,3 +631,76 @@ def test_ivf_auto_nprobe_through_all_serves(spark, sf_dir):
             spark, pre, queries, route, k=5, nprobe="wat"
         )
     drop_table(spark, pre + "_talias")
+
+
+def test_graph_auto_config_through_production_serves(spark, sf_dir):
+    """``config="auto"`` on the graph production serves equals the
+    direct federated search at `graph_auto_config`'s live-corpus
+    params — the graph member of the config-promotion set (PQ factor,
+    IVF nprobe above)."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 120).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    ).localCheckpoint(eager=True)
+    qdf = emb.filter(F.col("vec_id") < 3)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pre = "es_test_gauto"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, pre + t)
+    assigned = graphann.assign_blocks_federated(emb, cents, n_assign=2)
+    graphann.save_federated_graph_index(
+        graphann.block_pair_sims_federated(emb, assigned), assigned,
+        pre, n_buckets=2,
+    )
+    cfg_by = graphann.graph_auto_config(spark, pre, k=5)
+    assert set(cfg_by) == {"acme", "globex"}
+    groups = graphann._graph_serve_groups(cfg_by)
+    assert len(groups) == 1  # equal tenant sizes -> one config
+    cfg = groups[0][0]
+    want = sorted(
+        map(
+            tuple,
+            graphann.graph_search_federated(
+                spark, pre, emb, queries, route, k=5,
+                beam=cfg["beam"], hops=cfg["hops"],
+                n_entry=cfg["n_entry"], m=cfg["m"],
+            ).collect(),
+        )
+    )
+
+    drop_table(spark, pre + "_talias")
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, pre, t, pre)
+    got = graphann.graph_search_federated_aliased(
+        spark, pre, emb, queries, route, k=5, config="auto"
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+    drop_table(spark, pre + "_cache")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_graph_federated_cached(
+        spark, pre + "_cache", pre, emb, queries, route, versions,
+        k=5, config="auto",
+    ).collect()
+    warm = qc.serve_graph_federated_cached(
+        spark, pre + "_cache", pre, emb, queries, route, versions,
+        k=5, config="auto",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    drop_table(spark, pre + "_talias")
