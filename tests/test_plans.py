@@ -1156,3 +1156,58 @@ def test_pq_federated_refined_prunes_both_scans_and_broadcasts(spark):
     )
     assert "source" in pf, plan[:3000]
     assert pi.has_broadcast_join(df), plan[:3000]
+
+
+def test_ivf_federated_auto_nprobe_prunes_and_isolates(spark):
+    """`nprobe="auto"` keeps the two-level pruning contract: the rule
+    derives each tenant's width from its LIVE quantizer (pinned
+    numerically here), every parquet scan is an index table, the
+    probed pairs reach the assigned scan as PartitionFilters on BOTH
+    levels, and the un-routed tenant appears in NO filter — widening
+    the probe must never widen it across tenants."""
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = two.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        two, cents, partition_col="source"
+    )
+    drop_table(spark, "es_plan_tivfa_assigned")
+    drop_table(spark, "es_plan_tivfa_centroids")
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_plan_tivfa", partition_col="source",
+        n_buckets=2,
+    )
+    # the rule at 8 cents/tenant: ceil(0.9^2.5 * 8) = 7 of 8 cells
+    np_map = ann_ops.ivf_auto_nprobe(spark, "es_plan_tivfa")
+    assert np_map == {"acme": 7, "globex": 7}, np_map
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = ann_ops.ivf_federated_from_index(
+        spark, "es_plan_tivfa", queries, route, k=5, nprobe="auto",
+        partition_col="source",
+    )
+    plan = pi.physical_plan(df)
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "es_plan_tivfa" in line, line
+    assert "CartesianProduct" not in plan
+    pi.assert_partition_pruned(df)
+    pf = "\n".join(
+        m for m in plan.splitlines() if "PartitionFilters" in m
+    )
+    assert "source" in pf and "centroid_id" in pf, plan[:3000]
+    assert "globex" not in pf, pf
