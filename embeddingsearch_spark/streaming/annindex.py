@@ -1625,7 +1625,12 @@ def monitored_federated_ivf_ingest(
     tenant's distribution shift flags THAT tenant for
     `retrain_federated_ivf_tenants` (single-tenant rebuild) while the
     others keep their quantizers and files untouched — the streaming
-    twin of the batch `drift_tenant_reindex` loop.
+    twin of the batch `drift_tenant_reindex` loop. What the flag
+    protects (measured, BASELINE.md round-8 drift table): IVF under a
+    stale quantizer degrades in COST, not recall — a drifted tenant's
+    cell skew went 1.5 → 4.8 (partition pruning stops pruning; the
+    probe reads toward brute force) while recall@10 held ≥0.95, and
+    the single-tenant retrain recovered skew to 2.2.
 
     Per micro-batch: the federated upsert (one tenant's rows rewrite
     only its (tenant, centroid) cells), one (tenants × d)-bounded
@@ -1757,7 +1762,12 @@ def monitored_federated_pq_ingest(
     ITS reference-era mean under the SAME codebooks. One tenant's
     scale blow-up flags that tenant for
     `retrain_federated_pq_tenants` (single-tenant re-encode) while
-    the others keep their codebooks and code files untouched.
+    the others keep their codebooks and code files untouched. What
+    the flag protects (measured, BASELINE.md round-8 drift table): PQ
+    is the family whose drift failure IS recall — a drifted tenant's
+    refined recall@10 fell 0.83 → 0.76 under stale codebooks and the
+    single-tenant retrain recovered it to 0.90 (above its own
+    baseline — trained codebooks beat seed codebooks).
 
     O(batch) per micro-batch: one federated encode (shared with the
     index write on the CREATE path), one tenants-bounded (sum, count)
@@ -1907,7 +1917,12 @@ def monitored_federated_graph_ingest(
     (`_RunningPopsFederated`, each tenant's n_blocks from ITS own
     quantizer) flag retrain PER TENANT — the action is
     `retrain_federated_graph_tenants` (single-tenant block/pair
-    rebuild), every other collection's graph untouched. O(batch) per
+    rebuild), every other collection's graph untouched. What the flag
+    protects (measured, BASELINE.md round-8 drift table): the graph
+    family degrades in BUILD/MAINTENANCE cost, not recall — a drifted
+    tenant's pair volume went 120k → 448k (Σ block² under a
+    mega-block) while recall@10 held ≥0.87, and the single-tenant
+    re-block recovered it to 243k at a 1.33× corpus. O(batch) per
     micro-batch; the persisted tables are never rescanned for
     monitoring. ``centroids`` is the fixed per-collection quantizer
     (required — the graph family's coarse quantizer is caller-owned).
