@@ -54,20 +54,30 @@ def _affected_vectors(
     class the round-7 monitor rework removed from the signal side.
 
     The affected blocks come from the batch's own assignment (already
-    O(batch × centroids)); members come from the persisted assignment
-    table, joined on the broadcast block set (federated: on
+    O(batch × centroids)) and collect into a LITERAL predicate on the
+    assignment scan (bounded: ≤ quantizer cells per touched tenant —
+    the centroid-collect class), so the member lookup reads only the
+    affected tenants' partitions (hive pruning on the tenant column)
+    and, the table being bucketed by ``_blk``, only the affected
+    buckets — never the whole assignment table. Federated tuples pair
     [tenant, _blk], so per-tenant block numbering never
-    cross-matches). The result is eagerly checkpointed because its
+    cross-matches. The result is eagerly checkpointed because its
     lineage reads the vectors table the drain is about to rewrite."""
-    from pyspark.sql import functions as F
+    from embeddingsearch_spark.operators.retrieval import (
+        _partition_filter,
+    )
 
     on = ["_blk"] if partition_col is None else [partition_col, "_blk"]
-    affected = assigned_b.select(*on).distinct()
-    # no distinct on either join's right side — semi/anti semantics
+    rows = assigned_b.select(*on).distinct().collect()
+    if not rows:
+        return batch_df.localCheckpoint(eager=True)
+    # no distinct on the semi/anti right sides — those join semantics
     # ignore duplicate keys, and each saved distinct is an exchange
-    member_ids = spark.table(f"{prefix}_assigned").join(
-        F.broadcast(affected), on
-    ).select(id_col)
+    member_ids = (
+        spark.table(f"{prefix}_assigned")
+        .filter(_partition_filter(on, rows))
+        .select(id_col)
+    )
     return (
         old_vecs.join(member_ids, id_col, "left_semi")
         .join(batch_df.select(id_col), id_col, "left_anti")
