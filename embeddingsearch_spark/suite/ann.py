@@ -3123,3 +3123,71 @@ QUERIES["pq_tenant_autoconf_cached_serve"] = (
     q_pq_tenant_autoconf_cached_serve,
     PQ_TENANT_AUTOCONF_SQL,
 )
+
+
+def q_ivf_tenant_autoconf_cached_serve(spark, sf_dir):
+    """`ivf_config_for` promoted into the PRODUCTION cached path — the
+    IVF twin of `pq_tenant_autoconf_cached_serve`: the per-tenant
+    quantizers are sized from live corpus counts exactly as
+    `ivf_tenant_autoconf_serve`, and the CACHED serve takes
+    ``nprobe="auto"`` — its miss path derives each tenant's probe
+    width from the LIVE quantizer size (`ivf_auto_nprobe`), so the
+    cached production path picks up the sizing rule end to end. Cold
+    serve fills, the returned warm serve is a pure cache read;
+    identical to the uncached autoconf serve by construction — shares
+    its oracle verbatim (the SQL derives the same clamped rule; a
+    drifted rule value-fails here too)."""
+    from pyspark.sql.window import Window as W
+
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tivfac_cache")
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: one row per collection
+    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    cfg_df = emb.sparkSession.createDataFrame(
+        [(t, c["n_cents"]) for t, c in cfg.items()],
+        "source string, _nc int",
+    )
+    w = W.partitionBy("source").orderBy("vec_id")
+    cents = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(cfg_df), "source")
+        .filter(F.col("_rn") <= F.col("_nc"))
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_tivfac", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_ivf_federated_cached(
+        spark, "es_gate_tivfac_cache", "es_gate_tivfac", queries,
+        route, versions, k=10, nprobe="auto", partition_col="source",
+    ).collect()
+    return qc.serve_ivf_federated_cached(
+        spark, "es_gate_tivfac_cache", "es_gate_tivfac", queries,
+        route, versions, k=10, nprobe="auto", partition_col="source",
+    )
+
+
+QUERIES["ivf_tenant_autoconf_cached_serve"] = (
+    q_ivf_tenant_autoconf_cached_serve,
+    _ivf_tenant_autoconf_sql(),
+)
