@@ -1320,6 +1320,155 @@ def ivf_auto_nprobe(
     }
 
 
+def ivf_calibrated_nprobe(
+    spark,
+    prefix: str,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.9,
+    sample_per_tenant: int = 64,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> dict:
+    """MEASURED-recall probe widths for a persisted federated IVF
+    index — the scale path past `ivf_auto_nprobe`'s uniform-random
+    worst-case rule (which probes ~77% of cells at target 0.9 on
+    EVERY corpus): per tenant, measure recall@k of the live index on
+    a bounded query sample and pick the SMALLEST width that reaches
+    ``recall_target``, so a clustered real corpus (where the nearest
+    neighbors concentrate in few cells) probes the few cells it
+    actually needs instead of the structureless floor.
+
+    How the measurement works — one pass, every width at once. For a
+    probed exact-top-k member, the serve scores true cosine, so any
+    exact member inside the probed cells ALWAYS lands in the served
+    top-k (at most k-1 vectors outrank it anywhere, under the same
+    rounding + id tie-break). Recall@k at width w is therefore
+    exactly (#exact members whose cell ranks ≤ w in the query's
+    probe order) / (k·|sample|) — measured for ALL widths by one
+    exact top-k pass plus one cell ranking, no re-serving per width.
+    The calibrated width is the ceil(target·m)-th smallest "cell
+    rank needed" over the tenant's sample pairs.
+
+    Cost & fallback: the exact pass scans each routed tenant's
+    assigned partitions once against ≤ ``sample_per_tenant`` queries
+    (deterministically the lowest query_ids per tenant) — a bounded
+    offline calibration, the same shape as one brute-force serve of
+    the sample; run it per index generation, not per query. Tenants
+    with centroids but NO sample queries fall back to the
+    `ivf_config_for` rule width (`ivf_auto_nprobe`) — the
+    conservative floor. Driver state: one (tenant, need) histogram,
+    ≤ tenants × n_cents rows. Returns ``{tenant: nprobe}``,
+    accepted anywhere `ivf_federated_from_index` takes a dict;
+    ``nprobe="calibrated"`` threads here from the production serves
+    (direct, cached, aliased) using the serve's own query batch as
+    the sample."""
+    import math
+
+    from embeddingsearch_spark.operators.retrieval import (
+        _partition_filter,
+    )
+
+    out = ivf_auto_nprobe(spark, prefix, partition_col, recall_target)
+    ws = Window.partitionBy(partition_col).orderBy(
+        F.col(query_id_col).asc()
+    )
+    qs = (
+        sample_queries.join(
+            F.broadcast(route.select(query_id_col, partition_col)),
+            query_id_col,
+        )
+        .withColumn("_sr", F.row_number().over(ws))
+        .filter(F.col("_sr") <= int(sample_per_tenant))
+        .select(
+            query_id_col,
+            partition_col,
+            F.col(vec_col).alias("_qvec"),
+            norm2(F.col(vec_col)).alias("_qn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    routed = [
+        r[0] for r in qs.select(partition_col).distinct().collect()
+    ]
+    if not routed:
+        return out
+    cents = spark.table(f"{prefix}_centroids").filter(
+        F.col(partition_col).isin(routed)
+    )
+    pc = cents.select(
+        partition_col,
+        centroid_id_col,
+        F.col(vec_col).alias("_cvec"),
+        norm2(F.col(vec_col)).alias("_cn"),
+    )
+    psim = _cosine_from_parts(
+        dot(F.col("_cvec"), F.col("_qvec")),
+        F.col("_cn"),
+        F.col("_qn"),
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_psim").desc(), F.col(centroid_id_col).asc()
+    )
+    ranks = (
+        qs.join(F.broadcast(pc), partition_col)
+        .select(
+            query_id_col,
+            centroid_id_col,
+            F.round(psim, ROUND_DIGITS).alias("_psim"),
+        )
+        .withColumn("_need", F.row_number().over(pw))
+        .select(query_id_col, centroid_id_col, "_need")
+    )
+    pruned = spark.table(f"{prefix}_assigned").filter(
+        _partition_filter([partition_col], [(t,) for t in routed])
+    )
+    sim = _cosine_from_parts(
+        dot(F.col(vec_col), F.col("_qvec")),
+        F.col("_vn"),
+        F.col("_qn"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        pruned.withColumn("_vn", norm2(F.col(vec_col)))
+        .join(F.broadcast(qs), partition_col)
+        .select(
+            query_id_col,
+            partition_col,
+            centroid_id_col,
+            F.col(id_col),
+            F.round(sim, ROUND_DIGITS).alias("_sim"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= int(k))
+    )
+    hist = (
+        exact.join(ranks, [query_id_col, centroid_id_col])
+        .groupBy(partition_col, "_need")
+        .count()
+        .collect()
+    )  # bounded: <= routed tenants x n_cents rows
+    dist: dict = {}
+    for r in hist:
+        dist.setdefault(str(r[0]), {})[int(r[1])] = int(r[2])
+    for t, d in dist.items():
+        m = sum(d.values())
+        pos = max(1, math.ceil(float(recall_target) * m))
+        acc = 0
+        for needv in sorted(d):
+            acc += d[needv]
+            if acc >= pos:
+                out[t] = int(needv)
+                break
+    return out
+
+
 def ivf_federated_from_index(
     spark,
     prefix: str,
@@ -1351,19 +1500,57 @@ def ivf_federated_from_index(
     quantizer sizes at the rule's 0.9 recall target
     (`ivf_auto_nprobe`) — so the production serves (direct, cached,
     aliased — all of which thread ``nprobe`` here) pick up the sizing
-    rule without the caller re-deriving it. Result = per-tenant
+    rule without the caller re-deriving it. ``nprobe="calibrated"``
+    instead MEASURES each tenant's width on this serve's own query
+    batch against the live index (`ivf_calibrated_nprobe` — smallest
+    width reaching recall 0.9 on the sample, rule as the unsampled
+    fallback): on clustered corpora it probes a fraction of the
+    rule's worst-case width at the same recall; the calibration pass
+    costs one bounded-sample exact scan, so use it per index
+    generation (cache/alias paths), not per ad-hoc query. Result =
+    per-tenant
     `ivf_topk` run inside each collection (tested), columns
     (query_id, id, cosine, rank)."""
     from embeddingsearch_spark.operators.retrieval import (
         _partition_filter,
     )
 
+    user_map = isinstance(nprobe, dict)
     if isinstance(nprobe, str):
-        if nprobe != "auto":
-            raise ValueError(f"unknown nprobe {nprobe!r} (use 'auto')")
-        nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
+        if nprobe == "auto":
+            nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
+        elif nprobe == "calibrated":
+            nprobe = ivf_calibrated_nprobe(
+                spark,
+                prefix,
+                queries,
+                route,
+                k=k,
+                partition_col=partition_col,
+                id_col=id_col,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
+                centroid_id_col=centroid_id_col,
+            )
+        else:
+            raise ValueError(
+                f"unknown nprobe {nprobe!r} (use 'auto' or 'calibrated')"
+            )
     cents = spark.table(f"{prefix}_centroids")
     routed = route.select(partition_col).distinct().collect()
+    if user_map:
+        # A hand-built width map with a routed tenant missing would
+        # silently serve that tenant ZERO candidates (the width join
+        # is inner) — raise instead; the derived maps ('auto'/
+        # 'calibrated') cover every tenant with centroids, so only
+        # user maps are exposed to the gap.
+        gap = sorted(
+            {str(r[0]) for r in routed} - {str(t) for t in nprobe}
+        )
+        if gap:
+            raise ValueError(
+                f"nprobe map missing routed collections: {gap}"
+            )
     tcents = cents.filter(
         F.col(partition_col).isin([r[0] for r in routed])
     )

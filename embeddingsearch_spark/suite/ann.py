@@ -3191,3 +3191,154 @@ QUERIES["ivf_tenant_autoconf_cached_serve"] = (
     q_ivf_tenant_autoconf_cached_serve,
     _ivf_tenant_autoconf_sql(),
 )
+
+
+def q_ivf_tenant_calibrated_serve(spark, sf_dir):
+    """MEASURED-recall probe widths (`ivf_calibrated_nprobe`) closed
+    into a gate — the scale path past the autoconf rule's
+    uniform-random worst case (~77% of cells at target 0.9 on every
+    corpus): per tenant, exact top-10 on a bounded sample (the 64
+    lowest routed query_ids) is compared against the query's probe
+    ranking of its tenant's cells, and the serve width is the
+    smallest one whose probed cells cover >= 0.9 of the sample's
+    exact pairs — measured on the LIVE index, rule as the unsampled
+    fallback. The serve then runs ALL queries at the calibrated
+    widths (``nprobe="calibrated"`` end to end through
+    `ivf_federated_from_index`). The oracle re-derives the SAME
+    measurement in SQL — exact sample top-k, cell-rank "need" per
+    pair, per-tenant ceil(0.9·m)-th smallest need — so a drifted
+    calibration (wrong sample cut, wrong percentile, wrong tie-break)
+    value-fails, exactly like the autoconf gates pin the sizing rule.
+    Why this matters: on clustered real corpora the measured width is
+    a fraction of the rule's floor at the same recall (BASELINE.md
+    round-9 calibration table)."""
+    from pyspark.sql.window import Window as W
+
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: one row per collection
+    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    cfg_df = emb.sparkSession.createDataFrame(
+        [(t, c["n_cents"]) for t, c in cfg.items()],
+        "source string, _nc int",
+    )
+    w = W.partitionBy("source").orderBy("vec_id")
+    cents = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(cfg_df), "source")
+        .filter(F.col("_rn") <= F.col("_nc"))
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_tivf_cal", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return ann_ops.ivf_federated_from_index(
+        spark, "es_gate_tivf_cal", queries, route, k=10,
+        nprobe="calibrated", partition_col="source",
+    )
+
+
+def _ivf_tenant_calibrated_sql() -> str:
+    """`_ivf_tenant_sql` with the autoconf quantizer (rule-sized
+    n_cents from the per-tenant corpus count) and the probe width
+    MEASURED the way `ivf_calibrated_nprobe` measures it: per tenant,
+    exact top-10 for the 64 lowest routed query_ids, each exact
+    pair's "need" = the probe rank of its assigned cell in the
+    query's own cell ranking, width = the ceil(0.9·m)-th smallest
+    need (m = the tenant's pair count) — recall@k at width w is
+    exactly the fraction of pairs with need <= w, because a probed
+    exact member always survives the served top-k cut (same rounding
+    + id tie-break). A drifted measurement value-fails."""
+    cents_sql = """tcfg AS (
+  SELECT source,
+         CAST(greatest(4, least(4096,
+              floor(sqrt(count(*)) + 0.5))) AS INT) AS n_cents
+  FROM src GROUP BY source
+),
+tcents AS (
+  SELECT source, centroid_id, cv FROM (
+    SELECT s.source, s.vec_id AS centroid_id, s.embedding AS cv,
+           row_number() OVER (PARTITION BY s.source
+                              ORDER BY s.vec_id) AS r,
+           g.n_cents
+    FROM src s JOIN tcfg g ON g.source = s.source
+  ) WHERE r <= n_cents
+)"""
+    probe_sql = f"""prank AS (
+  SELECT query_id, centroid_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, centroid_id ASC) AS r
+  FROM probe_sims
+),
+sampleq AS (
+  SELECT query_id, source, qv FROM (
+    SELECT query_id, source, qv,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY query_id ASC) AS sr
+    FROM q
+  ) WHERE sr <= 64
+),
+exact_elems AS (
+  SELECT s.query_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.qv) AS DOUBLE) AS y
+  FROM sampleq s JOIN src e ON e.source = s.source
+),
+exact_sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS sim
+  FROM exact_elems GROUP BY query_id, vec_id
+),
+exactk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS r
+    FROM exact_sims
+  ) WHERE r <= 10
+),
+needs AS (
+  SELECT x.query_id, q.source, pr.r AS need
+  FROM exactk x
+  JOIN assigned a ON a.vec_id = x.vec_id
+  JOIN prank pr ON pr.query_id = x.query_id
+              AND pr.centroid_id = a.centroid_id
+  JOIN q ON q.query_id = x.query_id
+),
+cal AS (
+  SELECT source, need AS w FROM (
+    SELECT source, need,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY need ASC) AS rr,
+           count(*) OVER (PARTITION BY source) AS m
+    FROM needs
+  ) WHERE rr = CAST(ceil(0.9 * m) AS BIGINT)
+),
+probe AS (
+  SELECT pr.query_id, pr.centroid_id
+  FROM prank pr
+  JOIN q ON q.query_id = pr.query_id
+  JOIN cal c ON c.source = q.source
+  WHERE pr.r <= c.w
+)"""
+    return _ivf_tenant_sql(cents_sql=cents_sql, probe_sql=probe_sql)
+
+
+QUERIES["ivf_tenant_calibrated_serve"] = (
+    q_ivf_tenant_calibrated_serve,
+    _ivf_tenant_calibrated_sql(),
+)

@@ -633,6 +633,144 @@ def test_ivf_auto_nprobe_through_all_serves(spark, sf_dir):
     drop_table(spark, pre + "_talias")
 
 
+def _clustered_two_tenants(spark, n_clusters=8, per_cluster=40, dim=8):
+    """Deterministic CLUSTERED corpus: per tenant, ``n_clusters``
+    tight blobs (center = 3·onehot(c), members jittered ±0.1), so a
+    query's true neighbors live in ONE cell — the structure real
+    embeddings have and the uniform-random rule can't see."""
+    rows = []
+    for ti, t in enumerate(("acme", "globex")):
+        for c in range(n_clusters):
+            for j in range(per_cluster):
+                vid = ti + 2 * (c * per_cluster + j)
+                vec = [
+                    3.0 * (1 if d == c % dim else 0)
+                    + 0.1 * (((vid * 31 + d * 7) % 19) - 9) / 9.0
+                    for d in range(dim)
+                ]
+                rows.append((vid, t, c, vec))
+    return spark.createDataFrame(
+        rows,
+        "vec_id long, source string, _cluster int, embedding array<float>",
+    )
+
+
+def test_ivf_calibrated_nprobe_clustered_beats_rule(spark):
+    """The round-9 headline: on a CLUSTERED corpus the MEASURED width
+    (`ivf_calibrated_nprobe`) probes a small fraction of the rule's
+    uniform-random floor at recall >= the target — and the serve at
+    the calibrated width actually delivers that recall against exact
+    brute force. Also pins: unsampled tenants fall back to the rule,
+    and ``nprobe="calibrated"`` equals the explicit dict through the
+    direct serve."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _clustered_two_tenants(spark).localCheckpoint(eager=True)
+    cents = (
+        emb.filter(F.col("vec_id") % (2 * 40) < 2)  # first of each blob
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    pre = "es_test_ivfcal"
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, pre + t)
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(emb, cents), cents, pre,
+        n_buckets=2,
+    )
+    qdf = emb.filter(F.col("vec_id") % 29 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    rule = ann_ops.ivf_auto_nprobe(spark, pre)
+    cal = ann_ops.ivf_calibrated_nprobe(spark, pre, queries, route, k=10)
+    assert rule == {"acme": 7, "globex": 7}, rule  # ceil(.768*8)
+    # clustered: neighbors concentrate in ~1 cell — measured width is
+    # a small fraction of the rule's floor
+    assert cal["acme"] <= 3 and cal["globex"] <= 3, (cal, rule)
+    served = ann_ops.ivf_federated_from_index(
+        spark, pre, queries, route, k=10, nprobe=cal
+    )
+    exact = None
+    for t in ("acme", "globex"):
+        part = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t),
+            queries.join(
+                route.filter(F.col("source") == t).select("query_id"),
+                "query_id",
+            ),
+            k=10,
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    rec = (
+        ann_ops.ann_recall(served, exact, k=10)
+        .join(route, "query_id")
+        .groupBy("source")
+        .agg(F.avg("recall").alias("r"))
+        .collect()
+    )
+    assert all(row["r"] >= 0.9 for row in rec), rec
+    # string path == explicit dict path
+    got = ann_ops.ivf_federated_from_index(
+        spark, pre, queries, route, k=10, nprobe="calibrated"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+    # unsampled tenant falls back to the rule width
+    acme_only = route.filter(F.col("source") == "acme")
+    cal2 = ann_ops.ivf_calibrated_nprobe(
+        spark, pre, queries, acme_only, k=10
+    )
+    assert cal2["globex"] == rule["globex"], cal2
+    assert cal2["acme"] == cal["acme"], (cal2, cal)
+
+
+def test_ivf_nprobe_dict_gap_raises(spark, sf_dir):
+    """A hand-built ``nprobe`` map missing a routed tenant must raise
+    — the inner width join would otherwise silently serve that
+    tenant ZERO candidates (ADVICE round-8)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark import tables
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 24
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for t in ("_assigned", "_centroids"):
+        drop_table(spark, "es_test_ivfgap" + t)
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(emb, cents), cents,
+        "es_test_ivfgap", n_buckets=2,
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    route = queries.select(
+        "query_id",
+        F.when(F.col("query_id") % 2 == 0, "acme")
+        .otherwise("globex")
+        .alias("source"),
+    )
+    with _pytest.raises(ValueError, match="missing routed"):
+        ann_ops.ivf_federated_from_index(
+            spark, "es_test_ivfgap", queries, route, k=5,
+            nprobe={"acme": 3},
+        )
+
+
 def test_graph_auto_config_through_production_serves(spark, sf_dir):
     """``config="auto"`` on the graph production serves equals the
     direct federated search at `graph_auto_config`'s live-corpus

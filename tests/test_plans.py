@@ -1200,6 +1200,15 @@ def test_ivf_federated_auto_nprobe_prunes_and_isolates(spark):
         spark, "es_plan_tivfa", queries, route, k=5, nprobe="auto",
         partition_col="source",
     )
+    # the assigned scan's filter carries EXACTLY the rule's width — 7
+    # of acme's 8 cells for the one probed query; silent widening (8
+    # literals = unpruned full tenant) or filter collapse (0) fails.
+    # Must run before any other stringification: the scan caches its
+    # metadata strings at first access, truncated or not.
+    aline = _assigned_scan_line(spark, df, "es_plan_tivfa_assigned")
+    n_lits = len(_CENT_LIT.findall(aline))
+    assert n_lits == 7, (n_lits, aline[:3000])
+    assert "InMemoryFileIndex(7 paths)" in aline, aline[:3000]
     plan = pi.physical_plan(df)
     for line in plan.splitlines():
         if "Scan parquet" in line:
@@ -1211,3 +1220,73 @@ def test_ivf_federated_auto_nprobe_prunes_and_isolates(spark):
     )
     assert "source" in pf and "centroid_id" in pf, plan[:3000]
     assert "globex" not in pf, pf
+
+
+_CENT_LIT = __import__("re").compile(r"centroid_id#\d+L? = \d+")
+
+
+def _assigned_scan_line(spark, df, table: str) -> str:
+    """The single-line FileScan entry for ``table`` with untruncated
+    metadata — the PartitionFilters literal count on it IS the number
+    of (tenant, cell) partitions the serve reads."""
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = pi.simple_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    return next(
+        m
+        for m in plan.splitlines()
+        if table in m and "PartitionFilters" in m
+    )
+
+
+def test_ivf_federated_calibrated_prunes_at_measured_width(spark):
+    """`nprobe="calibrated"` keeps the same two-level pruning contract
+    as "auto", at the MEASURED width: the assigned scan's
+    PartitionFilters carry exactly the calibrated number of (tenant,
+    cell) literals — never more than the rule's floor, never the
+    un-routed tenant."""
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = two.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        two, cents, partition_col="source"
+    )
+    drop_table(spark, "es_plan_tivfa_assigned")
+    drop_table(spark, "es_plan_tivfa_centroids")
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_plan_tivfa", partition_col="source",
+        n_buckets=2,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    cal = ann_ops.ivf_calibrated_nprobe(
+        spark, "es_plan_tivfa", queries, route, k=5
+    )
+    rule = ann_ops.ivf_auto_nprobe(spark, "es_plan_tivfa")
+    assert 1 <= cal["acme"] <= rule["acme"], (cal, rule)
+    assert cal["globex"] == rule["globex"], cal  # unsampled fallback
+    df = ann_ops.ivf_federated_from_index(
+        spark, "es_plan_tivfa", queries, route, k=5,
+        nprobe="calibrated", partition_col="source",
+    )
+    aline = _assigned_scan_line(spark, df, "es_plan_tivfa_assigned")
+    assert len(_CENT_LIT.findall(aline)) == cal["acme"], aline[:3000]
+    assert "globex" not in aline, aline[:3000]
+    pi.assert_partition_pruned(df)
