@@ -1055,6 +1055,13 @@ def graph_search_federated_aliased(
         cfg_by = graph_auto_config(
             spark, prefix, partition_col, k=k, id_col=id_col
         )
+        if not cfg_by:  # empty generation: correctly-schemaed empty
+            return graph_search_federated(
+                spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,
+                n_entry=n_entry, m=m, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col, salt=salt,
+            )
         out = None
         for cfg, tenants in _graph_serve_groups(cfg_by):
             rr = r.filter(F.col(partition_col).isin(tenants))

@@ -1346,19 +1346,28 @@ def pq_federated_serve_aliased(
                 id_col=id_col, codes_col=codes_col, vec_col=vec_col,
                 query_id_col=query_id_col,
             )
-        dim = len(q.select(vec_col).head()[0])
-        factor_by = {
-            str(row[0]): pq_config_for(int(row[1]), dim)[
-                "refine_factor"
-            ]
-            for row in spark.table(f"{prefix}_codes")
-            .groupBy(partition_col)
-            .count()
-            .collect()
-        }  # bounded: one row per collection in this generation
+        qrow = q.select(vec_col).head()
+        factor_by = {}
+        if qrow is not None:  # empty query group: fall through to
+            dim = len(qrow[0])  # the correctly-schemaed ADC serve
+            factor_by = {
+                str(row[0]): pq_config_for(int(row[1]), dim)[
+                    "refine_factor"
+                ]
+                for row in spark.table(f"{prefix}_codes")
+                .groupBy(partition_col)
+                .count()
+                .collect()
+            }  # bounded: one row per collection in this generation
         groups: dict = {}
         for t, f_val in factor_by.items():
             groups.setdefault(f_val, []).append(t)
+        if not groups:
+            return pq_federated_from_index(
+                spark, prefix, q, r, k=k, partition_col=partition_col,
+                id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+                query_id_col=query_id_col,
+            )
         out = None
         for f_val, tenants in sorted(groups.items()):
             rr = r.filter(F.col(partition_col).isin(tenants))

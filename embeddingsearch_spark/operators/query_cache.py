@@ -669,11 +669,34 @@ def serve_ivf_federated_cached(
     apply unchanged. Misses probe `ivf_federated_from_index` for the
     missed queries only; all cache semantics come from the shared
     core. Identical to `ivf_federated_from_index(..., k, nprobe)` by
-    construction (gated with the shared tenant oracle)."""
+    construction (gated with the shared tenant oracle).
+
+    ``nprobe="auto"``/``"calibrated"`` resolve to the per-tenant width
+    map ONCE here (calibration samples this serve's full query batch,
+    not each miss subset) and the derived widths are folded into the
+    cache-key version material (`_fold_config_versions`) — a corpus
+    growing past a sizing breakpoint mid-version invalidates exactly
+    the affected tenant's entries."""
     from embeddingsearch_spark.operators.ann import (
+        ivf_auto_nprobe,
+        ivf_calibrated_nprobe,
         ivf_federated_from_index,
     )
 
+    if isinstance(nprobe, str):
+        if nprobe == "auto":
+            nprobe = ivf_auto_nprobe(spark, index_prefix, partition_col)
+        elif nprobe == "calibrated":
+            nprobe = ivf_calibrated_nprobe(
+                spark, index_prefix, queries, route, k=k,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
+        else:
+            raise ValueError(
+                f"unknown nprobe {nprobe!r} (use 'auto' or 'calibrated')"
+            )
+        index_versions = _fold_config_versions(index_versions, nprobe)
     qkeyed = _vector_tenant_qkeyed(
         spark, queries, route, index_versions, partition_col,
         vec_col, query_id_col,
@@ -710,6 +733,30 @@ def serve_ivf_federated_cached(
         now,
         scope_col=partition_col,
     )
+
+
+def _fold_config_versions(index_versions: dict, cfg_by: dict) -> dict:
+    """Stamp each tenant's DERIVED auto-config into its cache-version
+    key material — so a corpus that grows past a sizing breakpoint
+    MID-version (auto configs derive from LIVE index counts) changes
+    that tenant's keys and its stale-config entries stop being
+    served, with no manual version bump (round-8 ADVICE). Tenants
+    without a derived config keep their bare version; dict-valued
+    configs serialize key-sorted so the token is order-independent."""
+
+    def tok(v):
+        if isinstance(v, dict):
+            return ",".join(f"{x}={v[x]}" for x in sorted(v))
+        return str(v)
+
+    return {
+        str(t): (
+            f"{v}|cfg={tok(cfg_by[str(t)])}"
+            if str(t) in cfg_by
+            else str(v)
+        )
+        for t, v in index_versions.items()
+    }
 
 
 def _vector_tenant_qkeyed(
@@ -783,15 +830,41 @@ def serve_pq_federated_cached(
     refine_factor, sized from its LIVE code count — the quality
     config the BASELINE.md probe pinned, without the caller
     re-deriving it by hand. Requires ``emb`` (the raw-vector frame
-    the refine re-ranks from). Cache keys do NOT encode the config —
-    bump ``index_versions`` when switching configs, the same contract
-    as any other serve-behavior change."""
+    the refine re-ranks from). The derived per-tenant factor is
+    folded into the cache-key version material
+    (`_fold_config_versions`) — a tenant's code count growing past a
+    `pq_config_for` breakpoint mid-version invalidates exactly that
+    tenant's entries, no manual bump needed."""
     from embeddingsearch_spark.operators.pq import (
         pq_config_for,
         pq_federated_from_index,
         pq_federated_refined,
     )
 
+    factor_by: dict = {}
+    if config == "auto":
+        if emb is None:
+            raise ValueError(
+                'config="auto" refines misses by exact re-rank — '
+                "pass emb (the raw-vector frame)"
+            )
+        qrow = queries.select(vec_col).head()
+        if qrow is not None:  # empty query set: no factor to derive,
+            dim = len(qrow[0])  # compute falls back to the ADC serve
+            for r in (
+                spark.table(f"{index_prefix}_codes")
+                .groupBy(partition_col)
+                .count()
+                .collect()
+            ):  # bounded: one row per collection
+                factor_by[str(r[0])] = pq_config_for(int(r[1]), dim)[
+                    "refine_factor"
+                ]
+        index_versions = _fold_config_versions(
+            index_versions, factor_by
+        )
+    elif config is not None:
+        raise ValueError(f"unknown config {config!r} (use 'auto')")
     qkeyed = _vector_tenant_qkeyed(
         spark, queries, route, index_versions, partition_col,
         vec_col, query_id_col,
@@ -800,25 +873,6 @@ def serve_pq_federated_cached(
         spark.table(f"{index_prefix}_codes").schema[id_col]
         .dataType.simpleString()
     )
-    factor_by: dict = {}
-    if config == "auto":
-        if emb is None:
-            raise ValueError(
-                'config="auto" refines misses by exact re-rank — '
-                "pass emb (the raw-vector frame)"
-            )
-        dim = len(queries.select(vec_col).head()[0])
-        for r in (
-            spark.table(f"{index_prefix}_codes")
-            .groupBy(partition_col)
-            .count()
-            .collect()
-        ):  # bounded: one row per collection
-            factor_by[str(r[0])] = pq_config_for(int(r[1]), dim)[
-                "refine_factor"
-            ]
-    elif config is not None:
-        raise ValueError(f"unknown config {config!r} (use 'auto')")
 
     def compute(misses_q):
         if config != "auto":
@@ -839,6 +893,15 @@ def serve_pq_federated_cached(
         groups: dict = {}
         for t, f_val in factor_by.items():
             groups.setdefault(f_val, []).append(t)
+        if not groups:  # empty query set or empty codes generation —
+            # the ADC serve returns a correctly-schemaed empty frame
+            return pq_federated_from_index(
+                spark, index_prefix,
+                misses_q.select(query_id_col, vec_col),
+                misses_q.select(query_id_col, partition_col),
+                k=k, partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
         for f_val, tenants in sorted(groups.items()):
             part_q = misses_q.filter(
                 F.col(partition_col).isin(tenants)
@@ -896,8 +959,10 @@ def serve_graph_federated_cached(
     ``config="auto"`` sizes each missed tenant's beam/hops/n_entry/m
     from its LIVE corpus (`graph_auto_config`) — the production
     cached path picks up `graph_config_for`; explicit knobs are
-    ignored. Bump ``index_versions`` when switching configs (cache
-    keys do not encode them)."""
+    ignored. The derived per-tenant knobs are folded into the
+    cache-key version material (`_fold_config_versions`) — a tenant
+    crossing a sizing breakpoint mid-version invalidates exactly its
+    entries, no manual bump needed."""
     from embeddingsearch_spark.operators.graphann import (
         _graph_serve_groups,
         graph_auto_config,
@@ -906,6 +971,12 @@ def serve_graph_federated_cached(
 
     if config not in (None, "auto"):
         raise ValueError(f"unknown config {config!r} (use 'auto')")
+    cfg_by: dict = {}
+    if config == "auto":
+        cfg_by = graph_auto_config(
+            spark, index_prefix, partition_col, k=k, id_col=id_col
+        )
+        index_versions = _fold_config_versions(index_versions, cfg_by)
     qkeyed = _vector_tenant_qkeyed(
         spark, queries, route, index_versions, partition_col,
         vec_col, query_id_col,
@@ -941,9 +1012,14 @@ def serve_graph_federated_cached(
                 vec_col=vec_col,
                 query_id_col=query_id_col,
             )
-        cfg_by = graph_auto_config(
-            spark, index_prefix, partition_col, k=k, id_col=id_col
-        )
+        if not cfg_by:  # empty generation: correctly-schemaed empty
+            return graph_search_federated(
+                spark, index_prefix, src,
+                misses_q.select(query_id_col, vec_col), r, k=k,
+                beam=beam, hops=hops, n_entry=n_entry, m=m,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
         out = None
         for cfg, tenants in _graph_serve_groups(cfg_by):
             rr = r.filter(F.col(partition_col).isin(tenants))

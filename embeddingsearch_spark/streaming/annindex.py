@@ -175,6 +175,47 @@ class _RunningPops:
         return float(max(self.pops.values())) * self.n_cells / tot
 
 
+def _unpin(df) -> None:
+    """Best-effort release of a SUPERSEDED `localCheckpoint` pin: the
+    checkpointed blocks live in the plan's LogicalRDD — unpersist it
+    (non-blocking) once the newer pin has materialized, so a
+    long-running drain holds at most ONE live generation of running
+    state instead of every micro-batch's. Never call on a frame that
+    may still be read; a non-LogicalRDD plan (never pinned) or any
+    introspection failure is a silent no-op (the pin then ages out
+    under the normal MEMORY_AND_DISK eviction, the old behavior)."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _unpin_intermediates(df) -> None:
+    """Unpersist every LogicalRDD leaf in ``df``'s analyzed plan —
+    for a frame whose result has been COLLECTED and whose lazily
+    pinned intermediates (e.g. the drift diff frame reused by two
+    aggregate branches within the one action) are dead weight from
+    here on. Long-lived pins held by the caller (running state, the
+    reference) are NOT leaves of the post-checkpoint plan — a
+    checkpointed subtree collapses to its own LogicalRDD, hiding its
+    parents at the RDD level — so only the frame's own
+    intermediates are released."""
+    try:
+        it = (
+            df._jdf.queryExecution().analyzed().collectLeaves().iterator()
+        )
+        while it.hasNext():
+            node = it.next()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                node.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class _RunningVocabFederated:
     """Per-collection run-scoped VOCABULARY drift: a running
     ``(tenant, tok, c)`` count table of everything that streamed THIS
@@ -223,25 +264,34 @@ class _RunningVocabFederated:
         )
 
         bc = corpus_token_counts_federated(batch_df, text_col, self.pc)
+        superseded = self.counts
         merged = (
             bc
-            if self.counts is None
-            else self.counts.unionByName(bc)
+            if superseded is None
+            else superseded.unionByName(bc)
             .groupBy(self.pc, "tok")
             .agg(F.sum("c").alias("c"))
         ).localCheckpoint(eager=True)
         self.counts = merged
+        # the eager pin above materialized merged — the previous
+        # generation's blocks are dead weight from here on
+        _unpin(superseded)
         summary = vocab_drift_federated_from_counts(
             merged, self.ref_counts, self.pc,
             vocab_size=self.vocab_size, smoothing=self.smoothing,
         )
         # tenant-bounded collect; only tenants that streamed this run
         # carry a signal (n_a > 0) — reference-only tenants are quiet
-        return {
+        out = {
             str(r[self.pc]): r["js_divergence"]
             for r in summary.collect()
             if r["n_a"]
         }
+        # the summary is collected — its lazily-pinned diff frame is
+        # dead; with the superseded-counts unpin above, a long drain
+        # holds exactly ONE live generation of run-vocab state
+        _unpin_intermediates(summary)
+        return out
 
 
 class _RunningDriftFederated:
@@ -382,6 +432,19 @@ class _WriteCounter:
         for k in [k for k in self.writes if k[0] == table]:
             del self.writes[k]
 
+    def reset_due(self, table: str) -> None:
+        """Forget only the partitions AT/OVER the bound — the ones the
+        trigger just sent through the compactor's file-count recheck.
+        Partitions still under the bound keep their accrued counts:
+        wiping them too (the old table-wide reset) pushed their next
+        compaction a full bound of extra writes past intent."""
+        for k in [
+            k
+            for k, c in self.writes.items()
+            if k[0] == table and c >= self.bound
+        ]:
+            del self.writes[k]
+
 
 def _touched_parts(batch_df: DataFrame, partition_col, compact_every):
     """The batch's distinct partition tuples — the auto trigger's
@@ -433,7 +496,7 @@ def _maybe_compact(
                 compact_index_table(
                     spark, t, max_files_per_partition=max_files
                 )
-                counter.reset(t)
+                counter.reset_due(t)
         return
     if not compact_every or n_batches % compact_every:
         return

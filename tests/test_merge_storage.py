@@ -842,3 +842,27 @@ def test_graph_auto_config_through_production_serves(spark, sf_dir):
     )
     assert sorted(map(tuple, warm.collect())) == want
     drop_table(spark, pre + "_talias")
+
+
+def test_fold_config_versions_tokens():
+    """Derived auto-configs become cache-key version material — a
+    sizing-breakpoint crossing mid-version changes the affected
+    tenant's keys and ONLY its keys (round-8 ADVICE): dict configs
+    serialize key-sorted, tenants without a derived config keep the
+    bare version."""
+    from embeddingsearch_spark.operators.query_cache import (
+        _fold_config_versions,
+    )
+
+    base = {"acme": "v1", "globex": "v2"}
+    f1 = _fold_config_versions(base, {"acme": 5, "globex": 7})
+    assert f1 == {"acme": "v1|cfg=5", "globex": "v2|cfg=7"}
+    # breakpoint crossing: one tenant's derived value changes -> only
+    # its key material changes
+    f2 = _fold_config_versions(base, {"acme": 6, "globex": 7})
+    assert f2["globex"] == f1["globex"] and f2["acme"] != f1["acme"]
+    # dict-valued configs: order-independent token
+    a = _fold_config_versions(base, {"acme": {"beam": 8, "hops": 3}})
+    b = _fold_config_versions(base, {"acme": {"hops": 3, "beam": 8}})
+    assert a == b and a["acme"] == "v1|cfg=beam=8,hops=3"
+    assert a["globex"] == "v2"  # no derived config: bare version
