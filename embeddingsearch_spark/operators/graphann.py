@@ -1010,6 +1010,160 @@ def _graph_serve_groups(cfg_by: dict) -> list:
     ]
 
 
+def graph_calibrated_config(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.9,
+    sample_per_tenant: int = 32,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    salt: str = "nsw_entry",
+) -> dict:
+    """MEASURED beam widths for a persisted federated graph index —
+    the graph member of the calibration set (`ivf_calibrated_nprobe`,
+    `pq_calibrated_factor`): per tenant, serve a bounded query sample
+    at an ASCENDING beam ladder (every other knob at the
+    `graph_config_for` rule values, so the measured config is exactly
+    the served config) and keep the SMALLEST beam whose measured
+    recall@k against per-tenant exact brute force reaches
+    ``recall_target``. The rule's beam is sized for uniform-random
+    vectors (the family's worst case); on clustered corpora the walk
+    converges in a fraction of it, and beam is the per-hop frontier
+    cost — candidate scoring per query is ~hops·beam·m.
+
+    Unlike the IVF/PQ twins there is no one-pass analytic shortcut
+    (the walk is iterative — which cells a beam reaches depends on
+    the beam), so this runs one federated sample serve per ladder
+    step (≤ ~4 bounded serves, offline, per index generation).
+    Tenants that never reach the target — or have no sample
+    queries — keep the full rule config. Returns
+    ``{tenant: {beam, hops, n_entry, m}}``, the `graph_auto_config`
+    shape; ``config="calibrated"`` threads here from the cached and
+    aliased graph serves."""
+    from embeddingsearch_spark.operators.ann import ann_recall
+
+    rule = graph_auto_config(
+        spark, prefix, partition_col, k=k, id_col=id_col
+    )
+    out = {t: dict(cfg) for t, cfg in rule.items()}
+    if not rule:
+        return out
+    ws = Window.partitionBy(partition_col).orderBy(
+        F.col(query_id_col).asc()
+    )
+    qs = (
+        sample_queries.join(
+            F.broadcast(route.select(query_id_col, partition_col)),
+            query_id_col,
+        )
+        .withColumn("_sr", F.row_number().over(ws))
+        .filter(F.col("_sr") <= int(sample_per_tenant))
+        .select(query_id_col, partition_col, vec_col)
+        .localCheckpoint(eager=False)
+    )
+    routed = [
+        r[0]
+        for r in qs.select(partition_col).distinct().collect()
+        if str(r[0]) in rule
+    ]
+    if not routed:
+        return out
+    if partition_col in emb.columns:
+        emb = emb.filter(F.col(partition_col).isin(routed))
+    qb = F.broadcast(
+        qs.select(
+            query_id_col,
+            partition_col,
+            F.col(vec_col).alias("_qv"),
+            norm2(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    sim = _cosine_from_parts(
+        dot(F.col(vec_col), F.col("_qv")),
+        F.col("_vn"),
+        F.col("_qn"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        emb.withColumn("_vn", norm2(F.col(vec_col)))
+        .join(qb, partition_col)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.round(sim, ROUND_DIGITS).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= int(k))
+        .localCheckpoint(eager=True)
+    )  # bounded: tenants x sample x k rows
+    # beam must cover k (the answer is drawn from the final frontier)
+    max_rule_beam = max(cfg["beam"] for cfg in rule.values())
+    ladder = sorted(
+        {
+            b
+            for b in (k, (3 * k) // 2, 2 * k, 4 * k)
+            if b < max_rule_beam
+        }
+    )
+    remaining = set(str(t) for t in routed)
+    for b in ladder:
+        elig = {t for t in remaining if b < rule[t]["beam"]}
+        if not elig:
+            continue
+        # one serve per distinct (hops, n_entry, m) group — a single
+        # pass in practice
+        res = None
+        for cfg, tenants in _graph_serve_groups(
+            {t: rule[t] for t in elig}
+        ):
+            rr = qs.filter(
+                F.col(partition_col).isin(tenants)
+            ).select(query_id_col, partition_col)
+            part = graph_search_federated(
+                spark, prefix, emb,
+                qs.select(query_id_col, vec_col).join(
+                    rr.select(query_id_col), query_id_col
+                ),
+                rr, k=k, beam=b, hops=cfg["hops"],
+                n_entry=cfg["n_entry"], m=cfg["m"],
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col, salt=salt,
+            )
+            res = part if res is None else res.unionByName(part)
+        rec = (
+            ann_recall(res, exact, k=k)
+            .join(
+                F.broadcast(
+                    qs.select(query_id_col, partition_col)
+                ),
+                query_id_col,
+            )
+            .groupBy(partition_col)
+            .agg(F.avg("recall").alias("_r"))
+            .collect()
+        )  # bounded: one row per eligible tenant
+        for r in rec:
+            t = str(r[0])
+            if (
+                t in remaining
+                and r["_r"] is not None
+                and float(r["_r"]) >= float(recall_target)
+            ):
+                out[t]["beam"] = int(b)
+                remaining.discard(t)
+        if not remaining:
+            break
+    return out
+
+
 def graph_search_federated_aliased(
     spark,
     alias: str,
@@ -1041,20 +1195,31 @@ def graph_search_federated_aliased(
     hand-carried search knobs; explicit beam/hops/... are ignored."""
     from embeddingsearch_spark.storage import federated_serve_aliased
 
-    if config not in (None, "auto"):
-        raise ValueError(f"unknown config {config!r} (use 'auto')")
+    if config not in (None, "auto", "calibrated"):
+        raise ValueError(
+            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+        )
 
     def serve(prefix, q, r):
-        if config != "auto":
+        if config not in ("auto", "calibrated"):
             return graph_search_federated(
                 spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,
                 n_entry=n_entry, m=m, partition_col=partition_col,
                 id_col=id_col, vec_col=vec_col,
                 query_id_col=query_id_col, salt=salt,
             )
-        cfg_by = graph_auto_config(
-            spark, prefix, partition_col, k=k, id_col=id_col
-        )
+        if config == "calibrated":
+            # measured beams per GENERATION on its own query group
+            # (rule knobs elsewhere, rule config as the fallback)
+            cfg_by = graph_calibrated_config(
+                spark, prefix, emb, q, r, k=k,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col, salt=salt,
+            )
+        else:
+            cfg_by = graph_auto_config(
+                spark, prefix, partition_col, k=k, id_col=id_col
+            )
         if not cfg_by:  # empty generation: correctly-schemaed empty
             return graph_search_federated(
                 spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,

@@ -1106,6 +1106,149 @@ def pq_federated_refined_adaptive(
     )
 
 
+def pq_calibrated_factor(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.9,
+    sample_per_tenant: int = 64,
+    max_factor: int = 64,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> dict:
+    """MEASURED refine factors for a persisted federated PQ index —
+    the compressed twin of `ivf_calibrated_nprobe` (the rule's
+    refine_factor=16 is the uniform-random worst case; an
+    easy/clustered corpus clears the target at a fraction of it, and
+    every unit of factor is k raw-vector fetches per query at serve
+    time): per tenant, measure recall@k of the REFINED serve on a
+    bounded query sample and take the SMALLEST factor that reaches
+    ``recall_target``.
+
+    One pass, every factor at once: the refined serve exact-reranks
+    the top ``factor·k`` ADC candidates, and an exact-top-k member
+    inside that shortlist always survives the rerank (at most k-1
+    vectors outrank it anywhere), so recall@k at factor f is exactly
+    the fraction of exact pairs whose ADC rank ≤ f·k. One ADC
+    ranking of the sample (cut at ``max_factor·k``) plus one exact
+    pass gives the full recall-vs-factor curve; the calibrated
+    factor is ceil(need/k) of the ceil(target·m)-th smallest ADC
+    rank. Pairs beyond the cut — and tenants with no sample
+    queries — fall back to the `pq_config_for` rule factor.
+
+    Cost: the ADC pass scans each routed tenant's code partitions
+    once for ≤ ``sample_per_tenant`` queries, the exact pass scans
+    their raw vectors once — bounded offline calibration, run per
+    index generation. Returns ``{tenant: refine_factor}``, usable as
+    the per-tenant factor map the cached/aliased auto serves group
+    by; ``config="calibrated"`` threads here from
+    `serve_pq_federated_cached`."""
+    import math
+
+    from embeddingsearch_spark.functions.vectors import dot, norm2
+    from embeddingsearch_spark.operators.ann import _cosine_from_parts
+
+    ws = Window.partitionBy(partition_col).orderBy(
+        F.col(query_id_col).asc()
+    )
+    qs = (
+        sample_queries.join(
+            F.broadcast(route.select(query_id_col, partition_col)),
+            query_id_col,
+        )
+        .withColumn("_sr", F.row_number().over(ws))
+        .filter(F.col("_sr") <= int(sample_per_tenant))
+        .select(query_id_col, partition_col, vec_col)
+        .localCheckpoint(eager=False)
+    )
+    routed = [
+        r[0] for r in qs.select(partition_col).distinct().collect()
+    ]
+    # the rule fallback, from LIVE code counts (the auto serves' map)
+    out: dict = {}
+    dim_row = sample_queries.select(vec_col).head()
+    if dim_row is not None:
+        dim = len(dim_row[0])
+        for r in (
+            spark.table(f"{prefix}_codes")
+            .groupBy(partition_col)
+            .count()
+            .collect()
+        ):  # bounded: one row per collection
+            out[str(r[0])] = pq_config_for(int(r[1]), dim)[
+                "refine_factor"
+            ]
+    if not routed:
+        return out
+    cut = int(max_factor) * int(k)
+    adc = pq_federated_from_index(
+        spark, prefix,
+        qs.select(query_id_col, vec_col),
+        qs.select(query_id_col, partition_col),
+        k=cut, partition_col=partition_col, id_col=id_col,
+        codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col, F.col("rank").alias("_need"))
+    if partition_col in emb.columns:
+        emb = emb.filter(F.col(partition_col).isin(routed))
+    qb = F.broadcast(
+        qs.select(
+            query_id_col,
+            partition_col,
+            F.col(vec_col).alias("_qv"),
+            norm2(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    sim = _cosine_from_parts(
+        dot(F.col(vec_col), F.col("_qv")),
+        F.col("_vn"),
+        F.col("_qn"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        emb.withColumn("_vn", norm2(F.col(vec_col)))
+        .join(qb, partition_col)
+        .select(
+            query_id_col,
+            partition_col,
+            F.col(id_col),
+            F.round(sim, ROUND_DIGITS).alias("_sim"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= int(k))
+    )
+    hist = (
+        exact.join(adc, [query_id_col, id_col], "left")
+        .groupBy(partition_col, "_need")
+        .count()
+        .collect()
+    )  # bounded: <= tenants x (sample x k distinct ranks)
+    dist: dict = {}
+    for r in hist:
+        need = int(r[1]) if r[1] is not None else cut + 1  # beyond cut
+        d = dist.setdefault(str(r[0]), {})
+        d[need] = d.get(need, 0) + int(r[2])
+    for t, d in dist.items():
+        m = sum(d.values())
+        pos = max(1, math.ceil(float(recall_target) * m))
+        acc = 0
+        for needv in sorted(d):
+            acc += d[needv]
+            if acc >= pos:
+                if needv <= cut:  # beyond-cut: keep the rule factor
+                    out[t] = int(max(1, math.ceil(needv / float(k))))
+                break
+    return out
+
+
 def upsert_federated_pq_index(
     spark,
     prefix: str,
@@ -1332,15 +1475,17 @@ def pq_federated_serve_aliased(
     k/factor pair."""
     from embeddingsearch_spark.storage import federated_serve_aliased
 
-    if config not in (None, "auto"):
-        raise ValueError(f"unknown config {config!r} (use 'auto')")
-    if config == "auto" and emb is None:
+    if config not in (None, "auto", "calibrated"):
         raise ValueError(
-            'config="auto" refines by exact re-rank — pass emb'
+            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+        )
+    if config in ("auto", "calibrated") and emb is None:
+        raise ValueError(
+            f'config="{config}" refines by exact re-rank — pass emb'
         )
 
     def serve(prefix, q, r):
-        if config != "auto":
+        if config not in ("auto", "calibrated"):
             return pq_federated_from_index(
                 spark, prefix, q, r, k=k, partition_col=partition_col,
                 id_col=id_col, codes_col=codes_col, vec_col=vec_col,
@@ -1348,8 +1493,19 @@ def pq_federated_serve_aliased(
             )
         qrow = q.select(vec_col).head()
         factor_by = {}
-        if qrow is not None:  # empty query group: fall through to
-            dim = len(qrow[0])  # the correctly-schemaed ADC serve
+        if qrow is None:
+            pass  # empty query group: correctly-schemaed ADC serve
+        elif config == "calibrated":
+            # measured factors per GENERATION on its own query group
+            # (rule as the fallback)
+            factor_by = pq_calibrated_factor(
+                spark, prefix, emb, q, r, k=k,
+                partition_col=partition_col, id_col=id_col,
+                codes_col=codes_col, vec_col=vec_col,
+                query_id_col=query_id_col,
+            )
+        else:
+            dim = len(qrow[0])
             factor_by = {
                 str(row[0]): pq_config_for(int(row[1]), dim)[
                     "refine_factor"

@@ -836,35 +836,49 @@ def serve_pq_federated_cached(
     `pq_config_for` breakpoint mid-version invalidates exactly that
     tenant's entries, no manual bump needed."""
     from embeddingsearch_spark.operators.pq import (
+        pq_calibrated_factor,
         pq_config_for,
         pq_federated_from_index,
         pq_federated_refined,
     )
 
     factor_by: dict = {}
-    if config == "auto":
+    if config in ("auto", "calibrated"):
         if emb is None:
             raise ValueError(
-                'config="auto" refines misses by exact re-rank — '
-                "pass emb (the raw-vector frame)"
+                f'config="{config}" refines misses by exact re-rank '
+                "— pass emb (the raw-vector frame)"
             )
-        qrow = queries.select(vec_col).head()
-        if qrow is not None:  # empty query set: no factor to derive,
-            dim = len(qrow[0])  # compute falls back to the ADC serve
-            for r in (
-                spark.table(f"{index_prefix}_codes")
-                .groupBy(partition_col)
-                .count()
-                .collect()
-            ):  # bounded: one row per collection
-                factor_by[str(r[0])] = pq_config_for(int(r[1]), dim)[
-                    "refine_factor"
-                ]
+        if config == "calibrated":
+            # measured factors on THIS serve's query batch (rule as
+            # the fallback) — one bounded offline pass; the derived
+            # factors fold into the keys below, so recalibration
+            # invalidates naturally
+            factor_by = pq_calibrated_factor(
+                spark, index_prefix, emb, queries, route, k=k,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
+        else:
+            qrow = queries.select(vec_col).head()
+            if qrow is not None:  # empty query set: no factor to
+                dim = len(qrow[0])  # derive, compute falls back to
+                for r in (  # the ADC serve
+                    spark.table(f"{index_prefix}_codes")
+                    .groupBy(partition_col)
+                    .count()
+                    .collect()
+                ):  # bounded: one row per collection
+                    factor_by[str(r[0])] = pq_config_for(
+                        int(r[1]), dim
+                    )["refine_factor"]
         index_versions = _fold_config_versions(
             index_versions, factor_by
         )
     elif config is not None:
-        raise ValueError(f"unknown config {config!r} (use 'auto')")
+        raise ValueError(
+            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+        )
     qkeyed = _vector_tenant_qkeyed(
         spark, queries, route, index_versions, partition_col,
         vec_col, query_id_col,
@@ -875,7 +889,7 @@ def serve_pq_federated_cached(
     )
 
     def compute(misses_q):
-        if config != "auto":
+        if config not in ("auto", "calibrated"):
             return pq_federated_from_index(
                 spark,
                 index_prefix,
@@ -966,15 +980,29 @@ def serve_graph_federated_cached(
     from embeddingsearch_spark.operators.graphann import (
         _graph_serve_groups,
         graph_auto_config,
+        graph_calibrated_config,
         graph_search_federated,
     )
 
-    if config not in (None, "auto"):
-        raise ValueError(f"unknown config {config!r} (use 'auto')")
+    if config not in (None, "auto", "calibrated"):
+        raise ValueError(
+            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+        )
     cfg_by: dict = {}
     if config == "auto":
         cfg_by = graph_auto_config(
             spark, index_prefix, partition_col, k=k, id_col=id_col
+        )
+        index_versions = _fold_config_versions(index_versions, cfg_by)
+    elif config == "calibrated":
+        # measured beams on THIS serve's query batch (rule knobs for
+        # everything else, rule config as the fallback) — the derived
+        # configs fold into the keys, so recalibration invalidates
+        # naturally
+        cfg_by = graph_calibrated_config(
+            spark, index_prefix, emb, queries, route, k=k,
+            partition_col=partition_col, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
         )
         index_versions = _fold_config_versions(index_versions, cfg_by)
     qkeyed = _vector_tenant_qkeyed(
@@ -995,7 +1023,7 @@ def serve_graph_federated_cached(
                 for x in r.select(partition_col).distinct().collect()
             ]  # bounded: <= #collections
             src = emb.filter(F.col(partition_col).isin(routed))
-        if config != "auto":
+        if config not in ("auto", "calibrated"):
             return graph_search_federated(
                 spark,
                 index_prefix,

@@ -866,3 +866,168 @@ def test_fold_config_versions_tokens():
     b = _fold_config_versions(base, {"acme": {"hops": 3, "beam": 8}})
     assert a == b and a["acme"] == "v1|cfg=beam=8,hops=3"
     assert a["globex"] == "v2"  # no derived config: bare version
+
+
+def test_pq_calibrated_factor_clustered_beats_rule(spark):
+    """`pq_calibrated_factor`, the compressed calibration twin: on a
+    clustered corpus the measured refine factor is a fraction of the
+    rule's 16 (each factor unit = k raw-vector fetches per query),
+    the refined serve at the measured factor still clears the recall
+    target against exact brute force, and ``config="calibrated"``
+    through the cached production serve equals its own warm read."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import pq
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _clustered_two_tenants(spark).localCheckpoint(eager=True)
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }
+    kmap = {
+        t: pq.pq_config_for(n, dim=8)["k_codes"]
+        for t, n in counts.items()
+    }
+    cbs_by = pq.initial_codebooks_federated(
+        emb, m_sub=4, k_codes=kmap
+    )
+    coded = pq.encode_pq_federated(emb, cbs_by)
+    pre = "es_test_pqcal"
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, pre + t)
+    pq.save_federated_pq_index(coded, cbs_by, pre, n_buckets=2)
+    qdf = emb.filter(F.col("vec_id") % 29 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cal = pq.pq_calibrated_factor(
+        spark, pre, emb, queries, route, k=10
+    )
+    rule = pq.pq_config_for(counts["acme"], dim=8)["refine_factor"]
+    assert cal["acme"] < rule and cal["globex"] < rule, (cal, rule)
+    served = pq.pq_federated_refined(
+        spark, pre, emb, queries, route, k=10,
+        refine_factor=max(cal.values()),
+    )
+    exact = None
+    for t in ("acme", "globex"):
+        part = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t),
+            queries.join(
+                route.filter(F.col("source") == t).select("query_id"),
+                "query_id",
+            ),
+            k=10,
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    exact = exact.localCheckpoint(eager=True)
+    rec = (
+        ann_ops.ann_recall(served, exact, k=10)
+        .join(route, "query_id")
+        .groupBy("source")
+        .agg(F.avg("recall").alias("r"))
+        .collect()
+    )
+    assert all(row["r"] >= 0.9 for row in rec), rec
+    # the production cached path: cold fill then warm read, identical
+    drop_table(spark, pre + "_cache")
+    versions = {"acme": "v1", "globex": "v1"}
+    cold = qc.serve_pq_federated_cached(
+        spark, pre + "_cache", pre, queries, route, versions, k=10,
+        emb=emb, config="calibrated",
+    )
+    cold_rows = sorted(map(tuple, cold.collect()))
+    warm = qc.serve_pq_federated_cached(
+        spark, pre + "_cache", pre, queries, route, versions, k=10,
+        emb=emb, config="calibrated",
+    )
+    assert sorted(map(tuple, warm.collect())) == cold_rows
+    # unsampled tenant keeps the rule factor
+    acme_only = route.filter(F.col("source") == "acme")
+    cal2 = pq.pq_calibrated_factor(
+        spark, pre, emb, queries, acme_only, k=10
+    )
+    assert cal2["globex"] == rule, cal2
+
+
+def test_graph_calibrated_config_clustered(spark):
+    """`graph_calibrated_config`, the graph calibration twin: the
+    measured beam on a clustered corpus is below the rule's
+    uniform-random width, every other knob stays at the rule value
+    (measured config == served config), the serve at the calibrated
+    config clears the recall target, and unsampled tenants keep the
+    full rule config."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _clustered_two_tenants(spark).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % (2 * 40) < 2).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(emb, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(emb, assigned)
+    pre = "es_test_gcal"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, pre + t)
+    graphann.save_federated_graph_index(pairs, assigned, pre, n_buckets=2)
+    qdf = emb.filter(F.col("vec_id") % 29 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    rule = graphann.graph_auto_config(spark, pre)
+    # an UNREACHABLE target falls back to the full rule config (this
+    # blocked graph tops out at ~0.75 recall on the tight-cluster
+    # fixture at ANY beam -- measured, not assumed)
+    cal_hi = graphann.graph_calibrated_config(
+        spark, pre, emb, queries, route, k=10, recall_target=0.9
+    )
+    assert cal_hi == rule, (cal_hi, rule)
+    # a reachable target: the measured beam undercuts the rule width
+    # at held recall (beam is the per-hop frontier cost)
+    cal = graphann.graph_calibrated_config(
+        spark, pre, emb, queries, route, k=10, recall_target=0.7
+    )
+    for t in ("acme", "globex"):
+        assert cal[t]["beam"] < rule[t]["beam"], (cal, rule)
+        for knob in ("hops", "n_entry", "m"):
+            assert cal[t][knob] == rule[t][knob], (knob, cal, rule)
+    served = None
+    for t in ("acme", "globex"):
+        rr = route.filter(F.col("source") == t)
+        qq = queries.join(rr.select("query_id"), "query_id")
+        part = graphann.graph_search_federated(
+            spark, pre, emb, qq, rr, k=10, beam=cal[t]["beam"],
+            hops=cal[t]["hops"], n_entry=cal[t]["n_entry"],
+            m=cal[t]["m"],
+        )
+        served = part if served is None else served.unionByName(part)
+    exact = None
+    for t in ("acme", "globex"):
+        part = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t),
+            queries.join(
+                route.filter(F.col("source") == t).select("query_id"),
+                "query_id",
+            ),
+            k=10,
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    rec = (
+        ann_ops.ann_recall(served, exact, k=10)
+        .join(route, "query_id")
+        .groupBy("source")
+        .agg(F.avg("recall").alias("r"))
+        .collect()
+    )
+    assert all(row["r"] >= 0.7 for row in rec), rec
+    # unsampled tenant: full rule config
+    acme_only = route.filter(F.col("source") == "acme")
+    cal2 = graphann.graph_calibrated_config(
+        spark, pre, emb, queries, acme_only, k=10,
+        recall_target=0.7,
+    )
+    assert cal2["globex"] == rule["globex"], (cal2, rule)
