@@ -485,7 +485,14 @@ def _maybe_compact(
 
     Closes the file-hygiene loop inside the stream itself: a
     long-running federated ingest otherwise accretes exactly the
-    micro-batch leftovers the adaptive bound was built to clean."""
+    micro-batch leftovers the adaptive bound was built to clean.
+
+    ``compact_every="auto"`` is the RECOMMENDED production setting
+    (round-9 promotion): it needs no tuning, quiet partitions never
+    pay even a listing, and the streaming gates run with it on at no
+    bench regression (BASELINE.md round-9) — the parameter DEFAULT
+    stays ``None`` only so pre-auto callers keep their exact
+    behavior; new deployments should pass "auto"."""
     from embeddingsearch_spark.storage import compact_index_table
 
     if compact_every == "auto":

@@ -410,10 +410,12 @@ def q_streaming_tpostings_index(spark, sf_dir):
         return realistic_text(stream)
 
     federated_postings_index_available_now(
-        half(0), table, partition_col="source", n_buckets=8
+        half(0), table, partition_col="source", n_buckets=8,
+        compact_every="auto",
     )
     federated_postings_index_available_now(
-        half(1), table, partition_col="source", n_buckets=8
+        half(1), table, partition_col="source", n_buckets=8,
+        compact_every="auto",
     )
     docs = _corpus(spark, sf_dir)
     queries = _text_queries(spark, sf_dir, docs)
@@ -636,7 +638,7 @@ def q_streaming_tivf_index(spark, sf_dir):
         )
         federated_ivf_index_available_now(
             stream, prefix, centroids, partition_col="source",
-            n_buckets=4,
+            n_buckets=4, compact_every="auto",
         )
 
     drain(F.col("vec_id") % 5 != 0)
@@ -811,7 +813,7 @@ def q_streaming_tpq_index(spark, sf_dir):
         )
         federated_pq_index_available_now(
             stream, prefix, cbs_by, partition_col="source",
-            n_buckets=4,
+            n_buckets=4, compact_every="auto",
         )
 
     drain(F.col("vec_id") % 5 != 0)
@@ -874,7 +876,7 @@ def q_streaming_tgraph_index(spark, sf_dir):
         )
         federated_graph_index_available_now(
             stream, prefix, cents, partition_col="source",
-            m=8, n_assign=2, n_buckets=4,
+            m=8, n_assign=2, n_buckets=4, compact_every="auto",
         )
 
     drain(F.col("vec_id") % 5 != 0)

