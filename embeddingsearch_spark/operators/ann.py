@@ -1320,6 +1320,17 @@ def ivf_auto_nprobe(
     }
 
 
+def _corpus_sample_pred(id_col: str, fraction: float):
+    """Deterministic corpus-sample predicate for the calibration
+    ground-truth passes: crc32 of the id's text form modulo 10000 —
+    stable across runs/engines, no RNG (the engine-wide no-wall-clock
+    rule's sampling twin). ``fraction`` >= 1 keeps everything."""
+    return (
+        F.crc32(F.col(id_col).cast("string")) % 10000
+        < int(float(fraction) * 10000)
+    )
+
+
 def ivf_calibrated_nprobe(
     spark,
     prefix: str,
@@ -1328,6 +1339,7 @@ def ivf_calibrated_nprobe(
     k: int = 10,
     recall_target: float = 0.9,
     sample_per_tenant: int = 64,
+    corpus_sample: float | None = None,
     partition_col: str = "source",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1358,7 +1370,12 @@ def ivf_calibrated_nprobe(
     assigned partitions once against ≤ ``sample_per_tenant`` queries
     (deterministically the lowest query_ids per tenant) — a bounded
     offline calibration, the same shape as one brute-force serve of
-    the sample; run it per index generation, not per query. Tenants
+    the sample; run it per index generation, not per query. At 100-TB
+    tenants bound the CORPUS side too with ``corpus_sample`` (a
+    deterministic crc32 cut applied to the exact pass only — cell
+    ranks stay full-width, ground-truth membership becomes the
+    sampled tenant's top-k, the standard ANN-calibration estimate).
+    Tenants
     with centroids but NO sample queries fall back to the
     `ivf_config_for` rule width (`ivf_auto_nprobe`) — the
     conservative floor. Driver state: one (tenant, need) histogram,
@@ -1427,6 +1444,10 @@ def ivf_calibrated_nprobe(
     pruned = spark.table(f"{prefix}_assigned").filter(
         _partition_filter([partition_col], [(t,) for t in routed])
     )
+    if corpus_sample is not None and corpus_sample < 1.0:
+        pruned = pruned.filter(
+            _corpus_sample_pred(id_col, corpus_sample)
+        )
     sim = _cosine_from_parts(
         dot(F.col(vec_col), F.col("_qvec")),
         F.col("_vn"),

@@ -1019,6 +1019,7 @@ def graph_calibrated_config(
     k: int = 10,
     recall_target: float = 0.9,
     sample_per_tenant: int = 32,
+    corpus_sample: float | None = None,
     partition_col: str = "source",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1076,6 +1077,17 @@ def graph_calibrated_config(
         return out
     if partition_col in emb.columns:
         emb = emb.filter(F.col(partition_col).isin(routed))
+    exact_src = emb
+    if corpus_sample is not None and corpus_sample < 1.0:
+        from embeddingsearch_spark.operators.ann import (
+            _corpus_sample_pred,
+        )
+
+        # sample the GROUND-TRUTH pass only — the ladder serves must
+        # walk the real index (the thing being measured)
+        exact_src = emb.filter(
+            _corpus_sample_pred(id_col, corpus_sample)
+        )
     qb = F.broadcast(
         qs.select(
             query_id_col,
@@ -1093,7 +1105,7 @@ def graph_calibrated_config(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     exact = (
-        emb.withColumn("_vn", norm2(F.col(vec_col)))
+        exact_src.withColumn("_vn", norm2(F.col(vec_col)))
         .join(qb, partition_col)
         .select(
             query_id_col,

@@ -1116,6 +1116,7 @@ def pq_calibrated_factor(
     recall_target: float = 0.9,
     sample_per_tenant: int = 64,
     max_factor: int = 64,
+    corpus_sample: float | None = None,
     partition_col: str = "source",
     id_col: str = "vec_id",
     codes_col: str = "codes",
@@ -1145,7 +1146,10 @@ def pq_calibrated_factor(
     Cost: the ADC pass scans each routed tenant's code partitions
     once for ≤ ``sample_per_tenant`` queries, the exact pass scans
     their raw vectors once — bounded offline calibration, run per
-    index generation. Returns ``{tenant: refine_factor}``, usable as
+    index generation; at 100-TB bound the exact pass's corpus side
+    too with ``corpus_sample`` (deterministic crc32 cut — ADC ranks
+    stay full-width, ground truth becomes the sampled tenant's
+    top-k). Returns ``{tenant: refine_factor}``, usable as
     the per-tenant factor map the cached/aliased auto serves group
     by; ``config="calibrated"`` threads here from
     `serve_pq_federated_cached`."""
@@ -1197,6 +1201,12 @@ def pq_calibrated_factor(
     ).select(query_id_col, id_col, F.col("rank").alias("_need"))
     if partition_col in emb.columns:
         emb = emb.filter(F.col(partition_col).isin(routed))
+    if corpus_sample is not None and corpus_sample < 1.0:
+        from embeddingsearch_spark.operators.ann import (
+            _corpus_sample_pred,
+        )
+
+        emb = emb.filter(_corpus_sample_pred(id_col, corpus_sample))
     qb = F.broadcast(
         qs.select(
             query_id_col,

@@ -3342,3 +3342,156 @@ QUERIES["ivf_tenant_calibrated_serve"] = (
     q_ivf_tenant_calibrated_serve,
     _ivf_tenant_calibrated_sql(),
 )
+
+
+def q_pq_tenant_calibrated_serve(spark, sf_dir):
+    """`pq_calibrated_factor` closed into a gate — the compressed
+    member of the calibrated set (`ivf_tenant_calibrated_serve` is
+    the cell-probed one): the per-tenant quantizers are rule-sized
+    from live corpus counts (the autoconf build), the refine factor
+    is MEASURED per tenant — exact top-10 for the 64 lowest routed
+    query_ids vs each pair's ADC rank, factor = ceil(need/k) of the
+    ceil(0.9·m)-th smallest need, rule factor 16 beyond the
+    max_factor·k cut — and the serve re-ranks each tenant's measured
+    factor·k ADC shortlist exactly. The oracle re-derives the whole
+    measurement in SQL (full ADC ranking → sample exact top-10 →
+    need percentile → factor → shortlist → exact re-rank), so a
+    drifted sample cut, percentile, tie-break, or factor rule
+    value-fails. Why: BASELINE.md round-9 — factor 4 vs 16 at held
+    recall on clustered corpora, and the rule UNDER-provisions on
+    uniform ones (0.83 at 16; the measured 23-24 reaches 0.9)."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: <= #collections
+    dim = len(emb.select("embedding").head()[0])
+    kmap = {
+        t: pq_ops.pq_config_for(n, dim=dim)["k_codes"]
+        for t, n in counts.items()
+    }
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=kmap
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source"
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpqcal", partition_col="source",
+        n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cal = pq_ops.pq_calibrated_factor(
+        spark, "es_gate_tpqcal", emb, queries, route, k=10,
+        partition_col="source",
+    )
+    out = None
+    groups: dict = {}
+    for t, f_val in cal.items():
+        groups.setdefault(f_val, []).append(t)
+    for f_val, tenants in sorted(groups.items()):
+        rr = route.filter(F.col("source").isin(tenants))
+        qq = queries.join(rr.select("query_id"), "query_id")
+        part = pq_ops.pq_federated_refined(
+            spark, "es_gate_tpqcal", emb, qq, rr, k=10,
+            refine_factor=f_val, partition_col="source",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+PQ_TENANT_CALIBRATED_SQL = _PQ_TENANT_BODY_AUTO + f""",
+adcrank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM sims
+),
+sampleq AS (
+  SELECT query_id, source FROM (
+    SELECT query_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY query_id ASC) AS sr
+    FROM q
+  ) WHERE sr <= 64
+),
+exact_elems AS (
+  SELECT s.query_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(qq.qv) AS DOUBLE) AS y
+  FROM sampleq s
+  JOIN q qq ON qq.query_id = s.query_id
+  JOIN src e ON e.source = s.source
+),
+exact_sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS sim
+  FROM exact_elems GROUP BY query_id, vec_id
+),
+exactk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS r
+    FROM exact_sims
+  ) WHERE r <= 10
+),
+needs AS (
+  SELECT x.query_id, qq.source,
+         CASE WHEN a.r <= 640 THEN a.r ELSE 641 END AS need
+  FROM exactk x
+  JOIN adcrank a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  JOIN q qq ON qq.query_id = x.query_id
+),
+cal AS (
+  SELECT source,
+         CASE WHEN need <= 640
+              THEN CAST(greatest(1, ceil(need / 10.0)) AS INT)
+              ELSE 16 END AS factor
+  FROM (
+    SELECT source, need,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY need ASC) AS rr,
+           count(*) OVER (PARTITION BY source) AS m
+    FROM needs
+  ) WHERE rr = CAST(ceil(0.9 * m) AS BIGINT)
+),
+short AS (
+  SELECT a.query_id, a.vec_id
+  FROM adcrank a
+  JOIN q qq ON qq.query_id = a.query_id
+  JOIN cal c ON c.source = qq.source
+  WHERE a.r <= c.factor * 10
+),
+elems AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(unnest(v.embedding) AS DOUBLE) AS x,
+         CAST(unnest(qq.qv) AS DOUBLE) AS y
+  FROM short s
+  JOIN src v ON v.vec_id = s.vec_id
+  JOIN q qq ON qq.query_id = s.query_id
+),
+ex AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM elems GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= 10"""
+
+
+QUERIES["pq_tenant_calibrated_serve"] = (
+    q_pq_tenant_calibrated_serve,
+    PQ_TENANT_CALIBRATED_SQL,
+)

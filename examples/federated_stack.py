@@ -125,7 +125,6 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         F.lit("initech").alias("source"),
     )
     n3 = initech.count()
-    q3 = rule_cents({"initech": ann_ops.ivf_config_for(n3)["n_cents"]})
     q3 = (
         initech.withColumn("_rn", F.row_number().over(w))
         .filter(

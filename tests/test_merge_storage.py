@@ -727,6 +727,19 @@ def test_ivf_calibrated_nprobe_clustered_beats_rule(spark):
     )
     assert cal2["globex"] == rule["globex"], cal2
     assert cal2["acme"] == cal["acme"], (cal2, cal)
+    # the 100-TB knob: corpus_sample bounds the exact ground-truth
+    # pass via a DETERMINISTIC crc32 cut — two runs agree exactly,
+    # widths stay valid, and on this clustered corpus the sampled
+    # estimate still lands far under the rule width
+    cs1 = ann_ops.ivf_calibrated_nprobe(
+        spark, pre, queries, route, k=10, corpus_sample=0.5
+    )
+    cs2 = ann_ops.ivf_calibrated_nprobe(
+        spark, pre, queries, route, k=10, corpus_sample=0.5
+    )
+    assert cs1 == cs2, (cs1, cs2)
+    assert all(1 <= v <= rule[t] for t, v in cs1.items()), cs1
+    assert cs1["acme"] <= 3 and cs1["globex"] <= 3, cs1
 
 
 def test_ivf_nprobe_dict_gap_raises(spark, sf_dir):
