@@ -209,13 +209,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         ("globex", "es_ex_fiv2"),  # ONLY the drifted tenant flips
     ):
         set_tenant_index_alias(spark, "es_ex_fidx", t, pre)
+    # the post-retrain serve MEASURES its widths per generation
+    # (nprobe="calibrated": exact top-k on a bounded sample vs each
+    # generation's live index, rule as the floor) — closing the
+    # drift → retrain → recalibrate loop
     aliased = ann_ops.ivf_federated_serve_aliased(
-        spark, "es_ex_fidx", queries, route, k=10, nprobe="auto"
+        spark, "es_ex_fidx", queries, route, k=10, nprobe="calibrated"
     )
     out["aliased_rows"] = aliased.count()
     print(
         f"[6] globex retrained+flipped (gen2, {n_gx} rows); aliased "
-        f"serve: {out['aliased_rows']} rows"
+        f"serve at calibrated widths: {out['aliased_rows']} rows"
     )
 
     # ---- offboard: partitions AND cache keys gone -------------------
