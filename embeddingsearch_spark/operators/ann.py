@@ -1528,8 +1528,12 @@ def ivf_federated_from_index(
     fallback): on clustered corpora it probes a fraction of the
     rule's worst-case width at the same recall; the calibration pass
     costs one bounded-sample exact scan, so use it per index
-    generation (cache/alias paths), not per ad-hoc query. Result =
-    per-tenant
+    generation (cache/alias paths), not per ad-hoc query.
+    ``nprobe="stored"`` reads the PERSISTED per-generation calibration
+    back (`calibrate_and_store_ivf` → ``{prefix}_calib``, rule floor
+    for tenants onboarded since) — the production mode: measurement
+    paid once per generation, every serve a broadcast-sized collect.
+    Result = per-tenant
     `ivf_topk` run inside each collection (tested), columns
     (query_id, id, cosine, rank)."""
     from embeddingsearch_spark.operators.retrieval import (
@@ -1553,9 +1557,19 @@ def ivf_federated_from_index(
                 query_id_col=query_id_col,
                 centroid_id_col=centroid_id_col,
             )
+        elif nprobe == "stored":
+            # persisted calibration (calibrate_and_store_ivf) — the
+            # per-generation offline measurement read back in one
+            # bounded collect, rule floor for uncalibrated tenants
+            from embeddingsearch_spark.operators.calibration import (
+                ivf_stored_nprobe,
+            )
+
+            nprobe = ivf_stored_nprobe(spark, prefix, partition_col)
         else:
             raise ValueError(
-                f"unknown nprobe {nprobe!r} (use 'auto' or 'calibrated')"
+                f"unknown nprobe {nprobe!r} "
+                "(use 'auto', 'calibrated', or 'stored')"
             )
     cents = spark.table(f"{prefix}_centroids")
     routed = route.select(partition_col).distinct().collect()
@@ -1726,7 +1740,11 @@ def retrain_federated_ivf_tenants(
     that moved cells are cleaned up by the upsert's delete keys).
     The fixed-quantizer invariant the incremental family relies on is
     intentionally broken HERE AND ONLY HERE, for the tenants being
-    retrained — which is the whole point of scoping it."""
+    retrained — which is the whole point of scoping it. If the index
+    serves at ``nprobe="stored"``, follow the retrain with the
+    same-scoped `calibrate_and_store_ivf(..., tenants=...)` — the new
+    quantizer's measured widths swap into exactly the retrained
+    tenants' calibration partitions."""
     from embeddingsearch_spark.storage import drop_table
 
     cents = spark.table(f"{prefix}_centroids").localCheckpoint(

@@ -1,0 +1,530 @@
+"""Persisted calibration tables — calibrate ONCE per index generation,
+serve forever from the stored widths.
+
+The measured-recall calibrators (`ivf_calibrated_nprobe`,
+`pq_calibrated_factor`, `graph_calibrated_config`) each cost a bounded
+exact pass over the calibrated tenants' corpora — an OFFLINE price, paid
+per index generation, not per query batch. The ``"calibrated"`` serve
+mode re-runs that measurement inline on every call (its docstrings say
+"use it per index generation"); this module makes that discipline a
+first-class artifact instead of a calling convention:
+
+- ``calibrate_and_store_{ivf,pq,graph}`` run the measurement (optionally
+  for a SUBSET of tenants — the drift-retrain refresh path) and persist
+  the per-tenant knob values in a tiny ``{prefix}_calib`` table,
+  partitioned by collection so a single tenant's recalibration swaps ONE
+  partition and never rewrites another tenant's rows (the same blast
+  radius as the retrain helpers themselves).
+- ``nprobe="stored"`` / ``config="stored"`` on the production serves
+  (direct, cached, aliased) read the persisted widths back — one
+  bounded collect of a tenants×knobs table — with the corpus-sized rule
+  (`ivf_auto_nprobe` / `pq_config_for` / `graph_auto_config`) as the
+  fallback for tenants onboarded AFTER the last calibration, so a
+  missing row degrades to the conservative floor, never to an error.
+- The calib table lives under the index PREFIX, so per-tenant blue/green
+  generations each carry their OWN calibration: the aliased serves
+  resolve ``{generation}_calib`` per generation, and a retrain→
+  recalibrate→flip sequence atomically switches a tenant to its new
+  widths with everyone else untouched.
+
+At 100 TB this is the difference between paying the calibration's exact
+sample pass once per generation (bounded by ``sample_per_tenant`` ×
+``corpus_sample``) and paying it on every serve batch — the serve-side
+read is a broadcast-sized collect.
+
+No reference parity: the reference engine (embeddingsearch, C#) has no
+ANN tier; this continues the beyond-reference calibration layer
+(BASELINE.md round-9 calibration table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+CALIB_SUFFIX = "_calib"
+
+
+def _calib_table(prefix: str) -> str:
+    return f"{prefix}{CALIB_SUFFIX}"
+
+
+def _store_calibration(
+    spark,
+    prefix: str,
+    rows: list[tuple[str, str, int, float]],
+    partition_col: str = "source",
+) -> str:
+    """Persist (tenant, knob, value, recall_target) rows, REPLACING the
+    named tenants' calibration wholesale (stale knobs from a previous
+    generation's schema never linger) and touching no other tenant's
+    partition — the write goes through the partition-overwrite seam
+    with the tenant itself as the delete key."""
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    table = _calib_table(prefix)
+    df = spark.createDataFrame(
+        [(k, int(v), float(rt), str(t)) for t, k, v, rt in rows],
+        f"knob string, value int, recall_target double, "
+        f"{partition_col} string",
+    )
+    if not spark.catalog.tableExists(table):
+        df.write.partitionBy(partition_col).saveAsTable(table)
+        return table
+    PartitionOverwriteSink([partition_col]).delete_insert(
+        spark,
+        table,
+        df,
+        key_cols=[partition_col],
+        delete_keys=df.select(partition_col).distinct(),
+        partition_cols=[partition_col],
+    )
+    return table
+
+
+def load_calibration(
+    spark, prefix: str, partition_col: str = "source"
+) -> dict:
+    """{tenant: {knob: value}} from the persisted calibration table —
+    one bounded collect (tenants × knobs rows). Raises with the fix-it
+    call if the table was never written: serving ``"stored"`` without a
+    stored calibration is a deployment bug, not a fallback case (use
+    ``"auto"`` for rule-only serving)."""
+    table = _calib_table(prefix)
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"no stored calibration at {table} — run "
+            "calibrate_and_store_ivf/pq/graph for this index "
+            'generation first (or serve with "auto" for the rule '
+            "widths)"
+        )
+    out: dict = {}
+    for r in spark.table(table).collect():
+        out.setdefault(str(r[partition_col]), {})[str(r["knob"])] = int(
+            r["value"]
+        )
+    return out
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def calibrate_and_store_ivf(
+    spark,
+    prefix: str,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    tenants: list | None = None,
+    recall_target: float = 0.9,
+    k: int = 10,
+    sample_per_tenant: int = 64,
+    corpus_sample: float | None = None,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> dict:
+    """Measure per-tenant IVF probe widths (`ivf_calibrated_nprobe` —
+    smallest width reaching ``recall_target`` on the sample, rule as
+    the unsampled fallback) and PERSIST them for ``nprobe="stored"``
+    serving. ``tenants`` scopes the refresh: after
+    `retrain_federated_ivf_tenants` swaps one collection's quantizer,
+    recalibrate exactly that collection — the measurement's exact pass
+    scans only its corpus, and the store swaps only its partition.
+    Returns the stored {tenant: nprobe} map."""
+    from embeddingsearch_spark.operators.ann import (
+        ivf_calibrated_nprobe,
+    )
+
+    if tenants is not None:
+        route = route.filter(
+            F.col(partition_col).isin([str(t) for t in tenants])
+        )
+    widths = ivf_calibrated_nprobe(
+        spark,
+        prefix,
+        sample_queries,
+        route,
+        k=k,
+        recall_target=recall_target,
+        sample_per_tenant=sample_per_tenant,
+        corpus_sample=corpus_sample,
+        partition_col=partition_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        centroid_id_col=centroid_id_col,
+    )
+    if tenants is not None:
+        widths = {
+            t: v for t, v in widths.items() if t in {str(x) for x in tenants}
+        }
+    _store_calibration(
+        spark,
+        prefix,
+        [(t, "nprobe", v, recall_target) for t, v in sorted(widths.items())],
+        partition_col=partition_col,
+    )
+    return widths
+
+
+def ivf_stored_nprobe(
+    spark,
+    prefix: str,
+    partition_col: str = "source",
+    recall_target: float = 0.9,
+) -> dict:
+    """{tenant: nprobe} from the PERSISTED calibration, with the
+    `ivf_auto_nprobe` rule as the floor for tenants onboarded after the
+    last calibration — the ``nprobe="stored"`` resolution used by the
+    direct/cached/aliased serves. One bounded collect each of the calib
+    table and the centroid counts."""
+    from embeddingsearch_spark.operators.ann import ivf_auto_nprobe
+
+    out = ivf_auto_nprobe(spark, prefix, partition_col, recall_target)
+    for t, knobs in load_calibration(spark, prefix, partition_col).items():
+        if "nprobe" in knobs:
+            out[t] = int(knobs["nprobe"])
+    return out
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def calibrate_and_store_pq(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    tenants: list | None = None,
+    recall_target: float = 0.9,
+    k: int = 10,
+    sample_per_tenant: int = 64,
+    max_factor: int = 64,
+    corpus_sample: float | None = None,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> dict:
+    """Measure per-tenant PQ refine factors (`pq_calibrated_factor`)
+    and PERSIST them for ``config="stored"`` serving — the compressed
+    twin of `calibrate_and_store_ivf`, same tenant-scoped refresh and
+    single-partition store contract. Returns the stored
+    {tenant: refine_factor} map."""
+    from embeddingsearch_spark.operators.pq import pq_calibrated_factor
+
+    if tenants is not None:
+        route = route.filter(
+            F.col(partition_col).isin([str(t) for t in tenants])
+        )
+    factors = pq_calibrated_factor(
+        spark,
+        prefix,
+        emb,
+        sample_queries,
+        route,
+        k=k,
+        recall_target=recall_target,
+        sample_per_tenant=sample_per_tenant,
+        max_factor=max_factor,
+        corpus_sample=corpus_sample,
+        partition_col=partition_col,
+        id_col=id_col,
+        codes_col=codes_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    if tenants is not None:
+        factors = {
+            t: v
+            for t, v in factors.items()
+            if t in {str(x) for x in tenants}
+        }
+    _store_calibration(
+        spark,
+        prefix,
+        [
+            (t, "refine_factor", v, recall_target)
+            for t, v in sorted(factors.items())
+        ],
+        partition_col=partition_col,
+    )
+    return factors
+
+
+def pq_stored_factor(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    partition_col: str = "source",
+    vec_col: str = "embedding",
+) -> dict:
+    """{tenant: refine_factor} from the PERSISTED calibration, rule
+    fallback (`pq_config_for` at each tenant's live code count) for
+    tenants without a stored row — the ``config="stored"`` resolution
+    for the PQ cached/aliased serves. ``queries`` only provides the
+    dimensionality for the rule fallback (its head row)."""
+    from embeddingsearch_spark.operators.pq import pq_config_for
+
+    out: dict = {}
+    qrow = queries.select(vec_col).head()
+    if qrow is not None:
+        dim = len(qrow[0])
+        for r in (
+            spark.table(f"{prefix}_codes")
+            .groupBy(partition_col)
+            .count()
+            .collect()
+        ):  # bounded: one row per collection
+            out[str(r[0])] = pq_config_for(int(r[1]), dim)[
+                "refine_factor"
+            ]
+    for t, knobs in load_calibration(spark, prefix, partition_col).items():
+        if "refine_factor" in knobs:
+            out[t] = int(knobs["refine_factor"])
+    return out
+
+
+# -------------------------------------------------------------- graph
+
+
+def calibrate_and_store_graph(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    tenants: list | None = None,
+    recall_target: float = 0.9,
+    k: int = 10,
+    sample_per_tenant: int = 32,
+    corpus_sample: float | None = None,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    salt: str = "nsw_entry",
+) -> dict:
+    """Measure per-tenant graph serve configs (`graph_calibrated_config`
+    — beam ladder, rule knobs elsewhere, rule config when the target is
+    unreachable) and PERSIST every knob row for ``config="stored"``
+    serving. Same tenant-scoped refresh contract as the IVF/PQ twins.
+    Returns the stored {tenant: {beam, hops, n_entry, m}} map."""
+    from embeddingsearch_spark.operators.graphann import (
+        graph_calibrated_config,
+    )
+
+    if tenants is not None:
+        route = route.filter(
+            F.col(partition_col).isin([str(t) for t in tenants])
+        )
+    cfgs = graph_calibrated_config(
+        spark,
+        prefix,
+        emb,
+        sample_queries,
+        route,
+        k=k,
+        recall_target=recall_target,
+        sample_per_tenant=sample_per_tenant,
+        corpus_sample=corpus_sample,
+        partition_col=partition_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        salt=salt,
+    )
+    if tenants is not None:
+        cfgs = {
+            t: v for t, v in cfgs.items() if t in {str(x) for x in tenants}
+        }
+    # persist the SERVE knobs only — the build knobs the rule dict also
+    # carries (n_blocks, n_assign) are index-construction facts, not
+    # calibration output, and the stored overlay must not pin them
+    serve_knobs = ("beam", "hops", "n_entry", "m")
+    _store_calibration(
+        spark,
+        prefix,
+        [
+            (t, knob, cfg[knob], recall_target)
+            for t, cfg in sorted(cfgs.items())
+            for knob in serve_knobs
+        ],
+        partition_col=partition_col,
+    )
+    return cfgs
+
+
+def graph_stored_config(
+    spark,
+    prefix: str,
+    partition_col: str = "source",
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> dict:
+    """{tenant: {beam, hops, n_entry, m}} from the PERSISTED
+    calibration, `graph_auto_config` rule fallback per tenant AND per
+    missing knob (a stored row only overrides the knobs it carries) —
+    the ``config="stored"`` resolution for the graph cached/aliased
+    serves."""
+    from embeddingsearch_spark.operators.graphann import (
+        graph_auto_config,
+    )
+
+    out = graph_auto_config(
+        spark, prefix, partition_col, k=k, id_col=id_col
+    )
+    for t, knobs in load_calibration(spark, prefix, partition_col).items():
+        base = out.setdefault(t, {})
+        for knob, v in knobs.items():
+            base[knob] = int(v)
+    return out
+
+
+# ------------------------------------------------------- observability
+
+
+def ivf_scan_cost(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    nprobe: int | dict | str = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Per-tenant SCAN-COST report for a federated IVF serve — the
+    observability half of calibration: how many candidate ROWS would
+    this query batch actually read at the given probe widths, as a
+    fraction of each tenant's corpus. ``scan_frac`` is the number that
+    decides whether IVF is sublinear at 100 TB (the rule's worst-case
+    width reads ~78% of a uniform corpus; a calibrated clustered
+    tenant reads ~6% — BASELINE.md round-9 table) — this makes that
+    number QUERYABLE against the live index instead of a one-off
+    probe-script artifact, so rule-vs-stored cost can be audited per
+    tenant before flipping a generation.
+
+    ``nprobe`` accepts everything the serve accepts (int, {tenant:
+    width}, "auto", "calibrated", "stored") and resolves identically,
+    so the report prices exactly the serve it describes. Cell sizes
+    come from one full aggregate of the assignment table (an OFFLINE
+    audit pass — the serve itself never does this); probed-but-empty
+    cells count toward ``cells_probed`` and add zero rows, matching
+    the serve's scan. Columns: (tenant, nprobe, n_queries,
+    cells_probed, rows_scanned, corpus_rows, scan_frac)."""
+    from embeddingsearch_spark.functions.vectors import dot, norm2
+    from embeddingsearch_spark.operators.ann import (
+        ROUND_DIGITS,
+        Window,
+        _cosine_from_parts,
+        ivf_auto_nprobe,
+        ivf_calibrated_nprobe,
+    )
+
+    if isinstance(nprobe, str):
+        if nprobe == "auto":
+            nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
+        elif nprobe == "calibrated":
+            nprobe = ivf_calibrated_nprobe(
+                spark, prefix, queries, route, k=k,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+                centroid_id_col=centroid_id_col,
+            )
+        elif nprobe == "stored":
+            nprobe = ivf_stored_nprobe(spark, prefix, partition_col)
+        else:
+            raise ValueError(
+                f"unknown nprobe {nprobe!r} "
+                "(use 'auto', 'calibrated', or 'stored')"
+            )
+    cents = spark.table(f"{prefix}_centroids")
+    qv = queries.join(
+        F.broadcast(route.select(query_id_col, partition_col)),
+        query_id_col,
+    ).select(
+        query_id_col,
+        partition_col,
+        F.col(vec_col).alias("_qvec"),
+        norm2(F.col(vec_col)).alias("_qn"),
+    )
+    pc = cents.select(
+        partition_col,
+        centroid_id_col,
+        F.col(vec_col).alias("_cvec"),
+        norm2(F.col(vec_col)).alias("_cn"),
+    )
+    psim = _cosine_from_parts(
+        dot(F.col("_cvec"), F.col("_qvec")),
+        F.col("_cn"),
+        F.col("_qn"),
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_psim").desc(), F.col(centroid_id_col).asc()
+    )
+    ranked = (
+        qv.join(F.broadcast(pc), partition_col)
+        .select(
+            query_id_col,
+            partition_col,
+            centroid_id_col,
+            F.round(psim, ROUND_DIGITS).alias("_psim"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+    )
+    if isinstance(nprobe, dict):
+        np_df = spark.createDataFrame(
+            [(str(t), int(v)) for t, v in nprobe.items()],
+            f"{partition_col} string, _np int",
+        )
+        probe = ranked.join(F.broadcast(np_df), partition_col).filter(
+            F.col("_r") <= F.col("_np")
+        )
+    else:
+        probe = ranked.withColumn("_np", F.lit(int(nprobe))).filter(
+            F.col("_r") <= int(nprobe)
+        )
+    # one offline aggregate of the assignment table: per-cell sizes
+    # (the audit's cost — the serve never scans unprobed cells)
+    sizes = (
+        spark.table(f"{prefix}_assigned")
+        .groupBy(partition_col, centroid_id_col)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    corpus = sizes.groupBy(partition_col).agg(
+        F.sum("_sz").alias("corpus_rows")
+    )
+    per_tenant = (
+        probe.join(sizes, [partition_col, centroid_id_col], "left")
+        .groupBy(partition_col, "_np")
+        .agg(
+            F.countDistinct(query_id_col).alias("n_queries"),
+            F.count(F.lit(1)).alias("cells_probed"),
+            F.sum(F.coalesce(F.col("_sz"), F.lit(0))).alias(
+                "rows_scanned"
+            ),
+        )
+    )
+    return (
+        per_tenant.join(F.broadcast(corpus), partition_col)
+        .select(
+            F.col(partition_col),
+            F.col("_np").alias("nprobe"),
+            F.col("n_queries"),
+            F.col("cells_probed"),
+            F.col("rows_scanned"),
+            F.col("corpus_rows"),
+            F.round(
+                F.col("rows_scanned")
+                / (F.col("n_queries") * F.col("corpus_rows")),
+                6,
+            ).alias("scan_frac"),
+        )
+    )

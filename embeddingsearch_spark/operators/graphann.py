@@ -1207,20 +1207,31 @@ def graph_search_federated_aliased(
     hand-carried search knobs; explicit beam/hops/... are ignored."""
     from embeddingsearch_spark.storage import federated_serve_aliased
 
-    if config not in (None, "auto", "calibrated"):
+    if config not in (None, "auto", "calibrated", "stored"):
         raise ValueError(
-            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+            f"unknown config {config!r} "
+            "(use 'auto', 'calibrated', or 'stored')"
         )
 
     def serve(prefix, q, r):
-        if config not in ("auto", "calibrated"):
+        if config not in ("auto", "calibrated", "stored"):
             return graph_search_federated(
                 spark, prefix, emb, q, r, k=k, beam=beam, hops=hops,
                 n_entry=n_entry, m=m, partition_col=partition_col,
                 id_col=id_col, vec_col=vec_col,
                 query_id_col=query_id_col, salt=salt,
             )
-        if config == "calibrated":
+        if config == "stored":
+            # each GENERATION reads its own persisted calibration —
+            # a retrain→recalibrate→flip atomically switches knobs
+            from embeddingsearch_spark.operators.calibration import (
+                graph_stored_config,
+            )
+
+            cfg_by = graph_stored_config(
+                spark, prefix, partition_col, k=k, id_col=id_col
+            )
+        elif config == "calibrated":
             # measured beams per GENERATION on its own query group
             # (rule knobs elsewhere, rule config as the fallback)
             cfg_by = graph_calibrated_config(

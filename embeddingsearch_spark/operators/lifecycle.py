@@ -268,6 +268,15 @@ def offboard_tenant(
         n_parts = drop_tenant_partitions(
             spark, prefix, partition_col, tenant
         )
+    # stored calibration hygiene: a gone tenant's persisted widths
+    # must not outlive its index (a stale calib row would re-enter
+    # the "stored" width map for a later re-onboard under the old
+    # generation's measurement)
+    n_calib = 0
+    if spark.catalog.tableExists(f"{prefix}_calib"):
+        n_calib = drop_tenant_partitions(
+            spark, f"{prefix}_calib", partition_col, tenant
+        )
     purged = {"keys_purged": 0, "rows_purged": 0}
     if cache_table is not None:
         from embeddingsearch_spark.operators.query_cache import (
@@ -278,6 +287,7 @@ def offboard_tenant(
     return {
         "partitions_dropped": int(n_parts),
         "artifact_rows_dropped": artifact_rows,
+        "calib_partitions_dropped": int(n_calib),
         "cache_keys_purged": purged["keys_purged"],
         "cache_rows_purged": purged["rows_purged"],
     }

@@ -1485,17 +1485,18 @@ def pq_federated_serve_aliased(
     k/factor pair."""
     from embeddingsearch_spark.storage import federated_serve_aliased
 
-    if config not in (None, "auto", "calibrated"):
+    if config not in (None, "auto", "calibrated", "stored"):
         raise ValueError(
-            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+            f"unknown config {config!r} "
+            "(use 'auto', 'calibrated', or 'stored')"
         )
-    if config in ("auto", "calibrated") and emb is None:
+    if config in ("auto", "calibrated", "stored") and emb is None:
         raise ValueError(
             f'config="{config}" refines by exact re-rank — pass emb'
         )
 
     def serve(prefix, q, r):
-        if config not in ("auto", "calibrated"):
+        if config not in ("auto", "calibrated", "stored"):
             return pq_federated_from_index(
                 spark, prefix, q, r, k=k, partition_col=partition_col,
                 id_col=id_col, codes_col=codes_col, vec_col=vec_col,
@@ -1505,6 +1506,16 @@ def pq_federated_serve_aliased(
         factor_by = {}
         if qrow is None:
             pass  # empty query group: correctly-schemaed ADC serve
+        elif config == "stored":
+            # each GENERATION reads its own persisted calibration —
+            # a retrain→recalibrate→flip atomically switches widths
+            from embeddingsearch_spark.operators.calibration import (
+                pq_stored_factor,
+            )
+
+            factor_by = pq_stored_factor(
+                spark, prefix, q, partition_col, vec_col
+            )
         elif config == "calibrated":
             # measured factors per GENERATION on its own query group
             # (rule as the fallback)

@@ -671,11 +671,13 @@ def serve_ivf_federated_cached(
     core. Identical to `ivf_federated_from_index(..., k, nprobe)` by
     construction (gated with the shared tenant oracle).
 
-    ``nprobe="auto"``/``"calibrated"`` resolve to the per-tenant width
-    map ONCE here (calibration samples this serve's full query batch,
-    not each miss subset) and the derived widths are folded into the
-    cache-key version material (`_fold_config_versions`) — a corpus
-    growing past a sizing breakpoint mid-version invalidates exactly
+    ``nprobe="auto"``/``"calibrated"``/``"stored"`` resolve to the
+    per-tenant width map ONCE here (calibration samples this serve's
+    full query batch, not each miss subset; "stored" reads the
+    persisted per-generation calibration back) and the derived widths
+    are folded into the cache-key version material
+    (`_fold_config_versions`) — a corpus growing past a sizing
+    breakpoint mid-version, or a recalibration, invalidates exactly
     the affected tenant's entries."""
     from embeddingsearch_spark.operators.ann import (
         ivf_auto_nprobe,
@@ -692,9 +694,18 @@ def serve_ivf_federated_cached(
                 partition_col=partition_col, id_col=id_col,
                 vec_col=vec_col, query_id_col=query_id_col,
             )
+        elif nprobe == "stored":
+            from embeddingsearch_spark.operators.calibration import (
+                ivf_stored_nprobe,
+            )
+
+            nprobe = ivf_stored_nprobe(
+                spark, index_prefix, partition_col
+            )
         else:
             raise ValueError(
-                f"unknown nprobe {nprobe!r} (use 'auto' or 'calibrated')"
+                f"unknown nprobe {nprobe!r} "
+                "(use 'auto', 'calibrated', or 'stored')"
             )
         index_versions = _fold_config_versions(index_versions, nprobe)
     qkeyed = _vector_tenant_qkeyed(
@@ -843,7 +854,7 @@ def serve_pq_federated_cached(
     )
 
     factor_by: dict = {}
-    if config in ("auto", "calibrated"):
+    if config in ("auto", "calibrated", "stored"):
         if emb is None:
             raise ValueError(
                 f'config="{config}" refines misses by exact re-rank '
@@ -858,6 +869,14 @@ def serve_pq_federated_cached(
                 spark, index_prefix, emb, queries, route, k=k,
                 partition_col=partition_col, id_col=id_col,
                 vec_col=vec_col, query_id_col=query_id_col,
+            )
+        elif config == "stored":
+            from embeddingsearch_spark.operators.calibration import (
+                pq_stored_factor,
+            )
+
+            factor_by = pq_stored_factor(
+                spark, index_prefix, queries, partition_col, vec_col
             )
         else:
             qrow = queries.select(vec_col).head()
@@ -877,7 +896,8 @@ def serve_pq_federated_cached(
         )
     elif config is not None:
         raise ValueError(
-            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+            f"unknown config {config!r} "
+            "(use 'auto', 'calibrated', or 'stored')"
         )
     qkeyed = _vector_tenant_qkeyed(
         spark, queries, route, index_versions, partition_col,
@@ -889,7 +909,7 @@ def serve_pq_federated_cached(
     )
 
     def compute(misses_q):
-        if config not in ("auto", "calibrated"):
+        if config not in ("auto", "calibrated", "stored"):
             return pq_federated_from_index(
                 spark,
                 index_prefix,
@@ -984,13 +1004,23 @@ def serve_graph_federated_cached(
         graph_search_federated,
     )
 
-    if config not in (None, "auto", "calibrated"):
+    if config not in (None, "auto", "calibrated", "stored"):
         raise ValueError(
-            f"unknown config {config!r} (use 'auto' or 'calibrated')"
+            f"unknown config {config!r} "
+            "(use 'auto', 'calibrated', or 'stored')"
         )
     cfg_by: dict = {}
     if config == "auto":
         cfg_by = graph_auto_config(
+            spark, index_prefix, partition_col, k=k, id_col=id_col
+        )
+        index_versions = _fold_config_versions(index_versions, cfg_by)
+    elif config == "stored":
+        from embeddingsearch_spark.operators.calibration import (
+            graph_stored_config,
+        )
+
+        cfg_by = graph_stored_config(
             spark, index_prefix, partition_col, k=k, id_col=id_col
         )
         index_versions = _fold_config_versions(index_versions, cfg_by)
@@ -1023,7 +1053,7 @@ def serve_graph_federated_cached(
                 for x in r.select(partition_col).distinct().collect()
             ]  # bounded: <= #collections
             src = emb.filter(F.col(partition_col).isin(routed))
-        if config not in ("auto", "calibrated"):
+        if config not in ("auto", "calibrated", "stored"):
             return graph_search_federated(
                 spark,
                 index_prefix,

@@ -441,6 +441,7 @@ def _ivf_tenant_sql(
     extra_select: str = "",
     cents_sql: str | None = None,
     probe_sql: str | None = None,
+    tail_sql: str | None = None,
 ) -> str:
     """The tenant-scoped IVF chain (per-collection quantizer →
     tenant-routed probe → within-collection scoring), parameterized
@@ -449,7 +450,10 @@ def _ivf_tenant_sql(
     default instance; the drift-retrain oracle re-sources it to the
     two-era corpus with a re-selected quantizer for the drifted
     tenant only; the autoconf oracle swaps in a per-tenant probe
-    width derived from the same sizing rule."""
+    width derived from the same sizing rule. ``tail_sql`` replaces
+    the default candidate-scoring/top-10 tail entirely (the scan-cost
+    oracle aggregates the probe against cell sizes instead of
+    serving)."""
     src = src_sql or """src AS (
   SELECT vec_id, embedding,
          CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
@@ -503,7 +507,7 @@ probe_sims AS (
   FROM probe_elems GROUP BY query_id, centroid_id
 ),
 {probe},
-cand_elems AS (
+{tail_sql or f'''cand_elems AS (
   SELECT p.query_id, a.vec_id,
          CAST(unnest(e.embedding) AS DOUBLE) AS x,
          CAST(unnest(q.qv) AS DOUBLE) AS y
@@ -524,7 +528,7 @@ ranked AS (
   FROM cand_sims
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank{extra_select}
-FROM ranked WHERE rank <= 10"""
+FROM ranked WHERE rank <= 10'''}"""
 
 
 IVF_TENANT_SERVE_SQL = _ivf_tenant_sql()
@@ -3253,17 +3257,20 @@ def q_ivf_tenant_calibrated_serve(spark, sf_dir):
     )
 
 
-def _ivf_tenant_calibrated_sql() -> str:
+def _ivf_tenant_calibrated_sql(target_expr: str = "0.9") -> str:
     """`_ivf_tenant_sql` with the autoconf quantizer (rule-sized
     n_cents from the per-tenant corpus count) and the probe width
     MEASURED the way `ivf_calibrated_nprobe` measures it: per tenant,
     exact top-10 for the 64 lowest routed query_ids, each exact
     pair's "need" = the probe rank of its assigned cell in the
-    query's own cell ranking, width = the ceil(0.9·m)-th smallest
+    query's own cell ranking, width = the ceil(target·m)-th smallest
     need (m = the tenant's pair count) — recall@k at width w is
     exactly the fraction of pairs with need <= w, because a probed
     exact member always survives the served top-k cut (same rounding
-    + id tie-break). A drifted measurement value-fails."""
+    + id tie-break). A drifted measurement value-fails.
+    ``target_expr`` is a SQL expression over ``source`` — the stored
+    gate passes a per-tenant CASE to re-derive a tenant-scoped
+    recalibration at a different target."""
     cents_sql = """tcfg AS (
   SELECT source,
          CAST(greatest(4, least(4096,
@@ -3326,7 +3333,7 @@ cal AS (
                               ORDER BY need ASC) AS rr,
            count(*) OVER (PARTITION BY source) AS m
     FROM needs
-  ) WHERE rr = CAST(ceil(0.9 * m) AS BIGINT)
+  ) WHERE rr = CAST(ceil(({target_expr}) * m) AS BIGINT)
 ),
 probe AS (
   SELECT pr.query_id, pr.centroid_id
@@ -3408,7 +3415,13 @@ def q_pq_tenant_calibrated_serve(spark, sf_dir):
     return out
 
 
-PQ_TENANT_CALIBRATED_SQL = _PQ_TENANT_BODY_AUTO + f""",
+def _pq_tenant_calibrated_sql(target_expr: str = "0.9") -> str:
+    """The PQ calibrated-measurement oracle, parameterized over the
+    per-tenant recall target (a SQL expression over ``source``) — the
+    stored gate passes a CASE to re-derive a tenant-scoped
+    recalibration at a different target, exactly like
+    `_ivf_tenant_calibrated_sql(target_expr=)`."""
+    return _PQ_TENANT_BODY_AUTO + f""",
 adcrank AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id
@@ -3461,7 +3474,7 @@ cal AS (
                               ORDER BY need ASC) AS rr,
            count(*) OVER (PARTITION BY source) AS m
     FROM needs
-  ) WHERE rr = CAST(ceil(0.9 * m) AS BIGINT)
+  ) WHERE rr = CAST(ceil(({target_expr}) * m) AS BIGINT)
 ),
 short AS (
   SELECT a.query_id, a.vec_id
@@ -3491,7 +3504,371 @@ FROM (
 ) WHERE rank <= 10"""
 
 
+PQ_TENANT_CALIBRATED_SQL = _pq_tenant_calibrated_sql()
+
+
 QUERIES["pq_tenant_calibrated_serve"] = (
     q_pq_tenant_calibrated_serve,
     PQ_TENANT_CALIBRATED_SQL,
+)
+
+
+def q_ivf_tenant_stored_calibration_serve(spark, sf_dir):
+    """PERSISTED calibration closed into a gate — the production shape
+    of the calibrated set: `calibrate_and_store_ivf` measures per-tenant
+    probe widths ONCE (target 0.9) and writes them to the
+    ``{prefix}_calib`` table; a tenant-scoped REFRESH then recalibrates
+    globex alone at target 1.0 (the drift-retrain path — one partition
+    swapped, acme's stored row untouched); the serve runs every query
+    at ``nprobe="stored"``, reading the widths back instead of
+    re-measuring. The oracle re-derives BOTH measurements in SQL with a
+    per-tenant target (CASE over the collection), so a refresh that
+    leaks into the wrong tenant, a store that drops/garbles a width, or
+    a serve that ignores the stored map all value-fail. Why this
+    matters at 100 TB: the calibration's exact sample pass is paid per
+    index GENERATION (offline), and every serve afterwards is a
+    broadcast-sized read of the calib table — not an inline
+    re-measurement per query batch."""
+    from pyspark.sql.window import Window as W
+
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: one row per collection
+    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    cfg_df = emb.sparkSession.createDataFrame(
+        [(t, c["n_cents"]) for t, c in cfg.items()],
+        "source string, _nc int",
+    )
+    w = W.partitionBy("source").orderBy("vec_id")
+    cents = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(cfg_df), "source")
+        .filter(F.col("_rn") <= F.col("_nc"))
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_tivf_store", partition_col="source",
+        n_buckets=4,
+    )
+    drop_table(spark, "es_gate_tivf_store_calib")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cal_ops.calibrate_and_store_ivf(
+        spark, "es_gate_tivf_store", queries, route, recall_target=0.9,
+        partition_col="source",
+    )
+    cal_ops.calibrate_and_store_ivf(
+        spark, "es_gate_tivf_store", queries, route,
+        tenants=["globex"], recall_target=1.0, partition_col="source",
+    )
+    return ann_ops.ivf_federated_from_index(
+        spark, "es_gate_tivf_store", queries, route, k=10,
+        nprobe="stored", partition_col="source",
+    )
+
+
+QUERIES["ivf_tenant_stored_calibration_serve"] = (
+    q_ivf_tenant_stored_calibration_serve,
+    _ivf_tenant_calibrated_sql(
+        target_expr="CASE WHEN source = 'globex' THEN 1.0 ELSE 0.9 END"
+    ),
+)
+
+
+def q_ivf_tenant_scan_cost(spark, sf_dir):
+    """Scan-cost OBSERVABILITY closed into a gate (`ivf_scan_cost`):
+    per tenant, the candidate ROWS a query batch reads at a given
+    probe width, as parts-per-million of the tenant's corpus — the
+    number that decides whether IVF is sublinear at 100 TB, queryable
+    against the live index instead of a one-off probe-script artifact.
+    The gate prices the SAME index at the rule widths (mode='rule',
+    ``nprobe="auto"``) and at the stored calibrated widths
+    (mode='stored', after `calibrate_and_store_ivf` at target 0.9), so
+    the rule-vs-calibrated cost delta the BASELINE.md table documents
+    is verified row-by-row: the oracle re-derives both width rules,
+    re-probes every query, and re-aggregates cell sizes in SQL — a
+    report that miscounts probed cells, drops empty cells, or prices
+    the wrong width value-fails."""
+    from pyspark.sql.window import Window as W
+
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: one row per collection
+    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    cfg_df = emb.sparkSession.createDataFrame(
+        [(t, c["n_cents"]) for t, c in cfg.items()],
+        "source string, _nc int",
+    )
+    w = W.partitionBy("source").orderBy("vec_id")
+    cents = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(cfg_df), "source")
+        .filter(F.col("_rn") <= F.col("_nc"))
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_gate_tivf_cost", partition_col="source",
+        n_buckets=4,
+    )
+    drop_table(spark, "es_gate_tivf_cost_calib")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cal_ops.calibrate_and_store_ivf(
+        spark, "es_gate_tivf_cost", queries, route, recall_target=0.9,
+        partition_col="source",
+    )
+    rule = cal_ops.ivf_scan_cost(
+        spark, "es_gate_tivf_cost", queries, route, k=10,
+        nprobe="auto", partition_col="source",
+    ).withColumn("mode", F.lit("rule"))
+    stored = cal_ops.ivf_scan_cost(
+        spark, "es_gate_tivf_cost", queries, route, k=10,
+        nprobe="stored", partition_col="source",
+    ).withColumn("mode", F.lit("stored"))
+    return rule.unionByName(stored).select(
+        "source",
+        "mode",
+        "nprobe",
+        "n_queries",
+        "cells_probed",
+        "rows_scanned",
+        "corpus_rows",
+        F.floor(
+            F.col("rows_scanned")
+            * F.lit(1000000.0)
+            / (F.col("n_queries") * F.col("corpus_rows"))
+        ).alias("scan_ppm"),
+    )
+
+
+def _ivf_tenant_scan_cost_sql() -> str:
+    """The cost oracle: autoconf quantizer + BOTH width derivations
+    (the `ivf_config_for` probe rule and the calibrated 0.9
+    measurement), each probing every query, aggregated against the
+    assignment table's cell sizes instead of serving — `tail_sql`
+    replaces the scoring tail entirely. Empty probed cells count
+    toward cells_probed and add zero rows, exactly like the serve's
+    pruned scan."""
+    cents_sql = """tcfg AS (
+  SELECT source,
+         CAST(greatest(4, least(4096,
+              floor(sqrt(count(*)) + 0.5))) AS INT) AS n_cents,
+         CAST(least(greatest(4, least(4096,
+                    floor(sqrt(count(*)) + 0.5))),
+              greatest(1, ceil(pow(0.9, 2.5)
+                   * greatest(4, least(4096,
+                       floor(sqrt(count(*)) + 0.5)))))) AS INT) AS np
+  FROM src GROUP BY source
+),
+tcents AS (
+  SELECT source, centroid_id, cv FROM (
+    SELECT s.source, s.vec_id AS centroid_id, s.embedding AS cv,
+           row_number() OVER (PARTITION BY s.source
+                              ORDER BY s.vec_id) AS r,
+           g.n_cents
+    FROM src s JOIN tcfg g ON g.source = s.source
+  ) WHERE r <= n_cents
+)"""
+    probe_sql = f"""prank AS (
+  SELECT query_id, centroid_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, centroid_id ASC) AS r
+  FROM probe_sims
+),
+sampleq AS (
+  SELECT query_id, source, qv FROM (
+    SELECT query_id, source, qv,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY query_id ASC) AS sr
+    FROM q
+  ) WHERE sr <= 64
+),
+exact_elems AS (
+  SELECT s.query_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.qv) AS DOUBLE) AS y
+  FROM sampleq s JOIN src e ON e.source = s.source
+),
+exact_sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS sim
+  FROM exact_elems GROUP BY query_id, vec_id
+),
+exactk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS r
+    FROM exact_sims
+  ) WHERE r <= 10
+),
+needs AS (
+  SELECT x.query_id, q.source, pr.r AS need
+  FROM exactk x
+  JOIN assigned a ON a.vec_id = x.vec_id
+  JOIN prank pr ON pr.query_id = x.query_id
+              AND pr.centroid_id = a.centroid_id
+  JOIN q ON q.query_id = x.query_id
+),
+cal AS (
+  SELECT source, need AS w FROM (
+    SELECT source, need,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY need ASC) AS rr,
+           count(*) OVER (PARTITION BY source) AS m
+    FROM needs
+  ) WHERE rr = CAST(ceil(0.9 * m) AS BIGINT)
+),
+probe AS (
+  SELECT pr.query_id, pr.centroid_id, 'rule' AS mode,
+         g.np AS np
+  FROM prank pr
+  JOIN q ON q.query_id = pr.query_id
+  JOIN tcfg g ON g.source = q.source
+  WHERE pr.r <= g.np
+  UNION ALL
+  SELECT pr.query_id, pr.centroid_id, 'stored' AS mode,
+         CAST(c.w AS INT) AS np
+  FROM prank pr
+  JOIN q ON q.query_id = pr.query_id
+  JOIN cal c ON c.source = q.source
+  WHERE pr.r <= c.w
+)"""
+    tail_sql = """cellsz AS (
+  SELECT a.centroid_id, count(*) AS sz
+  FROM assigned a GROUP BY a.centroid_id
+),
+tcorp AS (
+  SELECT source, count(*) AS corpus_rows FROM src GROUP BY source
+)
+SELECT q.source AS source, p.mode AS mode,
+       CAST(max(p.np) AS INT) AS nprobe,
+       CAST(count(DISTINCT p.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS cells_probed,
+       CAST(sum(coalesce(c.sz, 0)) AS BIGINT) AS rows_scanned,
+       CAST(max(t.corpus_rows) AS BIGINT) AS corpus_rows,
+       CAST(floor(CAST(sum(coalesce(c.sz, 0)) AS DOUBLE) * 1000000.0
+            / (count(DISTINCT p.query_id) * max(t.corpus_rows)))
+            AS BIGINT) AS scan_ppm
+FROM probe p
+JOIN q ON q.query_id = p.query_id
+LEFT JOIN cellsz c ON c.centroid_id = p.centroid_id
+JOIN tcorp t ON t.source = q.source
+GROUP BY q.source, p.mode"""
+    return _ivf_tenant_sql(
+        cents_sql=cents_sql, probe_sql=probe_sql, tail_sql=tail_sql
+    )
+
+
+QUERIES["ivf_tenant_scan_cost"] = (
+    q_ivf_tenant_scan_cost,
+    _ivf_tenant_scan_cost_sql(),
+)
+
+
+def q_pq_tenant_stored_calibration_serve(spark, sf_dir):
+    """PERSISTED PQ calibration through the PRODUCTION cached path —
+    the compressed twin of `ivf_tenant_stored_calibration_serve`:
+    `calibrate_and_store_pq` measures per-tenant refine factors once
+    (target 0.9) into ``{prefix}_calib``; a tenant-scoped REFRESH
+    recalibrates globex alone at target 1.0 (one partition swapped,
+    acme untouched); the cached serve runs ``config="stored"`` — its
+    miss path reads the persisted factors back instead of re-measuring
+    per batch, and the stored factors fold into the cache keys (a
+    recalibration invalidates naturally). Cold serve fills, the
+    returned warm serve is a pure cache read, identical to the refined
+    serve at the stored factors by construction. The oracle re-derives
+    BOTH measurements with a per-tenant CASE target — a refresh
+    leaking into the wrong tenant, a garbled store, or a serve
+    ignoring the stored factors value-fails."""
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tpqst_cache")
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    counts = {
+        str(r[0]): int(r[1])
+        for r in emb.groupBy("source").count().collect()
+    }  # bounded: <= #collections
+    dim = len(emb.select("embedding").head()[0])
+    kmap = {
+        t: pq_ops.pq_config_for(n, dim=dim)["k_codes"]
+        for t, n in counts.items()
+    }
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=kmap
+    )
+    n = spark.sparkContext.defaultParallelism
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source"
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_gate_tpqst", partition_col="source",
+        n_buckets=4,
+    )
+    drop_table(spark, "es_gate_tpqst_calib")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    cal_ops.calibrate_and_store_pq(
+        spark, "es_gate_tpqst", emb, queries, route, recall_target=0.9,
+        partition_col="source",
+    )
+    cal_ops.calibrate_and_store_pq(
+        spark, "es_gate_tpqst", emb, queries, route,
+        tenants=["globex"], recall_target=1.0, partition_col="source",
+    )
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_pq_federated_cached(
+        spark, "es_gate_tpqst_cache", "es_gate_tpqst", queries, route,
+        versions, k=10, partition_col="source", emb=emb,
+        config="stored",
+    ).collect()
+    return qc.serve_pq_federated_cached(
+        spark, "es_gate_tpqst_cache", "es_gate_tpqst", queries, route,
+        versions, k=10, partition_col="source", emb=emb,
+        config="stored",
+    )
+
+
+QUERIES["pq_tenant_stored_calibration_serve"] = (
+    q_pq_tenant_stored_calibration_serve,
+    _pq_tenant_calibrated_sql(
+        target_expr="CASE WHEN source = 'globex' THEN 1.0 ELSE 0.9 END"
+    ),
 )

@@ -1,0 +1,328 @@
+"""Persisted calibration tables: store/load round-trip, tenant-scoped
+refresh blast radius, `"stored"` serve equality with the explicit width
+map, and the rule fallback for tenants onboarded after calibration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window, functions as F
+
+from embeddingsearch_spark.operators import ann as ann_ops
+from embeddingsearch_spark.operators import calibration as cal
+from embeddingsearch_spark.storage import drop_table
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(23)
+    rows = [
+        (
+            i,
+            [float(x) for x in rng.normal(size=16)],
+            ("acme", "globex")[i % 2],
+        )
+        for i in range(160)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, source string"
+    ).cache()
+
+
+def _queries_route(vecs):
+    q = vecs.filter(F.col("vec_id") % 7 == 0)
+    return (
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        q.select(F.col("vec_id").alias("query_id"), "source"),
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf_prefix(spark, vecs):
+    prefix = "es_test_calst_ivf"
+    for t in ("_assigned", "_centroids", "_calib"):
+        drop_table(spark, prefix + t)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 6)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = ann_ops.assign_centroids_federated(vecs, cents)
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, prefix, n_buckets=2
+    )
+    return prefix
+
+
+def test_ivf_store_load_and_scoped_refresh(spark, vecs, ivf_prefix):
+    """A full calibration stores one nprobe row per tenant; a
+    tenant-scoped refresh at a different target replaces ONLY that
+    tenant's row — the other tenant's value AND recorded target are
+    untouched, and no duplicate rows accumulate."""
+    drop_table(spark, ivf_prefix + "_calib")
+    queries, route = _queries_route(vecs)
+    m1 = cal.calibrate_and_store_ivf(
+        spark, ivf_prefix, queries, route, recall_target=0.9
+    )
+    assert set(m1) == {"acme", "globex"}
+    loaded = cal.load_calibration(spark, ivf_prefix)
+    assert {t: k["nprobe"] for t, k in loaded.items()} == m1
+
+    m2 = cal.calibrate_and_store_ivf(
+        spark, ivf_prefix, queries, route,
+        tenants=["globex"], recall_target=1.0,
+    )
+    assert set(m2) == {"globex"}
+    tbl = spark.table(ivf_prefix + "_calib")
+    rows = {
+        (r["source"], r["knob"]): (r["value"], r["recall_target"])
+        for r in tbl.collect()
+    }
+    assert len(rows) == tbl.count()  # replacement, not accumulation
+    assert rows[("acme", "nprobe")] == (m1["acme"], 0.9)
+    assert rows[("globex", "nprobe")] == (m2["globex"], 1.0)
+    # target 1.0 needs at least the 0.9 width
+    assert m2["globex"] >= m1["globex"]
+
+
+def test_ivf_stored_serve_equals_explicit_map(spark, vecs, ivf_prefix):
+    drop_table(spark, ivf_prefix + "_calib")
+    queries, route = _queries_route(vecs)
+    cal.calibrate_and_store_ivf(
+        spark, ivf_prefix, queries, route, recall_target=0.9
+    )
+    widths = cal.ivf_stored_nprobe(spark, ivf_prefix)
+    got = ann_ops.ivf_federated_from_index(
+        spark, ivf_prefix, queries, route, k=5, nprobe="stored"
+    )
+    want = ann_ops.ivf_federated_from_index(
+        spark, ivf_prefix, queries, route, k=5, nprobe=widths
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stored_without_table_raises(spark, vecs, ivf_prefix):
+    drop_table(spark, ivf_prefix + "_calib")
+    queries, route = _queries_route(vecs)
+    with pytest.raises(ValueError, match="calibrate_and_store"):
+        ann_ops.ivf_federated_from_index(
+            spark, ivf_prefix, queries, route, k=5, nprobe="stored"
+        )
+
+
+def test_ivf_stored_rule_fallback_for_uncalibrated_tenant(
+    spark, vecs, ivf_prefix
+):
+    """A tenant with no stored row (onboarded after the calibration)
+    serves at the `ivf_auto_nprobe` rule floor, not at an error."""
+    drop_table(spark, ivf_prefix + "_calib")
+    queries, route = _queries_route(vecs)
+    stored = cal.calibrate_and_store_ivf(
+        spark, ivf_prefix, queries, route, tenants=["acme"]
+    )
+    widths = cal.ivf_stored_nprobe(spark, ivf_prefix)
+    rule = ann_ops.ivf_auto_nprobe(spark, ivf_prefix)
+    assert widths["acme"] == stored["acme"]
+    assert widths["globex"] == rule["globex"]
+
+
+def test_ivf_cached_stored_matches_uncached(spark, vecs, ivf_prefix):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    drop_table(spark, ivf_prefix + "_calib")
+    drop_table(spark, "es_test_calst_cache")
+    queries, route = _queries_route(vecs)
+    cal.calibrate_and_store_ivf(spark, ivf_prefix, queries, route)
+    versions = {"acme": "v1", "globex": "v1"}
+    got = qc.serve_ivf_federated_cached(
+        spark, "es_test_calst_cache", ivf_prefix, queries, route,
+        versions, k=5, nprobe="stored",
+    )
+    want = ann_ops.ivf_federated_from_index(
+        spark, ivf_prefix, queries, route, k=5, nprobe="stored"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_pq_store_load_and_stored_factor_merge(spark, vecs):
+    from embeddingsearch_spark.operators import pq
+
+    prefix = "es_test_calst_pq"
+    for t in ("_codes", "_codebooks", "_calib"):
+        drop_table(spark, prefix + t)
+    cbs = pq.initial_codebooks_federated(vecs, m_sub=4, k_codes=8)
+    coded = pq.encode_pq_federated(vecs, cbs)
+    pq.save_federated_pq_index(coded, cbs, prefix, n_buckets=2)
+    queries, route = _queries_route(vecs)
+    stored = cal.calibrate_and_store_pq(
+        spark, prefix, vecs, queries, route, recall_target=0.9, k=5
+    )
+    assert set(stored) == {"acme", "globex"}
+    merged = cal.pq_stored_factor(spark, prefix, queries)
+    assert merged == stored
+    # scoped refresh replaces one tenant's factor row only
+    cal.calibrate_and_store_pq(
+        spark, prefix, vecs, queries, route,
+        tenants=["acme"], recall_target=1.0, k=5,
+    )
+    rows = {
+        (r["source"], r["knob"]): r["recall_target"]
+        for r in spark.table(prefix + "_calib").collect()
+    }
+    assert rows[("acme", "refine_factor")] == 1.0
+    assert rows[("globex", "refine_factor")] == 0.9
+
+
+def test_graph_store_load_and_stored_config_overlay(spark, vecs):
+    from embeddingsearch_spark.operators import graphann
+
+    prefix = "es_test_calst_graph"
+    for t in ("_pairs", "_assigned", "_calib"):
+        drop_table(spark, t if t.startswith("es_") else prefix + t)
+        drop_table(spark, prefix + t)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = graphann.assign_blocks_federated(vecs, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(vecs, assigned)
+    graphann.save_federated_graph_index(
+        pairs, assigned, prefix, n_buckets=2
+    )
+    queries, route = _queries_route(vecs)
+    # a reachable target so the ladder can land below the rule beam
+    stored = cal.calibrate_and_store_graph(
+        spark, prefix, vecs, queries, route, recall_target=0.5, k=5
+    )
+    assert set(stored) == {"acme", "globex"}
+    merged = cal.graph_stored_config(spark, prefix, k=5)
+    # merged = rule dict (incl. build knobs) with the SERVE knobs
+    # overlaid from the store
+    for t, cfg in stored.items():
+        for knob in ("beam", "hops", "n_entry", "m"):
+            assert merged[t][knob] == cfg[knob]
+
+
+def test_offboard_drops_calibration_partition(spark, vecs, ivf_prefix):
+    """Offboarding a tenant removes its persisted calibration row —
+    a stale stored width must not survive into a later re-onboard."""
+    from embeddingsearch_spark.operators import lifecycle
+
+    drop_table(spark, ivf_prefix + "_calib")
+    queries, route = _queries_route(vecs)
+    cal.calibrate_and_store_ivf(spark, ivf_prefix, queries, route)
+    res = lifecycle.offboard_tenant(spark, ivf_prefix, "ivf", "globex")
+    assert res["calib_partitions_dropped"] == 1
+    left = cal.load_calibration(spark, ivf_prefix)
+    assert set(left) == {"acme"}
+    # restore the index for any later module test ordering
+    for t in ("_assigned", "_centroids", "_calib"):
+        drop_table(spark, ivf_prefix + t)
+
+
+def test_pq_graph_aliased_and_cached_stored_serves(spark, vecs):
+    """The aliased and cached ``config="stored"`` paths serve exactly
+    what an explicit serve at the loaded knob values serves — PQ
+    (refined at the stored factor) and graph (beam search at the
+    stored config), each against the independently-loaded store."""
+    from embeddingsearch_spark.operators import graphann, pq
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.operators.graphann import (
+        _graph_serve_groups,
+    )
+    from embeddingsearch_spark.storage import set_tenant_index_alias
+
+    queries, route = _queries_route(vecs)
+
+    # --- PQ aliased, config="stored"
+    prefix = "es_test_calst_pqa"
+    for t in ("_codes", "_codebooks", "_calib"):
+        drop_table(spark, prefix + t)
+    cbs = pq.initial_codebooks_federated(vecs, m_sub=4, k_codes=8)
+    coded = pq.encode_pq_federated(vecs, cbs)
+    pq.save_federated_pq_index(coded, cbs, prefix, n_buckets=2)
+    cal.calibrate_and_store_pq(
+        spark, prefix, vecs, queries, route, recall_target=0.9, k=5
+    )
+    drop_table(spark, "es_test_calst_al_talias")
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, "es_test_calst_al", t, prefix)
+    got = pq.pq_federated_serve_aliased(
+        spark, "es_test_calst_al", queries, route, k=5, emb=vecs,
+        config="stored",
+    )
+    factors = cal.pq_stored_factor(spark, prefix, queries)
+    want = None
+    groups: dict = {}
+    for t, fv in factors.items():
+        groups.setdefault(fv, []).append(t)
+    for fv, ts in sorted(groups.items()):
+        rr = route.filter(F.col("source").isin(ts))
+        qq = queries.join(rr.select("query_id").distinct(), "query_id")
+        part = pq.pq_federated_refined(
+            spark, prefix, vecs, qq, rr, k=5, refine_factor=fv
+        )
+        want = part if want is None else want.unionByName(part)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # --- graph cached + aliased, config="stored"
+    gprefix = "es_test_calst_ga"
+    for t in ("_pairs", "_assigned", "_calib"):
+        drop_table(spark, gprefix + t)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = graphann.assign_blocks_federated(vecs, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(vecs, assigned)
+    graphann.save_federated_graph_index(
+        pairs, assigned, gprefix, n_buckets=2
+    )
+    cal.calibrate_and_store_graph(
+        spark, gprefix, vecs, queries, route, recall_target=0.5, k=5
+    )
+    cfgs = cal.graph_stored_config(spark, gprefix, k=5)
+    want = None
+    for cfg, ts in _graph_serve_groups(cfgs):
+        rr = route.filter(F.col("source").isin(ts))
+        qq = queries.join(rr.select("query_id").distinct(), "query_id")
+        part = graphann.graph_search_federated(
+            spark, gprefix, vecs, qq, rr, k=5, beam=cfg["beam"],
+            hops=cfg["hops"], n_entry=cfg["n_entry"], m=cfg["m"],
+        )
+        want = part if want is None else want.unionByName(part)
+    want_rows = sorted(map(tuple, want.collect()))
+    drop_table(spark, "es_test_calst_gcache")
+    got_cached = qc.serve_graph_federated_cached(
+        spark, "es_test_calst_gcache", gprefix, vecs, queries, route,
+        {"acme": "v1", "globex": "v1"}, k=5, config="stored",
+    )
+    assert sorted(map(tuple, got_cached.collect())) == want_rows
+    drop_table(spark, "es_test_calst_gal_talias")
+    for t in ("acme", "globex"):
+        set_tenant_index_alias(spark, "es_test_calst_gal", t, gprefix)
+    got_al = graphann.graph_search_federated_aliased(
+        spark, "es_test_calst_gal", vecs, queries, route, k=5,
+        config="stored",
+    )
+    assert sorted(map(tuple, got_al.collect())) == want_rows

@@ -1290,3 +1290,55 @@ def test_ivf_federated_calibrated_prunes_at_measured_width(spark):
     assert len(_CENT_LIT.findall(aline)) == cal["acme"], aline[:3000]
     assert "globex" not in aline, aline[:3000]
     pi.assert_partition_pruned(df)
+
+
+def test_ivf_federated_stored_prunes_at_stored_width(spark):
+    """`nprobe="stored"` prunes the assigned scan at exactly the
+    PERSISTED width — not the rule's, not a re-measured one: store a
+    hand-picked width of 3 for the routed tenant, and the scan's
+    PartitionFilters must carry exactly 3 centroid literals and never
+    the un-routed tenant. A serve that silently falls back to the rule
+    (7 literals here) or re-measures fails."""
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = two.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        two, cents, partition_col="source"
+    )
+    drop_table(spark, "es_plan_tivfs_assigned")
+    drop_table(spark, "es_plan_tivfs_centroids")
+    drop_table(spark, "es_plan_tivfs_calib")
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, "es_plan_tivfs", partition_col="source",
+        n_buckets=2,
+    )
+    cal_ops._store_calibration(
+        spark, "es_plan_tivfs",
+        [("acme", "nprobe", 3, 0.9), ("globex", "nprobe", 5, 0.9)],
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = ann_ops.ivf_federated_from_index(
+        spark, "es_plan_tivfs", queries, route, k=5,
+        nprobe="stored", partition_col="source",
+    )
+    aline = _assigned_scan_line(spark, df, "es_plan_tivfs_assigned")
+    assert len(_CENT_LIT.findall(aline)) == 3, aline[:3000]
+    assert "InMemoryFileIndex(3 paths)" in aline, aline[:3000]
+    assert "globex" not in aline, aline[:3000]
+    pi.assert_partition_pruned(df)
