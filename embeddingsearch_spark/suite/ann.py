@@ -3872,3 +3872,91 @@ QUERIES["pq_tenant_stored_calibration_serve"] = (
         target_expr="CASE WHEN source = 'globex' THEN 1.0 ELSE 0.9 END"
     ),
 )
+
+
+def q_sq8_tenant_topk(spark, sf_dir):
+    """SQ8 scalar quantization closed into a gate — the memory-bound
+    compression rung between raw vectors and PQ (`operators/sq.py`):
+    per-tenant per-dimension 8-bit ranges trained in one distributed
+    aggregate, codes = clamp(floor((x-min)/span·255+0.5)), and an
+    ASYMMETRIC routed serve (full-precision queries, candidates
+    dequantized on the fly as min + c·span/255, exact remapped cosine)
+    — ~4-8× less candidate I/O at near-exact recall, none of PQ's
+    codebook training. The oracle re-derives the ENTIRE pipeline in
+    SQL — per-(tenant, dim) min/span, the exact quantize/dequantize
+    arithmetic in the same association order, the routed cosine top-10
+    — so a drifted rounding rule, a zero-span mishandling, a
+    cross-tenant range leak, or a float/double promotion difference
+    value-fails bit-for-bit."""
+    from embeddingsearch_spark.operators import sq
+
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    stats = sq.sq8_stats(emb, partition_col="source")
+    codes = sq.sq8_encode(emb, stats, partition_col="source")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return sq.sq8_topk(
+        codes, stats, queries, route, k=10, partition_col="source"
+    )
+
+
+SQ8_TENANT_SQL = f"""WITH src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+),
+dims AS (
+  SELECT source, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM src
+),
+stats AS (
+  SELECT source, i, min(x) AS mn, max(x) - min(x) AS sp
+  FROM dims GROUP BY source, i
+),
+codes AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(255, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 255 + 0.5))) END AS c
+  FROM dims d JOIN stats s ON s.source = d.source AND s.i = d.i
+),
+deq AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 255 + s.mn AS x
+  FROM codes c JOIN stats s ON s.source = c.source AND s.i = c.i
+),
+q AS (
+  SELECT vec_id AS query_id, source, embedding AS qv FROM src
+  WHERE vec_id % 13 = 0
+),
+qdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM q
+),
+pairs AS (
+  SELECT qd.query_id, d.vec_id, d.x, qd.y
+  FROM qdims qd
+  JOIN deq d ON d.source = qd.source AND d.i = qd.i
+),
+sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM pairs GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
+QUERIES["sq8_tenant_topk"] = (q_sq8_tenant_topk, SQ8_TENANT_SQL)
