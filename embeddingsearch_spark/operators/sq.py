@@ -90,6 +90,34 @@ def _join_stats(df: DataFrame, stats: DataFrame, partition_col):
     return df.crossJoin(F.broadcast(stats))  # bounded: 1 stats row
 
 
+def _encode_expr(vec_col: str):
+    """c_d = clamp(floor((x_d - min_d)/span_d · 255 + 0.5), 0, 255);
+    zero-span dims code to 0. Expects joined ``mins``/``spans``."""
+    diffs = F.zip_with(_dbl(vec_col), F.col("mins"), lambda x, mn: x - mn)
+    return F.zip_with(
+        diffs,
+        F.col("spans"),
+        lambda d, s: F.when(s == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(d / s * 255 + 0.5)),
+            )
+        )
+        .cast("int"),
+    )
+
+
+def _dequant_expr(codes_col: str):
+    """x̂_d = min_d + c_d·span_d/255. Expects joined ``mins``/``spans``."""
+    scaled = F.zip_with(
+        F.col(codes_col).cast("array<double>"),
+        F.col("spans"),
+        lambda c, s: c * s / 255,
+    )
+    return F.zip_with(scaled, F.col("mins"), lambda t, mn: t + mn)
+
+
 def sq8_encode(
     emb: DataFrame,
     stats: DataFrame,
@@ -105,20 +133,7 @@ def sq8_encode(
     no shuffle. Returns (id, ``partition_col``?, codes)."""
     keep = [id_col] + ([partition_col] if partition_col else [])
     j = _join_stats(emb, stats, partition_col)
-    diffs = F.zip_with(_dbl(vec_col), F.col("mins"), lambda x, mn: x - mn)
-    codes = F.zip_with(
-        diffs,
-        F.col("spans"),
-        lambda d, s: F.when(s == 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(255),
-                F.greatest(F.lit(0), F.floor(d / s * 255 + 0.5)),
-            )
-        )
-        .cast("int"),
-    )
-    return j.select(*keep, codes.alias(codes_col))
+    return j.select(*keep, _encode_expr(vec_col).alias(codes_col))
 
 
 def sq8_dequantize(
@@ -135,13 +150,7 @@ def sq8_dequantize(
     construction (tested)."""
     keep = [id_col] + ([partition_col] if partition_col else [])
     j = _join_stats(codes, stats, partition_col)
-    scaled = F.zip_with(
-        F.col(codes_col).cast("array<double>"),
-        F.col("spans"),
-        lambda c, s: c * s / 255,
-    )
-    deq = F.zip_with(scaled, F.col("mins"), lambda t, mn: t + mn)
-    return j.select(*keep, deq.alias(vec_col))
+    return j.select(*keep, _dequant_expr(codes_col).alias(vec_col))
 
 
 def sq8_topk(
@@ -183,6 +192,225 @@ def sq8_topk(
     sim = _cosine_from_parts(
         dot(F.col(vec_col), F.col("_qvec")),
         norm2(F.col(vec_col)),
+        F.col("_qn"),
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(sim, ROUND_DIGITS).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= int(k)
+    )
+
+
+
+# ----------------------------------------------- compressed IVF (SQ8)
+
+
+def save_federated_ivf_sq8_index(
+    spark,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    stats: DataFrame,
+    prefix: str,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    centroid_id_col: str = "centroid_id",
+) -> tuple[str, str, str]:
+    """PERSIST the COMPRESSED multi-tenant IVF index — the 100-TB
+    serving shape: IVF's two-level partition pruning (tenant, cell)
+    over SQ8 codes instead of raw vectors, so a probed cell's scan
+    reads ~1/8 of the bytes at near-exact recall (BASELINE.md: SQ8
+    recall@10 0.9896). ``assigned`` is the raw federated assignment
+    (`assign_centroids_federated` output — assignment happens at full
+    precision; only STORAGE is compressed); it is encoded against
+    ``stats`` (`sq8_stats` per tenant) in the same projection that
+    writes it, partitioned by (collection, centroid) exactly like
+    `save_federated_ivf_index`. Centroids and the per-tenant range
+    rows stay full-precision (both tiny). Tables: ``{prefix}_codes``,
+    ``{prefix}_centroids``, ``{prefix}_sqstats``."""
+    from embeddingsearch_spark.storage import drop_table, replace_bucketed
+
+    coded = _join_stats(
+        assigned.select(id_col, partition_col, centroid_id_col, vec_col),
+        stats,
+        partition_col,
+    ).select(
+        id_col,
+        partition_col,
+        centroid_id_col,
+        _encode_expr(vec_col).alias(codes_col),
+    )
+    replace_bucketed(
+        coded,
+        f"{prefix}_codes",
+        [id_col],
+        n_buckets=n_buckets,
+        partition_cols=[partition_col, centroid_id_col],
+    )
+    drop_table(spark, f"{prefix}_centroids")
+    centroids.write.saveAsTable(f"{prefix}_centroids")
+    drop_table(spark, f"{prefix}_sqstats")
+    stats.write.saveAsTable(f"{prefix}_sqstats")
+    return (
+        f"{prefix}_codes",
+        f"{prefix}_centroids",
+        f"{prefix}_sqstats",
+    )
+
+
+def ivf_sq8_federated_from_index(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    nprobe: int | dict | str = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Tenant-routed IVF serving over the COMPRESSED index — the
+    serve side of `save_federated_ivf_sq8_index`, composing the two
+    scale levers: the probed (collection, centroid) pairs become a
+    literal two-level partition predicate on the codes table (IVF's
+    sublinear scan — the same contract as `ivf_federated_from_index`,
+    including ``nprobe="auto"/"calibrated"/"stored"`` resolved against
+    this prefix's centroids/calib tables), and every scanned
+    candidate is an SQ8 code row dequantized on the fly and scored at
+    full precision against the raw query (the asymmetric SQ trade).
+    Net serve I/O = (nprobe/C_t of the tenant's rows) × (~1/8 of the
+    bytes). Columns (query_id, id, cosine, rank)."""
+    from embeddingsearch_spark.operators.ann import (
+        _cosine_from_parts,
+        ivf_auto_nprobe,
+        ivf_calibrated_nprobe,
+    )
+    from embeddingsearch_spark.operators.retrieval import (
+        _partition_filter,
+    )
+
+    user_map = isinstance(nprobe, dict)
+    if isinstance(nprobe, str):
+        if nprobe == "auto":
+            nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
+        elif nprobe == "calibrated":
+            nprobe = ivf_calibrated_nprobe(
+                spark, prefix, queries, route, k=k,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+                centroid_id_col=centroid_id_col,
+            )
+        elif nprobe == "stored":
+            from embeddingsearch_spark.operators.calibration import (
+                ivf_stored_nprobe,
+            )
+
+            nprobe = ivf_stored_nprobe(spark, prefix, partition_col)
+        else:
+            raise ValueError(
+                f"unknown nprobe {nprobe!r} "
+                "(use 'auto', 'calibrated', or 'stored')"
+            )
+    cents = spark.table(f"{prefix}_centroids")
+    routed = route.select(partition_col).distinct().collect()
+    if user_map:
+        # same inner-join gap contract as the raw federated serve
+        gap = sorted(
+            {str(r[0]) for r in routed} - {str(t) for t in nprobe}
+        )
+        if gap:
+            raise ValueError(
+                f"nprobe map missing routed collections: {gap}"
+            )
+    tcents = cents.filter(
+        F.col(partition_col).isin([r[0] for r in routed])
+    )
+    qv = (
+        queries.join(
+            F.broadcast(route.select(query_id_col, partition_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            partition_col,
+            _dbl(vec_col).alias("_qvec"),
+        )
+        .withColumn("_qn", norm2(F.col("_qvec")))
+    )
+    pc = tcents.select(
+        partition_col,
+        centroid_id_col,
+        _dbl(vec_col).alias("_cvec"),
+    ).withColumn("_cn", norm2(F.col("_cvec")))
+    psim = _cosine_from_parts(
+        dot(F.col("_cvec"), F.col("_qvec")),
+        F.col("_cn"),
+        F.col("_qn"),
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_psim").desc(), F.col(centroid_id_col).asc()
+    )
+    ranked = (
+        qv.join(F.broadcast(pc), partition_col)
+        .select(
+            query_id_col,
+            partition_col,
+            centroid_id_col,
+            F.round(psim, ROUND_DIGITS).alias("_psim"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+    )
+    if isinstance(nprobe, dict):
+        np_map = spark.createDataFrame(
+            [(str(t), int(v)) for t, v in nprobe.items()],
+            f"{partition_col} string, _np int",
+        )
+        ranked = ranked.join(F.broadcast(np_map), partition_col).filter(
+            F.col("_r") <= F.col("_np")
+        )
+    else:
+        ranked = ranked.filter(F.col("_r") <= int(nprobe))
+    probe = ranked.select(
+        query_id_col, partition_col, centroid_id_col
+    ).localCheckpoint(eager=False)
+    pairs = (
+        probe.select(partition_col, centroid_id_col)
+        .distinct()
+        .collect()
+    )  # bounded: |queries| x nprobe
+    pruned = spark.table(f"{prefix}_codes").filter(
+        _partition_filter([partition_col, centroid_id_col], pairs)
+    )
+    deq = _join_stats(
+        pruned, spark.table(f"{prefix}_sqstats"), partition_col
+    ).select(
+        id_col,
+        partition_col,
+        centroid_id_col,
+        _dequant_expr(codes_col).alias("_dvec"),
+    )
+    cand = (
+        deq.withColumn("_vn", norm2(F.col("_dvec")))
+        .join(F.broadcast(probe), [partition_col, centroid_id_col])
+        .join(
+            F.broadcast(qv.select(query_id_col, "_qvec", "_qn")),
+            query_id_col,
+        )
+    )
+    sim = _cosine_from_parts(
+        dot(F.col("_dvec"), F.col("_qvec")),
+        F.col("_vn"),
         F.col("_qn"),
     )
     scored = cand.select(

@@ -3960,3 +3960,103 @@ FROM (
 
 
 QUERIES["sq8_tenant_topk"] = (q_sq8_tenant_topk, SQ8_TENANT_SQL)
+
+
+def q_ivf_sq8_tenant_serve(spark, sf_dir):
+    """COMPRESSED IVF closed into a gate — the two scale levers
+    composed (`save_federated_ivf_sq8_index` /
+    `ivf_sq8_federated_from_index`): the routed probe prunes the codes
+    table to (tenant, cell) partitions exactly like the raw federated
+    IVF serve, and every scanned candidate is an SQ8 code row
+    dequantized on the fly and scored at full precision — the 100-TB
+    serving shape (sublinear scan × ~1/8 the bytes). The oracle
+    re-derives per-tenant ranges, the exact quantize/dequantize
+    arithmetic, the probe cut, AND the dequantized candidate scoring
+    in SQL — a range leak across tenants, a drifted rounding rule, or
+    a serve that silently scores raw vectors (recall 1.0 instead of
+    the quantized ranks) value-fails."""
+    from embeddingsearch_spark.operators import sq
+
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, "es_gate_tivf_sq8",
+        partition_col="source", n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return sq.ivf_sq8_federated_from_index(
+        spark, "es_gate_tivf_sq8", queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
+IVF_SQ8_TENANT_SQL = _ivf_tenant_sql(
+    tail_sql=f"""sdims AS (
+  SELECT source, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM src
+),
+sstats AS (
+  SELECT source, i, min(x) AS mn, max(x) - min(x) AS sp
+  FROM sdims GROUP BY source, i
+),
+scodes AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(255, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 255 + 0.5))) END AS c
+  FROM sdims d JOIN sstats s ON s.source = d.source AND s.i = d.i
+),
+sdeq AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 255 + s.mn AS x
+  FROM scodes c JOIN sstats s ON s.source = c.source AND s.i = c.i
+),
+qdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM q
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+),
+pairs AS (
+  SELECT c.query_id, c.vec_id, d.x, qd.y
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN sdeq d ON d.vec_id = c.vec_id AND d.source = q.source
+  JOIN qdims qd ON qd.query_id = c.query_id AND qd.i = d.i
+),
+cand_sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM pairs GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand_sims
+) WHERE rank <= 10"""
+)
+
+
+QUERIES["ivf_sq8_tenant_serve"] = (
+    q_ivf_sq8_tenant_serve,
+    IVF_SQ8_TENANT_SQL,
+)

@@ -1342,3 +1342,53 @@ def test_ivf_federated_stored_prunes_at_stored_width(spark):
     assert "InMemoryFileIndex(3 paths)" in aline, aline[:3000]
     assert "globex" not in aline, aline[:3000]
     pi.assert_partition_pruned(df)
+
+
+def test_ivf_sq8_federated_prunes_and_isolates(spark):
+    """The COMPRESSED IVF serve keeps the raw serve's two-level
+    pruning contract: the probed (tenant, cell) pairs reach the CODES
+    scan as PartitionFilters (exactly nprobe literals for one probed
+    query), the un-routed tenant appears in no filter, and the
+    dequantize+score is broadcast-joined — compression must never
+    cost the scan its pruning."""
+    from embeddingsearch_spark.operators import sq
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = tables.load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    two = emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = two.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        two, cents, partition_col="source"
+    )
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, "es_plan_tsq8" + t)
+    stats = sq.sq8_stats(two, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, "es_plan_tsq8", n_buckets=2
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, qrow["embedding"])], "query_id long, embedding array<float>"
+    )
+    route = spark.createDataFrame(
+        [(0, "acme")], "query_id long, source string"
+    )
+    df = sq.ivf_sq8_federated_from_index(
+        spark, "es_plan_tsq8", queries, route, k=5, nprobe=3,
+        partition_col="source",
+    )
+    aline = _assigned_scan_line(spark, df, "es_plan_tsq8_codes")
+    assert len(_CENT_LIT.findall(aline)) == 3, aline[:3000]
+    assert "InMemoryFileIndex(3 paths)" in aline, aline[:3000]
+    assert "globex" not in aline, aline[:3000]
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    pi.assert_partition_pruned(df)
+    assert pi.has_broadcast_join(df), plan[:3000]
