@@ -24,6 +24,10 @@ postings/positions, where it IS the table name):
 
 - ``ivf``      — ``{prefix}_assigned`` + ``{prefix}_centroids``
                  (delegates to `onboard/offboard_tenant_ivf`);
+- ``ivf_sq8``  — ``{prefix}_codes`` + ``{prefix}_centroids`` +
+                 ``{prefix}_sqstats`` (the compressed IVF layout —
+                 onboarding trains the new tenant's quantization
+                 ranges from its own corpus);
 - ``pq``       — ``{prefix}_codes`` + ``{prefix}_codebooks``;
 - ``graph``    — ``{prefix}_pairs`` + ``{prefix}_assigned``;
 - ``postings`` — the partitioned postings table itself
@@ -41,7 +45,7 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FAMILIES = ("ivf", "pq", "graph", "postings", "positions")
+FAMILIES = ("ivf", "ivf_sq8", "pq", "graph", "postings", "positions")
 
 
 def _partition_values(spark, table: str, partition_col: str) -> set:
@@ -110,6 +114,74 @@ def onboard_tenant(
             vec_col=vec_col, centroid_id_col=centroid_id_col,
             n_buckets=n_buckets,
         )
+    elif family == "ivf_sq8":
+        from embeddingsearch_spark.operators.ann import (
+            assign_centroids_federated,
+        )
+        from embeddingsearch_spark.operators.sq import (
+            _encode_expr,
+            _join_stats,
+            sq8_stats,
+        )
+        from embeddingsearch_spark.storage import drop_table
+
+        if quantizer is None:
+            raise ValueError(
+                "ivf_sq8 onboarding needs quantizer= centroids"
+            )
+        cents_tbl = spark.table(f"{prefix}_centroids").localCheckpoint(
+            eager=True
+        )
+        existing = {
+            str(r[0])
+            for r in cents_tbl.select(partition_col)
+            .distinct()
+            .collect()
+        }
+        _refuse_onboarded(new_tenants, existing, family)
+        # the new collection trains its OWN quantization ranges — a
+        # tenant's outliers never squash another tenant's resolution
+        stats_new = sq8_stats(
+            corpus, partition_col=partition_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        assigned = assign_centroids_federated(
+            corpus, quantizer, partition_col=partition_col,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
+        coded = _join_stats(
+            assigned.select(
+                id_col, partition_col, centroid_id_col, vec_col
+            ),
+            stats_new,
+            partition_col,
+        ).select(
+            id_col,
+            partition_col,
+            centroid_id_col,
+            _encode_expr(vec_col).alias("codes"),
+        )
+        PartitionOverwriteSink(
+            [partition_col, centroid_id_col]
+        ).delete_insert(
+            spark, f"{prefix}_codes", coded, [id_col],
+            delete_keys=None, bucket_cols=[id_col],
+            n_buckets=n_buckets,
+            partition_cols=[partition_col, centroid_id_col],
+        )
+        merged = cents_tbl.unionByName(
+            quantizer.select(*cents_tbl.columns)
+        ).localCheckpoint(eager=True)
+        drop_table(spark, f"{prefix}_centroids")
+        merged.write.saveAsTable(f"{prefix}_centroids")
+        st = spark.table(f"{prefix}_sqstats").localCheckpoint(
+            eager=True
+        )
+        st_merged = st.unionByName(
+            stats_new.select(*st.columns)
+        ).localCheckpoint(eager=True)
+        drop_table(spark, f"{prefix}_sqstats")
+        st_merged.write.saveAsTable(f"{prefix}_sqstats")
     elif family == "pq":
         from embeddingsearch_spark.operators.pq import (
             encode_pq_federated,
@@ -243,6 +315,21 @@ def offboard_tenant(
         )
         n_parts = stats["partitions_dropped"]
         artifact_rows = stats["centroids_dropped"]
+    elif family == "ivf_sq8":
+        n_parts = drop_tenant_partitions(
+            spark, f"{prefix}_codes", partition_col, tenant
+        )
+        for art in ("_centroids", "_sqstats"):
+            tbl = spark.table(prefix + art).localCheckpoint(
+                eager=True
+            )
+            n_before = tbl.count()
+            kept = tbl.filter(
+                F.col(partition_col) != tenant
+            ).localCheckpoint(eager=True)
+            drop_table(spark, prefix + art)
+            kept.write.saveAsTable(prefix + art)
+            artifact_rows += int(n_before - kept.count())
     elif family == "pq":
         n_parts = drop_tenant_partitions(
             spark, f"{prefix}_codes", partition_col, tenant

@@ -424,3 +424,70 @@ def ivf_sq8_federated_from_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= int(k)
     )
+
+
+def upsert_federated_ivf_sq8_index(
+    spark,
+    prefix: str,
+    new_vectors: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+    deleted_ids: DataFrame | None = None,
+    sink=None,
+) -> str:
+    """Incremental maintenance of the COMPRESSED multi-tenant IVF
+    index — `upsert_federated_ivf_index`'s exact contract with one
+    more frozen artifact: the batch is assigned against its own
+    collection's persisted centroids AND encoded against its
+    persisted quantization ranges (``{prefix}_sqstats``), then
+    delete-inserted through the partition-overwrite seam on the
+    (collection, centroid) composite — one tenant's ingest rewrites
+    only the cells its batch lands in and never touches another
+    tenant's files. The RANGES are fixed per generation exactly like
+    the quantizer: a batch value outside the trained range clamps to
+    code 0/255 (the standard SQ ingest behavior — lossy at the edge,
+    never wrong-tenant); re-train ranges + rebuild THAT tenant via
+    the retrain path when drift makes clamping material.
+    ``deleted_ids`` wins over a conflicting batch row."""
+    from embeddingsearch_spark.operators.ann import (
+        assign_centroids_federated,
+    )
+    from embeddingsearch_spark.sink import PartitionOverwriteSink
+
+    sink = sink or PartitionOverwriteSink(
+        [partition_col, centroid_id_col]
+    )
+    cents = spark.table(f"{prefix}_centroids")
+    stats = spark.table(f"{prefix}_sqstats")
+    dk = new_vectors.select(id_col).distinct()
+    if deleted_ids is not None:
+        dd = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        new_vectors = new_vectors.join(dd, id_col, "left_anti")
+        dk = dk.unionByName(dd).distinct()
+    assigned = assign_centroids_federated(
+        new_vectors, cents, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    coded = _join_stats(
+        assigned.select(id_col, partition_col, centroid_id_col, vec_col),
+        stats,
+        partition_col,
+    ).select(
+        id_col,
+        partition_col,
+        centroid_id_col,
+        _encode_expr(vec_col).alias(codes_col),
+    )
+    sink.delete_insert(
+        spark, f"{prefix}_codes", coded, [id_col],
+        delete_keys=dk, bucket_cols=[id_col], n_buckets=n_buckets,
+        partition_cols=[partition_col, centroid_id_col],
+    )
+    return f"{prefix}_codes"

@@ -966,7 +966,7 @@ def federated_ivf_index_available_now(
                 spark, prefix, batch_df,
                 partition_col=partition_col, id_col=id_col,
                 vec_col=vec_col, centroid_id_col=centroid_id_col,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, sink=sink,
             )
         else:
             if centroids is None:
@@ -1314,7 +1314,7 @@ def federated_pq_index_available_now(
                 spark, prefix, batch_df,
                 partition_col=partition_col, id_col=id_col,
                 vec_col=vec_col, codes_col=codes_col,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, sink=sink,
             )
         else:
             if codebooks_by is None:
@@ -2100,6 +2100,258 @@ def monitored_federated_graph_ingest(
                 n_vecs,
                 shifts,
                 {t: round(v, 6) for t, v in skews.items()},
+            )
+        )
+
+    _drain(stream, step, checkpoint_dir)
+    return history, dict(state["flags"])
+
+
+def federated_ivf_sq8_index_available_now(
+    stream: DataFrame,
+    prefix: str,
+    centroids: DataFrame = None,
+    stats: DataFrame = None,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    centroid_id_col: str = "centroid_id",
+    checkpoint_dir: str | None = None,
+    sink=None,
+    compact_every: int | str | None = None,
+    compact_max_files: int | None = None,
+) -> list[int]:
+    """`federated_ivf_index_available_now` for the COMPRESSED layout:
+    each micro-batch assigns against its collection's persisted
+    centroids AND encodes against its persisted quantization ranges,
+    then rewrites only the (collection, centroid) code cells it lands
+    in. BOTH artifacts are fixed for the stream's lifetime (required
+    on the CREATING run, read from the index afterwards — the stream
+    never trains), so maintained and rebuilt indexes serve
+    identically (batch-equivalence, the family invariant; gated).
+    Returns per-batch ingested-row counts."""
+    from embeddingsearch_spark.operators.ann import (
+        assign_centroids_federated,
+    )
+    from embeddingsearch_spark.operators.sq import (
+        save_federated_ivf_sq8_index,
+        upsert_federated_ivf_sq8_index,
+    )
+
+    spark = stream.sparkSession
+    history: list[int] = []
+    counter = _WriteCounter(compact_max_files or 8)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history.append(batch_df.count())
+        if spark.catalog.tableExists(f"{prefix}_codes"):
+            upsert_federated_ivf_sq8_index(
+                spark, prefix, batch_df,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, codes_col=codes_col,
+                centroid_id_col=centroid_id_col,
+                n_buckets=n_buckets, sink=sink,
+            )
+        else:
+            if centroids is None or stats is None:
+                raise ValueError(
+                    "centroids AND stats (sq8_stats) required to "
+                    "CREATE the federated SQ8 IVF index (train both "
+                    "per collection offline; the stream never trains)"
+                )
+            assigned = assign_centroids_federated(
+                batch_df, centroids, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            )
+            save_federated_ivf_sq8_index(
+                spark, assigned, centroids, stats, prefix,
+                partition_col=partition_col, n_buckets=n_buckets,
+                id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+                centroid_id_col=centroid_id_col,
+            )
+        _maybe_compact(
+            spark, [f"{prefix}_codes"], len(history),
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
+        )
+
+    _drain(stream, step, checkpoint_dir)
+    return history
+
+
+def monitored_federated_ivf_sq8_ingest(
+    stream: DataFrame,
+    prefix: str,
+    reference: DataFrame,
+    centroids: DataFrame = None,
+    stats: DataFrame = None,
+    partition_col: str = "source",
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    centroid_id_col: str = "centroid_id",
+    drift_threshold: float = 0.25,
+    skew_threshold: float = 4.0,
+    clamp_threshold: float = 0.05,
+    checkpoint_dir: str | None = None,
+    sink=None,
+    compact_every: int | str | None = None,
+    compact_max_files: int | None = None,
+):
+    """Drift-TRIGGERED maintenance for the COMPRESSED multi-tenant IVF
+    index — `monitored_federated_ivf_ingest`'s per-collection
+    run-scoped monitors plus the SQ8-specific staleness signal: the
+    per-tenant CLAMP RATE, the fraction of a batch's code values
+    pinned to the 0/255 bounds. A tenant whose live values migrate
+    outside its trained ranges clamps increasingly hard — the
+    compressed family's own failure mode (resolution collapses at the
+    range edges while recall quietly degrades), invisible to the
+    drift/skew signals until much later. On the training distribution
+    the rate is ~2/n per dimension (only the per-dim extremes touch
+    the bounds); the default threshold 0.05 flags well before the
+    edge mass dominates. Per micro-batch everything stays O(batch):
+    the federated compressed upsert, one (tenants × d)-bounded drift
+    aggregate, one (tenants × cells)-bounded population aggregate,
+    and one per-tenant clamp aggregate over the batch's own codes —
+    the persisted index is never rescanned.
+
+    Returns ``(history, flags)``: per-batch (batch_id, n_vecs,
+    {tenant: shift}, {tenant: skew}, {tenant: clamp_rate}) and
+    {tenant: bool}. A flagged tenant's action arm is the retrain
+    path: re-train ranges + quantizer on its current corpus and
+    rebuild THAT tenant (`sq8_stats` + `save/upsert` scoped to it),
+    exactly like the raw family's single-tenant retrain."""
+    from pyspark.sql import functions as F
+
+    from embeddingsearch_spark.operators.ann import (
+        assign_centroids_federated,
+    )
+    from embeddingsearch_spark.operators.sq import (
+        _encode_expr,
+        _join_stats,
+        save_federated_ivf_sq8_index,
+        upsert_federated_ivf_sq8_index,
+    )
+
+    spark = stream.sparkSession
+    reference = reference.localCheckpoint(eager=True)
+    history: list[tuple] = []
+    counter = _WriteCounter(compact_max_files or 8)
+    drift = _RunningDriftFederated(reference, vec_col, partition_col)
+    state = {"flags": {}, "cents": None, "stats": None, "pops": None}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_vecs = batch_df.count()
+        exists = spark.catalog.tableExists(f"{prefix}_codes")
+        if state["cents"] is None:
+            if exists:
+                cents = spark.table(f"{prefix}_centroids").select(
+                    partition_col, centroid_id_col, vec_col
+                )
+                st = spark.table(f"{prefix}_sqstats")
+            elif centroids is not None and stats is not None:
+                cents, st = centroids, stats
+            else:
+                raise ValueError(
+                    "centroids AND stats required to CREATE the "
+                    "federated SQ8 IVF index (train both per "
+                    "collection offline; the stream never trains)"
+                )
+            state["cents"] = cents.localCheckpoint(eager=True)
+            state["stats"] = st.localCheckpoint(eager=True)
+            n_cells_by = {
+                r[0]: r[1]
+                for r in state["cents"]
+                .groupBy(partition_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            state["pops"] = _RunningPopsFederated(n_cells_by)
+        assigned_b = assign_centroids_federated(
+            batch_df, state["cents"], partition_col=partition_col,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        ).localCheckpoint(eager=True)
+        if exists:
+            upsert_federated_ivf_sq8_index(
+                spark, prefix, batch_df, partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+                centroid_id_col=centroid_id_col, n_buckets=n_buckets,
+                sink=sink,
+            )
+        else:
+            save_federated_ivf_sq8_index(
+                spark, assigned_b, state["cents"], state["stats"],
+                prefix, partition_col=partition_col,
+                n_buckets=n_buckets, id_col=id_col, vec_col=vec_col,
+                codes_col=codes_col, centroid_id_col=centroid_id_col,
+            )
+        _maybe_compact(
+            spark, [f"{prefix}_codes"], len(history) + 1,
+            compact_every, compact_max_files, counter=counter,
+            touched=_touched_parts(
+                batch_df, partition_col, compact_every
+            ),
+        )
+        # clamp rate over the BATCH's own codes (O(batch), array-level
+        # aggregate — no explode)
+        coded_b = _join_stats(
+            batch_df.select(id_col, partition_col, vec_col),
+            state["stats"],
+            partition_col,
+        ).select(
+            partition_col, _encode_expr(vec_col).alias("_c")
+        )
+        nclamp = F.aggregate(
+            "_c",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when((c == 0) | (c == 255), 1).otherwise(0),
+        )
+        clamps = {
+            str(r[0]): (
+                float(r[1]) / float(r[2]) if r[2] else 0.0
+            )
+            for r in coded_b.select(
+                partition_col,
+                nclamp.alias("_nc"),
+                F.size("_c").alias("_d"),
+            )
+            .groupBy(partition_col)
+            .agg(F.sum("_nc").alias("_nc"), F.sum("_d").alias("_d"))
+            .collect()
+        }  # bounded: one row per collection in the batch
+        shifts = drift.update(batch_df, vec_col)
+        skews = state["pops"].update(
+            assigned_b, partition_col, centroid_id_col
+        )
+        for t in set(shifts) | set(skews) | set(clamps):
+            sh = shifts.get(t)
+            sk = skews.get(t, 0.0)
+            cl = clamps.get(t, 0.0)
+            if (
+                (sh is not None and sh > drift_threshold)
+                or sk > skew_threshold
+                or cl > clamp_threshold
+            ):
+                state["flags"][t] = True
+            else:
+                state["flags"].setdefault(t, False)
+        history.append(
+            (
+                int(batch_id),
+                n_vecs,
+                shifts,
+                {t: round(v, 6) for t, v in skews.items()},
+                {t: round(v, 6) for t, v in clamps.items()},
             )
         )
 

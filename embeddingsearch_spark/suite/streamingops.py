@@ -2126,3 +2126,82 @@ QUERIES["streaming_drift_tenant_positions_reindex"] = (
     _streaming_drift_tenant_positions_sql(),
 )
 BUILD_QUERIES.add("streaming_drift_tenant_positions_reindex")
+
+
+def q_streaming_tivf_sq8_index(spark, sf_dir):
+    """Streaming maintenance of the COMPRESSED multi-tenant IVF index
+    — the sixth streaming index family: the first AvailableNow run
+    creates the (tenant, centroid)-partitioned CODES table under
+    per-tenant quantizers AND per-tenant quantization ranges (both
+    trained offline, both frozen for the stream's lifetime), the
+    second run upserts the remaining fifth at touched-cell cost
+    (assign + encode per batch, one tenant's files never rewritten by
+    another's batch — tested), and the routed serve prunes on both
+    partition levels and scores dequantized candidates. Fixed
+    quantizer + fixed ranges ⇒ maintained ≡ rebuilt ⇒ the serve
+    shares `ivf_sq8_tenant_serve`'s oracle verbatim."""
+    from pyspark.sql import types as T2
+
+    from embeddingsearch_spark.operators import sq
+    from embeddingsearch_spark.storage import drop_table
+    from embeddingsearch_spark.streaming.annindex import (
+        federated_ivf_sq8_index_available_now,
+    )
+
+    prefix = "es_gate_stream_tsq8"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    tenant = F.when(F.col("vec_id") % 2 == 0, "acme").otherwise(
+        "globex"
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        tenant.alias("source"),
+        F.col("vec_id").alias("centroid_id"),
+        "embedding",
+    )
+    stats = sq.sq8_stats(
+        emb.withColumn("source", tenant), partition_col="source"
+    )
+    emb_schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField(
+                "embedding", T2.ArrayType(T2.DoubleType())
+            ),
+        ]
+    )
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(pred)
+            .withColumn("source", tenant)
+        )
+        federated_ivf_sq8_index_available_now(
+            stream, prefix, centroids=centroids, stats=stats,
+            partition_col="source", n_buckets=4, compact_every="auto",
+        )
+
+    drain(F.col("vec_id") % 5 != 0)
+    drain(F.col("vec_id") % 5 == 0)
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(
+        F.col("vec_id").alias("query_id"), tenant.alias("source")
+    )
+    return sq.ivf_sq8_federated_from_index(
+        spark, prefix, queries, route, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
+from embeddingsearch_spark.suite.ann import IVF_SQ8_TENANT_SQL  # noqa: E402
+
+QUERIES["streaming_tivf_sq8_index"] = (
+    q_streaming_tivf_sq8_index,
+    IVF_SQ8_TENANT_SQL,
+)
+BUILD_QUERIES.add("streaming_tivf_sq8_index")

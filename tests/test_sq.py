@@ -104,3 +104,173 @@ def test_federated_topk_routes_and_isolates(spark):
     ids = {r["vec_id"] for r in got.collect()}
     assert 5000 not in ids and 0 in ids
     assert all(i % 2 == 0 for i in ids)  # acme ids only
+
+
+def test_ivf_sq8_upsert_matches_rebuild_and_isolates(spark):
+    """The compressed upsert (batch assigned against frozen centroids,
+    encoded against frozen ranges, delete-insert through the seam)
+    converges to the same table a full rebuild writes, out-of-range
+    batch values clamp to the code bounds, and the other tenant's
+    partition files are untouched."""
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 60)
+    assigned = ann_ops2.assign_centroids_federated(base, cents)
+    stats = sq.sq8_stats(base, partition_col="source")
+    prefix = "es_test_sq8_ups"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+
+    def _listing(tenant):
+        import os
+
+        from embeddingsearch_spark.storage import _table_location
+
+        loc = _table_location(spark, prefix + "_codes")
+        out = []
+        for root, _, files in os.walk(loc):
+            if f"source={tenant}" in root:
+                out += sorted(
+                    (root, f, os.path.getmtime(os.path.join(root, f)))
+                    for f in files
+                )
+        return out
+
+    before_globex = _listing("globex")
+    # acme-only batch, including an out-of-range vector (x10 scale)
+    batch = emb.filter(
+        (F.col("vec_id") >= 60) & (F.col("source") == "acme")
+    ).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * 10.0),
+    )
+    sq.upsert_federated_ivf_sq8_index(
+        spark, prefix, batch, n_buckets=2
+    )
+    # other tenant's files byte-identical (same names, same mtimes)
+    assert _listing("globex") == before_globex
+    # upserted == rebuild over the same total corpus
+    total = base.unionByName(batch)
+    got = {
+        (r["vec_id"],): r["codes"]
+        for r in spark.table(prefix + "_codes").collect()
+    }
+    from embeddingsearch_spark.operators.sq import (
+        _encode_expr,
+        _join_stats,
+    )
+
+    rebuild_assigned = ann_ops2.assign_centroids_federated(total, cents)
+    rebuilt = _join_stats(
+        rebuild_assigned.select(
+            "vec_id", "source", "centroid_id", "embedding"
+        ),
+        stats,
+        "source",
+    ).select("vec_id", _encode_expr("embedding").alias("codes"))
+    want = {(r["vec_id"],): r["codes"] for r in rebuilt.collect()}
+    assert got == want
+    # out-of-range values clamped to the bounds, not wrapped
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    for (vid,), codes in got.items():
+        if vid in batch_ids:
+            assert all(0 <= c <= 255 for c in codes)
+
+
+def test_ivf_sq8_lifecycle_onboard_offboard(spark):
+    """Family-generic lifecycle covers the compressed layout:
+    onboarding a third tenant trains its own ranges, appends its
+    quantizer + stats rows, and inserts only its partitions
+    (untouched tenant's files byte-identical); offboarding removes
+    its partitions, centroid rows, AND stats rows, and the routed
+    serve finds nothing for it afterwards."""
+    import os
+
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.operators import lifecycle
+    from embeddingsearch_spark.storage import _table_location, drop_table
+
+    emb = _vecs(spark, constant_dim=False)
+    third = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 9000).alias("vec_id"),
+        "embedding",
+        F.lit("initech").alias("source"),
+    )
+    cents2 = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    prefix = "es_test_sq8_lc"
+    for t in ("_codes", "_centroids", "_sqstats", "_calib"):
+        drop_table(spark, prefix + t)
+    assigned = ann_ops2.assign_centroids_federated(emb, cents2)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents2, stats, prefix, n_buckets=2
+    )
+
+    def _listing(tenant):
+        loc = _table_location(spark, prefix + "_codes")
+        out = []
+        for root, _, files in os.walk(loc):
+            if f"source={tenant}" in root:
+                out += sorted(
+                    (root, f, os.path.getmtime(os.path.join(root, f)))
+                    for f in files
+                )
+        return out
+
+    before_acme = _listing("acme")
+    cents3 = third.filter(F.col("vec_id") < 9010).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    lifecycle.onboard_tenant(
+        spark, prefix, "ivf_sq8", third, quantizer=cents3, n_buckets=2
+    )
+    assert _listing("acme") == before_acme
+    assert (
+        spark.table(prefix + "_sqstats")
+        .filter(F.col("source") == "initech")
+        .count()
+        == 1
+    )
+    # onboarded tenant serves through the compressed routed path
+    qs = third.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    route = qs.select("query_id", F.lit("initech").alias("source"))
+    got = sq.ivf_sq8_federated_from_index(
+        spark, prefix, qs, route, k=3, nprobe=2
+    )
+    assert got.count() == 3
+    # re-onboard refused while present
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already onboarded"):
+        lifecycle.onboard_tenant(
+            spark, prefix, "ivf_sq8", third, quantizer=cents3,
+            n_buckets=2,
+        )
+    res = lifecycle.offboard_tenant(spark, prefix, "ivf_sq8", "initech")
+    assert res["partitions_dropped"] >= 1
+    assert res["artifact_rows_dropped"] >= 2  # centroids + stats row
+    assert _listing("acme") == before_acme
+    assert (
+        spark.table(prefix + "_sqstats")
+        .filter(F.col("source") == "initech")
+        .count()
+        == 0
+    )
+    assert (
+        sq.ivf_sq8_federated_from_index(
+            spark, prefix, qs, route, k=3, nprobe=2
+        ).count()
+        == 0
+    )
