@@ -1345,6 +1345,7 @@ def ivf_calibrated_nprobe(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
+    assigned_df: DataFrame | None = None,
 ) -> dict:
     """MEASURED-recall probe widths for a persisted federated IVF
     index — the scale path past `ivf_auto_nprobe`'s uniform-random
@@ -1378,7 +1379,12 @@ def ivf_calibrated_nprobe(
     Tenants
     with centroids but NO sample queries fall back to the
     `ivf_config_for` rule width (`ivf_auto_nprobe`) — the
-    conservative floor. Driver state: one (tenant, need) histogram,
+    conservative floor. ``assigned_df`` overrides the
+    ``{prefix}_assigned`` table as the ground-truth corpus — the
+    COMPRESSED layout passes its dequantized codes here, so the
+    measurement reflects the fidelity the serve actually scores at
+    (must carry collection, cell, id, and vector columns). Driver
+    state: one (tenant, need) histogram,
     ≤ tenants × n_cents rows. Returns ``{tenant: nprobe}``,
     accepted anywhere `ivf_federated_from_index` takes a dict;
     ``nprobe="calibrated"`` threads here from the production serves
@@ -1441,9 +1447,14 @@ def ivf_calibrated_nprobe(
         .withColumn("_need", F.row_number().over(pw))
         .select(query_id_col, centroid_id_col, "_need")
     )
-    pruned = spark.table(f"{prefix}_assigned").filter(
-        _partition_filter([partition_col], [(t,) for t in routed])
-    )
+    if assigned_df is not None:
+        pruned = assigned_df.filter(
+            F.col(partition_col).isin(routed)
+        )
+    else:
+        pruned = spark.table(f"{prefix}_assigned").filter(
+            _partition_filter([partition_col], [(t,) for t in routed])
+        )
     if corpus_sample is not None and corpus_sample < 1.0:
         pruned = pruned.filter(
             _corpus_sample_pred(id_col, corpus_sample)

@@ -123,6 +123,7 @@ def calibrate_and_store_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
+    assigned_df: DataFrame | None = None,
 ) -> dict:
     """Measure per-tenant IVF probe widths (`ivf_calibrated_nprobe` —
     smallest width reaching ``recall_target`` on the sample, rule as
@@ -131,7 +132,10 @@ def calibrate_and_store_ivf(
     `retrain_federated_ivf_tenants` swaps one collection's quantizer,
     recalibrate exactly that collection — the measurement's exact pass
     scans only its corpus, and the store swaps only its partition.
-    Returns the stored {tenant: nprobe} map."""
+    ``assigned_df`` overrides the ground-truth corpus for the
+    compressed layout (pass the dequantized codes — see
+    `ivf_calibrated_nprobe`). Returns the stored {tenant: nprobe}
+    map."""
     from embeddingsearch_spark.operators.ann import (
         ivf_calibrated_nprobe,
     )
@@ -154,6 +158,7 @@ def calibrate_and_store_ivf(
         vec_col=vec_col,
         query_id_col=query_id_col,
         centroid_id_col=centroid_id_col,
+        assigned_df=assigned_df,
     )
     if tenants is not None:
         widths = {

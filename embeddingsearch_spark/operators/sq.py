@@ -305,11 +305,24 @@ def ivf_sq8_federated_from_index(
         if nprobe == "auto":
             nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
         elif nprobe == "calibrated":
+            # the ground-truth corpus for the measurement is the
+            # DEQUANTIZED codes — the fidelity this serve scores at
+            deq_all = _join_stats(
+                spark.table(f"{prefix}_codes"),
+                spark.table(f"{prefix}_sqstats"),
+                partition_col,
+            ).select(
+                id_col,
+                partition_col,
+                centroid_id_col,
+                _dequant_expr(codes_col).alias(vec_col),
+            )
             nprobe = ivf_calibrated_nprobe(
                 spark, prefix, queries, route, k=k,
                 partition_col=partition_col, id_col=id_col,
                 vec_col=vec_col, query_id_col=query_id_col,
                 centroid_id_col=centroid_id_col,
+                assigned_df=deq_all,
             )
         elif nprobe == "stored":
             from embeddingsearch_spark.operators.calibration import (
@@ -491,3 +504,65 @@ def upsert_federated_ivf_sq8_index(
         partition_cols=[partition_col, centroid_id_col],
     )
     return f"{prefix}_codes"
+
+
+def retrain_federated_ivf_sq8_tenants(
+    spark,
+    prefix: str,
+    tenant_corpus: DataFrame,
+    new_centroids: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+) -> str:
+    """Single-collection retrain for the COMPRESSED index — the action
+    arm of `monitored_federated_ivf_sq8_ingest`'s clamp/drift/skew
+    flags, with the same blast radius as
+    `retrain_federated_ivf_tenants` plus the family's second frozen
+    artifact: swap ONLY the flagged collection(s)' centroid rows AND
+    re-train their quantization RANGES from ``tenant_corpus`` (the
+    clamp signal means the old ranges no longer cover the live
+    values), then re-assign + re-encode ONLY their vectors through
+    the partitioned upsert — every other collection's quantizer,
+    ranges, and code files stay byte-identical. Recalibrate +
+    re-store the retrained tenants' probe widths afterwards if the
+    index serves at ``nprobe="stored"``."""
+    from embeddingsearch_spark.storage import drop_table
+
+    tenants = [
+        r[0]
+        for r in new_centroids.select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    cents = spark.table(f"{prefix}_centroids").localCheckpoint(
+        eager=True
+    )
+    merged = cents.filter(
+        ~F.col(partition_col).isin(tenants)
+    ).unionByName(new_centroids.select(*cents.columns)).localCheckpoint(
+        eager=True
+    )
+    drop_table(spark, f"{prefix}_centroids")
+    merged.write.saveAsTable(f"{prefix}_centroids")
+    st = spark.table(f"{prefix}_sqstats").localCheckpoint(eager=True)
+    new_stats = sq8_stats(
+        tenant_corpus.filter(F.col(partition_col).isin(tenants)),
+        partition_col=partition_col,
+        vec_col=vec_col,
+    )
+    st_merged = st.filter(
+        ~F.col(partition_col).isin(tenants)
+    ).unionByName(new_stats.select(*st.columns)).localCheckpoint(
+        eager=True
+    )
+    drop_table(spark, f"{prefix}_sqstats")
+    st_merged.write.saveAsTable(f"{prefix}_sqstats")
+    return upsert_federated_ivf_sq8_index(
+        spark, prefix, tenant_corpus, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+        centroid_id_col=centroid_id_col, n_buckets=n_buckets,
+    )

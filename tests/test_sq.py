@@ -274,3 +274,127 @@ def test_ivf_sq8_lifecycle_onboard_offboard(spark):
         ).count()
         == 0
     )
+
+
+def test_ivf_sq8_calibrated_nprobe_measures_dequantized(spark):
+    """`nprobe="calibrated"` on the COMPRESSED serve measures against
+    the dequantized codes (the fidelity the serve scores at) instead
+    of crashing on the missing raw table, and serving at the string
+    equals serving at the explicit measured map."""
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    prefix = "es_test_sq8_cal"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    assigned = ann_ops2.assign_centroids_federated(emb, cents)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+    q = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = q.select(F.col("vec_id").alias("query_id"), "source")
+    got = sq.ivf_sq8_federated_from_index(
+        spark, prefix, queries, route, k=5, nprobe="calibrated"
+    )
+    from embeddingsearch_spark.operators.sq import (
+        _dequant_expr,
+        _join_stats,
+    )
+
+    deq_all = _join_stats(
+        spark.table(prefix + "_codes"),
+        spark.table(prefix + "_sqstats"),
+        "source",
+    ).select(
+        "vec_id", "source", "centroid_id",
+        _dequant_expr("codes").alias("embedding"),
+    )
+    widths = ann_ops2.ivf_calibrated_nprobe(
+        spark, prefix, queries, route, k=5, assigned_df=deq_all
+    )
+    want = sq.ivf_sq8_federated_from_index(
+        spark, prefix, queries, route, k=5, nprobe=widths
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_ivf_sq8_retrain_swaps_one_tenant_only(spark):
+    """The retrain arm swaps the flagged tenant's centroid rows AND
+    ranges and re-encodes its vectors; the other tenant's stats rows
+    and code files are untouched, and the retrained tenant's new
+    ranges cover its drifted (scaled) values — clamp rate drops back
+    to the training profile."""
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    prefix = "es_test_sq8_rt"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    assigned = ann_ops2.assign_centroids_federated(emb, cents)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+    before_acme_stats = (
+        spark.table(prefix + "_sqstats")
+        .filter(F.col("source") == "acme")
+        .collect()
+    )
+    # globex drifted: 3x scale — retrain ITS quantizer + ranges
+    gx = emb.filter(F.col("source") == "globex").withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 3.0)
+    )
+    gx_cents = gx.filter(F.col("vec_id") < 12).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    sq.retrain_federated_ivf_sq8_tenants(
+        spark, prefix, gx, gx_cents, n_buckets=2
+    )
+    after_acme_stats = (
+        spark.table(prefix + "_sqstats")
+        .filter(F.col("source") == "acme")
+        .collect()
+    )
+    assert sorted(map(str, before_acme_stats)) == sorted(
+        map(str, after_acme_stats)
+    )
+    # new globex ranges cover the scaled values: re-encoding the
+    # drifted corpus against the live stats clamps only at extremes
+    from embeddingsearch_spark.operators.sq import (
+        _encode_expr,
+        _join_stats,
+    )
+
+    coded = _join_stats(
+        gx.select("vec_id", "source", "embedding"),
+        spark.table(prefix + "_sqstats"),
+        "source",
+    ).select(_encode_expr("embedding").alias("codes"))
+    flat = coded.select(F.explode("codes").alias("c"))
+    n_bound = flat.filter((F.col("c") == 0) | (F.col("c") == 255)).count()
+    # exactly the per-dim extremes hit the bounds (2 per dimension) —
+    # the retrained ranges cover the drifted values precisely
+    assert n_bound == 2 * 12, n_bound
+    # acme still serves from its untouched generation
+    q = emb.filter(F.col("source") == "acme").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = q.select("query_id", F.lit("acme").alias("source"))
+    assert (
+        sq.ivf_sq8_federated_from_index(
+            spark, prefix, q, r, k=3, nprobe=2
+        ).count()
+        == 3
+    )
