@@ -746,6 +746,113 @@ def serve_ivf_federated_cached(
     )
 
 
+def serve_ivf_sq8_federated_cached(
+    spark,
+    cache_table: str,
+    index_prefix: str,
+    queries: DataFrame,
+    route: DataFrame,
+    index_versions: dict,
+    k: int = 10,
+    nprobe: int | dict | str = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    now: float = 0.0,
+) -> DataFrame:
+    """Tenant-keyed cached serving over the COMPRESSED IVF index —
+    `serve_ivf_federated_cached`'s contract on the SQ8 layout: same
+    key/scope/hygiene semantics, misses run
+    `ivf_sq8_federated_from_index` for the missed queries only
+    (two-level pruned codes scan, dequantize-and-score). String
+    ``nprobe`` modes resolve ONCE here and fold into the cache keys;
+    "calibrated" measures against the DEQUANTIZED codes — the
+    fidelity the miss path scores at."""
+    from embeddingsearch_spark.operators.ann import (
+        ivf_auto_nprobe,
+        ivf_calibrated_nprobe,
+    )
+    from embeddingsearch_spark.operators.sq import (
+        _dequant_expr,
+        _join_stats,
+        ivf_sq8_federated_from_index,
+    )
+
+    if isinstance(nprobe, str):
+        if nprobe == "auto":
+            nprobe = ivf_auto_nprobe(spark, index_prefix, partition_col)
+        elif nprobe == "calibrated":
+            deq_all = _join_stats(
+                spark.table(f"{index_prefix}_codes"),
+                spark.table(f"{index_prefix}_sqstats"),
+                partition_col,
+            ).select(
+                id_col,
+                partition_col,
+                "centroid_id",
+                _dequant_expr(codes_col).alias(vec_col),
+            )
+            nprobe = ivf_calibrated_nprobe(
+                spark, index_prefix, queries, route, k=k,
+                partition_col=partition_col, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+                assigned_df=deq_all,
+            )
+        elif nprobe == "stored":
+            from embeddingsearch_spark.operators.calibration import (
+                ivf_stored_nprobe,
+            )
+
+            nprobe = ivf_stored_nprobe(
+                spark, index_prefix, partition_col
+            )
+        else:
+            raise ValueError(
+                f"unknown nprobe {nprobe!r} "
+                "(use 'auto', 'calibrated', or 'stored')"
+            )
+        index_versions = _fold_config_versions(index_versions, nprobe)
+    qkeyed = _vector_tenant_qkeyed(
+        spark, queries, route, index_versions, partition_col,
+        vec_col, query_id_col,
+    )
+    id_type = (
+        spark.table(f"{index_prefix}_codes").schema[id_col]
+        .dataType.simpleString()
+    )
+
+    def compute(misses_q):
+        return ivf_sq8_federated_from_index(
+            spark,
+            index_prefix,
+            misses_q.select(query_id_col, vec_col),
+            misses_q.select(query_id_col, partition_col),
+            k=k,
+            nprobe=nprobe,
+            partition_col=partition_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            codes_col=codes_col,
+            query_id_col=query_id_col,
+        )
+
+    return _serve_cached(
+        spark,
+        cache_table,
+        qkeyed,
+        compute,
+        k,
+        id_col,
+        id_type,
+        [("cosine", "double")],
+        query_id_col,
+        now,
+        scope_col=partition_col,
+    )
+
+
 def _fold_config_versions(index_versions: dict, cfg_by: dict) -> dict:
     """Stamp each tenant's DERIVED auto-config into its cache-version
     key material — so a corpus that grows past a sizing breakpoint

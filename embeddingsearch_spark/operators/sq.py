@@ -566,3 +566,42 @@ def retrain_federated_ivf_sq8_tenants(
         id_col=id_col, vec_col=vec_col, codes_col=codes_col,
         centroid_id_col=centroid_id_col, n_buckets=n_buckets,
     )
+
+
+def ivf_sq8_federated_serve_aliased(
+    spark,
+    alias: str,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    nprobe: int | dict | str = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Per-tenant BLUE/GREEN serving for the COMPRESSED index — the
+    SQ8 member of the aliased-serve set (`ivf_federated_serve_aliased`
+    is the raw twin): each routed collection's pruned codes scan runs
+    against the GENERATION its `set_tenant_index_alias` row points at,
+    so a retrained tenant (new quantizer AND new ranges) flips
+    atomically while every other collection keeps serving its current
+    codes. String ``nprobe`` modes resolve per generation against
+    that generation's own centroids/calib/codes tables."""
+    from embeddingsearch_spark.storage import federated_serve_aliased
+
+    def serve(prefix, q, r):
+        return ivf_sq8_federated_from_index(
+            spark, prefix, q, r, k=k, nprobe=nprobe,
+            partition_col=partition_col, id_col=id_col,
+            vec_col=vec_col, codes_col=codes_col,
+            query_id_col=query_id_col,
+            centroid_id_col=centroid_id_col,
+        )
+
+    return federated_serve_aliased(
+        spark, alias, queries, route, serve,
+        partition_col=partition_col, query_id_col=query_id_col,
+    )

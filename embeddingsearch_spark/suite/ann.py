@@ -4060,3 +4060,53 @@ QUERIES["ivf_sq8_tenant_serve"] = (
     q_ivf_sq8_tenant_serve,
     IVF_SQ8_TENANT_SQL,
 )
+
+
+def q_ivf_sq8_tenant_cached_serve(spark, sf_dir):
+    """The COMPRESSED index joins the cached-serve matrix
+    (`serve_ivf_sq8_federated_cached` — global/tenant ×
+    BM25/IVF/PQ/graph/SQ8 now all serve through the shared
+    `_serve_cached` core): same key/scope/hygiene contract; misses run
+    the two-level-pruned dequantize-and-score serve for the missed
+    queries only. Cold serve fills, the returned warm serve is a pure
+    cache read; identical to the direct compressed serve by
+    construction — shares `ivf_sq8_tenant_serve`'s oracle verbatim."""
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.operators import sq
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tsq8c_cache")
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, "es_gate_tsq8c",
+        partition_col="source", n_buckets=4,
+    )
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    versions = {"acme": "v1", "globex": "v1"}
+    qc.serve_ivf_sq8_federated_cached(
+        spark, "es_gate_tsq8c_cache", "es_gate_tsq8c", queries, route,
+        versions, k=10, nprobe=4, partition_col="source",
+    ).collect()
+    return qc.serve_ivf_sq8_federated_cached(
+        spark, "es_gate_tsq8c_cache", "es_gate_tsq8c", queries, route,
+        versions, k=10, nprobe=4, partition_col="source",
+    )
+
+
+QUERIES["ivf_sq8_tenant_cached_serve"] = (
+    q_ivf_sq8_tenant_cached_serve,
+    IVF_SQ8_TENANT_SQL,
+)

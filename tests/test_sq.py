@@ -398,3 +398,105 @@ def test_ivf_sq8_retrain_swaps_one_tenant_only(spark):
         ).count()
         == 3
     )
+
+
+def test_ivf_sq8_cached_and_aliased_serves(spark):
+    """The cached and blue/green aliased serves on the compressed
+    layout both equal the direct serve — and the aliased serve routes
+    a flipped tenant to its NEW generation (new ranges) while the
+    other stays on the old one."""
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import (
+        drop_table,
+        set_tenant_index_alias,
+    )
+
+    emb = _vecs(spark, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    prefix = "es_test_sq8_srv1"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    assigned = ann_ops2.assign_centroids_federated(emb, cents)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+    q = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = q.select(F.col("vec_id").alias("query_id"), "source")
+    want = sorted(
+        map(
+            tuple,
+            sq.ivf_sq8_federated_from_index(
+                spark, prefix, queries, route, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    drop_table(spark, "es_test_sq8_srv_cache")
+    got_c = qc.serve_ivf_sq8_federated_cached(
+        spark, "es_test_sq8_srv_cache", prefix, queries, route,
+        {"acme": "v1", "globex": "v1"}, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, got_c.collect())) == want
+    # warm read returns identically
+    got_w = qc.serve_ivf_sq8_federated_cached(
+        spark, "es_test_sq8_srv_cache", prefix, queries, route,
+        {"acme": "v1", "globex": "v1"}, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, got_w.collect())) == want
+    # blue/green: globex retrains into gen2 (3x-scaled corpus)
+    prefix2 = "es_test_sq8_srv2"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix2 + t)
+    gx = emb.filter(F.col("source") == "globex").withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 3.0)
+    )
+    gx_cents = gx.filter(F.col("vec_id") < 12).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    sq.save_federated_ivf_sq8_index(
+        spark,
+        ann_ops2.assign_centroids_federated(gx, gx_cents),
+        gx_cents,
+        sq.sq8_stats(gx, partition_col="source"),
+        prefix2,
+        n_buckets=2,
+    )
+    drop_table(spark, "es_test_sq8_al_talias")
+    set_tenant_index_alias(spark, "es_test_sq8_al", "acme", prefix)
+    set_tenant_index_alias(spark, "es_test_sq8_al", "globex", prefix2)
+    gx_queries = gx.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    all_q = queries.filter(
+        F.col("query_id") % 2 == 0
+    ).unionByName(gx_queries.filter(F.col("query_id") % 2 == 1))
+    got_al = sq.ivf_sq8_federated_serve_aliased(
+        spark, "es_test_sq8_al", all_q, route, k=5, nprobe=2
+    )
+    want_acme = sq.ivf_sq8_federated_from_index(
+        spark, prefix,
+        all_q.join(
+            route.filter(F.col("source") == "acme").select("query_id"),
+            "query_id",
+        ),
+        route.filter(F.col("source") == "acme"),
+        k=5, nprobe=2,
+    )
+    want_gx = sq.ivf_sq8_federated_from_index(
+        spark, prefix2,
+        all_q.join(
+            route.filter(F.col("source") == "globex").select(
+                "query_id"
+            ),
+            "query_id",
+        ),
+        route.filter(F.col("source") == "globex"),
+        k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, got_al.collect())) == sorted(
+        map(tuple, want_acme.unionByName(want_gx).collect())
+    )
