@@ -62,12 +62,19 @@ def _store_calibration(
     from embeddingsearch_spark.sink import PartitionOverwriteSink
 
     table = _calib_table(prefix)
+    if not rows and spark.catalog.tableExists(table):
+        return table  # nothing measured: leave the store untouched
     df = spark.createDataFrame(
         [(k, int(v), float(rt), str(t)) for t, k, v, rt in rows],
         f"knob string, value int, recall_target double, "
         f"{partition_col} string",
     )
     if not spark.catalog.tableExists(table):
+        from embeddingsearch_spark.storage import drop_table
+
+        # clears an orphaned warehouse directory from a previous
+        # session (saveAsTable refuses an existing managed location)
+        drop_table(spark, table)
         df.write.partitionBy(partition_col).saveAsTable(table)
         return table
     PartitionOverwriteSink([partition_col]).delete_insert(
@@ -433,6 +440,7 @@ def ivf_scan_cost(
         ivf_calibrated_nprobe,
     )
 
+    user_map = isinstance(nprobe, dict)
     if isinstance(nprobe, str):
         if nprobe == "auto":
             nprobe = ivf_auto_nprobe(spark, prefix, partition_col)
@@ -449,6 +457,22 @@ def ivf_scan_cost(
             raise ValueError(
                 f"unknown nprobe {nprobe!r} "
                 "(use 'auto', 'calibrated', or 'stored')"
+            )
+    if user_map:
+        # same gap contract as the serve: a hand-built map missing a
+        # routed tenant would silently price that tenant at ZERO scan
+        gap = sorted(
+            {
+                str(r[0])
+                for r in route.select(partition_col)
+                .distinct()
+                .collect()
+            }
+            - {str(t) for t in nprobe}
+        )
+        if gap:
+            raise ValueError(
+                f"nprobe map missing routed collections: {gap}"
             )
     cents = spark.table(f"{prefix}_centroids")
     qv = queries.join(
