@@ -411,6 +411,7 @@ def ivf_scan_cost(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
+    assigned_table: str | None = None,
 ) -> DataFrame:
     """Per-tenant SCAN-COST report for a federated IVF serve — the
     observability half of calibration: how many candidate ROWS would
@@ -429,8 +430,12 @@ def ivf_scan_cost(
     come from one full aggregate of the assignment table (an OFFLINE
     audit pass — the serve itself never does this); probed-but-empty
     cells count toward ``cells_probed`` and add zero rows, matching
-    the serve's scan. Columns: (tenant, nprobe, n_queries,
-    cells_probed, rows_scanned, corpus_rows, scan_frac)."""
+    the serve's scan. ``assigned_table`` overrides the
+    ``{prefix}_assigned`` default — pass ``{prefix}_codes`` to price
+    the COMPRESSED layout (row counts are identical; multiply
+    ``rows_scanned`` by the measured bytes-per-row ratio for byte
+    cost). Columns: (tenant, nprobe, n_queries, cells_probed,
+    rows_scanned, corpus_rows, scan_frac)."""
     from embeddingsearch_spark.functions.vectors import dot, norm2
     from embeddingsearch_spark.operators.ann import (
         ROUND_DIGITS,
@@ -523,7 +528,7 @@ def ivf_scan_cost(
     # one offline aggregate of the assignment table: per-cell sizes
     # (the audit's cost — the serve never scans unprobed cells)
     sizes = (
-        spark.table(f"{prefix}_assigned")
+        spark.table(assigned_table or f"{prefix}_assigned")
         .groupBy(partition_col, centroid_id_col)
         .agg(F.count(F.lit(1)).alias("_sz"))
     )

@@ -500,3 +500,39 @@ def test_ivf_sq8_cached_and_aliased_serves(spark):
     assert sorted(map(tuple, got_al.collect())) == sorted(
         map(tuple, want_acme.unionByName(want_gx).collect())
     )
+
+
+def test_scan_cost_prices_compressed_layout(spark):
+    """`ivf_scan_cost(assigned_table=...)` prices the SQ8 codes table:
+    row counts equal the raw layout's (same assignment), so the report
+    carries over — the byte ratio is the separately-measured
+    compression factor."""
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    prefix = "es_test_sq8_cost"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    assigned = ann_ops2.assign_centroids_federated(emb, cents)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+    q = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = q.select(F.col("vec_id").alias("query_id"), "source")
+    rows = cal_ops.ivf_scan_cost(
+        spark, prefix, queries, route, k=5, nprobe=2,
+        assigned_table=f"{prefix}_codes",
+    ).collect()
+    got = {r["source"]: r for r in rows}
+    assert set(got) == {"acme", "globex"}
+    for t, r in got.items():
+        assert r["corpus_rows"] == 40  # each tenant's full corpus
+        assert r["nprobe"] == 2 and r["rows_scanned"] > 0
+        assert 0 < r["scan_frac"] <= 1.0
