@@ -119,6 +119,7 @@ def onboard_tenant(
             assign_centroids_federated,
         )
         from embeddingsearch_spark.operators.sq import (
+            _codes_shifted,
             _encode_expr,
             _join_stats,
             sq8_stats,
@@ -159,7 +160,13 @@ def onboard_tenant(
             id_col,
             partition_col,
             centroid_id_col,
-            _encode_expr(vec_col).alias("codes"),
+            # match the generation's physical layout (int vs tinyint)
+            _encode_expr(
+                vec_col,
+                tinyint=_codes_shifted(
+                    spark.table(f"{prefix}_codes"), "codes"
+                ),
+            ).alias("codes"),
         )
         PartitionOverwriteSink(
             [partition_col, centroid_id_col]

@@ -90,11 +90,16 @@ def _join_stats(df: DataFrame, stats: DataFrame, partition_col):
     return df.crossJoin(F.broadcast(stats))  # bounded: 1 stats row
 
 
-def _encode_expr(vec_col: str):
+def _encode_expr(vec_col: str, tinyint: bool = False):
     """c_d = clamp(floor((x_d - min_d)/span_d · 255 + 0.5), 0, 255);
-    zero-span dims code to 0. Expects joined ``mins``/``spans``."""
+    zero-span dims code to 0. Expects joined ``mins``/``spans``.
+    ``tinyint`` stores the PHYSICAL code as c_d − 128 in a signed
+    byte (array<tinyint>) — a strict 1-byte logical type instead of
+    trusting parquet's dictionary/bit-packing of array<int>; the
+    logical code (and therefore every dequantize/score result) is
+    unchanged, the −128 shift is undone at read."""
     diffs = F.zip_with(_dbl(vec_col), F.col("mins"), lambda x, mn: x - mn)
-    return F.zip_with(
+    logical = F.zip_with(
         diffs,
         F.col("spans"),
         lambda d, s: F.when(s == 0, F.lit(0))
@@ -106,15 +111,33 @@ def _encode_expr(vec_col: str):
         )
         .cast("int"),
     )
+    if tinyint:
+        return F.transform(
+            logical, lambda c: (c - 128).cast("tinyint")
+        )
+    return logical
 
 
-def _dequant_expr(codes_col: str):
-    """x̂_d = min_d + c_d·span_d/255. Expects joined ``mins``/``spans``."""
-    scaled = F.zip_with(
-        F.col(codes_col).cast("array<double>"),
-        F.col("spans"),
-        lambda c, s: c * s / 255,
+def _codes_shifted(df: DataFrame, codes_col: str = "codes") -> bool:
+    """True when ``codes_col`` holds the tinyint physical layout
+    (−128-shifted signed bytes) — detected from the schema, so every
+    read path undoes the shift without the caller tracking which
+    layout a generation was written with."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[codes_col].dataType
+    return isinstance(dt, T.ArrayType) and isinstance(
+        dt.elementType, T.ByteType
     )
+
+
+def _dequant_expr(codes_col: str, shifted: bool = False):
+    """x̂_d = min_d + c_d·span_d/255. Expects joined ``mins``/``spans``.
+    ``shifted`` undoes the tinyint layout's −128 at read."""
+    codes = F.col(codes_col).cast("array<double>")
+    if shifted:
+        codes = F.transform(codes, lambda c: c + 128)
+    scaled = F.zip_with(codes, F.col("spans"), lambda c, s: c * s / 255)
     return F.zip_with(scaled, F.col("mins"), lambda t, mn: t + mn)
 
 
@@ -147,10 +170,15 @@ def sq8_dequantize(
     """Reconstruct x̂_d = min_d + c_d·span_d/255 — the serve-side
     inverse, exposed for round-trip tests and for feeding the codes
     into any raw-vector operator. Max per-dim error is span_d/510 by
-    construction (tested)."""
+    construction (tested). Both physical layouts (array<int>,
+    −128-shifted array<tinyint>) reconstruct identically — the shift
+    is detected from the schema."""
     keep = [id_col] + ([partition_col] if partition_col else [])
+    sh = _codes_shifted(codes, codes_col)
     j = _join_stats(codes, stats, partition_col)
-    return j.select(*keep, _dequant_expr(codes_col).alias(vec_col))
+    return j.select(
+        *keep, _dequant_expr(codes_col, shifted=sh).alias(vec_col)
+    )
 
 
 def sq8_topk(
@@ -223,6 +251,7 @@ def save_federated_ivf_sq8_index(
     vec_col: str = "embedding",
     codes_col: str = "codes",
     centroid_id_col: str = "centroid_id",
+    codes_dtype: str = "int",
 ) -> tuple[str, str, str]:
     """PERSIST the COMPRESSED multi-tenant IVF index — the 100-TB
     serving shape: IVF's two-level partition pruning (tenant, cell)
@@ -235,9 +264,22 @@ def save_federated_ivf_sq8_index(
     writes it, partitioned by (collection, centroid) exactly like
     `save_federated_ivf_index`. Centroids and the per-tenant range
     rows stay full-precision (both tiny). Tables: ``{prefix}_codes``,
-    ``{prefix}_centroids``, ``{prefix}_sqstats``."""
+    ``{prefix}_centroids``, ``{prefix}_sqstats``.
+
+    ``codes_dtype="tinyint"`` stores each code PHYSICALLY as a signed
+    byte (c − 128, array<tinyint>) — a strict 1-byte logical type
+    instead of trusting parquet's dictionary/bit-packing of
+    array<int>. Every read path (serve, dequantize, upsert,
+    calibration) detects the layout from the schema and undoes the
+    shift, so results are bit-identical across layouts (tested);
+    BASELINE.md records the measured on-disk ratio."""
     from embeddingsearch_spark.storage import drop_table, replace_bucketed
 
+    if codes_dtype not in ("int", "tinyint"):
+        raise ValueError(
+            f"unknown codes_dtype {codes_dtype!r} (use 'int' or "
+            "'tinyint')"
+        )
     coded = _join_stats(
         assigned.select(id_col, partition_col, centroid_id_col, vec_col),
         stats,
@@ -246,7 +288,9 @@ def save_federated_ivf_sq8_index(
         id_col,
         partition_col,
         centroid_id_col,
-        _encode_expr(vec_col).alias(codes_col),
+        _encode_expr(
+            vec_col, tinyint=codes_dtype == "tinyint"
+        ).alias(codes_col),
     )
     replace_bucketed(
         coded,
@@ -315,7 +359,12 @@ def ivf_sq8_federated_from_index(
                 id_col,
                 partition_col,
                 centroid_id_col,
-                _dequant_expr(codes_col).alias(vec_col),
+                _dequant_expr(
+                    codes_col,
+                    shifted=_codes_shifted(
+                        spark.table(f"{prefix}_codes"), codes_col
+                    ),
+                ).alias(vec_col),
             )
             nprobe = ivf_calibrated_nprobe(
                 spark, prefix, queries, route, k=k,
@@ -402,7 +451,8 @@ def ivf_sq8_federated_from_index(
         .distinct()
         .collect()
     )  # bounded: |queries| x nprobe
-    pruned = spark.table(f"{prefix}_codes").filter(
+    codes_tbl = spark.table(f"{prefix}_codes")
+    pruned = codes_tbl.filter(
         _partition_filter([partition_col, centroid_id_col], pairs)
     )
     deq = _join_stats(
@@ -411,7 +461,9 @@ def ivf_sq8_federated_from_index(
         id_col,
         partition_col,
         centroid_id_col,
-        _dequant_expr(codes_col).alias("_dvec"),
+        _dequant_expr(
+            codes_col, shifted=_codes_shifted(codes_tbl, codes_col)
+        ).alias("_dvec"),
     )
     cand = (
         deq.withColumn("_vn", norm2(F.col("_dvec")))
@@ -476,6 +528,33 @@ def upsert_federated_ivf_sq8_index(
     )
     cents = spark.table(f"{prefix}_centroids")
     stats = spark.table(f"{prefix}_sqstats")
+    # A tenant UNKNOWN to the index (no centroids) is dropped by
+    # `assign_centroids_federated`'s documented contract. A
+    # HALF-onboarded tenant — centroids present but no sqstats row —
+    # must NOT lose data quietly: its vectors would assign, then
+    # vanish at the encode's stats join while their ids still enter
+    # the delete-key set (round-9 ADVICE #2). All three collects are
+    # bounded by the number of collections.
+    batch_tenants = {
+        str(r[0])
+        for r in new_vectors.select(partition_col).distinct().collect()
+    }
+    cent_tenants = {
+        str(r[0])
+        for r in cents.select(partition_col).distinct().collect()
+    }
+    stat_tenants = {
+        str(r[0])
+        for r in stats.select(partition_col).distinct().collect()
+    }
+    half = sorted((batch_tenants & cent_tenants) - stat_tenants)
+    if half:
+        raise ValueError(
+            f"collections {half} have centroids but no {prefix}_sqstats "
+            "row — train their ranges (sq8_stats) and store them "
+            "before upserting, or their batch rows would be silently "
+            "dropped at encode while their ids enter the delete set"
+        )
     dk = new_vectors.select(id_col).distinct()
     if deleted_ids is not None:
         dd = deleted_ids.select(
@@ -496,7 +575,14 @@ def upsert_federated_ivf_sq8_index(
         id_col,
         partition_col,
         centroid_id_col,
-        _encode_expr(vec_col).alias(codes_col),
+        # encode in the PHYSICAL layout the index was created with —
+        # an upsert into a tinyint generation stays tinyint
+        _encode_expr(
+            vec_col,
+            tinyint=_codes_shifted(
+                spark.table(f"{prefix}_codes"), codes_col
+            ),
+        ).alias(codes_col),
     )
     sink.delete_insert(
         spark, f"{prefix}_codes", coded, [id_col],

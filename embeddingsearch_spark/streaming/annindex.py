@@ -2302,19 +2302,28 @@ def monitored_federated_ivf_sq8_ingest(
             ),
         )
         # clamp rate over the BATCH's own codes (O(batch), array-level
-        # aggregate — no explode)
+        # aggregate — no explode). A zero-span (constant/padded)
+        # dimension always encodes to 0 and reconstructs EXACTLY, so a
+        # code-0 there is not a clamp: zip the codes with the trained
+        # spans and count 0-codes only where the span is non-zero
+        # (round-9 ADVICE #1 — a tenant with >=5% constant dims must
+        # not be flagged for retrain at zero quantization loss).
         coded_b = _join_stats(
             batch_df.select(id_col, partition_col, vec_col),
             state["stats"],
             partition_col,
         ).select(
-            partition_col, _encode_expr(vec_col).alias("_c")
+            partition_col,
+            F.zip_with(
+                _encode_expr(vec_col),
+                F.col("spans"),
+                lambda c, s: F.when(
+                    (c == 255) | ((c == 0) & (s != 0)), 1
+                ).otherwise(0),
+            ).alias("_c"),
         )
         nclamp = F.aggregate(
-            "_c",
-            F.lit(0),
-            lambda acc, c: acc
-            + F.when((c == 0) | (c == 255), 1).otherwise(0),
+            "_c", F.lit(0), lambda acc, hit: acc + hit
         )
         clamps = {
             str(r[0]): (

@@ -676,6 +676,48 @@ def calibrate_probe(sf_dir: str) -> None:
                 f"  hops={cg['hops']} m={cg['m']}",
                 flush=True,
             )
+
+        # ---- graph + long-range ring links (round-10) ----
+        gpairs_lr = gpairs.withColumn("_lr", F.lit(False)).unionByName(
+            graphann.long_range_pairs(
+                emb, long_range=2, partition_col="source"
+            )
+        )
+        pre = f"es_probe_cal_glr_{label}"
+        for t in ("_pairs", "_assigned"):
+            drop_table(spark, pre + t)
+        graphann.save_federated_graph_index(
+            gpairs_lr, assigned, pre, n_buckets=4
+        )
+        rule_glr = graphann.graph_auto_config(spark, pre)
+        cal_glr = graphann.graph_calibrated_config(
+            spark, pre, emb, calq, calr
+        )
+
+        def glr_serve(cmap):
+            out = None
+            for t in sorted(counts):
+                rr = evr.filter(F.col("source") == t)
+                qq = evq.join(rr.select("query_id"), "query_id")
+                c = cmap[t]
+                part = graphann.graph_search_federated(
+                    spark, pre, emb, qq, rr, k=10, beam=c["beam"],
+                    hops=c["hops"], n_entry=c["n_entry"], m=c["m"],
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        rec_rule = recall_by(glr_serve(rule_glr), exact_ev, evr)
+        rec_cal = recall_by(glr_serve(cal_glr), exact_ev, evr)
+        for t in sorted(counts):
+            rg, cg = rule_glr[t], cal_glr[t]
+            print(
+                f"graph+lr2 {label:7s} {t:7s} "
+                f"rule_beam={rg['beam']:3d} (r@10={rec_rule[t]:.3f})"
+                f"  cal_beam={cg['beam']:3d} (r@10={rec_cal[t]:.3f})"
+                f"  hops={cg['hops']} m={cg['m']}",
+                flush=True,
+            )
     spark.stop()
 
 

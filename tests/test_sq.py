@@ -536,3 +536,145 @@ def test_scan_cost_prices_compressed_layout(spark):
         assert r["corpus_rows"] == 40  # each tenant's full corpus
         assert r["nprobe"] == 2 and r["rows_scanned"] > 0
         assert 0 < r["scan_frac"] <= 1.0
+
+
+def test_tinyint_layout_serves_identically_and_upsert_preserves(spark):
+    """``codes_dtype="tinyint"`` stores codes as −128-shifted signed
+    bytes (a strict 1-byte parquet logical type); every read path
+    detects the layout from the schema, so serve results are
+    BIT-IDENTICAL to the array<int> layout, an upsert into a tinyint
+    generation writes tinyint (no mixed-layout partitions), and the
+    physical codes really are bytes."""
+    from pyspark.sql import types as T
+
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    stats = sq.sq8_stats(
+        emb.filter(F.col("vec_id") < 60), partition_col="source"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        emb.filter(F.col("vec_id") < 60), cents
+    )
+    for pre in ("es_test_sq8int", "es_test_sq8tiny"):
+        for t in ("_codes", "_centroids", "_sqstats"):
+            drop_table(spark, pre + t)
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, "es_test_sq8int",
+        n_buckets=2, codes_dtype="int",
+    )
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, "es_test_sq8tiny",
+        n_buckets=2, codes_dtype="tinyint",
+    )
+    tiny = spark.table("es_test_sq8tiny_codes")
+    assert isinstance(
+        tiny.schema["codes"].dataType.elementType, T.ByteType
+    )
+    assert sq._codes_shifted(tiny) and not sq._codes_shifted(
+        spark.table("es_test_sq8int_codes")
+    )
+    # logical equality of the stored codes across layouts
+    as_int = {
+        r["vec_id"]: [c + 128 for c in r["codes"]]
+        for r in tiny.collect()
+    }
+    for r in spark.table("es_test_sq8int_codes").collect():
+        assert as_int[r["vec_id"]] == list(r["codes"]), r["vec_id"]
+    qdf = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    a = sq.ivf_sq8_federated_from_index(
+        spark, "es_test_sq8int", queries, route, k=5, nprobe=2
+    )
+    b = sq.ivf_sq8_federated_from_index(
+        spark, "es_test_sq8tiny", queries, route, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+    # upsert into the tinyint generation stays tinyint and serves the
+    # new rows
+    sq.upsert_federated_ivf_sq8_index(
+        spark, "es_test_sq8tiny", emb.filter(F.col("vec_id") >= 60),
+        n_buckets=2,
+    )
+    sq.upsert_federated_ivf_sq8_index(
+        spark, "es_test_sq8int", emb.filter(F.col("vec_id") >= 60),
+        n_buckets=2,
+    )
+    tiny2 = spark.table("es_test_sq8tiny_codes")
+    assert isinstance(
+        tiny2.schema["codes"].dataType.elementType, T.ByteType
+    )
+    a2 = sq.ivf_sq8_federated_from_index(
+        spark, "es_test_sq8int", queries, route, k=5, nprobe=2
+    )
+    b2 = sq.ivf_sq8_federated_from_index(
+        spark, "es_test_sq8tiny", queries, route, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, a2.collect())) == sorted(
+        map(tuple, b2.collect())
+    )
+    # dequantize reconstructs identically across layouts
+    d1 = sq.sq8_dequantize(
+        spark.table("es_test_sq8int_codes").select(
+            "vec_id", "source", "codes"
+        ),
+        spark.table("es_test_sq8int_sqstats"),
+        partition_col="source",
+    )
+    d2 = sq.sq8_dequantize(
+        tiny2.select("vec_id", "source", "codes"),
+        spark.table("es_test_sq8tiny_sqstats"),
+        partition_col="source",
+    )
+    got1 = {r["vec_id"]: r["embedding"] for r in d1.collect()}
+    for r in d2.collect():
+        assert got1[r["vec_id"]] == r["embedding"], r["vec_id"]
+
+
+def test_sq8_upsert_refuses_half_onboarded_tenant(spark):
+    """A tenant with centroids but NO sqstats row must raise at
+    upsert, not silently drop its batch while deleting its ids
+    (round-9 ADVICE #2)."""
+    import pytest
+
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # stats trained for acme ONLY — globex is half-onboarded
+    stats = sq.sq8_stats(
+        emb.filter(F.col("source") == "acme"), partition_col="source"
+    )
+    assigned = ann_ops.assign_centroids_federated(
+        emb.filter(
+            (F.col("source") == "acme") & (F.col("vec_id") < 60)
+        ),
+        cents,
+    )
+    pre = "es_test_sq8half"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, pre + t)
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, pre, n_buckets=2
+    )
+    with pytest.raises(ValueError, match="no es_test_sq8half_sqstats"):
+        sq.upsert_federated_ivf_sq8_index(
+            spark, pre, emb.filter(F.col("vec_id") >= 60),
+            n_buckets=2,
+        )
+    # a batch of fully-onboarded tenants still lands
+    sq.upsert_federated_ivf_sq8_index(
+        spark, pre,
+        emb.filter(
+            (F.col("source") == "acme") & (F.col("vec_id") >= 60)
+        ),
+        n_buckets=2,
+    )
