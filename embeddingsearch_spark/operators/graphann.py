@@ -946,7 +946,14 @@ def graph_search_federated(
     per-hop filtering needed, isolation is a property of the stored
     graph. Equals per-tenant `graph_search` with the same entry
     sample (tested). ``emb`` supplies raw vectors for scoring (only
-    the query's own tenant's nodes are ever scored)."""
+    the query's own tenant's nodes are ever scored).
+
+    CLUSTERED corpora (the shape real embeddings have): build the
+    pair table WITH `long_range_pairs` unioned in — block-local
+    edges alone saturate recall far below target at any beam
+    (BASELINE.md round-10: 0.426 → 1.000 at 2 ring links/node, and
+    calibration then halves the rule beam). The serve detects the
+    ``_lr`` flag automatically."""
     edges, entries = _federated_graph_inputs(
         spark, prefix, route, m=m, n_entry=n_entry,
         partition_col=partition_col, id_col=id_col,
@@ -1178,10 +1185,13 @@ def graph_calibrated_config(
     the beam), so this runs one federated sample serve per ladder
     step (≤ ~4 bounded serves, offline, per index generation).
     Tenants that never reach the target — or have no sample
-    queries — keep the full rule config. Returns
-    ``{tenant: {beam, hops, n_entry, m}}``, the `graph_auto_config`
-    shape; ``config="calibrated"`` threads here from the cached and
-    aliased graph serves."""
+    queries — keep the full rule config. A blocked-only graph on a
+    CLUSTERED corpus is the known unreachable case (recall saturates
+    at any beam): build with `long_range_pairs` and the target
+    becomes reachable at HALF the rule beam (BASELINE.md round-10).
+    Returns ``{tenant: {beam, hops, n_entry, m}}``, the
+    `graph_auto_config` shape; ``config="calibrated"`` threads here
+    from the cached and aliased graph serves."""
     from embeddingsearch_spark.operators.ann import ann_recall
 
     rule = graph_auto_config(
