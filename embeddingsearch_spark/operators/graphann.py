@@ -1427,6 +1427,7 @@ def retrain_federated_graph_tenants(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    long_range: int | None = None,
 ) -> str:
     """Single-collection quantizer retrain for the multi-tenant graph
     index — `retrain_federated_ivf_tenants`' shape for the graph
@@ -1437,7 +1438,11 @@ def retrain_federated_graph_tenants(
     flagged collections' quantizer rows (its collection values define
     who retrains); ``tenant_corpus`` is those collections' FULL
     current corpus. The maintained ``{prefix}_vectors`` table (when
-    the index is stream-fed) swaps the same way."""
+    the index is stream-fed) swaps the same way. On a LONG-RANGE
+    generation pass ``long_range`` (the build's links/node): the
+    flagged tenants' md5 ring is rebuilt over their current corpus —
+    the refresh point the incremental upserts defer to (raises if
+    omitted, rather than silently dropping the ring)."""
     from embeddingsearch_spark.sink import PartitionOverwriteSink
     from embeddingsearch_spark.storage import drop_tenant_partitions
 
@@ -1455,7 +1460,30 @@ def retrain_federated_graph_tenants(
     pairs = block_pair_sims_federated(
         tenant_corpus, assigned, partition_col=partition_col,
         id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint(eager=True)
+    )
+    if "_lr" in spark.table(f"{prefix}_pairs").columns:
+        # long-range generation: the ring is per tenant, so the
+        # retrain REBUILDS the flagged tenants' ring links over their
+        # current corpus — this is the ring-refresh point the
+        # incremental upserts defer to. The caller must say how many
+        # links/node the generation was built with; silently dropping
+        # a clustered tenant's ring would resurrect the recall
+        # ceiling the links exist to fix.
+        if long_range is None:
+            raise ValueError(
+                f"{prefix}_pairs is a long-range generation (_lr "
+                "column present) — pass long_range=<the build's "
+                "links-per-node> so the retrained tenants' ring is "
+                "rebuilt, not silently dropped"
+            )
+        pairs = pairs.withColumn("_lr", F.lit(False)).unionByName(
+            long_range_pairs(
+                tenant_corpus, int(long_range),
+                partition_col=partition_col,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
+    pairs = pairs.localCheckpoint(eager=True)
     corpus_pin = tenant_corpus.localCheckpoint(eager=True)
     sink = PartitionOverwriteSink(partition_col)
     for t in tenants:

@@ -138,3 +138,60 @@ def test_upsert_into_long_range_generation_keeps_schema_and_links(
         routed_pairs.select("_ida", "_idb", "cosine"), m=8
     ).count()
     assert with_lr > without_lr
+
+
+def test_retrain_refreshes_flagged_tenant_ring(spark):
+    """On a long-range generation the retrain arm must REBUILD the
+    flagged tenant's ring over its current corpus (raising if the
+    caller omits long_range), and leave the other tenant's ring rows
+    untouched."""
+    import pytest
+
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _clustered(spark, tenants=("acme", "globex"), n_clusters=4,
+                     per_cluster=10)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(emb, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(emb, assigned).withColumn(
+        "_lr", F.lit(False)
+    ).unionByName(
+        graphann.long_range_pairs(emb, 2, partition_col="source")
+    )
+    pre = "es_test_glr_rt"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, pre + t)
+    graphann.save_federated_graph_index(pairs, assigned, pre, n_buckets=2)
+    acme_before = sorted(
+        map(
+            tuple,
+            spark.table(pre + "_pairs")
+            .filter(F.col("source") == "acme")
+            .collect(),
+        )
+    )
+    gx = emb.filter(F.col("source") == "globex")
+    new_cents = gx.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="long-range generation"):
+        graphann.retrain_federated_graph_tenants(
+            spark, pre, gx, new_cents, n_buckets=2
+        )
+    graphann.retrain_federated_graph_tenants(
+        spark, pre, gx, new_cents, n_buckets=2, long_range=2
+    )
+    after = spark.table(pre + "_pairs")
+    # globex's ring rebuilt (ring rows present), acme byte-identical
+    assert after.filter(
+        (F.col("source") == "globex") & F.col("_lr")
+    ).count() > 0
+    acme_after = sorted(
+        map(
+            tuple,
+            after.filter(F.col("source") == "acme").collect(),
+        )
+    )
+    assert acme_after == acme_before
