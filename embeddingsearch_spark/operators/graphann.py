@@ -173,25 +173,40 @@ def long_range_pairs(
     `edges_from_pairs` keeps them UNCONDITIONALLY (a random far pair
     would always lose the local top-m cosine cut — the prune is
     exactly why the blocked graph lacked them). With
-    ``partition_col`` the ring is per collection (tenant-pure edges,
-    and the ranking window is bounded by one tenant's corpus — an
-    offline build cost, same scale shape as the block build's
-    per-block pair scoring)."""
+    ``partition_col`` the ring is per collection (tenant-pure edges).
+    Ring ranks come from `assign_group_ranks` (range-partitioned
+    two-pass) — NEVER a ``Window.partitionBy(tenant)`` whose
+    parallelism would be capped by the tenant count and wrecked by
+    one giant collection; rank is a function of the unique total
+    (hash, id) order, so the result is independent of where the range
+    boundaries land."""
+    from embeddingsearch_spark.operators.ids import assign_group_ranks
+
     group = [partition_col] if partition_col else []
-    wr = Window.partitionBy(*group).orderBy(
+    hashed = emb.select(*group, id_col).withColumn(
+        "_h",
         F.md5(
             F.concat(
                 F.lit(salt + ":"), F.col(id_col).cast("string")
             )
         ),
-        F.col(id_col).asc(),
+    )
+    gcol = partition_col
+    if not partition_col:
+        gcol = "_ring_g"
+        hashed = hashed.withColumn(gcol, F.lit(1))
+    ranked, totals = assign_group_ranks(
+        hashed, gcol, ["_h", id_col], out_col="_p0"
     )
     ring = (
-        emb.select(*group, id_col)
-        .withColumn("_p", F.row_number().over(wr))
-        .withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy(*group))
+        ranked.join(
+            F.broadcast(
+                totals.withColumnRenamed("group_total", "_n")
+            ),
+            gcol,
         )
+        .withColumn("_p", F.col("_p0") + 1)
+        .select(*group, id_col, "_p", "_n")
     )
     out = None
     for j in range(1, int(long_range) + 1):
