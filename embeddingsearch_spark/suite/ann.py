@@ -1805,11 +1805,14 @@ def q_graph_tenant_cached_serve(spark, sf_dir):
     )
 
 
-def _graph_tenant_sql() -> str:
+def _graph_tenant_sql(long_range: int = 0) -> str:
     """Per-tenant build+search chains unioned: each tenant's chain is
     `_graph_ann_sql` re-sourced to that tenant's sub-corpus (same
     per-tenant centroid rule, same tenant-local md5 entry sample the
-    federated serve computes)."""
+    federated serve computes). ``long_range`` re-derives the
+    PER-TENANT md5 ring (each chain's ring covers only its own
+    sub-corpus — the federated `long_range_pairs(partition_col=)`
+    contract)."""
     chains = []
     for parity in (0, 1):
         src = (
@@ -1817,7 +1820,8 @@ def _graph_tenant_sql() -> str:
             f"WHERE vec_id % 2 = {parity})"
         )
         chains.append(
-            f"SELECT * FROM ({_graph_ann_sql(src=src)})"
+            "SELECT * FROM "
+            f"({_graph_ann_sql(src=src, long_range=long_range)})"
         )
     return "\nUNION ALL\n".join(chains)
 
@@ -4439,3 +4443,62 @@ QUERIES["graph_ann_long_range"] = (
 # in-query blocked-kNN build (+ the ring scoring) — build bucket like
 # graph_ann_topk; serving twin: graph_ann_persisted
 BUILD_QUERIES.add("graph_ann_long_range")
+
+
+def q_graph_tenant_long_range_serve(spark, sf_dir):
+    """The FEDERATED long-range graph (round-9 judge item #5, tenant
+    shape): each collection's pair table carries ITS OWN md5 ring
+    (`long_range_pairs(partition_col=)` — ranks per tenant, so ring
+    links are tenant-pure by construction like the block edges), the
+    persisted `_pairs` table stores the ``_lr`` flag, and the routed
+    serve's edge derivation keeps the flagged links past the top-m
+    cut. Oracle: per-tenant build+search chains with the ring
+    re-derived INSIDE each tenant's sub-corpus — a ring computed
+    across tenants (wrong rank universe), a dropped flag (links
+    pruned), or a cross-tenant link all value-fail."""
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_gate_tgraph_lr"
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, prefix + t)
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    n = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(n).localCheckpoint(eager=False)
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(
+        emb, cents, partition_col="source", n_assign=2
+    )
+    pairs = graphann.block_pair_sims_federated(
+        emb, assigned, partition_col="source"
+    ).withColumn("_lr", F.lit(False)).unionByName(
+        graphann.long_range_pairs(
+            emb, long_range=2, partition_col="source"
+        )
+    )
+    graphann.save_federated_graph_index(
+        pairs, assigned, prefix, partition_col="source", n_buckets=4
+    )
+    qdf = emb.filter(F.col("vec_id") < 4)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return graphann.graph_search_federated(
+        spark, prefix, emb, queries, route, k=10, beam=24, hops=4,
+        n_entry=8, m=8, partition_col="source",
+    )
+
+
+QUERIES["graph_tenant_long_range_serve"] = (
+    q_graph_tenant_long_range_serve,
+    _graph_tenant_sql(long_range=2),
+)
+# in-query two-tenant blocked build + ring scoring — build bucket like
+# graph_tenant_serve; serving twin: graph_ann_persisted
+BUILD_QUERIES.add("graph_tenant_long_range_serve")
