@@ -4502,3 +4502,207 @@ QUERIES["graph_tenant_long_range_serve"] = (
 # in-query two-tenant blocked build + ring scoring — build bucket like
 # graph_tenant_serve; serving twin: graph_ann_persisted
 BUILD_QUERIES.add("graph_tenant_long_range_serve")
+
+
+def q_ivf_sq8_tenant_stored_calibration_serve(spark, sf_dir):
+    """PERSISTED calibration for the SIXTH family — the COMPRESSED
+    member of the stored-calibration set (`ivf/pq_tenant_stored_
+    calibration_serve` are the raw/PQ members): the widths are
+    MEASURED AGAINST THE DEQUANTIZED CODES (`calibrate_and_store_ivf
+    (assigned_df=dequantized)` — the fidelity the SQ8 serve actually
+    scores at, not the raw vectors it never reads), stored in the
+    ``{prefix}_calib`` table (both tenants at target 0.9, then a
+    tenant-scoped globex refresh at 1.0 — the drift-retrain path),
+    and the compressed serve reads them back at ``nprobe="stored"``.
+    The oracle re-derives the quantization, the dequantized exact
+    sample pass, the per-tenant CASE targets, the stored probe cut,
+    and the dequantized candidate scoring — a calibration measured
+    against raw vectors instead of codes, a refresh leaking into the
+    wrong tenant, or a serve ignoring the stored map value-fails."""
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.operators import sq
+    from embeddingsearch_spark.operators.sq import (
+        _codes_shifted,
+        _dequant_expr,
+        _join_stats,
+    )
+    from embeddingsearch_spark.storage import drop_table
+
+    prefix = "es_gate_tsq8_store"
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    stats = sq.sq8_stats(emb, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix,
+        partition_col="source", n_buckets=4,
+    )
+    drop_table(spark, prefix + "_calib")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    deq_all = _join_stats(
+        spark.table(f"{prefix}_codes"),
+        spark.table(f"{prefix}_sqstats"),
+        "source",
+    ).select(
+        "vec_id",
+        "source",
+        "centroid_id",
+        _dequant_expr(
+            "codes",
+            shifted=_codes_shifted(spark.table(f"{prefix}_codes")),
+        ).alias("embedding"),
+    )
+    cal_ops.calibrate_and_store_ivf(
+        spark, prefix, queries, route, recall_target=0.9,
+        partition_col="source", assigned_df=deq_all,
+    )
+    cal_ops.calibrate_and_store_ivf(
+        spark, prefix, queries, route, tenants=["globex"],
+        recall_target=1.0, partition_col="source",
+        assigned_df=deq_all,
+    )
+    return sq.ivf_sq8_federated_from_index(
+        spark, prefix, queries, route, k=10, nprobe="stored",
+        partition_col="source",
+    )
+
+
+def _ivf_sq8_tenant_stored_sql() -> str:
+    """The compressed stored-calibration oracle: quantization CTEs
+    first (the probe's exact pass needs the DEQUANTIZED corpus), the
+    measured per-tenant widths at CASE targets (globex refreshed at
+    1.0), the stored probe cut, then the dequantized candidate
+    scoring tail (reusing the same quantization CTEs — defined once
+    in the probe block)."""
+    target = "CASE WHEN source = 'globex' THEN 1.0 ELSE 0.9 END"
+    probe_sql = f"""sdims AS (
+  SELECT source, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM src
+),
+sstats AS (
+  SELECT source, i, min(x) AS mn, max(x) - min(x) AS sp
+  FROM sdims GROUP BY source, i
+),
+scodes AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(255, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 255 + 0.5))) END AS c
+  FROM sdims d JOIN sstats s ON s.source = d.source AND s.i = d.i
+),
+sdeq AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 255 + s.mn AS x
+  FROM scodes c JOIN sstats s ON s.source = c.source AND s.i = c.i
+),
+prank AS (
+  SELECT query_id, centroid_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, centroid_id ASC) AS r
+  FROM probe_sims
+),
+sampleq AS (
+  SELECT query_id, source, qv FROM (
+    SELECT query_id, source, qv,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY query_id ASC) AS sr
+    FROM q
+  ) WHERE sr <= 64
+),
+sqdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM sampleq
+),
+exact_elems AS (
+  SELECT sq.query_id, d.vec_id, d.x, sq.y
+  FROM sqdims sq
+  JOIN sdeq d ON d.source = sq.source AND d.i = sq.i
+),
+exact_sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS sim
+  FROM exact_elems GROUP BY query_id, vec_id
+),
+exactk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS r
+    FROM exact_sims
+  ) WHERE r <= 10
+),
+needs AS (
+  SELECT x.query_id, q.source, pr.r AS need
+  FROM exactk x
+  JOIN assigned a ON a.vec_id = x.vec_id
+  JOIN prank pr ON pr.query_id = x.query_id
+              AND pr.centroid_id = a.centroid_id
+  JOIN q ON q.query_id = x.query_id
+),
+cal AS (
+  SELECT source, need AS w FROM (
+    SELECT source, need,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY need ASC) AS rr,
+           count(*) OVER (PARTITION BY source) AS m
+    FROM needs
+  ) WHERE rr = CAST(ceil(({target}) * m) AS BIGINT)
+),
+probe AS (
+  SELECT pr.query_id, pr.centroid_id
+  FROM prank pr
+  JOIN q ON q.query_id = pr.query_id
+  JOIN cal c ON c.source = q.source
+  WHERE pr.r <= c.w
+)"""
+    tail_sql = f"""qdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM q
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+),
+cpairs AS (
+  SELECT c.query_id, c.vec_id, d.x, qd.y
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN sdeq d ON d.vec_id = c.vec_id AND d.source = q.source
+  JOIN qdims qd ON qd.query_id = c.query_id AND qd.i = d.i
+),
+cand_sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM cpairs GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand_sims
+) WHERE rank <= 10"""
+    return _ivf_tenant_sql(probe_sql=probe_sql, tail_sql=tail_sql)
+
+
+QUERIES["ivf_sq8_tenant_stored_calibration_serve"] = (
+    q_ivf_sq8_tenant_stored_calibration_serve,
+    _ivf_sq8_tenant_stored_sql(),
+)
+# calibrate->refresh->serve lifecycle (two measurements) — build
+# bucket; headline twins: ivf_sq8_tenant_serve / ivf_tenant_stored_serve
+BUILD_QUERIES.add("ivf_sq8_tenant_stored_calibration_serve")
