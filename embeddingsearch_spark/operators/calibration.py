@@ -466,6 +466,74 @@ def retrain_and_recalibrate_ivf_tenants(
     )
 
 
+def retrain_and_recalibrate_ivf_sq8_tenants(
+    spark,
+    prefix: str,
+    tenant_corpus: DataFrame,
+    new_centroids: DataFrame,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    recall_target: float = 0.9,
+    k: int = 10,
+    sample_per_tenant: int = 64,
+    corpus_sample: float | None = None,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    n_buckets: int = 8,
+) -> dict:
+    """`retrain_and_recalibrate_ivf_tenants` for the COMPRESSED
+    family — the clamp flag's full action arm: swap the flagged
+    collections' quantizer AND quantization ranges, re-encode their
+    vectors (`retrain_federated_ivf_sq8_tenants`), then re-measure
+    exactly those collections' probe widths AGAINST THE RETRAINED
+    DEQUANTIZED CODES (the fidelity the serve scores at) and swap
+    their ``{prefix}_calib`` partitions. A stored-mode SQ8 serve then
+    picks up the refresh with no other change. Returns the stored
+    {tenant: nprobe} map for the retrained tenants."""
+    from embeddingsearch_spark.operators.sq import (
+        _codes_shifted,
+        _dequant_expr,
+        _join_stats,
+        retrain_federated_ivf_sq8_tenants,
+    )
+
+    retrain_federated_ivf_sq8_tenants(
+        spark, prefix, tenant_corpus, new_centroids,
+        partition_col=partition_col, id_col=id_col, vec_col=vec_col,
+        codes_col=codes_col, centroid_id_col=centroid_id_col,
+        n_buckets=n_buckets,
+    )
+    tenants = [
+        str(r[0])
+        for r in new_centroids.select(partition_col)
+        .distinct()
+        .collect()
+    ]  # bounded: one row per retrained collection
+    codes_tbl = spark.table(f"{prefix}_codes")
+    deq_all = _join_stats(
+        codes_tbl, spark.table(f"{prefix}_sqstats"), partition_col
+    ).select(
+        id_col,
+        partition_col,
+        centroid_id_col,
+        _dequant_expr(
+            codes_col, shifted=_codes_shifted(codes_tbl, codes_col)
+        ).alias(vec_col),
+    )
+    return calibrate_and_store_ivf(
+        spark, prefix, sample_queries, route, tenants=tenants,
+        recall_target=recall_target, k=k,
+        sample_per_tenant=sample_per_tenant,
+        corpus_sample=corpus_sample, partition_col=partition_col,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        centroid_id_col=centroid_id_col, assigned_df=deq_all,
+    )
+
+
 # ------------------------------------------------------- observability
 
 

@@ -326,3 +326,141 @@ def test_pq_graph_aliased_and_cached_stored_serves(spark, vecs):
         config="stored",
     )
     assert sorted(map(tuple, got_al.collect())) == want_rows
+
+
+def test_retrain_and_recalibrate_ivf_tenants_refreshes_one(spark, vecs):
+    """The wired action arm: retrain globex's quantizer AND refresh
+    ONLY its stored width in one call — acme's calib row (value and
+    recall_target) is byte-identical after, globex's reflects the new
+    measurement target, and the stored serve runs."""
+    prefix = "es_test_calst_rr"
+    for t in ("_assigned", "_centroids", "_calib"):
+        drop_table(spark, prefix + t)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 6)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    ann_ops.save_federated_ivf_index(
+        ann_ops.assign_centroids_federated(vecs, cents), cents, prefix,
+        n_buckets=2,
+    )
+    queries, route = _queries_route(vecs)
+    cal.calibrate_and_store_ivf(
+        spark, prefix, queries, route, recall_target=0.9
+    )
+    acme_before = sorted(
+        map(
+            tuple,
+            spark.table(prefix + "_calib")
+            .filter(F.col("source") == "acme")
+            .collect(),
+        )
+    )
+    gx = vecs.filter(F.col("source") == "globex")
+    new_cents = (
+        gx.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 9)  # re-sized quantizer
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    widths = cal.retrain_and_recalibrate_ivf_tenants(
+        spark, prefix, gx, new_cents, queries, route,
+        recall_target=1.0, n_buckets=2,
+    )
+    assert set(widths) == {"globex"}
+    tbl = spark.table(prefix + "_calib")
+    acme_after = sorted(
+        map(tuple, tbl.filter(F.col("source") == "acme").collect())
+    )
+    assert acme_after == acme_before
+    gx_row = tbl.filter(F.col("source") == "globex").collect()
+    assert len(gx_row) == 1 and gx_row[0]["recall_target"] == 1.0
+    assert gx_row[0]["value"] == widths["globex"]
+    served = ann_ops.ivf_federated_from_index(
+        spark, prefix, queries, route, k=5, nprobe="stored"
+    )
+    assert served.count() > 0
+
+
+def test_retrain_and_recalibrate_sq8_measures_dequantized(spark, vecs):
+    """The SQ8 twin: the refresh swaps quantizer AND ranges for the
+    flagged tenant, and the re-measurement runs against the RETRAINED
+    dequantized codes; acme's calib partition is untouched and the
+    compressed stored serve runs."""
+    from embeddingsearch_spark.operators import sq
+
+    prefix = "es_test_calst_rrsq8"
+    for t in ("_codes", "_centroids", "_sqstats", "_calib"):
+        drop_table(spark, prefix + t)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 6)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = sq.sq8_stats(vecs, partition_col="source")
+    sq.save_federated_ivf_sq8_index(
+        spark,
+        ann_ops.assign_centroids_federated(vecs, cents),
+        cents, stats, prefix, n_buckets=2,
+    )
+    queries, route = _queries_route(vecs)
+    from embeddingsearch_spark.operators.sq import (
+        _dequant_expr,
+        _join_stats,
+    )
+
+    deq = _join_stats(
+        spark.table(prefix + "_codes"),
+        spark.table(prefix + "_sqstats"),
+        "source",
+    ).select(
+        "vec_id",
+        "source",
+        "centroid_id",
+        _dequant_expr("codes").alias("embedding"),
+    )
+    cal.calibrate_and_store_ivf(
+        spark, prefix, queries, route, recall_target=0.9,
+        assigned_df=deq,
+    )
+    acme_before = sorted(
+        map(
+            tuple,
+            spark.table(prefix + "_calib")
+            .filter(F.col("source") == "acme")
+            .collect(),
+        )
+    )
+    gx = vecs.filter(F.col("source") == "globex")
+    new_cents = (
+        gx.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 9)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    widths = cal.retrain_and_recalibrate_ivf_sq8_tenants(
+        spark, prefix, gx, new_cents, queries, route,
+        recall_target=1.0, n_buckets=2,
+    )
+    assert set(widths) == {"globex"}
+    tbl = spark.table(prefix + "_calib")
+    assert sorted(
+        map(tuple, tbl.filter(F.col("source") == "acme").collect())
+    ) == acme_before
+    gx_row = tbl.filter(F.col("source") == "globex").collect()
+    assert len(gx_row) == 1 and gx_row[0]["recall_target"] == 1.0
+    served = sq.ivf_sq8_federated_from_index(
+        spark, prefix, queries, route, k=5, nprobe="stored"
+    )
+    assert served.count() > 0
