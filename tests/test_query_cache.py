@@ -771,3 +771,134 @@ def test_calibrated_cached_serve_is_lazy(spark, monkeypatch):
     ).collect()
     assert probe_calls == [[100, 101], [100, 101]]
     assert cal_calls == [[100, 101]]  # explicit mode never measures
+
+
+def test_calibrated_cached_serve_is_lazy_pq_graph_sq8(
+    spark, monkeypatch
+):
+    """The lazy-"calibrated" contract across the OTHER three federated
+    cached serves (the IVF twin has its own spy test): a fully-warm
+    serve runs neither the calibration measurement nor the index/
+    corpus compute — for PQ, graph, and SQ8."""
+    from embeddingsearch_spark.operators import ann as ann_ops
+    from embeddingsearch_spark.operators import graphann
+    from embeddingsearch_spark.operators import pq as pq_ops
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.operators import sq
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = spark.createDataFrame(
+        [
+            (i, [1.0 * (i % 3), 0.5 * ((i + 1) % 4), 0.25 * (i % 5),
+                 1.0 - 0.1 * (i % 7)],
+             ("acme", "globex")[i % 2])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<double>, source string",
+    ).localCheckpoint(eager=True)
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.5, 0.25, 0.9]), (101, [0.0, 1.0, 0.5, 0.8])],
+        "query_id long, embedding array<double>",
+    )
+    route = spark.createDataFrame(
+        [(100, "acme"), (101, "globex")],
+        "query_id long, source string",
+    )
+    v1 = {"acme": "v1", "globex": "v1"}
+
+    # ---- PQ ----
+    cbs = pq_ops.initial_codebooks_federated(emb, m_sub=2, k_codes=4)
+    coded = pq_ops.encode_pq_federated(emb, cbs)
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_test_lazypq" + t)
+    drop_table(spark, "es_test_lazypq_cache")
+    pq_ops.save_federated_pq_index(coded, cbs, "es_test_lazypq",
+                                   n_buckets=2)
+    pq_cal_calls = []
+    real_pq_cal = pq_ops.pq_calibrated_factor
+
+    def spy_pq_cal(*a, **kw):
+        pq_cal_calls.append(1)
+        return real_pq_cal(*a, **kw)
+
+    monkeypatch.setattr(pq_ops, "pq_calibrated_factor", spy_pq_cal)
+    cold = qc.serve_pq_federated_cached(
+        spark, "es_test_lazypq_cache", "es_test_lazypq", qs, route,
+        v1, k=5, emb=emb, config="calibrated",
+    )
+    want = sorted(map(tuple, cold.collect()))
+    assert pq_cal_calls == [1]
+    warm = qc.serve_pq_federated_cached(
+        spark, "es_test_lazypq_cache", "es_test_lazypq", qs, route,
+        v1, k=5, emb=emb, config="calibrated",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    assert pq_cal_calls == [1]  # warm: no re-measurement
+
+    # ---- graph ----
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = graphann.assign_blocks_federated(emb, cents, n_assign=2)
+    for t in ("_pairs", "_assigned"):
+        drop_table(spark, "es_test_lazyg" + t)
+    drop_table(spark, "es_test_lazyg_cache")
+    graphann.save_federated_graph_index(
+        graphann.block_pair_sims_federated(emb, assigned), assigned,
+        "es_test_lazyg", n_buckets=2,
+    )
+    g_cal_calls = []
+    real_g_cal = graphann.graph_calibrated_config
+
+    def spy_g_cal(*a, **kw):
+        g_cal_calls.append(1)
+        return real_g_cal(*a, **kw)
+
+    monkeypatch.setattr(
+        graphann, "graph_calibrated_config", spy_g_cal
+    )
+    cold = qc.serve_graph_federated_cached(
+        spark, "es_test_lazyg_cache", "es_test_lazyg", emb, qs, route,
+        v1, k=5, config="calibrated",
+    )
+    want = sorted(map(tuple, cold.collect()))
+    assert g_cal_calls == [1]
+    warm = qc.serve_graph_federated_cached(
+        spark, "es_test_lazyg_cache", "es_test_lazyg", emb, qs, route,
+        v1, k=5, config="calibrated",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    assert g_cal_calls == [1]
+
+    # ---- SQ8 ----
+    stats = sq.sq8_stats(emb, partition_col="source")
+    icents = emb.filter(F.col("vec_id") < 4).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    iassigned = ann_ops.assign_centroids_federated(emb, icents)
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, "es_test_lazysq8" + t)
+    drop_table(spark, "es_test_lazysq8_cache")
+    sq.save_federated_ivf_sq8_index(
+        spark, iassigned, icents, stats, "es_test_lazysq8", n_buckets=2
+    )
+    sq8_cal_calls = []
+    real_ivf_cal = ann_ops.ivf_calibrated_nprobe
+
+    def spy_ivf_cal(*a, **kw):
+        sq8_cal_calls.append(1)
+        return real_ivf_cal(*a, **kw)
+
+    monkeypatch.setattr(ann_ops, "ivf_calibrated_nprobe", spy_ivf_cal)
+    cold = qc.serve_ivf_sq8_federated_cached(
+        spark, "es_test_lazysq8_cache", "es_test_lazysq8", qs, route,
+        v1, k=5, nprobe="calibrated",
+    )
+    want = sorted(map(tuple, cold.collect()))
+    assert sq8_cal_calls == [1]
+    warm = qc.serve_ivf_sq8_federated_cached(
+        spark, "es_test_lazysq8_cache", "es_test_lazysq8", qs, route,
+        v1, k=5, nprobe="calibrated",
+    )
+    assert sorted(map(tuple, warm.collect())) == want
+    assert sq8_cal_calls == [1]
