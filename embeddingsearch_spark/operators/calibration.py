@@ -466,6 +466,55 @@ def retrain_and_recalibrate_ivf_tenants(
     )
 
 
+def retrain_and_recalibrate_pq_tenants(
+    spark,
+    prefix: str,
+    emb: DataFrame,
+    tenant_corpus: DataFrame,
+    new_codebooks_by: dict,
+    sample_queries: DataFrame,
+    route: DataFrame,
+    recall_target: float = 0.9,
+    k: int = 10,
+    sample_per_tenant: int = 64,
+    max_factor: int = 64,
+    corpus_sample: float | None = None,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    n_buckets: int = 8,
+) -> dict:
+    """`retrain_and_recalibrate_ivf_tenants` for the PQ family: swap
+    the flagged collections' codebooks + re-encode their vectors
+    (`retrain_federated_pq_tenants`), then re-measure exactly those
+    collections' refine factors against the RETRAINED codes
+    (`calibrate_and_store_pq(tenants=...)`) and swap their
+    ``{prefix}_calib`` partitions — a ``config="stored"`` PQ serve
+    picks the refresh up with no other change. ``emb`` is the
+    raw-vector frame the refined serve re-ranks from (the calibration
+    ground truth). Returns the stored {tenant: refine_factor} map."""
+    from embeddingsearch_spark.operators.pq import (
+        retrain_federated_pq_tenants,
+    )
+
+    retrain_federated_pq_tenants(
+        spark, prefix, tenant_corpus, new_codebooks_by,
+        partition_col=partition_col, id_col=id_col, vec_col=vec_col,
+        codes_col=codes_col, n_buckets=n_buckets,
+    )
+    tenants = sorted(str(t) for t in new_codebooks_by)
+    return calibrate_and_store_pq(
+        spark, prefix, emb, sample_queries, route, tenants=tenants,
+        recall_target=recall_target, k=k,
+        sample_per_tenant=sample_per_tenant, max_factor=max_factor,
+        corpus_sample=corpus_sample, partition_col=partition_col,
+        id_col=id_col, codes_col=codes_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
 def retrain_and_recalibrate_ivf_sq8_tenants(
     spark,
     prefix: str,

@@ -464,3 +464,50 @@ def test_retrain_and_recalibrate_sq8_measures_dequantized(spark, vecs):
         spark, prefix, queries, route, k=5, nprobe="stored"
     )
     assert served.count() > 0
+
+
+def test_retrain_and_recalibrate_pq_tenants_refreshes_one(spark, vecs):
+    """The PQ twin of the wired action arm: codebook swap + re-encode
+    for the flagged tenant, stored refine factor refreshed for it
+    ALONE (acme's calib row byte-identical), stored cached serve
+    runs."""
+    from embeddingsearch_spark.operators import pq as pq_ops
+
+    prefix = "es_test_calst_rrpq"
+    for t in ("_codes", "_codebooks", "_calib"):
+        drop_table(spark, prefix + t)
+    cbs = pq_ops.initial_codebooks_federated(vecs, m_sub=4, k_codes=8)
+    coded = pq_ops.encode_pq_federated(vecs, cbs)
+    pq_ops.save_federated_pq_index(coded, cbs, prefix, n_buckets=2)
+    queries, route = _queries_route(vecs)
+    cal.calibrate_and_store_pq(
+        spark, prefix, vecs, queries, route, recall_target=0.9
+    )
+    acme_before = sorted(
+        map(
+            tuple,
+            spark.table(prefix + "_calib")
+            .filter(F.col("source") == "acme")
+            .collect(),
+        )
+    )
+    gx = vecs.filter(F.col("source") == "globex")
+    new_cbs = pq_ops.initial_codebooks_federated(
+        gx, m_sub=4, k_codes=16
+    )
+    widths = cal.retrain_and_recalibrate_pq_tenants(
+        spark, prefix, vecs, gx, new_cbs, queries, route,
+        recall_target=1.0, n_buckets=2,
+    )
+    assert set(widths) == {"globex"}
+    tbl = spark.table(prefix + "_calib")
+    assert sorted(
+        map(tuple, tbl.filter(F.col("source") == "acme").collect())
+    ) == acme_before
+    gx_row = tbl.filter(F.col("source") == "globex").collect()
+    assert len(gx_row) == 1 and gx_row[0]["recall_target"] == 1.0
+    served = pq_ops.pq_federated_refined(
+        spark, prefix, vecs, queries, route, k=5,
+        refine_factor=max(widths.values()),
+    )
+    assert served.count() > 0
