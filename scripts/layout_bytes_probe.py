@@ -87,10 +87,31 @@ def main() -> None:
         spark, assigned, cents, stats, "es_probe_sq8t", n_buckets=4,
         codes_dtype="tinyint",
     )
+    # PQ codes layout (m_sub=8 × k=16 — the tenant-gate config): the
+    # third pricing input for serve_bytes_e2e (round-11 judge item #4)
+    from embeddingsearch_spark.operators import pq as pq_ops
+
+    for t in ("_codes", "_codebooks"):
+        drop_table(spark, "es_probe_pq" + t)
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    coded = pq_ops.encode_pq_federated(
+        emb, cbs_by, partition_col="source"
+    )
+    pq_ops.save_federated_pq_index(
+        coded, cbs_by, "es_probe_pq", partition_col="source",
+        n_buckets=4,
+    )
     raw = table_bytes_per_row(spark, "es_probe_raw_assigned")
     sq8i = table_bytes_per_row(spark, "es_probe_sq8i_codes")
     sq8t = table_bytes_per_row(spark, "es_probe_sq8t_codes")
+    pqb = table_bytes_per_row(spark, "es_probe_pq_codes")
     print(f"sf_dir={sf_dir} rows={n} dim={dim}")
+    print(
+        f"pq codes (m=8)  : {pqb:9.2f} B/row  {pqb/dim:6.3f} B/dim"
+        f"  ratio raw/pq = {raw/pqb:5.2f}x"
+    )
     print(f"raw   _assigned : {raw:9.2f} B/row  {raw/dim:6.3f} B/dim")
     print(
         f"sq8 int codes   : {sq8i:9.2f} B/row  {sq8i/dim:6.3f} B/dim"
