@@ -4291,6 +4291,109 @@ FROM (
 QUERIES["sq8_tenant_topk"] = (q_sq8_tenant_topk, SQ8_TENANT_SQL)
 
 
+def q_sq4_tenant_topk(spark, sf_dir):
+    """SQ4 packed 4-bit quantization closed into a gate — the next
+    compression rung below SQ8 (round-10 judge item #5,
+    `operators/sq.py`): the SAME per-tenant trained ranges, 16 levels
+    per dimension, TWO codes packed per byte (byte_i = c_{2i}·16 +
+    c_{2i+1}, zero-padded odd tail) — half SQ8's code bytes, measured
+    29.85 B/row vs SQ8's 55.02 at sf0.1 ×50 (BASELINE.md round-11
+    bytes-at-recall table; the quality trade is real: 0.854-0.870
+    recall@10 on the uniform worst case vs SQ8's 0.986-0.988, so SQ4
+    is the archive/first-pass tier). The oracle re-derives ranges, the
+    15-level quantize, the PACK, the UNPACK, the dequantize, and the
+    routed cosine top-10 in SQL — a nibble-order swap, a drifted
+    clamp, or a padding leak into a phantom dimension value-fails."""
+    from embeddingsearch_spark.operators import sq
+
+    emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+    stats = sq.sq8_stats(emb, partition_col="source")
+    codes = sq.sq4_encode(emb, stats, partition_col="source")
+    qdf = emb.filter(F.col("vec_id") % 13 == 0)
+    queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    route = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    return sq.sq4_topk(
+        codes, stats, queries, route, k=10, partition_col="source"
+    )
+
+
+SQ4_TENANT_SQL = f"""WITH src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+),
+dims AS (
+  SELECT source, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM src
+),
+stats AS (
+  SELECT source, i, min(x) AS mn, max(x) - min(x) AS sp
+  FROM dims GROUP BY source, i
+),
+codes AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(15, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 15 + 0.5))) END AS c
+  FROM dims d JOIN stats s ON s.source = d.source AND s.i = d.i
+),
+packed AS (
+  SELECT source, vec_id, CAST(ceil(i / 2.0) AS INT) AS b,
+         CAST(sum(CASE WHEN i % 2 = 1 THEN c * 16 ELSE c END)
+              AS INT) AS byte
+  FROM codes GROUP BY source, vec_id, CAST(ceil(i / 2.0) AS INT)
+),
+unpacked AS (
+  SELECT p.source, p.vec_id, d.i,
+         CASE WHEN d.i % 2 = 1 THEN floor(p.byte / 16)
+              ELSE p.byte % 16 END AS c
+  FROM packed p
+  JOIN (SELECT DISTINCT source, vec_id, i FROM dims) d
+    ON d.source = p.source AND d.vec_id = p.vec_id
+   AND CAST(ceil(d.i / 2.0) AS INT) = p.b
+),
+deq AS (
+  SELECT u.source, u.vec_id, u.i, u.c * s.sp / 15 + s.mn AS x
+  FROM unpacked u
+  JOIN stats s ON s.source = u.source AND s.i = u.i
+),
+q AS (
+  SELECT vec_id AS query_id, source, embedding AS qv FROM src
+  WHERE vec_id % 13 = 0
+),
+qdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM q
+),
+pairs AS (
+  SELECT qd.query_id, d.vec_id, d.x, qd.y
+  FROM qdims qd
+  JOIN deq d ON d.source = qd.source AND d.i = qd.i
+),
+sims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM pairs GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10"""
+
+
+QUERIES["sq4_tenant_topk"] = (q_sq4_tenant_topk, SQ4_TENANT_SQL)
+
+
 def q_ivf_sq8_tenant_serve(spark, sf_dir):
     """COMPRESSED IVF closed into a gate — the two scale levers
     composed (`save_federated_ivf_sq8_index` /

@@ -87,6 +87,25 @@ def main() -> None:
         spark, assigned, cents, stats, "es_probe_sq8t", n_buckets=4,
         codes_dtype="tinyint",
     )
+    # SQ4 packed codes in the SAME table shape as the SQ8 layout
+    # ((vec_id, codes) partitioned by (source, centroid), bucketed) —
+    # the round-11 bytes-at-recall comparison input
+    from embeddingsearch_spark.storage import replace_bucketed
+
+    drop_table(spark, "es_probe_sq4_codes")
+    sq4coded = (
+        assigned.select("vec_id", "source", "centroid_id")
+        .join(
+            sq.sq4_encode(emb, stats, partition_col="source"),
+            ["vec_id", "source"],
+        )
+        .select("vec_id", "source", "centroid_id", "codes")
+    )
+    replace_bucketed(
+        sq4coded, "es_probe_sq4_codes", ["vec_id"], n_buckets=4,
+        partition_cols=["source", "centroid_id"],
+    )
+
     # PQ codes layout (m_sub=8 × k=16 — the tenant-gate config): the
     # third pricing input for serve_bytes_e2e (round-11 judge item #4)
     from embeddingsearch_spark.operators import pq as pq_ops
@@ -106,8 +125,13 @@ def main() -> None:
     raw = table_bytes_per_row(spark, "es_probe_raw_assigned")
     sq8i = table_bytes_per_row(spark, "es_probe_sq8i_codes")
     sq8t = table_bytes_per_row(spark, "es_probe_sq8t_codes")
+    sq4b = table_bytes_per_row(spark, "es_probe_sq4_codes")
     pqb = table_bytes_per_row(spark, "es_probe_pq_codes")
     print(f"sf_dir={sf_dir} rows={n} dim={dim}")
+    print(
+        f"sq4 packed      : {sq4b:9.2f} B/row  {sq4b/dim:6.3f} B/dim"
+        f"  ratio raw/sq4 = {raw/sq4b:5.2f}x  sq8/sq4 = {sq8i/sq4b:5.2f}x"
+    )
     print(
         f"pq codes (m=8)  : {pqb:9.2f} B/row  {pqb/dim:6.3f} B/dim"
         f"  ratio raw/pq = {raw/pqb:5.2f}x"
