@@ -287,9 +287,11 @@ def sq4_encode(
     n_bytes = F.ceil(F.size(F.col("mins")) / F.lit(2.0)).cast("int")
     packed = F.transform(
         F.sequence(F.lit(1), n_bytes),
+        # F.get is 0-based and NULL-safe past the end — the odd final
+        # dim's missing partner pads 0 instead of an ANSI index error
         lambda b: (
-            F.element_at(logical, b * 2 - 1) * 16
-            + F.coalesce(F.element_at(logical, b * 2), F.lit(0))
+            F.get(logical, b * 2 - 2) * 16
+            + F.coalesce(F.get(logical, b * 2 - 1), F.lit(0))
         ).cast("int"),
     )
     return j.select(*keep, packed.alias(codes_col))
@@ -298,9 +300,7 @@ def sq4_encode(
 def _sq4_code_at(codes_col: str, i):
     """Logical 4-bit code of 0-based dim ``i`` from the packed byte
     array: high nibble for even dims, low nibble for odd."""
-    byte = F.element_at(
-        F.col(codes_col), (F.floor(i / 2) + 1).cast("int")
-    )
+    byte = F.get(F.col(codes_col), F.floor(i / 2).cast("int"))
     return F.when(i % 2 == 0, F.floor(byte / 16)).otherwise(
         byte % 16
     ).cast("double")
@@ -324,7 +324,7 @@ def sq4_dequantize(
         F.col("mins"),
         lambda mn, i: mn
         + _sq4_code_at(codes_col, i)
-        * F.element_at(F.col("spans"), (i + 1).cast("int"))
+        * F.get(F.col("spans"), i.cast("int"))
         / 15,
     )
     return j.select(*keep, deq.alias(vec_col))

@@ -678,3 +678,98 @@ def test_sq8_upsert_refuses_half_onboarded_tenant(spark):
         ),
         n_buckets=2,
     )
+
+
+# ------------------------------------------------------------- SQ4
+
+
+def test_sq4_pack_shape_and_roundtrip_bound(spark):
+    """Packed length = ceil(dim/2), byte values in [0, 255], and the
+    unpack+dequantize round-trip error stays within span/30 per dim
+    (zero-span dims exact) — including an ODD dim count, where the
+    padded nibble must not leak a phantom dimension."""
+    for dim in (12, 13):
+        emb = _vecs(spark, dim=dim)
+        stats = sq.sq8_stats(emb, partition_col="source")
+        codes = sq.sq4_encode(emb, stats, partition_col="source")
+        r = codes.agg(
+            F.max(F.size("codes")), F.min(F.size("codes")),
+            F.max(F.array_max("codes")), F.min(F.array_min("codes")),
+        ).collect()[0]
+        assert r[0] == r[1] == (dim + 1) // 2
+        assert 0 <= r[3] and r[2] <= 255
+        deq = sq.sq4_dequantize(codes, stats, partition_col="source")
+        assert deq.select(F.size("embedding")).distinct().collect()[0][
+            0
+        ] == dim
+        viol = (
+            emb.select(
+                "vec_id", "source",
+                F.col("embedding").cast("array<double>").alias("x"),
+            )
+            .join(deq.withColumnRenamed("embedding", "xh"),
+                  ["vec_id", "source"])
+            .join(F.broadcast(stats), "source")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        F.zip_with("x", "xh", lambda a, b: F.abs(a - b)),
+                        "spans",
+                        lambda e, s: F.when(s == 0, e).otherwise(
+                            e - s / 30 - 1e-9
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: F.greatest(acc, v),
+                ).alias("v")
+            )
+            .agg(F.max("v"))
+            .collect()[0][0]
+        )
+        assert viol <= 0.0
+
+
+def test_sq4_topk_routes_and_ranks(spark):
+    """Routed SQ4 serve: every query's results stay inside its own
+    collection, ranks are 1..k dense, and recall against exact brute
+    force is materially above chance (the 4-bit tier's documented
+    quality level, not SQ8's)."""
+    emb = _vecs(spark, dim=16, n=120)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    codes = sq.sq4_encode(emb, stats, partition_col="source")
+    qdf = emb.filter(F.col("vec_id") % 7 == 0)
+    qs = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    rt = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    out = sq.sq4_topk(
+        codes, stats, qs, rt, k=5, partition_col="source"
+    ).cache()
+    # tenant isolation: result ids share the query's parity/source
+    leak = (
+        out.join(rt, "query_id")
+        .filter(
+            (F.col("source") == "acme") & (F.col("vec_id") % 2 != 0)
+            | (F.col("source") == "globex") & (F.col("vec_id") % 2 == 0)
+        )
+        .count()
+    )
+    assert leak == 0
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert per_q.filter((F.col("n") != 5) | (F.col("mx") != 5)).count() == 0
+    exact = None
+    for t in ("acme", "globex"):
+        tq = qs.join(
+            rt.filter(F.col("source") == t).select("query_id"),
+            "query_id",
+        )
+        p = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t), tq, k=5
+        )
+        exact = p if exact is None else exact.unionByName(p)
+    rec = (
+        ann_ops.ann_recall(out, exact, k=5)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert rec > 0.5, rec
