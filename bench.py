@@ -11,7 +11,7 @@ shuffle, excludes driver-side collect), after one warm-up of the session.
 Run policy (see the loop below): build rows run once; serve rows run
 median-of-3; serve rows with a registered SETUP_SERVE split run their
 index-construction setup once UNTIMED and time the serve alone; the
-whole run degrades run counts to fit BENCH_BUDGET_SEC (default 2400 s)
+whole run degrades run counts to fit BENCH_BUDGET_SEC (default 2200 s)
 instead of overrunning the driver's window.
 
 BUILD vs SERVE: the headline `value` sums SERVING-shaped queries — the
@@ -119,14 +119,14 @@ def main() -> None:
     #   * Remaining serve rows keep MEDIAN-of-3 (round-9 judge item #1:
     #     defensible noise floor; steady-state warm time is what scales
     #     to a real cluster).
-    #   * BENCH_BUDGET_SEC (default 2400) is a deadline: once the pace
+    #   * BENCH_BUDGET_SEC (default 2200) is a deadline: once the pace
     #     projection says full run counts would overrun it, remaining
     #     serve rows degrade to 2 then 1 timed runs — a complete record
     #     with a noted noise floor beats an rc=124 timeout with none.
     import gc
     import statistics
 
-    budget = float(os.environ.get("BENCH_BUDGET_SEC", "2400"))
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "2200"))
     t_start = time.perf_counter()
     all_queries = entry_mod.queries()
     n_total = len(all_queries)
