@@ -30,13 +30,17 @@ def test_config_rule_widens_only_below_threshold():
 def _corpus(spark, clustered: bool):
     rng = np.random.default_rng(7)
     rows = []
+    # dim 32: the gain statistic is dimension-sensitive — gaussian
+    # random at dim 8 reads ~0.07 (block co-membership correlates with
+    # cosine in low dim), dim 32 reads ~0.02 like the real 64-dim
+    # testdata; the steer targets the high-dim regime embeddings live in
     for i in range(160):
         if clustered:
             c = i % 4
-            v = rng.normal(size=8) * 0.05
+            v = rng.normal(size=32) * 0.05
             v[c] += 3.0
         else:
-            v = rng.normal(size=8)
+            v = rng.normal(size=32)
         rows.append((i, [float(x) for x in v], ("acme", "globex")[i % 2]))
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, source string"
@@ -105,3 +109,21 @@ def test_structure_gain_requires_lr_generation(spark):
     )
     with pytest.raises(ValueError, match="_lr"):
         graphann.graph_structure_gain(spark, "es_t_steer_plain")
+
+
+def test_graph_auto_config_threads_steer(spark):
+    """`graph_auto_config(steer_low_structure=True)` widens the
+    low-structure (uniform) tenants' beams from the live index and
+    leaves the plain call untouched."""
+    _build_lr(spark, _corpus(spark, False), "es_t_steer_ac")
+    plain = graphann.graph_auto_config(
+        spark, "es_t_steer_ac", partition_col="source"
+    )
+    steered = graphann.graph_auto_config(
+        spark, "es_t_steer_ac", partition_col="source",
+        steer_low_structure=True,
+    )
+    for t in plain:
+        assert steered[t]["beam"] > plain[t]["beam"]
+        assert steered[t]["hops"] == plain[t]["hops"]
+        assert steered[t]["m"] == plain[t]["m"]
