@@ -797,6 +797,7 @@ def serve_bytes_e2e(
     raw_bytes_per_row: float,
     sq8_bytes_per_row: float,
     pq_bytes_per_row: float,
+    sq4_bytes_per_row: float | None = None,
     k: int = 10,
     nprobe: int | dict | str = 2,
     pq_refine_factor: int = 8,
@@ -816,6 +817,12 @@ def serve_bytes_e2e(
       the SQ8 codes layout's B/row; refine = 0 BY DESIGN in this
       engine (the serve dequantizes in place and scores at full
       precision — there is no raw-vector rerank to price).
+    - ``sq4``   — (when ``sq4_bytes_per_row`` is given) the packed
+      4-bit archive tier: the identical probed row pattern at the SQ4
+      codes layout's B/row, refine = 0 like SQ8 — but note its
+      measured recall tier is ~0.85 on structureless corpora
+      (BASELINE.md round-11 bytes-at-recall table), so production
+      serves pair it with an exact or SQ8 re-check.
     - ``pq``    — the federated ADC serve with exact re-rank
       (`pq_federated_refined`): the ADC pass reads EVERY code row of
       the routed tenant per query (scan = n_queries × corpus_rows at
@@ -867,7 +874,7 @@ def serve_bytes_e2e(
     pq_refine = F.col("n_queries") * F.least(
         F.lit(int(pq_refine_factor) * int(k)), F.col("corpus_rows")
     )
-    return (
+    out = (
         _family("raw", F.col("rows_scanned"), raw_bytes_per_row,
                 zero, raw_bytes_per_row)
         .unionByName(
@@ -879,3 +886,9 @@ def serve_bytes_e2e(
                     pq_refine, raw_bytes_per_row)
         )
     )
+    if sq4_bytes_per_row is not None:
+        out = out.unionByName(
+            _family("sq4", F.col("rows_scanned"), sq4_bytes_per_row,
+                    zero, raw_bytes_per_row)
+        )
+    return out

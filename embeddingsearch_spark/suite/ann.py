@@ -4950,11 +4950,13 @@ def q_tenant_serve_bytes_e2e(spark, sf_dir):
     stage's raw-vector fetches the scan-only report missed. Three
     rows per tenant: raw IVF (scan-only by design), compressed IVF
     SQ8 (identical probed row pattern at the codes layout's B/row;
-    refine = 0 — the serve dequantizes in place), and the federated
-    PQ refined serve (full-tenant ADC pass at the PQ codes B/row +
-    min(factor·k, corpus) raw fetches per query). B/row inputs are
-    the sf0.1 ×50-amortized `table_bytes_per_row` measurements
-    (raw 261.02 / SQ8 55.02 / PQ 7.99 — scripts/layout_bytes_probe.py,
+    refine = 0 — the serve dequantizes in place), the packed-4-bit
+    SQ4 archive tier (same pattern at 29.85 B/row; its ~0.85 recall
+    tier is the documented trade), and the federated PQ refined serve
+    (full-tenant ADC pass at the PQ codes B/row + min(factor·k,
+    corpus) raw fetches per query). B/row inputs are the sf0.1
+    ×50-amortized `table_bytes_per_row` measurements
+    (raw 261.02 / SQ8 55.02 / SQ4 29.85 / PQ 7.99 — scripts/layout_bytes_probe.py,
     BASELINE.md round-11). The oracle re-probes every query,
     re-aggregates cell sizes, and re-derives BOTH stages' byte totals
     per family — a report that drops the refine stage, mis-floors a
@@ -4987,7 +4989,8 @@ def _e2e_serve(spark, sf_dir):
     return cal_ops.serve_bytes_e2e(
         spark, "es_gate_e2e", queries, route,
         raw_bytes_per_row=261.02, sq8_bytes_per_row=55.02,
-        pq_bytes_per_row=7.99, k=10, nprobe=4, pq_refine_factor=8,
+        pq_bytes_per_row=7.99, sq4_bytes_per_row=29.85,
+        k=10, nprobe=4, pq_refine_factor=8,
         partition_col="source",
     )
 
@@ -5016,7 +5019,8 @@ scanrows AS (
 ),
 fams AS (
   SELECT * FROM (VALUES
-    ('raw', 261.02, 0), ('sq8', 55.02, 0), ('pq', 7.99, 1)
+    ('raw', 261.02, 0), ('sq8', 55.02, 0), ('pq', 7.99, 1),
+    ('sq4', 29.85, 0)
   ) f(family, scan_bpr, is_pq)
 ),
 priced AS (
