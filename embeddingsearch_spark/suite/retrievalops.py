@@ -1720,10 +1720,22 @@ def q_snippets_indexed(spark, sf_dir):
         best_snippets_from_index,
     )
 
-    docs = _corpus(spark, sf_dir)
+    _snip_indexed_setup(spark, sf_dir)
+    return _snip_indexed_serve(spark, sf_dir)
+
+
+def _snip_indexed_setup(spark, sf_dir):
     retrieval.build_positions_index(
-        docs, "es_gate_snip_positions", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_snip_positions", n_buckets=8
     )
+
+
+def _snip_indexed_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators.snippets import (
+        best_snippets_from_index,
+    )
+
+    docs = _corpus(spark, sf_dir)
     return best_snippets_from_index(
         spark,
         "es_gate_snip_positions",
@@ -1820,10 +1832,22 @@ def q_snippets_multi_indexed(spark, sf_dir):
         top_snippets_from_index,
     )
 
-    docs = _corpus(spark, sf_dir)
+    _snipm_indexed_setup(spark, sf_dir)
+    return _snipm_indexed_serve(spark, sf_dir)
+
+
+def _snipm_indexed_setup(spark, sf_dir):
     retrieval.build_positions_index(
-        docs, "es_gate_snipm_positions", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_snipm_positions", n_buckets=8
     )
+
+
+def _snipm_indexed_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators.snippets import (
+        top_snippets_from_index,
+    )
+
+    docs = _corpus(spark, sf_dir)
     return top_snippets_from_index(
         spark,
         "es_gate_snipm_positions",
@@ -2970,5 +2994,9 @@ SETUP_SERVE = {
     "bm25_tenant_serve": (_bm25_tenant_setup, _bm25_tenant_serve_leg),
     "bm25_tenant_cached_serve": (_bm25_tcache_setup, _bm25_tcache_serve),
     "unified_index_serve": (_unified_setup, _unified_serve),
+    "snippets_indexed": (_snip_indexed_setup, _snip_indexed_serve),
+    "snippets_multi_indexed": (
+        _snipm_indexed_setup, _snipm_indexed_serve,
+    ),
     "hybrid_indexed_serve": (_hybrid_indexed_setup, _hybrid_indexed_serve),
 }
