@@ -133,7 +133,11 @@ def main() -> None:
     degraded: list[str] = []
 
     def _runs_allowed(n_done: int) -> int:
-        if budget <= 0 or n_done == 0:
+        # below 10 completed queries the elapsed/n_done pace estimate
+        # is one-sample noise (the first run degraded search_top5 off
+        # the flagship's cost alone); 10 queries cost a few % of the
+        # budget and make the projection meaningful
+        if budget <= 0 or n_done < 10:
             return 3
         elapsed = time.perf_counter() - t_start
         remaining = budget - elapsed
