@@ -1257,6 +1257,7 @@ def graph_calibrated_config(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     salt: str = "nsw_entry",
+    steer_low_structure: bool = False,
 ) -> dict:
     """MEASURED beam widths for a persisted federated graph index —
     the graph member of the calibration set (`ivf_calibrated_nprobe`,
@@ -1284,8 +1285,16 @@ def graph_calibrated_config(
     from the cached and aliased graph serves."""
     from embeddingsearch_spark.operators.ann import ann_recall
 
+    # ``steer_low_structure``: base the ladder's FALLBACK on the
+    # steered rule — the ladder only ever narrows from the rule, so on
+    # a low-structure corpus (where no narrower beam reaches target)
+    # the measured config falls back to the WIDENED beam instead of
+    # the plain rule's under-target one (round-11; needs an lr
+    # generation). Clustered corpora keep the plain rule and the
+    # ladder still halves them.
     rule = graph_auto_config(
-        spark, prefix, partition_col, k=k, id_col=id_col
+        spark, prefix, partition_col, k=k, id_col=id_col,
+        steer_low_structure=steer_low_structure,
     )
     out = {t: dict(cfg) for t, cfg in rule.items()}
     if not rule:

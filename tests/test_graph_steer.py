@@ -127,3 +127,27 @@ def test_graph_auto_config_threads_steer(spark):
         assert steered[t]["beam"] > plain[t]["beam"]
         assert steered[t]["hops"] == plain[t]["hops"]
         assert steered[t]["m"] == plain[t]["m"]
+
+
+def test_calibrated_config_falls_back_to_steered_beam(spark):
+    """With `steer_low_structure=True` on a low-structure corpus where
+    NO ladder beam reaches the target, the measured config falls back
+    to the WIDENED rule beam (the ladder only narrows from the rule);
+    the plain call falls back to the plain rule."""
+    _build_lr(spark, _corpus(spark, False), "es_t_steer_cal")
+    emb = _corpus(spark, False)
+    qdf = emb.filter(F.col("vec_id") % 7 == 0)
+    qs = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    rt = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    plain = graphann.graph_calibrated_config(
+        spark, "es_t_steer_cal", emb, qs, rt, k=10,
+        recall_target=1.01,  # unreachable: force the rule fallback
+        sample_per_tenant=4,
+    )
+    steered = graphann.graph_calibrated_config(
+        spark, "es_t_steer_cal", emb, qs, rt, k=10,
+        recall_target=1.01, sample_per_tenant=4,
+        steer_low_structure=True,
+    )
+    for t in plain:
+        assert steered[t]["beam"] > plain[t]["beam"]
