@@ -7,7 +7,9 @@ All four return float64. Ranges (declared semantics, constants.py):
   Euclidian — 1/(1+sqrt(Σd²)) ∈ (0,1]   (RationalRemap, :106-113)
   Manhattan — 1/(1+Σ|d|)      ∈ (0,1]
   Pearson   — raw correlation in [-1,1], NOT remapped (reference quirk kept,
-              :88-104); zero variance → 0.
+              :88-104); zero OR underflowing variance → 0 (denormal inputs
+              can drive the variance product to ≤0 in float64; a NaN score
+              would poison orderBy ranking, so the denominator is guarded).
 """
 
 from __future__ import annotations
@@ -44,8 +46,14 @@ def pearson(a: Column, b: Column) -> Column:
     s22 = dot(b, b)
     s12 = dot(a, b)
     num = s12 - s1 * s2 / n
-    den = F.sqrt((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
-    return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    # Guard the variance product, not just den == 0: denormal inputs
+    # (e.g. [-1.175e-38, …]) underflow the variance to a tiny negative,
+    # sqrt goes NaN, and the NaN would poison downstream orderBy.
+    varprod = (s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+    den = F.sqrt(varprod)
+    return F.when(
+        (varprod <= 0.0) | F.isnan(den), F.lit(0.0)
+    ).otherwise(num / den)
 
 
 KERNELS = {

@@ -140,8 +140,8 @@ _SIM_CASE = """CASE simmethod
         ELSE (sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) + 1.0)/2.0 END
       WHEN 'Euclidian' THEN 1.0/(1.0+sqrt(sum((x-y)*(x-y))))
       WHEN 'Manhattan' THEN 1.0/(1.0+sum(abs(x-y)))
-      ELSE CASE WHEN sqrt((sum(x*x)-sum(x)*sum(x)/count(*))
-                       * (sum(y*y)-sum(y)*sum(y)/count(*))) = 0 THEN 0.0
+      ELSE CASE WHEN (sum(x*x)-sum(x)*sum(x)/count(*))
+                   * (sum(y*y)-sum(y)*sum(y)/count(*)) <= 0 THEN 0.0
         ELSE (sum(x*y)-sum(x)*sum(y)/count(*))
              / sqrt((sum(x*x)-sum(x)*sum(x)/count(*))
                   * (sum(y*y)-sum(y)*sum(y)/count(*))) END

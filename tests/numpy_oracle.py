@@ -33,8 +33,12 @@ def pearson(a, b):
     a, b = np.asarray(a, float), np.asarray(b, float)
     n = len(a)
     num = a @ b - a.sum() * b.sum() / n
-    den = np.sqrt((a @ a - a.sum() ** 2 / n) * (b @ b - b.sum() ** 2 / n))
-    return 0.0 if den == 0 else num / den
+    # Mirror the engine's denormal guard: variance product <= 0 (underflow
+    # on denormal inputs) or NaN → 0, never a NaN correlation.
+    varprod = (a @ a - a.sum() ** 2 / n) * (b @ b - b.sum() ** 2 / n)
+    if not varprod > 0 or np.isnan(varprod):
+        return 0.0
+    return num / np.sqrt(varprod)
 
 
 def mean(xs, **_):
