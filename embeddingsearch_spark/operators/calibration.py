@@ -801,14 +801,16 @@ def serve_bytes_e2e(
     k: int = 10,
     nprobe: int | dict | str = 2,
     pq_refine_factor: int = 8,
+    sq4_rerank_factor: int | None = None,
     partition_col: str = "source",
     **scan_kwargs,
 ) -> DataFrame:
-    """END-TO-END per-tenant byte pricing of the three serve families
-    over ONE index generation (round-10 judge Missing #3 —
+    """END-TO-END per-tenant byte pricing of the serve families over
+    ONE index generation (round-10 judge Missing #3 —
     `ivf_scan_cost(bytes_per_row=)` priced only the candidate SCAN;
     the refine stage's raw-vector fetches were inferred, not
-    reported). One report, three rows per tenant:
+    reported). One report, three-to-five rows per tenant (sq4 /
+    sq4_rerank only when priced):
 
     - ``raw``   — IVF over raw vectors: scan = rows in the probed
       cells at raw B/row; NO refine stage (candidates are scored at
@@ -823,6 +825,12 @@ def serve_bytes_e2e(
       measured recall tier is ~0.85 on structureless corpora
       (BASELINE.md round-11 bytes-at-recall table), so production
       serves pair it with an exact or SQ8 re-check.
+    - ``sq4_rerank`` — (when ``sq4_rerank_factor`` is also given) the
+      production-legal composed serve (`sq.sq4_shortlist_rerank`):
+      the SQ4 scan shortlists factor·k candidates, then
+      min(factor·k, corpus_rows) RAW vectors per query re-rank
+      exactly — SQ4's scan bytes plus a corpus-size-independent
+      refine, the recipe that lifts SQ4 to the ≥0.9 recall bar.
     - ``pq``    — the federated ADC serve with exact re-rank
       (`pq_federated_refined`): the ADC pass reads EVERY code row of
       the routed tenant per query (scan = n_queries × corpus_rows at
@@ -891,4 +899,14 @@ def serve_bytes_e2e(
             _family("sq4", F.col("rows_scanned"), sq4_bytes_per_row,
                     zero, raw_bytes_per_row)
         )
+        if sq4_rerank_factor is not None:
+            sq4_refine = F.col("n_queries") * F.least(
+                F.lit(int(sq4_rerank_factor) * int(k)),
+                F.col("corpus_rows"),
+            )
+            out = out.unionByName(
+                _family("sq4_rerank", F.col("rows_scanned"),
+                        sq4_bytes_per_row, sq4_refine,
+                        raw_bytes_per_row)
+            )
     return out

@@ -773,3 +773,51 @@ def test_sq4_topk_routes_and_ranks(spark):
         .collect()[0][0]
     )
     assert rec > 0.5, rec
+
+
+def test_sq4_shortlist_rerank_exact_when_factor_covers_corpus(spark):
+    """The composed serve's degenerate contract: with
+    shortlist_factor·k >= per-tenant corpus the rerank sees every
+    candidate and must EQUAL exact per-tenant brute force — and at a
+    small factor it must still beat the bare SQ4 scan's recall (the
+    production claim behind the archive tier's >=0.9 bar)."""
+    emb = _vecs(spark, dim=16, n=120)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    codes = sq.sq4_encode(emb, stats, partition_col="source")
+    qdf = emb.filter(F.col("vec_id") % 7 == 0)
+    qs = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    rt = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    exact = None
+    for t in ("acme", "globex"):
+        tq = qs.join(
+            rt.filter(F.col("source") == t).select("query_id"),
+            "query_id",
+        )
+        p = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t), tq, k=5
+        )
+        exact = p if exact is None else exact.unionByName(p)
+    exact = exact.cache()
+    # factor 20 * k 5 = 100 >= 60 rows/tenant -> degenerate exact
+    full = sq.sq4_shortlist_rerank(
+        codes, stats, emb, qs, rt, k=5, shortlist_factor=20,
+        partition_col="source",
+    )
+    diff = full.select("query_id", "vec_id", "cosine", "rank").exceptAll(
+        exact.select("query_id", "vec_id", "cosine", "rank")
+    )
+    assert diff.count() == 0, diff.take(5)
+    # small factor: recall must improve on the bare SQ4 scan
+    bare = sq.sq4_topk(codes, stats, qs, rt, k=5, partition_col="source")
+    rr = sq.sq4_shortlist_rerank(
+        codes, stats, emb, qs, rt, k=5, shortlist_factor=4,
+        partition_col="source",
+    )
+    rec = {
+        name: ann_ops.ann_recall(df, exact, k=5)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+        for name, df in (("bare", bare), ("rerank", rr))
+    }
+    assert rec["rerank"] >= rec["bare"], rec
+    assert rec["rerank"] > 0.9, rec
