@@ -511,3 +511,78 @@ def test_retrain_and_recalibrate_pq_tenants_refreshes_one(spark, vecs):
         refine_factor=max(widths.values()),
     )
     assert served.count() > 0
+
+
+def test_plan_serve_tier_picks_cheapest_eligible_and_degrades_loudly(spark):
+    """The planner chooses the cheapest family meeting the target per
+    tenant (ties by name), and when NO family meets the target it
+    chooses the highest-recall one with meets_target=0 — the honest
+    degraded choice, never a silent one."""
+    from embeddingsearch_spark.operators import calibration as cal_ops
+
+    bytes_df = spark.createDataFrame(
+        [
+            ("t1", "a", 100.0), ("t1", "b", 50.0), ("t1", "c", 10.0),
+            ("t2", "a", 100.0), ("t2", "b", 50.0), ("t2", "c", 10.0),
+        ],
+        "source string, family string, bytes_per_query double",
+    )
+    recall_df = spark.createDataFrame(
+        [
+            # t1: b and a eligible -> b (cheaper); c cheapest but fails
+            ("t1", "a", 0.99), ("t1", "b", 0.95), ("t1", "c", 0.5),
+            # t2: none eligible -> a (highest recall), flagged
+            ("t2", "a", 0.8), ("t2", "b", 0.7), ("t2", "c", 0.6),
+        ],
+        "source string, family string, recall double",
+    )
+    out = cal_ops.plan_serve_tier(
+        bytes_df, recall_df, recall_target=0.9
+    ).collect()
+    chosen = {
+        r["source"]: r for r in out if r["chosen"] == 1
+    }
+    assert chosen["t1"]["family"] == "b"
+    assert chosen["t1"]["meets_target"] == 1
+    assert chosen["t2"]["family"] == "a"
+    assert chosen["t2"]["meets_target"] == 0
+    assert len(out) == 6  # full chosen-vs-alternatives table
+
+
+def test_family_recall_store_roundtrip_and_missing_raises(spark):
+    """store_family_recall persists {family: {tenant: recall}} rows,
+    load returns them as a frame, and loading a never-written store
+    raises with the fix-it call (mirroring load_calibration)."""
+    import pytest
+
+    from embeddingsearch_spark.operators import calibration as cal_ops
+    from embeddingsearch_spark.storage import drop_table
+
+    pre = "es_test_famrec"
+    drop_table(spark, pre + cal_ops.FAMILY_RECALL_SUFFIX)
+    with pytest.raises(ValueError, match="no stored family recall"):
+        cal_ops.load_family_recall(spark, pre)
+    cal_ops.store_family_recall(
+        spark, pre,
+        {"sq8": {"acme": 0.99, "globex": 0.98},
+         "sq4": {"acme": 0.86, "globex": 0.85}},
+        recall_target=0.9,
+    )
+    rows = {
+        (r["family"], r["source"]): r["recall"]
+        for r in cal_ops.load_family_recall(spark, pre).collect()
+    }
+    assert rows[("sq8", "acme")] == 0.99
+    assert rows[("sq4", "globex")] == 0.85
+    # partition-overwrite refresh: one tenant's rows swap wholesale
+    cal_ops.store_family_recall(
+        spark, pre, {"sq8": {"acme": 0.97}}, recall_target=0.9
+    )
+    rows2 = {
+        (r["family"], r["source"]): r["recall"]
+        for r in cal_ops.load_family_recall(spark, pre).collect()
+    }
+    assert rows2[("sq8", "acme")] == 0.97
+    assert ("sq4", "acme") not in rows2  # acme partition replaced
+    assert rows2[("sq4", "globex")] == 0.85  # globex untouched
+    drop_table(spark, pre + cal_ops.FAMILY_RECALL_SUFFIX)
