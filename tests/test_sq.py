@@ -821,3 +821,168 @@ def test_sq4_shortlist_rerank_exact_when_factor_covers_corpus(spark):
     }
     assert rec["rerank"] >= rec["bare"], rec
     assert rec["rerank"] > 0.9, rec
+
+
+def test_ivf_sq4_index_family_upsert_serve_and_layout_guard(spark):
+    """The SQ4 index family (save/serve/upsert layout-detected): the
+    packed generation serves the same ranks as brute SQ4 over the
+    probed candidates, an acme-only upsert re-encodes PACKED and
+    leaves globex's files byte-identical, upsert converges to the
+    rebuild's codes, and the SQ4 server refuses an SQ8 generation
+    loudly."""
+    import pytest
+
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark, dim=16, n=80, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 60)
+    assigned = ann_ops2.assign_centroids_federated(base, cents)
+    stats = sq.sq8_stats(base, partition_col="source")
+    prefix = "es_test_sq4_idx"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
+    sq.save_federated_ivf_sq4_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+    # packed layout: code rows are ceil(dim/2) long
+    row = spark.table(prefix + "_codes").select("codes").head()
+    assert len(row[0]) == 8  # dim 16 -> 8 bytes
+
+    def _listing(tenant):
+        import os
+
+        from embeddingsearch_spark.storage import _table_location
+
+        loc = _table_location(spark, prefix + "_codes")
+        out = []
+        for root, _, files in os.walk(loc):
+            if f"source={tenant}" in root:
+                out += sorted(
+                    (root, f, os.path.getmtime(os.path.join(root, f)))
+                    for f in files
+                )
+        return out
+
+    before_globex = _listing("globex")
+    batch = emb.filter(
+        (F.col("vec_id") >= 60) & (F.col("source") == "acme")
+    )
+    sq.upsert_federated_ivf_sq4_index(spark, prefix, batch, n_buckets=2)
+    assert _listing("globex") == before_globex
+    # upserted == packed rebuild over the same total corpus
+    total = base.unionByName(batch)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in spark.table(prefix + "_codes").collect()
+    }
+    rebuilt = sq.sq4_encode(
+        ann_ops2.assign_centroids_federated(total, cents),
+        stats,
+        partition_col="source",
+    )
+    want = {r["vec_id"]: r["codes"] for r in rebuilt.collect()}
+    assert got == want
+    # routed serve over the packed index matches brute SQ4 ranks over
+    # the SAME probed candidate set at full probe width (nprobe = all
+    # cells -> candidates = whole tenant corpus)
+    qdf = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 60))
+    qs = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
+    rt = qdf.select(F.col("vec_id").alias("query_id"), "source")
+    served = sq.ivf_sq4_federated_from_index(
+        spark, prefix, qs, rt, k=5, nprobe=3
+    )
+    codes4 = sq.sq4_encode(total, stats, partition_col="source")
+    brute = sq.sq4_topk(codes4, stats, qs, rt, k=5, partition_col="source")
+    canon_s = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in served.collect()
+    }
+    canon_b = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in brute.collect()
+    }
+    assert canon_s == canon_b  # 3 cells/tenant = full probe
+    # wrong-layout guard: SQ4 server refuses an SQ8 generation
+    prefix8 = "es_test_sq4_guard"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix8 + t)
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix8, n_buckets=2
+    )
+    with pytest.raises(ValueError, match="not a packed SQ4 layout"):
+        sq.ivf_sq4_federated_from_index(spark, prefix8, qs, rt, k=5)
+    for p in (prefix, prefix8):
+        for t in ("_codes", "_centroids", "_sqstats"):
+            drop_table(spark, p + t)
+
+
+def test_ivf_sq4_retrain_swaps_one_tenant_and_reranges(spark):
+    """The SQ4 retrain arm: globex's centroids AND ranges re-train
+    from its drifted corpus and its vectors re-encode packed, while
+    acme's stats row and codes stay identical."""
+    from embeddingsearch_spark.operators import ann as ann_ops2
+    from embeddingsearch_spark.storage import drop_table
+
+    emb = _vecs(spark, dim=16, n=80, constant_dim=False)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ann_ops2.assign_centroids_federated(emb, cents)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    prefix = "es_test_sq4_rt"
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, t and prefix + t)
+    sq.save_federated_ivf_sq4_index(
+        spark, assigned, cents, stats, prefix, n_buckets=2
+    )
+    acme_before = {
+        r["vec_id"]: r["codes"]
+        for r in spark.table(prefix + "_codes")
+        .filter(F.col("source") == "acme")
+        .collect()
+    }
+    # globex drifts: values shift far outside the trained ranges
+    drifted = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("source") == "globex",
+            F.transform("embedding", lambda x: x * 5.0 + 3.0),
+        ).otherwise(F.col("embedding")),
+    )
+    new_cents = drifted.filter(
+        (F.col("source") == "globex") & (F.col("vec_id") < 6)
+    ).select("source", F.col("vec_id").alias("centroid_id"), "embedding")
+    sq.retrain_federated_ivf_sq4_tenants(
+        spark, prefix,
+        drifted.filter(F.col("source") == "globex"),
+        new_cents, n_buckets=2,
+    )
+    acme_after = {
+        r["vec_id"]: r["codes"]
+        for r in spark.table(prefix + "_codes")
+        .filter(F.col("source") == "acme")
+        .collect()
+    }
+    assert acme_after == acme_before
+    # globex's new ranges cover the drifted values: codes still packed
+    # (len 8) and its stats row changed
+    g_stats = {
+        r["source"]: r["mins"]
+        for r in spark.table(prefix + "_sqstats").collect()
+    }
+    old_stats = {r["source"]: r["mins"] for r in stats.collect()}
+    assert g_stats["acme"] == old_stats["acme"]
+    assert g_stats["globex"] != old_stats["globex"]
+    g_row = (
+        spark.table(prefix + "_codes")
+        .filter(F.col("source") == "globex")
+        .select("codes")
+        .head()
+    )
+    assert len(g_row[0]) == 8
+    for t in ("_codes", "_centroids", "_sqstats"):
+        drop_table(spark, prefix + t)
