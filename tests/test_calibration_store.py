@@ -586,3 +586,88 @@ def test_family_recall_store_roundtrip_and_missing_raises(spark):
     assert ("sq4", "acme") not in rows2  # acme partition replaced
     assert rows2[("sq4", "globex")] == 0.85  # globex untouched
     drop_table(spark, pre + cal_ops.FAMILY_RECALL_SUFFIX)
+
+
+def test_graph_steered_store_records_gain_and_retrain_resteers(spark, vecs):
+    """The steer threaded through the persisted loop: the steered
+    store records each tenant's gain_bp row (graph_stored_gain reads
+    it back; graph_stored_config never leaks it into serve knobs),
+    and the graph retrain-and-recalibrate arm re-measures the
+    retrained tenant's gain against its NEW pair table while the
+    other tenant's calib partition keeps its original values."""
+    from embeddingsearch_spark.operators import graphann
+
+    prefix = "es_test_calst_gsteer"
+    for t in ("_pairs", "_assigned", "_calib"):
+        drop_table(spark, prefix + t)
+    w = Window.partitionBy("source").orderBy("vec_id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = graphann.assign_blocks_federated(vecs, cents, n_assign=2)
+    pairs = graphann.block_pair_sims_federated(vecs, assigned).withColumn(
+        "_lr", F.lit(False)
+    ).unionByName(
+        graphann.long_range_pairs(
+            vecs, long_range=2, partition_col="source"
+        )
+    )
+    graphann.save_federated_graph_index(
+        pairs, assigned, prefix, n_buckets=2
+    )
+    cfgs = cal.store_steered_graph_auto_config(spark, prefix)
+    gains0 = cal.graph_stored_gain(spark, prefix)
+    assert set(gains0) == {"acme", "globex"}
+    for t, cfg in cfgs.items():
+        assert cfg["structure_gain"] == gains0[t]
+    # the serve-knob overlay never carries the gain row
+    merged = cal.graph_stored_config(spark, prefix)
+    for cfg in merged.values():
+        assert "gain_bp" not in cfg
+    acme_knobs_before = cal.load_calibration(spark, prefix)["acme"]
+    # retrain globex on a CLUSTERED twin (two tight translated blobs)
+    # so its re-measured gain rises materially
+    clustered = vecs.filter(F.col("source") == "globex").select(
+        "vec_id",
+        "source",
+        F.transform(
+            "embedding",
+            # globex ids are all odd — split them into two tight
+            # translated blobs via %4 (a %2 split would be a no-op)
+            lambda x, i: x * 0.05
+            + F.when(
+                (F.col("vec_id") % 4 == 1) & (i == 0), F.lit(4.0)
+            ).when(
+                (F.col("vec_id") % 4 == 3) & (i == 1), F.lit(4.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    new_cents = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            "source", F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    )
+    q = clustered.filter(F.col("vec_id") % 7 == 0)
+    stored = cal.retrain_and_recalibrate_graph_tenants(
+        spark, prefix, clustered, new_cents,
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        q.select(F.col("vec_id").alias("query_id"), "source"),
+        recall_target=0.5, k=5, n_buckets=2,
+    )
+    assert set(stored) == {"globex"}
+    gains1 = cal.graph_stored_gain(spark, prefix)
+    # acme's partition untouched: same gain row, same serve knobs
+    assert gains1["acme"] == gains0["acme"]
+    assert cal.load_calibration(spark, prefix)["acme"] == acme_knobs_before
+    # globex re-measured against the retrained pair table
+    assert gains1["globex"] != gains0["globex"]
+    assert gains1["globex"] > gains0["globex"]  # gained structure
+    for t in ("_pairs", "_assigned", "_calib"):
+        drop_table(spark, prefix + t)
