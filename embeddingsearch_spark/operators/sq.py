@@ -1043,3 +1043,44 @@ def retrain_federated_ivf_sq4_tenants(
     return retrain_federated_ivf_sq8_tenants(
         spark, prefix, tenant_corpus, new_centroids, **kwargs
     )
+
+
+def ivf_sq4_federated_rerank(
+    spark,
+    prefix: str,
+    refine_emb: DataFrame,
+    queries: DataFrame,
+    route: DataFrame,
+    k: int = 10,
+    shortlist_factor: int = 2,
+    nprobe: int | dict | str = 2,
+    partition_col: str = "source",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The archive tier's PRODUCTION serve at IVF scale — the two
+    compositions joined: the probed (tenant, cell) partition cut
+    generates a ``shortlist_factor·k`` candidate shortlist from the
+    PACKED codes (`ivf_sq4_federated_from_index` — sublinear scan ×
+    half the SQ8 bytes), then ONLY those ids fetch from
+    ``refine_emb`` (raw vectors, or `sq8_dequantize` output) and
+    re-rank by exact cosine. The re-check read volume is
+    shortlist_factor·k·|Q| rows regardless of corpus size, so the
+    rerank buys back the QUANTIZATION loss at a fixed byte price —
+    probe loss is the probe-width knob's job (`nprobe`, including
+    "auto"/"calibrated"/"stored"). Output: the exact scorers'
+    contract (query_id, vec_id, cosine, rank<=k)."""
+    from embeddingsearch_spark.operators.pq import _exact_rescore
+
+    short = ivf_sq4_federated_from_index(
+        spark, prefix, queries, route,
+        k=int(shortlist_factor) * int(k), nprobe=nprobe,
+        partition_col=partition_col, id_col=id_col, vec_col=vec_col,
+        codes_col=codes_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    return _exact_rescore(
+        refine_emb, queries, short, int(k),
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

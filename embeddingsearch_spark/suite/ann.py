@@ -4705,6 +4705,334 @@ QUERIES["tenant_tier_planner"] = (
 )
 
 
+def q_tenant_tier_planner_probed(spark, sf_dir):
+    """The planner at the PROBED serve shape — the full round-11
+    item-#4 vision: `serve_bytes_e2e`'s two-stage byte pricing joined
+    with recalls measured on the SAME probed serves the bytes
+    describe. Setup builds THREE generations of one federated
+    assignment (raw `{p}`, SQ8 `{p}8`, SQ4 `{p}4` — same quantizer,
+    same cells, three layouts), serves each at the rule-shaped probe
+    width 7-of-8 cells (ceil(0.9^2.5·8), the autoconf rule for the
+    0.9 target), measures per-tenant recall@10 against full-corpus
+    exact (integer-exact), and persists the `_familyrecall` store.
+    The menu is raw-probed / SQ8-probed / SQ4-probed /
+    SQ4-probed+raw-rerank (`ivf_sq4_federated_rerank` — the rerank
+    buys back QUANTIZATION loss at min(2k, corpus) raw fetches;
+    probe loss stays the probe-width knob's job). Serve prices the
+    families with `serve_bytes_e2e` at the live probe pattern and
+    picks the cheapest meeting 0.9 per tenant. The oracle replays
+    EVERYTHING: the probe cut, all four candidate scorings, the
+    full-corpus exact baseline, the integer-exact recalls, the
+    floor/round byte arithmetic, and the choice window. PQ keeps its
+    own refined gates (its codebook chain would triple this oracle);
+    the operator menu is open — any family with a bytes row and a
+    stored recall plugs in."""
+    _tpp_setup(spark, sf_dir)
+    return _tpp_serve(spark, sf_dir)
+
+
+def _tpp_setup(spark, sf_dir):
+    from embeddingsearch_spark.operators import (
+        calibration as cal_ops,
+        sq,
+    )
+
+    prefix = "es_gate_tpp"
+    emb = _tenant_emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        "source", F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n = spark.sparkContext.defaultParallelism
+    assigned = ann_ops.assign_centroids_federated(
+        emb.repartition(n), cents, partition_col="source"
+    )
+    stats = sq.sq8_stats(emb, partition_col="source")
+    ann_ops.save_federated_ivf_index(
+        assigned, cents, prefix, partition_col="source", n_buckets=4
+    )
+    sq.save_federated_ivf_sq8_index(
+        spark, assigned, cents, stats, prefix + "8",
+        partition_col="source", n_buckets=4,
+    )
+    sq.save_federated_ivf_sq4_index(
+        spark, assigned, cents, stats, prefix + "4",
+        partition_col="source", n_buckets=4,
+    )
+    queries, route = _tenant_queries(emb)
+    exact = None
+    for t in ("acme", "globex"):
+        t_q = queries.join(
+            route.filter(F.col("source") == t).select("query_id"),
+            "query_id",
+        )
+        part = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t), t_q, k=10
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    serves = {
+        "raw": ann_ops.ivf_federated_from_index(
+            spark, prefix, queries, route, k=10, nprobe=7,
+            partition_col="source",
+        ),
+        "sq8": sq.ivf_sq8_federated_from_index(
+            spark, prefix + "8", queries, route, k=10, nprobe=7,
+            partition_col="source",
+        ),
+        "sq4": sq.ivf_sq4_federated_from_index(
+            spark, prefix + "4", queries, route, k=10, nprobe=7,
+            partition_col="source",
+        ),
+        "sq4_rerank": sq.ivf_sq4_federated_rerank(
+            spark, prefix + "4", emb, queries, route, k=10,
+            shortlist_factor=2, nprobe=7, partition_col="source",
+        ),
+    }
+    recalls = {
+        fam: cal_ops.measure_family_recall(
+            approx, exact, route, k=10, partition_col="source"
+        )
+        for fam, approx in serves.items()
+    }
+    cal_ops.store_family_recall(
+        spark, prefix, recalls, recall_target=0.9
+    )
+
+
+def _tpp_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import calibration as cal_ops
+
+    prefix = "es_gate_tpp"
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
+    bytes_df = cal_ops.serve_bytes_e2e(
+        spark, prefix, queries, route,
+        raw_bytes_per_row=261.02, sq8_bytes_per_row=55.02,
+        pq_bytes_per_row=7.99, sq4_bytes_per_row=29.85,
+        k=10, nprobe=7, sq4_rerank_factor=2,
+        partition_col="source",
+    ).filter(F.col("family") != "pq")
+    recall_df = cal_ops.load_family_recall(spark, prefix)
+    return cal_ops.plan_serve_tier(
+        bytes_df, recall_df, recall_target=0.9, partition_col="source"
+    )
+
+
+_TPP_PROBE_SQL = """probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, centroid_id ASC) AS r
+    FROM probe_sims
+  ) WHERE r <= 7
+)"""
+
+_TPP_TAIL_SQL = f"""sdims AS (
+  SELECT source, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM src
+),
+sstats AS (
+  SELECT source, i, min(x) AS mn, max(x) - min(x) AS sp
+  FROM sdims GROUP BY source, i
+),
+qdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM q
+),
+xpairs AS (
+  SELECT qd.query_id, d.vec_id, d.x, qd.y
+  FROM qdims qd JOIN sdims d ON d.source = qd.source AND d.i = qd.i
+),
+xsims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM xpairs GROUP BY query_id, vec_id
+),
+xtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM xsims) WHERE r <= 10
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assigned a ON a.centroid_id = p.centroid_id
+),
+rawtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT x.query_id, x.vec_id,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY x.cosine DESC, x.vec_id ASC) AS r
+    FROM xsims x JOIN cand c
+      ON c.query_id = x.query_id AND c.vec_id = x.vec_id
+  ) WHERE r <= 10
+),
+c8 AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(255, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 255 + 0.5))) END AS c
+  FROM sdims d JOIN sstats s ON s.source = d.source AND s.i = d.i
+),
+d8 AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 255 + s.mn AS x
+  FROM c8 c JOIN sstats s ON s.source = c.source AND s.i = c.i
+),
+p8 AS (
+  SELECT c.query_id, c.vec_id, d.x, qd.y
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN d8 d ON d.vec_id = c.vec_id AND d.source = q.source
+  JOIN qdims qd ON qd.query_id = c.query_id AND qd.i = d.i
+),
+s8 AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM p8 GROUP BY query_id, vec_id
+),
+top8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM s8) WHERE r <= 10
+),
+c4 AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(15, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 15 + 0.5))) END AS c
+  FROM sdims d JOIN sstats s ON s.source = d.source AND s.i = d.i
+),
+d4 AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 15 + s.mn AS x
+  FROM c4 c JOIN sstats s ON s.source = c.source AND s.i = c.i
+),
+p4 AS (
+  SELECT c.query_id, c.vec_id, d.x, qd.y
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN d4 d ON d.vec_id = c.vec_id AND d.source = q.source
+  JOIN qdims qd ON qd.query_id = c.query_id AND qd.i = d.i
+),
+s4 AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM p4 GROUP BY query_id, vec_id
+),
+top4 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM s4) WHERE r <= 10
+),
+short20 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM s4) WHERE r <= 20
+),
+rrtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT x.query_id, x.vec_id,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY x.cosine DESC, x.vec_id ASC) AS r
+    FROM xsims x
+    JOIN short20 s ON s.query_id = x.query_id AND s.vec_id = x.vec_id
+  ) WHERE r <= 10
+),
+nq AS (SELECT source, count(*) AS n FROM q GROUP BY source),
+hits AS (
+  SELECT 'raw' AS family, q.source, count(*) AS h
+  FROM rawtop a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+  UNION ALL
+  SELECT 'sq8', q.source, count(*)
+  FROM top8 a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+  UNION ALL
+  SELECT 'sq4', q.source, count(*)
+  FROM top4 a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+  UNION ALL
+  SELECT 'sq4_rerank', q.source, count(*)
+  FROM rrtop a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+),
+recalls AS (
+  SELECT h.family, h.source,
+         round(CAST(h.h AS DOUBLE) / (nq.n * 10), {RD}) AS recall
+  FROM hits h JOIN nq ON nq.source = h.source
+),
+cellsz AS (
+  SELECT a.centroid_id, count(*) AS sz
+  FROM assigned a GROUP BY a.centroid_id
+),
+tcorp AS (
+  SELECT source, count(*) AS corpus_rows FROM src GROUP BY source
+),
+scanrows AS (
+  SELECT q.source AS source,
+         CAST(count(DISTINCT p.query_id) AS BIGINT) AS n_queries,
+         CAST(sum(coalesce(c.sz, 0)) AS BIGINT) AS rows_scanned,
+         CAST(max(t.corpus_rows) AS BIGINT) AS corpus_rows
+  FROM probe p
+  JOIN q ON q.query_id = p.query_id
+  LEFT JOIN cellsz c ON c.centroid_id = p.centroid_id
+  JOIN tcorp t ON t.source = q.source
+  GROUP BY q.source
+),
+fams AS (
+  SELECT * FROM (VALUES
+    ('raw', 261.02, 0), ('sq8', 55.02, 0), ('sq4', 29.85, 0),
+    ('sq4_rerank', 29.85, 20)
+  ) f(family, scan_bpr, refine_cap)
+),
+priced AS (
+  SELECT s.source, f.family,
+         s.n_queries,
+         floor(s.rows_scanned * f.scan_bpr)
+           + floor(s.n_queries * least(f.refine_cap, s.corpus_rows)
+                   * 261.02) AS total_bytes
+  FROM scanrows s CROSS JOIN fams f
+),
+joined AS (
+  SELECT p.source, p.family, r.recall,
+         0.9 AS recall_target,
+         round(p.total_bytes / CAST(p.n_queries AS DOUBLE), 3)
+           AS bytes_per_query,
+         CASE WHEN r.recall >= 0.9 THEN 1 ELSE 0 END AS meets_target
+  FROM priced p
+  JOIN recalls r ON r.source = p.source AND r.family = p.family
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY meets_target DESC,
+                    CASE WHEN meets_target = 1 THEN bytes_per_query
+                         ELSE -recall END ASC,
+                    bytes_per_query ASC, family ASC) AS rn
+  FROM joined
+)
+SELECT source, family, recall, recall_target, bytes_per_query,
+       CAST(meets_target AS INT) AS meets_target,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS chosen
+FROM ranked"""
+
+
+QUERIES["tenant_tier_planner_probed"] = (
+    q_tenant_tier_planner_probed,
+    _ivf_tenant_sql(probe_sql=_TPP_PROBE_SQL, tail_sql=_TPP_TAIL_SQL),
+)
+
+
 def q_ivf_sq8_tenant_serve(spark, sf_dir):
     """COMPRESSED IVF closed into a gate — the two scale levers
     composed (`save_federated_ivf_sq8_index` /
@@ -5669,5 +5997,6 @@ SETUP_SERVE = {
         _tsq4_serve,
     ),
     "graph_tenant_stored_steered_serve": SETUP_SERVE_GRAPH_STORED,
+    "tenant_tier_planner_probed": (_tpp_setup, _tpp_serve),
     "tenant_serve_bytes_e2e": (_e2e_setup, _e2e_serve),
 }
