@@ -1219,3 +1219,63 @@ def plan_serve_tier(
             (F.col("_r") == 1).cast("int").alias("chosen"),
         )
     )
+
+
+def serve_by_plan(
+    spark,
+    plan: DataFrame,
+    serves: dict,
+    queries: DataFrame,
+    route: DataFrame,
+    partition_col: str = "source",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """EXECUTE the planner's decision — the step that turns
+    `plan_serve_tier` from a report into routing: each tenant's
+    queries run through its CHOSEN family's serve, one serve per
+    distinct chosen family over only the tenants that chose it,
+    results unioned with the family recorded per row. ``serves`` maps
+    family → callable(queries, route) → top-k frame (the same serve
+    closures a direct call would use — nothing is re-implemented
+    here); ``plan`` is `plan_serve_tier` output or any frame with
+    (tenant, family, chosen). One bounded collect (a row per tenant).
+    Raises if a routed tenant has no chosen row (a plan that silently
+    drops a tenant is a deployment bug) or if a chosen family has no
+    serve callable."""
+    chosen = {
+        str(r[partition_col]): str(r["family"])
+        for r in plan.filter(F.col("chosen") == 1)
+        .select(partition_col, "family")
+        .collect()
+    }
+    routed = {
+        str(r[0])
+        for r in route.select(partition_col).distinct().collect()
+    }
+    missing = sorted(routed - set(chosen))
+    if missing:
+        raise ValueError(
+            f"plan has no chosen family for routed tenants {missing}"
+        )
+    unknown = sorted(
+        {f for t, f in chosen.items() if t in routed} - set(serves)
+    )
+    if unknown:
+        raise ValueError(
+            f"no serve callable for chosen families {unknown} "
+            f"(have {sorted(serves)})"
+        )
+    out = None
+    for fam in sorted({f for t, f in chosen.items() if t in routed}):
+        tenants = sorted(
+            t for t, f in chosen.items() if f == fam and t in routed
+        )
+        r_f = route.filter(F.col(partition_col).isin(tenants))
+        q_f = queries.join(
+            r_f.select(query_id_col).distinct(), query_id_col
+        )
+        part = serves[fam](q_f, r_f).withColumn(
+            "family", F.lit(fam)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

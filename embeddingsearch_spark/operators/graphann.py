@@ -600,10 +600,24 @@ def graph_structure_gain(
     near = F.avg(F.when(~F.col("_lr"), F.col("cosine")))
     ring = F.avg(F.when(F.col("_lr"), F.col("cosine")))
     gain = F.round(near - ring, 4).alias("_gain")
+
+    def _val(raw, who):
+        # an empty pair table or a single-population generation (all
+        # _lr or none) leaves one avg NULL — raise a named diagnostic
+        # instead of float(None)'s opaque TypeError (round-11 ADVICE)
+        if raw is None:
+            raise ValueError(
+                f"structure gain undefined for {who}: its pair table "
+                "is empty or carries only one pair population "
+                "(all-_lr or no-_lr) — rebuild the generation with "
+                "BOTH block pairs and long_range_pairs"
+            )
+        return float(raw)
+
     if partition_col is None:
-        return float(pairs.agg(gain).collect()[0][0])
+        return _val(pairs.agg(gain).collect()[0][0], prefix)
     return {
-        str(r[0]): float(r[1])
+        str(r[0]): _val(r[1], f"{prefix} tenant {r[0]}")
         for r in pairs.groupBy(partition_col).agg(gain).collect()
     }  # bounded: one row per collection
 

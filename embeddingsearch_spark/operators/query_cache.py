@@ -797,8 +797,7 @@ def serve_ivf_sq8_federated_cached(
         ivf_calibrated_nprobe,
     )
     from embeddingsearch_spark.operators.sq import (
-        _codes_shifted,
-        _dequant_expr,
+        _index_dequant_expr,
         _join_stats,
         ivf_sq8_federated_from_index,
     )
@@ -844,12 +843,11 @@ def serve_ivf_sq8_federated_cached(
                 id_col,
                 partition_col,
                 centroid_id_col,
-                _dequant_expr(
-                    codes_col,
-                    shifted=_codes_shifted(
-                        spark.table(f"{index_prefix}_codes"),
-                        codes_col,
-                    ),
+                # layout-detected (SQ8 int/tinyint OR packed SQ4) —
+                # the miss-path serve below detects the same way, so
+                # the cached wrapper serves any compressed generation
+                _index_dequant_expr(
+                    spark, index_prefix, codes_col
                 ).alias(vec_col),
             )
             np_local = ivf_calibrated_nprobe(

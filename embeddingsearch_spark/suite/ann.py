@@ -5310,6 +5310,363 @@ QUERIES["ivf_sq8_tenant_cached_serve"] = (
 )
 
 
+def q_ivf_sq4_tenant_cached_serve(spark, sf_dir):
+    """The PACKED 4-bit tier in the cached-serve matrix —
+    `serve_ivf_sq8_federated_cached` is layout-detected end to end
+    (the miss path and the lazy-calibrated ground truth both resolve
+    the generation's decoder via `_index_dequant_expr`), so the SQ4
+    archive tier gets the same key/scope/hygiene contract with
+    misses running the probed unpack-dequantize-score serve. Cold
+    serve fills in setup, the timed serve is a pure warm cache read;
+    identical to the direct SQ4 serve by construction — shares
+    `ivf_sq4_tenant_serve`'s oracle verbatim. setup/serve split
+    registered in SETUP_SERVE."""
+    _tsq4c_setup(spark, sf_dir)
+    return _tsq4c_serve(spark, sf_dir)
+
+
+def _tsq4c_setup(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, "es_gate_tsq4c_cache")
+    _tsq4_build(spark, sf_dir, "es_gate_tsq4c")
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
+    qc.serve_ivf_sq8_federated_cached(
+        spark, "es_gate_tsq4c_cache", "es_gate_tsq4c", queries, route,
+        {"acme": "v1", "globex": "v1"}, k=10, nprobe=4,
+        partition_col="source",
+    ).collect()
+
+
+def _tsq4c_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import query_cache as qc
+
+    queries, route = _tenant_queries(_tenant_emb(spark, sf_dir))
+    return qc.serve_ivf_sq8_federated_cached(
+        spark, "es_gate_tsq4c_cache", "es_gate_tsq4c", queries, route,
+        {"acme": "v1", "globex": "v1"}, k=10, nprobe=4,
+        partition_col="source",
+    )
+
+
+QUERIES["ivf_sq4_tenant_cached_serve"] = (
+    q_ivf_sq4_tenant_cached_serve,
+    IVF_SQ4_TENANT_SQL,
+)
+
+
+def q_tenant_planned_serve(spark, sf_dir):
+    """The planner's decision EXECUTED (`calibration.serve_by_plan`)
+    — decision → routing, the step that makes the tier planner an
+    engine feature instead of a report: each tenant's queries run
+    through its CHOSEN family's serve, one serve per distinct chosen
+    family, results unioned with the family stamped per row. The
+    corpus is deliberately size-ASYMMETRIC (acme = 40 even ids < 80,
+    globex = all 250 odd ids) so the 0.95-target choices DIVERGE from
+    the economics alone: acme's tiny corpus reads SQ4 recall 1.0 →
+    cheapest eligible is bare sq4; globex reads sq4 0.9158 (fails) →
+    sq4_rerank beats sq8 (12,683 vs 13,755 B/query at 250 rows — past
+    the ~208-row break-even BASELINE.md documents). The oracle
+    replays the whole pipeline: all three family serves, the
+    integer-exact recalls, the byte pricing, the argmin, AND the
+    routed union — serving a tenant with the wrong family, dropping
+    the family stamp, or a drifted break-even value-fails.
+    setup/serve split registered in SETUP_SERVE."""
+    _planserve_setup(spark, sf_dir)
+    return _planserve_serve(spark, sf_dir)
+
+
+def _planserve_emb(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 2 == 1) | (F.col("vec_id") < 80)
+    ).withColumn(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
+    )
+
+
+def _planserve_setup(spark, sf_dir):
+    from embeddingsearch_spark.operators import (
+        calibration as cal_ops,
+        sq,
+    )
+
+    emb = _planserve_emb(spark, sf_dir)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    c4 = sq.sq4_encode(emb, stats, partition_col="source")
+    c8 = sq.sq8_encode(emb, stats, partition_col="source")
+    queries, route = _tenant_queries(emb)
+    exact = None
+    for t in ("acme", "globex"):
+        t_q = queries.join(
+            route.filter(F.col("source") == t).select("query_id"),
+            "query_id",
+        )
+        part = ann_ops.brute_force_topk(
+            emb.filter(F.col("source") == t), t_q, k=10
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    serves = {
+        "sq4": sq.sq4_topk(
+            c4, stats, queries, route, k=10, partition_col="source"
+        ),
+        "sq8": sq.sq8_topk(
+            c8, stats, queries, route, k=10, partition_col="source"
+        ),
+        "sq4_rerank": sq.sq4_shortlist_rerank(
+            c4, stats, emb, queries, route, k=10, shortlist_factor=2,
+            partition_col="source",
+        ),
+    }
+    recalls = {
+        fam: cal_ops.measure_family_recall(
+            approx, exact, route, k=10, partition_col="source"
+        )
+        for fam, approx in serves.items()
+    }
+    cal_ops.store_family_recall(
+        spark, "es_gate_planserve", recalls, recall_target=0.95
+    )
+
+
+def _planserve_serve(spark, sf_dir):
+    from embeddingsearch_spark.operators import (
+        calibration as cal_ops,
+        sq,
+    )
+
+    emb = _planserve_emb(spark, sf_dir)
+    stats = sq.sq8_stats(emb, partition_col="source")
+    c4 = sq.sq4_encode(emb, stats, partition_col="source")
+    c8 = sq.sq8_encode(emb, stats, partition_col="source")
+    queries, route = _tenant_queries(emb)
+    tcorp = emb.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    fams = spark.createDataFrame(
+        [("sq4", 29.85, 0), ("sq8", 55.02, 0), ("sq4_rerank", 29.85, 20)],
+        "family string, _bpr double, _cap int",
+    )
+    bytes_df = tcorp.crossJoin(F.broadcast(fams)).select(
+        "source",
+        "family",
+        F.round(
+            F.col("_n") * F.col("_bpr")
+            + F.least(F.col("_cap").cast("long"), F.col("_n"))
+            * F.lit(261.02),
+            3,
+        ).alias("bytes_per_query"),
+    )
+    plan = cal_ops.plan_serve_tier(
+        bytes_df,
+        cal_ops.load_family_recall(spark, "es_gate_planserve"),
+        recall_target=0.95,
+        partition_col="source",
+    )
+    serves = {
+        "sq4": lambda q, r: sq.sq4_topk(
+            c4, stats, q, r, k=10, partition_col="source"
+        ),
+        "sq8": lambda q, r: sq.sq8_topk(
+            c8, stats, q, r, k=10, partition_col="source"
+        ),
+        "sq4_rerank": lambda q, r: sq.sq4_shortlist_rerank(
+            c4, stats, emb, q, r, k=10, shortlist_factor=2,
+            partition_col="source",
+        ),
+    }
+    out = cal_ops.serve_by_plan(spark, plan, serves, queries, route)
+    return out.join(F.broadcast(route), "query_id").select(
+        "query_id", "vec_id", "cosine", "rank", "source", "family"
+    )
+
+
+PLANNED_SERVE_SQL = f"""WITH src AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'acme' ELSE 'globex' END
+           AS source
+  FROM embeddings
+  WHERE vec_id % 2 = 1 OR vec_id < 80
+),
+dims AS (
+  SELECT source, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM src
+),
+stats AS (
+  SELECT source, i, min(x) AS mn, max(x) - min(x) AS sp
+  FROM dims GROUP BY source, i
+),
+q AS (
+  SELECT vec_id AS query_id, source, embedding AS qv FROM src
+  WHERE vec_id % 13 = 0
+),
+qdims AS (
+  SELECT query_id, source,
+         CAST(unnest(qv) AS DOUBLE) AS y,
+         unnest(generate_series(1, len(qv))) AS i
+  FROM q
+),
+c4 AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(15, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 15 + 0.5))) END AS c
+  FROM dims d JOIN stats s ON s.source = d.source AND s.i = d.i
+),
+d4 AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 15 + s.mn AS x
+  FROM c4 c JOIN stats s ON s.source = c.source AND s.i = c.i
+),
+p4 AS (
+  SELECT qd.query_id, d.vec_id, d.x, qd.y
+  FROM qdims qd JOIN d4 d ON d.source = qd.source AND d.i = qd.i
+),
+s4 AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM p4 GROUP BY query_id, vec_id
+),
+t4full AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM s4) WHERE rank <= 10
+),
+short20 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM s4) WHERE r <= 20
+),
+c8 AS (
+  SELECT d.source, d.vec_id, d.i,
+         CASE WHEN s.sp = 0 THEN 0
+              ELSE least(255, greatest(0,
+                   floor((d.x - s.mn) / s.sp * 255 + 0.5))) END AS c
+  FROM dims d JOIN stats s ON s.source = d.source AND s.i = d.i
+),
+d8 AS (
+  SELECT c.source, c.vec_id, c.i, c.c * s.sp / 255 + s.mn AS x
+  FROM c8 c JOIN stats s ON s.source = c.source AND s.i = c.i
+),
+p8 AS (
+  SELECT qd.query_id, d.vec_id, d.x, qd.y
+  FROM qdims qd JOIN d8 d ON d.source = qd.source AND d.i = qd.i
+),
+s8 AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM p8 GROUP BY query_id, vec_id
+),
+t8full AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM s8) WHERE rank <= 10
+),
+xpairs AS (
+  SELECT qd.query_id, d.vec_id, d.x, qd.y
+  FROM qdims qd JOIN dims d ON d.source = qd.source AND d.i = qd.i
+),
+xsims AS (
+  SELECT query_id, vec_id, round({_COS}, {RD}) AS cosine
+  FROM xpairs GROUP BY query_id, vec_id
+),
+xtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM xsims) WHERE r <= 10
+),
+rrfull AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT x.query_id, x.vec_id, x.cosine,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY x.cosine DESC, x.vec_id ASC) AS rank
+    FROM xsims x
+    JOIN short20 s ON s.query_id = x.query_id AND s.vec_id = x.vec_id
+  ) WHERE rank <= 10
+),
+nq AS (SELECT source, count(*) AS n FROM q GROUP BY source),
+hits AS (
+  SELECT 'sq4' AS family, q.source, count(*) AS h
+  FROM t4full a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+  UNION ALL
+  SELECT 'sq8', q.source, count(*)
+  FROM t8full a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+  UNION ALL
+  SELECT 'sq4_rerank', q.source, count(*)
+  FROM rrfull a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
+),
+recalls AS (
+  SELECT h.family, h.source,
+         round(CAST(h.h AS DOUBLE) / (nq.n * 10), {RD}) AS recall
+  FROM hits h JOIN nq ON nq.source = h.source
+),
+tcorp AS (SELECT source, count(*) AS n FROM src GROUP BY source),
+fams AS (
+  SELECT * FROM (VALUES
+    ('sq4', 29.85, 0), ('sq8', 55.02, 0), ('sq4_rerank', 29.85, 20)
+  ) f(family, bpr, cap)
+),
+bytes AS (
+  SELECT t.source, f.family,
+         round(t.n * f.bpr + least(f.cap, t.n) * 261.02, 3)
+           AS bytes_per_query
+  FROM tcorp t CROSS JOIN fams f
+),
+joined AS (
+  SELECT b.source, b.family, r.recall, b.bytes_per_query,
+         CASE WHEN r.recall >= 0.95 THEN 1 ELSE 0 END AS meets_target
+  FROM bytes b
+  JOIN recalls r ON r.source = b.source AND r.family = b.family
+),
+choice AS (
+  SELECT source, family FROM (
+    SELECT *,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY meets_target DESC,
+                      CASE WHEN meets_target = 1 THEN bytes_per_query
+                           ELSE -recall END ASC,
+                      bytes_per_query ASC, family ASC) AS rn
+    FROM joined
+  ) WHERE rn = 1
+)
+SELECT f.query_id, f.vec_id, f.cosine, CAST(f.rank AS INT) AS rank,
+       q.source, c.family
+FROM t4full f
+JOIN q ON q.query_id = f.query_id
+JOIN choice c ON c.source = q.source AND c.family = 'sq4'
+UNION ALL
+SELECT f.query_id, f.vec_id, f.cosine, CAST(f.rank AS INT) AS rank,
+       q.source, c.family
+FROM t8full f
+JOIN q ON q.query_id = f.query_id
+JOIN choice c ON c.source = q.source AND c.family = 'sq8'
+UNION ALL
+SELECT f.query_id, f.vec_id, f.cosine, CAST(f.rank AS INT) AS rank,
+       q.source, c.family
+FROM rrfull f
+JOIN q ON q.query_id = f.query_id
+JOIN choice c ON c.source = q.source AND c.family = 'sq4_rerank'"""
+
+
+QUERIES["tenant_planned_serve"] = (
+    q_tenant_planned_serve,
+    PLANNED_SERVE_SQL,
+)
+
+
 def q_graph_ann_long_range(spark, sf_dir):
     """The blocked graph WITH md5-ring long-range links (round-9 judge
     item #5) — the construction that lifts the family's clustered-
@@ -5998,5 +6355,7 @@ SETUP_SERVE = {
     ),
     "graph_tenant_stored_steered_serve": SETUP_SERVE_GRAPH_STORED,
     "tenant_tier_planner_probed": (_tpp_setup, _tpp_serve),
+    "ivf_sq4_tenant_cached_serve": (_tsq4c_setup, _tsq4c_serve),
+    "tenant_planned_serve": (_planserve_setup, _planserve_serve),
     "tenant_serve_bytes_e2e": (_e2e_setup, _e2e_serve),
 }
