@@ -8,7 +8,9 @@ and prints ONE JSON line:
 Each query is fully executed via the no-op sink (measures scan + compute +
 shuffle, excludes driver-side collect), after one warm-up of the session.
 
-Run policy (see the loop below): build rows run once; serve rows run
+Run policy (see the loop below): build rows run once, in a
+cross-round ROTATED sample fitting BENCH_BUILD_BUDGET_SEC (default
+500 s; new gates always run; skipped rows recorded); serve rows run
 median-of-3; serve rows with a registered SETUP_SERVE split run their
 index-construction setup once UNTIMED and time the serve alone; the
 whole run degrades run counts to fit BENCH_BUDGET_SEC (default 2200 s)
@@ -129,8 +131,64 @@ def main() -> None:
     budget = float(os.environ.get("BENCH_BUDGET_SEC", "2200"))
     t_start = time.perf_counter()
     all_queries = entry_mod.queries()
-    n_total = len(all_queries)
-    degraded: list[str] = []
+
+    # BUILD-ROW BUDGET with cross-round rotation (round-11 judge item
+    # #7: 764 s of single-run build rows dominated the wall and the
+    # registry grows every round). Build rows are one-time lifecycle
+    # costs — their cross-round signal survives being sampled — so a
+    # round runs builds in a rotated priority order until the
+    # estimated budget (BENCH_BUILD_BUDGET_SEC, default 500 s) is
+    # spent, and the NEXT round's rotation starts 17 rows later, so
+    # every build row is measured within a couple of rounds. The
+    # rotation index derives from the committed BENCH_r*.json count
+    # (one per round) — stable within a round no matter how many
+    # local runs happen. Rows with no prior timing (new gates) sort
+    # FIRST so a new build family is always measured the round it
+    # ships. Skipped rows are recorded (`build_skipped`) — an explicit
+    # sample, never a silent cut. BENCH_BUILD_BUDGET_SEC=0 disables
+    # the budget (runs everything, the pre-round-12 behavior).
+    import glob
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    build_budget = float(
+        os.environ.get("BENCH_BUILD_BUDGET_SEC", "500")
+    )
+    rotation = len(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    prior_build: dict[str, float] = {}
+    try:
+        with open(os.path.join(repo_dir, "BENCH_LOCAL.json")) as f:
+            prior = json.load(f)
+        # estimates only transfer within the same scale factor — an
+        # sf0.001 smoke record would undersize every sf0.1 estimate
+        # and blow the budget
+        if str(prior.get("sf")) == str(sf_val := (
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        )):
+            prior_build = prior.get("build", {})
+    except (OSError, ValueError):
+        pass
+    build_names = sorted(n for n in all_queries if n in BUILD_QUERIES)
+    selected_builds = set(build_names)
+    build_skipped: list[str] = []
+    if build_budget > 0 and build_names:
+        start = (rotation * 17) % len(build_names)
+        priority = build_names[start:] + build_names[:start]
+        # new gates (no prior timing) jump the queue
+        priority.sort(key=lambda n: 0 if n not in prior_build else 1)
+        known = [v for v in prior_build.values() if v > 0]
+        default_est = statistics.median(known) if known else 15.0
+        est_spent = 0.0
+        selected_builds = set()
+        for n in priority:
+            est = float(prior_build.get(n, default_est))
+            if selected_builds and est_spent + est > build_budget:
+                build_skipped.append(n)
+                continue
+            selected_builds.add(n)
+            est_spent += est
+        build_skipped.sort()
+    n_total = len(all_queries) - len(build_skipped)
+    degraded_runs: dict[str, int] = {}
 
     def _runs_allowed(n_done: int) -> int:
         # below 10 completed queries the elapsed/n_done pace estimate
@@ -155,13 +213,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     setup_secs: dict[str, float] = {}
-    for i, (name, fn) in enumerate(all_queries.items()):
+    n_done = 0
+    build_spent = 0.0
+    for name, fn in all_queries.items():
         if name in BUILD_QUERIES:
-            timings[name] = round(_timed(fn), 3)
+            # runtime backstop on top of the estimate-based selection:
+            # if estimates undershot (regenerated testdata, cold
+            # cache), stop starting new build rows at 1.5× the budget
+            # rather than eating the serve rows' window
+            if name not in selected_builds or (
+                build_budget > 0 and build_spent > build_budget * 1.5
+            ):
+                if name in selected_builds:
+                    build_skipped.append(name)
+                    n_total -= 1
+                continue
+            t = _timed(fn)
+            build_spent += t
+            timings[name] = round(t, 3)
+            n_done += 1
         else:
-            n_runs = _runs_allowed(i)
+            n_runs = _runs_allowed(n_done)
             if n_runs < 3:
-                degraded.append(name)
+                degraded_runs[name] = n_runs
+            n_done += 1
             if name in SETUP_SERVE:
                 setup_fn, serve_fn = SETUP_SERVE[name]
                 t0 = time.perf_counter()
@@ -192,7 +267,13 @@ def main() -> None:
         "build_sec": build_total,
         "setup": setup_secs,
         "setup_sec": round(sum(setup_secs.values()), 3),
-        "degraded": degraded,
+        # per-row run counts so degraded single-run cache rows can be
+        # discounted when comparing rounds (round-11 ADVICE #3); the
+        # name list stays for cross-round record compatibility
+        "degraded": sorted(degraded_runs),
+        "degraded_runs": degraded_runs,
+        "build_skipped": build_skipped,
+        "build_rotation": rotation,
         "sf": sf_val,
     }
     # Durable full record first: even if console capture mangles stdout,
@@ -221,7 +302,8 @@ def main() -> None:
         "n_build": len(build),
         "setup_sec": full["setup_sec"],
         "n_setup": len(setup_secs),
-        "n_degraded": len(degraded),
+        "n_degraded": len(degraded_runs),
+        "n_build_skipped": len(build_skipped),
         "slowest": slowest,
         "full_record": "BENCH_LOCAL.json",
     }
