@@ -4471,11 +4471,16 @@ def q_tenant_tier_planner(spark, sf_dir):
     three calibration layers were a menu; this gate turns them into a
     per-tenant choice. Setup MEASURES each quantization tier's
     recall@10 on the %13 sample against the exact baseline (raw /
-    SQ8 / SQ4 / SQ4+rerank f=2 — the brute serve shapes gated as
-    `sq8_tenant_topk` / `sq4_tenant_topk` / `sq4_shortlist_rerank`;
-    probed families plug into the same operator via
-    `serve_bytes_e2e` + their own stored recalls) and persists them
-    in the `_familyrecall` store. Serve joins the stored recalls with
+    SQ8 / SQ4 / SQ4+rerank f=2 / PQ-refined K=16 f=8 — the brute
+    serve shapes gated as `sq8_tenant_topk` / `sq4_tenant_topk` /
+    `sq4_shortlist_rerank` / `pq_tenant_refined`; probed families
+    plug into the same operator via `serve_bytes_e2e` + their own
+    stored recalls, see `tenant_tier_planner_probed`) and persists
+    them in the `_familyrecall` store. The PQ row demonstrates the
+    quality bar working: PQ is the CHEAPEST family at the gate
+    corpus (28,871 B/query at sf0.1) but its fixed-seed recall
+    0.57-0.60 fails the target, so the planner rejects it — cheapest
+    never wins on price alone. Serve joins the stored recalls with
     each family's bytes/query at the LIVE corpus counts (scan =
     corpus·B/row + the rerank's min(2k, corpus) raw fetches; the
     layout-probe B/row literals) and emits the chosen-vs-alternatives
@@ -4494,21 +4499,35 @@ def q_tenant_tier_planner(spark, sf_dir):
 def _tierplan_exact_and_serves(spark, sf_dir):
     from embeddingsearch_spark.operators import sq
 
-    emb = _tenant_emb(spark, sf_dir)
+    emb = _tenant_emb(spark, sf_dir, ids_only=True)
     stats = sq.sq8_stats(emb, partition_col="source")
     codes8 = sq.sq8_encode(emb, stats, partition_col="source")
     codes4 = sq.sq4_encode(emb, stats, partition_col="source")
     queries, route = _tenant_queries(emb)
+    n = spark.sparkContext.defaultParallelism
+    cbs_by = pq_ops.initial_codebooks_federated(
+        emb, partition_col="source", m_sub=8, k_codes=16
+    )
+    coded = pq_ops.encode_pq_federated(
+        emb.repartition(n), cbs_by, partition_col="source"
+    )
     exact = None
+    pq_refined = None
     for t in ("acme", "globex"):
         t_q = queries.join(
             route.filter(F.col("source") == t).select("query_id"),
             "query_id",
         )
-        part = ann_ops.brute_force_topk(
-            emb.filter(F.col("source") == t), t_q, k=10
-        )
+        emb_t = emb.filter(F.col("source") == t)
+        part = ann_ops.brute_force_topk(emb_t, t_q, k=10)
         exact = part if exact is None else exact.unionByName(part)
+        p = pq_ops.pq_topk_refined(
+            coded.filter(F.col("source") == t), cbs_by[t], emb_t,
+            t_q, k=10, refine_factor=8,
+        )
+        pq_refined = (
+            p if pq_refined is None else pq_refined.unionByName(p)
+        )
     serves = {
         "raw": exact,
         "sq8": sq.sq8_topk(
@@ -4521,6 +4540,7 @@ def _tierplan_exact_and_serves(spark, sf_dir):
             codes4, stats, emb, queries, route, k=10,
             shortlist_factor=2, partition_col="source",
         ),
+        "pq": pq_refined,
     }
     return exact, serves, route
 
@@ -4552,7 +4572,7 @@ def _tierplan_serve(spark, sf_dir):
     )
     fams = spark.createDataFrame(
         [("raw", 261.02, 0), ("sq8", 55.02, 0), ("sq4", 29.85, 0),
-         ("sq4_rerank", 29.85, 20)],
+         ("sq4_rerank", 29.85, 20), ("pq", 7.99, 80)],
         "family string, _bpr double, _cap int",
     )
     bytes_df = tcorp.crossJoin(F.broadcast(fams)).select(
@@ -4636,6 +4656,72 @@ rrtop AS (
     JOIN short20 s ON s.query_id = x.query_id AND s.vec_id = x.vec_id
   ) WHERE r <= 10
 ),
+cbsel AS (
+  SELECT source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY vec_id) - 1 AS INT) AS code,
+         embedding
+  FROM src
+  QUALIFY code < 16
+),
+cbe AS (
+  SELECT c.source, c.code, m.m, i.i,
+         CAST(c.embedding[m.m * 8 + i.i] AS DOUBLE) AS cv
+  FROM cbsel c, range(0, 8) m(m), range(1, 9) i(i)
+),
+d2 AS (
+  SELECT v.vec_id, b.m, b.code,
+         round(sum((CAST(v.embedding[b.m * 8 + b.i] AS DOUBLE)
+                    - b.cv) ^ 2), {RD}) AS dist
+  FROM src v JOIN cbe b ON b.source = v.source
+  GROUP BY v.vec_id, b.m, b.code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+rec AS (
+  SELECT e.vec_id, q.query_id,
+         sum(b.cv * CAST(q.qv[e.m * 8 + b.i] AS DOUBLE)) AS dot,
+         sum(b.cv * b.cv) AS rn2
+  FROM enc e
+  JOIN src v ON v.vec_id = e.vec_id
+  JOIN cbe b ON b.m = e.m AND b.code = e.code
+            AND b.source = v.source
+  JOIN q ON q.source = v.source
+  GROUP BY e.vec_id, q.query_id
+),
+qnorm AS (
+  SELECT query_id, sqrt(sum(y * y)) AS qn FROM qdims
+  GROUP BY query_id
+),
+psims AS (
+  SELECT r.query_id, r.vec_id,
+         round(CASE WHEN sqrt(r.rn2) * n.qn = 0 THEN 0.5
+               ELSE (r.dot / (sqrt(r.rn2) * n.qn) + 1.0) / 2.0 END,
+               {RD}) AS cosine
+  FROM rec r JOIN qnorm n USING (query_id)
+),
+pshort AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM psims) WHERE r <= 80
+),
+pqtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT x.query_id, x.vec_id,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY x.cosine DESC, x.vec_id ASC) AS r
+    FROM xsims x
+    JOIN pshort s ON s.query_id = x.query_id AND s.vec_id = x.vec_id
+  ) WHERE r <= 10
+),
 nq AS (SELECT source, count(*) AS n FROM q GROUP BY source),
 hits AS (
   SELECT 'raw' AS family, q.source, count(*) AS h
@@ -4657,6 +4743,11 @@ hits AS (
   FROM rrtop a JOIN xtop b
     ON a.query_id = b.query_id AND a.vec_id = b.vec_id
   JOIN q ON q.query_id = a.query_id GROUP BY q.source
+  UNION ALL
+  SELECT 'pq', q.source, count(*)
+  FROM pqtop a JOIN xtop b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  JOIN q ON q.query_id = a.query_id GROUP BY q.source
 ),
 recalls AS (
   SELECT h.family, h.source,
@@ -4667,7 +4758,7 @@ tcorp AS (SELECT source, count(*) AS n FROM src GROUP BY source),
 fams AS (
   SELECT * FROM (VALUES
     ('raw', 261.02, 0), ('sq8', 55.02, 0), ('sq4', 29.85, 0),
-    ('sq4_rerank', 29.85, 20)
+    ('sq4_rerank', 29.85, 20), ('pq', 7.99, 80)
   ) f(family, bpr, cap)
 ),
 bytes AS (
