@@ -671,3 +671,50 @@ def test_graph_steered_store_records_gain_and_retrain_resteers(spark, vecs):
     assert gains1["globex"] > gains0["globex"]  # gained structure
     for t in ("_pairs", "_assigned", "_calib"):
         drop_table(spark, prefix + t)
+
+
+def test_serve_by_plan_routes_and_raises_loudly(spark):
+    """serve_by_plan runs one serve per distinct chosen family over
+    only the tenants that chose it (family stamped per row), raises
+    if a routed tenant has no chosen row, and raises if a chosen
+    family has no serve callable."""
+    import pytest
+
+    plan = spark.createDataFrame(
+        [("t1", "a", 1), ("t1", "b", 0), ("t2", "b", 1)],
+        "source string, family string, chosen int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0]), (2, [2.0])], "query_id long, embedding array<double>"
+    )
+    route = spark.createDataFrame(
+        [(1, "t1"), (2, "t2")], "query_id long, source string"
+    )
+    calls = []
+
+    def mk(fam):
+        def serve(q, r):
+            calls.append((fam, sorted(x["source"] for x in r.collect())))
+            return q.select(
+                "query_id",
+                F.lit(7).alias("vec_id"),
+                F.lit(0.5).alias("cosine"),
+                F.lit(1).alias("rank"),
+            )
+        return serve
+
+    out = cal.serve_by_plan(
+        spark, plan, {"a": mk("a"), "b": mk("b")}, queries, route
+    ).collect()
+    assert sorted(calls) == [("a", ["t1"]), ("b", ["t2"])]
+    fam_by_q = {r["query_id"]: r["family"] for r in out}
+    assert fam_by_q == {1: "a", 2: "b"}
+    # routed tenant with no chosen row
+    with pytest.raises(ValueError, match="no chosen family"):
+        cal.serve_by_plan(
+            spark, plan.filter(F.col("source") != "t2"),
+            {"a": mk("a"), "b": mk("b")}, queries, route,
+        )
+    # chosen family without a serve callable
+    with pytest.raises(ValueError, match="no serve callable"):
+        cal.serve_by_plan(spark, plan, {"a": mk("a")}, queries, route)
