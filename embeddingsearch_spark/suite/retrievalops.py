@@ -2994,6 +2994,15 @@ BUILD_QUERIES = {
     "tenant_lifecycle_postings_serve",
     "tenant_cache_offboard_serve",
     "bm25_tenant_bluegreen_serve",
+    # round 12: the in-query PRF pair and champion gate rebuild the
+    # postings (and champion tiers) inside the gated query for oracle
+    # isolation — the classification rule's definition of build-
+    # dominated cost. Their SERVING-shaped members now exist in the
+    # headline: bm25_prf_from_index (both passes over the persisted
+    # index, seamed) and bm25_champion_indexed (seamed).
+    "bm25_prf_topk",
+    "bm25_prf_pruned",
+    "bm25_champion_topk",
 }
 
 
