@@ -68,11 +68,22 @@ def _h32(col):
 def derive_realistic_docs(spark, sf_dir):
     """(doc_id, lang, source, text): the derived corpus, one row per
     document of the driver's documents table. Pure scan-stage column
-    arithmetic — no shuffle, no UDF; ~2 md5 evaluations per token."""
+    arithmetic — no shuffle of text, no UDF; ~2 md5 evaluations per
+    token.
+
+    The ~75-md5-pairs-per-doc synthesis is the expensive part, so the
+    narrow (doc_id, lang, source) base rows are spread across the
+    cluster BEFORE the text columns exist (guide §2.5 input skew:
+    documents.parquet is a single row group, so deriving first would
+    run the whole synthesis in ONE task — measured 1.2-1.8 s
+    single-threaded per materialization at sf0.1 vs ~0.1 s spread).
+    Shuffling 3 small columns costs ~KBs; the synthesized text never
+    shuffles. Text values are per-row deterministic, so the result is
+    identical under any partitioning."""
     return realistic_text(
-        tables.load(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "source"
-        )
+        tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 

@@ -41,24 +41,52 @@ def _corpus(spark, sf_dir):
     # pin the derived corpus: a retrieval query references it from the
     # postings build, the query derivation, and (snippets) the
     # text join-back — one materialization instead of re-running the
-    # 2-md5-per-token synthesis per reference
-    docs = derive_realistic_docs(spark, sf_dir)
-    return docs.repartition(
-        spark.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)
+    # 2-md5-per-token synthesis per reference. The derivation itself
+    # already spreads the synthesis across defaultParallelism
+    # partitions (derive_realistic_docs), so no second repartition.
+    return derive_realistic_docs(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
 
 
 def _text_queries(spark, sf_dir, docs=None):
+    from embeddingsearch_spark.suite.realistic import realistic_text
+
     qids = (
         tables.load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 13 == 0)
         .select(F.col("vec_id").alias("query_id"))
     )
     if docs is None:
-        docs = derive_realistic_docs(spark, sf_dir)
-    return docs.join(
-        qids, docs["doc_id"] == qids["query_id"]
-    ).select(
+        # no pinned corpus to reuse: join the narrow (doc_id, lang,
+        # source) base against the query ids FIRST and synthesize text
+        # only for the |queries| surviving docs — the full-corpus
+        # synthesis (~75 md5 pairs/doc × every doc) just to read back
+        # ~|embeddings|/13 query texts was the single most expensive
+        # job in the indexed serves' profiles. Text is a per-row
+        # deterministic function of (doc_id, lang), so deriving after
+        # the join is value-identical.
+        base = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source"
+        )
+        docs = realistic_text(
+            base.join(qids, base["doc_id"] == qids["query_id"]).select(
+                "doc_id", "lang", "source"
+            )
+        )
+        qdocs = docs.withColumn("query_id", F.col("doc_id"))
+        # pin the |Q|-row result: serve plans reference the query frame
+        # several times (seed/df/scoring passes), and without a pin
+        # each reference replays the base join + synthesis as its own
+        # broadcast-build job
+        return qdocs.select(
+            "query_id",
+            F.concat_ws(
+                " ", F.slice(T.tokens(F.col("text")), 2, 5)
+            ).alias("text"),
+        ).localCheckpoint(eager=False)
+    qdocs = docs.join(qids, docs["doc_id"] == qids["query_id"])
+    return qdocs.select(
         "query_id",
         F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 5)).alias(
             "text"
@@ -1084,17 +1112,34 @@ def q_phrase_indexed(spark, sf_dir):
 
 def _phrase_queries(spark, sf_dir, docs=None):
     """The shared phrase query set: the 3-token phrase at positions
-    2..4 of each query's source doc."""
-    if docs is None:
-        docs = _corpus(spark, sf_dir)
+    2..4 of each query's source doc. With no pinned corpus, text is
+    synthesized only for the query docs (join-first — see
+    `_text_queries`), not the whole corpus."""
+    from embeddingsearch_spark.suite.realistic import realistic_text
+
     qids = (
         tables.load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 13 == 0)
         .select(F.col("vec_id").alias("query_id"))
     )
-    return docs.join(
-        qids, docs["doc_id"] == qids["query_id"]
-    ).select(
+    if docs is None:
+        base = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source"
+        )
+        qdocs = realistic_text(
+            base.join(qids, base["doc_id"] == qids["query_id"]).select(
+                "doc_id", "lang", "source"
+            )
+        ).withColumn("query_id", F.col("doc_id"))
+        # pinned for the same multi-reference reason as _text_queries
+        return qdocs.select(
+            "query_id",
+            F.concat_ws(
+                " ", F.slice(T.tokens(F.col("text")), 2, 3)
+            ).alias("text"),
+        ).localCheckpoint(eager=False)
+    qdocs = docs.join(qids, docs["doc_id"] == qids["query_id"])
+    return qdocs.select(
         "query_id",
         F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 2, 3)).alias(
             "text"
@@ -1334,7 +1379,15 @@ def _bm25_tenant_setup(spark, sf_dir):
 
 def _tenant_route(spark, sf_dir, docs, queries):
     """Direct tenancy routing: each query belongs to its source doc's
-    searchdomain."""
+    searchdomain. The route needs only (doc_id, source) — both live in
+    the raw documents table — so with ``docs=None`` it reads the
+    narrow base instead of forcing a synthesized-corpus
+    materialization (value-identical: the derivation passes ``source``
+    through untouched)."""
+    if docs is None:
+        docs = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
     return docs.join(
         queries.select("query_id"),
         docs["doc_id"] == F.col("query_id"),
@@ -1342,11 +1395,13 @@ def _tenant_route(spark, sf_dir, docs, queries):
 
 
 def _bm25_tenant_serve_leg(spark, sf_dir):
-    docs = _corpus(spark, sf_dir)
-    queries = _text_queries(spark, sf_dir, docs)
+    # serve touches only the persisted index + the query texts: derive
+    # queries join-first and route from the narrow base — no corpus
+    # synthesis or checkpoint in the serve path
+    queries = _text_queries(spark, sf_dir)
     return retrieval.bm25_federated_from_index(
         spark, "es_gate_postings_tenant", queries,
-        _tenant_route(spark, sf_dir, docs, queries),
+        _tenant_route(spark, sf_dir, None, queries),
         k=10, partition_col="source",
     )
 
@@ -1980,9 +2035,11 @@ def _unified_setup(spark, sf_dir):
 
 
 def _unified_serve(spark, sf_dir):
-    docs = _corpus(spark, sf_dir)
-    queries = _text_queries(spark, sf_dir, docs)
-    phrase_qs = _phrase_queries(spark, sf_dir, docs)
+    # both query sets synthesize text for the ~|Q| query docs only
+    # (join-first) — the serve never touches the corpus, just the two
+    # persisted index tables
+    queries = _text_queries(spark, sf_dir)
+    phrase_qs = _phrase_queries(spark, sf_dir)
     b = retrieval.bm25_topk_from_index(
         spark, "es_gate_unified_postings", queries, k=10
     )

@@ -49,8 +49,13 @@ def main() -> None:
         ranked = sorted(rec["queries"].items(), key=lambda kv: -kv[1])
         names += [n for n, _ in ranked[: args.slowest] if n in queries]
 
+    # match bench.py's data-sized shuffle partitioning so profiles
+    # reproduce the bench's plan shapes and are comparable to it
+    from bench import _partitions_for
+
     spark = get_spark(
         "profile-queries",
+        shuffle_partitions=_partitions_for(sf_dir),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
