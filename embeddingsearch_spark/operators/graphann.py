@@ -872,19 +872,33 @@ def graph_search(
             query_id_col, F.col(id_col).alias("_node")
         )
     frontier = step(score(init))
+    # pin the edge frame: the per-hop checkpoints split the walk into
+    # separate executions, so WITHOUT a pin every hop re-derives the
+    # edge list from scratch (for a pairs-table source that is two
+    # row_number windows over the whole pair table, hops+1 times);
+    # pinned, the derivation runs once and each hop broadcasts the
+    # cached rows
     esrc = edges.select(
         F.col("src").alias("_node"), F.col("dst").alias("_dst")
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(hops):
         expanded = (
             frontier.select(query_id_col, "_node")
             .join(esrc, "_node")
             .select(query_id_col, F.col("_dst").alias("_node"))
         )
+        # one exchange per hop: hash-partition the candidate set by
+        # query once — HashPartitioning(query) satisfies the clustered
+        # distribution BOTH the (query, node) dedup aggregate and the
+        # beam-cut window require, so neither inserts its own exchange
+        # (two shuffles per hop collapse into one; results unchanged,
+        # dedup/rank semantics key-identical)
         cand = (
             expanded.unionByName(
                 frontier.select(query_id_col, "_node")
-            ).distinct()
+            )
+            .repartition(F.col(query_id_col))
+            .distinct()
         )
         frontier = step(score(cand))
     pool = frontier if acc is None else acc.distinct()
