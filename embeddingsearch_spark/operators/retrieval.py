@@ -200,14 +200,20 @@ def bm25_scores_from_terms(
     query_id_col: str = "query_id",
     k1: float = 1.2,
     b: float = 0.75,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """The BM25 scoring core over a pre-built postings frame and a
     pre-exploded (query_id, term) frame — shared by the plain path and
-    the PRF-expanded second pass."""
+    the PRF-expanded second pass. ``matched`` optionally supplies the
+    already-pinned query-term postings cut (must equal
+    ``post ⋈ distinct(qterms.term)``) so a caller that has one — the
+    PRF second pass extends the first pass's — avoids re-deriving it
+    from the full postings."""
     # bounded by query-term matches; read twice (df agg + scoring join)
-    matched = post.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).localCheckpoint(eager=False)
+    if matched is None:
+        matched = post.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
     )
@@ -359,7 +365,7 @@ def bm25_topk_pruned_from_index(
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
-    stats = corpus_stats_from_postings(post, id_col)
+    stats = stats_for_index(spark, table, id_col)
     matched, dfreq, cand = _wand_candidates_from_parts(
         post, qterms, stats, k, id_col, query_id_col, k1, b
     )
@@ -406,31 +412,33 @@ def _wand_candidates_from_parts(
     query_id_col: str,
     k1: float,
     b: float,
+    matched: DataFrame | None = None,
 ):
     """The WAND candidate core over a pre-built postings frame (pinned
     or persisted) and an arbitrary (query_id, term) frame — generic in
     the term set, so the PRF-expanded second pass prunes with the same
-    machinery. Returns ``(matched, dfreq, cand)``."""
+    machinery. ``matched`` optionally supplies the pinned
+    ``post ⋈ distinct(qterms.term)`` cut (the PRF second pass extends
+    the first pass's instead of re-scanning the index). Returns
+    ``(matched, dfreq, cand)``."""
     quantum = 10.0 ** (-ROUND_DIGITS)
-    matched = post.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).localCheckpoint(eager=False)
+    if matched is None:
+        matched = post.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
     )
-    # (query, term, ub): broadcast-scale, pinned — referenced by the
-    # essential-term cut
-    ubt = (
-        qterms.join(dfreq, "term")
-        .select(
-            query_id_col,
-            "term",
-            "df",
-            (bm25_idf(F.col("df"), stats["n"]) * F.lit(k1 + 1.0)).alias(
-                "ub"
-            ),
-        )
-        .localCheckpoint(eager=False)
+    # (query, term, ub): broadcast-scale, referenced exactly once (the
+    # essential-term cut) — no pin needed, a checkpoint here was one
+    # materialization job per pass for nothing
+    ubt = qterms.join(dfreq, "term").select(
+        query_id_col,
+        "term",
+        "df",
+        (bm25_idf(F.col("df"), stats["n"]) * F.lit(k1 + 1.0)).alias(
+            "ub"
+        ),
     )
     # seed docs: top-k by tf per (query, term), pooled over ALL the
     # query's terms — ≤ |Q|·|T|·k pairs, broadcast-scale. Seeding from
@@ -530,6 +538,43 @@ def bm25_prune_stats(
     }
 
 
+def save_index_stats(spark, table: str, id_col: str = "doc_id") -> None:
+    """Persist the corpus stats (N, avgdl) NEXT TO a postings index as
+    ``{table}__stats`` — the standard inverted-index design (Lucene
+    keeps these in segment metadata): a serve should read two numbers,
+    not re-aggregate the whole index per query. Derived from the saved
+    table itself with exactly `corpus_stats_from_postings`'s NULL/zero
+    semantics, so a serve reading the stats table is value-identical
+    to one deriving them. Refresh after any index mutation
+    (`upsert_postings_index` does when the table exists)."""
+    from embeddingsearch_spark.storage import drop_table
+
+    stats_df = (
+        spark.table(table)
+        .select(F.col(id_col), "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.coalesce(
+                F.nullif(F.avg("dl"), F.lit(0.0)), F.lit(1.0)
+            ).alias("avgdl"),
+        )
+    )
+    drop_table(spark, f"{table}__stats")
+    stats_df.write.saveAsTable(f"{table}__stats")
+
+
+def stats_for_index(spark, table: str, id_col: str = "doc_id") -> dict:
+    """{'n', 'avgdl'} for a persisted postings index: the two-number
+    ``{table}__stats`` read when the build persisted it, else derived
+    from the full index (`corpus_stats_from_postings`) — identical
+    values either way."""
+    if spark.catalog.tableExists(f"{table}__stats"):
+        row = spark.table(f"{table}__stats").collect()[0]
+        return {"n": float(row["n"]), "avgdl": float(row["avgdl"])}
+    return corpus_stats_from_postings(spark.table(table), id_col)
+
+
 def build_postings_index(
     docs: DataFrame,
     table: str,
@@ -537,6 +582,7 @@ def build_postings_index(
     text_col: str = "text",
     n_buckets: int = 32,
     tokenizer=None,
+    with_stats: bool = False,
 ) -> str:
     """PERSIST the inverted index: the postings frame (with the
     empty-doc sentinel rows, so stats stay derivable) saved as a
@@ -557,6 +603,16 @@ def build_postings_index(
     )
     _drop_table(docs.sparkSession, table)
     save_bucketed(post, table, ["term"], n_buckets=n_buckets)
+    if with_stats:
+        # persist (N, avgdl) beside the index — serves read two
+        # numbers instead of re-aggregating the whole index per query.
+        # Opt-in: generation-suffixed tables (blue/green) would
+        # otherwise change the vacuum gate's dropped-table accounting.
+        save_index_stats(docs.sparkSession, table, id_col)
+    else:
+        # a rebuild without stats must not leave a prior build's stats
+        # table behind — `stats_for_index` would read stale numbers
+        _drop_table(docs.sparkSession, f"{table}__stats")
     return table
 
 
@@ -1079,7 +1135,7 @@ def bm25_topk_from_index(
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
-    stats = corpus_stats_from_postings(post, id_col)
+    stats = stats_for_index(spark, table, id_col)
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b
     )
@@ -1132,6 +1188,11 @@ def upsert_postings_index(
         spark, table, new, [id_col], delete_keys=dk,
         bucket_cols=["term"], n_buckets=n_buckets,
     )
+    if spark.catalog.tableExists(f"{table}__stats"):
+        # the build persisted stats — refresh them from the converged
+        # index so serves reading the two-number table stay identical
+        # to serves deriving stats from the index
+        save_index_stats(spark, table, id_col)
     return table
 
 
@@ -1561,7 +1622,7 @@ def bm25_champion_from_index(
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
-    stats = corpus_stats_from_postings(post, id_col)
+    stats = stats_for_index(spark, table, id_col)
     matched = post.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
@@ -1921,7 +1982,7 @@ def bm25_proximity_from_index(
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
-    stats = corpus_stats_from_postings(post, id_col)
+    stats = stats_for_index(spark, postings_table, id_col)
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b
     )
@@ -2417,14 +2478,18 @@ def _prf_terms_from_parts(
     k1: float,
     b: float,
     prune: bool = False,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Expansion-term core over pre-built postings/stats — shared with
     `bm25_prf_topk` so the two-pass query builds the postings ONCE.
     ``prune=True`` selects the feedback docs via the rank-safe WAND
-    candidate cut (identical top-``k_fb`` set by construction)."""
+    candidate cut (identical top-``k_fb`` set by construction).
+    ``matched`` optionally supplies the pinned query-term postings cut
+    (see `bm25_scores_from_terms`)."""
     if prune:
         matched, dfreq_p, cand = _wand_candidates_from_parts(
-            post, qterms, stats, k_fb, id_col, query_id_col, k1, b
+            post, qterms, stats, k_fb, id_col, query_id_col, k1, b,
+            matched=matched,
         )
         fb = _bm25_ranked_pruned(
             matched, dfreq_p, qterms, stats, cand, k_fb, id_col,
@@ -2432,7 +2497,8 @@ def _prf_terms_from_parts(
         ).select(query_id_col, id_col)
     else:
         scored = bm25_scores_from_terms(
-            post, qterms, stats, id_col, query_id_col, k1, b
+            post, qterms, stats, id_col, query_id_col, k1, b,
+            matched=matched,
         )
         w = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(id_col).asc()
@@ -2596,7 +2662,7 @@ def bm25_prf_from_index(
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
-    stats = corpus_stats_from_postings(post, id_col)
+    stats = stats_for_index(spark, table, id_col)
     return _prf_topk_from_parts(
         post, qterms, stats, k, k_fb, m_terms, id_col, query_id_col,
         k1, b, prune,

@@ -248,7 +248,7 @@ def q_bm25_indexed_topk(spark, sf_dir):
 
 def _bm25_indexed_setup(spark, sf_dir):
     retrieval.build_postings_index(
-        _corpus(spark, sf_dir), "es_gate_postings", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_postings", n_buckets=8, with_stats=True
     )
 
 
@@ -270,7 +270,7 @@ def q_bm25_wand_indexed(spark, sf_dir):
 
 def _bm25_wand_indexed_setup(spark, sf_dir):
     retrieval.build_postings_index(
-        _corpus(spark, sf_dir), "es_gate_postings_wand", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_postings_wand", n_buckets=8, with_stats=True
     )
 
 
@@ -357,7 +357,7 @@ def q_bm25_prf_from_index(spark, sf_dir):
 
 def _bm25_prf_indexed_setup(spark, sf_dir):
     retrieval.build_postings_index(
-        _corpus(spark, sf_dir), "es_gate_postings_prf", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_postings_prf", n_buckets=8, with_stats=True
     )
 
 
@@ -512,7 +512,7 @@ def q_bm25_champion_indexed(spark, sf_dir):
 
 def _bm25_champion_setup(spark, sf_dir):
     retrieval.build_postings_index(
-        _corpus(spark, sf_dir), "es_gate_champ_postings", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_champ_postings", n_buckets=8, with_stats=True
     )
     retrieval.save_champion_tier(
         spark, "es_gate_champ_postings", tier=32, n_buckets=8
@@ -1013,7 +1013,7 @@ def q_bm25_proximity_indexed(spark, sf_dir):
 def _bm25_prox_indexed_setup(spark, sf_dir):
     docs = _corpus(spark, sf_dir)
     retrieval.build_postings_index(
-        docs, "es_gate_prox_postings", n_buckets=8
+        docs, "es_gate_prox_postings", n_buckets=8, with_stats=True
     )
     retrieval.build_positions_index(
         docs, "es_gate_prox_positions", n_buckets=8
@@ -2027,7 +2027,7 @@ def q_unified_index_serve(spark, sf_dir):
 def _unified_setup(spark, sf_dir):
     docs = _corpus(spark, sf_dir)
     retrieval.build_postings_index(
-        docs, "es_gate_unified_postings", n_buckets=8
+        docs, "es_gate_unified_postings", n_buckets=8, with_stats=True
     )
     retrieval.build_positions_index(
         docs, "es_gate_unified_positions", n_buckets=8
@@ -2336,7 +2336,7 @@ def q_hybrid_indexed_serve(spark, sf_dir):
 
 def _hybrid_indexed_setup(spark, sf_dir):
     retrieval.build_postings_index(
-        _corpus(spark, sf_dir), "es_gate_hyb_postings", n_buckets=8
+        _corpus(spark, sf_dir), "es_gate_hyb_postings", n_buckets=8, with_stats=True
     )
     emb = tables.load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 16).select(
