@@ -192,6 +192,47 @@ def _bm25_contrib(stats: dict, k1: float, b: float):
     return idf * tf * F.lit(k1 + 1.0) / norm
 
 
+def collect_query_term_list(qterms: DataFrame) -> list:
+    """The distinct query terms as a sorted literal list — bounded by
+    the query batch (|Q|·|T| strings, the IVF-probe-collect contract)."""
+    return sorted(
+        {r[0] for r in qterms.select("term").distinct().collect()}
+    )
+
+
+def matched_term_cut(
+    post: DataFrame,
+    qterms: DataFrame,
+    literal: bool = False,
+    terms: list | None = None,
+) -> DataFrame:
+    """The query-term postings cut ``post ⋈ distinct(qterms.term)``.
+
+    ``literal=True`` collects the distinct terms (bounded by the query
+    batch: |Q|·|T| strings — the same contract as the IVF probe
+    collect) and cuts with a literal IN predicate instead of a
+    broadcast semi-join. Against a term-bucketed persisted index the
+    predicate pushes into the parquet scan AND prunes buckets
+    (SelectedBucketsCount), so a serve reads only the buckets holding
+    its query terms — the posting-list-fetch shape an inverted index
+    exists for — and the plan drops one broadcast exchange per pass.
+    The default (broadcast join, pinned) remains for unbounded or
+    data-dependent term sets. Identical rows either way; column order
+    normalized to the join layout (term first). ``terms`` optionally
+    supplies an already-collected term list (a caller cutting several
+    tables on the same query terms collects once)."""
+    cols = ["term"] + [c for c in post.columns if c != "term"]
+    if literal:
+        if terms is None:
+            terms = collect_query_term_list(qterms)
+        if not terms:
+            return post.select(*cols).filter(F.lit(False))
+        return post.select(*cols).filter(F.col("term").isin(terms))
+    return post.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+
+
 def bm25_scores_from_terms(
     post: DataFrame,
     qterms: DataFrame,
@@ -201,6 +242,7 @@ def bm25_scores_from_terms(
     k1: float = 1.2,
     b: float = 0.75,
     matched: DataFrame | None = None,
+    cluster_by_query: bool = False,
 ) -> DataFrame:
     """The BM25 scoring core over a pre-built postings frame and a
     pre-exploded (query_id, term) frame — shared by the plain path and
@@ -208,20 +250,34 @@ def bm25_scores_from_terms(
     already-pinned query-term postings cut (must equal
     ``post ⋈ distinct(qterms.term)``) so a caller that has one — the
     PRF second pass extends the first pass's — avoids re-deriving it
-    from the full postings."""
+    from the full postings.
+
+    ``cluster_by_query=True`` hash-partitions the pre-aggregation rows
+    by query id: HashPartitioning(q) satisfies the clustered
+    distribution of BOTH the (q, doc) aggregation and the caller's
+    per-query rank window, so the score+rank tail runs on ONE exchange
+    instead of two. The trade is map-side partial aggregation (the
+    shuffle carries term-level rows, not (q, doc) partials) — right
+    for rank tails whose rows are narrow ids+doubles and whose window
+    needed the by-query exchange anyway; leave False for consumers
+    that stop at the scores frame."""
     # bounded by query-term matches; read twice (df agg + scoring join)
     if matched is None:
-        matched = post.join(
-            F.broadcast(qterms.select("term").distinct()), "term"
-        ).localCheckpoint(eager=False)
+        matched = matched_term_cut(post, qterms)
+    # postings carry one row per (term, doc) by construction
+    # (`_postings` groups on exactly that key), so df is a plain count
+    # — no distinct pre-aggregation pass
     dfreq = matched.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")
     )
     contrib = _bm25_contrib(stats, k1, b)
+    joined = matched.join(F.broadcast(dfreq), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    if cluster_by_query:
+        joined = joined.repartition(query_id_col)
     return (
-        matched.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
-        .groupBy(query_id_col, id_col)
+        joined.groupBy(query_id_col, id_col)
         .agg(
             F.round(F.sum(contrib), ROUND_DIGITS).alias("score"),
             F.count(F.lit(1)).alias("n_matched"),
@@ -366,8 +422,14 @@ def bm25_topk_pruned_from_index(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
+    # literal bucket-pruned cut, pinned: the WAND machinery reads the
+    # matched frame four times (df agg, seeds, essential cut, exact
+    # pass) — one pruned scan, checkpointed, serves them all
     matched, dfreq, cand = _wand_candidates_from_parts(
-        post, qterms, stats, k, id_col, query_id_col, k1, b
+        post, qterms, stats, k, id_col, query_id_col, k1, b,
+        matched=matched_term_cut(
+            post, qterms, literal=True
+        ).localCheckpoint(eager=False),
     )
     return _bm25_ranked_pruned(
         matched, dfreq, qterms, stats, cand, k, id_col, query_id_col,
@@ -427,7 +489,7 @@ def _wand_candidates_from_parts(
             F.broadcast(qterms.select("term").distinct()), "term"
         ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     # (query, term, ub): broadcast-scale, referenced exactly once (the
     # essential-term cut) — no pin needed, a checkpoint here was one
@@ -905,7 +967,7 @@ def _federated_scores(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
     dfreq = matched.groupBy(*pcs, "term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     tf = F.col("tf").cast("double")
     idf = F.log(
@@ -1000,7 +1062,7 @@ def bm25_federated_pruned_from_index(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
     dfreq = matched.groupBy(partition_col, "term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     idf = F.log(
         F.lit(1.0)
@@ -1129,15 +1191,22 @@ def bm25_topk_from_index(
     """`bm25_topk` over a persisted postings index — identical output
     (same declared semantics, same oracle), zero corpus scans: stats
     derive from the index's (id, dl) projection and scoring joins the
-    bucketed table directly. ``tokenizer`` MUST match the one the
-    index was built with (queries segment like the stored corpus)."""
+    bucketed table directly. The query-term cut is a literal IN
+    predicate pushed into the bucketed scan (term-bucket pruning: the
+    serve reads only the buckets holding its query terms), and the
+    score+rank tail rides one by-query exchange
+    (`bm25_scores_from_terms(cluster_by_query=True)`). ``tokenizer``
+    MUST match the one the index was built with (queries segment like
+    the stored corpus)."""
     post = spark.table(table)
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
+    matched = matched_term_cut(post, qterms, literal=True)
     scored = bm25_scores_from_terms(
-        post, qterms, stats, id_col, query_id_col, k1, b
+        post, qterms, stats, id_col, query_id_col, k1, b,
+        matched=matched, cluster_by_query=True,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -1243,7 +1312,7 @@ def phrase_search(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     rarest = (
         qterms.join(F.broadcast(dfreq), "term", "left_outer")
@@ -1355,7 +1424,7 @@ def bm25_topk_champion(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     tw = Window.partitionBy("term").orderBy(
         F.col("tf").desc(), F.col(id_col).asc()
@@ -1623,20 +1692,23 @@ def bm25_champion_from_index(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
-    matched = post.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
+    # literal bucket-pruned cuts against BOTH term-bucketed tables
+    # (postings + tiers): the scans read only the query terms' buckets
+    term_list = collect_query_term_list(qterms)
+    matched = matched_term_cut(
+        post, qterms, literal=True, terms=term_list
     ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     tiers = spark.table(f"{table}_tiers")
     stored = tiers.agg(F.max("_r")).collect()[0][0] or 0
     eff_tier = min(int(tier), int(stored)) if stored else int(tier)
-    champ = (
-        tiers.filter(F.col("_r") <= eff_tier)
-        .drop("_r")
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
-        .localCheckpoint(eager=False)
+    champ = matched_term_cut(
+        tiers.filter(F.col("_r") <= eff_tier).drop("_r"),
+        qterms,
+        literal=True,
+        terms=term_list,
     )
     return _champion_cut(
         matched, dfreq, qterms, stats, champ, k, eff_tier, id_col,
@@ -1983,8 +2055,13 @@ def bm25_proximity_from_index(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, postings_table, id_col)
+    term_list = collect_query_term_list(qterms)
     scored = bm25_scores_from_terms(
-        post, qterms, stats, id_col, query_id_col, k1, b
+        post, qterms, stats, id_col, query_id_col, k1, b,
+        matched=matched_term_cut(
+            post, qterms, literal=True, terms=term_list
+        ),
+        cluster_by_query=True,
     )
     cand = None
     if prune:
@@ -1993,7 +2070,14 @@ def bm25_proximity_from_index(
         )
         cand = scored.select(query_id_col, id_col)
     pos = spark.table(positions_table)
-    hits = pos.join(F.broadcast(qterms), "term").select(
+    # literal pre-cut pushes the term predicate into the positional
+    # index's bucketed scan; the broadcast join then attaches query ids
+    pos_cut = (
+        pos.filter(F.col("term").isin(term_list))
+        if term_list
+        else pos.filter(F.lit(False))
+    )
+    hits = pos_cut.join(F.broadcast(qterms), "term").select(
         query_id_col, id_col, "term", "pos"
     )
     if cand is not None:
@@ -2516,7 +2600,8 @@ def _prf_terms_from_parts(
     dfreq = (
         post.join(F.broadcast(cand_terms), "term")
         .groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+        # (term, doc) unique rows — plain count is the doc frequency
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     weighted = (
         fb_post.join(F.broadcast(dfreq), "term")
@@ -2600,30 +2685,49 @@ def _prf_topk_from_parts(
     k1: float,
     b: float,
     prune: bool,
+    matched: DataFrame | None = None,
+    literal: bool = False,
 ) -> DataFrame:
     """Both PRF passes (feedback selection + expanded re-score) over
     pre-built postings/stats — shared by the in-query `bm25_prf_topk`
-    and the persisted-index `bm25_prf_from_index` serve."""
+    and the persisted-index `bm25_prf_from_index` serve.
+
+    The expansion term frame is COLLECTED (|Q|·m rows — bounded by the
+    query batch) and re-created as a literal DataFrame: pass 2's plan
+    then carries no pass-1 lineage at all, so the re-score plans and
+    runs like a plain query over the union term set instead of
+    dragging the whole feedback DAG through every adaptive re-plan.
+    One bounded collect replaces the checkpoint materialization the
+    old shape paid at the same point. ``matched`` optionally supplies
+    pass 1's pinned postings cut; ``literal=True`` additionally cuts
+    pass 2's postings with an IN predicate over the (now known) union
+    term set — bucket-pruned against a persisted index."""
     expansion = _prf_terms_from_parts(
         post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1,
-        b, prune=prune,
+        b, prune=prune, matched=matched,
     ).select(query_id_col, "term")
-    # pin: the expanded term frame is tiny (|Q|·(|T|+m) rows) but its
-    # lineage is the whole feedback pass — the re-score (and in pruned
-    # mode the candidate machinery) references it several times
-    expanded = (
-        qterms.unionByName(expansion).distinct().localCheckpoint(eager=False)
-    )
+    spark = post.sparkSession
+    exp_rows = expansion.collect()
+    exp_lit = spark.createDataFrame(exp_rows, expansion.schema)
+    expanded = qterms.unionByName(exp_lit).distinct()
+    matched2 = None
+    if literal:
+        matched2 = matched_term_cut(post, expanded, literal=True)
+        if prune:
+            # the WAND machinery reads the cut four times — pin it
+            matched2 = matched2.localCheckpoint(eager=False)
     if prune:
         matched, dfreq, cand = _wand_candidates_from_parts(
-            post, expanded, stats, k, id_col, query_id_col, k1, b
+            post, expanded, stats, k, id_col, query_id_col, k1, b,
+            matched=matched2,
         )
         return _bm25_ranked_pruned(
             matched, dfreq, expanded, stats, cand, k, id_col,
             query_id_col, k1, b,
         )
     scored = bm25_scores_from_terms(
-        post, expanded, stats, id_col, query_id_col, k1, b
+        post, expanded, stats, id_col, query_id_col, k1, b,
+        matched=matched2, cluster_by_query=True,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -2663,9 +2767,15 @@ def bm25_prf_from_index(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
+    # pass 1 cuts the index with a literal bucket-pruned IN predicate,
+    # pinned (the feedback pass reads it 2-4 times); pass 2 re-cuts on
+    # the collected union term set (literal=True below)
+    matched = matched_term_cut(
+        post, qterms, literal=True
+    ).localCheckpoint(eager=False)
     return _prf_topk_from_parts(
         post, qterms, stats, k, k_fb, m_terms, id_col, query_id_col,
-        k1, b, prune,
+        k1, b, prune, matched=matched, literal=True,
     )
 
 
