@@ -1583,13 +1583,14 @@ def ivf_federated_from_index(
                 "(use 'auto', 'calibrated', or 'stored')"
             )
     cents = spark.table(f"{prefix}_centroids")
-    routed = route.select(partition_col).distinct().collect()
     if user_map:
         # A hand-built width map with a routed tenant missing would
         # silently serve that tenant ZERO candidates (the width join
         # is inner) — raise instead; the derived maps ('auto'/
         # 'calibrated') cover every tenant with centroids, so only
-        # user maps are exposed to the gap.
+        # user maps are exposed to the gap. The collect is validation-
+        # only, so only the user-map path pays it.
+        routed = route.select(partition_col).distinct().collect()
         gap = sorted(
             {str(r[0]) for r in routed} - {str(t) for t in nprobe}
         )
@@ -1597,8 +1598,14 @@ def ivf_federated_from_index(
             raise ValueError(
                 f"nprobe map missing routed collections: {gap}"
             )
-    tcents = cents.filter(
-        F.col(partition_col).isin([r[0] for r in routed])
+    # trim the broadcast quantizer to the routed tenants WITHOUT a
+    # driver collect (one action per serve saved): the semi-join runs
+    # inside the broadcast build; the inner probe join below enforces
+    # routing regardless, so this is a size trim, not a correctness cut
+    tcents = cents.join(
+        F.broadcast(route.select(partition_col).distinct()),
+        partition_col,
+        "left_semi",
     )
     qv = queries.join(
         F.broadcast(route.select(query_id_col, partition_col)),

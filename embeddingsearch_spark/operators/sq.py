@@ -202,9 +202,12 @@ def sq8_topk(
     (query_id, id, cosine, rank)."""
     from embeddingsearch_spark.operators.ann import _cosine_from_parts
 
+    # hoist the candidate norm BELOW the query join: computed once per
+    # candidate row instead of once per (query, candidate) pair — the
+    # join between the projections blocks CollapseProject re-inlining
     deq = sq8_dequantize(
         codes, stats, partition_col, id_col, codes_col, vec_col
-    )
+    ).withColumn("_vn", norm2(F.col(vec_col)))
     qv = queries.select(
         query_id_col,
         F.col(vec_col).cast("array<double>").alias("_qvec"),
@@ -219,7 +222,7 @@ def sq8_topk(
         cand = deq.crossJoin(F.broadcast(qv))  # documented brute path
     sim = _cosine_from_parts(
         dot(F.col(vec_col), F.col("_qvec")),
-        norm2(F.col(vec_col)),
+        F.col("_vn"),
         F.col("_qn"),
     )
     scored = cand.select(
@@ -403,9 +406,12 @@ def sq4_topk(
     serve shape at ~1/8 the candidate bytes of raw."""
     from embeddingsearch_spark.operators.ann import _cosine_from_parts
 
+    # hoist the candidate norm below the query join (same rationale as
+    # sq8_topk): the 4-bit unpack+dequantize chain AND its norm run
+    # once per candidate row, not once per (query, candidate) pair
     deq = sq4_dequantize(
         codes, stats, partition_col, id_col, codes_col, vec_col
-    )
+    ).withColumn("_vn", norm2(F.col(vec_col)))
     qv = queries.select(
         query_id_col,
         F.col(vec_col).cast("array<double>").alias("_qvec"),
@@ -420,7 +426,7 @@ def sq4_topk(
         cand = deq.crossJoin(F.broadcast(qv))  # documented brute path
     sim = _cosine_from_parts(
         dot(F.col(vec_col), F.col("_qvec")),
-        norm2(F.col(vec_col)),
+        F.col("_vn"),
         F.col("_qn"),
     )
     scored = cand.select(
@@ -641,9 +647,10 @@ def ivf_sq8_federated_from_index(
                 "(use 'auto', 'calibrated', or 'stored')"
             )
     cents = spark.table(f"{prefix}_centroids")
-    routed = route.select(partition_col).distinct().collect()
     if user_map:
-        # same inner-join gap contract as the raw federated serve
+        # same inner-join gap contract as the raw federated serve;
+        # the collect is validation-only, so only user maps pay it
+        routed = route.select(partition_col).distinct().collect()
         gap = sorted(
             {str(r[0]) for r in routed} - {str(t) for t in nprobe}
         )
@@ -651,8 +658,12 @@ def ivf_sq8_federated_from_index(
             raise ValueError(
                 f"nprobe map missing routed collections: {gap}"
             )
-    tcents = cents.filter(
-        F.col(partition_col).isin([r[0] for r in routed])
+    # broadcast-size trim without a driver collect (one action per
+    # serve saved) — the inner probe join enforces routing regardless
+    tcents = cents.join(
+        F.broadcast(route.select(partition_col).distinct()),
+        partition_col,
+        "left_semi",
     )
     qv = (
         queries.join(

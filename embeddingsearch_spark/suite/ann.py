@@ -112,7 +112,10 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     hyperplanes are md5-derived, so the oracle rebuilds the identical
     matrix in SQL — the whole pipeline (buckets included) is replicated,
     not just spot-checked."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    # one-row-group scan → spread the signature/verify work (guide §2.5)
+    emb = tables.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ann_ops.srp_cosine_pairs(
         emb, dim=64, n_bits=16, bands=4, threshold=0.65
     )
@@ -169,7 +172,10 @@ def q_srp_multiprobe(spark, sf_dir):
     are a strict superset of the exact-banding query's (flip 0 is the
     identity probe); the oracle replays planes → buckets → XOR-probe
     join → exact verify."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    # one-row-group scan → spread the signature/verify work (guide §2.5)
+    emb = tables.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ann_ops.srp_multiprobe_pairs(
         emb, dim=64, n_bits=16, bands=4, threshold=0.65
     )
@@ -229,7 +235,10 @@ def q_embedding_contamination(spark, sf_dir):
     n-gram `contamination` check misses. One banding pass over both
     sides (side-parity re-keying, `ann.srp_cross_pairs`); same 16/4
     banding as embedding_neardup_lsh so the oracle mirrors it."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    # one-row-group scan → spread the signature/verify work (guide §2.5)
+    emb = tables.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     train = emb.filter(F.col("vec_id") >= 40)
     ev = emb.filter(F.col("vec_id") < 40)
     return ann_ops.srp_cross_pairs(
@@ -4223,8 +4232,13 @@ def q_sq8_tenant_topk(spark, sf_dir):
         "source",
         F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
     )
-    stats = sq.sq8_stats(emb, partition_col="source")
-    codes = sq.sq8_encode(emb, stats, partition_col="source")
+    # the embeddings parquet is one row group → one scan task; spread
+    # the train/encode/score side so the cosine stage parallelizes
+    # (guide §2.5 input skew). Queries derive from the raw scan — 154
+    # rows don't need the exchange.
+    par = emb.repartition(spark.sparkContext.defaultParallelism)
+    stats = sq.sq8_stats(par, partition_col="source")
+    codes = sq.sq8_encode(par, stats, partition_col="source")
     qdf = emb.filter(F.col("vec_id") % 13 == 0)
     queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
     route = qdf.select(F.col("vec_id").alias("query_id"), "source")
@@ -4310,8 +4324,11 @@ def q_sq4_tenant_topk(spark, sf_dir):
         "source",
         F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
     )
-    stats = sq.sq8_stats(emb, partition_col="source")
-    codes = sq.sq4_encode(emb, stats, partition_col="source")
+    # single-row-group scan → parallelize the train/encode/score side
+    # (guide §2.5), same shape as the SQ8 gate
+    par = emb.repartition(spark.sparkContext.defaultParallelism)
+    stats = sq.sq8_stats(par, partition_col="source")
+    codes = sq.sq4_encode(par, stats, partition_col="source")
     qdf = emb.filter(F.col("vec_id") % 13 == 0)
     queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
     route = qdf.select(F.col("vec_id").alias("query_id"), "source")
@@ -4420,13 +4437,16 @@ def q_sq4_shortlist_rerank(spark, sf_dir):
         "source",
         F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
     )
-    stats = sq.sq8_stats(emb, partition_col="source")
-    codes = sq.sq4_encode(emb, stats, partition_col="source")
+    # single-row-group scan → parallelize train/encode/score AND the
+    # refine side (guide §2.5); queries derive from the raw scan
+    par = emb.repartition(spark.sparkContext.defaultParallelism)
+    stats = sq.sq8_stats(par, partition_col="source")
+    codes = sq.sq4_encode(par, stats, partition_col="source")
     qdf = emb.filter(F.col("vec_id") % 13 == 0)
     queries = qdf.select(F.col("vec_id").alias("query_id"), "embedding")
     route = qdf.select(F.col("vec_id").alias("query_id"), "source")
     return sq.sq4_shortlist_rerank(
-        codes, stats, emb, queries, route,
+        codes, stats, par, queries, route,
         k=10, shortlist_factor=4, partition_col="source",
     )
 
