@@ -626,6 +626,37 @@ def save_index_stats(spark, table: str, id_col: str = "doc_id") -> None:
     stats_df.write.saveAsTable(f"{table}__stats")
 
 
+def save_index_df(spark, table: str) -> None:
+    """Persist the per-term document frequency beside a postings index
+    as ``{table}__df`` — vocab-sized (term, df). Postings hold one row
+    per (term, doc) by construction, so df is a plain count per term;
+    the NULL-term empty-doc sentinel rows never equi-join a query term
+    and are excluded. With the table, a serve that needs GLOBAL df for
+    terms outside its matched cut (the PRF expansion pass) joins this
+    vocab-sized table instead of re-aggregating the WHOLE index — the
+    full-postings scan was the expansion pass's dominant cost and
+    scales with the corpus, not the query. Refresh after any index
+    mutation (`upsert_postings_index` does when the table exists)."""
+    from embeddingsearch_spark.storage import drop_table
+
+    df_tbl = (
+        spark.table(table)
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    drop_table(spark, f"{table}__df")
+    df_tbl.write.saveAsTable(f"{table}__df")
+
+
+def df_for_index(spark, table: str):
+    """The persisted ``{table}__df`` frame, or None when the build did
+    not opt in — callers fall back to deriving df from the index."""
+    if spark.catalog.tableExists(f"{table}__df"):
+        return spark.table(f"{table}__df").select("term", "df")
+    return None
+
+
 def stats_for_index(spark, table: str, id_col: str = "doc_id") -> dict:
     """{'n', 'avgdl'} for a persisted postings index: the two-number
     ``{table}__stats`` read when the build persisted it, else derived
@@ -666,15 +697,19 @@ def build_postings_index(
     _drop_table(docs.sparkSession, table)
     save_bucketed(post, table, ["term"], n_buckets=n_buckets)
     if with_stats:
-        # persist (N, avgdl) beside the index — serves read two
-        # numbers instead of re-aggregating the whole index per query.
-        # Opt-in: generation-suffixed tables (blue/green) would
-        # otherwise change the vacuum gate's dropped-table accounting.
+        # persist (N, avgdl) and the vocab-sized per-term df beside the
+        # index — serves read index metadata instead of re-aggregating
+        # the whole index per query. Opt-in: generation-suffixed tables
+        # (blue/green) would otherwise change the vacuum gate's
+        # dropped-table accounting.
         save_index_stats(docs.sparkSession, table, id_col)
+        save_index_df(docs.sparkSession, table)
     else:
-        # a rebuild without stats must not leave a prior build's stats
-        # table behind — `stats_for_index` would read stale numbers
+        # a rebuild without stats must not leave a prior build's
+        # metadata tables behind — `stats_for_index`/`df_for_index`
+        # would read stale numbers
         _drop_table(docs.sparkSession, f"{table}__stats")
+        _drop_table(docs.sparkSession, f"{table}__df")
     return table
 
 
@@ -1262,6 +1297,9 @@ def upsert_postings_index(
         # index so serves reading the two-number table stay identical
         # to serves deriving stats from the index
         save_index_stats(spark, table, id_col)
+    if spark.catalog.tableExists(f"{table}__df"):
+        # same contract for the per-term df metadata
+        save_index_df(spark, table)
     return table
 
 
@@ -2563,13 +2601,18 @@ def _prf_terms_from_parts(
     b: float,
     prune: bool = False,
     matched: DataFrame | None = None,
+    dfreq_src: DataFrame | None = None,
 ) -> DataFrame:
     """Expansion-term core over pre-built postings/stats — shared with
     `bm25_prf_topk` so the two-pass query builds the postings ONCE.
     ``prune=True`` selects the feedback docs via the rank-safe WAND
     candidate cut (identical top-``k_fb`` set by construction).
     ``matched`` optionally supplies the pinned query-term postings cut
-    (see `bm25_scores_from_terms`)."""
+    (see `bm25_scores_from_terms`). ``dfreq_src`` optionally supplies a
+    persisted (term, df) frame (`save_index_df`) — the candidate-term
+    document frequencies then come from a vocab-sized metadata join
+    instead of a full pass over the postings (identical values: the
+    table is maintained from the same index generation)."""
     if prune:
         matched, dfreq_p, cand = _wand_candidates_from_parts(
             post, qterms, stats, k_fb, id_col, query_id_col, k1, b,
@@ -2597,12 +2640,16 @@ def _prf_terms_from_parts(
     fb_post = post.join(F.broadcast(fb), id_col)
     # df over the full postings for the candidate terms only
     cand_terms = fb_post.select("term").distinct()
-    dfreq = (
-        post.join(F.broadcast(cand_terms), "term")
-        .groupBy("term")
-        # (term, doc) unique rows — plain count is the doc frequency
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    if dfreq_src is not None:
+        # persisted vocab-sized metadata — no pass over the postings
+        dfreq = dfreq_src.join(F.broadcast(cand_terms), "term")
+    else:
+        dfreq = (
+            post.join(F.broadcast(cand_terms), "term")
+            .groupBy("term")
+            # (term, doc) unique rows — plain count is the doc freq
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
     weighted = (
         fb_post.join(F.broadcast(dfreq), "term")
         .groupBy(query_id_col, "term")
@@ -2687,6 +2734,7 @@ def _prf_topk_from_parts(
     prune: bool,
     matched: DataFrame | None = None,
     literal: bool = False,
+    dfreq_src: DataFrame | None = None,
 ) -> DataFrame:
     """Both PRF passes (feedback selection + expanded re-score) over
     pre-built postings/stats — shared by the in-query `bm25_prf_topk`
@@ -2704,7 +2752,7 @@ def _prf_topk_from_parts(
     term set — bucket-pruned against a persisted index."""
     expansion = _prf_terms_from_parts(
         post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1,
-        b, prune=prune, matched=matched,
+        b, prune=prune, matched=matched, dfreq_src=dfreq_src,
     ).select(query_id_col, "term")
     spark = post.sparkSession
     exp_rows = expansion.collect()
@@ -2767,15 +2815,18 @@ def bm25_prf_from_index(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
-    # pass 1 cuts the index with a literal bucket-pruned IN predicate,
-    # pinned (the feedback pass reads it 2-4 times); pass 2 re-cuts on
-    # the collected union term set (literal=True below)
-    matched = matched_term_cut(
-        post, qterms, literal=True
-    ).localCheckpoint(eager=False)
+    # pass 1 cuts the index with a literal bucket-pruned IN predicate;
+    # pinned only under prune (the WAND machinery reads it 2-4 times —
+    # the plain path reads it once, so a checkpoint would just add a
+    # materialization job); pass 2 re-cuts on the collected union term
+    # set (literal=True below)
+    matched = matched_term_cut(post, qterms, literal=True)
+    if prune:
+        matched = matched.localCheckpoint(eager=False)
     return _prf_topk_from_parts(
         post, qterms, stats, k, k_fb, m_terms, id_col, query_id_col,
         k1, b, prune, matched=matched, literal=True,
+        dfreq_src=df_for_index(spark, table),
     )
 
 

@@ -342,15 +342,22 @@ def q_bm25_prf_topk(spark, sf_dir):
 
 def q_bm25_prf_from_index(spark, sf_dir):
     """PRF over the PERSISTED postings index (round-11 judge Missing
-    #2 — `retrieval.bm25_prf_from_index`): both passes — WAND-pruned
-    feedback selection AND the expanded re-score — read the
-    term-bucketed catalog table; the corpus is never re-tokenized at
-    serve time. The in-query `bm25_prf_topk`/`bm25_prf_pruned` twins
-    were the two slowest serve rows in the round-11 bench precisely
-    because they rebuild postings per query; this is the serving
-    member of the family, seamed like `bm25_wand_indexed`. Pruning is
-    rank-safe on both passes and the index path is result-identical,
-    so it shares the PRF oracle verbatim."""
+    #2 — `retrieval.bm25_prf_from_index`): both passes — feedback
+    selection AND the expanded re-score — read the term-bucketed
+    catalog table with a literal bucket-pruned term cut, and the
+    expansion pass reads candidate-term df from the vocab-sized
+    ``__df`` metadata table instead of re-aggregating the index; the
+    corpus is never re-tokenized at serve time. The in-query
+    `bm25_prf_topk`/`bm25_prf_pruned` twins rebuild postings per query
+    (build-bucketed); this is the serving member of the family, seamed
+    like `bm25_wand_indexed`. The serve runs the plain rank tails
+    (prune=False): with the scan already cut to the query/expansion
+    terms, the rank-safe WAND cut reads the SAME matched rows and only
+    trims the final window's input, so at every scale it is extra
+    passes for no fewer bytes — the WAND machinery stays covered by
+    `bm25_wand_indexed`/`bm25_prf_pruned`. Result-identical either way
+    (rank-safe by construction), so it shares the PRF oracle
+    verbatim."""
     _bm25_prf_indexed_setup(spark, sf_dir)
     return _bm25_prf_indexed_serve(spark, sf_dir)
 
@@ -364,7 +371,7 @@ def _bm25_prf_indexed_setup(spark, sf_dir):
 def _bm25_prf_indexed_serve(spark, sf_dir):
     return retrieval.bm25_prf_from_index(
         spark, "es_gate_postings_prf", _text_queries(spark, sf_dir),
-        k=10, k_fb=5, m_terms=3, prune=True,
+        k=10, k_fb=5, m_terms=3, prune=False,
     )
 
 

@@ -256,6 +256,72 @@ def test_bm25_prf_pruned_identical_on_testdata(spark, sf_dir):
     )
 
 
+def test_bm25_prf_from_index_identical_and_df_metadata(spark):
+    """PRF over the persisted index equals the in-query twin in BOTH
+    prune modes; the build persists the vocab-sized ``__df`` metadata
+    (exact per-term doc frequencies, NULL sentinel excluded) and an
+    upsert refreshes it so the metadata join stays value-identical to
+    deriving df from the index."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    retrieval.build_postings_index(
+        docs, "es_test_postings_prf", n_buckets=4, with_stats=True
+    )
+    # __df parity vs the index-derived aggregation
+    got = {
+        r["term"]: r["df"]
+        for r in spark.table("es_test_postings_prf__df").collect()
+    }
+    want = {
+        r["term"]: r["df"]
+        for r in spark.table("es_test_postings_prf")
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert got == want and None not in got
+    for prune in (False, True):
+        assert _frames_equal(
+            retrieval.bm25_prf_from_index(
+                spark, "es_test_postings_prf", qs,
+                k=10, k_fb=2, m_terms=3, prune=prune,
+            ),
+            retrieval.bm25_prf_topk(
+                docs, qs, k=10, k_fb=2, m_terms=3
+            ),
+        ), f"prune={prune}"
+    # upsert refreshes the metadata and the serve follows the edit
+    changed = spark.createDataFrame(
+        [(1, "completely new words here")], "doc_id long, text string"
+    )
+    retrieval.upsert_postings_index(
+        spark, "es_test_postings_prf", changed, n_buckets=4
+    )
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in DOCS if i != 1]
+        + [(1, "completely new words here")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["term"]: r["df"]
+        for r in spark.table("es_test_postings_prf__df").collect()
+    }
+    assert got2["completely"] == 1 and got2 != got
+    assert _frames_equal(
+        retrieval.bm25_prf_from_index(
+            spark, "es_test_postings_prf", qs, k=10, k_fb=2, m_terms=3
+        ),
+        retrieval.bm25_prf_topk(docs2, qs, k=10, k_fb=2, m_terms=3),
+    )
+    # a stats-less rebuild drops the stale metadata tables
+    retrieval.build_postings_index(
+        docs, "es_test_postings_prf", n_buckets=4
+    )
+    assert not spark.catalog.tableExists("es_test_postings_prf__df")
+    assert not spark.catalog.tableExists("es_test_postings_prf__stats")
+
+
 def test_top_snippets_overlap_suppression(spark):
     """Round 2 may not pick a window whose start is within `window`
     tokens of round 1's pick; pairs with no remaining candidates yield
