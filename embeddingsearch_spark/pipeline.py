@@ -115,41 +115,73 @@ def curate(
     )
 
     policy = policy or CurationPolicy()
-    cur = docs
     stages: list[tuple[str, DataFrame]] = []
 
     def _pin(df: DataFrame) -> DataFrame:
-        # Every stage's DECISION frame (keep/drop id sets — ids only,
-        # ~8 bytes/doc, corpus-bounded) is lazily checkpointed. Without
-        # this the plan grows EXPONENTIALLY: stage k's lineage re-embeds
-        # stages 0..k-1, the funnel unions every stage, and Spark does
-        # no cross-join common-subexpression reuse — measured 6,948
+        # Every stage's SURVIVOR id frame (ids only, ~8 bytes/doc,
+        # corpus-bounded) is lazily checkpointed. Without this the plan
+        # grows EXPONENTIALLY: stage k's lineage re-embeds stages
+        # 0..k-1, the funnel unions every stage, and Spark does no
+        # cross-join common-subexpression reuse — measured 6,948
         # parquet scans for the 6-stage pipeline at sf0.01. Pinning the
-        # id frames makes each stage's lineage `input ⋈ (materialized
-        # ids)` — one corpus pass per stage, linear plan, which is the
-        # only shape that survives 100 TB.
+        # surviving ids (not just each stage's keep/drop DECISION)
+        # makes every stage's lineage `input ⋈ (one materialized id
+        # frame)` — one corpus pass and ONE semi-join per stage however
+        # deep the funnel, and the funnel counts read the pinned id
+        # frames alone instead of re-scanning the corpus per stage.
+        # Measured: the driver-side planning gaps between the ~50 jobs
+        # of the 6-stage pipeline were 4x the executor task time under
+        # the chained shape; this is the only shape that survives
+        # 100 TB.
         return df.localCheckpoint(eager=False)
 
     # --- extraction / normalization: rewrite text in place, no drops
+    base = docs
     if policy.html_extract:
-        cur = cur.withColumn(text_col, T.html_to_text(F.col(text_col)))
+        base = base.withColumn(
+            text_col, T.html_to_text(F.col(text_col))
+        )
     if policy.normalize:
-        cur = cur.withColumn(
+        base = base.withColumn(
             text_col,
             T.clean_web_text(T.fix_mojibake(F.col(text_col))),
         )
-    stages.append(("input", cur))
+    input_frame = base
+    stages.append(("input", base))
+    # funnel frames: (name, id frame) — for id-gated stages the PINNED
+    # survivor ids (row-count-identical to the survivor corpus frame:
+    # every gate's ids derive from the current corpus), so the funnel
+    # never re-scans the corpus; mix/pack count their own row frames.
+    funnel_frames: list[tuple[str, DataFrame]] = [
+        ("input", base.select(id_col))
+    ]
+    ids: DataFrame | None = None  # None = every base row survives
+
+    def _cur() -> DataFrame:
+        return (
+            base
+            if ids is None
+            else base.join(ids, id_col, "left_semi")
+        )
+
+    def _ids() -> DataFrame:
+        return ids if ids is not None else base.select(id_col)
+
+    def _gate(name: str, new_ids: DataFrame) -> None:
+        nonlocal ids
+        ids = _pin(new_ids)
+        stages.append((name, _cur()))
+        funnel_frames.append((name, ids))
 
     # --- exact dedup: keep each fingerprint group's canonical doc
     if policy.exact_dedup:
-        ex = dd_ops.exact_duplicates(cur, id_col, text_col)
-        keep = _pin(
+        ex = dd_ops.exact_duplicates(_cur(), id_col, text_col)
+        _gate(
+            "exact_dedup",
             ex.filter(F.col(id_col) == F.col("canonical_id")).select(
                 id_col
-            )
+            ),
         )
-        cur = cur.join(keep, id_col, "left_semi")
-        stages.append(("exact_dedup", cur))
 
     # --- paragraph dedup: rewrites text, never drops whole docs
     if policy.paragraph_dedup:
@@ -158,17 +190,23 @@ def curate(
         # every downstream stage's lineage
         rewritten = _pin(
             boilerplate.dedup_paragraphs(
-                cur, id_col, text_col, sep=policy.paragraph_sep
+                _cur(), id_col, text_col, sep=policy.paragraph_sep
             ).select(id_col, text_col)
         )
-        cur = cur.drop(text_col).join(rewritten, id_col)
-        stages.append(("paragraph_dedup", cur))
+        # the rewritten frame holds exactly the current survivors, so
+        # it becomes the new base and the id cut resets
+        base = base.drop(text_col).join(rewritten, id_col)
+        ids = None
+        stages.append(("paragraph_dedup", base))
+        funnel_frames.append(
+            ("paragraph_dedup", rewritten.select(id_col))
+        )
 
     # --- near-dup (MinHash+LSH, exact-Jaccard verified): drop the
     # higher id of each surviving pair
     if policy.neardup:
         pairs = dd_ops.near_duplicates_minhash(
-            cur,
+            _cur(),
             id_col,
             text_col,
             k=policy.minhash_k,
@@ -177,38 +215,34 @@ def curate(
             threshold=policy.neardup_threshold,
             hash_fn=policy.hash_fn,
         )
-        drop = _pin(
-            pairs.select(F.col("id_b").alias(id_col)).distinct()
-        )
-        cur = cur.join(drop, id_col, "left_anti")
-        stages.append(("neardup", cur))
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        _gate("neardup", _ids().join(drop, id_col, "left_anti"))
 
     # --- language gate (scan-stage heuristic lang_id; for trained
     # labels run operators/langid upstream and filter before curate,
     # or pass its predictions through a custom gate)
     if policy.lang_allow:
-        cur = cur.filter(
-            T.lang_id(F.col(text_col)).isin(*policy.lang_allow)
+        _gate(
+            "lang",
+            _cur()
+            .filter(T.lang_id(F.col(text_col)).isin(*policy.lang_allow))
+            .select(id_col),
         )
-        stages.append(("lang", cur))
 
     # --- Gopher document rules (scan-stage projection)
     if policy.gopher:
         gop = repetition.gopher_rules(
-            cur, id_col, text_col, min_words=policy.min_words
+            _cur(), id_col, text_col, min_words=policy.min_words
         )
         cond = F.lit(True)
         for r in policy.gopher_rules:
             cond = cond & F.col(r)
-        cur = cur.join(
-            _pin(gop.filter(cond).select(id_col)), id_col, "left_semi"
-        )
-        stages.append(("gopher", cur))
+        _gate("gopher", gop.filter(cond).select(id_col))
 
     # --- perplexity gate (LM trained on the pipeline input)
     if policy.perplexity and policy.max_ppl is not None:
         lm = lmscore.unigram_scores(
-            stages[0][1],
+            input_frame,
             id_col,
             text_col,
             vocab_size=policy.ppl_vocab,
@@ -220,24 +254,19 @@ def curate(
         # cut (anti-join on failures; Gopher's min_words is the gate
         # that drops empty docs when enabled). The old keep-list
         # left_semi silently dropped them even at max_ppl = +inf.
-        cur = cur.join(
-            _pin(
-                lm.filter(F.col("perplexity") > policy.max_ppl).select(
-                    id_col
-                )
-            ),
-            id_col,
-            "left_anti",
-        )
-        stages.append(("ppl", cur))
+        fails = lm.filter(
+            F.col("perplexity") > policy.max_ppl
+        ).select(id_col)
+        _gate("ppl", _ids().join(fails, id_col, "left_anti"))
 
     # --- decontamination vs a benchmark frame (broadcast gram join)
     if policy.decontaminate and benchmark is not None:
         # inline `contamination.decontaminate` so the hits frame (the
-        # decision ids) can be pinned like every other stage's
-        hits = _pin(
+        # decision ids) folds into the stage's survivor pin like every
+        # other gate's
+        hits = (
             contamination.ngram_overlap(
-                cur,
+                _cur(),
                 benchmark,
                 id_col=id_col,
                 text_col=text_col,
@@ -254,15 +283,21 @@ def curate(
             .filter(F.col("_tot") >= policy.contam_min_shared)
             .select(id_col)
         )
-        cur = cur.join(F.broadcast(hits), id_col, "left_anti")
-        stages.append(("decontaminate", cur))
+        _gate(
+            "decontaminate",
+            _ids().join(F.broadcast(hits), id_col, "left_anti"),
+        )
 
-    # --- optional assembly: mixing (expected-copies) and packing
+    # --- optional assembly: mixing (expected-copies) and packing —
+    # row-multiplying stages, so from here funnel counts come from the
+    # stage frames themselves (epoch copies must count)
+    cur = _cur()
     if policy.mix_weights:
         cur = splits.weighted_mix(
             cur, id_col, policy.mix_strata_col, policy.mix_weights
         )
         stages.append(("mix", cur))
+        funnel_frames.append(("mix", cur.select(id_col)))
     if policy.pack_budget is not None:
         with_tokens = cur.withColumn(
             "n_tokens", T.token_count(F.col(text_col))
@@ -291,12 +326,11 @@ def curate(
             "_pack_key",
         ).drop("_pack_key")
         stages.append(("pack", cur))
+        funnel_frames.append(("pack", cur.select(id_col)))
 
     return CurationResult(
         docs=cur,
-        funnel=funnel.funnel_stats(
-            [(name, df.select(id_col)) for name, df in stages]
-        ),
+        funnel=funnel.funnel_stats(funnel_frames),
         stages=stages,
     )
 
@@ -328,46 +362,52 @@ def curate_incremental(
         return df.localCheckpoint(eager=False)
 
     stages: list[tuple[str, DataFrame]] = [("batch", batch)]
-    cur = batch
+    # every gate's keep-list derives from the current survivor frame,
+    # so the pinned survivor ids ARE each stage's row count — the
+    # funnel reads the pins, never the batch (same shape as `curate`)
+    funnel_frames: list[tuple[str, DataFrame]] = [
+        ("batch", batch.select(id_col))
+    ]
+
+    def _cur(ids: DataFrame) -> DataFrame:
+        return batch.join(ids, id_col, "left_semi")
 
     # exact gate: only fingerprints absent from the index survive
-    keep = _pin(
+    ids = _pin(
         dd_ops.incremental_new_docs(
-            cur, indexed, id_col, text_col
+            batch, indexed, id_col, text_col
         ).select(id_col)
     )
-    cur = cur.join(keep, id_col, "left_semi")
-    stages.append(("exact_gate", cur))
+    stages.append(("exact_gate", _cur(ids)))
+    funnel_frames.append(("exact_gate", ids))
 
     # near-dup gate: survivors without a Jaccard-verified indexed match
     flags = dd_ops.incremental_neardup(
-        cur,
+        _cur(ids),
         indexed,
         id_col,
         text_col,
         threshold=neardup_threshold,
         hash_fn=hash_fn,
     )
-    keep = _pin(flags.filter(F.col("is_new")).select(id_col))
-    cur = cur.join(keep, id_col, "left_semi")
-    stages.append(("neardup_gate", cur))
+    ids = _pin(flags.filter(F.col("is_new")).select(id_col))
+    stages.append(("neardup_gate", _cur(ids)))
+    funnel_frames.append(("neardup_gate", ids))
 
     # quality gate on what's genuinely new
     gop = repetition.gopher_rules(
-        cur, id_col, text_col, min_words=min_words
+        _cur(ids), id_col, text_col, min_words=min_words
     )
     cond = F.lit(True)
     for r in gopher_rules:
         cond = cond & F.col(r)
-    cur = cur.join(
-        _pin(gop.filter(cond).select(id_col)), id_col, "left_semi"
-    )
+    ids = _pin(gop.filter(cond).select(id_col))
+    cur = _cur(ids)
     stages.append(("gopher", cur))
+    funnel_frames.append(("gopher", ids))
 
     return CurationResult(
         docs=cur,
-        funnel=funnel.funnel_stats(
-            [(name, df.select(id_col)) for name, df in stages]
-        ),
+        funnel=funnel.funnel_stats(funnel_frames),
         stages=stages,
     )
