@@ -1222,6 +1222,7 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     tokenizer=None,
+    terms: list | None = None,
 ) -> DataFrame:
     """`bm25_topk` over a persisted postings index — identical output
     (same declared semantics, same oracle), zero corpus scans: stats
@@ -1232,13 +1233,15 @@ def bm25_topk_from_index(
     score+rank tail rides one by-query exchange
     (`bm25_scores_from_terms(cluster_by_query=True)`). ``tokenizer``
     MUST match the one the index was built with (queries segment like
-    the stored corpus)."""
+    the stored corpus). ``terms`` optionally supplies the
+    already-collected distinct query-term list (a caller serving
+    several shapes over one query batch collects once)."""
     post = spark.table(table)
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
-    matched = matched_term_cut(post, qterms, literal=True)
+    matched = matched_term_cut(post, qterms, literal=True, terms=terms)
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b,
         matched=matched, cluster_by_query=True,
@@ -2078,6 +2081,7 @@ def bm25_proximity_from_index(
     b: float = 0.75,
     tokenizer=None,
     prune: bool = True,
+    terms: list | None = None,
 ) -> DataFrame:
     """Proximity-boosted BM25 with ZERO corpus scans: BM25 comes from
     the persisted term-bucketed postings index, and MinDist reads the
@@ -2087,13 +2091,18 @@ def bm25_proximity_from_index(
     — this IS the serving path) applies the rank-safe shortlist so
     only shortlist (query, doc) pairs' positions feed the lag window.
     Identical output to `bm25_proximity_topk` — shared oracle.
-    ``tokenizer`` must match the one both indexes were built with."""
+    ``tokenizer`` must match the one both indexes were built with.
+    ``terms`` optionally supplies the already-collected distinct
+    query-term list (a caller serving several shapes over one query
+    batch collects once)."""
     post = spark.table(postings_table)
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, postings_table, id_col)
-    term_list = collect_query_term_list(qterms)
+    term_list = (
+        terms if terms is not None else collect_query_term_list(qterms)
+    )
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b,
         matched=matched_term_cut(

@@ -2070,12 +2070,18 @@ def _unified_serve(spark, sf_dir):
     # persisted index tables
     queries = _text_queries(spark, sf_dir)
     phrase_qs = _phrase_queries(spark, sf_dir)
+    # the ranked and proximity branches cut on the SAME query terms —
+    # collect the literal term list once and share it (one driver
+    # collect instead of two, identical cut)
+    terms = retrieval.collect_query_term_list(
+        retrieval.query_terms(queries)
+    )
     b = retrieval.bm25_topk_from_index(
-        spark, "es_gate_unified_postings", queries, k=10
+        spark, "es_gate_unified_postings", queries, k=10, terms=terms
     )
     x = retrieval.bm25_proximity_from_index(
         spark, "es_gate_unified_postings", "es_gate_unified_positions",
-        queries, k=10,
+        queries, k=10, terms=terms,
     )
     p = retrieval.phrase_search_from_index(
         spark, "es_gate_unified_positions", phrase_qs
