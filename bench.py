@@ -283,6 +283,26 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         f.write(json.dumps(full) + "\n")
+    # ALSO keep one immutable record per (round, core-count): the
+    # round-12 PERF diff came back empty because the driver's second
+    # (low-core) run overwrote BENCH_LOCAL.json before the per-query
+    # maps could be compared. BENCH_LOCAL.json stays the "latest" the
+    # build-rotation estimator reads; these keyed copies are the
+    # cross-run/cross-round archive (additions only — nothing else
+    # reads them).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))
+    # round label: one CORRECTNESS_r*.json is committed per completed
+    # round (the BENCH_r*.json glob above also matches per-cpu extras
+    # like BENCH_r12_c8.json, so it over-counts)
+    this_round = len(
+        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+    ) + 1
+    keyed = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_LOCAL_r{this_round}_c{cpus}.json",
+    )
+    with open(keyed, "w") as f:
+        f.write(json.dumps(full) + "\n")
     # The driver keeps only a ~2000-char TAIL of this process's output, so
     # the final line must fit entirely inside that window or its head (with
     # "metric"/"value") is cut and the parse fails (rounds 1-3). Print a

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from embeddingsearch_spark import tables
+
 CALIB_SUFFIX = "_calib"
 
 
@@ -871,8 +873,9 @@ def ivf_scan_cost(
         .withColumn("_r", F.row_number().over(pw))
     )
     if isinstance(nprobe, dict):
-        np_df = spark.createDataFrame(
-            [(str(t), int(v)) for t, v in nprobe.items()],
+        np_df = tables.literal_frame(
+            spark,
+            [(str(t), int(v)) for t, v in sorted(nprobe.items())],
             f"{partition_col} string, _np int",
         )
         probe = ranked.join(F.broadcast(np_df), partition_col).filter(

@@ -47,7 +47,10 @@ def funnel_stats(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     # gate is the exact event this table exists to surface, and later
     # stages' deltas must be computed against it, not skip over it
     spark = stages[0][1].sparkSession
-    stage_list = spark.createDataFrame(
+    from embeddingsearch_spark import tables
+
+    stage_list = tables.literal_frame(
+        spark,
         [(i, name) for i, (name, _) in enumerate(stages)],
         "stage_idx int, stage string",
     )

@@ -27,9 +27,12 @@ ranking, ties broken by doc id ascending.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS
 
 
@@ -200,6 +203,17 @@ def collect_query_term_list(qterms: DataFrame) -> list:
     )
 
 
+#: Above this many distinct query terms the literal IN cut falls back
+#: to the broadcast semi-join: an unbounded |Q|·|T| literal list bloats
+#: the plan (multi-MB expression trees, codegen hazard) faster than the
+#: pushdown pays. 4096 terms ≈ tens of KB of plan — far beyond any
+#: interactive batch here, well below the hazard zone. Env-overridable
+#: for clusters whose planner budget differs.
+LITERAL_TERM_CUT_MAX = int(
+    os.environ.get("SPARK_GRAFT_LITERAL_TERMS_MAX", "4096")
+)
+
+
 def matched_term_cut(
     post: DataFrame,
     qterms: DataFrame,
@@ -217,17 +231,30 @@ def matched_term_cut(
     its query terms — the posting-list-fetch shape an inverted index
     exists for — and the plan drops one broadcast exchange per pass.
     The default (broadcast join, pinned) remains for unbounded or
-    data-dependent term sets. Identical rows either way; column order
-    normalized to the join layout (term first). ``terms`` optionally
-    supplies an already-collected term list (a caller cutting several
-    tables on the same query terms collects once)."""
+    data-dependent term sets; a literal request whose collected list
+    exceeds ``LITERAL_TERM_CUT_MAX`` also degrades to the broadcast
+    join (identical rows — the guard trades pushdown for a bounded
+    plan size on huge batches). Identical rows either way; column
+    order normalized to the join layout (term first). ``terms``
+    optionally supplies an already-collected term list (a caller
+    cutting several tables on the same query terms collects once; it
+    is literal-path input only — passing it with ``literal=False``
+    raises rather than silently discarding the list)."""
+    if terms is not None and not literal:
+        raise ValueError(
+            "matched_term_cut: `terms` is only consumed by the "
+            "literal=True path — a pre-collected list would be "
+            "silently discarded"
+        )
     cols = ["term"] + [c for c in post.columns if c != "term"]
     if literal:
         if terms is None:
             terms = collect_query_term_list(qterms)
         if not terms:
             return post.select(*cols).filter(F.lit(False))
-        return post.select(*cols).filter(F.col("term").isin(terms))
+        if len(terms) <= LITERAL_TERM_CUT_MAX:
+            return post.select(*cols).filter(F.col("term").isin(terms))
+        # over-threshold fallback: same rows via the broadcast join
     return post.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
@@ -651,9 +678,47 @@ def save_index_df(spark, table: str) -> None:
 
 def df_for_index(spark, table: str):
     """The persisted ``{table}__df`` frame, or None when the build did
-    not opt in — callers fall back to deriving df from the index."""
+    not opt in — callers fall back to deriving df from the index.
+
+    Freshness contract (round-12 ADVICE #4): every metadata table
+    beside an index (``__stats``/``__df``/``__fwd``) is maintained by
+    `build_postings_index` and `upsert_postings_index` ONLY — a
+    mutation path that writes postings through the sink directly must
+    either refresh these tables or drop them (the readers fall back
+    to deriving from the index when absent, never to stale values
+    they can detect)."""
     if spark.catalog.tableExists(f"{table}__df"):
         return spark.table(f"{table}__df").select("term", "df")
+    return None
+
+
+def save_index_forward(
+    spark, table: str, id_col: str = "doc_id", n_buckets: int = 8
+) -> None:
+    """Persist the FORWARD index beside a postings index as
+    ``{table}__fwd`` — the same (term, doc, tf, dl) rows bucketed by
+    DOC id instead of term. A term-bucketed postings table answers
+    "which docs contain term t" with a pruned scan, but the PRF
+    feedback fetch asks the TRANSPOSED question — "which terms does
+    doc d contain" — and against the term layout that is a full-index
+    scan per serve. Doc-keyed, the feedback-doc postings fetch is a
+    literal-IN probe that pushes into the scan and prunes doc buckets
+    (the standard forward-index/doc-values layout next to an inverted
+    index). Same rows, different sort — results are identical
+    whichever layout serves the fetch. Refresh after any index
+    mutation (`upsert_postings_index` does when the table exists)."""
+    from embeddingsearch_spark.storage import drop_table, save_bucketed
+
+    fwd = spark.table(table)
+    drop_table(spark, f"{table}__fwd")
+    save_bucketed(fwd, f"{table}__fwd", [id_col], n_buckets=n_buckets)
+
+
+def forward_for_index(spark, table: str):
+    """The persisted ``{table}__fwd`` frame, or None when the build
+    did not opt in — callers fall back to probing the postings."""
+    if spark.catalog.tableExists(f"{table}__fwd"):
+        return spark.table(f"{table}__fwd")
     return None
 
 
@@ -676,6 +741,7 @@ def build_postings_index(
     n_buckets: int = 32,
     tokenizer=None,
     with_stats: bool = False,
+    with_forward: bool = False,
 ) -> str:
     """PERSIST the inverted index: the postings frame (with the
     empty-doc sentinel rows, so stats stay derivable) saved as a
@@ -710,6 +776,14 @@ def build_postings_index(
         # would read stale numbers
         _drop_table(docs.sparkSession, f"{table}__stats")
         _drop_table(docs.sparkSession, f"{table}__df")
+    if with_forward:
+        # doc-keyed twin for transposed (doc → terms) probes — the
+        # PRF feedback fetch; opt-in like the stats metadata
+        save_index_forward(
+            docs.sparkSession, table, id_col, n_buckets=n_buckets
+        )
+    else:
+        _drop_table(docs.sparkSession, f"{table}__fwd")
     return table
 
 
@@ -1223,6 +1297,7 @@ def bm25_topk_from_index(
     b: float = 0.75,
     tokenizer=None,
     terms: list | None = None,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """`bm25_topk` over a persisted postings index — identical output
     (same declared semantics, same oracle), zero corpus scans: stats
@@ -1235,13 +1310,19 @@ def bm25_topk_from_index(
     MUST match the one the index was built with (queries segment like
     the stored corpus). ``terms`` optionally supplies the
     already-collected distinct query-term list (a caller serving
-    several shapes over one query batch collects once)."""
+    several shapes over one query batch collects once); ``matched``
+    optionally supplies the whole pre-cut (and typically pinned)
+    query-term postings frame — a caller serving several shapes over
+    one index scans the cut once (`matched_term_cut` contract)."""
     post = spark.table(table)
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
-    matched = matched_term_cut(post, qterms, literal=True, terms=terms)
+    if matched is None:
+        matched = matched_term_cut(
+            post, qterms, literal=True, terms=terms
+        )
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b,
         matched=matched, cluster_by_query=True,
@@ -1303,6 +1384,10 @@ def upsert_postings_index(
     if spark.catalog.tableExists(f"{table}__df"):
         # same contract for the per-term df metadata
         save_index_df(spark, table)
+    if spark.catalog.tableExists(f"{table}__fwd"):
+        # the forward twin mirrors the postings rows wholesale —
+        # refresh from the converged index (same contract as __stats)
+        save_index_forward(spark, table, id_col, n_buckets=n_buckets)
     return table
 
 
@@ -1617,6 +1702,19 @@ def save_champion_tier(
     replace_bucketed(
         tiers, f"{table}_tiers", ["term"], n_buckets=n_buckets
     )
+    # persist the BUILT depth as one-row metadata: the serve's
+    # effective-tier clamp needs it, and deriving it per query was a
+    # full tier-table aggregation + driver action (the __stats
+    # pattern). The stored depth is the build PARAMETER, not max(_r):
+    # a corpus whose every term has df < tier still serves correctly
+    # at the requested depth (df ≤ tier ⇒ ub_nc = 0 still holds).
+    spark = post.sparkSession
+    from embeddingsearch_spark.storage import drop_table
+
+    drop_table(spark, f"{table}_tiers__depth")
+    spark.createDataFrame(
+        [(int(tier),)], "tier int"
+    ).write.saveAsTable(f"{table}_tiers__depth")
     return f"{table}_tiers"
 
 
@@ -1743,7 +1841,15 @@ def bm25_champion_from_index(
         F.count(F.lit(1)).alias("df")  # (term, doc) unique rows
     )
     tiers = spark.table(f"{table}_tiers")
-    stored = tiers.agg(F.max("_r")).collect()[0][0] or 0
+    if spark.catalog.tableExists(f"{table}_tiers__depth"):
+        # one-row metadata read (save_champion_tier writes it) — the
+        # built depth, not max(_r): when every term's df < the built
+        # depth the two differ, but ub_nc = 0 for all such terms
+        # under either value, so the serve is value-identical and
+        # skips a full tier-table aggregation per query
+        stored = spark.table(f"{table}_tiers__depth").collect()[0][0]
+    else:
+        stored = tiers.agg(F.max("_r")).collect()[0][0] or 0
     eff_tier = min(int(tier), int(stored)) if stored else int(tier)
     champ = matched_term_cut(
         tiers.filter(F.col("_r") <= eff_tier).drop("_r"),
@@ -2082,6 +2188,7 @@ def bm25_proximity_from_index(
     tokenizer=None,
     prune: bool = True,
     terms: list | None = None,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Proximity-boosted BM25 with ZERO corpus scans: BM25 comes from
     the persisted term-bucketed postings index, and MinDist reads the
@@ -2094,7 +2201,10 @@ def bm25_proximity_from_index(
     ``tokenizer`` must match the one both indexes were built with.
     ``terms`` optionally supplies the already-collected distinct
     query-term list (a caller serving several shapes over one query
-    batch collects once)."""
+    batch collects once); ``matched`` optionally supplies the whole
+    pre-cut (and typically pinned) query-term postings frame — a
+    caller serving several shapes over one index scans the cut
+    once."""
     post = spark.table(postings_table)
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
@@ -2103,11 +2213,13 @@ def bm25_proximity_from_index(
     term_list = (
         terms if terms is not None else collect_query_term_list(qterms)
     )
+    if matched is None:
+        matched = matched_term_cut(
+            post, qterms, literal=True, terms=term_list
+        )
     scored = bm25_scores_from_terms(
         post, qterms, stats, id_col, query_id_col, k1, b,
-        matched=matched_term_cut(
-            post, qterms, literal=True, terms=term_list
-        ),
+        matched=matched,
         cluster_by_query=True,
     )
     cand = None
@@ -2611,6 +2723,8 @@ def _prf_terms_from_parts(
     prune: bool = False,
     matched: DataFrame | None = None,
     dfreq_src: DataFrame | None = None,
+    fwd_src: DataFrame | None = None,
+    fb_literal: bool = False,
 ) -> DataFrame:
     """Expansion-term core over pre-built postings/stats — shared with
     `bm25_prf_topk` so the two-pass query builds the postings ONCE.
@@ -2621,7 +2735,19 @@ def _prf_terms_from_parts(
     persisted (term, df) frame (`save_index_df`) — the candidate-term
     document frequencies then come from a vocab-sized metadata join
     instead of a full pass over the postings (identical values: the
-    table is maintained from the same index generation)."""
+    table is maintained from the same index generation).
+
+    ``fb_literal=True`` COLLECTS the feedback (query, doc) pairs —
+    bounded by construction at |Q|·k_fb rows, the same contract as the
+    expansion-term collect downstream — and re-creates them as a
+    literal frame: pass 1's whole scoring lineage then runs exactly
+    once (at the collect) instead of re-executing inside every
+    consumer branch of the feedback fetch, and the doc-id cut becomes
+    a literal IN predicate that pushes into the scan. ``fwd_src``
+    optionally supplies the persisted doc-bucketed forward index
+    (`save_index_forward`) for that fetch — the probe then reads only
+    the feedback docs' buckets instead of term-ordered postings (same
+    rows; identical results either way)."""
     if prune:
         matched, dfreq_p, cand = _wand_candidates_from_parts(
             post, qterms, stats, k_fb, id_col, query_id_col, k1, b,
@@ -2635,6 +2761,9 @@ def _prf_terms_from_parts(
         scored = bm25_scores_from_terms(
             post, qterms, stats, id_col, query_id_col, k1, b,
             matched=matched,
+            # rank tail directly follows — ride one by-query exchange
+            # (the same pattern as every indexed rank tail)
+            cluster_by_query=True,
         )
         w = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(id_col).asc()
@@ -2646,7 +2775,26 @@ def _prf_terms_from_parts(
         )
     # feedback postings: every term of every feedback doc — the fb set
     # is tiny (|queries|·k_fb ids), so this is a broadcast join on id
-    fb_post = post.join(F.broadcast(fb), id_col)
+    if fb_literal:
+        spark = post.sparkSession
+        fb_rows = fb.collect()  # bounded: |queries|·k_fb pairs
+        # literal_frame, not createDataFrame: a parallelized local
+        # frame is a Python-RDD that pays ~0.1 s of worker handshake
+        # per slice per plan reference (measured ~1 s/job at 32
+        # cores); the VALUES LocalRelation is JVM-side and free to
+        # re-reference
+        fb = tables.literal_frame(
+            spark, [tuple(r) for r in fb_rows], fb.schema
+        )
+        fb_ids = sorted({r[id_col] for r in fb_rows})
+        probe_src = fwd_src if fwd_src is not None else post
+        if not fb_ids:
+            probe_src = probe_src.filter(F.lit(False))
+        else:
+            probe_src = probe_src.filter(F.col(id_col).isin(fb_ids))
+        fb_post = probe_src.join(F.broadcast(fb), id_col)
+    else:
+        fb_post = post.join(F.broadcast(fb), id_col)
     # df over the full postings for the candidate terms only
     cand_terms = fb_post.select("term").distinct()
     if dfreq_src is not None:
@@ -2744,6 +2892,8 @@ def _prf_topk_from_parts(
     matched: DataFrame | None = None,
     literal: bool = False,
     dfreq_src: DataFrame | None = None,
+    fwd_src: DataFrame | None = None,
+    fb_literal: bool = False,
 ) -> DataFrame:
     """Both PRF passes (feedback selection + expanded re-score) over
     pre-built postings/stats — shared by the in-query `bm25_prf_topk`
@@ -2762,10 +2912,14 @@ def _prf_topk_from_parts(
     expansion = _prf_terms_from_parts(
         post, qterms, stats, k_fb, m_terms, id_col, query_id_col, k1,
         b, prune=prune, matched=matched, dfreq_src=dfreq_src,
+        fwd_src=fwd_src, fb_literal=fb_literal,
     ).select(query_id_col, "term")
     spark = post.sparkSession
     exp_rows = expansion.collect()
-    exp_lit = spark.createDataFrame(exp_rows, expansion.schema)
+    exp_lit = tables.literal_frame(  # JVM LocalRelation, not a
+        # python-RDD parallelize — see the fb literal note above
+        spark, [tuple(r) for r in exp_rows], expansion.schema
+    )
     expanded = qterms.unionByName(exp_lit).distinct()
     matched2 = None
     if literal:
@@ -2824,11 +2978,13 @@ def bm25_prf_from_index(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
     stats = stats_for_index(spark, table, id_col)
-    # pass 1 cuts the index with a literal bucket-pruned IN predicate;
-    # pinned only under prune (the WAND machinery reads it 2-4 times —
-    # the plain path reads it once, so a checkpoint would just add a
-    # materialization job); pass 2 re-cuts on the collected union term
-    # set (literal=True below)
+    # pass 1 cuts the index with a literal pushed-down IN predicate;
+    # pinned only under prune (the WAND machinery reads it 2-4 times).
+    # The plain path reads it TWICE (df aggregation + scoring join,
+    # bm25_scores_from_terms's documented shape) — still cheaper than
+    # a checkpoint materialization because both reads are literal-cut
+    # scans inside the single pass-1 job (fb_literal collects pass 1
+    # once; nothing downstream re-executes this subtree)
     matched = matched_term_cut(post, qterms, literal=True)
     if prune:
         matched = matched.localCheckpoint(eager=False)
@@ -2836,6 +2992,11 @@ def bm25_prf_from_index(
         post, qterms, stats, k, k_fb, m_terms, id_col, query_id_col,
         k1, b, prune, matched=matched, literal=True,
         dfreq_src=df_for_index(spark, table),
+        # feedback fetch: literal doc-id probe (pass 1 runs exactly
+        # once, at the bounded collect) against the doc-bucketed
+        # forward index when the build persisted one
+        fwd_src=forward_for_index(spark, table),
+        fb_literal=True,
     )
 
 

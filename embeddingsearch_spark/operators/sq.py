@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from embeddingsearch_spark import tables
 from embeddingsearch_spark.constants import ROUND_DIGITS
 from embeddingsearch_spark.functions.vectors import dot, norm2
 
@@ -701,8 +702,9 @@ def ivf_sq8_federated_from_index(
         .withColumn("_r", F.row_number().over(pw))
     )
     if isinstance(nprobe, dict):
-        np_map = spark.createDataFrame(
-            [(str(t), int(v)) for t, v in nprobe.items()],
+        np_map = tables.literal_frame(
+            spark,
+            [(str(t), int(v)) for t, v in sorted(nprobe.items())],
             f"{partition_col} string, _np int",
         )
         ranked = ranked.join(F.broadcast(np_map), partition_col).filter(

@@ -265,13 +265,26 @@ class PartitionOverwriteSink(IndexSink):
         ).collect()
         # insertInto resolves by POSITION: emit columns in table order
         cols = [f.name for f in old.schema.fields]
+        # cluster on (partition dirs, bucket id) so each rewritten
+        # (partition, bucket) cell lands as ONE file instead of one
+        # per task — the same small-file tax save_bucketed documents;
+        # when the caller supplies no bucket spec, cluster by the
+        # partition dirs alone
+        out = merged.select(*cols)
+        ckeys = [F.col(c) for c in pcs]
+        if bucket_cols and n_buckets:
+            ckeys.append(
+                F.pmod(
+                    F.hash(*[F.col(c) for c in bucket_cols]),
+                    F.lit(n_buckets),
+                )
+            )
+        out = out.repartition(*ckeys)
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "dynamic")
         try:
-            merged.select(*cols).write.mode("overwrite").insertInto(
-                table
-            )
+            out.write.mode("overwrite").insertInto(table)
         finally:
             if prev is None:
                 spark.conf.unset(key)

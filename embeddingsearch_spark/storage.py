@@ -207,8 +207,32 @@ def save_bucketed(
     """Write ``df`` as a catalog table bucketed (and sorted) by
     ``bucket_cols``; joins/aggregations on those columns then need no
     exchange. ``n_buckets`` sets max join parallelism — size it to the
-    cluster (buckets ≈ 2-4x total cores at target scale)."""
-    writer = df.write.format(file_format).mode(mode)
+    cluster (buckets ≈ 2-4x total cores at target scale).
+
+    The input is first clustered by (partition dirs, bucket id): a
+    bucketed writer emits one file per TASK per (directory, bucket)
+    present in the task, so an M-partition input writes up to
+    M × dirs × buckets KB-scale files — at 32 local cores that made a
+    tiny IVF codes table ~1200 files whose per-file open/footer cost
+    dominated every downstream serve (and at 100 TB it is the classic
+    small-file scan-planning tax). Clustering on the writer's own
+    bucket-id expression — `pmod(hash(bucket_cols), n_buckets)`,
+    exactly `HashPartitioning.partitionIdExpression` — lands each
+    output file's rows in one task, so the table materializes at its
+    intended granularity: one file per (partition dir, bucket)."""
+    from pyspark.sql import functions as F
+
+    bucket_id = F.pmod(
+        F.hash(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets)
+    )
+    cluster_keys = [
+        *(F.col(c) for c in (partition_cols or [])), bucket_id,
+    ]
+    writer = (
+        df.repartition(*cluster_keys)
+        .write.format(file_format)
+        .mode(mode)
+    )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols).saveAsTable(

@@ -3137,8 +3137,9 @@ def _tivf_auto_build(spark, sf_dir, prefix):
 
     emb = _tenant_emb(spark, sf_dir)
     cfg = _tenant_autoconf_cfg(emb)
-    cfg_df = emb.sparkSession.createDataFrame(
-        [(t, c["n_cents"]) for t, c in cfg.items()],
+    cfg_df = tables.literal_frame(
+        emb.sparkSession,
+        [(t, c["n_cents"]) for t, c in sorted(cfg.items())],
         "source string, _nc int",
     )
     w = W.partitionBy("source").orderBy("vec_id")
@@ -3366,8 +3367,9 @@ def q_ivf_tenant_calibrated_serve(spark, sf_dir):
         for r in emb.groupBy("source").count().collect()
     }  # bounded: one row per collection
     cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
-    cfg_df = emb.sparkSession.createDataFrame(
-        [(t, c["n_cents"]) for t, c in cfg.items()],
+    cfg_df = tables.literal_frame(
+        emb.sparkSession,
+        [(t, c["n_cents"]) for t, c in sorted(cfg.items())],
         "source string, _nc int",
     )
     w = W.partitionBy("source").orderBy("vec_id")
@@ -3682,8 +3684,9 @@ def q_ivf_tenant_stored_calibration_serve(spark, sf_dir):
         for r in emb.groupBy("source").count().collect()
     }  # bounded: one row per collection
     cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
-    cfg_df = emb.sparkSession.createDataFrame(
-        [(t, c["n_cents"]) for t, c in cfg.items()],
+    cfg_df = tables.literal_frame(
+        emb.sparkSession,
+        [(t, c["n_cents"]) for t, c in sorted(cfg.items())],
         "source string, _nc int",
     )
     w = W.partitionBy("source").orderBy("vec_id")
@@ -3845,8 +3848,9 @@ def q_ivf_tenant_scan_cost(spark, sf_dir):
         for r in emb.groupBy("source").count().collect()
     }  # bounded: one row per collection
     cfg = {t: ann_ops.ivf_config_for(n) for t, n in counts.items()}
-    cfg_df = emb.sparkSession.createDataFrame(
-        [(t, c["n_cents"]) for t, c in cfg.items()],
+    cfg_df = tables.literal_frame(
+        emb.sparkSession,
+        [(t, c["n_cents"]) for t, c in sorted(cfg.items())],
         "source string, _nc int",
     )
     w = W.partitionBy("source").orderBy("vec_id")
@@ -4590,7 +4594,8 @@ def _tierplan_serve(spark, sf_dir):
     tcorp = emb.groupBy("source").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    fams = spark.createDataFrame(
+    fams = tables.literal_frame(
+        spark,
         [("raw", 261.02, 0), ("sq8", 55.02, 0), ("sq4", 29.85, 0),
          ("sq4_rerank", 29.85, 20), ("pq", 7.99, 80)],
         "family string, _bpr double, _cap int",
@@ -4848,27 +4853,44 @@ def _tpp_setup(spark, sf_dir):
         sq,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     prefix = "es_gate_tpp"
     emb = _tenant_emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < 16).select(
         "source", F.col("vec_id").alias("centroid_id"), "embedding"
     )
     n = spark.sparkContext.defaultParallelism
+    # ONE assignment pass feeds all three index generations — pin it
+    # EAGERLY (three saves off the raw lineage re-assigned the corpus
+    # thrice, and the concurrent saves below must not race a lazy
+    # first materialization)
     assigned = ann_ops.assign_centroids_federated(
         emb.repartition(n), cents, partition_col="source"
+    ).localCheckpoint(eager=True)
+    stats = sq.sq8_stats(emb, partition_col="source").localCheckpoint(
+        eager=True
     )
-    stats = sq.sq8_stats(emb, partition_col="source")
-    ann_ops.save_federated_ivf_index(
-        assigned, cents, prefix, partition_col="source", n_buckets=4
-    )
-    sq.save_federated_ivf_sq8_index(
-        spark, assigned, cents, stats, prefix + "8",
-        partition_col="source", n_buckets=4,
-    )
-    sq.save_federated_ivf_sq4_index(
-        spark, assigned, cents, stats, prefix + "4",
-        partition_col="source", n_buckets=4,
-    )
+    # the three generation writes are independent — overlap them from
+    # a driver thread pool so one save's task tail back-fills with the
+    # next save's work (this setup is the biggest untimed row)
+    saves = [
+        lambda: ann_ops.save_federated_ivf_index(
+            assigned, cents, prefix, partition_col="source",
+            n_buckets=4,
+        ),
+        lambda: sq.save_federated_ivf_sq8_index(
+            spark, assigned, cents, stats, prefix + "8",
+            partition_col="source", n_buckets=4,
+        ),
+        lambda: sq.save_federated_ivf_sq4_index(
+            spark, assigned, cents, stats, prefix + "4",
+            partition_col="source", n_buckets=4,
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(s) for s in saves]:
+            f.result()
     queries, route = _tenant_queries(emb)
     exact = None
     for t in ("acme", "globex"):
@@ -4880,6 +4902,10 @@ def _tpp_setup(spark, sf_dir):
             emb.filter(F.col("source") == t), t_q, k=10
         )
         exact = part if exact is None else exact.unionByName(part)
+    # each family's recall measurement reads the exact baseline — pin
+    # it EAGERLY so the four concurrent measurements share one
+    # materialization instead of racing a lazy first compute
+    exact = exact.localCheckpoint(eager=True)
     serves = {
         "raw": ann_ops.ivf_federated_from_index(
             spark, prefix, queries, route, k=10, nprobe=7,
@@ -4898,12 +4924,17 @@ def _tpp_setup(spark, sf_dir):
             shortlist_factor=2, nprobe=7, partition_col="source",
         ),
     }
-    recalls = {
-        fam: cal_ops.measure_family_recall(
-            approx, exact, route, k=10, partition_col="source"
-        )
-        for fam, approx in serves.items()
-    }
+    # the four per-family recall collects are independent driver
+    # actions — overlap them too (same §2.6 back-fill rationale)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            fam: pool.submit(
+                cal_ops.measure_family_recall,
+                approx, exact, route, k=10, partition_col="source",
+            )
+            for fam, approx in serves.items()
+        }
+        recalls = {fam: f.result() for fam, f in futs.items()}
     cal_ops.store_family_recall(
         spark, prefix, recalls, recall_target=0.9
     )
@@ -5503,9 +5534,18 @@ def _planserve_setup(spark, sf_dir):
         sq,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _planserve_emb(spark, sf_dir)
-    stats = sq.sq8_stats(emb, partition_col="source")
-    c4 = sq.sq4_encode(emb, stats, partition_col="source")
+    # shared subtrees pinned once: stats is a corpus×dim posexplode
+    # aggregation, c4 feeds two of the three family serves, the exact
+    # baseline feeds every recall measurement
+    stats = sq.sq8_stats(emb, partition_col="source").localCheckpoint(
+        eager=True
+    )
+    c4 = sq.sq4_encode(
+        emb, stats, partition_col="source"
+    ).localCheckpoint(eager=True)
     c8 = sq.sq8_encode(emb, stats, partition_col="source")
     queries, route = _tenant_queries(emb)
     exact = None
@@ -5518,6 +5558,7 @@ def _planserve_setup(spark, sf_dir):
             emb.filter(F.col("source") == t), t_q, k=10
         )
         exact = part if exact is None else exact.unionByName(part)
+    exact = exact.localCheckpoint(eager=True)
     serves = {
         "sq4": sq.sq4_topk(
             c4, stats, queries, route, k=10, partition_col="source"
@@ -5530,12 +5571,16 @@ def _planserve_setup(spark, sf_dir):
             partition_col="source",
         ),
     }
-    recalls = {
-        fam: cal_ops.measure_family_recall(
-            approx, exact, route, k=10, partition_col="source"
-        )
-        for fam, approx in serves.items()
-    }
+    # three independent recall collects — overlap them (§2.6)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            fam: pool.submit(
+                cal_ops.measure_family_recall,
+                approx, exact, route, k=10, partition_col="source",
+            )
+            for fam, approx in serves.items()
+        }
+        recalls = {fam: f.result() for fam, f in futs.items()}
     cal_ops.store_family_recall(
         spark, "es_gate_planserve", recalls, recall_target=0.95
     )
@@ -5548,12 +5593,24 @@ def _planserve_serve(spark, sf_dir):
     )
 
     emb = _planserve_emb(spark, sf_dir)
-    stats = sq.sq8_stats(emb, partition_col="source")
-    c4 = sq.sq4_encode(emb, stats, partition_col="source")
-    c8 = sq.sq8_encode(emb, stats, partition_col="source")
+    # the family serves AND the pricing all hang off the same
+    # corpus-derived frames; pin them lazily so each materializes at
+    # most once per serve instead of once per consuming branch (the
+    # stats aggregation is a corpus×dim posexplode — the serve's
+    # dominant subtree when repeated)
+    stats = sq.sq8_stats(emb, partition_col="source").localCheckpoint(
+        eager=False
+    )
+    c4 = sq.sq4_encode(
+        emb, stats, partition_col="source"
+    ).localCheckpoint(eager=False)
+    c8 = sq.sq8_encode(
+        emb, stats, partition_col="source"
+    ).localCheckpoint(eager=False)
     queries, route = _tenant_queries(emb)
     tcorp = emb.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
-    fams = spark.createDataFrame(
+    fams = tables.literal_frame(
+        spark,
         [("sq4", 29.85, 0), ("sq8", 55.02, 0), ("sq4_rerank", 29.85, 20)],
         "family string, _bpr double, _cap int",
     )

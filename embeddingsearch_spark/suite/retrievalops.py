@@ -364,7 +364,12 @@ def q_bm25_prf_from_index(spark, sf_dir):
 
 def _bm25_prf_indexed_setup(spark, sf_dir):
     retrieval.build_postings_index(
-        _corpus(spark, sf_dir), "es_gate_postings_prf", n_buckets=8, with_stats=True
+        _corpus(spark, sf_dir), "es_gate_postings_prf", n_buckets=8,
+        with_stats=True,
+        # the PRF serve's feedback fetch probes by DOC id — persist
+        # the doc-bucketed forward twin so that probe prunes buckets
+        # instead of scanning the whole term-ordered index
+        with_forward=True,
     )
 
 
@@ -2071,17 +2076,23 @@ def _unified_serve(spark, sf_dir):
     queries = _text_queries(spark, sf_dir)
     phrase_qs = _phrase_queries(spark, sf_dir)
     # the ranked and proximity branches cut on the SAME query terms —
-    # collect the literal term list once and share it (one driver
-    # collect instead of two, identical cut)
-    terms = retrieval.collect_query_term_list(
-        retrieval.query_terms(queries)
-    )
+    # collect the literal term list once AND share the cut frame
+    # itself, pinned: the bucket-pruned postings scan materializes
+    # once and all four consumer reads (df agg + scoring join, per
+    # branch) hit the pin instead of re-scanning
+    qterms = retrieval.query_terms(queries)
+    terms = retrieval.collect_query_term_list(qterms)
+    matched = retrieval.matched_term_cut(
+        spark.table("es_gate_unified_postings"), qterms,
+        literal=True, terms=terms,
+    ).localCheckpoint(eager=False)
     b = retrieval.bm25_topk_from_index(
-        spark, "es_gate_unified_postings", queries, k=10, terms=terms
+        spark, "es_gate_unified_postings", queries, k=10, terms=terms,
+        matched=matched,
     )
     x = retrieval.bm25_proximity_from_index(
         spark, "es_gate_unified_postings", "es_gate_unified_positions",
-        queries, k=10, terms=terms,
+        queries, k=10, terms=terms, matched=matched,
     )
     p = retrieval.phrase_search_from_index(
         spark, "es_gate_unified_positions", phrase_qs

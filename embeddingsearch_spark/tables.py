@@ -232,3 +232,59 @@ def derive_entity_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity"),
     )
     return ents.withColumn("attributes", F.map_from_arrays(keys, vals))
+
+
+def literal_frame(spark, rows, schema):
+    """A bounded local frame as a JVM-side LocalRelation (VALUES), not
+    a parallelized Python RDD.
+
+    `spark.createDataFrame(list)` parallelizes into defaultParallelism
+    pickled slices, and EVERY plan that references the frame re-scans
+    those slices through Python workers — ~0.1 s of worker handshake
+    per slice per reference, which at 32 local cores made each re-use
+    of a ~500-row literal frame a ~1 s, 32-task job (and coalescing
+    the slices just serialized the same overhead). A VALUES relation
+    parses to a LocalTableScan: broadcast builds read it driver-side
+    with ZERO tasks and zero Python round-trips, at any reference
+    count. Supports the bounded-collect row shapes the serve paths
+    re-create (ints, floats, strings, bools, None); ``schema`` is a
+    DDL string or StructType whose declared types the literals are
+    CAST to, so the result frame's schema matches createDataFrame's.
+
+    Falls back to createDataFrame for empty row sets (VALUES needs at
+    least one tuple) — an empty frame is referenced, never scanned."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def lit_sql(v, dt):
+        if v is None:
+            return f"CAST(NULL AS {dt.simpleString()})"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, float):
+            # repr round-trips doubles exactly
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, int):
+            return str(v)
+        raise TypeError(
+            f"literal_frame: unsupported value type {type(v).__name__}"
+        )
+
+    fields = schema.fields
+    tuples = ", ".join(
+        "(" + ", ".join(
+            f"CAST({lit_sql(v, f.dataType)} AS {f.dataType.simpleString()})"
+            for v, f in zip(row, fields)
+        ) + ")"
+        for row in rows
+    )
+    cols = ", ".join(f"`{f.name}`" for f in fields)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {tuples}) AS _lit({cols})"
+    )

@@ -1243,3 +1243,26 @@ def test_bm25_aliased_serve_per_tenant_generations(spark):
         for r in got.filter(F.col("query_id") == 100).collect()
     }
     assert a_docs == {1, 2}
+
+
+def test_matched_term_cut_literal_guard(spark, monkeypatch):
+    """The literal IN cut degrades to the broadcast semi-join above
+    LITERAL_TERM_CUT_MAX (identical rows — the guard bounds plan size,
+    never results), and a pre-collected `terms` list without
+    literal=True raises instead of being silently discarded."""
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    post = retrieval._postings(docs, "doc_id", "text")
+    qterms = retrieval.query_terms(qs)
+    lit = retrieval.matched_term_cut(post, qterms, literal=True)
+    # force the fallback: every real batch here exceeds a cap of 1
+    monkeypatch.setattr(retrieval, "LITERAL_TERM_CUT_MAX", 1)
+    guarded = retrieval.matched_term_cut(post, qterms, literal=True)
+    assert _frames_equal(lit, guarded)
+    # the guarded plan carries the join, not a literal IN list
+    gplan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "isin" not in gplan and "IN (" not in gplan, gplan
+    with pytest.raises(ValueError, match="literal"):
+        retrieval.matched_term_cut(post, qterms, terms=["the"])
