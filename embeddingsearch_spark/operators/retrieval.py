@@ -287,7 +287,14 @@ def bm25_scores_from_terms(
     shuffle carries term-level rows, not (q, doc) partials) — right
     for rank tails whose rows are narrow ids+doubles and whose window
     needed the by-query exchange anyway; leave False for consumers
-    that stop at the scores frame."""
+    that stop at the scores frame. Skew note (guide §2.5): one
+    partition now holds ALL of a query's matched term rows, so a
+    pathological query (every term ubiquitous over a huge corpus)
+    concentrates its rows in one task. AQE skew handling does not
+    split aggregations — if a deployment's query mix has such whales,
+    serve them with ``cluster_by_query=False`` (two exchanges, but
+    map-side partials collapse the term rows before the shuffle); the
+    rank window itself is irreducibly per-query either way."""
     # bounded by query-term matches; read twice (df agg + scoring join)
     if matched is None:
         matched = matched_term_cut(post, qterms)
@@ -813,6 +820,55 @@ def _partition_filter(pcs: list, routed_rows) -> "F.Column":
     return cond
 
 
+def save_partitioned_index_stats(
+    spark, table: str, partition_col="lang", id_col: str = "doc_id"
+) -> None:
+    """Persist per-collection (N, avgdl) beside a PARTITIONED postings
+    index as ``{table}__pstats`` — the federated twin of
+    `save_index_stats`: every federated serve re-derived each routed
+    collection's stats with a distinct+avg pass over the pruned index
+    per query; with the table it reads L rows. Values are EXACTLY
+    `_federated_scores`' derivation (including the NULL/zero-avgdl
+    guard), so serving from the table is value-identical to deriving.
+    Refresh after any index mutation (`upsert_partitioned_postings_
+    index` does when the table exists)."""
+    from embeddingsearch_spark.storage import drop_table
+
+    pcs = _pcols(partition_col)
+    stats_df = (
+        spark.table(table)
+        .select(*pcs, F.col(id_col), "dl")
+        .distinct()
+        .groupBy(*pcs)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg("dl").alias("_avgdl"),
+        )
+        .withColumn(
+            "_avgdl",
+            F.when(
+                F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
+                F.lit(1.0),
+            ).otherwise(F.col("_avgdl")),
+        )
+    )
+    drop_table(spark, f"{table}__pstats")
+    stats_df.write.saveAsTable(f"{table}__pstats")
+
+
+def pstats_for_index(spark, table: str, partition_col="lang"):
+    """The persisted per-collection stats frame (pcs..., _n, _avgdl),
+    or None when the build did not opt in — callers fall back to
+    deriving stats from the pruned index. Same freshness contract as
+    `df_for_index`."""
+    if spark.catalog.tableExists(f"{table}__pstats"):
+        pcs = _pcols(partition_col)
+        return spark.table(f"{table}__pstats").select(
+            *pcs, "_n", "_avgdl"
+        )
+    return None
+
+
 def build_partitioned_postings_index(
     docs: DataFrame,
     table: str,
@@ -821,6 +877,7 @@ def build_partitioned_postings_index(
     text_col: str = "text",
     n_buckets: int = 32,
     tokenizer=None,
+    with_stats: bool = False,
 ) -> str:
     """The language-partitioned postings index — the `bm25_lang_routed`
     design note made literal: postings laid out PARTITIONED by the
@@ -846,6 +903,13 @@ def build_partitioned_postings_index(
         post, table, ["term"], n_buckets=n_buckets,
         partition_cols=pcs,
     )
+    if with_stats:
+        save_partitioned_index_stats(
+            docs.sparkSession, table, pcs, id_col
+        )
+    else:
+        # a stats-less rebuild must not leave stale metadata behind
+        _drop_table(docs.sparkSession, f"{table}__pstats")
     return table
 
 
@@ -891,6 +955,11 @@ def upsert_partitioned_postings_index(
         bucket_cols=["term"], n_buckets=n_buckets,
         partition_cols=pcs,
     )
+    if spark.catalog.tableExists(f"{table}__pstats"):
+        # refresh per-collection stats from the converged index (the
+        # same full-recompute contract as __stats/__df on the
+        # unpartitioned index)
+        save_partitioned_index_stats(spark, table, pcs, id_col)
     return table
 
 
@@ -1053,22 +1122,29 @@ def _federated_scores(
     proximity path boosts before ranking)."""
     routed = route.select(*pcs).distinct().collect()
     pruned = spark.table(table).filter(_partition_filter(pcs, routed))
-    stats_l = (
-        pruned.select(*pcs, id_col, "dl")
-        .distinct()
-        .groupBy(*pcs)
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("_n"),
-            F.avg("dl").alias("_avgdl"),
+    # per-collection stats: L metadata rows when the build persisted
+    # them (save_partitioned_index_stats), else derived from the
+    # pruned index — identical values either way; stats are
+    # per-partition and pruning is partition-granular, so unrouted
+    # metadata rows simply never match the inner join below
+    stats_l = pstats_for_index(spark, table, pcs)
+    if stats_l is None:
+        stats_l = (
+            pruned.select(*pcs, id_col, "dl")
+            .distinct()
+            .groupBy(*pcs)
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_n"),
+                F.avg("dl").alias("_avgdl"),
+            )
+            .withColumn(
+                "_avgdl",
+                F.when(
+                    F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
+                    F.lit(1.0),
+                ).otherwise(F.col("_avgdl")),
+            )
         )
-        .withColumn(
-            "_avgdl",
-            F.when(
-                F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
-                F.lit(1.0),
-            ).otherwise(F.col("_avgdl")),
-        )
-    )
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )
@@ -1143,23 +1219,28 @@ def bm25_federated_pruned_from_index(
     pruned = spark.table(table).filter(
         F.col(partition_col).isin(vals)
     )
-    stats_l = (
-        pruned.select(partition_col, id_col, "dl")
-        .distinct()
-        .groupBy(partition_col)
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("_n"),
-            F.avg("dl").alias("_avgdl"),
+    # persisted per-collection stats when available (same contract as
+    # _federated_scores) — the WAND bounds and exact scoring read L
+    # metadata rows instead of re-aggregating the pruned index
+    stats_l = pstats_for_index(spark, table, partition_col)
+    if stats_l is None:
+        stats_l = (
+            pruned.select(partition_col, id_col, "dl")
+            .distinct()
+            .groupBy(partition_col)
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_n"),
+                F.avg("dl").alias("_avgdl"),
+            )
+            .withColumn(
+                "_avgdl",
+                F.when(
+                    F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
+                    F.lit(1.0),
+                ).otherwise(F.col("_avgdl")),
+            )
+            .localCheckpoint(eager=False)
         )
-        .withColumn(
-            "_avgdl",
-            F.when(
-                F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0.0),
-                F.lit(1.0),
-            ).otherwise(F.col("_avgdl")),
-        )
-        .localCheckpoint(eager=False)
-    )
     qterms = query_terms(
         queries, query_id_col, query_text_col, tokenizer=tokenizer
     )

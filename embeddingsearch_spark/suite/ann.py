@@ -5520,12 +5520,16 @@ def q_tenant_planned_serve(spark, sf_dir):
 
 
 def _planserve_emb(spark, sf_dir):
+    # spread the one-row-group scan BEFORE the per-row work hanging
+    # off it (stats posexplode, SQ encodes) — without this the pinned
+    # subtrees materialize as single-task stages (guide §2.5 input
+    # skew; the same shape as the round-12 corpus-synthesis spread)
     return tables.load(spark, sf_dir, "embeddings").filter(
         (F.col("vec_id") % 2 == 1) | (F.col("vec_id") < 80)
     ).withColumn(
         "source",
         F.when(F.col("vec_id") % 2 == 0, "acme").otherwise("globex"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _planserve_setup(spark, sf_dir):

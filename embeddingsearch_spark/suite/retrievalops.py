@@ -1234,7 +1234,7 @@ def _save_lang_route(spark, sf_dir, route_table):
 def _bm25_routed_idx_setup(spark, sf_dir):
     retrieval.build_partitioned_postings_index(
         _corpus(spark, sf_dir), "es_gate_postings_lang",
-        partition_col="lang", n_buckets=8,
+        partition_col="lang", n_buckets=8, with_stats=True,
     )
     _save_lang_route(spark, sf_dir, "es_gate_route_lang_idx")
 
@@ -1268,7 +1268,7 @@ def _bm25_routed_up_setup(spark, sf_dir):
     table = "es_gate_postings_lang_up"
     retrieval.build_partitioned_postings_index(
         docs.filter(F.col("doc_id") % 2 == 0), table,
-        partition_col="lang", n_buckets=8,
+        partition_col="lang", n_buckets=8, with_stats=True,
     )
     retrieval.upsert_partitioned_postings_index(
         spark, table, docs.filter(F.col("doc_id") % 2 == 1),
@@ -1301,7 +1301,7 @@ def q_bm25_routed_wand(spark, sf_dir):
 def _bm25_routed_wand_setup(spark, sf_dir):
     retrieval.build_partitioned_postings_index(
         _corpus(spark, sf_dir), "es_gate_postings_lang_wand",
-        partition_col="lang", n_buckets=8,
+        partition_col="lang", n_buckets=8, with_stats=True,
     )
     _save_lang_route(spark, sf_dir, "es_gate_route_lang_wand")
 
@@ -1408,7 +1408,7 @@ def q_bm25_tenant_serve(spark, sf_dir):
 def _bm25_tenant_setup(spark, sf_dir):
     retrieval.build_partitioned_postings_index(
         _corpus(spark, sf_dir), "es_gate_postings_tenant",
-        partition_col="source", n_buckets=8,
+        partition_col="source", n_buckets=8, with_stats=True,
     )
 
 
@@ -2547,7 +2547,7 @@ def _bm25_tcache_setup(spark, sf_dir):
     drop_table(spark, "es_gate_tcache")
     retrieval.build_partitioned_postings_index(
         _corpus(spark, sf_dir), "es_gate_postings_tcache",
-        partition_col="source", n_buckets=8,
+        partition_col="source", n_buckets=8, with_stats=True,
     )
     queries, route, versions = _bm25_tcache_args(spark, sf_dir)
     qc.serve_bm25_federated_cached(

@@ -1266,3 +1266,70 @@ def test_matched_term_cut_literal_guard(spark, monkeypatch):
     assert "isin" not in gplan and "IN (" not in gplan, gplan
     with pytest.raises(ValueError, match="literal"):
         retrieval.matched_term_cut(post, qterms, terms=["the"])
+
+
+def test_partitioned_pstats_metadata_lifecycle(spark):
+    """`save_partitioned_index_stats` persists exactly the federated
+    serve's per-collection (N, avgdl) derivation; the serve reading it
+    equals the derive path; an upsert refreshes it; a stats-less
+    rebuild drops it; the forward twin follows the same lifecycle."""
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the dog sat on the log", "en"),
+        (3, "le chat noir", "fr"),
+        (4, "", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    qs = spark.createDataFrame(
+        [(100, "the cat"), (101, "chat")], "query_id long, text string"
+    )
+    route = spark.createDataFrame(
+        [(100, "en"), (101, "fr")], "query_id long, lang string"
+    )
+    t = "es_test_postings_ps"
+    retrieval.build_partitioned_postings_index(
+        docs, t, partition_col="lang", n_buckets=4, with_stats=True
+    )
+    assert spark.catalog.tableExists(f"{t}__pstats")
+    with_meta = sorted(
+        tuple(r)
+        for r in retrieval.bm25_federated_from_index(
+            spark, t, qs, route, k=10
+        ).collect()
+    )
+    # derive path: same serve with the metadata dropped
+    from embeddingsearch_spark.storage import drop_table
+
+    meta = {
+        (r["lang"]): (r["_n"], r["_avgdl"])
+        for r in spark.table(f"{t}__pstats").collect()
+    }
+    assert meta["en"] == (2.0, 4.5) and meta["fr"][0] == 2.0
+    drop_table(spark, f"{t}__pstats")
+    derived = sorted(
+        tuple(r)
+        for r in retrieval.bm25_federated_from_index(
+            spark, t, qs, route, k=10
+        ).collect()
+    )
+    assert with_meta == derived
+    # upsert refreshes (rebuild metadata first so the hook fires)
+    retrieval.save_partitioned_index_stats(spark, t, "lang")
+    changed = spark.createDataFrame(
+        [(1, "completely new words here today", "en")],
+        "doc_id long, text string, lang string",
+    )
+    retrieval.upsert_partitioned_postings_index(
+        spark, t, changed, partition_col="lang", n_buckets=4
+    )
+    meta2 = {
+        (r["lang"]): (r["_n"], r["_avgdl"])
+        for r in spark.table(f"{t}__pstats").collect()
+    }
+    assert meta2["en"] == (2.0, 5.5)  # doc 1 now 5 tokens, doc 2 six
+    assert meta2["fr"] == meta["fr"]
+    # stats-less rebuild drops the metadata
+    retrieval.build_partitioned_postings_index(
+        docs, t, partition_col="lang", n_buckets=4
+    )
+    assert not spark.catalog.tableExists(f"{t}__pstats")
